@@ -1,0 +1,221 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Linear-regression model weights for `y = w1*x + w0`.
+  *
+  * Mirrors the reference's global weight pair
+  * (`/root/reference/kernel.cu:133` — `w0_old`, `w1_old`).
+  */
+final case class Weights(w0: Double, w1: Double) {
+
+  /** One exponential-moving-average step,
+    * `w_old = alpha*w_old + (1-alpha)*w_new`
+    * (`/root/reference/kernel.cu:214-215`, alpha at `kernel.cu:25`).
+    */
+  def ema(next: Weights, alpha: Double): Weights =
+    Weights(alpha * w0 + (1 - alpha) * next.w0,
+            alpha * w1 + (1 - alpha) * next.w1)
+
+  /** L-infinity distance, used for the tol-based convergence check that
+    * replaces the reference's interactive 1/0 prompt
+    * (`/root/reference/kernel.cu:175-188`).
+    */
+  def dist(o: Weights): Double =
+    math.max(math.abs(w0 - o.w0), math.abs(w1 - o.w1))
+}
+
+/** Sufficient statistics for univariate ordinary least squares:
+  * `(n, Σx, Σy, Σx², Σxy)` — exactly the four running sums the reference
+  * kernel accumulates per CUDA block (`/root/reference/kernel.cu:53-59`)
+  * plus the explicit count that the reference instead derives by integer
+  * division (`kernel.cu:46`, `kernel.cu:108` — which silently drops tail
+  * rows; this engine counts, so no rows are lost).
+  *
+  * The struct is an associative+commutative monoid, which is what makes
+  * the two-level (partition → global) combine of the reference — and
+  * Spark's partial/final HashAggregate — exact.
+  */
+final case class OlsStats(n: Long, sx: Double, sy: Double,
+                          sxx: Double, sxy: Double) {
+  def add(x: Double, y: Double): OlsStats =
+    OlsStats(n + 1, sx + x, sy + y, sxx + x * x, sxy + x * y)
+
+  def merge(o: OlsStats): OlsStats =
+    OlsStats(n + o.n, sx + o.sx, sy + o.sy, sxx + o.sxx, sxy + o.sxy)
+
+  /** Closed-form OLS solve — the formulae at
+    * `/root/reference/kernel.cu:62-63`:
+    * {{{
+    * w0 = (Σx²·Σy − Σx·Σxy) / (n·Σx² − (Σx)²)
+    * w1 = (n·Σxy − Σx·Σy)   / (n·Σx² − (Σx)²)
+    * }}}
+    * Degenerate inputs (n == 0 or zero variance) yield NaN weights
+    * rather than dividing by zero.
+    */
+  def solve: Weights = {
+    val d = n.toDouble * sxx - sx * sx
+    if (n == 0 || d == 0.0) Weights(Double.NaN, Double.NaN)
+    else Weights((sxx * sy - sx * sxy) / d, (n.toDouble * sxy - sx * sy) / d)
+  }
+}
+
+object OlsStats {
+  val zero: OlsStats = OlsStats(0L, 0.0, 0.0, 0.0, 0.0)
+}
+
+/** Typed Spark aggregate computing closed-form univariate OLS over
+  * `(x, y)` pairs. This is the engine's counterpart of the reference's
+  * hard-coded CUDA aggregate `computeRegression`
+  * (`/root/reference/kernel.cu:42-72`): `reduce` is the per-slice
+  * accumulation loop (`kernel.cu:53-59`), `merge` is the cross-slice
+  * combine (which the reference does by averaging solved weights instead
+  * — see [[Ols.fitLinearMeta]] for that faithful variant), and `finish`
+  * is the closed-form solve (`kernel.cu:62-63`).
+  *
+  * Usable typed (`ds.select(OlsAggregator.toColumn)`) or untyped via
+  * `functions.udaf(OlsAggregator)` for grouped regression.
+  */
+object OlsAggregator extends Aggregator[(Double, Double), OlsStats, Weights] {
+  override def zero: OlsStats = OlsStats.zero
+  override def reduce(b: OlsStats, a: (Double, Double)): OlsStats =
+    b.add(a._1, a._2)
+  override def merge(b1: OlsStats, b2: OlsStats): OlsStats = b1.merge(b2)
+  override def finish(b: OlsStats): Weights = b.solve
+  override def bufferEncoder: Encoder[OlsStats] = Encoders.product[OlsStats]
+  override def outputEncoder: Encoder[Weights] = Encoders.product[Weights]
+}
+
+/** The engine's regression surface. Two estimators (SURVEY.md §0.1):
+  *
+  *  - [[fitLinearExact]]: one global aggregation of sufficient
+  *    statistics — the statistically correct OLS fit, partition-invariant.
+  *  - [[fitLinearMeta]]: the reference's two-level "meta" estimator —
+  *    average of per-block closed-form solutions, then average of
+  *    per-partition averages (`/root/reference/kernel.cu:148-157` and
+  *    `kernel.cu:165-174`). Partition layout is part of its semantics,
+  *    so callers pass explicit partition/block counts.
+  */
+object Ols {
+
+  /** Exact global OLS via a single distributed aggregation.
+    *
+    * Plan shape: scan → project(x, y) → partial HashAggregate (per
+    * partition; the reference's "secondary" map+reduce,
+    * `/root/reference/kernel.cu:42-72` + `148-157`) → shuffle exchange
+    * (the reference's `MPI_Reduce`, `kernel.cu:165-166`) → final
+    * HashAggregate → collect of ONE row. Only scalars ever reach the
+    * driver, so this scales to arbitrarily many rows.
+    */
+  def fitLinearExact(df: DataFrame, xCol: String, yCol: String): Weights = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val r = df
+      .select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("x") * col("y")).as("sxy"))
+      .head()
+    if (r.isNullAt(1)) Weights(Double.NaN, Double.NaN)
+    else OlsStats(r.getLong(0), r.getDouble(1), r.getDouble(2),
+                  r.getDouble(3), r.getDouble(4)).solve
+  }
+
+  /** Faithful two-level "meta" estimator: equal-weight average of
+    * per-block OLS solutions within a partition (the reference's CUDA
+    * blocks, `/root/reference/kernel.cu:148-157`), then equal-weight
+    * average across partitions (the reference's MPI processes,
+    * `kernel.cu:165-174`).
+    *
+    * Deliberate deviations from the reference, per SURVEY.md §0.3:
+    * rows beyond `n/blocks*blocks` are NOT dropped (remainder rows go to
+    * the trailing block), and empty blocks/partitions are excluded from
+    * the average instead of contributing garbage zeros.
+    *
+    * Partition layout is semantics-bearing for this estimator, so the
+    * input is deterministically range-repartitioned by a caller-chosen
+    * ordering column before slicing.
+    */
+  def fitLinearMeta(df: DataFrame, xCol: String, yCol: String,
+                    numPartitions: Int, blocksPerPartition: Int,
+                    orderCol: String): Weights = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(Double, Double)] = df
+      .repartitionByRange(numPartitions, col(orderCol))
+      .select(col(xCol).cast("double"), col(yCol).cast("double"))
+      .as[(Double, Double)]
+
+    val perPartition: Dataset[Weights] = pairs.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val b = math.max(1, blocksPerPartition)
+        // contiguous equal slices (kernel.cu:46-50 block slicing), with
+        // the remainder appended to the last block rather than dropped
+        val base = rows.length / b
+        val slices = (0 until b).flatMap { i =>
+          val s = i * base
+          val e = if (i == b - 1) rows.length else s + base
+          if (e > s) Some((s, e)) else None
+        }
+        val ws = slices.map { case (s, e) =>
+          var st = OlsStats.zero
+          var i = s
+          while (i < e) { st = st.add(rows(i)._1, rows(i)._2); i += 1 }
+          st.solve
+        }.filterNot(w => w.w0.isNaN || w.w1.isNaN)
+        if (ws.isEmpty) Iterator.empty
+        else Iterator.single(Weights(
+          ws.map(_.w0).sum / ws.length, ws.map(_.w1).sum / ws.length))
+      }
+    }
+
+    val r = perPartition.toDF("w0", "w1")
+      .agg(avg("w0").as("w0"), avg("w1").as("w1")).head()
+    if (r.isNullAt(0)) Weights(Double.NaN, Double.NaN)
+    else Weights(r.getDouble(0), r.getDouble(1))
+  }
+}
+
+/** Result of an iterative fit: final weights, rounds consumed, whether
+  * the tol-based convergence criterion fired (vs. running out of
+  * batches/iterations).
+  */
+final case class FitResult(weights: Weights, iters: Int, converged: Boolean)
+
+/** Driver-side iterative refinement over a stream of batches — the
+  * Spark-native form of the reference's `do { … } while(1)` loop
+  * (`/root/reference/kernel.cu:135-217`): each round re-estimates the
+  * model on a fresh batch (`kernel.cu:190-195`) and folds the estimate
+  * into persistent state with an EMA (`kernel.cu:214-215`).
+  *
+  * The reference's interactive convergence prompt
+  * (`kernel.cu:175-188`) is replaced by `maxIters` + `tol`
+  * (SURVEY.md §0.6). EMA state starts at (0, 0) exactly like the
+  * reference (`kernel.cu:133`), and is folded once per round — the
+  * reference's "one extra EMA at exit" is just the current round's fold
+  * taken on the exit path, so one-fold-per-round reproduces it.
+  */
+object IterativeTrainer {
+
+  def fit(batches: Iterator[DataFrame], xCol: String, yCol: String,
+          alpha: Double = 0.2, maxIters: Int = Int.MaxValue,
+          tol: Double = 0.0,
+          fitOne: (DataFrame, String, String) => Weights =
+            Ols.fitLinearExact): FitResult = {
+    var w = Weights(0.0, 0.0)
+    var iters = 0
+    var converged = false
+    while (batches.hasNext && iters < maxIters && !converged) {
+      val estimate = fitOne(batches.next(), xCol, yCol)
+      val next = w.ema(estimate, alpha)
+      converged = tol > 0.0 && next.dist(w) < tol
+      w = next
+      iters += 1
+    }
+    FitResult(w, iters, converged)
+  }
+}

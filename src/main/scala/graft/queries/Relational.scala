@@ -1,0 +1,719 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.engine.{IterativeTrainer, Ols, OlsAggregator}
+
+/** Relational operator surface (SURVEY.md §2.1–§2.8): scans, filters,
+  * joins of every flavor, aggregations (incl. rollup/cube/grouping
+  * sets), window functions, sorts/limits, set ops, scalar functions,
+  * and the regression operators that are the reference's core
+  * (`/root/reference/kernel.cu:42-72`).
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - every query ends with a deterministic ORDER BY on a unique key;
+  *  - computed doubles are rounded (3 decimals for sums, 4 for
+  *    ratios/avgs/weights) so double-summation-order ulp noise cannot
+  *    flip the driver's hash compare;
+  *  - aliases match the oracle SQL exactly (driver sorts columns by
+  *    name before hashing).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg. */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 3).as("sum_qty"),
+        round(sum("l_extendedprice"), 3).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 3).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity),3) AS sum_qty,
+       round(sum(l_extendedprice),3) AS sum_base_price,
+       round(sum(l_extendedprice*(1-l_discount)),3) AS sum_disc_price,
+       round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),3) AS sum_charge,
+       round(avg(l_quantity),4) AS avg_qty,
+       round(avg(l_extendedprice),4) AS avg_price,
+       round(avg(l_discount),4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------- q02
+  /** Filter + projection; predicates and column pruning push to parquet. */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+              "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
+       ORDER BY l_orderkey, l_linenumber"""
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: 3-way join (broadcast dim), agg, top-N. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15'
+         AND l_shipdate > TIMESTAMP '1998-03-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey ASC
+       LIMIT 10"""
+
+  // ---------------------------------------------------------------- q04
+  /** TPC-H Q4-style: semi join with a non-equi conjunct (EXISTS). */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style: 6-way join through the star schema, broadcast dims. */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  private val q05Sql =
+    """SELECT n_name,
+       round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name ASC"""
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6: pure scan-filter-aggregate, one output row. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 3)
+        .as("revenue"))
+
+  private val q06Sql =
+    """SELECT round(sum(l_extendedprice*l_discount),3) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"""
+
+  // ---------------------------------------------------------------- q07
+  /** Left-semi join (EXISTS): customers that placed an urgent order. */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val q07Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+       FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q08
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private val q08Sql =
+    """SELECT c_custkey, c_name
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q09
+  /** Left-outer join preserving unmatched rows, counting matches. */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_late_items"))
+      .filter(col("n_late_items") >= 3)
+      .orderBy("o_orderkey")
+  }
+
+  private val q09Sql =
+    """SELECT o_orderkey, count(l_orderkey) AS n_late_items
+       FROM orders LEFT JOIN lineitem
+         ON o_orderkey = l_orderkey AND l_shipdate >= TIMESTAMP '1999-01-01'
+       GROUP BY o_orderkey
+       HAVING count(l_orderkey) >= 3
+       ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------- q10
+  /** Window top-k per group: 2 priciest items of each order. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+      .orderBy("l_orderkey", "rn")
+  }
+
+  private val q10Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+         SELECT l_orderkey, l_linenumber, l_extendedprice,
+           row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+         FROM lineitem) t
+       WHERE rn <= 2
+       ORDER BY l_orderkey, rn"""
+
+  // ---------------------------------------------------------------- q11
+  /** Running total per customer (window frame rowsBetween). */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 3))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val q11Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),3)
+         AS running_spend
+       FROM orders
+       WHERE o_custkey <= 100
+       ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  // ---------------------------------------------------------------- q12
+  /** lag(): inter-event gap statistics per user (exact microsecond ints). */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(col("gap_us")).as("n_gaps"),
+           sum("gap_us").as("total_gap_us"),
+           max("gap_us").as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
+  private val q12Sql =
+    """SELECT user_id, count(gap_us) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+       max(gap_us) AS max_gap_us
+       FROM (
+         SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts), 1)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         FROM events) t
+       GROUP BY user_id
+       ORDER BY user_id"""
+
+  // ---------------------------------------------------------------- q13
+  /** ROLLUP with coalesced grouping keys (hierarchy totals). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 3).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
+  private val q13Sql =
+    """SELECT coalesce(l_returnflag,'ALL') AS flag,
+       coalesce(l_linestatus,'ALL') AS status,
+       round(sum(l_quantity),3) AS sum_qty, count(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY flag, status"""
+
+  // ---------------------------------------------------------------- q14
+  /** CUBE over two order dimensions. */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 3).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("sum_price"), col("n"))
+      .orderBy("status", "priority")
+
+  private val q14Sql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status,
+       coalesce(o_orderpriority,'ALL') AS priority,
+       round(sum(o_totalprice),3) AS sum_price, count(*) AS n
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY status, priority"""
+
+  // ---------------------------------------------------------------- q15
+  /** GROUPING SETS via the SQL surface (also exercises spark.sql). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag,'ALL') AS flag,
+         coalesce(l_linestatus,'ALL') AS status,
+         round(sum(l_extendedprice),3) AS sum_price
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY flag, status""")
+  }
+
+  private val q15Sql =
+    """SELECT coalesce(l_returnflag,'ALL') AS flag,
+       coalesce(l_linestatus,'ALL') AS status,
+       round(sum(l_extendedprice),3) AS sum_price
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       ORDER BY flag, status"""
+
+  // ---------------------------------------------------------------- q16
+  /** Set operations: INTERSECT / EXCEPT / UNION with distinct semantics. */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("src", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("src", lit("cust_only"))
+    both.unionByName(custOnly).orderBy("src", "nationkey")
+  }
+
+  private val q16Sql =
+    """SELECT * FROM (
+         SELECT nationkey, 'both' AS src FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier) a
+         UNION ALL
+         SELECT nationkey, 'cust_only' AS src FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier) b) t
+       ORDER BY src, nationkey"""
+
+  // ---------------------------------------------------------------- q17
+  /** DISTINCT + countDistinct / approx sketch cross-check. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+           countDistinct(col("o_orderpriority")).as("n_prio"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  private val q17Sql =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+       count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // ---------------------------------------------------------------- q18
+  /** Global sort + limit (TakeOrderedAndProject). */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+
+  private val q18Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""
+
+  // ---------------------------------------------------------------- q19
+  /** String scalar functions: upper/length/substring over part. */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg(length(col("p_name"))), 4).as("avg_name_len"),
+           min(upper(col("p_brand"))).as("min_brand"),
+           max(substring(col("p_name"), 1, 5)).as("max_prefix"))
+      .orderBy("p_type")
+
+  private val q19Sql =
+    """SELECT p_type, count(*) AS n,
+       round(avg(length(p_name)),4) AS avg_name_len,
+       min(upper(p_brand)) AS min_brand,
+       max(substr(p_name,1,5)) AS max_prefix
+       FROM part GROUP BY p_type ORDER BY p_type"""
+
+  // ---------------------------------------------------------------- q20
+  /** Date/time scalar functions: calendar aggregation. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+               month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 3).as("sum_price"))
+      .orderBy("yr", "mo")
+
+  private val q20Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       count(*) AS n_orders, round(sum(o_totalprice),3) AS sum_price
+       FROM orders GROUP BY 1, 2 ORDER BY yr, mo"""
+
+  // ---------------------------------------------------------------- q21
+  /** JSON-in-string decode (events.props) + conditional agg. */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg("k"), 4).as("avg_k"),
+           sum(when(col("k") > 50, 1).otherwise(0)).cast("long").as("n_big"))
+      .orderBy("event_type")
+
+  private val q21Sql =
+    """SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props,'$.k') AS INT)),4) AS avg_k,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props,'$.k') AS INT) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- q22
+  /** Tumbling-window aggregation over event time (batch form of the
+    * streaming window; oracle via DuckDB time_bucket). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("win_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val q22Sql =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value),3) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
+  // ---------------------------------------------------------------- q23
+  /** Sessionization: 30-minute-inactivity session counts via lag(). */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").cast("long").as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q23Sql =
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+       FROM (
+         SELECT user_id,
+           CASE WHEN prev_us IS NULL
+                  OR epoch_us(ts) - prev_us > 30*60*1000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM (
+           SELECT user_id, ts,
+             lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_us
+           FROM events) a) b
+       GROUP BY user_id
+       ORDER BY user_id"""
+
+  // ---------------------------------------------------------------- q24
+  /** Built-in regression aggregates (exact global OLS per group) —
+    * Spark's regr_* are the Catalyst-native form of the reference's
+    * sufficient-statistics aggregation (kernel.cu:53-63). */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
+  private val q24Sql =
+    """SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity),4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity),4) AS intercept,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q25
+  /** The engine's custom OLS Aggregator (kernel.cu:42-72 semantics),
+    * grouped, oracle-checked against DuckDB's regr_*. */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val ols = udaf(OlsAggregator)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(ols(col("l_quantity"), col("l_extendedprice")).as("w"))
+      .select(col("l_returnflag"),
+              round(col("w.w0"), 4).as("w0"),
+              round(col("w.w1"), 4).as("w1"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q25Sql =
+    """SELECT l_returnflag,
+       round(regr_intercept(l_extendedprice, l_quantity),4) AS w0,
+       round(regr_slope(l_extendedprice, l_quantity),4) AS w1
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q26
+  /** Faithful two-level meta estimator (avg-of-avgs,
+    * kernel.cu:148-174). Partition-layout-dependent by design, so no
+    * SQL oracle — the driver records a rows-only check; ScalaTest
+    * covers its semantics instead. */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Ols.fitLinearMeta(Tables.lineitem(s, d),
+      "l_quantity", "l_extendedprice",
+      numPartitions = 4, blocksPerPartition = 2, orderCol = "l_orderkey")
+    Seq((BigDecimal(w.w0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+         BigDecimal(w.w1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("w0", "w1")
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Iterative EMA-smoothed refit over 3 batches — the reference's
+    * do-while loop (kernel.cu:135-217) with exact per-batch OLS.
+    * Oracle: the EMA unrolled arithmetically over DuckDB regr_*. */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val batches = (0 until 3).map { i =>
+      li.filter(col("l_orderkey") % 3 === i)
+    }.iterator
+    val r = IterativeTrainer.fit(batches, "l_quantity", "l_extendedprice",
+      alpha = 0.2)
+    Seq((BigDecimal(r.weights.w0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+         BigDecimal(r.weights.w1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+         r.iters.toLong))
+      .toDF("w0", "w1", "iters")
+  }
+
+  // EMA unroll: w = 0.8*e2 + 0.2*(0.8*e1 + 0.2*(0.8*e0 + 0.2*0))
+  //               = 0.8*e2 + 0.16*e1 + 0.032*e0   (alpha = 0.2)
+  private val q27Sql =
+    """WITH b0 AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+                          regr_slope(l_extendedprice, l_quantity) sl
+                   FROM lineitem WHERE l_orderkey % 3 = 0),
+          b1 AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+                        regr_slope(l_extendedprice, l_quantity) sl
+                 FROM lineitem WHERE l_orderkey % 3 = 1),
+          b2 AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+                        regr_slope(l_extendedprice, l_quantity) sl
+                 FROM lineitem WHERE l_orderkey % 3 = 2)
+       SELECT round(0.8*b2.i + 0.16*b1.i + 0.032*b0.i, 4) AS w0,
+              round(0.8*b2.sl + 0.16*b1.sl + 0.032*b0.sl, 4) AS w1,
+              CAST(3 AS BIGINT) AS iters
+       FROM b0, b1, b2"""
+
+  // ---------------------------------------------------------------- q28
+  /** As-of join: each purchase matched to the user's most recent click
+    * within the preceding hour (range join + window dedup). */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(desc("c_ts"), desc("click_id"))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "purchase_id", "click_id")
+      .orderBy("purchase_id")
+  }
+
+  private val q28Sql =
+    """SELECT user_id, purchase_id, click_id FROM (
+         SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY c.ts DESC, c.event_id DESC) AS rn
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click') t
+       WHERE rn = 1
+       ORDER BY purchase_id"""
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_top_revenue_orders" -> (q03 _),
+    "q04_semi_join_priority" -> (q04 _),
+    "q05_star_join_revenue" -> (q05 _),
+    "q06_forecast_revenue" -> (q06 _),
+    "q07_semi_join_urgent" -> (q07 _),
+    "q08_anti_join_no_orders" -> (q08 _),
+    "q09_outer_join_late" -> (q09 _),
+    "q10_window_topk" -> (q10 _),
+    "q11_running_total" -> (q11 _),
+    "q12_lag_gaps" -> (q12 _),
+    "q13_rollup" -> (q13 _),
+    "q14_cube" -> (q14 _),
+    "q15_grouping_sets" -> (q15 _),
+    "q16_set_ops" -> (q16 _),
+    "q17_count_distinct" -> (q17 _),
+    "q18_topn_orders" -> (q18 _),
+    "q19_string_funcs" -> (q19 _),
+    "q20_date_funcs" -> (q20 _),
+    "q21_json_props" -> (q21 _),
+    "q22_event_windows" -> (q22 _),
+    "q23_sessionization" -> (q23 _),
+    "q24_regr_builtin" -> (q24 _),
+    "q25_ols_aggregator" -> (q25 _),
+    "q26_ols_meta" -> (q26 _),
+    "q27_iterative_ema" -> (q27 _),
+    "q28_asof_join" -> (q28 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_top_revenue_orders" -> q03Sql,
+    "q04_semi_join_priority" -> q04Sql,
+    "q05_star_join_revenue" -> q05Sql,
+    "q06_forecast_revenue" -> q06Sql,
+    "q07_semi_join_urgent" -> q07Sql,
+    "q08_anti_join_no_orders" -> q08Sql,
+    "q09_outer_join_late" -> q09Sql,
+    "q10_window_topk" -> q10Sql,
+    "q11_running_total" -> q11Sql,
+    "q12_lag_gaps" -> q12Sql,
+    "q13_rollup" -> q13Sql,
+    "q14_cube" -> q14Sql,
+    "q15_grouping_sets" -> q15Sql,
+    "q16_set_ops" -> q16Sql,
+    "q17_count_distinct" -> q17Sql,
+    "q18_topn_orders" -> q18Sql,
+    "q19_string_funcs" -> q19Sql,
+    "q20_date_funcs" -> q20Sql,
+    "q21_json_props" -> q21Sql,
+    "q22_event_windows" -> q22Sql,
+    "q23_sessionization" -> q23Sql,
+    "q24_regr_builtin" -> q24Sql,
+    "q25_ols_aggregator" -> q25Sql,
+    "q27_iterative_ema" -> q27Sql,
+    "q28_asof_join" -> q28Sql)
+}
