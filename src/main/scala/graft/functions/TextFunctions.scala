@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-training-data pipeline
+  * operators (SURVEY.md §2.11). Everything here composes built-in
+  * codegen'd expressions — no Scala UDFs — so whole-stage codegen and
+  * column pruning stay intact, and each primitive has an exact DuckDB
+  * SQL translation for the oracle gate.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the shared definition across all text
+    * ops; DuckDB equivalent: `regexp_split_to_array(trim(t), '\s+')`).
+    */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct word n-gram shingles. Documents with fewer than `n`
+    * words degrade to a single whole-text shingle (no row is dropped —
+    * deliberate contrast to the reference's tail truncation,
+    * SURVEY.md §0.3).
+    */
+  def wordShingles(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", w)))
+
+  /** MinHash signature of a shingle set: K independent permutations
+    * approximated by min over md5("seed:shingle"). md5 hex strings
+    * compare lexicographically identically in Spark and DuckDB, which
+    * makes the signature — and therefore the whole LSH pipeline —
+    * oracle-checkable.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(shingles,
+        s => md5(concat(seed.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: the signature is cut into `bands` bands of `rows`
+    * hashes; each band is collapsed to one md5 key. Two documents are
+    * candidate duplicates iff they share ≥1 band key.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat(b.cast("string"), lit("|"),
+        concat_ws("|", slice(sig, b * lit(rows) + 1, lit(rows))))))
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** 60-bit hash of a token: first 15 hex digits of md5, as a long.
+    * (60 bits keeps the value positive in both engines' signed i64;
+    * DuckDB: `('0x' || substr(md5(t),1,15))::BIGINT`.)
+    */
+  def token60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over a (distinct) token-hash array: bit i is set
+    * iff strictly more tokens have bit i set than clear. Built from
+    * lambda expressions only, so shift amounts can be lambda variables
+    * (the `functions.shiftright` Scala wrapper requires literals).
+    */
+  def simhash(tokenHashes: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(59)), i =>
+        when(size(filter(tokenHashes,
+            h => (shiftright(h, i) % 2) === 1)) * 2 > size(tokenHashes),
+          shiftleft(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  // `shiftright`/`shiftleft` with a Column shift amount (needed inside
+  // the lambdas above) — the SQL expressions accept arbitrary child
+  // expressions even though the Scala wrappers only take Int literals.
+  private def shiftright(e: Column, n: Column): Column =
+    call_function("shiftright", e, n)
+  private def shiftleft(e: Column, n: Column): Column =
+    call_function("shiftleft", e, n)
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Stopword ratio against a fixed marker list (shared with the
+    * oracle SQL; the synthetic corpus is English-heavy).
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def stopwordRatio(w: Column): Column = {
+    val stops = filter(w, t => t.isin(stopwords: _*))
+    size(stops).cast("double") / size(w).cast("double")
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation,
+    * moderate stopword density. Weights are arbitrary but fixed and
+    * mirrored in the oracle SQL.
+    */
+  def qualityScore(text: Column, w: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(400.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    val stopScore = least(stopwordRatio(w) * 5.0, lit(1.0))
+    lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
+  }
+
+  /** Marker-word language scores; predicted language = argmax marker
+    * count with 'und' when no marker hits. N-gram-frequency heuristic
+    * over a fixed marker table — deterministic, so oracle-checkable.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScore(w: Column, lang: String): Column =
+    size(filter(w, t => t.isin(langMarkers(lang): _*)))
+
+  def predictedLang(w: Column): Column = {
+    // greatest-by-score with deterministic tie-break on language order
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(w, l).as("s"), lit(l).as("l")))
+    val best = greatest(scored: _*)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+}

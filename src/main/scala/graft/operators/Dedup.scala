@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for the training-data pipeline
+  * (SURVEY.md §2.11): exact, MinHash+LSH, SimHash, exact n-gram
+  * Jaccard (inverted index), and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): every variant reduces candidate generation
+  * to an equi-join on a derived key (content hash, LSH band key,
+  * simhash band, shingle, LSH bucket) — never an all-pairs comparison —
+  * so the expensive step is a key-partitioned shuffle that AQE can
+  * re-balance, and per-key fan-out is bounded by band/bucket width.
+  */
+object Dedup {
+
+  // Shadows functions.round: cross-engine deterministic rounding that
+  // matches DuckDB's binary-double round (see Rounding.roundTo).
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.Rounding.roundTo(c, scale)
+
+  /** The heavy per-row work below (md5 minhash lattices, simhash bit
+    * lattices, dot products) runs in higher-order-function expressions,
+    * which Spark evaluates interpreted — so parallelism is everything.
+    * Small parquet inputs arrive as a single partition; spread them
+    * across the cluster before the expensive projection. The explicit
+    * partition count is preserved (AQE does not re-coalesce
+    * user-specified repartitions).
+    */
+  private def widen(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(target, col(key))
+  }
+
+  /** Normalized content hash: lowercase + collapsed whitespace → md5. */
+  def contentHash(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Exact dedup: one surviving row (min id) per normalized-content
+    * group, with the group size. A single hash-partitioned aggregation.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), contentHash(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Shingle sets per document: `(id, sh: array<string>)`. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame =
+    widen(docs, idCol).select(col(idCol).as("id"),
+      wordShingles(words(col(textCol)), shingleN).as("sh"))
+
+  /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+    *
+    * tokenize → shingle → K minhashes → B band keys → equi-join on
+    * (band, key) → distinct candidate pairs → re-join shingle sets →
+    * exact Jaccard ≥ threshold. The only shuffles are the band-key
+    * join and the two id-keyed verification joins; candidate volume is
+    * controlled by (bands, rowsPerBand), not corpus size².
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleN: Int = 3, k: Int = 12,
+                   bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand == k, "signature must split evenly into bands")
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index — the
+    * ground-truth counterpart of [[minhashPairs]]. Pair candidates come
+    * from co-occurrence on a shingle (equi-join on the shingle string);
+    * intersection sizes fall out of the pair group count, so shingle
+    * sets are only re-joined for |A|,|B|.
+    */
+  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.id"))
+      .join(sh.as("y"), col("doc_b") === col("y.id"))
+      .withColumn("jaccard", round(jaccard(col("x.sh"), col("y.sh")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** SimHash near-dup pairs: 60-bit simhash over distinct tokens,
+    * banded into 4×15-bit segments (pigeonhole: hamming ≤ 3 ⇒ at least
+    * one identical segment), candidates from the segment equi-join,
+    * verified by exact Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sims = widen(docs, idCol).select(col(idCol).as("id"),
+      simhash(transform(array_distinct(words(col(textCol))),
+        t => token60(t))).as("sim"))
+    val banded = sims.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        shiftrightByCol(col("sim"), b * 15) % 32768))
+        .as(Seq("band", "seg")))
+    // hamming filter runs INSIDE the join output, before the distinct:
+    // on corpora where simhashes cluster, candidate volume is large and
+    // shuffling it through distinct first would dominate the query
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.seg") === col("b.seg") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+              hamming(col("a.sim"), col("b.sim")).as("hamming_dist"))
+      .filter(col("hamming_dist") <= maxHamming)
+      .distinct()
+  }
+
+  private def shiftrightByCol(e: Column, n: Column): Column =
+    call_function("shiftright", e, n)
+
+  /** Embedding-cosine near-dup pairs. Brute force all-pairs — correct
+    * baseline at test scale; the 100 TB path is
+    * [[Similarity.knnLsh]]-style bucketing where candidates come from
+    * an equi-join on the LSH bucket instead of a cross join.
+    */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    // norms are precomputed per vector so each pair costs ONE dot
+    // product instead of three full array traversals
+    val v = widen(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cosine"))
+  }
+}

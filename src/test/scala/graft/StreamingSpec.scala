@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Ols, Weights}
+import graft.streaming.EventPipeline
+
+/** Structured Streaming coverage (SURVEY.md §2.10): the same
+  * transforms the batch surface uses, driven through a MemoryStream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg runs identically as a streaming query with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventPipeline.windowedAgg(
+      events.withWatermark("ts", "1 hour"), "6 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 01:00:00"), "click", 1.0),
+        (ts("2024-01-01 02:00:00"), "click", 2.5),
+        (ts("2024-01-01 07:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .orderBy("win_start", "event_type").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("n") == 2)
+      assert(out(0).getAs[Double]("sum_value") == 3.5)
+      assert(out(1).getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+
+  test("foreachBatch reproduces the reference's iterate+EMA loop on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Double, Double)]
+    val data = mem.toDF().toDF("x", "y")
+    // driver-held EMA state, exactly kernel.cu:214-215 (alpha = 0.2)
+    var w = Weights(0.0, 0.0)
+    val q = data.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) w = w.ema(Ols.fitLinearExact(batch, "x", "y"), 0.2)
+      }.start()
+    try {
+      mem.addData((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)) // y = x
+      q.processAllAvailable()
+      mem.addData((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)) // y = 2x
+      q.processAllAvailable()
+      // matches IterativeTrainer: 0.2*(0.8*1) + 0.8*2 = 1.76
+      assert(math.abs(w.w1 - 1.76) < 1e-9)
+      assert(math.abs(w.w0) < 1e-9)
+    } finally q.stop()
+  }
+}
