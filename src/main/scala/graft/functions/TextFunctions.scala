@@ -33,16 +33,23 @@ object TextFunctions {
         i => concat_ws(" ", slice(w, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", w)))
 
-  /** MinHash signature of a shingle set: K independent permutations
-    * approximated by min over md5("seed:shingle"). md5 hex strings
-    * compare lexicographically identically in Spark and DuckDB, which
-    * makes the signature — and therefore the whole LSH pipeline —
-    * oracle-checkable.
+  /** Large prime modulus for the minhash permutation family (2^31−1). */
+  val MinhashP: Long = 2147483647L
+
+  /** MinHash signature of a shingle set: ONE md5 per shingle reduced to
+    * a 60-bit integer, then K affine "permutations"
+    * `(2k+1)·h + 7919k mod P` (each a bijection on Z_P since 2k+1 and
+    * the prime P are coprime) with a min-reduce per k. One digest per
+    * shingle instead of K keeps the interpreted higher-order-function
+    * cost flat in K; the arithmetic mirrors exactly in DuckDB SQL, so
+    * the whole LSH pipeline stays oracle-checkable.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hs = transform(shingles, s => token60(s) % MinhashP)
     transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingles,
-        s => md5(concat(seed.cast("string"), lit(":"), s)))))
+      array_min(transform(hs, h =>
+        pmod((seed * 2 + 1) * h + seed * lit(7919L), lit(MinhashP)))))
+  }
 
   /** LSH band keys: the signature is cut into `bands` bands of `rows`
     * hashes; each band is collapsed to one md5 key. Two documents are
@@ -51,7 +58,8 @@ object TextFunctions {
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       md5(concat(b.cast("string"), lit("|"),
-        concat_ws("|", slice(sig, b * lit(rows) + 1, lit(rows))))))
+        concat_ws("|", transform(slice(sig, b * lit(rows) + 1, lit(rows)),
+          v => v.cast("string"))))))
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =

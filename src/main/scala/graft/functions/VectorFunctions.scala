@@ -14,11 +14,16 @@ object VectorFunctions {
   /** Dot product with elementwise promotion to double before the
     * sequential left-to-right sum (matches DuckDB's
     * `list_dot_product(a::DOUBLE[], b::DOUBLE[])` accumulation order).
+    * Backed by the native codegen'd [[expressions.DotProduct]]
+    * expression — the lambda formulation
+    * (`aggregate(zip_with(...))`) is semantically identical but
+    * interpreted, an order of magnitude slower on ANN hot paths.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = {
+    expressions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(expressions.GraftFunctions.dotName, a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

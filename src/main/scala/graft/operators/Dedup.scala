@@ -68,11 +68,24 @@ object Dedup {
                    bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand == k, "signature must split evenly into bands")
     val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    // Signature via explode → ONE md5 per (doc, shingle) row → K min
+    // aggregates. Catalyst expression trees are not DAGs, so computing
+    // the signature inside nested array lambdas would re-hash every
+    // shingle once per seed; the exploded formulation hashes once and
+    // the K minima are codegen'd partial aggregates (map-side combine —
+    // the shape that scales).
+    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h", token60(col("s")) % MinhashP)
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * (2 * i + 1) + lit(7919L * i), lit(MinhashP)))
+        .as(s"m$i"))
+    val sigs = hashed.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
-        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "key")))
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val banded = sigs.select(col("id"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "key")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -120,27 +133,58 @@ object Dedup {
     * banded into 4×15-bit segments (pigeonhole: hamming ≤ 3 ⇒ at least
     * one identical segment), candidates from the segment equi-join,
     * verified by exact Hamming distance.
+    *
+    * The banded join runs over DISTINCT simhash values, not documents:
+    * on corpora where many documents share a fingerprint (dup-heavy, or
+    * small vocabularies), this collapses the quadratic candidate
+    * explosion to the number of distinct fingerprints; surviving value
+    * pairs are expanded back to document pairs by two equi-joins.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sims = widen(docs, idCol).select(col(idCol).as("id"),
-      simhash(transform(array_distinct(words(col(textCol))),
-        t => token60(t))).as("sim"))
-    val banded = sims.select(col("id"), col("sim"),
+    // Fingerprints via explode → ONE md5 per (doc, token) row → 60
+    // codegen'd conditional-sum aggregates → recombine bits. The array
+    // formulation (TextFunctions.simhash) re-evaluates its token-hash
+    // argument twice per bit — 120 interpreted re-hashes per document —
+    // because Catalyst expression trees are not DAGs.
+    val toks = widen(docs, idCol)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(words(col(textCol)))).as("t"))
+      .withColumn("h", token60(col("t")))
+    val bitSums = (0 until 60).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    val sims = toks.groupBy("id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("id"),
+        (0 until 60).map(i =>
+          when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+    val uniq = sims.select("sim").distinct()
+    val banded = uniq.select(col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         shiftrightByCol(col("sim"), b * 15) % 32768))
         .as(Seq("band", "seg")))
-    // hamming filter runs INSIDE the join output, before the distinct:
-    // on corpora where simhashes cluster, candidate volume is large and
-    // shuffling it through distinct first would dominate the query
-    banded.as("a")
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.seg") === col("b.seg") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-              hamming(col("a.sim"), col("b.sim")).as("hamming_dist"))
-      .filter(col("hamming_dist") <= maxHamming)
+          col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .distinct()
+      .withColumn("hamming_dist",
+        hamming(col("sim_a"), col("sim_b")).cast("int"))
+      .filter(col("hamming_dist") <= maxHamming)
+    val crossPairs = cand
+      .join(sims.as("x"), col("sim_a") === col("x.sim"))
+      .join(sims.as("y"), col("sim_b") === col("y.sim"))
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+              greatest(col("x.id"), col("y.id")).as("doc_b"),
+              col("hamming_dist"))
+    val samePairs = sims.as("x")
+      .join(sims.as("y"),
+        col("x.sim") === col("y.sim") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+              lit(0).cast("int").as("hamming_dist"))
+    crossPairs.unionByName(samePairs)
   }
 
   private def shiftrightByCol(e: Column, n: Column): Column =

@@ -178,11 +178,15 @@ object Pipeline {
 
   private val q36Sql = shingleCte +
     """,
+       hv AS (SELECT doc_id, sh,
+         list_transform(sh, s ->
+           (('0x' || substr(md5(s),1,15))::BIGINT) % 2147483647) AS hs
+         FROM sh),
        sig AS (SELECT doc_id, sh,
          list_transform(range(0, 12), k ->
-           list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s))))
-           AS sig
-         FROM sh),
+           list_min(list_transform(hs, h ->
+             ((k*2+1) * h + k*7919) % 2147483647))) AS sig
+         FROM hv),
        bands AS (SELECT doc_id,
          b, md5(b::VARCHAR || '|' || array_to_string(sig[b*2+1:b*2+2], '|'))
            AS key

@@ -648,6 +648,70 @@ object Relational {
        WHERE rn = 1
        ORDER BY purchase_id"""
 
+  // ---------------------------------------------------------------- q29
+  /** Range/theta join: follow-up orders by the same customer within 30
+    * days. Equi-join on the customer key carries the shuffle; the range
+    * predicate is a post-join filter — the scalable shape for
+    * bounded-interval self-correlation. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d)
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("ck"),
+              col("o_orderdate").as("d1"))
+    val b = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k2"), col("o_custkey").as("ck2"),
+              col("o_orderdate").as("d2"))
+    a.join(b, col("ck") === col("ck2") &&
+        col("d2") > col("d1") &&
+        col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+      .groupBy("orderkey")
+      .agg(count(lit(1)).as("n_followups"))
+      .orderBy("orderkey")
+  }
+
+  private val q29Sql =
+    """SELECT a.o_orderkey AS orderkey, count(*) AS n_followups
+       FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        AND b.o_orderdate > a.o_orderdate
+        AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+       GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q45
+  /** approx_count_distinct (HyperLogLog++) next to the exact count.
+    * Sketch internals differ per engine → rows-only driver check; the
+    * spec asserts the approximation error bound instead. */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+           approx_count_distinct(col("o_custkey")).as("approx_custs"))
+      .orderBy("o_orderstatus")
+
+  // ---------------------------------------------------------------- q46
+  /** Ranking-window suite: rank / dense_rank / lead / ntile over one
+    * partitioned sort. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("next_key", lead("o_orderkey", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .orderBy("o_orderstatus", "rnk", "o_orderkey")
+  }
+
+  private val q46Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+       rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+       lead(o_orderkey, 1) OVER w AS next_key,
+       ntile(4) OVER w AS quartile
+       FROM orders WHERE o_custkey <= 50
+       WINDOW w AS (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey ASC)
+       ORDER BY o_orderstatus, rnk, o_orderkey"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -678,7 +742,10 @@ object Relational {
     "q25_ols_aggregator" -> (q25 _),
     "q26_ols_meta" -> (q26 _),
     "q27_iterative_ema" -> (q27 _),
-    "q28_asof_join" -> (q28 _))
+    "q28_asof_join" -> (q28 _),
+    "q29_range_join_followups" -> (q29 _),
+    "q45_approx_distinct" -> (q45 _),
+    "q46_window_suite" -> (q46 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -707,5 +774,7 @@ object Relational {
     "q24_regr_builtin" -> q24Sql,
     "q25_ols_aggregator" -> q25Sql,
     "q27_iterative_ema" -> q27Sql,
-    "q28_asof_join" -> q28Sql)
+    "q28_asof_join" -> q28Sql,
+    "q29_range_join_followups" -> q29Sql,
+    "q46_window_suite" -> q46Sql)
 }
