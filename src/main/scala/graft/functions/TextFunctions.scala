@@ -98,6 +98,15 @@ object TextFunctions {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Rabin–Karp polynomial rolling-hash fingerprint — backed by the
+    * native codegen'd [[expressions.RollingHash]].
+    */
+  def rollingHash(text: Column): Column = {
+    expressions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(expressions.GraftFunctions.rollingHashName, text)
+  }
+
   /** Stopword ratio against a fixed marker list (shared with the
     * oracle SQL; the synthetic corpus is English-heavy).
     */

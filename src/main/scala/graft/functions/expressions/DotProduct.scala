@@ -84,19 +84,31 @@ case class DotProduct(left: Expression, right: Expression)
 
 object GraftFunctions {
   val dotName = "graft_dot"
+  val rollingHashName = "graft_rolling_hash"
 
   val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$dotName takes exactly 2 arguments")
     DotProduct(exprs.head, exprs(1))
   }
 
+  val rollingHashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$rollingHashName takes exactly 1 argument")
+    RollingHash(exprs.head)
+  }
+
+  private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    dotName -> dotBuilder,
+    rollingHashName -> rollingHashBuilder)
+
   /** Idempotent per-session registration (used by the Column API so
     * the library works without spark.sql.extensions configuration).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(dotName))) {
-      reg.createOrReplaceTempFunction(dotName, dotBuilder, "built-in")
+    all.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name))) {
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 }
@@ -107,9 +119,15 @@ object GraftFunctions {
   * library declaratively.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier(GraftFunctions.dotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.dotName),
       GraftFunctions.dotBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.rollingHashName),
+      new ExpressionInfo(classOf[RollingHash].getName,
+        GraftFunctions.rollingHashName),
+      GraftFunctions.rollingHashBuilder))
+  }
 }

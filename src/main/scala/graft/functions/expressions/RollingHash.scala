@@ -1,0 +1,55 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd polynomial rolling hash over a string:
+  * `h = fold(chars, 0, (acc, c) -> (acc·31 + c) mod (2³¹−1))` — the
+  * classic Rabin–Karp document fingerprint.
+  *
+  * Iterates UTF-16 code units; for the ASCII corpora this engine
+  * fingerprints these coincide with code points, which is what the
+  * DuckDB oracle mirror computes
+  * (`list_reduce(list_prepend(0, list_transform(range(1, len+1),
+  * i -> ascii(substr(t,i,1)))), (acc,c) -> (acc*31+c) % 2147483647)`).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_rolling_hash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31L + s.charAt(i).toLong) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |String s = $c.toString();
+         |long acc = 0L;
+         |for (int i = 0; i < s.length(); i++) {
+         |  acc = (acc * 31L + (long) s.charAt(i)) % 2147483647L;
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -375,6 +375,33 @@ object Pipeline {
        FROM embeddings, range(1, 9) t(i)
        GROUP BY label, i ORDER BY label, pos"""
 
+  // ---------------------------------------------------------------- q47
+  /** Rabin–Karp rolling-hash fingerprints (raw + normalized text) via
+    * the native codegen'd RollingHash expression; DuckDB mirrors the
+    * fold with list_reduce. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        rollingHash(col("text")).as("fp"),
+        rollingHash(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+          .as("fp_norm"))
+      .orderBy("doc_id")
+
+  private val q47Sql =
+    """SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(text)+1),
+             i -> ascii(substr(text, i, 1))::BIGINT)),
+         (acc, c) -> (acc * 31 + c) % 2147483647) AS fp,
+       list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(n)+1),
+             i -> ascii(substr(n, i, 1))::BIGINT)),
+         (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_norm
+       FROM (SELECT doc_id, text,
+               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n
+             FROM documents) t
+       ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -392,7 +419,8 @@ object Pipeline {
     "q41_knn_lsh" -> (q41 _),
     "q42_multimodal_frames" -> (q42 _),
     "q43_multimodal_decode" -> (q43 _),
-    "q44_embedding_centroids" -> (q44 _))
+    "q44_embedding_centroids" -> (q44 _),
+    "q47_rolling_fingerprint" -> (q47 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -408,5 +436,6 @@ object Pipeline {
     "q40_knn_bruteforce" -> q40Sql,
     "q42_multimodal_frames" -> q42Sql,
     "q43_multimodal_decode" -> q43Sql,
-    "q44_embedding_centroids" -> q44Sql)
+    "q44_embedding_centroids" -> q44Sql,
+    "q47_rolling_fingerprint" -> q47Sql)
 }

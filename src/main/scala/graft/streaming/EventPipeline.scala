@@ -1,7 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on a user's timeline (microsecond event time). */
+final case class SessionEvent(user_id: Long, ts_us: Long)
+
+/** Running per-user session statistics emitted after each batch. */
+final case class SessionTally(user_id: Long, n_sessions: Long,
+                              n_events: Long)
+
+private[streaming] final case class SessionState(nSessions: Long,
+                                                 nEvents: Long,
+                                                 lastTsUs: Long)
 
 /** Event-time processing shared between the batch surface and
   * Structured Streaming (SURVEY.md §2.10). The same transform runs in
@@ -24,4 +36,34 @@ object EventPipeline {
         .as("win_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            graft.functions.Rounding.roundTo(sum("value"), 3).as("sum_value"))
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState`
+    * (SURVEY.md §2.10): per-user session counting with an inactivity
+    * gap, state = (sessions so far, events so far, last event time).
+    * The batch twin is `Relational.q23` (lag window). State is
+    * per-key and O(1); events within a batch are sorted by event time
+    * before folding, batches are assumed time-ordered per key (pair
+    * with a watermark upstream in production).
+    */
+  def sessionTallies(events: Dataset[SessionEvent],
+                     gapUs: Long): Dataset[SessionTally] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          val sorted = it.toArray.sortBy(_.ts_us)
+          var st = state.getOption
+            .getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val newSession =
+              st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+            st = SessionState(st.nSessions + (if (newSession) 1L else 0L),
+              st.nEvents + 1L, e.ts_us)
+          }
+          state.update(st)
+          Iterator.single(SessionTally(user, st.nSessions, st.nEvents))
+      }
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Ols, Weights}
-import graft.streaming.EventPipeline
+import graft.streaming.{EventPipeline, SessionEvent, SessionTally}
 
 /** Structured Streaming coverage (SURVEY.md §2.10): the same
   * transforms the batch surface uses, driven through a MemoryStream.
@@ -36,6 +36,27 @@ class StreamingSpec extends SparkSpec {
       assert(out(0).getAs[Long]("n") == 2)
       assert(out(0).getAs[Double]("sum_value") == 3.5)
       assert(out(1).getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val tallies = EventPipeline.sessionTallies(
+      mem.toDS(), gapUs = 30L * 60 * 1000000)
+    val q = tallies.writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: user 1 at t=0 and t+10min (same session)
+      mem.addData(SessionEvent(1L, 0L), SessionEvent(1L, 600L * 1000000))
+      q.processAllAvailable()
+      // batch 2: user 1 two hours later (new session), user 2 appears
+      mem.addData(SessionEvent(1L, 7200L * 1000000), SessionEvent(2L, 0L))
+      q.processAllAvailable()
+      val last = spark.table("sess_out").as[SessionTally].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(last(1L).n_sessions == 2 && last(1L).n_events == 3)
+      assert(last(2L).n_sessions == 1 && last(2L).n_events == 1)
     } finally q.stop()
   }
 
