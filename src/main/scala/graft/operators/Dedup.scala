@@ -55,6 +55,39 @@ object Dedup {
     widen(docs, idCol).select(col(idCol).as("id"),
       wordShingles(words(col(textCol)), shingleN).as("sh"))
 
+  /** Distinct word-n-gram shingles as ROWS `(id, s)` — same set as
+    * [[shingleSets]] (including the whole-text fallback for docs with
+    * fewer than n words), built with posexplode + window `lead`s
+    * instead of array lambdas. Everything here is codegen'd; the array
+    * formulation runs interpreted per shingle, which dominated the
+    * dedup queries.
+    */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val base = widen(docs, idCol).select(col(idCol).as("id"),
+      words(col(textCol)).as("w"))
+    val exploded = base.filter(size(col("w")) >= n)
+      .select(col("id"), posexplode(col("w")).as(Seq("pos", "w0")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val withLeads = (1 until n).foldLeft(exploded) { (df, i) =>
+      df.withColumn(s"w$i", lead(col("w0"), i).over(win))
+    }
+    val grams = withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"))
+    val short = base.filter(size(col("w")) < n)
+      .select(col("id"), concat_ws(" ", col("w")).as("s"))
+    // The shingle table is referenced 3-5 times downstream (signature,
+    // both sides of the verification join, sizes); without persistence
+    // Spark recomputes the explode+window+distinct subtree per
+    // reference. MEMORY_AND_DISK spills at scale, and the alternative —
+    // recomputing a corpus-sized shuffle 4x — is strictly worse.
+    grams.unionByName(short).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
     *
     * tokenize → shingle → K minhashes → B band keys → equi-join on
@@ -67,15 +100,14 @@ object Dedup {
                    threshold: Double, shingleN: Int = 3, k: Int = 12,
                    bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand == k, "signature must split evenly into bands")
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-    // Signature via explode → ONE md5 per (doc, shingle) row → K min
-    // aggregates. Catalyst expression trees are not DAGs, so computing
-    // the signature inside nested array lambdas would re-hash every
-    // shingle once per seed; the exploded formulation hashes once and
-    // the K minima are codegen'd partial aggregates (map-side combine —
-    // the shape that scales).
-    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("h", token60(col("s")) % MinhashP)
+    val inv = shingleRows(docs, idCol, textCol, shingleN)
+    // Signature: ONE md5 per (doc, shingle) row → K min aggregates.
+    // Catalyst expression trees are not DAGs, so computing the
+    // signature inside nested array lambdas would re-hash every shingle
+    // once per seed; the row formulation hashes once and the K minima
+    // are codegen'd partial aggregates (map-side combine — the shape
+    // that scales).
+    val hashed = inv.withColumn("h", token60(col("s")) % MinhashP)
     val minCols = (0 until k).map(i =>
       min(pmod(col("h") * (2 * i + 1) + lit(7919L * i), lit(MinhashP)))
         .as(s"m$i"))
@@ -83,16 +115,18 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    // self-joined below → persist so the signature aggregation runs once
     val banded = sigs.select(col("id"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    jaccardOfPairs(cand, inv, threshold)
   }
 
   /** Exact n-gram Jaccard pairs via an inverted shingle index — the
@@ -103,9 +137,8 @@ object Dedup {
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val inv = shingleRows(docs, idCol, textCol, shingleN)
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -120,14 +153,29 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame =
-    cand
-      .join(sh.as("x"), col("doc_a") === col("x.id"))
-      .join(sh.as("y"), col("doc_b") === col("y.id"))
-      .withColumn("jaccard", round(jaccard(col("x.sh"), col("y.sh")), 4))
+  /** Exact Jaccard for given candidate pairs over a shingle-row table:
+    * |A∩B| from the pair-restricted shingle join, |A|,|B| from per-doc
+    * counts. Pairs sharing zero shingles drop out of the join — their
+    * Jaccard is 0, below any positive threshold.
+    */
+  private def jaccardOfPairs(cand: DataFrame, inv: DataFrame,
+                             threshold: Double): DataFrame = {
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(inv.as("ia"), col("doc_a") === col("ia.id"))
+      .join(inv.as("ib"),
+        col("doc_b") === col("ib.id") && col("ia.s") === col("ib.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** SimHash near-dup pairs: 60-bit simhash over distinct tokens,
     * banded into 4×15-bit segments (pigeonhole: hamming ≤ 3 ⇒ at least
