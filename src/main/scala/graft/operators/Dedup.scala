@@ -201,12 +201,16 @@ object Dedup {
       .withColumn("h", token60(col("t")))
     val bitSums = (0 until 60).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    // referenced 5x downstream (distinct values, both expansion joins,
+    // both sides of the same-fingerprint join) → persist, or the
+    // explode + 60-aggregate subtree runs five times
     val sims = toks.groupBy("id")
       .agg(count(lit(1)).as("n"), bitSums: _*)
       .select(col("id"),
         (0 until 60).map(i =>
           when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = sims.select("sim").distinct()
     val banded = uniq.select(col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>

@@ -304,14 +304,51 @@ object Pipeline {
        ORDER BY query_id, rank"""
 
   // ---------------------------------------------------------------- q41
-  /** LSH-bucketed ANN (scale path). Plane literals live in Scala →
-    * rows-only driver check; recall vs brute force asserted in specs. */
+  /** LSH-bucketed multi-probe ANN (scale path). The oracle SQL is
+    * GENERATED: the deterministic ±1 hyperplane matrix is rendered
+    * into DuckDB literals, so even the LSH bucketing is value-checked
+    * end to end (bucket bits, hamming-1 probes, in-bucket ranking). */
   private def q41(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.knnLsh(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
       .withColumn("rank", col("rank").cast("int"))
       .orderBy("query_id", "rank")
+  }
+
+  private val q41Sql: String = {
+    val numPlanes = 6
+    val planes = graft.functions.VectorFunctions.randomPlanes(numPlanes, 64)
+    def planeLit(p: Seq[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    // Spark's lshBucket folds acc*2 + sign, so plane i lands at bit
+    // (numPlanes-1-i)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeLit(p)}) > 0 " +
+        s"THEN ${1L << (numPlanes - 1 - i)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val probeList = ("bucket" +: (0 until numPlanes)
+      .map(i => s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT vec_id, embedding, $bucketExpr AS bucket,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       q AS (SELECT vec_id, embedding, bucket, nrm FROM c WHERE vec_id < 5),
+       probes AS (SELECT vec_id, embedding, nrm,
+                    unnest($probeList) AS pb FROM q),
+       cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[]))
+                        / (p.nrm * c.nrm), 4) AS cosine
+                FROM probes p JOIN c
+                  ON c.bucket = p.pb AND c.vec_id != p.vec_id),
+       ranked AS (SELECT query_id, neighbor_id, cosine,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                  FROM cand)
+       SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+       FROM ranked WHERE rn <= 5
+       ORDER BY query_id, rank"""
   }
 
   // ---------------------------------------------------------------- q42
@@ -434,6 +471,7 @@ object Pipeline {
     "q38_ngram_jaccard" -> q38Sql,
     "q39_embedding_neardup" -> q39Sql,
     "q40_knn_bruteforce" -> q40Sql,
+    "q41_knn_lsh" -> q41Sql,
     "q42_multimodal_frames" -> q42Sql,
     "q43_multimodal_decode" -> q43Sql,
     "q44_embedding_centroids" -> q44Sql,

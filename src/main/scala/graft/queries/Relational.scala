@@ -712,6 +712,45 @@ object Relational {
                     ORDER BY o_totalprice DESC, o_orderkey ASC)
        ORDER BY o_orderstatus, rnk, o_orderkey"""
 
+  // ---------------------------------------------------------------- q48
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` both compute type-7 linear interpolation). */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 3).as("p50"),
+           round(expr("percentile(o_totalprice, 0.9)"), 3).as("p90"),
+           round(expr("percentile(o_totalprice, 0.99)"), 3).as("p99"))
+      .orderBy("o_orderstatus")
+
+  private val q48Sql =
+    """SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 3) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 3) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 3) AS p99
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // ---------------------------------------------------------------- q49
+  /** Statistical moments: correlation, covariance, spread. */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+             .as("corr_qty_price"),
+           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3)
+             .as("covar_qty_price"),
+           round(stddev_samp(col("l_discount")), 4).as("stddev_disc"),
+           round(var_pop(col("l_quantity")), 4).as("var_qty"))
+      .orderBy("l_returnflag")
+
+  private val q49Sql =
+    """SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+       round(stddev_samp(l_discount), 4) AS stddev_disc,
+       round(var_pop(l_quantity), 4) AS var_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -745,7 +784,9 @@ object Relational {
     "q28_asof_join" -> (q28 _),
     "q29_range_join_followups" -> (q29 _),
     "q45_approx_distinct" -> (q45 _),
-    "q46_window_suite" -> (q46 _))
+    "q46_window_suite" -> (q46 _),
+    "q48_percentiles" -> (q48 _),
+    "q49_stat_moments" -> (q49 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -776,5 +817,7 @@ object Relational {
     "q27_iterative_ema" -> q27Sql,
     "q28_asof_join" -> q28Sql,
     "q29_range_join_followups" -> q29Sql,
-    "q46_window_suite" -> q46Sql)
+    "q46_window_suite" -> q46Sql,
+    "q48_percentiles" -> q48Sql,
+    "q49_stat_moments" -> q49Sql)
 }

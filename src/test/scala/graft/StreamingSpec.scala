@@ -60,6 +60,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates with watermark dedups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "id")
+    val q = df.withWatermark("ts", "1 hour")
+      .dropDuplicates("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((ts("2024-01-01 01:00:00"), 1L),
+                  (ts("2024-01-01 01:05:00"), 2L),
+                  (ts("2024-01-01 01:06:00"), 1L)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 01:30:00"), 1L), // cross-batch dup
+                  (ts("2024-01-01 01:31:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch reproduces the reference's iterate+EMA loop on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Double, Double)]
