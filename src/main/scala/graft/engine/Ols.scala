@@ -145,6 +145,8 @@ object Ols {
     import spark.implicits._
     val pairs: Dataset[(Double, Double)] = df
       .repartitionByRange(numPartitions, col(orderCol))
+      .sortWithinPartitions(orderCol) // blocks = contiguous key ranges,
+      // matching the reference's by-index slicing (kernel.cu:46-50)
       .select(col(xCol).cast("double"), col(yCol).cast("double"))
       .as[(Double, Double)]
 

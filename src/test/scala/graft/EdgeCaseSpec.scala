@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Ols
+import graft.operators.{AsOf, Dedup, Similarity}
+
+/** Degenerate-input behavior: every operator must return an empty (or
+  * NaN-weighted) result, never throw, on empty/singleton inputs.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))))
+
+  test("dedup operators on empty input return empty, not errors") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text", 0.8).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.jaccardPairsExact(emptyDocs, "doc_id", "text", 0.8)
+      .count() == 0)
+  }
+
+  test("single-document corpus yields no pairs") {
+    val one = Seq((1L, "just one document here with several words"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(one, "doc_id", "text", 0.1).count() == 0)
+    assert(Dedup.simhashPairs(one, "doc_id", "text").count() == 0)
+  }
+
+  test("knn with empty query set returns empty") {
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val noQueries = corpus.filter(col("vec_id") < 0)
+    assert(Similarity.knnBruteForce(corpus, noQueries,
+      "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.knnLsh(corpus, noQueries,
+      "vec_id", "embedding", 3, dim = 2).count() == 0)
+  }
+
+  test("fitLinearExact on empty input yields NaN weights, no throw") {
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val w = Ols.fitLinearExact(empty, "x", "y")
+    assert(w.w0.isNaN && w.w1.isNaN)
+  }
+
+  test("as-of join with no right-side rows returns empty") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val right = left.filter(col("event_id") < 0)
+    assert(AsOf.asofJoin(left, right, "user_id", "ts", "event_id",
+      3600000000L).count() == 0)
+  }
+}
