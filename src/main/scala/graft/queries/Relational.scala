@@ -712,6 +712,33 @@ object Relational {
                     ORDER BY o_totalprice DESC, o_orderkey ASC)
        ORDER BY o_orderstatus, rnk, o_orderkey"""
 
+  // ---------------------------------------------------------------- q50
+  /** Interval-overlap join: pairs of 7-day order-fulfillment windows of
+    * the same customer that overlap (s1 <= e2 AND s2 <= e1). Equi-join
+    * on the customer carries the shuffle; the overlap predicate
+    * filters post-join. */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_orderdate").as("start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end"))
+    iv.as("a").join(iv.as("b"),
+        col("a.ck") === col("b.ck") && col("a.k") < col("b.k") &&
+          col("a.start") <= col("b.end") && col("b.start") <= col("a.end"))
+      .select(col("a.ck").as("custkey"), col("a.k").as("order_a"),
+              col("b.k").as("order_b"))
+      .orderBy("custkey", "order_a", "order_b")
+  }
+
+  private val q50Sql =
+    """SELECT a.o_custkey AS custkey, a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b
+       FROM orders a JOIN orders b
+         ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        AND a.o_orderdate <= b.o_orderdate + INTERVAL 7 DAY
+        AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+       ORDER BY custkey, order_a, order_b"""
+
   // ---------------------------------------------------------------- q48
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` both compute type-7 linear interpolation). */
@@ -786,7 +813,8 @@ object Relational {
     "q45_approx_distinct" -> (q45 _),
     "q46_window_suite" -> (q46 _),
     "q48_percentiles" -> (q48 _),
-    "q49_stat_moments" -> (q49 _))
+    "q49_stat_moments" -> (q49 _),
+    "q50_interval_overlap" -> (q50 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -819,5 +847,6 @@ object Relational {
     "q29_range_join_followups" -> q29Sql,
     "q46_window_suite" -> q46Sql,
     "q48_percentiles" -> q48Sql,
-    "q49_stat_moments" -> q49Sql)
+    "q49_stat_moments" -> q49Sql,
+    "q50_interval_overlap" -> q50Sql)
 }
