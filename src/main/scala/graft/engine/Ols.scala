@@ -114,6 +114,10 @@ object Ols {
     val y = col(yCol).cast("double")
     val r = df
       .select(x.as("x"), y.as("y"))
+      // regr_* semantics: a pair is excluded when either side is null —
+      // otherwise count() disagrees with the null-skipping sums and the
+      // solve mixes inconsistent statistics
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
            sum(col("x") * col("x")).as("sxx"),
            sum(col("x") * col("y")).as("sxy"))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{abs, floor, lit, signum}
 
 /** Cross-engine deterministic rounding.
   *
@@ -12,19 +12,21 @@ import org.apache.spark.sql.functions.{floor, lit}
   * double (≈ std::round(x·10ⁿ)/10ⁿ) and yields 0.6647. Any
   * oracle-compared rounded double can hit this.
   *
-  * `floor(x·10ⁿ + 0.5)/10ⁿ` computed on doubles reproduces DuckDB's
-  * behavior exactly for the positive ranges our queries emit, and is
-  * identical in both engines when the unrounded inputs are identical.
+  * `sign(x)·floor(|x|·10ⁿ + 0.5)/10ⁿ` computed on doubles reproduces
+  * DuckDB's round-half-away-from-zero for BOTH signs (a bare
+  * `floor(x·10ⁿ+0.5)` would round negative exact halves toward +inf),
+  * and is identical in both engines when the unrounded inputs are
+  * identical.
   */
 object Rounding {
   def roundTo(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
-    floor(c * lit(p) + lit(0.5)) / lit(p)
+    signum(c) * (floor(abs(c) * lit(p) + lit(0.5)) / lit(p))
   }
 
   /** Driver-side scalar equivalent (for weights computed in Scala). */
   def roundTo(x: Double, scale: Int): Double = {
     val p = math.pow(10, scale)
-    math.floor(x * p + 0.5) / p
+    math.signum(x) * (math.floor(math.abs(x) * p + 0.5) / p)
   }
 }

@@ -10,10 +10,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: dot product of two numeric arrays with
   * per-element promotion to double (`Σ (double)a[i]·(double)b[i]`,
-  * sequential — the exact semantics of the lambda formulation
-  * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),0d,+)` and of
-  * DuckDB's `list_dot_product(a::DOUBLE[], b::DOUBLE[])`, so oracle
-  * results are unchanged).
+  * sequential — identical to the lambda formulation
+  * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),0d,+)` and to
+  * DuckDB's `list_dot_product(a::DOUBLE[], b::DOUBLE[])` for
+  * equal-length inputs, which is what the engine's fixed-dimension
+  * embedding columns guarantee. On a length MISMATCH this truncates to
+  * the shorter array (the lambda form would return null, DuckDB would
+  * error) — a deliberate lenient choice; callers that must detect
+  * corrupt rows should validate `size(embedding)` upstream.
   *
   * Exists because higher-order-function expressions are interpreted
   * (CodegenFallback) in Spark: on the ANN/near-dup hot paths the

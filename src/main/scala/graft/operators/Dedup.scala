@@ -62,8 +62,8 @@ object Dedup {
     * formulation runs interpreted per shingle, which dominated the
     * dedup queries.
     */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame = {
+  private def shingleRowsRaw(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int): DataFrame = {
     val base = widen(docs, idCol).select(col(idCol).as("id"),
       words(col(textCol)).as("w"))
     val exploded = base.filter(size(col("w")) >= n)
@@ -79,14 +79,20 @@ object Dedup {
         concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"))
     val short = base.filter(size(col("w")) < n)
       .select(col("id"), concat_ws(" ", col("w")).as("s"))
-    // The shingle table is referenced 3-5 times downstream (signature,
-    // both sides of the verification join, sizes); without persistence
-    // Spark recomputes the explode+window+distinct subtree per
-    // reference. MEMORY_AND_DISK spills at scale, and the alternative —
-    // recomputing a corpus-sized shuffle 4x — is strictly worse.
-    grams.unionByName(short).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.unionByName(short)
   }
+
+  /** [[shingleRowsRaw]] deduplicated to set semantics, persisted: the
+    * exact all-pairs path references it 3× (both join sides + sizes),
+    * and without persistence Spark re-executes the
+    * explode+window+distinct subtree per reference. MEMORY_AND_DISK
+    * spills at scale; recomputing a corpus-sized shuffle 3× is
+    * strictly worse.
+    */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    shingleRowsRaw(docs, idCol, textCol, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
     *
@@ -100,14 +106,20 @@ object Dedup {
                    threshold: Double, shingleN: Int = 3, k: Int = 12,
                    bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand == k, "signature must split evenly into bands")
-    val inv = shingleRows(docs, idCol, textCol, shingleN)
-    // Signature: ONE md5 per (doc, shingle) row → K min aggregates.
-    // Catalyst expression trees are not DAGs, so computing the
-    // signature inside nested array lambdas would re-hash every shingle
-    // once per seed; the row formulation hashes once and the K minima
-    // are codegen'd partial aggregates (map-side combine — the shape
-    // that scales).
-    val hashed = inv.withColumn("h", token60(col("s")) % MinhashP)
+    require(threshold > 0.0,
+      "threshold must be positive: zero-similarity candidate pairs drop " +
+        "out of the verification join and cannot be reported")
+    // Signatures run over the RAW (non-distinct) shingle rows — min
+    // over a multiset equals min over its set, so the corpus-wide
+    // distinct shuffle is skipped entirely; exact set semantics are
+    // only materialized later, restricted to candidate documents.
+    // ONE md5 per (doc, shingle) row → K min aggregates: Catalyst
+    // expression trees are not DAGs, so computing the signature inside
+    // nested array lambdas would re-hash every shingle once per seed;
+    // the row formulation hashes once and the K minima are codegen'd
+    // partial aggregates (map-side combine — the shape that scales).
+    val hashed = shingleRowsRaw(docs, idCol, textCol, shingleN)
+      .withColumn("h", token60(col("s")) % MinhashP)
     val minCols = (0 until k).map(i =>
       min(pmod(col("h") * (2 * i + 1) + lit(7919L * i), lit(MinhashP)))
         .as(s"m$i"))
@@ -126,7 +138,19 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    jaccardOfPairs(cand, inv, threshold)
+      // referenced 3x below (two id-unions + the verification join)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact-Jaccard verification needs distinct shingle SETS, but only
+    // for documents that appear in a candidate pair — a tiny fraction
+    // of the corpus at any scale.
+    val candIds = cand.select(col("doc_a").as("cid"))
+      .unionByName(cand.select(col("doc_b").as("cid"))).distinct()
+    val candShingles = shingleRowsRaw(
+        docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+        idCol, textCol, shingleN)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardOfPairs(cand, candShingles, threshold)
   }
 
   /** Exact n-gram Jaccard pairs via an inverted shingle index — the

@@ -370,7 +370,10 @@ object Pipeline {
 
   // ---------------------------------------------------------------- q43
   /** Multimodal decode plumbing: binary payload → typed features via
-    * the partition-iterator stub decoder. */
+    * the partition-iterator stub decoder. Oracle caveat: Spark sums the
+    * first 16 payload BYTES while the DuckDB mirror sums the first 16
+    * code points — equivalent because this corpus is ASCII (verified);
+    * a non-ASCII regeneration would need an octet-level oracle. */
   private def q43(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.fromDocuments(Tables.documents(s, d))

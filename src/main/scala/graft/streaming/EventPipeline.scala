@@ -40,10 +40,16 @@ object EventPipeline {
   /** Stateful streaming sessionization via `flatMapGroupsWithState`
     * (SURVEY.md §2.10): per-user session counting with an inactivity
     * gap, state = (sessions so far, events so far, last event time).
-    * The batch twin is `Relational.q23` (lag window). State is
-    * per-key and O(1); events within a batch are sorted by event time
-    * before folding, batches are assumed time-ordered per key (pair
-    * with a watermark upstream in production).
+    * The batch twin is `Relational.q23` (lag window). State is O(1)
+    * per key but retained for EVERY key seen (NoTimeout): right for
+    * bounded key domains (users of a product); an unbounded key stream
+    * needs GroupStateTimeout.EventTimeTimeout plus a watermark and
+    * hasTimedOut-driven eviction — a watermark alone does NOT clear
+    * flatMapGroupsWithState state. Events within a batch are sorted by
+    * event time before folding; a cross-batch late event older than the
+    * carried high-water mark cannot regress it (it may still be counted
+    * in the wrong session — exact late-data semantics need the
+    * event-time-timeout variant).
     */
   def sessionTallies(events: Dataset[SessionEvent],
                      gapUs: Long): Dataset[SessionTally] = {
@@ -60,7 +66,7 @@ object EventPipeline {
             val newSession =
               st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
             st = SessionState(st.nSessions + (if (newSession) 1L else 0L),
-              st.nEvents + 1L, e.ts_us)
+              st.nEvents + 1L, math.max(st.lastTsUs, e.ts_us))
           }
           state.update(st)
           Iterator.single(SessionTally(user, st.nSessions, st.nEvents))

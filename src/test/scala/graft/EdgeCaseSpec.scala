@@ -25,6 +25,14 @@ class EdgeCaseSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("minhashPairs rejects non-positive thresholds with a clear message") {
+    val docs = Seq((1L, "a few words here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.0)
+    }
+    assert(e.getMessage.contains("threshold must be positive"))
+  }
+
   test("single-document corpus yields no pairs") {
     val one = Seq((1L, "just one document here with several words"))
       .toDF("doc_id", "text")
