@@ -739,6 +739,32 @@ object Relational {
         AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
        ORDER BY custkey, order_a, order_b"""
 
+  // ---------------------------------------------------------------- q51
+  /** Array aggregation: collect_list/collect_set with deterministic
+    * ordering (sort before concat — collection order is
+    * partition-dependent in both engines). Output stays scalar-typed
+    * (CSV strings) so the driver's hash compare sees no array columns. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy("l_orderkey")
+      .agg(
+        size(collect_list(col("l_linenumber"))).cast("long").as("n_lines"),
+        concat_ws(",", transform(sort_array(collect_list(col("l_linenumber"))),
+          v => v.cast("string"))).as("line_csv"),
+        concat_ws(",", sort_array(collect_set(col("l_returnflag"))))
+          .as("flag_csv"))
+      .orderBy("l_orderkey")
+
+  private val q51Sql =
+    """SELECT l_orderkey,
+       CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_csv,
+       array_to_string(list_sort(list(DISTINCT l_returnflag)), ',')
+         AS flag_csv
+       FROM lineitem WHERE l_orderkey <= 100
+       GROUP BY l_orderkey ORDER BY l_orderkey"""
+
   // ---------------------------------------------------------------- q48
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` both compute type-7 linear interpolation). */
@@ -814,7 +840,8 @@ object Relational {
     "q46_window_suite" -> (q46 _),
     "q48_percentiles" -> (q48 _),
     "q49_stat_moments" -> (q49 _),
-    "q50_interval_overlap" -> (q50 _))
+    "q50_interval_overlap" -> (q50 _),
+    "q51_array_agg" -> (q51 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -848,5 +875,6 @@ object Relational {
     "q46_window_suite" -> q46Sql,
     "q48_percentiles" -> q48Sql,
     "q49_stat_moments" -> q49Sql,
-    "q50_interval_overlap" -> q50Sql)
+    "q50_interval_overlap" -> q50Sql,
+    "q51_array_agg" -> q51Sql)
 }
