@@ -20,7 +20,11 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, NOT count(): count() lets Catalyst prune the
+      // computed projections away, so projection-only queries would
+      // "benchmark" a zero-column row count
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query persisted subplans (dedup shingle tables) so
       // queries don't pay each other's GC/memory pressure

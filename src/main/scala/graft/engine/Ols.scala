@@ -140,7 +140,11 @@ object Ols {
     *
     * Partition layout is semantics-bearing for this estimator, so the
     * input is deterministically range-repartitioned by a caller-chosen
-    * ordering column before slicing.
+    * ordering column before slicing. Results are deterministic
+    * run-to-run for a fixed plan; rows TIED on `orderCol` sort in
+    * plan-dependent order, so full cross-version reproducibility
+    * requires a unique ordering key — an inherent property of an
+    * estimator whose value depends on row placement (SURVEY.md §0.5).
     */
   def fitLinearMeta(df: DataFrame, xCol: String, yCol: String,
                     numPartitions: Int, blocksPerPartition: Int,
@@ -152,27 +156,46 @@ object Ols {
       .sortWithinPartitions(orderCol) // blocks = contiguous key ranges,
       // matching the reference's by-index slicing (kernel.cu:46-50)
       .select(col(xCol).cast("double"), col(yCol).cast("double"))
+      // regr_*-style null-pair exclusion, consistent with fitLinearExact
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .as[(Double, Double)]
 
+    // Equal contiguous blocks need each partition's row count up
+    // front; a pre-count job (cheap columnar count) keeps the second
+    // pass a pure stream — no partition is ever materialized in memory,
+    // unlike the reference which holds its whole slice on the device.
+    val counts: Map[Int, Long] = pairs
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
     val perPartition: Dataset[Weights] = pairs.mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val n = counts.getOrElse(pid, 0L)
+      if (n == 0L) Iterator.empty
       else {
         val b = math.max(1, blocksPerPartition)
-        // contiguous equal slices (kernel.cu:46-50 block slicing), with
-        // the remainder appended to the last block rather than dropped
-        val base = rows.length / b
-        val slices = (0 until b).flatMap { i =>
-          val s = i * base
-          val e = if (i == b - 1) rows.length else s + base
-          if (e > s) Some((s, e)) else None
+        val base = n / b
+        // block of row i: i/base capped at b-1 — identical slicing to
+        // (kernel.cu:46-50) with the remainder in the last block;
+        // fewer rows than blocks → everything lands in the last block
+        def blockOf(i: Long): Long =
+          if (base == 0L) (b - 1).toLong else math.min(i / base, (b - 1).toLong)
+        var blockIdx = blockOf(0L)
+        var st = OlsStats.zero
+        val solved = scala.collection.mutable.ArrayBuffer.empty[Weights]
+        var i = 0L
+        it.foreach { case (x, y) =>
+          val blk = blockOf(i)
+          if (blk != blockIdx) {
+            solved += st.solve
+            st = OlsStats.zero
+            blockIdx = blk
+          }
+          st = st.add(x, y)
+          i += 1
         }
-        val ws = slices.map { case (s, e) =>
-          var st = OlsStats.zero
-          var i = s
-          while (i < e) { st = st.add(rows(i)._1, rows(i)._2); i += 1 }
-          st.solve
-        }.filterNot(w => w.w0.isNaN || w.w1.isNaN)
+        solved += st.solve
+        val ws = solved.filterNot(w => w.w0.isNaN || w.w1.isNaN)
         if (ws.isEmpty) Iterator.empty
         else Iterator.single(Weights(
           ws.map(_.w0).sum / ws.length, ws.map(_.w1).sum / ws.length))

@@ -66,18 +66,24 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (av, bv) => {
+      // fresh names: nullSafeCodeGen inlines this block unbraced when
+      // both children are non-nullable, so fixed locals would collide
+      // between two DotProduct instances in one generated method
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
       def get(v: String, t: DataType): String = t match {
-        case FloatType => s"(double) $v.getFloat(i)"
-        case _ => s"$v.getDouble(i)"
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
       }
       s"""
-         |int n = $av.numElements();
-         |if ($bv.numElements() < n) n = $bv.numElements();
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (${get(av, elemType(left))}) * (${get(bv, elemType(right))});
+         |int $n = $av.numElements();
+         |if ($bv.numElements() < $n) $n = $bv.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (${get(av, elemType(left))}) * (${get(bv, elemType(right))});
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -40,13 +40,18 @@ case class RollingHash(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // fresh names: the block is inlined unbraced for non-nullable
+      // children, so fixed locals would collide between instances
+      val s = ctx.freshName("rhS")
+      val acc = ctx.freshName("rhAcc")
+      val i = ctx.freshName("rhI")
       s"""
-         |String s = $c.toString();
-         |long acc = 0L;
-         |for (int i = 0; i < s.length(); i++) {
-         |  acc = (acc * 31L + (long) s.charAt(i)) % 2147483647L;
+         |String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 31L + (long) $s.charAt($i)) % 2147483647L;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
@@ -15,13 +17,14 @@ import graft.functions.VectorFunctions
   * simhash band, shingle, LSH bucket) — never an all-pairs comparison —
   * so the expensive step is a key-partitioned shuffle that AQE can
   * re-balance, and per-key fan-out is bounded by band/bucket width.
+  *
+  * Cache lifecycle: operators persist (MEMORY_AND_DISK) intermediates
+  * that their plans reference multiple times; the handles are owned by
+  * the session, not returned. Long-lived sessions issuing many dedup
+  * calls should `spark.catalog.clearCache()` between logical jobs —
+  * the Verify and Bench harnesses do.
   */
 object Dedup {
-
-  // Shadows functions.round: cross-engine deterministic rounding that
-  // matches DuckDB's binary-double round (see Rounding.roundTo).
-  private def round(c: Column, scale: Int): Column =
-    graft.functions.Rounding.roundTo(c, scale)
 
   /** The heavy per-row work below (md5 minhash lattices, simhash bit
     * lattices, dot products) runs in higher-order-function expressions,
@@ -33,7 +36,10 @@ object Dedup {
     */
   private def widen(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(target, col(key))
+    // only WIDEN: a large input already partitioned finer than the
+    // core count must not be funneled down to defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
+    else df
   }
 
   /** Normalized content hash: lowercase + collapsed whitespace → md5. */
@@ -62,8 +68,15 @@ object Dedup {
     * formulation runs interpreted per shingle, which dominated the
     * dedup queries.
     */
-  private def shingleRowsRaw(docs: DataFrame, idCol: String,
-                             textCol: String, n: Int): DataFrame = {
+  /** Word n-gram shingles as ROWS `(id, s)`, possibly with duplicate
+    * shingles per doc (multiset). Built with posexplode + window
+    * `lead`s — fully codegen'd, unlike the array-lambda formulation.
+    * Sufficient wherever multiset semantics coincide with set
+    * semantics (minhash minima, min-fingerprints); [[shingleRows]]
+    * adds the distinct + persist for exact set operations.
+    */
+  def shingleRowsRaw(docs: DataFrame, idCol: String,
+                     textCol: String, n: Int): DataFrame = {
     val base = widen(docs, idCol).select(col(idCol).as("id"),
       words(col(textCol)).as("w"))
     val exploded = base.filter(size(col("w")) >= n)
@@ -161,6 +174,9 @@ object Dedup {
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0,
+      "threshold must be positive: zero-similarity pairs never co-occur " +
+        "in the inverted index and cannot be reported")
     val inv = shingleRows(docs, idCol, textCol, shingleN)
     val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = inv.as("a")
@@ -214,6 +230,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "the 4x15-bit banding guarantees candidate recall only for " +
+        "hamming <= 3 (pigeonhole); larger radii would silently drop pairs")
     // Fingerprints via explode → ONE md5 per (doc, token) row → 60
     // codegen'd conditional-sum aggregates → recombine bits. The array
     // formulation (TextFunctions.simhash) re-evaluates its token-hash

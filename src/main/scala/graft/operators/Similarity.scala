@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
 
 import graft.functions.VectorFunctions._
 
@@ -19,11 +21,6 @@ import graft.functions.VectorFunctions._
   *    batches shuffle-free.
   */
 object Similarity {
-
-  // Shadows functions.round: cross-engine deterministic rounding that
-  // matches DuckDB's binary-double round (see Rounding.roundTo).
-  private def round(c: Column, scale: Int): Column =
-    graft.functions.Rounding.roundTo(c, scale)
 
   /** Exact top-k neighbors for each query vector (excluding self).
     * Ranking uses the 4-decimal-rounded cosine plus the neighbor id as

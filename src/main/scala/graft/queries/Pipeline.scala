@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -19,11 +21,6 @@ import graft.operators.{Dedup, MediaFile, Multimodal, Similarity}
   */
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
-
-  // Shadows functions.round: cross-engine deterministic rounding that
-  // matches DuckDB's binary-double round (see Rounding.roundTo).
-  private def round(c: Column, scale: Int): Column =
-    graft.functions.Rounding.roundTo(c, scale)
 
   // ---------------------------------------------------------------- q30
   /** Corpus statistics per (lang, source). */
@@ -124,13 +121,20 @@ object Pipeline {
   // ---------------------------------------------------------------- q34
   /** Document fingerprinting: normalized content hash + min shingle
     * hash (winnowing-lite). */
-  private def q34(s: SparkSession, d: String): DataFrame =
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    // min over the shingle MULTISET equals min over the set, so the
+    // codegen'd shingle-row path + a min aggregate replaces the
+    // interpreted array-lambda formulation (7s -> sub-second at sf0.1)
+    val mins = Dedup.shingleRowsRaw(Tables.documents(s, d),
+        "doc_id", "text", 3)
+      .groupBy("id").agg(min(md5(col("s"))).as("min_shingle_hash"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        Dedup.contentHash(col("text")).as("content_hash"),
-        array_min(transform(wordShingles(words(col("text")), 3),
-          sh => md5(sh))).as("min_shingle_hash"))
+        Dedup.contentHash(col("text")).as("content_hash"))
+      .join(mins, col("doc_id") === col("id"))
+      .select("doc_id", "content_hash", "min_shingle_hash")
       .orderBy("doc_id")
+  }
 
   private val q34Sql =
     """SELECT doc_id,

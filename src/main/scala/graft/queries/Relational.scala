@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
 import graft.engine.{IterativeTrainer, Ols, OlsAggregator}
@@ -24,10 +26,6 @@ import graft.functions.Rounding
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
-
-  // Shadows functions.round: cross-engine deterministic rounding that
-  // matches DuckDB's binary-double round (see Rounding.roundTo).
-  private def round(c: Column, scale: Int): Column = Rounding.roundTo(c, scale)
 
   // ---------------------------------------------------------------- q01
   /** TPC-H Q1-style pricing summary: scan → filter → hash agg. */
@@ -368,7 +366,8 @@ object Relational {
     s.sql(
       """SELECT coalesce(l_returnflag,'ALL') AS flag,
          coalesce(l_linestatus,'ALL') AS status,
-         floor(sum(l_extendedprice)*1000.0D + 0.5D)/1000.0D AS sum_price
+         sign(sum(l_extendedprice)) *
+           (floor(abs(sum(l_extendedprice))*1000.0D + 0.5D)/1000.0D) AS sum_price
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY flag, status""")

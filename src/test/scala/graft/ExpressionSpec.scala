@@ -27,6 +27,19 @@ class ExpressionSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 * 2.0 - 2.0 + 3.0 * 0.5)
   }
 
+  test("two non-nullable graft_dot instances coexist in one projection") {
+    // non-nullable literal children make nullSafeCodeGen inline the
+    // generated block UNBRACED — with fixed local names two instances
+    // would collide in Janino and silently fall back to interpretation
+    val df = spark.range(1)
+    val r = df.select(
+      VectorFunctions.dot(typedLit(Seq(1.0f, 2.0f)),
+        typedLit(Seq(3.0, 4.0))).as("d1"),
+      VectorFunctions.dot(typedLit(Seq(0.5f, 0.5f)),
+        typedLit(Seq(2.0, 2.0))).as("d2")).head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 2.0)
+  }
+
   test("graft_dot rejects non-array inputs at analysis time") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[Exception] {

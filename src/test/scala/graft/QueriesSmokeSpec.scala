@@ -10,8 +10,13 @@ class QueriesSmokeSpec extends SparkSpec {
   test("all SparkEntry queries execute at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, "/root/testdata/sf0.001").count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        // noop write so every projected column actually evaluates
+        // (count() would let Catalyst prune computed columns away)
+        try {
+          fn(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+          None
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
