@@ -51,6 +51,53 @@ object Similarity {
     * the test suite); candidate volume per query drops from O(corpus)
     * to O(corpus · (planes+1) / 2^planes) expected.
     */
+  /** IVF-style ANN: the corpus is coarsely quantized into cells (here:
+    * the pre-existing `cellCol` grouping, e.g. a cluster label), each
+    * cell summarized by its centroid; a query probes only the
+    * `nprobe` nearest cells. At scale the corpus is partitioned by
+    * cell, so a query batch touches `nprobe / numCells` of the data
+    * and the centroid table (numCells rows) is broadcast.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, cellCol: String,
+             k: Int, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    // centroids: elementwise mean per cell, reassembled in position order
+    val centroids = corpus
+      .select(col(cellCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    // probe selection: nprobe nearest centroids per query
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(desc("ccos"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(
+        dot(col("qv"), col("cvec")) /
+          (col("qn") * sqrt(dot(col("cvec"), col("cvec")))), 4))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    // search only the probed cells
+    val c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"), col(cellCol).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   def knnLsh(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              numPlanes: Int = 6, dim: Int = 64): DataFrame = {

@@ -419,6 +419,54 @@ object Pipeline {
        FROM embeddings, range(1, 9) t(i)
        GROUP BY label, i ORDER BY label, pos"""
 
+  // ---------------------------------------------------------------- q52
+  /** IVF-style ANN: label cells as the coarse quantizer, centroid
+    * probing (nprobe=2), in-cell exact ranking. Complements the LSH
+    * variant (q41) as the second scale path for similarity search. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q52Sql =
+    """WITH cent AS (
+         SELECT cell, list(c ORDER BY i) AS cvec FROM (
+           SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY label, i) a
+         GROUP BY cell),
+       q AS (SELECT vec_id AS query_id, embedding AS qv,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS qn
+             FROM embeddings WHERE vec_id < 5),
+       probes AS (
+         SELECT query_id, qv, qn, cell FROM (
+           SELECT q.query_id, q.qv, q.qn, cent.cell,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round(list_dot_product(CAST(q.qv AS DOUBLE[]), cvec)
+                 / (q.qn * sqrt(list_dot_product(cvec, cvec))), 4) DESC,
+               cent.cell ASC) AS crank
+           FROM q, cent) p
+         WHERE crank <= 2),
+       cand AS (
+         SELECT p.query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[]))
+             / (p.qn * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))),
+             4) AS cosine
+         FROM probes p JOIN embeddings e
+           ON e.label = p.cell AND e.vec_id != p.query_id)
+       SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+         SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         FROM cand) r
+       WHERE rn <= 5 ORDER BY query_id, rank"""
+
   // ---------------------------------------------------------------- q47
   /** Rabin–Karp rolling-hash fingerprints (raw + normalized text) via
     * the native codegen'd RollingHash expression; DuckDB mirrors the
@@ -464,7 +512,8 @@ object Pipeline {
     "q42_multimodal_frames" -> (q42 _),
     "q43_multimodal_decode" -> (q43 _),
     "q44_embedding_centroids" -> (q44 _),
-    "q47_rolling_fingerprint" -> (q47 _))
+    "q47_rolling_fingerprint" -> (q47 _),
+    "q52_knn_ivf" -> (q52 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -482,5 +531,6 @@ object Pipeline {
     "q42_multimodal_frames" -> q42Sql,
     "q43_multimodal_decode" -> q43Sql,
     "q44_embedding_centroids" -> q44Sql,
-    "q47_rolling_fingerprint" -> q47Sql)
+    "q47_rolling_fingerprint" -> q47Sql,
+    "q52_knn_ivf" -> q52Sql)
 }
