@@ -33,6 +33,19 @@ object TextFunctions {
         i => concat_ws(" ", slice(w, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", w)))
 
+  /** Word n-gram shingle MULTISET (duplicates preserved, positional
+    * order) via the native single-pass codegen'd
+    * [[expressions.WordShingleArray]] — the hot-path form: shingles are
+    * produced inside the scan projection with no shuffle and no
+    * interpreted lambda. Distinct-set semantics: wrap in
+    * `array_distinct` (equals [[wordShingles]]).
+    */
+  def wordShingleArray(text: Column, n: Int): Column = {
+    expressions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(expressions.GraftFunctions.wordShinglesName, text, lit(n))
+  }
+
   /** Large prime modulus for the minhash permutation family (2^31−1). */
   val MinhashP: Long = 2147483647L
 

@@ -106,9 +106,21 @@ object GraftFunctions {
     RollingHash(exprs.head)
   }
 
+  val wordShinglesName = "graft_word_shingles"
+
+  val wordShinglesBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"$wordShinglesName takes exactly 2 arguments (text, n)")
+    require(exprs(1).foldable,
+      s"$wordShinglesName requires a literal shingle size")
+    WordShingleArray(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
   private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     dotName -> dotBuilder,
-    rollingHashName -> rollingHashBuilder)
+    rollingHashName -> rollingHashBuilder,
+    wordShinglesName -> wordShinglesBuilder)
 
   /** Idempotent per-session registration (used by the Column API so
     * the library works without spark.sql.extensions configuration).
@@ -139,5 +151,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[RollingHash].getName,
         GraftFunctions.rollingHashName),
       GraftFunctions.rollingHashBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.wordShinglesName),
+      new ExpressionInfo(classOf[WordShingleArray].getName,
+        GraftFunctions.wordShinglesName),
+      GraftFunctions.wordShinglesBuilder))
   }
 }

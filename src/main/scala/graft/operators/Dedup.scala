@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 // cross-engine deterministic rounding shadows functions.round
 import graft.functions.Rounding.{roundTo => round}
 
@@ -10,37 +11,29 @@ import graft.functions.VectorFunctions
 
 /** Deduplication operators for the training-data pipeline
   * (SURVEY.md §2.11): exact, MinHash+LSH, SimHash, exact n-gram
-  * Jaccard (inverted index), and embedding-cosine near-dup.
+  * Jaccard (frequency-capped inverted index), and embedding-cosine
+  * near-dup (LSH-bucketed default + brute-force baseline).
   *
-  * Scale posture (100 TB): every variant reduces candidate generation
-  * to an equi-join on a derived key (content hash, LSH band key,
-  * simhash band, shingle, LSH bucket) — never an all-pairs comparison —
-  * so the expensive step is a key-partitioned shuffle that AQE can
-  * re-balance, and per-key fan-out is bounded by band/bucket width.
+  * Scale posture (100 TB): every default path reduces candidate
+  * generation to an equi-join on a derived key (content hash, LSH band
+  * key, simhash band, capped shingle, LSH bucket) — never an all-pairs
+  * comparison — so the expensive step is a key-partitioned shuffle that
+  * AQE can re-balance, and per-key fan-out is bounded by
+  * band/bucket/frequency-cap width. The one deliberately quadratic
+  * routine, [[embeddingPairs]], exists as the ground-truth baseline for
+  * [[embeddingPairsBucketed]]'s recall measurement.
   *
-  * Cache lifecycle: operators persist (MEMORY_AND_DISK) intermediates
-  * that their plans reference multiple times; the handles are owned by
-  * the session, not returned. Long-lived sessions issuing many dedup
-  * calls should `spark.catalog.clearCache()` between logical jobs —
-  * the Verify and Bench harnesses do.
+  * Cache lifecycle: operators that reference a subplan multiple times
+  * persist it internally, but every internal handle is released before
+  * the call returns ([[Exec.owned]]) — the returned DataFrame is
+  * materialized into its own cache and is the single owning handle
+  * (callers `.unpersist()` it when done, or let the session drop it).
+  * Consequently those operators are EAGER: the heavy lifting runs
+  * inside the call, not at the caller's first action.
   */
 object Dedup {
 
-  /** The heavy per-row work below (md5 minhash lattices, simhash bit
-    * lattices, dot products) runs in higher-order-function expressions,
-    * which Spark evaluates interpreted — so parallelism is everything.
-    * Small parquet inputs arrive as a single partition; spread them
-    * across the cluster before the expensive projection. The explicit
-    * partition count is preserved (AQE does not re-coalesce
-    * user-specified repartitions).
-    */
-  private def widen(df: DataFrame, key: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // only WIDEN: a large input already partitioned finer than the
-    // core count must not be funneled down to defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
-    else df
-  }
+  import Exec.{owned, widen}
 
   /** Normalized content hash: lowercase + collapsed whitespace → md5. */
   def contentHash(text: Column): Column =
@@ -61,51 +54,21 @@ object Dedup {
     widen(docs, idCol).select(col(idCol).as("id"),
       wordShingles(words(col(textCol)), shingleN).as("sh"))
 
-  /** Distinct word-n-gram shingles as ROWS `(id, s)` — same set as
-    * [[shingleSets]] (including the whole-text fallback for docs with
-    * fewer than n words), built with posexplode + window `lead`s
-    * instead of array lambdas. Everything here is codegen'd; the array
-    * formulation runs interpreted per shingle, which dominated the
-    * dedup queries.
-    */
   /** Word n-gram shingles as ROWS `(id, s)`, possibly with duplicate
-    * shingles per doc (multiset). Built with posexplode + window
-    * `lead`s — fully codegen'd, unlike the array-lambda formulation.
-    * Sufficient wherever multiset semantics coincide with set
-    * semantics (minhash minima, min-fingerprints); [[shingleRows]]
-    * adds the distinct + persist for exact set operations.
+    * shingles per doc (multiset), including the whole-text fallback for
+    * docs with fewer than n words. Backed by the native codegen'd
+    * [[graft.functions.expressions.WordShingleArray]] expression +
+    * built-in explode: shingles are produced inside the scan
+    * projection, with NO shuffle — the previous posexplode +
+    * `Window.lead` formulation sorted a corpus-sized (doc, pos) table
+    * once per use. Sufficient wherever multiset semantics coincide with
+    * set semantics (minhash minima, min-fingerprints); add
+    * `.distinct()` for exact set operations.
     */
   def shingleRowsRaw(docs: DataFrame, idCol: String,
-                     textCol: String, n: Int): DataFrame = {
-    val base = widen(docs, idCol).select(col(idCol).as("id"),
-      words(col(textCol)).as("w"))
-    val exploded = base.filter(size(col("w")) >= n)
-      .select(col("id"), posexplode(col("w")).as(Seq("pos", "w0")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
-    val withLeads = (1 until n).foldLeft(exploded) { (df, i) =>
-      df.withColumn(s"w$i", lead(col("w0"), i).over(win))
-    }
-    val grams = withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"))
-    val short = base.filter(size(col("w")) < n)
-      .select(col("id"), concat_ws(" ", col("w")).as("s"))
-    grams.unionByName(short)
-  }
-
-  /** [[shingleRowsRaw]] deduplicated to set semantics, persisted: the
-    * exact all-pairs path references it 3× (both join sides + sizes),
-    * and without persistence Spark re-executes the
-    * explode+window+distinct subtree per reference. MEMORY_AND_DISK
-    * spills at scale; recomputing a corpus-sized shuffle 3× is
-    * strictly worse.
-    */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame =
-    shingleRowsRaw(docs, idCol, textCol, n).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                     textCol: String, n: Int): DataFrame =
+    widen(docs, idCol).select(col(idCol).as("id"),
+      explode(wordShingleArray(col(textCol), n)).as("s"))
 
   /** MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
     *
@@ -144,7 +107,7 @@ object Dedup {
     val banded = sigs.select(col("id"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -152,7 +115,7 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
       // referenced 3x below (two id-unions + the verification join)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Exact-Jaccard verification needs distinct shingle SETS, but only
     // for documents that appear in a candidate pair — a tiny fraction
     // of the corpus at any scale.
@@ -162,35 +125,57 @@ object Dedup {
         docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
         idCol, textCol, shingleN)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardOfPairs(cand, candShingles, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    owned(jaccardOfPairs(cand, candShingles, threshold),
+      Seq(banded, cand, candShingles))
   }
 
-  /** Exact n-gram Jaccard pairs via an inverted shingle index — the
-    * ground-truth counterpart of [[minhashPairs]]. Pair candidates come
-    * from co-occurrence on a shingle (equi-join on the shingle string);
-    * intersection sizes fall out of the pair group count, so shingle
-    * sets are only re-joined for |A|,|B|.
+  /** Exact n-gram Jaccard pairs via a frequency-capped inverted shingle
+    * index — the ground-truth counterpart of [[minhashPairs]].
+    *
+    * Pair CANDIDATES come from co-occurrence on a shingle whose
+    * document frequency is ≤ `maxShingleDf`; the reported Jaccard is
+    * then computed on the FULL (uncapped) shingle sets of candidate
+    * documents, so the cap can only lower recall (a pair is missed iff
+    * every shingle it shares is more frequent than the cap) — it never
+    * admits a false pair and never distorts a reported similarity.
+    *
+    * The cap is what makes the inverted index survive 100 TB: without
+    * it one stop-shingle appearing in 10⁶ documents creates 10¹²
+    * candidate pairs; with it, per-shingle fan-out is bounded by
+    * `maxShingleDf²`. Near-duplicate evidence lives in RARE shingles
+    * (a shingle shared by millions of documents says nothing about any
+    * one pair), so moderate caps lose little recall in practice —
+    * callers wanting the uncapped exact semantics pass
+    * `maxShingleDf = Int.MaxValue`.
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, shingleN: Int = 3): DataFrame = {
+                        threshold: Double, shingleN: Int = 3,
+                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0,
       "threshold must be positive: zero-similarity pairs never co-occur " +
         "in the inverted index and cannot be reported")
-    val inv = shingleRows(docs, idCol, textCol, shingleN)
-    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
-      .withColumn("jaccard", round(
-        col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    require(maxShingleDf >= 2,
+      "a document-frequency cap below 2 drops every co-occurring shingle " +
+        "and no pair can ever be reported")
+    val inv = shingleRowsRaw(docs, idCol, textCol, shingleN).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Shingles that can generate pairs: present in >= 2 docs, <= cap.
+    // (df < 2 never pairs; dropping those rows up front also keeps the
+    // uncapped path's self-join off the long unique-shingle tail.)
+    val pairable = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 &&
+        (if (maxShingleDf == Int.MaxValue) lit(true)
+         else col("df") <= maxShingleDf))
+      .select("s")
+    val pairedInv = inv.join(pairable, Seq("s"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = pairedInv.as("a")
+      .join(pairedInv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    owned(jaccardOfPairs(cand, inv, threshold), Seq(inv, pairedInv))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:
@@ -253,7 +238,7 @@ object Dedup {
         (0 until 60).map(i =>
           when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val uniq = sims.select("sim").distinct()
     val banded = uniq.select(col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
@@ -279,16 +264,17 @@ object Dedup {
         col("x.sim") === col("y.sim") && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
               lit(0).cast("int").as("hamming_dist"))
-    crossPairs.unionByName(samePairs)
+    owned(crossPairs.unionByName(samePairs), Seq(sims))
   }
 
   private def shiftrightByCol(e: Column, n: Column): Column =
     call_function("shiftright", e, n)
 
-  /** Embedding-cosine near-dup pairs. Brute force all-pairs — correct
-    * baseline at test scale; the 100 TB path is
-    * [[Similarity.knnLsh]]-style bucketing where candidates come from
-    * an equi-join on the LSH bucket instead of a cross join.
+  /** Embedding-cosine near-dup pairs — brute force all-pairs. This is
+    * the ground-truth BASELINE (exact recall, O(n²)); the default scale
+    * path is [[embeddingPairsBucketed]], which finds the same
+    * high-cosine pairs through an LSH-bucket equi-join. Keep this
+    * variant for verification corpora and recall measurement only.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
@@ -302,5 +288,59 @@ object Dedup {
           (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs via BANDED sign-random-projection
+    * LSH — the scale-safe DEFAULT. The plane matrix is cut into
+    * `bands` independent hash tables of `planesPerBand` hyperplanes
+    * each (the minhash-banding structure transplanted to cosine
+    * space); a vector's key in band b is `b·2^P + bucket_b` (the band
+    * offset keeps keys from different bands disjoint, so candidate
+    * generation is ONE equi-join on a single long column). Candidates
+    * — pairs agreeing on every sign within at least one band — are
+    * then cosine-verified against `threshold`. Never an all-pairs
+    * cross join.
+    *
+    * Recall for a pair with cosine c is `1 − (1 − p^P)^L` with
+    * `p = 1 − arccos(c)/π` (per-hyperplane sign-agreement): the
+    * defaults (P=4, L=12) give ≈0.93 at c=0.5 and ≈0.97 at c=0.7,
+    * measured against the [[embeddingPairs]] ground truth in the test
+    * suite. Raise `planesPerBand` when the threshold is high (0.9+)
+    * to keep candidate volume sub-quadratic; the (P, L) pair is the
+    * recall/cost dial exactly like (rowsPerBand, bands) in
+    * [[minhashPairs]]. On a cluster the banded table is partitioned by
+    * key, so per-key fan-out — not corpus size — bounds the join.
+    */
+  def embeddingPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, planesPerBand: Int = 4,
+                             bands: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = VectorFunctions.randomPlanes(planesPerBand * bands, dim)
+    // referenced 3x (both sides of the band self-join via `banded`,
+    // plus the two verification joins)
+    val v = widen(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorFunctions.norm(col(vecCol)).as("nrm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // band-key table stays NARROW (id, key) — embedding payloads are
+    // re-joined only for surviving candidates, so the band fan-out
+    // never multiplies vector data through the shuffle
+    val keyCols = (0 until bands).map { b =>
+      lit(b.toLong << planesPerBand) + VectorFunctions.lshBucket(col("v"),
+        planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }
+    val banded = v.select(col("id"), explode(array(keyCols: _*)).as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val result = cand
+      .join(v.as("x"), col("id_a") === col("x.id"))
+      .join(v.as("y"), col("id_b") === col("y.id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cosine"))
+    owned(result, Seq(v))
   }
 }

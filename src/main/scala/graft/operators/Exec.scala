@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** Shared execution-hygiene helpers for the operator layer.
+  *
+  * Two concerns every heavy operator here has:
+  *
+  *  1. ''Parallelism without gratuitous shuffles'': small parquet
+  *     inputs arrive as a single partition (one core), but a corpus
+  *     that is already partitioned at least as wide as the cluster must
+  *     NOT be re-shuffled — at 100 TB an unconditional
+  *     `repartition(...)` before every call is a full-corpus shuffle
+  *     for nothing. [[widen]] only widens.
+  *
+  *  2. ''Deterministic cache lifecycle'': operators persist subplans
+  *     their own plan references multiple times (self-joins,
+  *     verification joins). Those handles must not outlive the call —
+  *     a library caller cannot be asked to `spark.catalog.clearCache()`
+  *     (which would also drop caches the CALLER owns). [[owned]]
+  *     materializes the (small) final result into its own cache and
+  *     releases every intermediate handle before returning, so the one
+  *     surviving handle is the returned DataFrame itself — explicitly
+  *     the caller's to `.unpersist()` (or to let the session drop).
+  */
+private[graft] object Exec {
+
+  /** Widen-only repartition: spread a narrow input across the cluster
+    * before an expensive projection, but never funnel an already-wide
+    * input down. The explicit partition count is preserved by AQE.
+    */
+  def widen(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
+    else df
+  }
+
+  /** Materialize `result` into its own MEMORY_AND_DISK cache (one
+    * count job — the cache stores all columns), then release the
+    * operator's intermediate caches. Eager by design: operators using
+    * this return an already-computed result whose storage the CALLER
+    * owns; no hidden operator-internal handle survives the call.
+    *
+    * `result` must be small relative to the input (candidate pairs,
+    * signatures above threshold) — every operator here reduces before
+    * it returns, so caching the result is bounded, while the
+    * intermediates it releases are corpus-sized.
+    */
+  def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    finally intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+}

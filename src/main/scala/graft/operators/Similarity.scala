@@ -28,8 +28,10 @@ object Similarity {
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    // widen-only: a narrow (single-file) corpus is spread across cores,
+    // but an already-wide corpus is NOT re-shuffled — at 100 TB an
+    // unconditional repartition is a full-corpus shuffle per ANN call
+    val c = Exec.widen(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -60,7 +62,7 @@ object Similarity {
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, cellCol: String,
-             k: Int, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+             k: Int, nprobe: Int = 2): DataFrame = {
     // centroids: elementwise mean per cell, reassembled in position order
     val centroids = corpus
       .select(col(cellCol).as("cell"),
@@ -82,9 +84,8 @@ object Similarity {
       .withColumn("crank", row_number().over(wCell))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    // search only the probed cells
-    val c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    // search only the probed cells (widen-only — see knnBruteForce)
+    val c = Exec.widen(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"), col(cellCol).as("cell"))
     val w = Window.partitionBy("query_id")
@@ -102,8 +103,10 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              numPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val planes = randomPlanes(numPlanes, dim)
-    val c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    // widen-only (see knnBruteForce); at scale the corpus would be
+    // pre-partitioned by `bucket`, making repeat query batches
+    // shuffle-free on the corpus side
+    val c = Exec.widen(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"),
         lshBucket(col(vecCol), planes).as("bucket"))

@@ -240,26 +240,36 @@ object Pipeline {
        ORDER BY doc_a, doc_b"""
 
   // ---------------------------------------------------------------- q38
-  /** Exact n-gram Jaccard dedup via inverted shingle index. */
+  /** Exact n-gram Jaccard dedup via the frequency-capped inverted
+    * shingle index: candidates from co-occurrence on shingles with
+    * document frequency ≤ 16; reported Jaccard from the FULL shingle
+    * sets of candidate docs (the cap bounds fan-out, never distorts a
+    * value). The cap is part of the oracled contract below; at sf0.01
+    * the max shingle df is 7, so the cap is exercised structurally here
+    * and in the binding regime by DedupSpec's capped-corpus cases.
+    */
   private def q38(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairsExact(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.8)
+        threshold = 0.8, maxShingleDf = 16)
       .orderBy("doc_a", "doc_b")
 
   private val q38Sql = shingleCte +
     """,
-       sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
        inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                 FROM inv a JOIN inv b
-                   ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
+       pairable AS (SELECT s FROM (
+           SELECT s, count(*) AS df FROM inv GROUP BY s) t
+         WHERE df BETWEEN 2 AND 16),
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM inv a JOIN inv b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                WHERE a.s IN (SELECT s FROM pairable))
        SELECT da AS doc_a, db AS doc_b,
-         round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
-       FROM inter
-       JOIN sizes sa ON sa.doc_id = da
-       JOIN sizes sb ON sb.doc_id = db
-       WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.8
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+           AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+       WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) >= 0.8
        ORDER BY doc_a, doc_b"""
 
   // ---------------------------------------------------------------- q39
@@ -320,9 +330,15 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
-  private val q41Sql: String = {
-    val numPlanes = 6
-    val planes = graft.functions.VectorFunctions.randomPlanes(numPlanes, 64)
+  /** DuckDB rendering of the deterministic sign-LSH bucketing
+    * ([[graft.functions.VectorFunctions.lshBucket]] with the fixed-seed
+    * plane matrix): returns (bucketExpr over an `embedding` column,
+    * probe-list expr over a `bucket` column). Shared by the q41/q53
+    * GENERATED oracles, so the LSH layer itself — bucket bits and
+    * hamming-1 probes — is value-checked end to end in both.
+    */
+  private def lshBucketSql(numPlanes: Int, dim: Int): (String, String) = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(numPlanes, dim)
     def planeLit(p: Seq[Double]): String =
       p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     // Spark's lshBucket folds acc*2 + sign, so plane i lands at bit
@@ -333,6 +349,35 @@ object Pipeline {
     }.mkString("(", " + ", ")")
     val probeList = ("bucket" +: (0 until numPlanes)
       .map(i => s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+    (bucketExpr, probeList)
+  }
+
+  /** DuckDB rendering of [[Dedup.embeddingPairsBucketed]]'s banded
+    * key family: band b's key is `b·2^P + bucket_b` where bucket_b
+    * packs the P sign bits of plane slice [bP, (b+1)P) exactly like
+    * `lshBucket` (plane j within the band lands at bit P−1−j).
+    * Returns a DuckDB list literal of the per-band key expressions
+    * over an `embedding` column.
+    */
+  private def lshBandKeysSql(planesPerBand: Int, bands: Int,
+                             dim: Int): String = {
+    val planes = graft.functions.VectorFunctions
+      .randomPlanes(planesPerBand * bands, dim)
+    def planeLit(p: Seq[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { j =>
+        val p = planes(b * planesPerBand + j)
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
+          s"${planeLit(p)}) > 0 " +
+          s"THEN ${1L << (planesPerBand - 1 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(${b.toLong << planesPerBand} + $bits)"
+    }.mkString("[", ", ", "]")
+  }
+
+  private val q41Sql: String = {
+    val (bucketExpr, probeList) = lshBucketSql(6, 64)
     s"""WITH c AS (SELECT vec_id, embedding, $bucketExpr AS bucket,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
@@ -353,6 +398,40 @@ object Pipeline {
        SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
        FROM ranked WHERE rn <= 5
        ORDER BY query_id, rank"""
+  }
+
+  // ---------------------------------------------------------------- q53
+  /** Banded sign-LSH embedding near-dup — the scale-safe DEFAULT path
+    * for embedding dedup (q39 brute force is its ground-truth baseline
+    * and recall yardstick, see DedupSpec). Same threshold as q39 so
+    * the two result sets are directly comparable. The oracle is
+    * GENERATED with the plane literals (like q41), so band keys,
+    * candidate de-dup AND cosine verification are all value-checked.
+    */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairsBucketed(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.45)
+      .orderBy("vec_a", "vec_b")
+
+  private val q53Sql: String = {
+    val keyList = lshBandKeysSql(planesPerBand = 4, bands = 12, dim = 64)
+    s"""WITH v AS (SELECT vec_id, embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       banded AS (SELECT vec_id, unnest($keyList) AS key FROM v),
+       cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+                FROM banded a JOIN banded b
+                  ON b.key = a.key AND a.vec_id < b.vec_id)
+       SELECT ida AS vec_a, idb AS vec_b,
+         round(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+                                CAST(y.embedding AS DOUBLE[]))
+           / (x.nrm * y.nrm), 4) AS cosine
+       FROM cand JOIN v x ON x.vec_id = ida JOIN v y ON y.vec_id = idb
+       WHERE round(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[]))
+           / (x.nrm * y.nrm), 4) >= 0.45
+       ORDER BY vec_a, vec_b"""
   }
 
   // ---------------------------------------------------------------- q42
@@ -513,7 +592,8 @@ object Pipeline {
     "q43_multimodal_decode" -> (q43 _),
     "q44_embedding_centroids" -> (q44 _),
     "q47_rolling_fingerprint" -> (q47 _),
-    "q52_knn_ivf" -> (q52 _))
+    "q52_knn_ivf" -> (q52 _),
+    "q53_embedding_neardup_lsh" -> (q53 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -532,5 +612,6 @@ object Pipeline {
     "q43_multimodal_decode" -> q43Sql,
     "q44_embedding_centroids" -> q44Sql,
     "q47_rolling_fingerprint" -> q47Sql,
-    "q52_knn_ivf" -> q52Sql)
+    "q52_knn_ivf" -> q52Sql,
+    "q53_embedding_neardup_lsh" -> q53Sql)
 }
