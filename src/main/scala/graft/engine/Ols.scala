@@ -207,6 +207,51 @@ object Ols {
     if (r.isNullAt(0)) Weights(Double.NaN, Double.NaN)
     else Weights(r.getDouble(0), r.getDouble(1))
   }
+
+  /** Deterministic exact-quantile variant of [[fitLinearMeta]]: blocks
+    * are `ntile(numPartitions·blocksPerPartition)` tiles of the total
+    * order given by `orderCols` (which must be a UNIQUE key), block b
+    * belongs to partition `(b−1) / blocksPerPartition`, and the
+    * estimate is the same avg-of-avgs of per-block closed-form solves
+    * (`/root/reference/kernel.cu:148-174`). Degenerate blocks
+    * (zero x-variance → null regr_*) are excluded from the average,
+    * matching [[fitLinearMeta]]'s NaN filter.
+    *
+    * Trade-off vs [[fitLinearMeta]]: that variant's physical layout
+    * (`repartitionByRange` = sampled range bounds) streams at any
+    * scale but its block boundaries are sampling-dependent; this one
+    * is bit-for-bit reproducible across engines (the layout is pure
+    * SQL — `ntile` over a total order — so DuckDB can oracle it), at
+    * the price of a global-order window, the inherent cost of an
+    * estimator whose VALUE depends on exact row placement. Use
+    * [[fitLinearExact]] when the estimate, not the reference's
+    * layout semantics, is the goal.
+    */
+  def fitLinearMetaTiled(df: DataFrame, xCol: String, yCol: String,
+                         numPartitions: Int, blocksPerPartition: Int,
+                         orderCols: Seq[String]): Weights = {
+    val nb = numPartitions * blocksPerPartition
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    val base = df
+      // regr_*-style null-pair exclusion BEFORE tiling, consistent
+      // with fitLinearMeta's filter-then-partition order
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+              col(yCol).cast("double").as("y"),
+              ntile(nb).over(w).as("blk"))
+    val perBlock = base.groupBy("blk")
+      .agg(regr_intercept(col("y"), col("x")).as("w0"),
+           regr_slope(col("y"), col("x")).as("w1"))
+    val perPartition = perBlock
+      .filter(col("w0").isNotNull && col("w1").isNotNull)
+      .withColumn("pid", floor((col("blk") - 1) / blocksPerPartition))
+      .groupBy("pid")
+      .agg(avg("w0").as("w0"), avg("w1").as("w1"))
+    val r = perPartition.agg(avg("w0").as("w0"), avg("w1").as("w1")).head()
+    if (r.isNullAt(0)) Weights(Double.NaN, Double.NaN)
+    else Weights(r.getDouble(0), r.getDouble(1))
+  }
 }
 
 /** Result of an iterative fit: final weights, rounds consumed, whether

@@ -360,18 +360,19 @@ object Relational {
        ORDER BY status, priority"""
 
   // ---------------------------------------------------------------- q15
-  /** GROUPING SETS via the SQL surface (also exercises spark.sql). */
-  private def q15(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(
-      """SELECT coalesce(l_returnflag,'ALL') AS flag,
-         coalesce(l_linestatus,'ALL') AS status,
-         sign(sum(l_extendedprice)) *
-           (floor(abs(sum(l_extendedprice))*1000.0D + 0.5D)/1000.0D) AS sum_price
-         FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-         ORDER BY flag, status""")
-  }
+  /** GROUPING SETS via the Dataset API (`Dataset.groupingSets`,
+    * Spark 4) — no session temp view is registered, so concurrent
+    * queries cannot observe each other's state. */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_extendedprice"), 3).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("sum_price"))
+      .orderBy("flag", "status")
 
   private val q15Sql =
     """SELECT coalesce(l_returnflag,'ALL') AS flag,
@@ -572,18 +573,36 @@ object Relational {
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   // ---------------------------------------------------------------- q26
-  /** Faithful two-level meta estimator (avg-of-avgs,
-    * kernel.cu:148-174). Partition-layout-dependent by design, so no
-    * SQL oracle — the driver records a rows-only check; ScalaTest
-    * covers its semantics instead. */
+  /** Two-level meta estimator (avg-of-avgs of per-block closed-form
+    * solves, kernel.cu:148-174) in its deterministic exact-quantile
+    * layout ([[Ols.fitLinearMetaTiled]]): 8 ntile blocks over the
+    * unique (l_orderkey, l_linenumber) order, 2 blocks per "partition".
+    * The layout is pure SQL, so the estimator is fully value-oracled —
+    * the physical-partition variant ([[Ols.fitLinearMeta]], sampled
+    * range bounds) keeps its ScalaTest coverage in OlsSpec. */
   private def q26(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Ols.fitLinearMeta(Tables.lineitem(s, d),
+    val w = Ols.fitLinearMetaTiled(Tables.lineitem(s, d),
       "l_quantity", "l_extendedprice",
-      numPartitions = 4, blocksPerPartition = 2, orderCol = "l_orderkey")
+      numPartitions = 4, blocksPerPartition = 2,
+      orderCols = Seq("l_orderkey", "l_linenumber"))
     Seq((Rounding.roundTo(w.w0, 4), Rounding.roundTo(w.w1, 4)))
       .toDF("w0", "w1")
   }
+
+  private val q26Sql =
+    """WITH base AS (
+         SELECT l_quantity AS x, l_extendedprice AS y,
+           ntile(8) OVER (ORDER BY l_orderkey, l_linenumber) AS blk
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       b AS (SELECT blk, regr_intercept(y, x) AS w0, regr_slope(y, x) AS w1
+             FROM base GROUP BY blk),
+       p AS (SELECT floor((blk - 1) / 2) AS pid,
+               avg(w0) AS w0, avg(w1) AS w1
+             FROM b WHERE w0 IS NOT NULL AND w1 IS NOT NULL
+             GROUP BY 1)
+       SELECT round(avg(w0), 4) AS w0, round(avg(w1), 4) AS w1 FROM p"""
 
   // ---------------------------------------------------------------- q27
   /** Iterative EMA-smoothed refit over 3 batches — the reference's
@@ -803,6 +822,140 @@ object Relational {
        round(var_pop(l_quantity), 4) AS var_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---------------------------------------------------------------- q54
+  /** Right-outer join: every customer kept, recent orders counted —
+    * unmatched customers surface with zero/null aggregates. (The date
+    * predicate lives on the join's left side, NOT the post-join rows,
+    * or unmatched customers would be filtered away.) */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+    ord.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           round(sum("o_totalprice"), 3).as("sum_price"))
+      .orderBy("c_custkey")
+  }
+
+  private val q54Sql =
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+       round(sum(o_totalprice),3) AS sum_price
+       FROM orders RIGHT JOIN customer
+         ON o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+       GROUP BY c_custkey, c_mktsegment
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q55
+  /** Full-outer join: per-customer 1996 vs 1997 order aggregates;
+    * customers active in only one year keep nulls on the other side —
+    * both unmatched directions are exercised. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    def yearAgg(year: Int, suffix: String) =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as(s"ck$suffix"))
+        .agg(count(lit(1)).as(s"n_$suffix"),
+             round(sum("o_totalprice"), 3).as(s"sum_$suffix"))
+    val a = yearAgg(1996, "1996")
+    val b = yearAgg(1997, "1997")
+    a.join(b, col("ck1996") === col("ck1997"), "full")
+      .select(coalesce(col("ck1996"), col("ck1997")).as("custkey"),
+              col("n_1996"), col("sum_1996"), col("n_1997"), col("sum_1997"))
+      .orderBy("custkey")
+  }
+
+  private val q55Sql =
+    """WITH a AS (SELECT o_custkey AS ck, count(*) AS n_1996,
+                    round(sum(o_totalprice),3) AS sum_1996
+                  FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate < TIMESTAMP '1997-01-01'
+                  GROUP BY o_custkey),
+          b AS (SELECT o_custkey AS ck, count(*) AS n_1997,
+                  round(sum(o_totalprice),3) AS sum_1997
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY o_custkey)
+       SELECT coalesce(a.ck, b.ck) AS custkey,
+              n_1996, sum_1996, n_1997, sum_1997
+       FROM a FULL OUTER JOIN b ON a.ck = b.ck
+       ORDER BY custkey"""
+
+  // ---------------------------------------------------------------- q56
+  /** Typed JSON decode (SURVEY §1's events.props mapping):
+    * `from_json` → StructType field access AND → MapType with
+    * `map_keys` filtering + map explode, aggregated per key. The
+    * string-path `get_json_object` surface is q21; this is the typed
+    * half of the JSON story. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+    val structSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, d)
+      .withColumn("st", from_json(col("props"), structSchema))
+      .withColumn("m", from_json(col("props"),
+        MapType(StringType, LongType)))
+      .filter(array_contains(map_keys(col("m")), "k"))
+      .select(col("event_type"), col("st").getField("k").as("k_typed"),
+              size(col("m")).as("n_keys"), col("m"))
+      .select(col("event_type"), col("k_typed"), col("n_keys"),
+              explode(col("m")).as(Seq("mk", "mv")))
+      .groupBy("event_type", "mk")
+      .agg(count(lit(1)).as("n"),
+           sum("mv").cast("long").as("sum_v"),
+           round(avg("k_typed"), 4).as("avg_k"),
+           max("n_keys").cast("int").as("max_n_keys"))
+      .orderBy("event_type", "mk")
+  }
+
+  private val q56Sql =
+    """SELECT event_type, mk, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.' || mk) AS BIGINT))
+         AS BIGINT) AS sum_v,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+         AS avg_k,
+       CAST(max(len(json_keys(props))) AS INT) AS max_n_keys
+       FROM (SELECT event_type, props, unnest(json_keys(props)) AS mk
+             FROM events
+             WHERE list_contains(json_keys(props), 'k')) t
+       GROUP BY event_type, mk
+       ORDER BY event_type, mk"""
+
+  // ---------------------------------------------------------------- q57
+  /** The reference's stdin ingest surface, driver-graded: (x, y) pairs
+    * staged as whitespace-separated text (the reference scanf-reads
+    * exactly this shape, kernel.cu:92-104), re-read through
+    * [[graft.sources.PairSource.readPairs]] (schema'd CSV scan with
+    * malformed-row policy), then fit with the exact OLS estimator.
+    * The staged content derives from the NATION table, which is
+    * SF-invariant, so the fixed staging path yields identical bytes at
+    * every scale factor and the DuckDB `read_csv` oracle is
+    * path-stable no matter which SF the driver grades. */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_pairs_csv"
+    Tables.nation(s, d)
+      .select(concat_ws(" ", col("n_nationkey").cast("string"),
+        col("n_regionkey").cast("string")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    val pairs = graft.sources.PairSource.readPairs(s, path)
+    val n = pairs.count()
+    val w = Ols.fitLinearExact(pairs, "x", "y")
+    Seq((n, Rounding.roundTo(w.w0, 4), Rounding.roundTo(w.w1, 4)))
+      .toDF("n", "w0", "w1")
+  }
+
+  private val q57Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+       round(regr_intercept(y, x), 4) AS w0,
+       round(regr_slope(y, x), 4) AS w1
+       FROM read_csv('/tmp/graft_pairs_csv/part-*',
+         columns = {'x': 'DOUBLE', 'y': 'DOUBLE'},
+         sep = ' ', header = false)"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -840,7 +993,11 @@ object Relational {
     "q48_percentiles" -> (q48 _),
     "q49_stat_moments" -> (q49 _),
     "q50_interval_overlap" -> (q50 _),
-    "q51_array_agg" -> (q51 _))
+    "q51_array_agg" -> (q51 _),
+    "q54_right_outer" -> (q54 _),
+    "q55_full_outer" -> (q55 _),
+    "q56_json_typed" -> (q56 _),
+    "q57_pair_ingest" -> (q57 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -868,6 +1025,7 @@ object Relational {
     "q23_sessionization" -> q23Sql,
     "q24_regr_builtin" -> q24Sql,
     "q25_ols_aggregator" -> q25Sql,
+    "q26_ols_meta" -> q26Sql,
     "q27_iterative_ema" -> q27Sql,
     "q28_asof_join" -> q28Sql,
     "q29_range_join_followups" -> q29Sql,
@@ -875,5 +1033,9 @@ object Relational {
     "q48_percentiles" -> q48Sql,
     "q49_stat_moments" -> q49Sql,
     "q50_interval_overlap" -> q50Sql,
-    "q51_array_agg" -> q51Sql)
+    "q51_array_agg" -> q51Sql,
+    "q54_right_outer" -> q54Sql,
+    "q55_full_outer" -> q55Sql,
+    "q56_json_typed" -> q56Sql,
+    "q57_pair_ingest" -> q57Sql)
 }
