@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds at
+  * `SPARK_GRAFT_SF_DIR`.
+  *
+  * Honesty rules (the bench is the round-over-round signal, so it must
+  * not flatter):
+  *  - sink is a noop WRITE, never count() — Catalyst prunes computed
+  *    projections under count(), so projection-only queries would
+  *    "benchmark" a zero-column scan;
+  *  - per query: one UNTIMED priming run (JIT, codegen compilation,
+  *    parquet footer caches), then `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  *    timed runs, reporting the MEDIAN — single-run totals on a shared
+  *    box vary ±50% with VM weather, medians reproduce within ~20%;
+  *  - a query failure is RECORDED (per-query error message in the JSON,
+  *    nonzero exit), never swallowed — a crashing query must not read
+  *    as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,28 +31,56 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (parquet footer cache, codegen compiler, shuffle
-    // machinery) so the first timed query isn't charged for JVM warmup.
+    // Session-level warmup (shuffle machinery, codegen compiler) so the
+    // first query's priming run isn't charged for JVM bring-up.
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, NOT count(): count() lets Catalyst prune the
-      // computed projections away, so projection-only queries would
-      // "benchmark" a zero-column row count
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query persisted subplans (dedup shingle tables) so
-      // queries don't pay each other's GC/memory pressure
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      name -> dt
+
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // query construction is INSIDE the timed region: eager
+        // operators (dedup/ANN) do their work in fn itself
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // operator-owned result caches accumulate across repeat runs of
+        // the same query (each run builds a fresh plan) — drop them
+        // between runs so run k doesn't pay run k-1's memory pressure
+        def clear(): Unit =
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+        val r = try {
+          one() // priming run, untimed
+          val times = Seq.fill(runs) { clear(); one() }.sorted
+          Right(times(times.length / 2))
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        } finally clear()
+        name -> r
+      }
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => s"\"${esc(k)}\":$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errs.map { case (k, e) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

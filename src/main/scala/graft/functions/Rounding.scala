@@ -14,9 +14,17 @@ import org.apache.spark.sql.functions.{abs, floor, lit, signum}
   *
   * `sign(x)·floor(|x|·10ⁿ + 0.5)/10ⁿ` computed on doubles reproduces
   * DuckDB's round-half-away-from-zero for BOTH signs (a bare
-  * `floor(x·10ⁿ+0.5)` would round negative exact halves toward +inf),
-  * and is identical in both engines when the unrounded inputs are
-  * identical.
+  * `floor(x·10ⁿ+0.5)` would round negative exact halves toward +inf).
+  *
+  * Caveats (identical-in-practice, not bit-identical-by-construction):
+  * when `y = |x|·10ⁿ` sits within half an ulp BELOW an exact half
+  * (e.g. y = 0.49999999999999994, where `y + 0.5` rounds up to 1.0 in
+  * FP), `floor(y + 0.5)` rounds up while `std::round(y)` does not; and
+  * Spark's `floor` yields BIGINT, so scaled magnitudes beyond ~9.2e18
+  * (|x| ≳ 9.2e18 / 10ⁿ) overflow. Neither regime occurs in the
+  * oracle-compared aggregates (3-4 decimal scales over bounded sums);
+  * callers rounding adversarial or astronomic values should not rely
+  * on exact DuckDB equality at those edges.
   */
 object Rounding {
   def roundTo(c: Column, scale: Int): Column = {

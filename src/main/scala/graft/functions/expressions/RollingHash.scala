@@ -7,14 +7,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd polynomial rolling hash over a string:
-  * `h = fold(chars, 0, (acc, c) -> (acc·31 + c) mod (2³¹−1))` — the
-  * classic Rabin–Karp document fingerprint.
+  * `h = fold(codepoints, 0, (acc, c) -> (acc·31 + c) mod (2³¹−1))` —
+  * the classic Rabin–Karp document fingerprint.
   *
-  * Iterates UTF-16 code units; for the ASCII corpora this engine
-  * fingerprints these coincide with code points, which is what the
-  * DuckDB oracle mirror computes
-  * (`list_reduce(list_prepend(0, list_transform(range(1, len+1),
-  * i -> ascii(substr(t,i,1)))), (acc,c) -> (acc*31+c) % 2147483647)`).
+  * Iterates Unicode CODE POINTS (surrogate pairs fold as one value),
+  * which is exactly what the DuckDB oracle mirror computes for any
+  * input — ASCII or not — since its `substr`/`ascii` are
+  * code-point-based (`list_reduce(list_prepend(0,
+  * list_transform(range(1, len+1), i -> ascii(substr(t,i,1)))),
+  * (acc,c) -> (acc*31+c) % 2147483647)`).
   */
 case class RollingHash(child: Expression)
     extends UnaryExpression {
@@ -32,8 +33,9 @@ case class RollingHash(child: Expression)
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31L + s.charAt(i).toLong) % 2147483647L
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp.toLong) % 2147483647L
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -45,11 +47,14 @@ case class RollingHash(child: Expression)
       val s = ctx.freshName("rhS")
       val acc = ctx.freshName("rhAcc")
       val i = ctx.freshName("rhI")
+      val cp = ctx.freshName("rhCp")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + (long) $s.charAt($i)) % 2147483647L;
+         |for (int $i = 0; $i < $s.length(); ) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + (long) $cp) % 2147483647L;
+         |  $i += Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

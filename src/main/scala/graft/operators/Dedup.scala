@@ -48,11 +48,15 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /** Shingle sets per document: `(id, sh: array<string>)`. */
+  /** Shingle sets per document: `(id, sh: array<string>)` — the
+    * native multiset expression + `array_distinct`, equal to the
+    * lambda [[wordShingles]] formulation but produced in one codegen'd
+    * pass inside the scan projection.
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int): DataFrame =
     widen(docs, idCol).select(col(idCol).as("id"),
-      wordShingles(words(col(textCol)), shingleN).as("sh"))
+      array_distinct(wordShingleArray(col(textCol), shingleN)).as("sh"))
 
   /** Word n-gram shingles as ROWS `(id, s)`, possibly with duplicate
     * shingles per doc (multiset), including the whole-text fallback for
@@ -158,24 +162,42 @@ object Dedup {
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    val inv = shingleRowsRaw(docs, idCol, textCol, shingleN).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Shingles that can generate pairs: present in >= 2 docs, <= cap.
-    // (df < 2 never pairs; dropping those rows up front also keeps the
-    // uncapped path's self-join off the long unique-shingle tail.)
-    val pairable = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // Document frequency straight off the RAW multiset rows
+    // (countDistinct collapses within-doc duplicates) — the corpus-wide
+    // distinct materialization is never built. Pairable shingles:
+    // present in >= 2 docs (df < 2 never pairs — also keeps the
+    // self-join off the long unique-shingle tail), <= cap.
+    val raw = shingleRowsRaw(docs, idCol, textCol, shingleN)
+    val pairable = raw.groupBy("s").agg(countDistinct("id").as("df"))
       .filter(col("df") >= 2 &&
         (if (maxShingleDf == Int.MaxValue) lit(true)
          else col("df") <= maxShingleDf))
       .select("s")
-    val pairedInv = inv.join(pairable, Seq("s"), "left_semi")
+    // self-joined for candidates → persist; duplicate (id, s) rows from
+    // within-doc repeated grams only duplicate CANDIDATE rows, which
+    // the distinct below collapses
+    val pairedInv = raw.join(pairable, Seq("s"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = pairedInv.as("a")
       .join(pairedInv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    owned(jaccardOfPairs(cand, inv, threshold), Seq(inv, pairedInv))
+    // Exact Jaccard on the FULL shingle sets of the (few) candidates:
+    // per-doc arrays from the native expression — no index re-join, no
+    // per-pair row explosion
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val result = cand
+      .join(sets.as("x"), col("doc_a") === col("x.id"))
+      .join(sets.as("y"), col("doc_b") === col("y.id"))
+      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (size(col("x.sh")) + size(col("y.sh")) - col("inter"))
+            .cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    owned(result, Seq(pairedInv))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:

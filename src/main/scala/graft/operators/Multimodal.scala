@@ -62,6 +62,54 @@ object Multimodal {
     }
   }
 
+  /** REAL-codec media table: each document's UTF-8 bytes become the
+    * RGB raster of an 8-pixel-wide binary PPM (P6) image, zero-padded
+    * to fill the last row — the payload is a genuine encoded file
+    * ([[MediaCodec.encodePpm]] writes the actual header+raster bytes),
+    * so the decode side genuinely parses. Encoding runs per partition;
+    * nothing reaches the driver.
+    */
+  def toPpmMedia(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data = text.getBytes("UTF-8")
+          val w = 8
+          val h = data.length / (w * 3) + 1
+          val pixels = java.util.Arrays.copyOf(data, w * h * 3)
+          MediaFile(id, MediaCodec.encodePpm(w, h, pixels),
+            "image/x-portable-pixmap")
+        }
+      }
+  }
+
+  /** REAL image decode: parses the P6 header ([[MediaCodec.decodePpm]]
+    * — magic, comments, dimensions, maxval, exact raster length),
+    * dimensions and brightness come from the DECODED image, not from
+    * byte heuristics. Corrupt payloads are dropped (decodePpm's reason
+    * is available to quarantine flows; MultimodalSpec covers the
+    * rejection paths) instead of decoding to garbage. Partition
+    * iterator in, typed features out — the same 100 TB shape as the
+    * stub path, now with a working codec.
+    */
+  def decodeImageFeatures(files: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { m =>
+        MediaCodec.decodePpm(m.payload) match {
+          case Right(img) =>
+            var sum = 0L
+            img.pixels.foreach(b => sum += (b & 0xff))
+            Some(MediaFeatures(m.media_id, m.mime, m.payload.length,
+              img.width, img.height,
+              sum.toDouble / (img.pixels.length * 255.0)))
+          case Left(_) => None
+        }
+      }
+    }
+  }
+
   /** Frame sampling stub: one row per sampled "frame", frame count
     * derived deterministically from payload size (real impl: codec
     * frame index). Exercises the generator/explode path over binary

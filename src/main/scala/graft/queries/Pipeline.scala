@@ -478,6 +478,36 @@ object Pipeline {
              FROM documents) t
        ORDER BY media_id"""
 
+  // ---------------------------------------------------------------- q59
+  /** REAL-codec multimodal path: documents encoded as genuine binary
+    * PPM (P6) images, then DECODED by a real header parser
+    * ([[graft.operators.MediaCodec]]) — dimensions and brightness come
+    * from the parsed file. The oracle reconstructs the deterministic
+    * encoding arithmetic from the text (ASCII corpus, like q43):
+    * raster = UTF-8 bytes zero-padded to 8×h×3, brightness = byte
+    * mean / 255. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decodeImageFeatures(
+        Multimodal.toPpmMedia(Tables.documents(s, d))).toDF()
+      .withColumn("brightness", round(col("brightness"), 4))
+      .orderBy("media_id")
+  }
+
+  private val q59Sql =
+    """SELECT media_id, mime,
+       CAST(length('P6' || chr(10) || '8 ' || h || chr(10) ||
+              '255' || chr(10)) + 24 * h AS INT) AS n_bytes,
+       CAST(8 AS INT) AS width, CAST(h AS INT) AS height,
+       round(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, i, 1)))), 0)
+         / (24 * h * 255.0), 4) AS brightness
+       FROM (SELECT doc_id AS media_id,
+               'image/x-portable-pixmap' AS mime, text,
+               octet_length(CAST(text AS BLOB)) // 24 + 1 AS h
+             FROM documents) t
+       ORDER BY media_id"""
+
   // ---------------------------------------------------------------- q44
   /** Per-label embedding centroids (first 8 dims) — the building block
     * for IVF-style partitioned ANN. */
@@ -593,7 +623,8 @@ object Pipeline {
     "q44_embedding_centroids" -> (q44 _),
     "q47_rolling_fingerprint" -> (q47 _),
     "q52_knn_ivf" -> (q52 _),
-    "q53_embedding_neardup_lsh" -> (q53 _))
+    "q53_embedding_neardup_lsh" -> (q53 _),
+    "q59_multimodal_ppm" -> (q59 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -613,5 +644,6 @@ object Pipeline {
     "q44_embedding_centroids" -> q44Sql,
     "q47_rolling_fingerprint" -> q47Sql,
     "q52_knn_ivf" -> q52Sql,
-    "q53_embedding_neardup_lsh" -> q53Sql)
+    "q53_embedding_neardup_lsh" -> q53Sql,
+    "q59_multimodal_ppm" -> q59Sql)
 }

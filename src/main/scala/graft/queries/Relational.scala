@@ -956,6 +956,36 @@ object Relational {
          columns = {'x': 'DOUBLE', 'y': 'DOUBLE'},
          sep = ' ', header = false)"""
 
+  // ---------------------------------------------------------------- q58
+  /** Declarative sessionization: the built-in `session_window` gap
+    * window (shared with the streaming surface — StreamingSpec runs
+    * this same transform under a watermark). Oracle: sessions rebuilt
+    * in plain SQL as cumulative lag-gap groups; `session_window`'s end
+    * is last-event + gap, mirrored exactly. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventPipeline.sessionWindows(
+        Tables.events(s, d), "30 minutes")
+      .orderBy("user_id", "sess_start")
+
+  private val q58Sql =
+    """WITH p AS (SELECT user_id, ts, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS prev
+         FROM events),
+       s AS (SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_s
+         FROM p),
+       g AS (SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM s)
+       SELECT user_id, min(ts) AS sess_start,
+         max(ts) + INTERVAL 30 MINUTE AS sess_end,
+         count(*) AS n_events
+       FROM g GROUP BY user_id, sid
+       ORDER BY user_id, sess_start"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -997,7 +1027,8 @@ object Relational {
     "q54_right_outer" -> (q54 _),
     "q55_full_outer" -> (q55 _),
     "q56_json_typed" -> (q56 _),
-    "q57_pair_ingest" -> (q57 _))
+    "q57_pair_ingest" -> (q57 _),
+    "q58_session_windows" -> (q58 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1037,5 +1068,6 @@ object Relational {
     "q54_right_outer" -> q54Sql,
     "q55_full_outer" -> q55Sql,
     "q56_json_typed" -> q56Sql,
-    "q57_pair_ingest" -> q57Sql)
+    "q57_pair_ingest" -> q57Sql,
+    "q58_session_windows" -> q58Sql)
 }

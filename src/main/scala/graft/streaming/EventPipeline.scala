@@ -72,4 +72,67 @@ object EventPipeline {
           Iterator.single(SessionTally(user, st.nSessions, st.nEvents))
       }
   }
+
+  /** [[sessionTallies]] with BOUNDED state: `EventTimeTimeout` +
+    * watermark-driven eviction, the variant an UNBOUNDED key stream
+    * needs (a watermark alone never clears flatMapGroupsWithState
+    * state). Each update re-arms the key's timeout at
+    * `lastEvent + gap`; when the watermark passes it the key's final
+    * tally is emitted once more and the state is REMOVED — a later
+    * event for the same user starts a fresh session count, which is
+    * also the correct session semantics (the gap elapsed). Late events
+    * within `watermarkDelay` still fold normally.
+    */
+  def sessionTalliesEvicting(events: Dataset[SessionEvent], gapUs: Long,
+                             watermarkDelay: String): Dataset[SessionTally] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionTally(user, st.nSessions, st.nEvents))
+          } else {
+            val sorted = it.toArray.sortBy(_.ts_us)
+            var st = state.getOption
+              .getOrElse(SessionState(0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val newSession =
+                st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+              st = SessionState(st.nSessions + (if (newSession) 1L else 0L),
+                st.nEvents + 1L, math.max(st.lastTsUs, e.ts_us))
+            }
+            state.update(st)
+            // evict when the watermark passes the session's gap horizon
+            state.setTimeoutTimestamp(st.lastTsUs / 1000L + gapUs / 1000L)
+            Iterator.single(SessionTally(user, st.nSessions, st.nEvents))
+          }
+      }
+  }
+
+  /** Declarative sessionization via the built-in `session_window` gap
+    * window (SURVEY.md §2.10) — the same inactivity-gap semantics as
+    * [[sessionTallies]]/`Relational.q23` expressed as a plain windowed
+    * aggregation, so it runs unchanged in batch AND as a streaming
+    * stateful agg (with `withWatermark` upstream bounding state
+    * automatically — no hand-rolled eviction). Boundary note: a gap of
+    * EXACTLY `gap` closes the session here (window end is exclusive),
+    * while the lag() formulation (q23) closes on strictly-greater — at
+    * microsecond event-time resolution the measure-zero boundary case
+    * does not occur in practice; StreamingSpec asserts the two paths
+    * agree on the test corpus.
+    */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+              col("sw.end").as("sess_end"), col("n_events"))
 }

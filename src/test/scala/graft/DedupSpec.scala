@@ -83,4 +83,85 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L)))
   }
+
+  test("embeddingPairsBucketed: subset of brute force with high recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45))
+    val lsh = pairs(
+      Dedup.embeddingPairsBucketed(emb, "vec_id", "embedding", 0.45))
+    // candidates are cosine-verified, so NO false positives ever
+    assert(lsh.subsetOf(exact))
+    // banded (P=4, L=12) expected recall ≥ 0.9 at cosine ≥ 0.45;
+    // assert a conservative floor on the real corpus
+    assert(exact.isEmpty ||
+      lsh.size.toDouble / exact.size >= 0.7,
+      s"recall=${lsh.size.toDouble / exact.size} (${lsh.size}/${exact.size})")
+  }
+
+  test("frequency cap only lowers recall: capped pairs are a subset with identical values") {
+    // docs 1,2: near-dups through RARE shingles; docs 3..8 share one
+    // COMMON phrase (df=8 incl. docs 9,10) but are otherwise unrelated;
+    // docs 9,10: identical docs whose ONLY shingle is the common phrase
+    val common = "c1 c2 c3"
+    val rows =
+      Seq(1L -> ((1 to 30).map(i => s"w$i").mkString(" ")),
+          2L -> ((1 to 29).map(i => s"w$i").mkString(" ") + " CHANGED")) ++
+      (3L to 8L).map(i => i ->
+        (s"$common " + (1 to 20).map(j => s"u${i}_$j").mkString(" "))) ++
+      Seq(9L -> common, 10L -> common)
+    val df = docs(rows: _*)
+    def pairs(maxDf: Int) =
+      Dedup.jaccardPairsExact(df, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = maxDf)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(4)
+    // the identical short docs pair only through the common shingle
+    assert(uncapped.contains((9L, 10L)) && uncapped((9L, 10L)) == 1.0)
+    assert(!capped.contains((9L, 10L))) // cap binds: pair missed
+    assert(capped.contains((1L, 2L)))   // rare-shingle pair survives
+    // subset + identical similarity on every surviving pair
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, v) => assert(uncapped(k) == v) }
+  }
+
+  test("native shingle rows match the lambda shingle sets on edge cases") {
+    val df = docs(
+      (1L, "a b c d"),      // normal
+      (2L, "x y"),          // shorter than n -> whole-text shingle
+      (3L, ""),             // empty text
+      (4L, "t t t t"),      // duplicate grams (multiset vs set)
+      (5L, "  lead  and   trail  "), // messy whitespace
+      (6L, "p q r"))        // exactly n words
+    val native = Dedup.shingleRowsRaw(df, "doc_id", "text", 3)
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val lambda = df.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.words(col("text")), 3)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == lambda)
+  }
+
+  test("operators release internal caches; the result is the single owned handle") {
+    val sc = spark.sparkContext
+    val df = docs(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 29).map(i => s"w$i").mkString(" ") + " CHANGED"),
+      (3L, (100 to 130).map(i => s"v$i").mkString(" ")))
+    val before = sc.getPersistentRDDs.keySet
+    val out = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+    val afterCall = sc.getPersistentRDDs.keySet -- before
+    // internal handles (banded signatures, candidates, candidate
+    // shingles) are released inside the call; only the materialized
+    // result's own cache survives
+    assert(afterCall.size <= 1, s"leaked caches: $afterCall")
+    out.unpersist(blocking = true)
+    val afterRelease = sc.getPersistentRDDs.keySet -- before
+    assert(afterRelease.isEmpty, s"leaked caches: $afterRelease")
+  }
 }

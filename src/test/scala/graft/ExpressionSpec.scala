@@ -46,4 +46,68 @@ class ExpressionSpec extends SparkSpec {
       df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
     }
   }
+
+  test("graft_dot errors on dimension mismatch instead of truncating") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("length mismatch")))
+  }
+
+  test("graft_dot yields null on a null ELEMENT, like the lambda form") {
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("lambda")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 14.0 && rows(1).getDouble(1) == 14.0)
+  }
+
+  test("graft_rolling_hash folds CODE POINTS (non-ASCII and supplementary)") {
+    import graft.functions.TextFunctions
+    val texts = Seq("hello", "héllo wörld", "中文 文本", "emoji 😀 end")
+    val out = texts.toDF("t")
+      .select(TextFunctions.rollingHash(col("t")).as("h"))
+      .collect().map(_.getLong(0))
+    def ref(s: String): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31L + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    texts.zip(out).foreach { case (t, h) => assert(h == ref(t), t) }
+  }
+
+  test("graft_word_shingles matches the lambda formulation as a multiset") {
+    import graft.functions.TextFunctions
+    val df = Seq("a b c d e", "t t t t", "x y", "", "  pad  ded  ").toDF("t")
+    val rows = df.select(
+      TextFunctions.wordShingleArray(col("t"), 3).as("native"),
+      TextFunctions.wordShingles(TextFunctions.words(col("t")), 3)
+        .as("lambdaSet")).collect()
+    rows.foreach { r =>
+      val native = r.getSeq[String](0)
+      val lambdaSet = r.getSeq[String](1)
+      // lambda form is DISTINCT; native preserves the multiset. Sets
+      // must agree, and native never drops a position
+      assert(native.toSet == lambdaSet.toSet)
+      assert(native.length >= lambdaSet.length)
+    }
+    // positional duplicates preserved: "t t t t" has 2 identical grams
+    assert(rows(1).getSeq[String](0).length == 2)
+  }
 }

@@ -48,6 +48,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.05, s"recall=$recall")
   }
 
+  test("widen() never re-shuffles an already-wide corpus (ANN shuffle hygiene)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val target = spark.sparkContext.defaultParallelism
+    // already at cluster width: widen must return the SAME DataFrame —
+    // the unconditional repartition it replaces was a full-corpus
+    // shuffle before every ANN call
+    val wide = emb.repartition(target, col("vec_id"))
+    assert(graft.operators.Exec.widen(wide, "vec_id") eq wide)
+    // narrow (single-partition) input: widen spreads it to full width
+    val narrow = emb.coalesce(1)
+    val widened = graft.operators.Exec.widen(narrow, "vec_id")
+    assert(!(widened eq narrow))
+    assert(widened.rdd.getNumPartitions == target)
+  }
+
   test("rank window in knnBruteForce is deterministic under ties") {
     // two identical corpus vectors → tie on cosine → id ASC breaks it
     val corpus = Seq(

@@ -82,6 +82,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window streaming merges gap-bounded events into sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val agg = EventPipeline.sessionWindows(
+      events.withWatermark("ts", "1 hour"), "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sw_out").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 01:00:00"), 1L),
+        (ts("2024-01-01 01:10:00"), 1L), // 10 min gap: same session
+        (ts("2024-01-01 02:30:00"), 1L), // 80 min gap: new session
+        (ts("2024-01-01 01:00:00"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("sw_out")
+        .orderBy("user_id", "sess_start").collect()
+      assert(out.length == 3)
+      assert(out(0).getAs[Long]("n_events") == 2)
+      // session end = last event + gap
+      assert(out(0).getAs[Timestamp]("sess_end") == ts("2024-01-01 01:40:00"))
+      assert(out(1).getAs[Long]("n_events") == 1)
+      assert(out(2).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("session_window batch path agrees with the lag() sessionization (q23)") {
+    val d = "/root/testdata/sf0.001"
+    val perUser = EventPipeline.sessionWindows(Tables.events(spark, d),
+        "30 minutes")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val q23 = queries.Relational.queries("q23_sessionization")(spark, d)
+    val joined = perUser.as("a")
+      .join(q23.as("b"), col("a.user_id") === col("b.user_id"))
+    assert(joined.count() == q23.count())
+    assert(joined.filter(col("a.n_sessions") =!= col("b.n_sessions") ||
+      col("a.n_events") =!= col("b.n_events")).count() == 0)
+  }
+
+  test("EventTimeTimeout evicts session state once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val tallies = EventPipeline.sessionTalliesEvicting(
+      mem.toDS(), gapUs = 30L * 60 * 1000000, watermarkDelay = "0 seconds")
+    val q = tallies.writeStream.outputMode("update")
+      .format("memory").queryName("evict_out").start()
+    try {
+      val min = 60L * 1000000
+      // keep every event strictly above the INITIAL watermark (epoch 0,
+      // delay 0s) or it is dropped as late before the stateful operator
+      val base = 1440 * min
+      // batch 1: user 1, two events in one session (watermark -> t+10min)
+      mem.addData(SessionEvent(1L, base), SessionEvent(1L, base + 10 * min))
+      q.processAllAvailable()
+      // batch 2: unrelated key far in the future; its max event time
+      // becomes the NEXT batch's watermark (watermarks lag one batch)
+      mem.addData(SessionEvent(2L, base + 100 * min))
+      q.processAllAvailable()
+      // batch 3: watermark is now t+100min > user 1's timeout at
+      // t+10min+30min -> user 1's state is emitted once more and REMOVED
+      mem.addData(SessionEvent(2L, base + 101 * min))
+      q.processAllAvailable()
+      // batch 4: user 1 returns -> must start a FRESH state
+      mem.addData(SessionEvent(1L, base + 200 * min))
+      q.processAllAvailable()
+      val rows = spark.table("evict_out").as[SessionTally].collect()
+        .filter(_.user_id == 1L).map(t => (t.n_sessions, t.n_events)).toSeq
+      // running tally (1,2) from batch 1, the SAME final tally on
+      // eviction, then the fresh-state tally (1,1) after re-appearance
+      // (state removed -> counts restart)
+      assert(rows.count(_ == ((1L, 2L))) == 2, s"rows=$rows")
+      assert(rows.last == ((1L, 1L)), s"rows=$rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch reproduces the reference's iterate+EMA loop on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Double, Double)]
