@@ -576,6 +576,52 @@ object Pipeline {
          FROM cand) r
        WHERE rn <= 5 ORDER BY query_id, rank"""
 
+  // ---------------------------------------------------------------- q60
+  /** TF-IDF term weighting — the classic corpus-statistics building
+    * block (retrieval filtering, keyword extraction) and a pure
+    * shuffle-agg pipeline: per-(doc, term) counts → per-term document
+    * frequency (a map-side-combinable second agg over the FIRST agg's
+    * output, never re-exploding the corpus) → idf join → top-3 terms
+    * per doc. Ranking uses the 4-decimal-rounded weight + term as
+    * tie-break so both engines rank identically.
+    */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = Tables.documents(s, d)
+    val nDocs = docsDf.count()
+    val tf = docsDf
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val q60Sql =
+    """WITH t AS (SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM documents),
+       scored AS (SELECT doc_id, term, tf, df,
+           round(tf * ln(n.n / df), 4) AS tfidf
+         FROM tf JOIN dfreq USING (term), n)
+       SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk FROM (
+         SELECT doc_id, term, tf, df, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS rnk
+         FROM scored) z
+       WHERE rnk <= 3
+       ORDER BY doc_id, rnk"""
+
   // ---------------------------------------------------------------- q47
   /** Rabin–Karp rolling-hash fingerprints (raw + normalized text) via
     * the native codegen'd RollingHash expression; DuckDB mirrors the
@@ -624,7 +670,8 @@ object Pipeline {
     "q47_rolling_fingerprint" -> (q47 _),
     "q52_knn_ivf" -> (q52 _),
     "q53_embedding_neardup_lsh" -> (q53 _),
-    "q59_multimodal_ppm" -> (q59 _))
+    "q59_multimodal_ppm" -> (q59 _),
+    "q60_tfidf" -> (q60 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -645,5 +692,6 @@ object Pipeline {
     "q47_rolling_fingerprint" -> q47Sql,
     "q52_knn_ivf" -> q52Sql,
     "q53_embedding_neardup_lsh" -> q53Sql,
-    "q59_multimodal_ppm" -> q59Sql)
+    "q59_multimodal_ppm" -> q59Sql,
+    "q60_tfidf" -> q60Sql)
 }

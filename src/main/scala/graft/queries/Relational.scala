@@ -986,6 +986,82 @@ object Relational {
        FROM g GROUP BY user_id, sid
        ORDER BY user_id, sess_start"""
 
+  // ---------------------------------------------------------------- q61
+  /** Pivot: order-status columns per priority. Pivot values are given
+    * EXPLICITLY (`Seq("F","O","P")`) so Spark skips the extra
+    * distinct-values pass — the form that scales (an unbounded-values
+    * pivot needs a collect of the pivot column first). Oracle: the
+    * standard conditional-aggregation rewrite. */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 3))
+      .orderBy("o_orderpriority")
+
+  private val q61Sql =
+    """SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),3) AS "F",
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),3) AS "O",
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),3) AS "P"
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- q62
+  /** Correlated scalar subquery (TPC-H Q17 shape) through the
+    * spark.sql surface — exercises Catalyst's decorrelation (the
+    * subquery becomes an aggregate + join, not a per-row re-scan).
+    * The temp view is uniquely named and dropped after analysis, so no
+    * session state leaks (the resolved plan no longer needs it). */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val v = s"lineitem_q62_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.lineitem(s, d).createOrReplaceTempView(v)
+    try
+      s.sql(
+        s"""SELECT sign(sum(l_extendedprice)) *
+             (floor(abs(sum(l_extendedprice)) / 7.0D * 1000.0D + 0.5D)
+               / 1000.0D) AS avg_yearly
+           FROM $v l1
+           WHERE l_quantity < (SELECT 0.2D * avg(l_quantity)
+                               FROM $v l2
+                               WHERE l2.l_partkey = l1.l_partkey)""")
+    finally s.catalog.dropTempView(v)
+  }
+
+  private val q62Sql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 3) AS avg_yearly
+       FROM lineitem l1
+       WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = l1.l_partkey)"""
+
+  // ---------------------------------------------------------------- q63
+  /** Unpivot (melt): wide per-line charge columns to long
+    * (metric, value) rows via the Dataset `unpivot` API; oracle is the
+    * UNION ALL rewrite. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  private val q63Sql =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+         SELECT l_orderkey, l_linenumber,
+                'l_quantity' AS metric, l_quantity AS value
+         FROM lineitem WHERE l_orderkey <= 50
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey <= 50
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey <= 50) t
+       ORDER BY l_orderkey, l_linenumber, metric"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1028,7 +1104,10 @@ object Relational {
     "q55_full_outer" -> (q55 _),
     "q56_json_typed" -> (q56 _),
     "q57_pair_ingest" -> (q57 _),
-    "q58_session_windows" -> (q58 _))
+    "q58_session_windows" -> (q58 _),
+    "q61_pivot" -> (q61 _),
+    "q62_correlated_subquery" -> (q62 _),
+    "q63_unpivot" -> (q63 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1069,5 +1148,8 @@ object Relational {
     "q55_full_outer" -> q55Sql,
     "q56_json_typed" -> q56Sql,
     "q57_pair_ingest" -> q57Sql,
-    "q58_session_windows" -> q58Sql)
+    "q58_session_windows" -> q58Sql,
+    "q61_pivot" -> q61Sql,
+    "q62_correlated_subquery" -> q62Sql,
+    "q63_unpivot" -> q63Sql)
 }
