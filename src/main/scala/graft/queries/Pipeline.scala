@@ -589,19 +589,23 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val docsDf = Tables.documents(s, d)
     val nDocs = docsDf.count()
+    // referenced twice (tf side + df derivation) — without the persist
+    // the corpus explode+aggregate subtree executes once per reference
     val tf = docsDf
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
-    tf.join(dfreq, "term")
+    val result = tf.join(dfreq, "term")
       .withColumn("tfidf",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= 3)
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
       .orderBy("doc_id", "rnk")
+    graft.operators.Exec.owned(result, Seq(tf))
   }
 
   private val q60Sql =
