@@ -107,6 +107,17 @@ object TextFunctions {
   private def shiftleft(e: Column, n: Column): Column =
     call_function("shiftleft", e, n)
 
+  /** Native single-pass 60-bit SimHash over a token array (internally
+    * de-duplicates tokens) — backed by the codegen'd
+    * [[expressions.SimHash60]]; bit-identical to [[simhash]] over
+    * distinct token hashes and to the explode+aggregate formulation.
+    */
+  def simhash60(tokens: Column): Column = {
+    expressions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(expressions.GraftFunctions.simhashName, tokens)
+  }
+
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

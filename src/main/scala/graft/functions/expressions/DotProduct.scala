@@ -139,6 +139,12 @@ object GraftFunctions {
   }
 
   val wordShinglesName = "graft_word_shingles"
+  val simhashName = "graft_simhash60"
+
+  val simhashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$simhashName takes exactly 1 argument")
+    SimHash60(exprs.head)
+  }
 
   val wordShinglesBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
@@ -152,7 +158,8 @@ object GraftFunctions {
   private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     dotName -> dotBuilder,
     rollingHashName -> rollingHashBuilder,
-    wordShinglesName -> wordShinglesBuilder)
+    wordShinglesName -> wordShinglesBuilder,
+    simhashName -> simhashBuilder)
 
   /** Idempotent per-session registration (used by the Column API so
     * the library works without spark.sql.extensions configuration).
@@ -188,5 +195,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[WordShingleArray].getName,
         GraftFunctions.wordShinglesName),
       GraftFunctions.wordShinglesBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.simhashName),
+      new ExpressionInfo(classOf[SimHash60].getName,
+        GraftFunctions.simhashName),
+      GraftFunctions.simhashBuilder))
   }
 }

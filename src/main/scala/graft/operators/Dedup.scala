@@ -240,26 +240,19 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       "the 4x15-bit banding guarantees candidate recall only for " +
         "hamming <= 3 (pigeonhole); larger radii would silently drop pairs")
-    // Fingerprints via explode → ONE md5 per (doc, token) row → 60
-    // codegen'd conditional-sum aggregates → recombine bits. The array
-    // formulation (TextFunctions.simhash) re-evaluates its token-hash
-    // argument twice per bit — 120 interpreted re-hashes per document —
-    // because Catalyst expression trees are not DAGs.
-    val toks = widen(docs, idCol)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(words(col(textCol)))).as("t"))
-      .withColumn("h", token60(col("t")))
-    val bitSums = (0 until 60).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    // Fingerprints via the native single-pass SimHash expression — one
+    // codegen'd call per document inside the scan projection, no row
+    // explosion, no 60-aggregate tree, no shuffle before the
+    // fingerprint exists. (The two historical formulations both taxed
+    // scale: the array-lambda version re-evaluates its token-hash
+    // argument twice per bit — Catalyst expression trees are not
+    // DAGs — and the explode+aggregate version shuffled a corpus-sized
+    // (doc, token) table.)
     // referenced 5x downstream (distinct values, both expansion joins,
-    // both sides of the same-fingerprint join) → persist, or the
-    // explode + 60-aggregate subtree runs five times
-    val sims = toks.groupBy("id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      .select(col("id"),
-        (0 until 60).map(i =>
-          when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
+    // both sides of the same-fingerprint join) → persist
+    val sims = widen(docs, idCol)
+      .select(col(idCol).as("id"),
+        simhash60(words(col(textCol))).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val uniq = sims.select("sim").distinct()
     val banded = uniq.select(col("sim"),

@@ -1062,6 +1062,42 @@ object Relational {
          FROM lineitem WHERE l_orderkey <= 50) t
        ORDER BY l_orderkey, l_linenumber, metric"""
 
+  // ---------------------------------------------------------------- q64
+  /** JSON-lines SOURCE (the third source format next to parquet and
+    * CSV): rows staged as newline-delimited JSON, re-read through
+    * `spark.read.schema(...).json` (schema'd — no inference pass over
+    * the data at scale), aggregated. Staged from the SF-invariant
+    * nation table like q57, so the fixed path is stable across scale
+    * factors and the DuckDB `read_json` oracle always sees the same
+    * bytes. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val path = "/tmp/graft_nation_jsonl"
+    Tables.nation(s, d)
+      .select(to_json(struct(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    s.read.schema(schema).json(path)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+           min("n_name").as("first_nation"),
+           max("n_nationkey").as("max_key"))
+      .orderBy("n_regionkey")
+  }
+
+  private val q64Sql =
+    """SELECT n_regionkey, count(*) AS n_nations,
+       min(n_name) AS first_nation, max(n_nationkey) AS max_key
+       FROM read_json('/tmp/graft_nation_jsonl/part-*',
+         format = 'newline_delimited',
+         columns = {'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
+                    'n_regionkey': 'BIGINT'})
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1107,7 +1143,8 @@ object Relational {
     "q58_session_windows" -> (q58 _),
     "q61_pivot" -> (q61 _),
     "q62_correlated_subquery" -> (q62 _),
-    "q63_unpivot" -> (q63 _))
+    "q63_unpivot" -> (q63 _),
+    "q64_json_source" -> (q64 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1151,5 +1188,6 @@ object Relational {
     "q58_session_windows" -> q58Sql,
     "q61_pivot" -> q61Sql,
     "q62_correlated_subquery" -> q62Sql,
-    "q63_unpivot" -> q63Sql)
+    "q63_unpivot" -> q63Sql,
+    "q64_json_source" -> q64Sql)
 }

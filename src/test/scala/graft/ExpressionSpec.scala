@@ -92,6 +92,34 @@ class ExpressionSpec extends SparkSpec {
     texts.zip(out).foreach { case (t, h) => assert(h == ref(t), t) }
   }
 
+  test("graft_simhash60 equals the explode+aggregate formulation") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta beta beta gamma"), // duplicate tokens collapse
+      (3L, "solo"),
+      (4L, "中文 tokens mixed héllo")).toDF("id", "text")
+    val native = docs.select(col("id"),
+        TextFunctions.simhash60(TextFunctions.words(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: explode distinct tokens -> token60 -> majority per bit
+    val agg = docs
+      .select(col("id"), explode(array_distinct(
+        TextFunctions.words(col("text")))).as("t"))
+      .withColumn("h", TextFunctions.token60(col("t")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"),
+        (0 until 60).map(i =>
+          sum(call_function("shiftright", col("h"), lit(i))
+            .bitwiseAND(lit(1L))).as(s"b$i")): _*)
+      .select(col("id"),
+        (0 until 60).map(i =>
+          when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == agg)
+  }
+
   test("graft_word_shingles matches the lambda formulation as a multiset") {
     import graft.functions.TextFunctions
     val df = Seq("a b c d e", "t t t t", "x y", "", "  pad  ded  ").toDF("t")

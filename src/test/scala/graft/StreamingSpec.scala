@@ -158,6 +158,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val memClicks = MemoryStream[(Timestamp, Long, Long)]
+    val memPurch = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = memClicks.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "2 hours")
+    val purchases = memPurch.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "2 hours")
+    // the streaming twin of the as-of/range join surface (q28/q29):
+    // both sides watermarked, the time-interval condition bounds the
+    // join state Spark must retain
+    val joined = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "click_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      memClicks.addData(
+        (ts("2024-01-01 01:00:00"), 1L, 100L),
+        (ts("2024-01-01 05:00:00"), 1L, 101L), // too old for the purchase
+        (ts("2024-01-01 09:40:00"), 2L, 102L))
+      memPurch.addData((ts("2024-01-01 01:30:00"), 1L, 900L))
+      q.processAllAvailable()
+      // cross-batch: a purchase arriving later still joins buffered clicks
+      memPurch.addData((ts("2024-01-01 10:00:00"), 2L, 901L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((900L, 100L), (901L, 102L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch reproduces the reference's iterate+EMA loop on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Double, Double)]
