@@ -18,6 +18,32 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(w.w1 - 2.0) < 1e-9 && math.abs(w.w0 - 1.0) < 1e-9)
   }
 
+  test("PairsV2 source equals PairSource and prunes unneeded columns") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("pairsv2")
+    Files.writeString(dir.resolve("a.txt"), "1.0 3.0\n2.0 5.0\nbad line\n")
+    Files.writeString(dir.resolve("b.txt"), "3.0 7.0\n4.0 9.0\n")
+    val v2 = spark.read.format("graft.sources.PairsV2").load(dir.toString)
+    val v1 = PairSource.readPairs(spark, dir.toString)
+    // same rows (malformed dropped), same columns (the CSV source
+    // relaxes nullability, the V2 table keeps the declared not-null)
+    assert(v2.schema.map(f => (f.name, f.dataType))
+      == v1.schema.map(f => (f.name, f.dataType)))
+    assert(v2.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+      == v1.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq)
+    // one partition per file
+    assert(v2.rdd.getNumPartitions == 2)
+    // column pruning reaches the reader: a single-column projection
+    // scans struct<x:double>, never materializing y
+    val pruned = v2.select("x")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("x"))
+    assert(pruned.collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("q45 approx_count_distinct stays within HLL error of exact") {
     val rows = SparkEntry.queries("q45_approx_distinct")(
       spark, "/root/testdata/sf0.001").collect()
