@@ -50,6 +50,43 @@ class EdgeCaseSpec extends SparkSpec {
       "vec_id", "embedding", 3, dim = 2).count() == 0)
   }
 
+  test("bucketed embedding dedup: empty and singleton inputs yield no pairs") {
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Dedup.embeddingPairsBucketed(emptyEmb, "vec_id", "embedding",
+      0.5, dim = 4).count() == 0)
+    val one = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingPairsBucketed(one, "vec_id", "embedding",
+      0.5, dim = 4).count() == 0)
+  }
+
+  test("jaccard cap below 2 is rejected with a clear message") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.5, maxShingleDf = 1)
+    }
+    assert(e.getMessage.contains("document-frequency cap"))
+  }
+
+  test("session windows on empty events return empty") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+    assert(graft.streaming.EventPipeline.sessionWindows(empty, "30 minutes")
+      .count() == 0)
+  }
+
+  test("PairsV2 on a directory of only malformed lines returns empty") {
+    val dir = java.nio.file.Files.createTempDirectory("pairs_bad")
+    java.nio.file.Files.writeString(dir.resolve("junk.txt"),
+      "no numbers\nhere either\n1.0\n")
+    assert(spark.read.format("graft.sources.PairsV2")
+      .load(dir.toString).count() == 0)
+  }
+
   test("fitLinearExact on empty input yields NaN weights, no throw") {
     val empty = Seq.empty[(Double, Double)].toDF("x", "y")
     val w = Ols.fitLinearExact(empty, "x", "y")

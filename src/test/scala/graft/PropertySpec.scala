@@ -78,4 +78,45 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("native shingle multiset: position count and set-parity with the lambda form") {
+    check(Prop.forAll(textGen) { t =>
+      val r = Seq(Tuple1(t)).toDF("text")
+        .select(
+          TextFunctions.wordShingleArray(col("text"), 3).as("native"),
+          TextFunctions.wordShingles(TextFunctions.words(col("text")), 3)
+            .as("lambdaSet"),
+          size(TextFunctions.words(col("text"))).as("nw")).head()
+      val native = r.getSeq[String](0)
+      val lambdaSet = r.getSeq[String](1)
+      val nw = r.getInt(2)
+      val expectedCount = if (nw >= 3) nw - 2 else 1
+      native.length == expectedCount && native.toSet == lambdaSet.toSet
+    })
+  }
+
+  test("native simhash: deterministic, order- and duplication-invariant") {
+    check(Prop.forAll(textGen) { t =>
+      val words = t.split(" ").toSeq
+      val shuffled = scala.util.Random.shuffle(words).mkString(" ")
+      val doubled = t + " " + t // same DISTINCT token set
+      val r = Seq((t, shuffled, doubled)).toDF("a", "b", "c")
+        .select(
+          TextFunctions.simhash60(TextFunctions.words(col("a"))).as("sa"),
+          TextFunctions.simhash60(TextFunctions.words(col("b"))).as("sb"),
+          TextFunctions.simhash60(TextFunctions.words(col("c"))).as("sc"))
+        .head()
+      r.getLong(0) == r.getLong(1) && r.getLong(0) == r.getLong(2)
+    })
+  }
+
+  test("token60 kernel equals the SQL conv(substr(md5,1,15)) formulation") {
+    check(Prop.forAll(wordGen) { t =>
+      val sql = Seq(Tuple1(t)).toDF("t")
+        .select(TextFunctions.token60(col("t"))).head().getLong(0)
+      val native = graft.functions.expressions.SimHashOps
+        .token60(t.getBytes("UTF-8"))
+      sql == native
+    })
+  }
 }
