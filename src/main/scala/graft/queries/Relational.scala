@@ -1123,6 +1123,29 @@ object Relational {
          columns = {'x': 'DOUBLE', 'y': 'DOUBLE'},
          sep = ' ', header = false)"""
 
+  // ---------------------------------------------------------------- q66
+  /** Approximate percentiles (GK sketch) in the EXACT regime: with
+    * accuracy ≥ group size the sketch retains every value and
+    * `approx_percentile` returns precisely the discrete quantile —
+    * DuckDB's `quantile_disc`, bit-identical with NO rounding since
+    * both select an actual data value. That makes the sketch operator
+    * value-oracle-checkable (unlike the HLL sketch, q45); production
+    * accuracy (lower) trades this exactness for bounded memory. */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 2147483647)")
+             .as("p50_disc"),
+           expr("approx_percentile(o_totalprice, 0.9, 2147483647)")
+             .as("p90_disc"))
+      .orderBy("o_orderpriority")
+
+  private val q66Sql =
+    """SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+       quantile_disc(o_totalprice, 0.9) AS p90_disc
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1170,7 +1193,8 @@ object Relational {
     "q62_correlated_subquery" -> (q62 _),
     "q63_unpivot" -> (q63 _),
     "q64_json_source" -> (q64 _),
-    "q65_pairs_dsv2" -> (q65 _))
+    "q65_pairs_dsv2" -> (q65 _),
+    "q66_approx_percentile" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1216,5 +1240,6 @@ object Relational {
     "q62_correlated_subquery" -> q62Sql,
     "q63_unpivot" -> q63Sql,
     "q64_json_source" -> q64Sql,
-    "q65_pairs_dsv2" -> q65Sql)
+    "q65_pairs_dsv2" -> q65Sql,
+    "q66_approx_percentile" -> q66Sql)
 }
