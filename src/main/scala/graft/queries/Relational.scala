@@ -1146,6 +1146,46 @@ object Relational {
        quantile_disc(o_totalprice, 0.9) AS p90_disc
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---------------------------------------------------------------- q67
+  /** Typed `cogroup` (KeyValueGroupedDataset): per-user click and
+    * purchase streams reduced side by side with arbitrary Scala logic
+    * — the typed form of a reduce-side join. Both sides shuffle by key
+    * ONCE and the per-key iterators stream (no group materialization),
+    * so the shape holds at scale; here the custom logic is simple
+    * enough that the oracle is the aggregate-and-full-outer-join
+    * rewrite. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    side("click").groupByKey(_._1)
+      .cogroup(side("purchase").groupByKey(_._1)) { (u, clicks, purchases) =>
+        var nc = 0L; var sc = 0.0
+        clicks.foreach { c => nc += 1; sc += c._2 }
+        var np = 0L; var sp = 0.0
+        purchases.foreach { p => np += 1; sp += p._2 }
+        Iterator.single((u, nc, Rounding.roundTo(sc, 3),
+          np, Rounding.roundTo(sp, 3)))
+      }
+      .toDF("user_id", "n_clicks", "sum_click_value",
+        "n_purchases", "sum_purch_value")
+      .orderBy("user_id")
+  }
+
+  private val q67Sql =
+    """WITH c AS (SELECT user_id, count(*) AS nc, sum(value) AS sc
+                  FROM events WHERE event_type = 'click' GROUP BY user_id),
+          p AS (SELECT user_id, count(*) AS np, sum(value) AS sp
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT coalesce(c.user_id, p.user_id) AS user_id,
+         CAST(coalesce(nc, 0) AS BIGINT) AS n_clicks,
+         round(coalesce(sc, 0), 3) AS sum_click_value,
+         CAST(coalesce(np, 0) AS BIGINT) AS n_purchases,
+         round(coalesce(sp, 0), 3) AS sum_purch_value
+       FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+       ORDER BY user_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1194,7 +1234,8 @@ object Relational {
     "q63_unpivot" -> (q63 _),
     "q64_json_source" -> (q64 _),
     "q65_pairs_dsv2" -> (q65 _),
-    "q66_approx_percentile" -> (q66 _))
+    "q66_approx_percentile" -> (q66 _),
+    "q67_cogroup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1241,5 +1282,6 @@ object Relational {
     "q63_unpivot" -> q63Sql,
     "q64_json_source" -> q64Sql,
     "q65_pairs_dsv2" -> q65Sql,
-    "q66_approx_percentile" -> q66Sql)
+    "q66_approx_percentile" -> q66Sql,
+    "q67_cogroup" -> q67Sql)
 }
