@@ -1186,6 +1186,36 @@ object Relational {
        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
        ORDER BY user_id"""
 
+  // ---------------------------------------------------------------- q68
+  /** Data-quality gate ([[graft.operators.Quality.profile]]): one-pass
+    * row count + null counts + named rule-violation counts over
+    * lineitem — the pre-ingest validation step of a training-data
+    * pipeline, as a single codegen'd aggregation. */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quality.profile(Tables.lineitem(s, d),
+      nullCols = Seq("l_quantity", "l_shipdate"),
+      rules = Seq(
+        "disc_out_of_range" ->
+          (col("l_discount") < 0.0 || col("l_discount") > 0.1),
+        "qty_out_of_range" ->
+          (col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+        "ship_before_epoch" ->
+          (col("l_shipdate") < lit("1992-01-01").cast("timestamp"))))
+
+  private val q68Sql =
+    """SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_l_quantity,
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_l_shipdate,
+       CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                THEN 1 ELSE 0 END) AS BIGINT) AS disc_out_of_range,
+       CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+       CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_epoch
+       FROM lineitem"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1235,7 +1265,8 @@ object Relational {
     "q64_json_source" -> (q64 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
-    "q67_cogroup" -> (q67 _))
+    "q67_cogroup" -> (q67 _),
+    "q68_data_quality" -> (q68 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1283,5 +1314,6 @@ object Relational {
     "q64_json_source" -> q64Sql,
     "q65_pairs_dsv2" -> q65Sql,
     "q66_approx_percentile" -> q66Sql,
-    "q67_cogroup" -> q67Sql)
+    "q67_cogroup" -> q67Sql,
+    "q68_data_quality" -> q68Sql)
 }

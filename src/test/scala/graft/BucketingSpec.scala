@@ -47,4 +47,47 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS cust_by_cust")
     }
   }
+
+  test("ANN corpus bucketed by LSH key joins with no Exchange on the corpus side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import graft.functions.VectorFunctions
+
+    // substantiates Similarity.knnLsh's scale note: pre-bucketing the
+    // corpus by its LSH key makes repeated query batches shuffle-free
+    // on the corpus side — only the (small) probe side ever moves
+    val planes = VectorFunctions.randomPlanes(6, 64)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"))
+    emb.write.mode("overwrite")
+      .bucketBy(8, "bucket").sortBy("bucket")
+      .saveAsTable("corpus_by_bucket")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("bucket"))
+      val cand = spark.table("corpus_by_bucket")
+        .join(probes, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+      val plan = cand.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }.get
+      def corpusScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.isDefined
+      val corpusSide = Seq(smj.left, smj.right).find(corpusScan).get
+      assert(corpusSide.collectFirst {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, s"bucketed corpus still shuffles:\n$corpusSide")
+      assert(cand.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS corpus_by_bucket")
+    }
+  }
 }

@@ -28,4 +28,43 @@ class SkewSpec extends SparkSpec {
     val out = Skew.saltedJoin(facts, dim, "k", 4).collect()
     assert(out.length == 1 && out.head.getAs[Long]("v") == 2L)
   }
+
+  test("AQE detects and splits a skewed join partition at runtime (skew=true)") {
+    // the engine's OTHER skew lever besides explicit salting: AQE's
+    // OptimizeSkewedJoin re-plans an oversized shuffle partition into
+    // sub-splits at runtime — the mechanism the operators rely on when
+    // skew is data-dependent and unknown at authoring time
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // one hot key carries 50k rows (~1.6 MB shuffled), the rest are tiny
+      val fact = spark.range(0, 50000)
+        .select(lit(0L).as("k"), col("id").as("v"))
+        .unionAll(spark.range(0, 10000)
+          .select((col("id") % 1000 + 1).as("k"), col("id").as("v")))
+      val dim = spark.range(0, 1001).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val j = fact.join(dim, "k").agg(sum("v").as("sv"), sum("w").as("sw"))
+      val row = j.collect().head
+      assert(row.getLong(0) > 0)
+      // the FINAL adaptive plan must mark the sort-merge join as skew-split
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
