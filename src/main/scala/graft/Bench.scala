@@ -55,7 +55,12 @@ object Bench {
         val r = try {
           one() // priming run, untimed
           val times = Seq.fill(runs) { clear(); one() }.sorted
-          Right(times(times.length / 2))
+          // true median for even run counts too (upper-middle alone
+          // would report a max for runs=2)
+          val median =
+            if (times.length % 2 == 1) times(times.length / 2)
+            else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+          Right(median)
         } catch {
           case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")

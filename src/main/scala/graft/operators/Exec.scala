@@ -51,7 +51,13 @@ private[graft] object Exec {
   def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist(StorageLevel.MEMORY_AND_DISK)
     try out.count()
-    finally intermediates.foreach(_.unpersist(blocking = false))
+    catch {
+      case t: Throwable =>
+        // a failed materialization must not strand the result handle
+        // either — unpersist before surfacing the failure
+        try out.unpersist(blocking = false) catch { case _: Throwable => () }
+        throw t
+    } finally intermediates.foreach(_.unpersist(blocking = false))
     out
   }
 }

@@ -66,8 +66,10 @@ object MediaCodec {
       _ <- if (i >= bytes.length) Left("truncated after header")
            else Right { i += 1 } // exactly ONE whitespace byte before raster
       _ <- if (w <= 0 || h <= 0) Left(s"bad dimensions ${w}x$h") else Right(())
-      _ <- if (bytes.length - i != w * h * 3)
-             Left(s"raster length ${bytes.length - i} != ${w * h * 3}")
+      // Long arithmetic: crafted dimensions like 65536x65536 overflow
+      // Int (w*h*3 wraps to 0) and would accept an empty raster
+      _ <- if ((bytes.length - i).toLong != w.toLong * h.toLong * 3L)
+             Left(s"raster length ${bytes.length - i} != ${w.toLong * h * 3}")
            else Right(())
     } yield PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, i, bytes.length))
   }
@@ -132,8 +134,9 @@ object MediaCodec {
           var j = 0
           while (j < out.length) { out(j) = buf.getShort; j += 1 }
           samples = out
-        case _ => // skip unknown chunk (word-aligned)
-          buf.position(buf.position() + len + (len & 1))
+        case _ => // skip unknown chunk (word-aligned; the pad byte may
+          // be absent when the chunk ends the file — clamp, don't throw)
+          buf.position(math.min(buf.position() + len + (len & 1), buf.limit()))
       }
     }
     if (samples == null) Left("no data chunk")

@@ -337,10 +337,14 @@ object Pipeline {
     * GENERATED oracles, so the LSH layer itself — bucket bits and
     * hamming-1 probes — is value-checked end to end in both.
     */
+  /** One rendering of a ±1 hyperplane as a DuckDB list literal, shared
+    * by every generated-oracle LSH query — a format change must hit
+    * q41 and q53 together or their oracles diverge. */
+  private def planeLit(p: Seq[Double]): String =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
   private def lshBucketSql(numPlanes: Int, dim: Int): (String, String) = {
     val planes = graft.functions.VectorFunctions.randomPlanes(numPlanes, dim)
-    def planeLit(p: Seq[Double]): String =
-      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     // Spark's lshBucket folds acc*2 + sign, so plane i lands at bit
     // (numPlanes-1-i)
     val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
@@ -363,8 +367,6 @@ object Pipeline {
                              dim: Int): String = {
     val planes = graft.functions.VectorFunctions
       .randomPlanes(planesPerBand * bands, dim)
-    def planeLit(p: Seq[Double]): String =
-      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     (0 until bands).map { b =>
       val bits = (0 until planesPerBand).map { j =>
         val p = planes(b * planesPerBand + j)

@@ -960,8 +960,11 @@ object Relational {
   /** Declarative sessionization: the built-in `session_window` gap
     * window (shared with the streaming surface — StreamingSpec runs
     * this same transform under a watermark). Oracle: sessions rebuilt
-    * in plain SQL as cumulative lag-gap groups; `session_window`'s end
-    * is last-event + gap, mirrored exactly. */
+    * in plain SQL as cumulative lag-gap groups mirroring
+    * `session_window`'s exact boundary semantics — the window end
+    * (last-event + gap) is EXCLUSIVE, so a gap of exactly the window
+    * length starts a NEW session (hence `>=` in the oracle, unlike
+    * q23's strictly-greater lag convention). */
   private def q58(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventPipeline.sessionWindows(
         Tables.events(s, d), "30 minutes")
@@ -973,7 +976,7 @@ object Relational {
            ORDER BY ts, event_id) AS prev
          FROM events),
        s AS (SELECT user_id, ts, event_id,
-         CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 30*60*1000000
+         CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 30*60*1000000
               THEN 1 ELSE 0 END AS new_s
          FROM p),
        g AS (SELECT user_id, ts,
