@@ -7,7 +7,7 @@ import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, MediaFile, Multimodal, Similarity}
+import graft.operators.{Dedup, MediaFile, Multimodal, Sampling, Similarity}
 
 /** Training-data pipeline surface (SURVEY.md §2.11): text analysis,
   * dedup (exact / MinHash+LSH / SimHash / exact n-gram Jaccard /
@@ -655,6 +655,34 @@ object Pipeline {
              FROM documents) t
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q69
+  /** Deterministic train/val/test split
+    * ([[graft.operators.Sampling.split]], 80/10/10 under salt "v1"):
+    * split membership is a pure function of (salt, doc_id) — same
+    * assignment on any cluster or engine, which is what makes a
+    * training set auditable. The oracle recomputes the md5 bucket
+    * arithmetic exactly. */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Sampling.split(Tables.documents(s, d), "doc_id", "v1",
+        trainPct = 80, valPct = 10)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("split", "lang")
+
+  private val q69Sql =
+    """SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM (SELECT lang, n_chars,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+         FROM (SELECT lang, n_chars,
+           ('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 15))::BIGINT
+             % 100 AS b
+           FROM documents) t) u
+       GROUP BY split, lang ORDER BY split, lang"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -677,7 +705,8 @@ object Pipeline {
     "q52_knn_ivf" -> (q52 _),
     "q53_embedding_neardup_lsh" -> (q53 _),
     "q59_multimodal_ppm" -> (q59 _),
-    "q60_tfidf" -> (q60 _))
+    "q60_tfidf" -> (q60 _),
+    "q69_dataset_split" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -699,5 +728,6 @@ object Pipeline {
     "q52_knn_ivf" -> q52Sql,
     "q53_embedding_neardup_lsh" -> q53Sql,
     "q59_multimodal_ppm" -> q59Sql,
-    "q60_tfidf" -> q60Sql)
+    "q60_tfidf" -> q60Sql,
+    "q69_dataset_split" -> q69Sql)
 }

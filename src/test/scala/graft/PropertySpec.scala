@@ -110,6 +110,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("hash split is deterministic, disjoint-exhaustive, and near the target fractions") {
+    import graft.operators.Sampling
+    val ids = spark.range(0, 5000).toDF("id")
+    val s1 = Sampling.split(ids, "id", "saltA", 80, 10)
+    val s2 = Sampling.split(ids, "id", "saltA", 80, 10)
+    // pure function of (salt, id): identical across invocations
+    assert(s1.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == s2.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    // disjoint + exhaustive, and each fraction near its target
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(math.abs(counts("train") - 4000.0) / 4000.0 < 0.05)
+    assert(math.abs(counts("val") - 500.0) / 500.0 < 0.2)
+    assert(math.abs(counts("test") - 500.0) / 500.0 < 0.2)
+    // a different salt draws a (mostly) independent assignment
+    val s3 = Sampling.split(ids, "id", "saltB", 80, 10)
+    val agree = s1.as("a").join(s3.as("b"), col("a.id") === col("b.id"))
+      .filter(col("a.split") === col("b.split")).count()
+    assert(agree < 4000, s"salts not independent: $agree/5000 agree")
+    // hashSample(pct) keeps the bucket-range subset of the same hash
+    val kept = Sampling.hashSample(ids, "id", "saltA", 20).count()
+    assert(math.abs(kept - 1000.0) / 1000.0 < 0.15)
+  }
+
   test("token60 kernel equals the SQL conv(substr(md5,1,15)) formulation") {
     check(Prop.forAll(wordGen) { t =>
       val sql = Seq(Tuple1(t)).toDF("t")
