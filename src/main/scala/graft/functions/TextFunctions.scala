@@ -16,6 +16,28 @@ object TextFunctions {
     */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Regex-based corpus cleanup (the standard LLM pre-training text
+    * normalization): strip URLs and e-mail addresses, remove control
+    * characters, collapse whitespace, trim. Every step is a builtin
+    * codegen'd `regexp_replace` with an exact DuckDB mirror, so the
+    * cleanup itself is oracle-checkable.
+    */
+  def cleanText(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://\\S+|www\\.\\S+", " ")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
+    val noCtrl = regexp_replace(noEmail, "[\\x00-\\x1f\\x7f]", " ")
+    trim(regexp_replace(noCtrl, "\\s+", " "))
+  }
+
+  /** Word-repetition ratio `1 − distinct/total` — the classic
+    * boilerplate/repetition quality signal (0 = all words distinct,
+    * → 1 = one word repeated).
+    */
+  def repetitionRatio(w: Column): Column =
+    lit(1.0) - size(array_distinct(w)).cast("double") /
+      size(w).cast("double")
+
   /** BPE-ish subword token count: alpha runs, digit runs, and single
     * punctuation marks each count as one token.
     */

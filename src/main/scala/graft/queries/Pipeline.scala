@@ -683,6 +683,36 @@ object Pipeline {
            FROM documents) t) u
        GROUP BY split, lang ORDER BY split, lang"""
 
+  // ---------------------------------------------------------------- q70
+  /** Corpus cleanup + repetition signal: URL/e-mail/control-char
+    * stripping with whitespace collapse
+    * ([[graft.functions.TextFunctions.cleanText]]) and the
+    * distinct-word repetition ratio — both pure codegen'd regex/array
+    * expressions inside the scan projection, both mirrored exactly in
+    * the oracle. */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(cleanText(col("text"))).cast("long").as("n_chars_clean"),
+        round(repetitionRatio(words(col("text"))), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  private val q70Sql =
+    """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(text,
+             'https?://\S+|www\.\S+', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+             '[\x00-\x1f\x7f]', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean,
+       round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS rep_ratio
+       FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS w
+             FROM documents) t
+       ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -706,7 +736,8 @@ object Pipeline {
     "q53_embedding_neardup_lsh" -> (q53 _),
     "q59_multimodal_ppm" -> (q59 _),
     "q60_tfidf" -> (q60 _),
-    "q69_dataset_split" -> (q69 _))
+    "q69_dataset_split" -> (q69 _),
+    "q70_text_cleanup" -> (q70 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -729,5 +760,6 @@ object Pipeline {
     "q53_embedding_neardup_lsh" -> q53Sql,
     "q59_multimodal_ppm" -> q59Sql,
     "q60_tfidf" -> q60Sql,
-    "q69_dataset_split" -> q69Sql)
+    "q69_dataset_split" -> q69Sql,
+    "q70_text_cleanup" -> q70Sql)
 }
