@@ -23,20 +23,28 @@ object TextFunctions {
     * cleanup itself is oracle-checkable.
     */
   def cleanText(text: Column): Column = {
-    val noUrl = regexp_replace(text, "https?://\\S+|www\\.\\S+", " ")
+    // control chars FIRST: Java and RE2 disagree on whether \x0B is
+    // \s-whitespace, so the later \S+/\s+ regexes must never see a
+    // control character or the two engines tokenize differently —
+    // after this step the only whitespace left is [ \t\n\f\r], on
+    // which both engines agree
+    val noCtrl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
+    val noUrl = regexp_replace(noCtrl, "https?://\\S+|www\\.\\S+", " ")
     val noEmail = regexp_replace(noUrl,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
-    val noCtrl = regexp_replace(noEmail, "[\\x00-\\x1f\\x7f]", " ")
-    trim(regexp_replace(noCtrl, "\\s+", " "))
+    trim(regexp_replace(noEmail, "\\s+", " "))
   }
 
   /** Word-repetition ratio `1 − distinct/total` — the classic
     * boilerplate/repetition quality signal (0 = all words distinct,
-    * → 1 = one word repeated).
+    * → 1 = one word repeated; an EMPTY token array scores 0, not
+    * null — Spark's non-ANSI 0/0 division would otherwise leak a null
+    * through threshold filters).
     */
   def repetitionRatio(w: Column): Column =
-    lit(1.0) - size(array_distinct(w)).cast("double") /
-      size(w).cast("double")
+    when(size(w) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(w)).cast("double") /
+        size(w).cast("double"))
 
   /** BPE-ish subword token count: alpha runs, digit runs, and single
     * punctuation marks each count as one token.

@@ -20,12 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) for an id under a salt. */
-  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+  /** Stable bucket in [0, buckets) for an id under a salt — the
+    * engine's ONE cross-engine 60-bit md5 kernel
+    * ([[graft.functions.TextFunctions.token60]]) applied to
+    * `salt ‖ id`, mod the bucket count. */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column = {
+    require(buckets >= 1,
+      "buckets must be >= 1: pmod by zero is null in Spark and would " +
+        "silently drop every row from downstream bucket filters")
     pmod(
-      conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15),
-        16, 10).cast("long"),
+      graft.functions.TextFunctions.token60(
+        concat(lit(salt), id.cast("string"))),
       lit(buckets.toLong))
+  }
 
   /** Keep a deterministic ~`pct`% of rows (bucket < pct of 100). */
   def hashSample(df: DataFrame, idCol: String, salt: String,

@@ -690,26 +690,33 @@ object Pipeline {
     * distinct-word repetition ratio — both pure codegen'd regex/array
     * expressions inside the scan projection, both mirrored exactly in
     * the oracle. */
-  private def q70(s: SparkSession, d: String): DataFrame =
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val clean = cleanText(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
-        length(cleanText(col("text"))).cast("long").as("n_chars_clean"),
-        round(repetitionRatio(words(col("text"))), 4).as("rep_ratio"))
+        length(clean).cast("long").as("n_chars_clean"),
+        // repetition measured on the CLEANED text: control chars are
+        // already normalized away, so both engines tokenize identically
+        round(repetitionRatio(words(clean)), 4).as("rep_ratio"))
       .orderBy("doc_id")
+  }
 
   private val q70Sql =
     """SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_raw,
-       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(text,
-             'https?://\S+|www\.\S+', ' ', 'g'),
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
-             '[\x00-\x1f\x7f]', ' ', 'g'),
-             '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean,
-       round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS rep_ratio
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       round(1.0 -
+         len(list_distinct(regexp_split_to_array(clean, '\s+')))::DOUBLE
+           / len(regexp_split_to_array(clean, '\s+')), 4) AS rep_ratio
        FROM (SELECT doc_id, text,
-               regexp_split_to_array(trim(text), '\s+') AS w
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(text,
+                   '[\x00-\x1f\x7f]', ' ', 'g'),
+                   'https?://\S+|www\.\S+', ' ', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean
              FROM documents) t
        ORDER BY doc_id"""
 

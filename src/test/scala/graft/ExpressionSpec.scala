@@ -120,6 +120,38 @@ class ExpressionSpec extends SparkSpec {
     assert(native == agg)
   }
 
+  test("cleanText strips URLs, e-mails, and control chars (incl. \\x0B) as specified") {
+    import graft.functions.TextFunctions
+    // the shipped corpora are clean ASCII, so the oracle pass alone
+    // never fires these regexes — this fixture does
+    val cases = Seq(
+      ("see https://example.com/x?q=1 now", "see now"),
+      ("or www.site.org/page here", "or here"),
+      ("mail me at a.b+c@dom-ain.co today", "mail me at today"),
+      ("tab\there  and\nnewline", "tab here and newline"),
+      ("ctrl\u0000char\u001fand\u007fdel", "ctrl char and del"),
+      // vertical tab: the Java-vs-RE2 \s divergence case — stripped as
+      // a control char BEFORE any \S+ regex can see it
+      ("x http://a\u000bb y", "x b y"),
+      ("a b a\u000ba", "a b a a"),
+      ("   ", ""))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextFunctions.cleanText(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want '$want' got '$got'")
+    }
+    // repetition on cleaned text; empty array guard returns 0.0
+    val rep = Seq("a b a\u000ba").toDF("t")
+      .select(TextFunctions.repetitionRatio(
+        TextFunctions.words(TextFunctions.cleanText(col("t")))).as("r"),
+        TextFunctions.repetitionRatio(
+          filter(TextFunctions.words(col("t")), _ => lit(false))).as("z"))
+      .head()
+    assert(rep.getDouble(0) == 0.5) // a b a a -> 2 distinct / 4
+    assert(rep.getDouble(1) == 0.0) // empty array -> 0, not null
+  }
+
   test("graft_word_shingles matches the lambda formulation as a multiset") {
     import graft.functions.TextFunctions
     val df = Seq("a b c d e", "t t t t", "x y", "", "  pad  ded  ").toDF("t")
