@@ -285,6 +285,89 @@ object Dedup {
   private def shiftrightByCol(e: Column, n: Column): Column =
     call_function("shiftright", e, n)
 
+  /** Transitive closure of a near-dup pair list: every document that
+    * appears in a pair gets a `cluster_id` — the MINIMUM doc id
+    * reachable through pair edges — so "keep one per duplicate
+    * cluster" becomes `filter(id === cluster_id)`. This is the step
+    * that turns pairwise similarity into actual deduplication (A≈B and
+    * B≈C must collapse to ONE survivor even when A≉C directly).
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min label among itself and its neighbors) — the same
+    * driver-coordinated iterate-until-converged shape as the
+    * reference's training loop (`/root/reference/kernel.cu:135-217`),
+    * here with an exact fixpoint test. Rounds needed = component
+    * diameter, and near-dup clusters are small and dense (diameter a
+    * handful), so the loop is short; each round is one edge-join +
+    * min-aggregate, fully distributed. `maxIters` bounds pathological
+    * chain-shaped graphs; hitting it raises rather than returning a
+    * half-converged labeling.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxIters: Int = 25): DataFrame = {
+    // Lineage MUST be truncated every round: a DataFrame loop otherwise
+    // nests each round's plan inside the next (branching ×2 through the
+    // self-join), and after k rounds the analyzer walks a 2^k-node tree
+    // rooted at the full upstream pipeline — driver OOM long before the
+    // data is big. Eager localCheckpoint replaces the plan with the
+    // materialized RDD, so every round plans against a constant-size
+    // tree; the checkpoint storage is graph-sized (nodes+edges) and is
+    // reclaimed by Spark's ContextCleaner when the handles drop.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    if (labels.isEmpty) {
+      return owned(labels.select(col("id"), col("lbl").as("cluster_id")), Nil)
+    }
+    // labels only ever DECREASE (every step is a min), so the label
+    // checksum is monotone non-increasing and equality across rounds
+    // is an exact fixpoint test — ONE action per round instead of a
+    // separate change-count join. decimal(38,0) so huge id sums
+    // cannot overflow the comparison.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var sum0 = checksum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // one neighbor-propagation step: min over incoming neighbor
+      // labels, folded with the node's own label via a left join +
+      // least (no Union: checkpointed-plan attributes trip Union
+      // constraint rewriting, and the join form shuffles less anyway)
+      val nbr = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val neighborMin = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // ...then POINTER JUMPING (take my label's own label), which
+      // shortcuts chains so rounds grow with log(diameter), not
+      // diameter — a chain of 2^k collapses in ~k rounds
+      val next = neighborMin.as("a")
+        .join(neighborMin
+            .select(col("id").as("lid"), col("lbl").as("llbl")).as("b"),
+          col("a.lbl") === col("lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val sum1 = checksum(next)
+      labels = next
+      converged = sum1.compareTo(sum0) == 0
+      sum0 = sum1
+      i += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds " +
+          "(component diameter exceeds the bound)")
+    }
+    owned(labels.select(col("id"), col("lbl").as("cluster_id")), Nil)
+  }
+
   /** Embedding-cosine near-dup pairs — brute force all-pairs. This is
     * the ground-truth BASELINE (exact recall, O(n²)); the default scale
     * path is [[embeddingPairsBucketed]], which finds the same

@@ -180,7 +180,10 @@ object Pipeline {
         threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
-  private val q36Sql = shingleCte +
+  // the q36 pipeline WITHOUT the final ORDER BY — reused verbatim as
+  // the pair source of the clustering oracle (q71), so the two queries
+  // can never drift apart
+  private val q36Core = shingleCte +
     """,
        hv AS (SELECT doc_id, sh,
          list_transform(sh, s ->
@@ -204,8 +207,9 @@ object Pipeline {
            AS jaccard
        FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
        WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) >= 0.8
-       ORDER BY doc_a, doc_b"""
+           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) >= 0.8"""
+
+  private val q36Sql = q36Core + "\n       ORDER BY doc_a, doc_b"
 
   // ---------------------------------------------------------------- q37
   /** SimHash near-dup pairs (60-bit, 4×15-bit bands, hamming ≤ 3). */
@@ -720,6 +724,68 @@ object Pipeline {
              FROM documents) t
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q71
+  /** Near-dup CLUSTERS: the transitive closure of the minhash pair
+    * list ([[Dedup.connectedComponents]] — iterative min-label
+    * propagation to an exact fixpoint), the step that turns pairwise
+    * similarity into deduplication (A≈B≈C collapse to one survivor
+    * even when A and C aren't directly similar). Oracle: the SAME q36
+    * pair pipeline fed into a recursive-CTE reachability closure with
+    * min-label per node. */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8))
+      .orderBy("id")
+
+  private val q71Sql =
+    s"""WITH RECURSIVE p AS ($q36Core),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                 UNION ALL SELECT doc_b, doc_a FROM p),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach AS (SELECT id, id AS r FROM nodes
+                 UNION
+                 SELECT e.a, reach.r FROM edges e
+                 JOIN reach ON e.b = reach.id)
+       SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       ORDER BY id"""
+
+  // ---------------------------------------------------------------- q72
+  /** Unigram log-probability quality score — the simplest language
+    * model filter (a KenLM-lite): corpus-wide MLE unigram frequencies,
+    * each document scored by the mean log-probability of its tokens.
+    * Low scores flag boilerplate/garbage vocabularies. Two aggregation
+    * passes over the token table (frequencies, then per-doc means via
+    * a frequency join) — the token table is persisted once and
+    * released via the owned-result pattern. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val docsDf = Tables.documents(s, d)
+    val toks = docsDf
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = toks.count()
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val result = toks.join(freq, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(log(col("cnt").cast("double") / total.toDouble)), 4)
+             .as("avg_logprob"))
+      .orderBy("doc_id")
+    graft.operators.Exec.owned(result, Seq(toks))
+  }
+
+  private val q72Sql =
+    """WITH toks AS (SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+         FROM documents),
+       freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       total AS (SELECT count(*) AS n FROM toks)
+       SELECT doc_id, count(*) AS n_tokens,
+         round(avg(ln(cnt::DOUBLE / total.n)), 4) AS avg_logprob
+       FROM toks JOIN freq USING (w), total
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -744,7 +810,9 @@ object Pipeline {
     "q59_multimodal_ppm" -> (q59 _),
     "q60_tfidf" -> (q60 _),
     "q69_dataset_split" -> (q69 _),
-    "q70_text_cleanup" -> (q70 _))
+    "q70_text_cleanup" -> (q70 _),
+    "q71_dedup_clusters" -> (q71 _),
+    "q72_unigram_logprob" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
@@ -768,5 +836,7 @@ object Pipeline {
     "q59_multimodal_ppm" -> q59Sql,
     "q60_tfidf" -> q60Sql,
     "q69_dataset_split" -> q69Sql,
-    "q70_text_cleanup" -> q70Sql)
+    "q70_text_cleanup" -> q70Sql,
+    "q71_dedup_clusters" -> q71Sql,
+    "q72_unigram_logprob" -> q72Sql)
 }

@@ -147,6 +147,27 @@ class DedupSpec extends SparkSpec {
     assert(native == lambda)
   }
 
+  test("connectedComponents collapses transitive chains to min-id clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2-3 chain: 1 and 3 were never paired directly, yet collapse
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // survivors = ids equal to their cluster
+    assert(out.count { case (id, c) => id == c } == 2)
+  }
+
+  test("connectedComponents raises when the diameter exceeds maxIters") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 1)
+    }
+    // and converges fine with a sane bound
+    val ok = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ok.toSeq == Seq(1L))
+  }
+
   test("operators release internal caches; the result is the single owned handle") {
     val sc = spark.sparkContext
     val df = docs(
