@@ -79,12 +79,21 @@ object Bench {
     }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(e)) => k -> e }
-    val qs = ok.map { case (k, v) => s"\"${esc(k)}\":$v" }
+    // The harness captures only the TAIL of stdout (~2 kB): the JSON
+    // line must fit there complete or it records parsed=null. Short
+    // keys (qNN prefix) + 3-decimal seconds keep 70+ queries ~1 kB.
+    def shortKey(k: String): String = k.indexOf('_') match {
+      case -1 => k
+      case i  => k.substring(0, i)
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = ok.map { case (k, v) => s"\"${esc(shortKey(k))}\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val es = errs.map { case (k, e) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+    val es = errs.map { case (k, e) => s"\"${esc(shortKey(k))}\":\"${esc(e.take(80))}\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

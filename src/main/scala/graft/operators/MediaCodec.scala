@@ -64,7 +64,13 @@ object MediaCodec {
       maxval <- readInt()
       _ <- if (maxval != 255) Left(s"unsupported maxval $maxval") else Right(())
       _ <- if (i >= bytes.length) Left("truncated after header")
-           else Right { i += 1 } // exactly ONE whitespace byte before raster
+           // exactly ONE whitespace byte before raster — and it must BE
+           // whitespace ('P6\n2 2\n255X…' with an exact-length payload
+           // must not decode)
+           else bytes(i) match {
+             case ' ' | '\n' | '\r' | '\t' => Right { i += 1 }
+             case c => Left(s"expected whitespace after maxval, got byte $c")
+           }
       _ <- if (w <= 0 || h <= 0) Left(s"bad dimensions ${w}x$h") else Right(())
       // Long arithmetic: crafted dimensions like 65536x65536 overflow
       // Int (w*h*3 wraps to 0) and would accept an empty raster

@@ -19,6 +19,16 @@ object Quality {
     */
   def profile(df: DataFrame, nullCols: Seq[String],
               rules: Seq[(String, Column)]): DataFrame = {
+    // rule names become output columns verbatim — collisions (duplicate
+    // rule names, or a rule named 'n_rows'/'nulls_<col>') would yield a
+    // silently ambiguous profile row
+    val reserved = Set("n_rows") ++ nullCols.map(c => s"nulls_$c")
+    val names = rules.map(_._1)
+    require(names.distinct.length == names.length,
+      s"duplicate rule names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val clash = names.filter(reserved)
+    require(clash.isEmpty,
+      s"rule names collide with generated profile columns: ${clash.mkString(", ")}")
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
         nullCols.map(c =>

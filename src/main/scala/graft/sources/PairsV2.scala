@@ -61,7 +61,15 @@ private[sources] class PairsScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PairsScan(path, required)
+  override def build(): Scan = {
+    // fail fast at planning time with a clear message instead of an
+    // NPE (missing path option) or a reader-side FileNotFoundException
+    require(path != null, "graft.sources.PairsV2 requires a 'path' option " +
+      "(e.g. spark.read.format(\"graft.sources.PairsV2\").load(dir))")
+    require(new java.io.File(path).exists(),
+      s"graft.sources.PairsV2 path does not exist: $path")
+    new PairsScan(path, required)
+  }
 }
 
 private[sources] case class PairsFilePartition(file: String) extends InputPartition

@@ -110,8 +110,10 @@ object EventPipeline {
                 st.nEvents + 1L, math.max(st.lastTsUs, e.ts_us))
             }
             state.update(st)
-            // evict when the watermark passes the session's gap horizon
-            state.setTimeoutTimestamp(st.lastTsUs / 1000L + gapUs / 1000L)
+            // evict when the watermark passes the session's gap horizon;
+            // ceiling division so µs→ms truncation can never arm the
+            // timeout before lastEvent+gap
+            state.setTimeoutTimestamp((st.lastTsUs + gapUs + 999L) / 1000L)
             Iterator.single(SessionTally(user, st.nSessions, st.nEvents))
           }
       }

@@ -79,6 +79,28 @@ class EdgeCaseSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("PairsV2 fails fast with a clear message on a missing path") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.PairsV2")
+        .load("/tmp/graft_no_such_dir_xyz").count()
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("Quality.profile rejects colliding rule names") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val dup = intercept[IllegalArgumentException] {
+      graft.operators.Quality.profile(df, Seq("s"),
+        Seq("r1" -> col("id").isNull, "r1" -> col("s").isNull))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val clash = intercept[IllegalArgumentException] {
+      graft.operators.Quality.profile(df, Seq("s"),
+        Seq("nulls_s" -> col("id").isNull))
+    }
+    assert(clash.getMessage.contains("collide"))
+  }
+
   test("PairsV2 on a directory of only malformed lines returns empty") {
     val dir = java.nio.file.Files.createTempDirectory("pairs_bad")
     java.nio.file.Files.writeString(dir.resolve("junk.txt"),

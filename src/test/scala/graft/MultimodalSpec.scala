@@ -28,6 +28,10 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decodePpm(
       "P6\n2 2\n65535\n".getBytes ++ new Array[Byte](12)).isLeft) // bad maxval
     assert(MediaCodec.decodePpm(Array[Byte]('P', '6')).isLeft)
+    // the single byte after maxval must BE whitespace: an exact-length
+    // payload with 'X' as the separator must not decode
+    assert(MediaCodec.decodePpm(
+      "P6\n2 2\n255X".getBytes ++ new Array[Byte](12)).isLeft)
   }
 
   test("WAV codec round-trips PCM samples and rejects non-PCM") {
