@@ -161,6 +161,35 @@ object TextFunctions {
     call_function(expressions.GraftFunctions.rollingHashName, text)
   }
 
+  /** Mean word length: total word characters over word count (the
+    * Gopher-rule formulation; whitespace excluded by construction).
+    * DuckDB mirror: `length(array_to_string(w,''))::DOUBLE / len(w)`.
+    */
+  def meanWordLen(w: Column): Column =
+    length(concat_ws("", w)).cast("double") / size(w).cast("double")
+
+  // --- PII patterns (shared verbatim with the DuckDB oracle; kept to
+  // --- RE2-compatible syntax: no lookaround, no backreferences) ---
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val ipPattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Count of PII matches of one pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact e-mails, then phones, then IPs with typed placeholders.
+    * Replacement order matters and is fixed (mirrored in the oracle):
+    * e-mail domains would otherwise partially match the IP pattern.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]"),
+      ipPattern, "[IP]")
+
   /** Stopword ratio against a fixed marker list (shared with the
     * oracle SQL; the synthetic corpus is English-heavy).
     */

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.functions.TextFunctions.token60
+
+/** Benchmark decontamination — the n-gram-overlap check every serious
+  * training-data pipeline runs before training: any document sharing
+  * word n-grams with an evaluation/benchmark set is flagged (and
+  * usually dropped), because training on it would leak the benchmark
+  * into the model.
+  *
+  * Scale posture (100 TB corpus, benchmark ≪ corpus): the benchmark
+  * n-gram set is reduced to DISTINCT 60-bit hashes — for a real
+  * benchmark (thousands of documents) that is a few million longs, so
+  * Catalyst broadcasts the contamination join and the corpus is
+  * streamed through map-side with NO corpus shuffle. Per-shingle
+  * fan-out is bounded by 1: the benchmark side is distinct on the join
+  * key, so each corpus shingle row matches at most once. The only
+  * corpus-sized aggregation is the per-document shingle count, a
+  * hash-partitioned groupBy on the document id.
+  */
+object Decontam {
+
+  /** Per-document contamination stats of `corpus` against `bench`:
+    * `(id, n_ngrams, n_contam, contam_ratio)` for every corpus document
+    * with at least one n-gram appearing anywhere in the benchmark set.
+    * N-grams are distinct word `n`-grams (documents shorter than `n`
+    * words degrade to one whole-text shingle); matching is on the
+    * shared 60-bit md5 kernel so the operator mirrors exactly in SQL.
+    */
+  def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+              textCol: String, n: Int = 3): DataFrame = {
+    // distinct (id, shingle-hash) rows: set semantics per document
+    def shingleHashes(df: DataFrame): DataFrame =
+      Dedup.shingleRowsRaw(df, idCol, textCol, n)
+        .select(col("id"), token60(col("s")).as("h"))
+        .distinct()
+    val corpusSh = shingleHashes(corpus)
+    val banned = shingleHashes(bench).select("h").distinct()
+    val totals = corpusSh.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+    val contam = corpusSh.join(banned, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_contam"))
+    // inner join: only contaminated documents are reported (docs with
+    // zero overlap vastly dominate a clean corpus)
+    totals.join(contam, "id")
+      .select(col("id"), col("n_ngrams"), col("n_contam"),
+        round(col("n_contam").cast("double") /
+          col("n_ngrams").cast("double"), 4).as("contam_ratio"))
+  }
+}

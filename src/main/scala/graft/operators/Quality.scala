@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.functions.TextFunctions._
 
 /** Data-quality profiling for pipeline gates (the step before any
   * 100 TB ingest is allowed to proceed): row count, per-column null
@@ -38,5 +42,37 @@ object Quality {
           sum(when(pred, 1).otherwise(0)).cast("long").as(name)
         }
     df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Gopher-style rule-based document filter (the published
+    * repetition/length/lexical heuristics family): per document, the
+    * measured signals, one boolean per rule, and the composite `keep`.
+    * Rules compare against the ROUNDED signals so the decisions mirror
+    * bit-exactly in the SQL oracle (an unrounded boundary comparison
+    * could flip on the 16th decimal between engines).
+    *
+    * Everything is built-in codegen'd expressions inside the scan
+    * projection — per-row cost is flat, no shuffle, no UDFs; at 100 TB
+    * this runs as a map-only pass fused into the parquet scan.
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 40, maxWords: Int = 50000,
+                  minMwl: Double = 4.0, maxMwl: Double = 10.0,
+                  maxRep: Double = 0.55, minStop: Int = 2): DataFrame = {
+    val w = words(col(textCol))
+    df.select(col(idCol),
+        size(w).cast("long").as("n_words"),
+        round(meanWordLen(w), 4).as("mean_word_len"),
+        round(repetitionRatio(w), 4).as("rep_ratio"),
+        size(filter(w, t => t.isin(stopwords: _*))).cast("long")
+          .as("n_stopwords"))
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mwl",
+        col("mean_word_len") >= minMwl && col("mean_word_len") <= maxMwl)
+      .withColumn("r_rep", col("rep_ratio") <= maxRep)
+      .withColumn("r_stop", col("n_stopwords") >= minStop)
+      .withColumn("keep",
+        col("r_words") && col("r_mwl") && col("r_rep") && col("r_stop"))
   }
 }

@@ -41,6 +41,50 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt, 100) < pct)
   }
 
+  /** Deterministic weighted source mixing — the "data mixture" step of
+    * a training pipeline: each source is downsampled to its target
+    * percentage (`weights`, with `defaultPct` for unlisted sources) by
+    * the same pure hash rule as [[hashSample]], salted per source so
+    * the per-source draws are independent. Adds a boolean `kept`
+    * column rather than filtering, so mixture audits (kept vs total per
+    * source) stay one scan. No shuffle — one md5 per row in the scan
+    * projection.
+    */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 weights: Map[String, Int], defaultPct: Int,
+                 salt: String = "mix"): DataFrame = {
+    (weights.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"source pct must be in [0, 100]"))
+    val b = pmod(
+      graft.functions.TextFunctions.token60(
+        concat(lit(salt), lit("|"), col(sourceCol), lit("|"),
+          col(idCol).cast("string"))),
+      lit(100L))
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, p).otherwise(acc)
+    }
+    df.withColumn("kept", b < pct)
+  }
+
+  /** Stratified per-group cap: keep at most `cap` rows per group,
+    * chosen by deterministic hash order (NOT arrival order, which is
+    * partition-layout-dependent). The workhorse for bounding dominant
+    * sources/languages in a mixture. One shuffle on the group key; the
+    * rank is a windowed `row_number` ordered by the 60-bit hash with
+    * the id as an unconditional tie-break, so the selection is a pure
+    * function of (salt, ids) — reproducible on any cluster.
+    */
+  def stratifiedCap(df: DataFrame, idCol: String, groupCol: String,
+                    cap: Int, salt: String = "strat"): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(hashBucket(col(idCol), salt, 1000000).asc, col(idCol).asc)
+    df.withColumn("strat_rank", row_number().over(w))
+      .filter(col("strat_rank") <= cap)
+      .drop("strat_rank")
+  }
+
   /** Train/val/test assignment by bucket ranges out of 100:
     * `[0, trainPct)` → train, `[trainPct, trainPct+valPct)` → val,
     * rest → test. Disjoint and exhaustive by construction.

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Decontam, Packing, Quality, Sampling}
+
+/** Corpus-curation surface (round 3): the remaining steps a
+  * training-data pipeline runs between "raw filtered corpus" and
+  * "model input" — benchmark decontamination, rule-based (Gopher-style)
+  * filtering, sequence packing, weighted source mixing, PII redaction,
+  * vocabulary/Zipf statistics, embedding quantization, and stratified
+  * per-source capping.
+  *
+  * Oracle discipline matches [[Pipeline]]: md5 is the only
+  * cross-engine hash, every computed double is rounded through the
+  * shared floor kernel (negative quantities are negated first — the
+  * kernel is only round-half-identical to DuckDB for positives), every
+  * computed integer is cast so parquet types agree, and every query
+  * orders by a unique key.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q73
+  /** Benchmark decontamination: every 20th document plays the held-out
+    * benchmark; the rest of the corpus is scanned for 3-gram overlap
+    * ([[Decontam.overlap]]). At production scale the benchmark n-gram
+    * hash set is broadcast — no corpus shuffle for the match itself.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontam.overlap(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q73Sql = Pipeline.shingleCte +
+    """,
+       corp AS (SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s),1,15))::BIGINT AS h
+         FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 20 <> 0) t),
+       ban AS (SELECT DISTINCT ('0x' || substr(md5(s),1,15))::BIGINT AS h
+         FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0) t),
+       tot AS (SELECT doc_id, count(*) AS n_ngrams FROM corp GROUP BY doc_id),
+       con AS (SELECT doc_id, count(*) AS n_contam
+               FROM corp JOIN ban USING (h) GROUP BY doc_id)
+       SELECT doc_id, n_ngrams, n_contam,
+         round(n_contam::DOUBLE / n_ngrams, 4) AS contam_ratio
+       FROM tot JOIN con USING (doc_id)
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q74
+  /** Gopher-style rule flags ([[Quality.gopherFlags]]): measured
+    * signals + per-rule booleans + composite keep, one codegen'd
+    * map-only pass. */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    Quality.gopherFlags(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q74Sql =
+    """SELECT doc_id, n_words, mean_word_len, rep_ratio, n_stopwords,
+       (n_words >= 40 AND n_words <= 50000) AS r_words,
+       (mean_word_len >= 4.0 AND mean_word_len <= 10.0) AS r_mwl,
+       (rep_ratio <= 0.55) AS r_rep,
+       (n_stopwords >= 2) AS r_stop,
+       ((n_words >= 40 AND n_words <= 50000)
+        AND (mean_word_len >= 4.0 AND mean_word_len <= 10.0)
+        AND rep_ratio <= 0.55 AND n_stopwords >= 2) AS keep
+       FROM (SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(length(array_to_string(w,''))::DOUBLE / len(w), 4)
+             AS mean_word_len,
+           round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4)
+             AS rep_ratio,
+           CAST(len(list_filter(w, t ->
+               list_contains(['the','a','of','and','to','in'], t)))
+             AS BIGINT) AS n_stopwords
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+               FROM documents) a) b
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q75
+  /** Sequence packing ([[Packing.packOffsets]]): 512-token chunks over
+    * 32 independent hash streams, reported per (stream, chunk). */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Packing.packOffsets(docs, "doc_id", size(words(col("text"))),
+        budget = 512L, streams = 32)
+      .groupBy("stream", "chunk")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("tokens").cast("long").as("sum_tokens"),
+           min("start_offset").as("first_offset"))
+      .orderBy("stream", "chunk")
+  }
+
+  private val q75Sql =
+    """SELECT CAST(stream AS INT) AS stream, so // 512 AS chunk,
+         count(*) AS n_docs,
+         CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+         min(so) AS first_offset
+       FROM (SELECT doc_id, tokens, stream,
+           sum(tokens) OVER (PARTITION BY stream ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens
+             AS so
+         FROM (SELECT doc_id,
+             len(regexp_split_to_array(trim(text),'\s+')) AS tokens,
+             ('0x' || substr(md5('pack' || doc_id::VARCHAR),1,15))::BIGINT
+               % 32 AS stream
+           FROM documents) a) b
+       GROUP BY stream, chunk
+       ORDER BY stream, chunk"""
+
+  // ---------------------------------------------------------------- q76
+  /** Weighted source mixing ([[Sampling.mixSources]]): per-source
+    * deterministic downsampling rates, audited as kept-vs-total. */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Sampling.mixSources(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 90, "src1" -> 75, "src2" -> 50, "src3" -> 25,
+          "src4" -> 10),
+        defaultPct = 40)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("kept").cast("int")).cast("long").as("n_kept"),
+           round(sum(col("kept").cast("int")).cast("double") /
+             count(lit(1)).cast("double"), 4).as("kept_frac"))
+      .orderBy("source")
+
+  private val q76Sql =
+    """SELECT source, count(*) AS n_docs,
+       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       round((count(*) FILTER (kept))::DOUBLE / count(*), 4) AS kept_frac
+       FROM (SELECT source,
+           ('0x' || substr(md5('mix|' || source || '|' || doc_id::VARCHAR),
+             1,15))::BIGINT % 100
+           < CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 75
+               WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 WHEN 'src4' THEN 10
+               ELSE 40 END AS kept
+         FROM documents) t
+       GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------------- q77
+  /** PII detection + redaction. The synthetic corpus contains no PII
+    * at all (a detector over it would be a vacuous oracle), so the
+    * query DETERMINISTICALLY INJECTS synthetic e-mails / phone numbers
+    * / IPs as a function of doc_id, then detects and redacts them —
+    * the regexes are value-checked against text they actually match.
+    * Patterns are RE2-compatible and shared verbatim with the oracle.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" host 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 7, lit(256)).cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), injected.as("txt"))
+      .select(col("doc_id"),
+        piiCount(col("txt"), emailPattern).cast("long").as("n_emails"),
+        piiCount(col("txt"), phonePattern).cast("long").as("n_phones"),
+        piiCount(col("txt"), ipPattern).cast("long").as("n_ips"),
+        length(redactPii(col("txt"))).cast("long").as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
+  private val q77Sql =
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(txt,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(txt,
+         '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(txt,
+         '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       CAST(length(
+         regexp_replace(regexp_replace(regexp_replace(txt,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g')) AS BIGINT)
+         AS n_chars_redacted
+       FROM (SELECT doc_id, text
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' reach user' || doc_id::VARCHAR || '@example.com'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                  || ((doc_id * 7) % 256)::VARCHAR
+                ELSE '' END AS txt
+         FROM documents) t
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q78
+  /** Vocabulary / Zipf statistics: top-100 words with rank, frequency,
+    * cumulative coverage, and the (negated) log-log Zipf slope as a
+    * constant audit column. Scale note: the rank window runs over the
+    * AGGREGATED vocabulary (≪ corpus — the corpus-sized work is the
+    * codegen'd token count), so the single-partition window is bounded
+    * by vocabulary size, not data size.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("w"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+    val ord = Window.orderBy(col("freq").desc, col("w").asc)
+    val ranked = freq
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum", sum("freq").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val top = ranked.filter(col("rank") <= 100)
+    val total = freq.agg(sum("freq").as("n_total"))
+    val slope = top.agg(
+      round(-expr("regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4)
+        .as("zipf_slope_neg"))
+    top.crossJoin(broadcast(total)).crossJoin(broadcast(slope))
+      .select(col("rank"), col("w").as("word"), col("freq"),
+        round(col("cum").cast("double") / col("n_total").cast("double"), 4)
+          .as("cum_frac"),
+        col("zipf_slope_neg"))
+      .orderBy("rank")
+  }
+
+  private val q78Sql =
+    """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+'))
+           AS w FROM documents),
+       freq AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+       ranked AS (SELECT w, freq,
+           row_number() OVER (ORDER BY freq DESC, w) AS rn,
+           sum(freq) OVER (ORDER BY freq DESC, w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM freq),
+       top AS (SELECT * FROM ranked WHERE rn <= 100),
+       tot AS (SELECT sum(freq) AS n FROM freq),
+       slope AS (SELECT round(-regr_slope(ln(freq::DOUBLE), ln(rn::DOUBLE)), 4)
+           AS zipf_slope_neg FROM top)
+       SELECT CAST(rn AS INT) AS rank, w AS word,
+         CAST(freq AS BIGINT) AS freq,
+         round(cum::DOUBLE / tot.n, 4) AS cum_frac,
+         slope.zipf_slope_neg
+       FROM top, tot, slope
+       ORDER BY rank"""
+
+  // ---------------------------------------------------------------- q79
+  /** Symmetric per-vector int8 quantization (the storage/serving
+    * compression step for embedding corpora): scale = max|x|/127,
+    * code = floor(x/scale + 0.5) — explicit floor(+0.5) because the
+    * engines' round() differ on negative halves — and the per-vector
+    * reconstruction MSE. All-zero vectors quantize to scale 0 / MSE 0
+    * (guarded — the division would otherwise produce NaN).
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding")
+    val m = array_max(transform(e, x => abs(x.cast("double"))))
+    val sc = m / lit(127.0)
+    val mse =
+      aggregate(e, lit(0.0), (acc, x) =>
+        acc + pow(x.cast("double") - floor(x.cast("double") / sc + 0.5) * sc,
+          lit(2.0))) / size(e).cast("double")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        when(m === 0.0, lit(0.0)).otherwise(round(sc, 6)).as("qscale"),
+        when(m === 0.0, lit(0.0)).otherwise(round(mse, 8)).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  private val q79Sql =
+    """SELECT vec_id,
+       CASE WHEN m = 0 THEN 0.0 ELSE round(m / 127.0, 6) END AS qscale,
+       CASE WHEN m = 0 THEN 0.0 ELSE
+         round(list_sum(list_transform(e, x ->
+             pow(x - floor(x / (m/127.0) + 0.5) * (m/127.0), 2)))
+           / len(e), 8) END AS mse
+       FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+         FROM embeddings) t
+       ORDER BY vec_id"""
+
+  // ---------------------------------------------------------------- q80
+  /** Stratified per-source cap ([[Sampling.stratifiedCap]]): at most
+    * 15 documents per source, selected by deterministic hash order —
+    * the exact surviving (source, doc_id) set is the value check. */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedCap(Tables.documents(s, d), "doc_id", "source",
+        cap = 15)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+
+  private val q80Sql =
+    """SELECT source, doc_id FROM (
+         SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5('strat' || doc_id::VARCHAR),1,15))
+               ::BIGINT % 1000000, doc_id) AS rn
+         FROM documents) t
+       WHERE rn <= 15
+       ORDER BY source, doc_id"""
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q73_decontam" -> (q73 _),
+    "q74_gopher_rules" -> (q74 _),
+    "q75_sequence_packing" -> (q75 _),
+    "q76_source_mixing" -> (q76 _),
+    "q77_pii_redaction" -> (q77 _),
+    "q78_zipf_vocab" -> (q78 _),
+    "q79_embedding_quant" -> (q79 _),
+    "q80_stratified_cap" -> (q80 _))
+
+  val oracles: Map[String, String] = Map(
+    "q73_decontam" -> q73Sql,
+    "q74_gopher_rules" -> q74Sql,
+    "q75_sequence_packing" -> q75Sql,
+    "q76_source_mixing" -> q76Sql,
+    "q77_pii_redaction" -> q77Sql,
+    "q78_zipf_vocab" -> q78Sql,
+    "q79_embedding_quant" -> q79Sql,
+    "q80_stratified_cap" -> q80Sql)
+}

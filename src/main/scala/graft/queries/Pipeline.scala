@@ -163,7 +163,7 @@ object Pipeline {
        FROM documents GROUP BY 1 ORDER BY keep_id"""
 
   // shared oracle CTE: word shingles exactly as TextFunctions.wordShingles
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH wa AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
                    FROM documents),
        sh AS (SELECT doc_id,
