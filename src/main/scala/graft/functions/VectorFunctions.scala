@@ -27,6 +27,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Symmetric int8 quantization statistics `struct(qscale, mse)` in
+    * one codegen'd pass — backed by the native
+    * [[expressions.QuantStats]]; see its Scaladoc for why the lambda
+    * formulation is quadratic in the vector dimension.
+    */
+  def quantStats(a: Column): Column = {
+    expressions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(expressions.GraftFunctions.quantStatsName, a)
+  }
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 

@@ -140,6 +140,12 @@ object GraftFunctions {
 
   val wordShinglesName = "graft_word_shingles"
   val simhashName = "graft_simhash60"
+  val quantStatsName = "graft_quant_stats"
+
+  val quantStatsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$quantStatsName takes exactly 1 argument")
+    QuantStats(exprs.head)
+  }
 
   val simhashBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, s"$simhashName takes exactly 1 argument")
@@ -159,7 +165,8 @@ object GraftFunctions {
     dotName -> dotBuilder,
     rollingHashName -> rollingHashBuilder,
     wordShinglesName -> wordShinglesBuilder,
-    simhashName -> simhashBuilder)
+    simhashName -> simhashBuilder,
+    quantStatsName -> quantStatsBuilder)
 
   /** Idempotent per-session registration (used by the Column API so
     * the library works without spark.sql.extensions configuration).
@@ -200,5 +207,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SimHash60].getName,
         GraftFunctions.simhashName),
       GraftFunctions.simhashBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.quantStatsName),
+      new ExpressionInfo(classOf[QuantStats].getName,
+        GraftFunctions.quantStatsName),
+      GraftFunctions.quantStatsBuilder))
   }
 }

@@ -264,21 +264,19 @@ object Curation {
     * compression step for embedding corpora): scale = max|x|/127,
     * code = floor(x/scale + 0.5) — explicit floor(+0.5) because the
     * engines' round() differ on negative halves — and the per-vector
-    * reconstruction MSE. All-zero vectors quantize to scale 0 / MSE 0
-    * (guarded — the division would otherwise produce NaN).
+    * reconstruction MSE. All-zero vectors quantize to scale 0 / MSE 0.
+    * One codegen'd pass via the native
+    * [[graft.functions.expressions.QuantStats]] — the lambda
+    * formulation was quadratic in the vector dimension (interpreted
+    * HOFs + CollapseProject inlining the max into every element).
     */
   private def q79(s: SparkSession, d: String): DataFrame = {
-    val e = col("embedding")
-    val m = array_max(transform(e, x => abs(x.cast("double"))))
-    val sc = m / lit(127.0)
-    val mse =
-      aggregate(e, lit(0.0), (acc, x) =>
-        acc + pow(x.cast("double") - floor(x.cast("double") / sc + 0.5) * sc,
-          lit(2.0))) / size(e).cast("double")
+    val qs = graft.functions.VectorFunctions.quantStats(col("embedding"))
     Tables.embeddings(s, d)
+      .select(col("vec_id"), qs.as("q"))
       .select(col("vec_id"),
-        when(m === 0.0, lit(0.0)).otherwise(round(sc, 6)).as("qscale"),
-        when(m === 0.0, lit(0.0)).otherwise(round(mse, 8)).as("mse"))
+        round(col("q.qscale"), 6).as("qscale"),
+        round(col("q.mse"), 8).as("mse"))
       .orderBy("vec_id")
   }
 

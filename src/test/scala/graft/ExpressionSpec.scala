@@ -170,4 +170,46 @@ class ExpressionSpec extends SparkSpec {
     // positional duplicates preserved: "t t t t" has 2 identical grams
     assert(rows(1).getSeq[String](0).length == 2)
   }
+
+  test("graft_quant_stats equals the lambda formulation and guards zeros") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+        (1L, Array(0.9f, -0.5f, 0.127f, -0.001f, 0.0f)),
+        (2L, Array(0.0f, 0.0f)),
+        (3L, Array[Float]()))
+      .toDF("id", "e")
+    val m = array_max(transform(col("e"), x => abs(x.cast("double"))))
+    val sc = m / lit(127.0)
+    val lambdaMse = aggregate(col("e"), lit(0.0), (acc, x) =>
+      acc + pow(x.cast("double") - floor(x.cast("double") / sc + 0.5) * sc,
+        lit(2.0))) / size(col("e")).cast("double")
+    // non-degenerate vector: native == lambda bit-for-bit (the lambda
+    // form ANSI-faults on the degenerate rows, which is exactly why the
+    // native expression guards them internally)
+    val r1 = df.filter(col("id") === 1L).select(
+        VectorFunctions.quantStats(col("e")).as("q"), sc.as("ls"),
+        lambdaMse.as("lm")).head()
+    assert(r1.getStruct(0).getDouble(0) == r1.getDouble(1))
+    assert(r1.getStruct(0).getDouble(1) == r1.getDouble(2))
+    // all-zero and empty vectors quantize to (0, 0), no NaN and no fault
+    val deg = df.filter(col("id") > 1L)
+      .select(col("id"), VectorFunctions.quantStats(col("e")).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getDouble(0), r.getStruct(1).getDouble(1)))).toMap
+    assert(deg(2L) == ((0.0, 0.0)))
+    assert(deg(3L) == ((0.0, 0.0)))
+  }
+
+  test("graft_quant_stats nulls on null elements, works on double arrays") {
+    import graft.functions.VectorFunctions
+    val withNull = Seq((1L, Seq[java.lang.Double](0.5, null, 1.0)))
+      .toDF("id", "e")
+    assert(withNull.select(VectorFunctions.quantStats(col("e"))).head()
+      .isNullAt(0))
+    val dbl = Seq((1L, Seq(254.0, -128.0))).toDF("id", "e")
+    val q = dbl.select(VectorFunctions.quantStats(col("e")).as("q")).head()
+      .getStruct(0)
+    assert(q.getDouble(0) == 2.0) // scale = 254/127
+    assert(q.getDouble(1) == 0.0) // 254 -> code 127, -128 -> code -64
+  }
 }
