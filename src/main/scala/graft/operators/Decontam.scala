@@ -34,18 +34,25 @@ object Decontam {
     */
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
               textCol: String, n: Int = 3): DataFrame = {
-    // distinct (id, shingle-hash) rows: set semantics per document
-    def shingleHashes(df: DataFrame): DataFrame =
-      Dedup.shingleRowsRaw(df, idCol, textCol, n)
+    // per-document distinct shingle ARRAYS are produced inside the scan
+    // projection (native expression + array_distinct) — set semantics
+    // with NO corpus-wide distinct shuffle; exploding them yields rows
+    // already distinct within each document
+    def shingleHashRows(df: DataFrame): DataFrame =
+      Dedup.shingleSets(df, idCol, textCol, n)
+        .select(col("id"), explode(col("sh")).as("s"))
         .select(col("id"), token60(col("s")).as("h"))
-        .distinct()
-    val corpusSh = shingleHashes(corpus)
-    val banned = shingleHashes(bench).select("h").distinct()
-    val totals = corpusSh.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
-    val contam = corpusSh.join(banned, "h")
+    val banned = shingleHashRows(bench).select("h").distinct()
+    val contam = shingleHashRows(corpus).join(banned, "h")
       .groupBy("id").agg(count(lit(1)).as("n_contam"))
+    // per-doc totals come straight off the shingle array length — a
+    // second map-only corpus scan instead of a corpus-wide (id, h)
+    // aggregation shuffle (the cheaper trade at 100 TB)
+    val totals = Dedup.shingleSets(corpus, idCol, textCol, n)
+      .select(col("id"), size(col("sh")).cast("long").as("n_ngrams"))
     // inner join: only contaminated documents are reported (docs with
-    // zero overlap vastly dominate a clean corpus)
+    // zero overlap vastly dominate a clean corpus); the contaminated
+    // side is small and broadcasts against the streaming totals scan
     totals.join(contam, "id")
       .select(col("id"), col("n_ngrams"), col("n_contam"),
         round(col("n_contam").cast("double") /

@@ -45,13 +45,14 @@ object Curation {
 
   private val q73Sql = Pipeline.shingleCte +
     """,
-       corp AS (SELECT DISTINCT doc_id,
+       corp AS (SELECT doc_id,
            ('0x' || substr(md5(s),1,15))::BIGINT AS h
          FROM (SELECT doc_id, unnest(sh) AS s FROM sh
                WHERE doc_id % 20 <> 0) t),
        ban AS (SELECT DISTINCT ('0x' || substr(md5(s),1,15))::BIGINT AS h
          FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0) t),
-       tot AS (SELECT doc_id, count(*) AS n_ngrams FROM corp GROUP BY doc_id),
+       tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_ngrams
+               FROM sh WHERE doc_id % 20 <> 0),
        con AS (SELECT doc_id, count(*) AS n_contam
                FROM corp JOIN ban USING (h) GROUP BY doc_id)
        SELECT doc_id, n_ngrams, n_contam,
