@@ -212,4 +212,38 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(w.w0) < 1e-9)
     } finally q.stop()
   }
+
+  test("curation filters run unchanged on a stream (gopher + PII + mixing)") {
+    // the curation surface is stateless per-row, so the SAME column
+    // expressions the batch queries use apply to a readStream without
+    // modification — quality gating / redaction / mixing run inline in
+    // a streaming ingest with no state store at all
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val curated = graft.operators.Sampling.mixSources(
+        graft.operators.Quality.gopherFlags(docs, "doc_id", "text")
+          .join(docs, "doc_id")
+          .withColumn("red", graft.functions.TextFunctions.redactPii(col("text"))),
+        "doc_id", "source", Map("srcA" -> 100), defaultPct = 0)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_out").start()
+    try {
+      val good = ((1 to 50).map(i => s"word$i") ++
+        Seq("the", "of", "and")).mkString(" ")
+      mem.addData(
+        (1L, good + " mail me at a.b@c.org", "srcA"),
+        (2L, "too short", "srcA"),
+        (3L, good, "srcB"))
+      q.processAllAvailable()
+      val out = spark.table("curated_out")
+        .select("doc_id", "keep", "kept", "red").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+          r.getString(3)))).toMap
+      assert(out(1L)._1 && out(1L)._2)            // keeps rules + mixture
+      assert(out(1L)._3.endsWith("mail me at [EMAIL]"))
+      assert(!out(2L)._1)                          // gopher reject
+      assert(!out(3L)._2)                          // mixed out (srcB -> 0%)
+    } finally q.stop()
+  }
 }
