@@ -312,6 +312,57 @@ object Curation {
        WHERE rn <= 15
        ORDER BY source, doc_id"""
 
+  // ---------------------------------------------------------------- q81
+  /** Bigram-LM quality score (one model order past q72's unigram LM):
+    * corpus MLE conditionals P(b|a) = c(a b)/c(a ·), each document
+    * scored by the mean log-probability of its bigrams. The prefix
+    * normalizer c(a ·) counts `a` at non-final positions (the sum of
+    * c(a b) over b), so conditionals sum to exactly 1 and every scored
+    * bigram exists in the model (the corpus is the training set — no
+    * backoff needed). Bigram rows come from the native shingle
+    * expression (n = 2) inside the scan projection; the model tables
+    * are vocabulary², aggregated once and joined back by bigram key.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(size(words(col("text"))) >= 2)
+    val bi = graft.operators.Dedup
+      .shingleRowsRaw(docs, "doc_id", "text", 2)
+      .withColumnRenamed("id", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = bi.groupBy("s").agg(count(lit(1)).as("cb"))
+    val pc = bi.select(substring_index(col("s"), " ", 1).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("cp"))
+    val lp = bc.withColumn("p", substring_index(col("s"), " ", 1))
+      .join(pc, "p")
+      .select(col("s"), log(col("cb").cast("double") /
+        col("cp").cast("double")).as("l"))
+    val result = bi.join(lp, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(col("l")), 4).as("avg_bigram_logprob"))
+      .orderBy("doc_id")
+    graft.operators.Exec.owned(result, Seq(bi))
+  }
+
+  private val q81Sql =
+    """WITH wa AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+                   FROM documents),
+       bi AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS s
+         FROM wa WHERE len(w) >= 2),
+       bc AS (SELECT s, count(*) AS cb FROM bi GROUP BY s),
+       pc AS (SELECT split_part(s, ' ', 1) AS p, count(*) AS cp
+              FROM bi GROUP BY 1),
+       lp AS (SELECT s, ln(cb::DOUBLE / cp) AS l
+              FROM bc JOIN pc ON split_part(bc.s, ' ', 1) = pc.p)
+       SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(l), 4) AS avg_bigram_logprob
+       FROM bi JOIN lp USING (s)
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -322,7 +373,8 @@ object Curation {
     "q77_pii_redaction" -> (q77 _),
     "q78_zipf_vocab" -> (q78 _),
     "q79_embedding_quant" -> (q79 _),
-    "q80_stratified_cap" -> (q80 _))
+    "q80_stratified_cap" -> (q80 _),
+    "q81_bigram_logprob" -> (q81 _))
 
   val oracles: Map[String, String] = Map(
     "q73_decontam" -> q73Sql,
@@ -332,5 +384,6 @@ object Curation {
     "q77_pii_redaction" -> q77Sql,
     "q78_zipf_vocab" -> q78Sql,
     "q79_embedding_quant" -> q79Sql,
-    "q80_stratified_cap" -> q80Sql)
+    "q80_stratified_cap" -> q80Sql,
+    "q81_bigram_logprob" -> q81Sql)
 }
