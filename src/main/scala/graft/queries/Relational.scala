@@ -1219,9 +1219,38 @@ object Relational {
                 THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_epoch
        FROM lineitem"""
 
+  // ---------------------------------------------------------------- q82
+  /** Salted skew join ([[graft.operators.Skew.saltedJoin]]), driver-
+    * graded: results must be IDENTICAL to the plain equi-join (the salt
+    * changes only partitioning), so the plain join IS the oracle. The
+    * plan-level property (hot key spread over saltFactor reducers) is
+    * asserted in SkewSpec.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_quantity"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(facts, dim, "suppkey", saltFactor = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum("l_quantity"), 3).as("sum_qty"),
+           round(sum("l_extendedprice"), 3).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
+  private val q82Sql =
+    """SELECT s_nationkey, count(*) AS n_items,
+       round(sum(l_quantity), 3) AS sum_qty,
+       round(sum(l_extendedprice), 3) AS sum_price
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q82_salted_join" -> (q82 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_top_revenue_orders" -> (q03 _),
@@ -1272,6 +1301,7 @@ object Relational {
     "q68_data_quality" -> (q68 _))
 
   val oracles: Map[String, String] = Map(
+    "q82_salted_join" -> q82Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_top_revenue_orders" -> q03Sql,
