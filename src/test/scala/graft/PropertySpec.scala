@@ -144,4 +144,41 @@ class PropertySpec extends SparkSpec {
       sql == native
     })
   }
+
+  test("packing: per-stream offsets tile the token stream exactly") {
+    check(Prop.forAll(Gen.chooseNum(1L, 64L), Gen.chooseNum(1, 6)) {
+      (budget, streams) =>
+        val df = (1L to 120L).map(i => (i, (i % 9 + 1).toInt))
+          .toDF("id", "tok")
+        val rows = graft.operators.Packing
+          .packOffsets(df, "id", col("tok"), budget, streams)
+          .collect()
+          .map(r => (r.getInt(2), r.getLong(0), r.getLong(1), r.getLong(3)))
+        rows.groupBy(_._1).forall { case (_, g) =>
+          val sorted = g.sortBy(_._2)
+          // offsets are the exclusive prefix sums of tokens in id order
+          sorted.map(_._3).scanLeft(0L)(_ + _).init
+            .sameElements(sorted.map(_._4))
+        }
+    })
+  }
+
+  test("decontamination is monotone in the benchmark set") {
+    // growing the benchmark can only grow each doc's contamination
+    check(Prop.forAll(Gen.chooseNum(2, 10)) { n =>
+      val corpus = (1L to 8L).map(i =>
+        (i, (0 until 12).map(j => s"w${(i + j) % 15}").mkString(" ")))
+        .toDF("doc_id", "text")
+      def contam(benchIds: Seq[Long]) = {
+        val bench = (1L to 8L).filter(benchIds.contains).map(i =>
+          (i + 100L, (0 until 12).map(j => s"w${(i + j) % 15}").mkString(" ")))
+          .toDF("doc_id", "text")
+        graft.operators.Decontam.overlap(corpus, bench, "doc_id", "text", 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      }
+      val small = contam(Seq(1L))
+      val large = contam(Seq(1L, n.toLong.min(8L)))
+      small.forall { case (id, c) => large.getOrElse(id, 0L) >= c }
+    })
+  }
 }
