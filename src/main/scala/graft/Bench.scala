@@ -86,6 +86,10 @@ object Bench {
       case -1 => k
       case i  => k.substring(0, i)
     }
+    // duplicate short keys would silently lose a timing in JSON parse
+    val shorts = results.map(r => shortKey(r._1))
+    require(shorts.distinct.length == shorts.length,
+      s"bench short keys collide: ${shorts.diff(shorts.distinct).distinct.mkString(",")}")
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = ok.map { case (k, v) => s"\"${esc(shortKey(k))}\":${fmt(v)}" }

@@ -195,10 +195,16 @@ object TextFunctions {
     */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  def stopwordRatio(w: Column): Column = {
-    val stops = filter(w, t => t.isin(stopwords: _*))
-    size(stops).cast("double") / size(w).cast("double")
-  }
+  /** Occurrence count of marker stopwords in a token array. One
+    * interpreted lambda (`filter` is a higher-order function, not
+    * codegen'd) — kept as the single shared definition so the ratio,
+    * the Gopher rule, and the oracle SQL can never drift apart.
+    */
+  def stopwordCount(w: Column): Column =
+    size(filter(w, t => t.isin(stopwords: _*)))
+
+  def stopwordRatio(w: Column): Column =
+    stopwordCount(w).cast("double") / size(w).cast("double")
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =

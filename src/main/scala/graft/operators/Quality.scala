@@ -51,9 +51,12 @@ object Quality {
     * bit-exactly in the SQL oracle (an unrounded boundary comparison
     * could flip on the 16th decimal between engines).
     *
-    * Everything is built-in codegen'd expressions inside the scan
-    * projection — per-row cost is flat, no shuffle, no UDFs; at 100 TB
-    * this runs as a map-only pass fused into the parquet scan.
+    * Everything runs inside the scan projection — per-row cost is
+    * flat, no shuffle, no UDFs; at 100 TB this is a map-only pass
+    * fused into the parquet scan. (One caveat: the stopword count is
+    * an interpreted higher-order `filter` — the shared
+    * [[graft.functions.TextFunctions.stopwordCount]] definition — not
+    * codegen'd; the rest is.)
     */
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,
                   minWords: Int = 40, maxWords: Int = 50000,
@@ -64,8 +67,7 @@ object Quality {
         size(w).cast("long").as("n_words"),
         round(meanWordLen(w), 4).as("mean_word_len"),
         round(repetitionRatio(w), 4).as("rep_ratio"),
-        size(filter(w, t => t.isin(stopwords: _*))).cast("long")
-          .as("n_stopwords"))
+        stopwordCount(w).cast("long").as("n_stopwords"))
       .withColumn("r_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("r_mwl",

@@ -55,13 +55,17 @@ object Sampling {
                  salt: String = "mix"): DataFrame = {
     (weights.values.toSeq :+ defaultPct).foreach(p =>
       require(p >= 0 && p <= 100, s"source pct must be in [0, 100]"))
+    // null-safe: a null source falls through to defaultPct and a null
+    // id hashes as "" — `kept` is never null (a null would silently
+    // vanish from BOTH kept and rejected audit filters)
+    val src = coalesce(col(sourceCol).cast("string"), lit(""))
+    val idStr = coalesce(col(idCol).cast("string"), lit(""))
     val b = pmod(
       graft.functions.TextFunctions.token60(
-        concat(lit(salt), lit("|"), col(sourceCol), lit("|"),
-          col(idCol).cast("string"))),
+        concat(lit(salt), lit("|"), src, lit("|"), idStr)),
       lit(100L))
-    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
-      when(col(sourceCol) === src, p).otherwise(acc)
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (srcName, p)) =>
+      when(src === srcName, p).otherwise(acc)
     }
     df.withColumn("kept", b < pct)
   }

@@ -105,10 +105,11 @@ object Curation {
   }
 
   private val q75Sql =
-    """SELECT CAST(stream AS INT) AS stream, so // 512 AS chunk,
+    """SELECT CAST(stream AS INT) AS stream,
+         CAST(so // 512 AS BIGINT) AS chunk,
          count(*) AS n_docs,
          CAST(sum(tokens) AS BIGINT) AS sum_tokens,
-         min(so) AS first_offset
+         CAST(min(so) AS BIGINT) AS first_offset
        FROM (SELECT doc_id, tokens, stream,
            sum(tokens) OVER (PARTITION BY stream ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens
@@ -331,8 +332,10 @@ object Curation {
       .withColumnRenamed("id", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bc = bi.groupBy("s").agg(count(lit(1)).as("cb"))
-    val pc = bi.select(substring_index(col("s"), " ", 1).as("p"))
-      .groupBy("p").agg(count(lit(1)).as("cp"))
+    // prefix counts from the vocab-sized bigram table, NOT a second
+    // corpus-sized aggregation: c(a ·) = Σ_b c(a b)
+    val pc = bc.select(substring_index(col("s"), " ", 1).as("p"), col("cb"))
+      .groupBy("p").agg(sum(col("cb")).as("cp"))
     val lp = bc.withColumn("p", substring_index(col("s"), " ", 1))
       .join(pc, "p")
       .select(col("s"), log(col("cb").cast("double") /
@@ -353,8 +356,8 @@ object Curation {
              i -> w[i] || ' ' || w[i+1])) AS s
          FROM wa WHERE len(w) >= 2),
        bc AS (SELECT s, count(*) AS cb FROM bi GROUP BY s),
-       pc AS (SELECT split_part(s, ' ', 1) AS p, count(*) AS cp
-              FROM bi GROUP BY 1),
+       pc AS (SELECT split_part(s, ' ', 1) AS p, sum(cb) AS cp
+              FROM bc GROUP BY 1),
        lp AS (SELECT s, ln(cb::DOUBLE / cp) AS l
               FROM bc JOIN pc ON split_part(bc.s, ' ', 1) = pc.p)
        SELECT doc_id, count(*) AS n_bigrams,

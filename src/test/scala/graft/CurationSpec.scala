@@ -74,6 +74,14 @@ class CurationSpec extends SparkSpec {
       .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again ==
       out.filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet)
+    // null source → defaultPct decision, never a null `kept` (which
+    // would silently vanish from both kept and rejected audit filters)
+    val withNull = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "source")
+    val nullOut = Sampling.mixSources(withNull, "doc_id", "source",
+      Map("src1" -> 100), defaultPct = 100)
+    assert(nullOut.filter(col("kept").isNull).count() == 0)
+    assert(nullOut.filter(col("kept")).count() == 2)
   }
 
   test("stratifiedCap keeps at most cap rows per group, layout-independent") {
