@@ -89,28 +89,9 @@ object Dedup {
     require(threshold > 0.0,
       "threshold must be positive: zero-similarity candidate pairs drop " +
         "out of the verification join and cannot be reported")
-    // Signatures run over the RAW (non-distinct) shingle rows — min
-    // over a multiset equals min over its set, so the corpus-wide
-    // distinct shuffle is skipped entirely; exact set semantics are
-    // only materialized later, restricted to candidate documents.
-    // ONE md5 per (doc, shingle) row → K min aggregates: Catalyst
-    // expression trees are not DAGs, so computing the signature inside
-    // nested array lambdas would re-hash every shingle once per seed;
-    // the row formulation hashes once and the K minima are codegen'd
-    // partial aggregates (map-side combine — the shape that scales).
-    val hashed = shingleRowsRaw(docs, idCol, textCol, shingleN)
-      .withColumn("h", token60(col("s")) % MinhashP)
-    val minCols = (0 until k).map(i =>
-      min(pmod(col("h") * (2 * i + 1) + lit(7919L * i), lit(MinhashP)))
-        .as(s"m$i"))
-    val sigs = hashed.groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     // self-joined below → persist so the signature aggregation runs once
-    val banded = sigs.select(col("id"),
-      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
-        .as(Seq("band", "key")))
+    val banded = bandedKeys(docs, idCol, textCol, shingleN, k, bands,
+        rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -205,6 +186,90 @@ object Dedup {
     * counts. Pairs sharing zero shingles drop out of the join — their
     * Jaccard is 0, below any positive threshold.
     */
+  /** Per-document LSH band keys `(id, band, key)` — the shared
+    * candidate-generation kernel of [[minhashPairs]] and
+    * [[incrementalNearDups]].
+    *
+    * Signatures run over the RAW (non-distinct) shingle rows — min
+    * over a multiset equals min over its set, so the corpus-wide
+    * distinct shuffle is skipped entirely; exact set semantics are
+    * only materialized later, restricted to candidate documents.
+    * ONE md5 per (doc, shingle) row → K min aggregates: Catalyst
+    * expression trees are not DAGs, so computing the signature inside
+    * nested array lambdas would re-hash every shingle once per seed;
+    * the row formulation hashes once and the K minima are codegen'd
+    * partial aggregates (map-side combine — the shape that scales).
+    */
+  private def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, k: Int, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val hashed = shingleRowsRaw(docs, idCol, textCol, shingleN)
+      .withColumn("h", token60(col("s")) % MinhashP)
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * (2 * i + 1) + lit(7919L * i), lit(MinhashP)))
+        .as(s"m$i"))
+    hashed.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+  }
+
+  /** Incremental near-duplicate detection — the PRODUCTION dedup mode:
+    * flag documents of an incoming `batch` that near-duplicate any
+    * document of the existing `corpus`, WITHOUT the corpus×corpus
+    * self-join (the corpus side only computes band keys, and at scale
+    * those come from a precomputed signature store). Same MinHash/LSH
+    * parameters and verification semantics as [[minhashPairs]]:
+    * candidates share ≥ 1 band key, verified by exact Jaccard ≥
+    * `threshold` on full shingle sets. Id spaces of the two inputs must
+    * be disjoint (the verification index unions both sides).
+    *
+    * Returns ONE row per batch document: `(<idCol>, is_dup,
+    * n_dup_matches)` — clean rows included (is_dup = false), so the
+    * result is a routing table for the ingest decision.
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double, shingleN: Int = 3,
+                          k: Int = 12, bands: Int = 6,
+                          rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand == k, "signature must split evenly into bands")
+    require(threshold > 0.0,
+      "threshold must be positive: zero-similarity candidate pairs drop " +
+        "out of the verification join and cannot be reported")
+    val bBands = bandedKeys(batch, idCol, textCol, shingleN, k, bands,
+      rowsPerBand)
+    val cBands = bandedKeys(corpus, idCol, textCol, shingleN, k, bands,
+      rowsPerBand)
+    val cand = bBands.as("a")
+      .join(cBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact-set verification restricted to candidate documents on
+    // BOTH sides, exactly like minhashPairs
+    def candShingles(docs: DataFrame, side: String): DataFrame =
+      shingleRowsRaw(
+        docs.join(cand.select(col(side).as("cid")).distinct(),
+          col(idCol) === col("cid"), "left_semi"),
+        idCol, textCol, shingleN).distinct()
+    val inv = candShingles(batch, "doc_a")
+      .unionByName(candShingles(corpus, "doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val matches = jaccardOfPairs(cand, inv, threshold)
+      .groupBy("doc_a").agg(count(lit(1)).as("n_dup_matches"))
+    val result = batch.select(col(idCol))
+      .join(matches, col(idCol) === col("doc_a"), "left")
+      .select(col(idCol),
+        col("n_dup_matches").isNotNull.as("is_dup"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"))
+    owned(result, Seq(cand, inv))
+  }
+
   private def jaccardOfPairs(cand: DataFrame, inv: DataFrame,
                              threshold: Double): DataFrame = {
     val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))

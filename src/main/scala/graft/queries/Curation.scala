@@ -366,6 +366,43 @@ object Curation {
        GROUP BY doc_id
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q84
+  /** Incremental near-dup detection
+    * ([[graft.operators.Dedup.incrementalNearDups]]) — the production
+    * dedup mode: every 4th document plays the incoming batch, the rest
+    * the existing corpus; batch documents are flagged if they
+    * near-duplicate (minhash bands + exact-Jaccard ≥ 0.8) ANY corpus
+    * document, with no corpus×corpus self-join. Oracle: the shared
+    * minhash band CTEs with a batch×corpus candidate join.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dedup.incrementalNearDups(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", threshold = 0.8)
+      .orderBy("doc_id")
+  }
+
+  private val q84Sql = Pipeline.minhashBandCtes +
+    """,
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM bands a JOIN bands b
+                  ON a.b = b.b AND a.key = b.key
+                WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+       ver AS (SELECT da, count(*) AS n
+               FROM cand JOIN sh x ON x.doc_id = da
+                         JOIN sh y ON y.doc_id = db
+               WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+                 4) >= 0.8
+               GROUP BY da)
+       SELECT d.doc_id, ver.n IS NOT NULL AS is_dup,
+         CAST(coalesce(ver.n, 0) AS BIGINT) AS n_dup_matches
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+       LEFT JOIN ver ON ver.da = d.doc_id
+       ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -377,7 +414,8 @@ object Curation {
     "q78_zipf_vocab" -> (q78 _),
     "q79_embedding_quant" -> (q79 _),
     "q80_stratified_cap" -> (q80 _),
-    "q81_bigram_logprob" -> (q81 _))
+    "q81_bigram_logprob" -> (q81 _),
+    "q84_incremental_dedup" -> (q84 _))
 
   val oracles: Map[String, String] = Map(
     "q73_decontam" -> q73Sql,
@@ -388,5 +426,6 @@ object Curation {
     "q78_zipf_vocab" -> q78Sql,
     "q79_embedding_quant" -> q79Sql,
     "q80_stratified_cap" -> q80Sql,
-    "q81_bigram_logprob" -> q81Sql)
+    "q81_bigram_logprob" -> q81Sql,
+    "q84_incremental_dedup" -> q84Sql)
 }

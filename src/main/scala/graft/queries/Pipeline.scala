@@ -180,10 +180,10 @@ object Pipeline {
         threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
-  // the q36 pipeline WITHOUT the final ORDER BY — reused verbatim as
-  // the pair source of the clustering oracle (q71), so the two queries
-  // can never drift apart
-  private val q36Core = shingleCte +
+  // minhash signature + band-key CTEs exactly as Dedup.bandedKeys —
+  // shared by q36/q71 (self-join pairs) and q84 (incremental batch ×
+  // corpus), so the implementations can never drift apart
+  private[queries] val minhashBandCtes = shingleCte +
     """,
        hv AS (SELECT doc_id, sh,
          list_transform(sh, s ->
@@ -197,7 +197,13 @@ object Pipeline {
        bands AS (SELECT doc_id,
          b, md5(b::VARCHAR || '|' || array_to_string(sig[b*2+1:b*2+2], '|'))
            AS key
-         FROM sig, range(0, 6) t(b)),
+         FROM sig, range(0, 6) t(b))"""
+
+  // the q36 pipeline WITHOUT the final ORDER BY — reused verbatim as
+  // the pair source of the clustering oracle (q71), so the two queries
+  // can never drift apart
+  private val q36Core = minhashBandCtes +
+    """,
        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                 FROM bands a JOIN bands b
                   ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)

@@ -1247,10 +1247,51 @@ object Relational {
        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        GROUP BY s_nationkey ORDER BY s_nationkey"""
 
+  // ---------------------------------------------------------------- q83
+  /** Two-feature exact OLS ([[graft.engine.Ols.fitLinearExact2Plan]]):
+    * `l_extendedprice = w0 + w1·l_quantity + w2·l_discount` — the
+    * multivariate extension of the reference's closed-form kernel, as
+    * one aggregation + Cramer's rule scalar expressions (nothing
+    * collected). The oracle repeats the identical normal-equation
+    * arithmetic term for term.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    Ols.fitLinearExact2Plan(Tables.lineitem(s, d),
+        "l_quantity", "l_discount", "l_extendedprice")
+      .select(round(col("w0"), 4).as("w0"), round(col("w1"), 4).as("w1"),
+        round(col("w2"), 4).as("w2"))
+
+  private val q83Sql =
+    """WITH a AS (SELECT count(*)::DOUBLE AS n,
+         sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         sum(l_quantity*l_quantity) AS s11,
+         sum(l_discount*l_discount) AS s22,
+         sum(l_quantity*l_discount) AS s12,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity*l_extendedprice) AS s1y,
+         sum(l_discount*l_extendedprice) AS s2y
+       FROM lineitem
+       WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         AND l_extendedprice IS NOT NULL),
+       b AS (SELECT
+         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+           + s2*(s1*s12 - s11*s2) AS det,
+         sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+           + s2*(s1y*s12 - s11*s2y) AS d0,
+         n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+           + s2*(s1*s2y - s1y*s2) AS d1,
+         n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+           + sy*(s1*s12 - s11*s2) AS d2
+       FROM a)
+       SELECT round(d0/det, 4) AS w0, round(d1/det, 4) AS w1,
+         round(d2/det, 4) AS w2
+       FROM b"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q82_salted_join" -> (q82 _),
+    "q83_ols_multi" -> (q83 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_top_revenue_orders" -> (q03 _),
@@ -1302,6 +1343,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q82_salted_join" -> q82Sql,
+    "q83_ols_multi" -> q83Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_top_revenue_orders" -> q03Sql,

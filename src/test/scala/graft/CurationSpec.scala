@@ -100,6 +100,24 @@ class CurationSpec extends SparkSpec {
     assert(small.count() == 3)
   }
 
+  test("incrementalNearDups flags batch docs against the corpus only") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val corpus = docs((1L, base), (2L, other))
+    // batch docs 10 (≈ corpus doc 1) and 11 (novel); 10 and 11 are NOT
+    // compared against each other — only against the corpus
+    val batch = docs((10L, nearDup), (11L, (200 to 240).map(i => s"u$i")
+      .mkString(" ")))
+    val out = graft.operators.Dedup
+      .incrementalNearDups(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(out.keySet == Set(10L, 11L)) // one row per batch doc
+    assert(out(10L) == ((true, 1L)))
+    assert(out(11L) == ((false, 0L)))
+  }
+
   test("gopherFlags rules fire on constructed degenerate documents") {
     val good = ((1 to 50).map(i => s"word$i") ++
       Seq("the", "of", "and")).mkString(" ")
