@@ -79,6 +79,25 @@ class EdgeCaseSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("curation operators tolerate empty inputs") {
+    import graft.operators.{Decontam, Packing, Sampling}
+    val someDocs = Seq((1L, "a few words of text here")).toDF("doc_id", "text")
+    // empty corpus / empty benchmark → empty result, no throw
+    assert(Decontam.overlap(emptyDocs, someDocs, "doc_id", "text").count() == 0)
+    assert(Decontam.overlap(someDocs, emptyDocs, "doc_id", "text").count() == 0)
+    // packing an empty frame yields an empty layout
+    assert(Packing.packOffsets(emptyDocs, "doc_id", lit(1L), 10L).count() == 0)
+    // incremental dedup: empty batch → empty routing table; empty
+    // corpus → every batch doc routes as clean
+    assert(graft.operators.Dedup.incrementalNearDups(
+      emptyDocs, someDocs, "doc_id", "text", 0.5).count() == 0)
+    val clean = graft.operators.Dedup.incrementalNearDups(
+      someDocs, emptyDocs, "doc_id", "text", 0.5).collect()
+    assert(clean.length == 1 && !clean.head.getBoolean(1))
+    // stratifiedCap on empty input
+    assert(Sampling.stratifiedCap(emptyDocs, "doc_id", "text", 3).count() == 0)
+  }
+
   test("PairsV2 fails fast with a clear message on a missing path") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.PairsV2")
