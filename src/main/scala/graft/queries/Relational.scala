@@ -1287,11 +1287,57 @@ object Relational {
          round(d2/det, 4) AS w2
        FROM b"""
 
+  // ---------------------------------------------------------------- q85
+  /** RANGE-framed window + first_value (§2.5 coverage the ROWS-framed
+    * suites don't touch): per customer order, the rolling 30-day sum
+    * and count of that customer's order totals — a VALUE-range frame,
+    * so same-day peer rows are always included together regardless of
+    * tie order — plus the customer's first order key via a
+    * deterministically tie-broken ROWS frame.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("days"),
+        col("o_totalprice"))
+    val wr = Window.partitionBy("custkey").orderBy("days")
+      .rangeBetween(-30, Window.currentRow)
+    val wf = Window.partitionBy("custkey")
+      .orderBy(col("days"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("sum_30d", round(sum("o_totalprice").over(wr), 2))
+      .withColumn("n_30d", count(lit(1)).over(wr).cast("long"))
+      .withColumn("first_key", first("o_orderkey").over(wf))
+      .drop("o_totalprice")
+      .orderBy("custkey", "o_orderkey")
+  }
+
+  private val q85Sql =
+    """SELECT custkey, o_orderkey, days,
+       round(sum(o_totalprice) OVER wr, 2) AS sum_30d,
+       count(*) OVER wr AS n_30d,
+       first_value(o_orderkey) OVER wf AS first_key
+       FROM (SELECT o_custkey AS custkey, o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+             AS BIGINT) AS days,
+           o_totalprice
+         FROM orders WHERE o_custkey <= 100) t
+       WINDOW
+         wr AS (PARTITION BY custkey ORDER BY days
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY custkey ORDER BY days, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY custkey, o_orderkey"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q82_salted_join" -> (q82 _),
     "q83_ols_multi" -> (q83 _),
+    "q85_range_frame" -> (q85 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_top_revenue_orders" -> (q03 _),
@@ -1344,6 +1390,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,
+    "q85_range_frame" -> q85Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_top_revenue_orders" -> q03Sql,
