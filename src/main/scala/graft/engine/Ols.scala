@@ -137,7 +137,11 @@ object Ols {
     * returned DataFrame has one row, so callers can compose it (join,
     * broadcast) without driver round-trips; the same closed form
     * mirrors verbatim in SQL for the oracle gate. Degenerate systems
-    * (singular normal matrix) yield NaN weights, not an error.
+    * yield NaN weights, not an error — detected by a RELATIVE
+    * determinant test (|det| ≤ 1e-12·|n·Σx1²·Σx2²|): an analytically
+    * collinear input accumulates to a tiny-but-nonzero det, so an
+    * exact-zero test would pass floating-point noise off as
+    * coefficients. Empty input also yields NaN.
     */
   def fitLinearExact2Plan(df: DataFrame, x1Col: String, x2Col: String,
                           yCol: String): DataFrame = {
@@ -175,13 +179,17 @@ object Ols {
            col("s2"), col("s2y"), col("s22")).as("d1"),
       det3(col("n"), col("s1"), col("sy"),
            col("s1"), col("s11"), col("s1y"),
-           col("s2"), col("s12"), col("s2y")).as("d2"))
+           col("s2"), col("s12"), col("s2y")).as("d2"),
+      (col("n") * col("s11") * col("s22")).as("diag"))
+    .withColumn("degenerate",
+      col("det").isNull ||
+        abs(col("det")) <= lit(1e-12) * abs(col("diag")))
     .select(
-      when(col("det") === 0.0, Double.NaN)
+      when(col("degenerate"), Double.NaN)
         .otherwise(col("d0") / col("det")).as("w0"),
-      when(col("det") === 0.0, Double.NaN)
+      when(col("degenerate"), Double.NaN)
         .otherwise(col("d1") / col("det")).as("w1"),
-      when(col("det") === 0.0, Double.NaN)
+      when(col("degenerate"), Double.NaN)
         .otherwise(col("d2") / col("det")).as("w2"))
   }
 

@@ -240,6 +240,15 @@ object Dedup {
     require(threshold > 0.0,
       "threshold must be positive: zero-similarity candidate pairs drop " +
         "out of the verification join and cannot be reported")
+    // the verification index unions both sides on the id — an id in
+    // both inputs would silently corrupt sizes (|A| double-counted →
+    // jaccard roughly halved → dups routed as clean), so enforce the
+    // disjointness precondition with a limit-1 probe (id columns only,
+    // pruned scans; the operator is eager anyway)
+    require(batch.select(col(idCol))
+        .join(corpus.select(col(idCol)), Seq(idCol), "left_semi")
+        .isEmpty,
+      "batch and corpus id spaces must be disjoint")
     val bBands = bandedKeys(batch, idCol, textCol, shingleN, k, bands,
       rowsPerBand)
     val cBands = bandedKeys(corpus, idCol, textCol, shingleN, k, bands,

@@ -1281,10 +1281,16 @@ object Relational {
          n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
            + s2*(s1*s2y - s1y*s2) AS d1,
          n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
-           + sy*(s1*s12 - s11*s2) AS d2
+           + sy*(s1*s12 - s11*s2) AS d2,
+         n*s11*s22 AS diag
        FROM a)
-       SELECT round(d0/det, 4) AS w0, round(d1/det, 4) AS w1,
-         round(d2/det, 4) AS w2
+       SELECT
+         CASE WHEN det IS NULL OR abs(det) <= 1e-12 * abs(diag)
+              THEN 'NaN'::DOUBLE ELSE round(d0/det, 4) END AS w0,
+         CASE WHEN det IS NULL OR abs(det) <= 1e-12 * abs(diag)
+              THEN 'NaN'::DOUBLE ELSE round(d1/det, 4) END AS w1,
+         CASE WHEN det IS NULL OR abs(det) <= 1e-12 * abs(diag)
+              THEN 'NaN'::DOUBLE ELSE round(d2/det, 4) END AS w2
        FROM b"""
 
   // ---------------------------------------------------------------- q85
@@ -1302,8 +1308,10 @@ object Relational {
         datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
           .cast("long").as("days"),
         col("o_totalprice"))
+    // 29 PRECEDING: days d-29 … d inclusive = a true 30-day window
+    // (30 PRECEDING would span 31 calendar days)
     val wr = Window.partitionBy("custkey").orderBy("days")
-      .rangeBetween(-30, Window.currentRow)
+      .rangeBetween(-29, Window.currentRow)
     val wf = Window.partitionBy("custkey")
       .orderBy(col("days"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1327,7 +1335,7 @@ object Relational {
          FROM orders WHERE o_custkey <= 100) t
        WINDOW
          wr AS (PARTITION BY custkey ORDER BY days
-                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
          wf AS (PARTITION BY custkey ORDER BY days, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        ORDER BY custkey, o_orderkey"""

@@ -116,6 +116,12 @@ class CurationSpec extends SparkSpec {
     assert(out.keySet == Set(10L, 11L)) // one row per batch doc
     assert(out(10L) == ((true, 1L)))
     assert(out(11L) == ((false, 0L)))
+    // overlapping id spaces would corrupt the verification index -> refused
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.incrementalNearDups(
+        docs((1L, base)), corpus, "doc_id", "text", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("disjoint"))
   }
 
   test("gopherFlags rules fire on constructed degenerate documents") {

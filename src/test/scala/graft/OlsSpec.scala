@@ -106,4 +106,28 @@ class OlsSpec extends SparkSpec {
     assert(r.converged && r.iters < 50)
     assert(math.abs(r.weights.w1 - 1.0) < 1e-4)
   }
+
+  test("fitLinearExact2Plan recovers planted 2-feature weights; NaN on degenerate") {
+    // y = 2 + 3*x1 - 5*x2 exactly -> exact recovery
+    val rows = for (i <- 1 to 40; j <- 1 to 3) yield
+      (i.toDouble, (i % 7 + j).toDouble, 2.0 + 3.0 * i - 5.0 * (i % 7 + j))
+    val df = rows.toDF("x1", "x2", "y")
+    val w = Ols.fitLinearExact2Plan(df, "x1", "x2", "y").head()
+    assert(math.abs(w.getDouble(0) - 2.0) < 1e-6)
+    assert(math.abs(w.getDouble(1) - 3.0) < 1e-6)
+    assert(math.abs(w.getDouble(2) + 5.0) < 1e-6)
+    // collinear features (x2 = 3*x1): det is floating-point noise, the
+    // RELATIVE guard must yield NaN, not noise ratios
+    val collinear = Seq((1.0, 3.0, 1.0), (2.0, 6.0, 2.0), (3.0, 9.0, 3.0),
+      (4.0, 12.0, 4.5), (5.0, 15.0, 5.0), (6.0, 18.0, 6.5))
+      .toDF("x1", "x2", "y")
+    val wc = Ols.fitLinearExact2Plan(collinear, "x1", "x2", "y").head()
+    assert(wc.getDouble(0).isNaN && wc.getDouble(1).isNaN
+      && wc.getDouble(2).isNaN)
+    // empty input -> NaN weights, never null
+    val we = Ols.fitLinearExact2Plan(
+      collinear.filter(org.apache.spark.sql.functions.col("x1") < 0), "x1", "x2", "y").head()
+    assert(we.getDouble(0).isNaN && we.getDouble(1).isNaN
+      && we.getDouble(2).isNaN)
+  }
 }
