@@ -403,6 +403,83 @@ object Curation {
        LEFT JOIN ver ON ver.da = d.doc_id
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q86
+  /** Duplicated n-gram fraction (the published repetition-rule family
+    * measures dup fractions at several n): `1 − distinct/total` over
+    * the n-gram MULTISET, at n = 2 and n = 3. The multisets come from
+    * the native single-pass shingle expression inside the scan
+    * projection — two codegen'd array expressions per row, no shuffle
+    * (contrast q70's word-level repetition, the n = 1 special case).
+    * Documents shorter than n words degrade to one whole-text shingle
+    * (fraction 0), mirrored in the oracle CASE.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    def dupFrac(n: Int) = {
+      val sh = wordShingleArray(col("text"), n)
+      lit(1.0) - size(array_distinct(sh)).cast("double") /
+        size(sh).cast("double")
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(dupFrac(2), 4).as("dup_2gram_frac"),
+        round(dupFrac(3), 4).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val q86Sql =
+    """SELECT doc_id,
+       round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+         AS dup_2gram_frac,
+       round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4)
+         AS dup_3gram_frac
+       FROM (SELECT doc_id,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' '))
+                ELSE [array_to_string(w, ' ')] END AS g2,
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w)-1),
+                       i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END AS g3
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+               FROM documents) a) b
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q87
+  /** Token-length histogram (the batch-shape planning input for
+    * [[Packing]]): documents bucketed by 16-token bins with share of
+    * corpus tokens per bin. One aggregation; the histogram is
+    * bin-count-sized.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val n = size(words(col("text"))).cast("long")
+    val binned = Tables.documents(s, d)
+      .select((n - pmod(n, lit(16L))).as("bin_start"), n.as("n_tokens"))
+    val total = binned.agg(sum("n_tokens").cast("double").as("tot"))
+    binned.groupBy("bin_start")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").cast("long").as("sum_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("bin_start"), col("n_docs"),
+        col("sum_tokens"),
+        round(col("sum_tokens").cast("double") / col("tot"), 4)
+          .as("token_share"))
+      .orderBy("bin_start")
+  }
+
+  private val q87Sql =
+    """WITH t AS (SELECT len(regexp_split_to_array(trim(text),'\s+'))
+           AS n_tokens FROM documents),
+       b AS (SELECT n_tokens - n_tokens % 16 AS bin_start, n_tokens FROM t),
+       tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM t)
+       SELECT CAST(bin_start AS BIGINT) AS bin_start,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         round(sum(n_tokens) / tot.tot, 4) AS token_share
+       FROM b, tot
+       GROUP BY bin_start, tot.tot
+       ORDER BY bin_start"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -415,7 +492,9 @@ object Curation {
     "q79_embedding_quant" -> (q79 _),
     "q80_stratified_cap" -> (q80 _),
     "q81_bigram_logprob" -> (q81 _),
-    "q84_incremental_dedup" -> (q84 _))
+    "q84_incremental_dedup" -> (q84 _),
+    "q86_dup_ngram_frac" -> (q86 _),
+    "q87_token_histogram" -> (q87 _))
 
   val oracles: Map[String, String] = Map(
     "q73_decontam" -> q73Sql,
@@ -427,5 +506,7 @@ object Curation {
     "q79_embedding_quant" -> q79Sql,
     "q80_stratified_cap" -> q80Sql,
     "q81_bigram_logprob" -> q81Sql,
-    "q84_incremental_dedup" -> q84Sql)
+    "q84_incremental_dedup" -> q84Sql,
+    "q86_dup_ngram_frac" -> q86Sql,
+    "q87_token_histogram" -> q87Sql)
 }

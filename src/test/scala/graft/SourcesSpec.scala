@@ -55,4 +55,32 @@ class SourcesSpec extends SparkSpec {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("partitionBy lake layout: writes hive dirs, scans prune partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lake").toString
+    val docs = Seq((1L, "hello", "en"), (2L, "bonjour", "fr"),
+        (3L, "hola", "es"), (4L, "world", "en"))
+      .toDF("doc_id", "text", "lang")
+    // the data-lake layout for 100 TB corpora: directory-partitioned
+    // parquet so a per-language read never touches other languages
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 4L))
+    // the partition filter must be applied at PLANNING time (directory
+    // pruning), not as a data filter after scanning everything
+    val scan = back.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.partitionFilters.nonEmpty,
+      "lang filter did not reach the partition pruning layer")
+    // only the lang=en directory's files survive pruning
+    val files = scan.get.relation.location.listFiles(
+      scan.get.partitionFilters, Nil).flatMap(_.files)
+    assert(files.nonEmpty)
+    assert(files.forall(_.getPath.toString.contains("lang=en")))
+  }
 }
