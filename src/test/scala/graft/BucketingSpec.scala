@@ -90,4 +90,47 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS corpus_by_bucket")
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // AQE's runtime bloom filter: a selective filter on the dimension
+    // side injects bloom_filter_might_contain onto the fact scan, so
+    // at 100 TB the fact shuffle carries only rows that can possibly
+    // join — a runtime semi-join reduction with no manual step
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "1000MB")
+      // test tables are KB-sized; at production scale the default 10GB
+      // application-side threshold gates injection instead
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val sf = "/root/testdata/sf0.001"
+      val fact = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.queryExecution.optimizedPlan.toString
+        .contains("might_contain"),
+        "no runtime bloom filter injected on the fact side")
+      // the filter is a pure reduction: results equal the plain join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.count() == plain)
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
 }
