@@ -124,6 +124,28 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("incrementalNearDups agrees with minhashPairs across the split") {
+    // same bands, same verification: the incremental batch×corpus run
+    // must flag exactly the docs whose q36-style pair crosses the split
+    val all = Tables.documents(spark, "/root/testdata/sf0.01")
+    val batch = all.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val corpus = all.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val pairs = graft.operators.Dedup
+      .minhashPairs(all, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.flatMap { case (a, b) =>
+      if (a % 4 == 0 && b % 4 != 0) Some(a)
+      else if (b % 4 == 0 && a % 4 != 0) Some(b)
+      else None
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(expected.nonEmpty, "fixture has no crossing pairs — vacuous")
+    val inc = graft.operators.Dedup
+      .incrementalNearDups(batch, corpus, "doc_id", "text", threshold = 0.8)
+      .collect().filter(_.getBoolean(1))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(inc == expected)
+  }
+
   test("gopherFlags rules fire on constructed degenerate documents") {
     val good = ((1 to 50).map(i => s"word$i") ++
       Seq("the", "of", "and")).mkString(" ")
