@@ -164,10 +164,18 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+      // referenced three times below (two id-unions + the verify join)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Exact Jaccard on the FULL shingle sets of the (few) candidates:
-    // per-doc arrays from the native expression — no index re-join, no
-    // per-pair row explosion
-    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    // per-doc arrays from the native expression, computed ONLY for
+    // documents that appear in a candidate pair (the corpus-wide array
+    // materialization would dominate the whole operator at scale) —
+    // no index re-join, no per-pair row explosion
+    val candIds = cand.select(col("doc_a").as("cid"))
+      .unionByName(cand.select(col("doc_b").as("cid"))).distinct()
+    val sets = shingleSets(
+      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol, shingleN)
     val result = cand
       .join(sets.as("x"), col("doc_a") === col("x.id"))
       .join(sets.as("y"), col("doc_b") === col("y.id"))
@@ -178,7 +186,7 @@ object Dedup {
             .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    owned(result, Seq(pairedInv))
+    owned(result, Seq(pairedInv, cand))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:
