@@ -104,15 +104,26 @@ object Dedup {
     // Exact-Jaccard verification needs distinct shingle SETS, but only
     // for documents that appear in a candidate pair — a tiny fraction
     // of the corpus at any scale.
-    val candIds = cand.select(col("doc_a").as("cid"))
-      .unionByName(cand.select(col("doc_b").as("cid"))).distinct()
     val candShingles = shingleRowsRaw(
-        docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+        docsInCandidates(docs, idCol, cand, Seq("doc_a", "doc_b")),
         idCol, textCol, shingleN)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     owned(jaccardOfPairs(cand, candShingles, threshold),
       Seq(banded, cand, candShingles))
+  }
+
+  /** Documents whose id appears in any of the given candidate-pair
+    * columns — the shared restriction applied before every expensive
+    * verification materialization (shingle rows or arrays are only
+    * ever computed for candidate documents).
+    */
+  private def docsInCandidates(docs: DataFrame, idCol: String,
+                               cand: DataFrame,
+                               idCols: Seq[String]): DataFrame = {
+    val ids = idCols.map(c => cand.select(col(c).as("cid")))
+      .reduce(_.unionByName(_)).distinct()
+    docs.join(ids, col(idCol) === col("cid"), "left_semi")
   }
 
   /** Exact n-gram Jaccard pairs via a frequency-capped inverted shingle
@@ -171,11 +182,12 @@ object Dedup {
     // documents that appear in a candidate pair (the corpus-wide array
     // materialization would dominate the whole operator at scale) —
     // no index re-join, no per-pair row explosion
-    val candIds = cand.select(col("doc_a").as("cid"))
-      .unionByName(cand.select(col("doc_b").as("cid"))).distinct()
     val sets = shingleSets(
-      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
-      idCol, textCol, shingleN)
+        docsInCandidates(docs, idCol, cand, Seq("doc_a", "doc_b")),
+        idCol, textCol, shingleN)
+      // joined below as both sides of the verification — persist so
+      // the candidate semi-join + shingle arrays compute once
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val result = cand
       .join(sets.as("x"), col("doc_a") === col("x.id"))
       .join(sets.as("y"), col("doc_b") === col("y.id"))
@@ -186,7 +198,7 @@ object Dedup {
             .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    owned(result, Seq(pairedInv, cand))
+    owned(result, Seq(pairedInv, cand, sets))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:
@@ -270,9 +282,7 @@ object Dedup {
     // exact-set verification restricted to candidate documents on
     // BOTH sides, exactly like minhashPairs
     def candShingles(docs: DataFrame, side: String): DataFrame =
-      shingleRowsRaw(
-        docs.join(cand.select(col(side).as("cid")).distinct(),
-          col(idCol) === col("cid"), "left_semi"),
+      shingleRowsRaw(docsInCandidates(docs, idCol, cand, Seq(side)),
         idCol, textCol, shingleN).distinct()
     val inv = candShingles(batch, "doc_a")
       .unionByName(candShingles(corpus, "doc_b"))
