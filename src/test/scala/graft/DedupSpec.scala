@@ -184,5 +184,19 @@ class DedupSpec extends SparkSpec {
     out.unpersist(blocking = true)
     val afterRelease = sc.getPersistentRDDs.keySet -- before
     assert(afterRelease.isEmpty, s"leaked caches: $afterRelease")
+    // same invariant for the other internally-persisting operators
+    val corpus = docs((50L, (1 to 30).map(i => s"x$i").mkString(" ")))
+    Seq(
+      () => Dedup.jaccardPairsExact(df, "doc_id", "text", 0.5,
+        maxShingleDf = 16),
+      () => Dedup.incrementalNearDups(df, corpus, "doc_id", "text", 0.5))
+      .foreach { op =>
+        val pre = sc.getPersistentRDDs.keySet
+        val res = op()
+        val during = sc.getPersistentRDDs.keySet -- pre
+        assert(during.size <= 1, s"leaked caches: $during")
+        res.unpersist(blocking = true)
+        assert((sc.getPersistentRDDs.keySet -- pre).isEmpty)
+      }
   }
 }
