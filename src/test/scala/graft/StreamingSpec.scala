@@ -246,4 +246,60 @@ class StreamingSpec extends SparkSpec {
       assert(!out(3L)._2)                          // mixed out (srcB -> 0%)
     } finally q.stop()
   }
+
+  test("transformWithState (Spark 4 arbitrary-state API) carries state across batches") {
+    // the successor API to flatMapGroupsWithState: typed per-key state
+    // handles (ValueState) managed by a StatefulProcessor, requiring
+    // the RocksDB state store provider
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Double)]
+      val out = mem.toDS().groupByKey(_._1)
+        .transformWithState(new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = out.toDF("user", "n_events").writeStream
+        .outputMode("update").format("memory").queryName("tws_out").start()
+      try {
+        mem.addData((1L, 1.0), (1L, 2.0), (2L, 1.0))
+        q.processAllAvailable()
+        mem.addData((1L, 3.0)) // batch 2: user 1 count continues at 3
+        q.processAllAvailable()
+        val last = spark.table("tws_out").collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+        assert(last == Map(1L -> 3L, 2L -> 1L))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+}
+
+/** Running event count per key on typed [[ValueState]] — the
+  * transformWithState counterpart of the flatMapGroupsWithState
+  * tallies above.
+  */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("cnt",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val c = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(c)
+    Iterator.single((key, c))
+  }
 }
