@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked JVM's stdout RAW instead of through sbt's logger:
+// the driver parses the bench JSON line from captured stdout, and the
+// logger's "[info] " prefix broke that parse in rounds 1-3
+// (BENCH_r0{1,2,3}.json all record parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
