@@ -42,7 +42,12 @@ object Decontam {
       Dedup.shingleSets(df, idCol, textCol, n)
         .select(col("id"), explode(col("sh")).as("s"))
         .select(col("id"), token60(col("s")).as("h"))
-    val banned = shingleHashRows(bench).select("h").distinct()
+    // explicit broadcast hint: the benchmark side sits behind a distinct
+    // aggregate whose size ESTIMATE can exceed autoBroadcastJoinThreshold
+    // even when the actual distinct set is tiny — without the hint,
+    // Catalyst may silently fall back to a corpus-shuffling sort-merge
+    // join, violating the documented map-side posture
+    val banned = broadcast(shingleHashRows(bench).select("h").distinct())
     val contam = shingleHashRows(corpus).join(banned, "h")
       .groupBy("id").agg(count(lit(1)).as("n_contam"))
     // per-doc totals come straight off the shingle array length — a

@@ -250,12 +250,20 @@ object Dedup {
     * Returns ONE row per batch document: `(<idCol>, is_dup,
     * n_dup_matches)` — clean rows included (is_dup = false), so the
     * result is a routing table for the ingest decision.
+    *
+    * `checkDisjoint = false` skips the eager disjointness probe (a
+    * left-semi scan of both id columns at call time) for production
+    * ingest paths that guarantee disjointness structurally — e.g. batch
+    * ids minted from a sequence the corpus ids can never reach. The
+    * precondition itself still holds: violating it silently corrupts
+    * jaccard sizes (see below).
     */
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
                           idCol: String, textCol: String,
                           threshold: Double, shingleN: Int = 3,
                           k: Int = 12, bands: Int = 6,
-                          rowsPerBand: Int = 2): DataFrame = {
+                          rowsPerBand: Int = 2,
+                          checkDisjoint: Boolean = true): DataFrame = {
     require(bands * rowsPerBand == k, "signature must split evenly into bands")
     require(threshold > 0.0,
       "threshold must be positive: zero-similarity candidate pairs drop " +
@@ -265,10 +273,11 @@ object Dedup {
     // jaccard roughly halved → dups routed as clean), so enforce the
     // disjointness precondition with a limit-1 probe (id columns only,
     // pruned scans; the operator is eager anyway)
-    require(batch.select(col(idCol))
-        .join(corpus.select(col(idCol)), Seq(idCol), "left_semi")
-        .isEmpty,
-      "batch and corpus id spaces must be disjoint")
+    if (checkDisjoint)
+      require(batch.select(col(idCol))
+          .join(corpus.select(col(idCol)), Seq(idCol), "left_semi")
+          .isEmpty,
+        "batch and corpus id spaces must be disjoint")
     val bBands = bandedKeys(batch, idCol, textCol, shingleN, k, bands,
       rowsPerBand)
     val cBands = bandedKeys(corpus, idCol, textCol, shingleN, k, bands,

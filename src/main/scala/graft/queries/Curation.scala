@@ -142,9 +142,10 @@ object Curation {
        CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
        round((count(*) FILTER (kept))::DOUBLE / count(*), 4) AS kept_frac
        FROM (SELECT source,
-           ('0x' || substr(md5('mix|' || source || '|' || doc_id::VARCHAR),
-             1,15))::BIGINT % 100
-           < CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 75
+           ('0x' || substr(md5('mix|' || coalesce(source, '') || '|'
+               || coalesce(doc_id::VARCHAR, '')), 1,15))::BIGINT % 100
+           < CASE coalesce(source, '')
+               WHEN 'src0' THEN 90 WHEN 'src1' THEN 75
                WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 WHEN 'src4' THEN 10
                ELSE 40 END AS kept
          FROM documents) t
@@ -284,8 +285,8 @@ object Curation {
 
   private val q79Sql =
     """SELECT vec_id,
-       CASE WHEN m = 0 THEN 0.0 ELSE round(m / 127.0, 6) END AS qscale,
-       CASE WHEN m = 0 THEN 0.0 ELSE
+       CASE WHEN coalesce(m, 0) = 0 THEN 0.0 ELSE round(m / 127.0, 6) END AS qscale,
+       CASE WHEN coalesce(m, 0) = 0 THEN 0.0 ELSE
          round(list_sum(list_transform(e, x ->
              pow(x - floor(x / (m/127.0) + 0.5) * (m/127.0), 2)))
            / len(e), 8) END AS mse

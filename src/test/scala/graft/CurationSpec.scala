@@ -32,6 +32,23 @@ class CurationSpec extends SparkSpec {
     assert(Decontam.overlap(corpus, bench, "doc_id", "text", 3).count() == 0)
   }
 
+  test("decontamination broadcasts the benchmark side even when size " +
+      "estimates forbid it") {
+    // the benchmark side sits behind a distinct aggregate whose size
+    // ESTIMATE can blow past autoBroadcastJoinThreshold — the explicit
+    // hint must keep the corpus map-side regardless, so assert the
+    // broadcast survives with automatic broadcasting fully disabled
+    val corpus = docs((1L, "a b c d e f"), (2L, "p q r s t"))
+    val bench = docs((100L, "x b c d e y"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Decontam.overlap(corpus, bench, "doc_id", "text", 3)
+      assert(out.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("packing offsets are contiguous per stream and chunk = offset/budget") {
     val df = (1L to 200L).map(i => (i, "t " * (i % 13 + 1).toInt))
       .toDF("doc_id", "text")
@@ -122,6 +139,14 @@ class CurationSpec extends SparkSpec {
         docs((1L, base)), corpus, "doc_id", "text", threshold = 0.5)
     }
     assert(e.getMessage.contains("disjoint"))
+    // checkDisjoint=false (structurally-disjoint production ingest)
+    // skips the eager id probe but must return the identical routing
+    val unchecked = graft.operators.Dedup
+      .incrementalNearDups(batch, corpus, "doc_id", "text", threshold = 0.5,
+        checkDisjoint = false)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(unchecked == out)
   }
 
   test("incrementalNearDups agrees with minhashPairs across the split") {
