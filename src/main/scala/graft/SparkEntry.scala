@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, Pipeline, Relational}
+import graft.queries.{Curation, Pipeline, Relational, Scale}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Pipeline.queries ++ Curation.queries
+    Relational.queries ++ Pipeline.queries ++ Curation.queries ++
+      Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -27,5 +28,6 @@ object SparkEntry {
     * records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pipeline.oracles ++ Curation.oracles
+    Relational.oracles ++ Pipeline.oracles ++ Curation.oracles ++
+      Scale.oracles
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{token60, words}
+
+/** Corpus-level exact span deduplication — the "remove text that occurs
+  * verbatim elsewhere in the corpus" pass (C4's duplicated-line removal
+  * and the exact-substring dedup of Lee et al., *Deduplicating Training
+  * Data Makes Language Models Better*, re-expressed over stride-aligned
+  * word blocks): every document is chunked into consecutive
+  * `block`-word spans, any span whose exact text occurs more than
+  * `maxOcc` times corpus-wide (boilerplate headers, license blocks,
+  * templated fragments, within-document repetition) is dropped from
+  * every document, and the surviving spans reassemble in their original
+  * order.
+  *
+  * Scale posture (100 TB): two corpus passes, one shuffle each —
+  *  1. span frequency: hash-partitioned groupBy on the 60-bit span
+  *     hash (map-side partial counts collapse the heavy hitters — the
+  *     exact rows a boilerplate span floods the corpus with);
+  *  2. re-assembly: groupBy on the document id.
+  * The drop DECISION travels as a broadcast: in a mostly-clean corpus
+  * the set of spans with occurrences > maxOcc is tiny compared to the
+  * span universe, so the filter join is map-side (explicit
+  * `broadcast()` hint) and the full span-frequency table is never
+  * joined against the corpus. Span text itself never enters a shuffle
+  * wider than pass 2's per-document reassembly.
+  */
+object Spans {
+
+  /** Per-document span-dedup report: `(<idCol>, n_blocks, n_kept,
+    * clean_fp)` where `clean_fp` is the md5 fingerprint of the document
+    * text after dropping over-frequent spans (md5 of '' for a document
+    * that was entirely boilerplate). Block layout is stride-aligned
+    * from word 0; the final block may be shorter than `block` words.
+    * Empty documents report 0 blocks and the empty fingerprint.
+    */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        block: Int = 10, maxOcc: Int = 1): DataFrame = {
+    require(block >= 1, "block must be >= 1")
+    require(maxOcc >= 1, "maxOcc must be >= 1")
+    val ws = words(col(textCol))
+    // span texts are produced inside the scan projection; the guard
+    // keeps sequence() from producing a DESCENDING range on empty docs
+    val spanArr = when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          floor((size(ws) + lit(block - 1)) / lit(block)).cast("int") - 1),
+        i => array_join(slice(ws, i * block + 1, lit(block)), " ")))
+    val spans = docs
+      .select(col(idCol).as("id"), posexplode(spanArr).as(Seq("blk", "btxt")))
+      .withColumn("bh", token60(col("btxt")))
+    // pass 1: span occurrence counts; only the over-frequent survivors
+    // are kept — that set is what broadcasts
+    val dropSet = broadcast(
+      spans.groupBy("bh").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > maxOcc)
+        .select("bh"))
+    // pass 2: mark + reassemble in block order (per-document sort only)
+    val marked = spans.join(dropSet.withColumn("dup", lit(true)),
+        Seq("bh"), "left")
+      .withColumn("keep", col("dup").isNull)
+    marked.groupBy("id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("blk"), col("btxt"))))),
+            s => s.getField("btxt")),
+          " ")).as("clean_fp"))
+      .withColumnRenamed("id", idCol)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+import graft.functions.TextFunctions.words
+import graft.operators.{Bloom, Frequent, KMeans, Spans}
+
+/** Round-4 scale operators: corpus-level exact span dedup, bounded-
+  * memory heavy hitters, iterative k-means, and Bloom-filter
+  * decontamination. Oracle discipline matches [[Pipeline]] /
+  * [[Curation]] (shared md5 hash kernel, shared rounding kernel,
+  * integer casts, unique-key ordering).
+  */
+object Scale {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q88
+  /** Corpus-level exact span dedup ([[Spans.dropRepeatedSpans]]): the
+    * corpus has no natural verbatim boilerplate, so the query
+    * deterministically PREPENDS a 20-word license header (= exactly two
+    * stride-aligned 10-word spans) to every third document — the
+    * operator must drop precisely those spans from every affected
+    * document and fingerprint the surviving text. Injection, like
+    * q77's PII, keeps the oracle non-vacuous. */
+  private val boiler =
+    "this dataset is released under the creative commons attribution " +
+      "license please retain this header when redistributing copies of " +
+      "the corpus"
+
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    Spans.dropRepeatedSpans(injected, "doc_id", "text",
+        block = 10, maxOcc = 1)
+      .orderBy("doc_id")
+  }
+
+  private val q88Sql =
+    s"""WITH inj AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN '$boiler ' || text
+                ELSE text END AS text
+         FROM documents),
+       ws AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS w
+              FROM inj),
+       blk AS (SELECT doc_id, i AS blk,
+                 array_to_string(w[(i*10+1):(i*10+10)], ' ') AS btxt
+               FROM (SELECT doc_id, w,
+                       unnest(range(0, (len(w)+9)//10)) AS i
+                     FROM ws) t),
+       bh AS (SELECT doc_id, blk, btxt,
+                ('0x' || substr(md5(btxt),1,15))::BIGINT AS bh
+              FROM blk),
+       freq AS (SELECT bh, count(*) AS occ FROM bh GROUP BY bh),
+       mk AS (SELECT b.doc_id, b.blk, b.btxt, f.occ <= 1 AS keep
+              FROM bh b JOIN freq f USING (bh))
+       SELECT doc_id, count(*) AS n_blocks,
+         CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+         md5(coalesce(string_agg(btxt, ' ' ORDER BY blk) FILTER (keep),
+           '')) AS clean_fp
+       FROM mk GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q89
+  /** Bounded-memory heavy hitters ([[Frequent.MisraGriesAgg]]): top-20
+    * corpus tokens from the Misra-Gries sketch, run in its exactness
+    * regime (capacity ≥ corpus vocabulary) so the full value oracle is
+    * the exact frequency table; the N/(capacity+1) error bound under
+    * capacity pressure is property-tested in FrequentSpec. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("tok")).as[String]
+    // the typed aggregate's product output flattens into (keys, counts)
+    val sketch = toks.select(
+      new Frequent.MisraGriesAgg(4096).toColumn.name("sk"))
+    sketch.toDF()
+      .select(posexplode(arrays_zip(col("keys"), col("counts")))
+        .as(Seq("i", "kc")))
+      .select((col("i") + 1).cast("int").as("rank"),
+        col("kc.keys").as("word"), col("kc.counts").as("freq"))
+      .filter(col("rank") <= 20)
+      .orderBy("rank")
+  }
+
+  private val q89Sql =
+    """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+'))
+           AS w FROM documents),
+       f AS (SELECT w, count(*) AS freq FROM toks GROUP BY w)
+       SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS INT) AS rank,
+         w AS word, CAST(freq AS BIGINT) AS freq
+       FROM f ORDER BY freq DESC, w LIMIT 20"""
+
+  // ---------------------------------------------------------------- q90
+  /** Iterative k-means ([[KMeans.lloyd]]): 2 Lloyd rounds, k = 8, from
+    * deterministic lowest-id seeds, with the quantized-distance /
+    * quantized-centroid reproducibility semantics documented on the
+    * operator. The oracle unrolls both rounds plus the final assignment
+    * as CTEs — every centroid coordinate, every assignment, and every
+    * cluster's inertia is value-checked. */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    KMeans.lloyd(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .orderBy("cid")
+
+  private def kmRound(in: String, cIn: String, a: String, b: String,
+                      cOut: String): String =
+    s"""$a AS (SELECT vec_id, v, cid,
+           round(greatest(0, list_dot_product(v,v) + list_dot_product(cv,cv)
+             - 2*list_dot_product(v,cv)), 6) AS d2
+         FROM $in CROSS JOIN $cIn),
+       $b AS (SELECT vec_id, v, cid, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY d2, cid) AS rn FROM $a) WHERE rn = 1),
+       $cOut AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           SELECT cid, pos, round(avg(v[pos+1]), 6) AS m
+           FROM $b, range(0, 64) t(pos) GROUP BY cid, pos)
+         GROUP BY cid)"""
+
+  private val q90Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cid,
+              list_transform(v, x -> round(x, 6)) AS cv
+         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       ${kmRound("e", "c0", "a1", "b1", "c1")},
+       ${kmRound("e", "c1", "a2", "b2", "c2")},
+       af AS (SELECT vec_id, cid,
+           round(greatest(0, list_dot_product(v,v) + list_dot_product(cv,cv)
+             - 2*list_dot_product(v,cv)), 6) AS d2
+         FROM e CROSS JOIN c2),
+       bf AS (SELECT vec_id, cid, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY d2, cid) AS rn FROM af) WHERE rn = 1)
+       SELECT cid, count(*) AS n_members, round(sum(d2), 4) AS inertia
+       FROM bf GROUP BY cid ORDER BY cid"""
+
+  // ---------------------------------------------------------------- q91
+  /** Bloom-filter decontamination screening ([[Bloom.sketch]] +
+    * [[Bloom.screen]]): same benchmark split as q73, but the benchmark
+    * n-gram set travels as a fixed-size broadcast bitmap and the corpus
+    * pass is map-only. The oracle replays the double-hashing bit math
+    * set-theoretically, so every bloom false positive is part of the
+    * value check — both engines must agree bit-for-bit. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    Bloom.screen(corpus, Bloom.sketch(bench, "doc_id", "text", n = 3),
+        "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q91Sql = Pipeline.shingleCte +
+    """,
+       bh AS (SELECT DISTINCT ('0x' || substr(md5(s),1,15))::BIGINT AS h
+         FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0) t),
+       pos AS (SELECT DISTINCT
+           (h % 1048576 + i * (1 + h % 1048575)) % 1048576 AS p
+         FROM bh, range(0, 3) t(i)),
+       ch AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT AS h
+         FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 20 <> 0) t),
+       probe AS (SELECT doc_id, h,
+           (h % 1048576 + i * (1 + h % 1048575)) % 1048576 AS p
+         FROM ch, range(0, 3) t(i)),
+       hits AS (SELECT doc_id, h, bool_and(pos.p IS NOT NULL) AS hit
+         FROM probe LEFT JOIN pos ON probe.p = pos.p
+         GROUP BY doc_id, h),
+       rep AS (SELECT doc_id, count(*) AS n_ngrams,
+           CAST(count(*) FILTER (hit) AS BIGINT) AS n_flagged
+         FROM hits GROUP BY doc_id)
+       SELECT doc_id, n_ngrams, n_flagged,
+         round(n_flagged::DOUBLE / n_ngrams, 4) AS flag_ratio
+       FROM rep WHERE n_flagged > 0 ORDER BY doc_id"""
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q88_span_dedup" -> (q88 _),
+    "q89_heavy_hitters" -> (q89 _),
+    "q90_kmeans" -> (q90 _),
+    "q91_bloom_decontam" -> (q91 _))
+
+  val oracles: Map[String, String] = Map(
+    "q88_span_dedup" -> q88Sql,
+    "q89_heavy_hitters" -> q89Sql,
+    "q90_kmeans" -> q90Sql,
+    "q91_bloom_decontam" -> q91Sql)
+}
