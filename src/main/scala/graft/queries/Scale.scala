@@ -180,17 +180,89 @@ object Scale {
          round(n_flagged::DOUBLE / n_ngrams, 4) AS flag_ratio
        FROM rep WHERE n_flagged > 0 ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q92
+  /** PageRank ([[Graph.pagerank]]) over the customer↔supplier bipartite
+    * trade graph (distinct order-line pairs, symmetrized so the walk
+    * has no dangling sinks): 2 damped rounds, top 30 nodes. The oracle
+    * unrolls both rounds; the per-round rank quantization (operator
+    * contract) is what makes the comparison exact. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cn"),
+        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .distinct()
+    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+    graft.operators.Graph.pagerank(edges, damping = 0.85, iters = 2)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(30)
+  }
+
+  private def prRound(rIn: String, rOut: String): String =
+    s"""$rOut AS (SELECT n.node,
+           round((1 - 0.85) / nn.n + 0.85 * coalesce(m.mass, 0), 9) AS rank
+         FROM nodes n CROSS JOIN nn
+         LEFT JOIN (SELECT w.dst, sum(r.rank * w.w) AS mass
+                    FROM $rIn r JOIN wed w ON r.node = w.src
+                    GROUP BY w.dst) m ON n.node = m.dst)"""
+
+  private val q92Sql =
+    s"""WITH ed0 AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS cn,
+           's' || l_suppkey::VARCHAR AS sn
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       ed AS (SELECT cn AS src, sn AS dst FROM ed0
+              UNION ALL SELECT sn, cn FROM ed0),
+       nodes AS (SELECT src AS node FROM ed
+                 UNION SELECT dst FROM ed),
+       nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       wed AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.deg AS w
+               FROM ed e JOIN deg d USING (src)),
+       r0 AS (SELECT node, round(1.0::DOUBLE / nn.n, 9) AS rank
+              FROM nodes, nn),
+       ${prRound("r0", "r1")},
+       ${prRound("r1", "r2")}
+       SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 30"""
+
+  // ---------------------------------------------------------------- q93
+  /** One-pass covariance matrix of the embedding corpus
+    * ([[Linalg.covariance]], the distributed moment computation under
+    * PCA/whitening): all 2080 upper-triangle entries value-checked.
+    * The eigensolve on top of this matrix is driver-side O(d²) and
+    * spec-tested ([[graft.operators.Linalg.topEigen]]); the corpus
+    * never feeds anything bigger than these moments. */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    graft.operators.Linalg.covariance(Tables.embeddings(s, d), "embedding")
+      .orderBy("i", "j")
+
+  private val q93Sql =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       el AS (SELECT v, unnest(range(0, len(v))) AS i FROM e),
+       m AS (SELECT i, avg(v[i+1]) AS m FROM el GROUP BY i),
+       p AS (SELECT i, j, sum(v[i+1] * v[j+1]) AS sp, count(*) AS cnt
+             FROM (SELECT v, i, unnest(range(i, len(v))) AS j FROM el) t
+             GROUP BY i, j)
+       SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+         round(sp / cnt - mi.m * mj.m, 6) AS cov
+       FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
+       ORDER BY i, j"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q88_span_dedup" -> (q88 _),
     "q89_heavy_hitters" -> (q89 _),
     "q90_kmeans" -> (q90 _),
-    "q91_bloom_decontam" -> (q91 _))
+    "q91_bloom_decontam" -> (q91 _),
+    "q92_pagerank" -> (q92 _),
+    "q93_embedding_cov" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
     "q88_span_dedup" -> q88Sql,
     "q89_heavy_hitters" -> q89Sql,
     "q90_kmeans" -> q90Sql,
-    "q91_bloom_decontam" -> q91Sql)
+    "q91_bloom_decontam" -> q91Sql,
+    "q92_pagerank" -> q92Sql,
+    "q93_embedding_cov" -> q93Sql)
 }

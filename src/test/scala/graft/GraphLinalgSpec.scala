@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Linalg}
+
+/** PageRank and the distributed-moments/driver-eigensolve PCA split. */
+class GraphLinalgSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank on a 2-cycle is uniform and conserves mass") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graph.pagerank(edges, damping = 0.85, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.5) < 1e-9)
+    assert(math.abs(r("b") - 0.5) < 1e-9)
+  }
+
+  test("pagerank concentrates rank on the hub of a star") {
+    // leaves l1..l4 <-> hub: symmetrized star; hub collects damped mass
+    val leaves = (1 to 4).map(i => s"l$i")
+    val edges = (leaves.map(_ -> "hub") ++ leaves.map("hub" -> _))
+      .toDF("src", "dst")
+    val r = Graph.pagerank(edges, damping = 0.85, iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hub") > 0.4 && leaves.forall(l => r(l) < r("hub")))
+    // symmetrized graph: total mass conserved (teleport + redistribution)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pagerank dangling sinks drain mass but ranks stay finite and ordered") {
+    // c -> sink: sink has no out-edges; its mass drains (documented)
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "sink")).toDF("src", "dst")
+    val r = Graph.pagerank(edges, damping = 0.85, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(v => v > 0 && v < 1))
+    assert(r.values.sum < 1.0 + 1e-9) // mass only leaks, never appears
+  }
+
+  test("pagerank is partition-layout independent (quantized contract)") {
+    val pairs = Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(Tables.lineitem(spark, "/root/testdata/sf0.001"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val a = Graph.pagerank(pairs, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toSet
+    val b = Graph.pagerank(pairs.repartition(17), iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("covariance matches the hand-computed matrix on tiny vectors") {
+    val df = Seq(
+      Tuple1(Array(1.0f, 0.0f)),
+      Tuple1(Array(3.0f, 2.0f)),
+      Tuple1(Array(5.0f, 4.0f))).toDF("embedding")
+    // means (3, 2); population covs: var0 = 8/3, var1 = 8/3, cov = 8/3
+    val out = Linalg.covariance(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val exp = graft.functions.Rounding.roundTo(8.0 / 3.0, 6)
+    assert(out((0, 0)) == exp && out((1, 1)) == exp && out((0, 1)) == exp)
+  }
+
+  test("topEigen recovers the dominant eigenpair of a known matrix") {
+    val m = Array(Array(3.0, 0.0), Array(0.0, 1.0))
+    val (l, v) = Linalg.topEigen(m)
+    assert(math.abs(l - 3.0) < 1e-9)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 1e-9 && math.abs(v(1)) < 1e-6)
+    assert(v(0) > 0) // sign convention: first nonzero component positive
+  }
+
+  test("distributed moments + driver eigensolve = consistent PCA on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cov = Linalg.collectCov(Linalg.covariance(emb, "embedding"), 64)
+    val (l, v) = Linalg.topEigen(cov)
+    assert(l > 0)
+    // eigen residual |Av - lv| small relative to lv
+    val av = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(av.zip(v).map { case (a, b) =>
+      val dlt = a - l * b; dlt * dlt
+    }.sum)
+    assert(resid < 1e-6 * math.max(1.0, l), s"residual $resid vs lambda $l")
+    // the variance of the projected coordinate ≈ lambda (it IS the
+    // Rayleigh quotient of the same covariance, up to quantization)
+    val proj = Linalg.project(emb, "embedding", Seq(v))
+    val varr = proj.agg(var_pop(col("pc0"))).head().getDouble(0)
+    assert(math.abs(varr - l) < 0.01 * l, s"projected var $varr vs $l")
+  }
+}
