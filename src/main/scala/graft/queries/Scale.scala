@@ -248,6 +248,27 @@ object Scale {
        FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
        ORDER BY i, j"""
 
+  // ---------------------------------------------------------------- q94
+  /** Per-group top-k via the bounded-heap aggregator
+    * ([[TopK.topKPerGroup]]): top 3 orders per customer by value. Same
+    * result set as the q10-style window formulation, but the shuffle
+    * carries ≤ k rows per (group, partition) instead of every order —
+    * TopKSpec asserts the map-side partial aggregation in the plan and
+    * exact agreement with the window. */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK.topKPerGroup(Tables.orders(s, d),
+        "o_custkey", "o_orderkey", "o_totalprice", k = 3)
+      .orderBy("o_custkey", "rk")
+
+  private val q94Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rk
+       FROM (SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_totalprice::DOUBLE AS o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rk"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -256,7 +277,8 @@ object Scale {
     "q90_kmeans" -> (q90 _),
     "q91_bloom_decontam" -> (q91 _),
     "q92_pagerank" -> (q92 _),
-    "q93_embedding_cov" -> (q93 _))
+    "q93_embedding_cov" -> (q93 _),
+    "q94_topk_agg" -> (q94 _))
 
   val oracles: Map[String, String] = Map(
     "q88_span_dedup" -> q88Sql,
@@ -264,5 +286,6 @@ object Scale {
     "q90_kmeans" -> q90Sql,
     "q91_bloom_decontam" -> q91Sql,
     "q92_pagerank" -> q92Sql,
-    "q93_embedding_cov" -> q93Sql)
+    "q93_embedding_cov" -> q93Sql,
+    "q94_topk_agg" -> q94Sql)
 }
