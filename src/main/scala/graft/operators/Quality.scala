@@ -77,4 +77,25 @@ object Quality {
       .withColumn("keep",
         col("r_words") && col("r_mwl") && col("r_rep") && col("r_stop"))
   }
+
+  /** Per-group winsorization (quantile clipping — the standard
+    * outlier-robust normalization before statistics or thresholding):
+    * clamp `valCol` into its group's `[lo, hi]` exact interpolated
+    * quantiles. The quantile table is one aggregation (one row per
+    * group) and re-attaches as a broadcast, so the clamp itself is a
+    * map-only second pass — no corpus-wide sort, no window. Returns
+    * the input plus a `win_<valCol>` column.
+    */
+  def winsorize(df: DataFrame, valCol: String, groupCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      "quantile bounds must satisfy 0 <= lo <= hi <= 1")
+    val q = df.groupBy(groupCol).agg(
+      expr(s"percentile($valCol, $lo)").as("_qlo"),
+      expr(s"percentile($valCol, $hi)").as("_qhi"))
+    df.join(broadcast(q), groupCol)
+      .withColumn(s"win_$valCol",
+        greatest(col("_qlo"), least(col("_qhi"), col(valCol).cast("double"))))
+      .drop("_qlo", "_qhi")
+  }
 }

@@ -425,26 +425,32 @@ object Pipeline {
         "embedding", threshold = 0.45)
       .orderBy("vec_a", "vec_b")
 
-  private val q53Sql: String = {
+  /** q53's pair pipeline as a reusable CTE chain (ends in `ep`):
+    * shared with q96's clustering oracle exactly like `q36Core` is
+    * shared with q71's. */
+  private[queries] val q53PairsCte: String = {
     val keyList = lshBandKeysSql(planesPerBand = 4, bands = 12, dim = 64)
-    s"""WITH v AS (SELECT vec_id, embedding,
+    s"""v AS (SELECT vec_id, embedding,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
          FROM embeddings),
        banded AS (SELECT vec_id, unnest($keyList) AS key FROM v),
        cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
                 FROM banded a JOIN banded b
-                  ON b.key = a.key AND a.vec_id < b.vec_id)
-       SELECT ida AS vec_a, idb AS vec_b,
+                  ON b.key = a.key AND a.vec_id < b.vec_id),
+       ep AS (SELECT ida AS vec_a, idb AS vec_b,
          round(list_dot_product(CAST(x.embedding AS DOUBLE[]),
                                 CAST(y.embedding AS DOUBLE[]))
            / (x.nrm * y.nrm), 4) AS cosine
        FROM cand JOIN v x ON x.vec_id = ida JOIN v y ON y.vec_id = idb
        WHERE round(list_dot_product(CAST(x.embedding AS DOUBLE[]),
                                     CAST(y.embedding AS DOUBLE[]))
-           / (x.nrm * y.nrm), 4) >= 0.45
-       ORDER BY vec_a, vec_b"""
+           / (x.nrm * y.nrm), 4) >= 0.45)"""
   }
+
+  private val q53Sql: String =
+    s"""WITH $q53PairsCte
+       SELECT vec_a, vec_b, cosine FROM ep ORDER BY vec_a, vec_b"""
 
   // ---------------------------------------------------------------- q42
   /** Multimodal frame-sampling plumbing over binary payloads. */

@@ -269,6 +269,60 @@ object Scale {
              FROM orders) t
        WHERE rn <= 3 ORDER BY o_custkey, rk"""
 
+  // ---------------------------------------------------------------- q95
+  /** Winsorized per-source statistics ([[Quality.winsorize]]): clamp
+    * document lengths into each source's exact [p05, p95] band, then
+    * report the outlier-robust mean/stddev per source. Quantiles
+    * compute once per group and broadcast; the clamp is map-only. */
+  private def q95(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quality.winsorize(
+        Tables.documents(s, d).select(col("source"), col("n_chars")),
+        "n_chars", "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("win_n_chars")), 4).as("win_mean"),
+        round(stddev_samp(col("win_n_chars")), 4).as("win_sd"))
+      .orderBy("source")
+
+  private val q95Sql =
+    """WITH q AS (SELECT source,
+           quantile_cont(n_chars, 0.05) AS qlo,
+           quantile_cont(n_chars, 0.95) AS qhi
+         FROM documents GROUP BY source),
+       w AS (SELECT d.source,
+           greatest(q.qlo, least(q.qhi, d.n_chars::DOUBLE)) AS wx
+         FROM documents d JOIN q USING (source))
+       SELECT source, count(*) AS n_docs,
+         round(avg(wx), 4) AS win_mean,
+         round(stddev_samp(wx), 4) AS win_sd
+       FROM w GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------------- q96
+  /** Embedding near-dup CLUSTERS: q53's banded sign-LSH pair list fed
+    * through [[graft.operators.Dedup.connectedComponents]] — operator
+    * composition closing the embedding-dedup story the same way q71
+    * closes the minhash one (pairs → transitive closure → one survivor
+    * per cluster). Oracle: q53's generated-plane CTE chain + the same
+    * recursive reachability closure as q71's. */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.embeddingPairsBucketed(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45),
+        aCol = "vec_a", bCol = "vec_b")
+      .orderBy("id")
+
+  private val q96Sql =
+    s"""WITH RECURSIVE ${Pipeline.q53PairsCte},
+       edges AS (SELECT vec_a AS a, vec_b AS b FROM ep
+                 UNION ALL SELECT vec_b, vec_a FROM ep),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach AS (SELECT id, id AS r FROM nodes
+                 UNION
+                 SELECT e.a, reach.r FROM edges e
+                 JOIN reach ON e.b = reach.id)
+       SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       ORDER BY id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -278,7 +332,9 @@ object Scale {
     "q91_bloom_decontam" -> (q91 _),
     "q92_pagerank" -> (q92 _),
     "q93_embedding_cov" -> (q93 _),
-    "q94_topk_agg" -> (q94 _))
+    "q94_topk_agg" -> (q94 _),
+    "q95_winsorize" -> (q95 _),
+    "q96_embedding_clusters" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
     "q88_span_dedup" -> q88Sql,
@@ -287,5 +343,7 @@ object Scale {
     "q91_bloom_decontam" -> q91Sql,
     "q92_pagerank" -> q92Sql,
     "q93_embedding_cov" -> q93Sql,
-    "q94_topk_agg" -> q94Sql)
+    "q94_topk_agg" -> q94Sql,
+    "q95_winsorize" -> q95Sql,
+    "q96_embedding_clusters" -> q96Sql)
 }

@@ -83,4 +83,20 @@ class SourcesSpec extends SparkSpec {
     assert(files.nonEmpty)
     assert(files.forall(_.getPath.toString.contains("lang=en")))
   }
+
+  test("sizedForWrite bounds output files to ~rowsPerFile (small-files hygiene)") {
+    import spark.implicits._
+    // a skewed 37-partition layout with 10k rows must land as exactly
+    // ceil(10000/2500) = 4 even files, not 37 shards
+    val df = (1L to 10000L).toDF("id").repartition(37)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    graft.operators.Lake.sizedForWrite(df, rowsPerFile = 2500)
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // knownRows skips the count job and yields the same layout
+    assert(graft.operators.Lake.sizedForWrite(df, 2500, knownRows = Some(10000L))
+      .rdd.getNumPartitions == 4)
+  }
 }

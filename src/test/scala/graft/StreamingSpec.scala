@@ -247,6 +247,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental dedup routes a stream against a growing corpus") {
+    // the PRODUCTION ingest loop: each micro-batch is screened against
+    // the corpus-so-far (Dedup.incrementalNearDups with the structural
+    // disjointness contract — stream ids are minted above the corpus id
+    // space, so checkDisjoint=false skips the eager probe), clean docs
+    // append, dups are routed away; a later batch must near-dup against
+    // documents ADMITTED by an earlier batch, not just the seed corpus
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 39).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val novel = (100 to 140).map(i => s"v$i").mkString(" ")
+    val novelNear = (100 to 139).map(i => s"v$i").mkString(" ") + " ALTERED"
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    var routed = Map.empty[Long, Boolean]
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val corpus = spark.read.parquet(dir)
+          val route = graft.operators.Dedup.incrementalNearDups(
+              batch, corpus, "doc_id", "text", threshold = 0.5,
+              checkDisjoint = false)
+            .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+          routed ++= route
+          val cleanIds = route.collect { case (id, false) => id }.toSeq
+          batch.filter(col("doc_id").isInCollection(cleanIds))
+            .write.mode("append").parquet(dir)
+        }
+      }.start()
+    try {
+      mem.addData((10L, near), (11L, novel))
+      q.processAllAvailable()
+      mem.addData((20L, novelNear)) // ≈ doc 11, admitted one batch ago
+      q.processAllAvailable()
+      assert(routed == Map(10L -> true, 11L -> false, 20L -> true))
+      val ids = spark.read.parquet(dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 11L))
+    } finally q.stop()
+  }
+
   test("transformWithState (Spark 4 arbitrary-state API) carries state across batches") {
     // the successor API to flatMapGroupsWithState: typed per-key state
     // handles (ValueState) managed by a StatefulProcessor, requiring
