@@ -144,6 +144,24 @@ object Dedup {
     * one pair), so moderate caps lose little recall in practice —
     * callers wanting the uncapped exact semantics pass
     * `maxShingleDf = Int.MaxValue`.
+    *
+    * Candidate volume is the other quadratic: on a corpus with a dense
+    * shared vocabulary, single-shingle co-occurrence admits a large
+    * fraction of ALL pairs as candidates (8% of the 12.5M possible at
+    * bench scale) while the threshold keeps a handful. So candidates
+    * are never verified one set-join at a time; the index self-join is
+    * AGGREGATED into the exact per-pair shared-indexed-shingle count
+    * `ii` (map-side combinable — the shuffle carries one row per
+    * candidate pair, not one per shared shingle), and a provable
+    * Jaccard upper bound prunes before any set materializes. With
+    * `hidden(d)` = distinct shingles of `d` more frequent than the cap
+    * (absent from the index), the true intersection is at most
+    * `ii + min(hidden(a), hidden(b))`, so
+    * `ub = (ii + min(hA,hB)) / (|A| + |B| - ii - min(hA,hB))` bounds
+    * the true Jaccard from above; pairs with `ub` below the threshold
+    * (less a half-ulp of the 4-decimal result rounding) are exactly
+    * the pairs the final filter must discard. Only the survivors — a
+    * near-dup-sized set — reach the full-set verification join.
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3,
@@ -154,32 +172,54 @@ object Dedup {
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    // Document frequency straight off the RAW multiset rows
-    // (countDistinct collapses within-doc duplicates) — the corpus-wide
-    // distinct materialization is never built. Pairable shingles:
-    // present in >= 2 docs (df < 2 never pairs — also keeps the
-    // self-join off the long unique-shingle tail), <= cap.
-    val raw = shingleRowsRaw(docs, idCol, textCol, shingleN)
-    val pairable = raw.groupBy("s").agg(countDistinct("id").as("df"))
+    // Distinct (id, shingle) rows once: feeds the df count (plain count
+    // == countDistinct here, single-phase), the per-doc set sizes, and
+    // the candidate self-join (whose per-pair counts must see each
+    // shared shingle exactly once).
+    val inv = shingleRowsRaw(docs, idCol, textCol, shingleN)
+      .dropDuplicates("id", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // |A|: full distinct set size per doc, uncapped — corpus-cardinality
+    val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Pairable shingles: present in >= 2 docs (df < 2 never pairs —
+    // also keeps the self-join off the long unique-shingle tail), <= cap.
+    val pairable = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 &&
         (if (maxShingleDf == Int.MaxValue) lit(true)
          else col("df") <= maxShingleDf))
       .select("s")
-    // self-joined for candidates → persist; duplicate (id, s) rows from
-    // within-doc repeated grams only duplicate CANDIDATE rows, which
-    // the distinct below collapses
-    val pairedInv = raw.join(pairable, Seq("s"), "left_semi")
+    // self-joined for candidate counts → persist
+    val idx = inv.join(pairable, Seq("s"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = pairedInv.as("a")
-      .join(pairedInv.as("b"),
+    val idxSize = idx.groupBy("id").agg(count(lit(1)).as("isz"))
+    // per-doc (|A|, hidden(A)) — joins below are corpus-cardinality,
+    // tiny next to the pair table
+    val docStats = setSize.join(idxSize, Seq("id"), "left")
+      .select(col("id"), col("sz"),
+        (col("sz") - coalesce(col("isz"), lit(0L))).as("hid"))
+    // exact shared-indexed-shingle count per candidate pair
+    val ii = idx.as("a")
+      .join(idx.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("ii"))
+    // prune on the upper bound; the margin keeps every pair whose
+    // TRUE jaccard could still round up across the threshold
+    val margin = 0.5e-4
+    val cand = ii
+      .join(docStats.as("da"), col("doc_a") === col("da.id"))
+      .join(docStats.as("db"), col("doc_b") === col("db.id"))
+      .withColumn("ub_inter",
+        col("ii") + least(col("da.hid"), col("db.hid")))
+      .filter(col("ub_inter").cast("double") /
+        (col("da.sz") + col("db.sz") - col("ub_inter")).cast("double")
+        >= threshold - margin)
+      .select("doc_a", "doc_b")
       // referenced three times below (two id-unions + the verify join)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Exact Jaccard on the FULL shingle sets of the (few) candidates:
+    // Exact Jaccard on the FULL shingle sets of the (few) survivors:
     // per-doc arrays from the native expression, computed ONLY for
-    // documents that appear in a candidate pair (the corpus-wide array
+    // documents that appear in a surviving pair (the corpus-wide array
     // materialization would dominate the whole operator at scale) —
     // no index re-join, no per-pair row explosion
     val sets = shingleSets(
@@ -198,7 +238,7 @@ object Dedup {
             .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    owned(result, Seq(pairedInv, cand, sets))
+    owned(result, Seq(inv, idx, cand, sets))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:
