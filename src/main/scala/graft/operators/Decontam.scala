@@ -31,6 +31,12 @@ object Decontam {
     * N-grams are distinct word `n`-grams (documents shorter than `n`
     * words degrade to one whole-text shingle); matching is on the
     * shared 60-bit md5 kernel so the operator mirrors exactly in SQL.
+    *
+    * SIZE PRECONDITION: the broadcast hint below is unconditional, so
+    * `bench`'s distinct n-gram set must fit in executor/driver memory
+    * (fine for real benchmarks — a few million longs). A benchmark too
+    * large to broadcast belongs on [[Bloom.screen]], the fixed-memory
+    * sketch variant of this check.
     */
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
               textCol: String, n: Int = 3): DataFrame = {

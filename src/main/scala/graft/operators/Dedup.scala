@@ -155,7 +155,9 @@ object Dedup {
     * candidate pair, not one per shared shingle), and a provable
     * Jaccard upper bound prunes before any set materializes. With
     * `hidden(d)` = distinct shingles of `d` more frequent than the cap
-    * (absent from the index), the true intersection is at most
+    * — the ONLY non-indexed shingles a pair can share, since a df==1
+    * shingle occurs in exactly one document and contributes to no
+    * intersection — the true intersection is at most
     * `ii + min(hidden(a), hidden(b))`, so
     * `ub = (ii + min(hA,hB)) / (|A| + |B| - ii - min(hA,hB))` bounds
     * the true Jaccard from above; pairs with `ub` below the threshold
@@ -173,30 +175,33 @@ object Dedup {
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
     // Distinct (id, shingle) rows once: feeds the df count (plain count
-    // == countDistinct here, single-phase), the per-doc set sizes, and
+    // == countDistinct here, single-phase), the per-doc stats, and
     // the candidate self-join (whose per-pair counts must see each
     // shared shingle exactly once).
     val inv = shingleRowsRaw(docs, idCol, textCol, shingleN)
       .dropDuplicates("id", "s")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // |A|: full distinct set size per doc, uncapped — corpus-cardinality
-    val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Pairable shingles: present in >= 2 docs (df < 2 never pairs —
-    // also keeps the self-join off the long unique-shingle tail), <= cap.
-    val pairable = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 &&
+    // Every shingle row annotated with its corpus document frequency:
+    // one shingle-keyed shuffle join, off which BOTH the index (df in
+    // [2, cap] — df < 2 never pairs, and keeping the long
+    // unique-shingle tail out of the self-join) and the per-doc stats
+    // (full set size |A|, over-cap hidden count) fall out.
+    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val invDf = inv.join(dfTab, Seq("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = invDf.filter(col("df") >= 2 &&
         (if (maxShingleDf == Int.MaxValue) lit(true)
          else col("df") <= maxShingleDf))
-      .select("s")
-    // self-joined for candidate counts → persist
-    val idx = inv.join(pairable, Seq("s"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val idxSize = idx.groupBy("id").agg(count(lit(1)).as("isz"))
-    // per-doc (|A|, hidden(A)) — joins below are corpus-cardinality,
-    // tiny next to the pair table
-    val docStats = setSize.join(idxSize, Seq("id"), "left")
-      .select(col("id"), col("sz"),
-        (col("sz") - coalesce(col("isz"), lit(0L))).as("hid"))
+      .select("id", "s")
+    // per-doc (|A|, hidden(A)) where hidden counts ONLY over-cap
+    // shingles — df==1 singletons are unshareable and never loosen the
+    // bound; joins below are corpus-cardinality, tiny next to the pair
+    // table
+    val docStats = invDf.groupBy("id").agg(
+      count(lit(1)).as("sz"),
+      (if (maxShingleDf == Int.MaxValue) lit(0L)
+       else sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)))
+        .as("hid"))
     // exact shared-indexed-shingle count per candidate pair
     val ii = idx.as("a")
       .join(idx.as("b"),
@@ -238,7 +243,7 @@ object Dedup {
             .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    owned(result, Seq(inv, idx, cand, sets))
+    owned(result, Seq(inv, invDf, cand, sets))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:

@@ -35,16 +35,19 @@ object Spans {
     * text after dropping over-frequent spans (md5 of '' for a document
     * that was entirely boilerplate). Block layout is stride-aligned
     * from word 0; the final block may be shorter than `block` words.
-    * Empty documents report 0 blocks and the empty fingerprint.
+    * An empty/whitespace-only document yields ONE empty block (the
+    * word-split of '' is ['']), deduped like any other span; documents
+    * with null text have no spans and are absent from the report.
     */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                         block: Int = 10, maxOcc: Int = 1): DataFrame = {
     require(block >= 1, "block must be >= 1")
     require(maxOcc >= 1, "maxOcc must be >= 1")
     val ws = words(col(textCol))
-    // span texts are produced inside the scan projection; the guard
-    // keeps sequence() from producing a DESCENDING range on empty docs
-    val spanArr = when(size(ws) === 0, array().cast("array<string>"))
+    // span texts are produced inside the scan projection; ws is never
+    // empty for non-null text (split('') is ['']), so the guard only
+    // needs to keep null text out of sequence()'s bounds
+    val spanArr = when(col(textCol).isNull, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0),
           floor((size(ws) + lit(block - 1)) / lit(block)).cast("int") - 1),

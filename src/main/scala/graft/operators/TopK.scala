@@ -84,13 +84,18 @@ object TopK {
     * the group. `idCol`/`ordCol` must be castable to bigint/double
     * (the bounded buffer is primitive-typed on purpose — payload
     * columns re-attach with an id equi-join against the tiny result).
+    * Rows with a null id or ord are EXCLUDED up front: null has no
+    * position in the (ord desc, id asc) total order, and letting one
+    * reach the primitive-typed buffer would fail with an opaque
+    * encoder NPE instead of defined semantics.
     */
   def topKPerGroup(df: DataFrame, keyCol: String, idCol: String,
                    ordCol: String, k: Int): DataFrame = {
     // untyped udaf registration keeps the group key's native type
     val fn = udaf(new TopKAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    df.groupBy(col(keyCol))
+    df.filter(col(idCol).isNotNull && col(ordCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(fn(col(idCol).cast("long"), col(ordCol).cast("double")).as("top"))
       .select(col(keyCol),
         posexplode(arrays_zip(col("top.ids"), col("top.ords")))
