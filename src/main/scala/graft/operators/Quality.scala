@@ -78,6 +78,69 @@ object Quality {
         col("r_words") && col("r_mwl") && col("r_rep") && col("r_stop"))
   }
 
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * classic gibberish/compression-artifact quality signal: natural
+    * prose sits near 4–4.5 bits, base64 blobs and key-mash near 6,
+    * single-character spam near 0. Computed as
+    * `log2(n) − (Σ c·log2(c))/n` over per-character counts `c`.
+    *
+    * Scale posture: the per-character explode feeds a (doc, char)
+    * aggregation whose map-side combine collapses each partition to at
+    * most |alphabet| rows per document — the shuffle carries character
+    * HISTOGRAMS, not characters. Null/empty text is excluded (no
+    * distribution to measure).
+    */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val counts = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      // Spark's split keeps a trailing '' element (Java regex split
+      // with limit -1); a real character is never '', so dropping the
+      // empties makes the histogram engine-independent
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log2(col("c"))).as("s"))
+      .select(col(idCol), col("n").cast("long").as("n_chars_split"),
+        round(log2(col("n")) - col("s") / col("n"), 4).as("entropy"))
+  }
+
+  /** Per-group robust outlier statistics via the median absolute
+    * deviation: `(group, n, med, mad, n_outliers)` where an outlier is
+    * a row with `|x − med| > c · 1.4826 · mad` (1.4826 scales MAD to
+    * the stddev of a normal, so `c` reads in "robust sigmas"). The
+    * mean/stddev z-score this replaces is itself dragged by the
+    * outliers it is meant to find; the median/MAD pair has a 50%
+    * breakdown point. The outlier test multiplies instead of dividing,
+    * so an all-identical group (mad = 0) flags nothing rather than
+    * tripping on a zero divisor.
+    *
+    * Two grouped exact-quantile aggregations (group-count-sized
+    * results, broadcast back) + a map-only flag pass — no corpus sort,
+    * no window.
+    */
+  def madOutliers(df: DataFrame, valCol: String, groupCol: String,
+                  c: Double = 3.0): DataFrame = {
+    require(c > 0, "the outlier cutoff must be positive")
+    val x = col(valCol).cast("double")
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(x - col("med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(col("dev") > lit(c * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Per-group winsorization (quantile clipping — the standard
     * outlier-robust normalization before statistics or thresholding):
     * clamp `valCol` into its group's `[lo, hi]` exact interpolated

@@ -89,6 +89,37 @@ object Sampling {
       .drop("strat_rank")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis A-ES): each row gets the key `u^(1/w)` for a
+    * hash-derived uniform `u ∈ (0,1)` and weight `w`; the top-k keys
+    * are a weighted sample — rows with twice the weight are twice as
+    * likely to make the cut, yet the draw is a pure function of
+    * (salt, id, weight), reproducible on any cluster or engine. The
+    * returned `es_key` is the monotone transform `ln(u)/w` (same
+    * ordering, no pow): u comes from the shared 60-bit kernel as
+    * `(token60(salt ‖ id) + 1) / (2^60 + 1)`, strictly inside (0,1) so
+    * the log is finite.
+    *
+    * Scale posture: the key is one md5 inside the scan projection;
+    * top-k is `orderBy().limit()` — Catalyst plans
+    * `TakeOrderedAndProject`, a per-partition bounded heap + driver
+    * merge of k·partitions rows, never a global sort. Rows with null,
+    * zero, or negative weight are excluded (they have no place in the
+    * weighted order).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "es"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val denom = math.pow(2.0, 60) + 1.0
+    val u = (graft.functions.TextFunctions.token60(
+      concat(lit(salt), col(idCol).cast("string"))).cast("double") + 1.0) /
+      denom
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Train/val/test assignment by bucket ranges out of 100:
     * `[0, trainPct)` → train, `[trainPct, trainPct+valPct)` → val,
     * rest → test. Disjoint and exhaustive by construction.
