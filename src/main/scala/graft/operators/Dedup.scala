@@ -181,27 +181,36 @@ object Dedup {
     val inv = shingleRowsRaw(docs, idCol, textCol, shingleN)
       .dropDuplicates("id", "s")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Every shingle row annotated with its corpus document frequency:
-    // one shingle-keyed shuffle join, off which BOTH the index (df in
-    // [2, cap] — df < 2 never pairs, and keeping the long
-    // unique-shingle tail out of the self-join) and the per-doc stats
-    // (full set size |A|, over-cap hidden count) fall out.
+    // |A|: full distinct set size per doc, uncapped — corpus-cardinality
+    val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Corpus document frequency per shingle; read twice (index filter +
+    // over-cap set), shingle-cardinality — persist beats re-aggregating
+    // the corpus-sized inv
     val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val invDf = inv.join(dfTab, Seq("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val idx = invDf.filter(col("df") >= 2 &&
+    // Pairable shingles: present in >= 2 docs (df < 2 never pairs —
+    // also keeps the self-join off the long unique-shingle tail), <= cap.
+    val pairable = dfTab.filter(col("df") >= 2 &&
         (if (maxShingleDf == Int.MaxValue) lit(true)
          else col("df") <= maxShingleDf))
-      .select("id", "s")
-    // per-doc (|A|, hidden(A)) where hidden counts ONLY over-cap
-    // shingles — df==1 singletons are unshareable and never loosen the
-    // bound; joins below are corpus-cardinality, tiny next to the pair
-    // table
-    val docStats = invDf.groupBy("id").agg(
-      count(lit(1)).as("sz"),
-      (if (maxShingleDf == Int.MaxValue) lit(0L)
-       else sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)))
-        .as("hid"))
+      .select("s")
+    // self-joined for candidate counts → persist
+    val idx = inv.join(pairable, Seq("s"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hidden(A): ONLY over-cap shingles — df==1 singletons are
+    // unshareable and never loosen the bound. The over-cap set is the
+    // heavy-hitter tail (tiny by construction), so the probe broadcasts.
+    val hidSize =
+      if (maxShingleDf == Int.MaxValue)
+        setSize.select(col("id"), lit(0L).as("hid")).limit(0)
+      else
+        inv.join(broadcast(dfTab.filter(col("df") > maxShingleDf)
+            .select("s")), Seq("s"), "left_semi")
+          .groupBy("id").agg(count(lit(1)).as("hid"))
+    // per-doc (|A|, hidden(A)) — joins below are corpus-cardinality,
+    // tiny next to the pair table
+    val docStats = setSize.join(hidSize, Seq("id"), "left")
+      .select(col("id"), col("sz"), coalesce(col("hid"), lit(0L)).as("hid"))
     // exact shared-indexed-shingle count per candidate pair
     val ii = idx.as("a")
       .join(idx.as("b"),
@@ -243,7 +252,7 @@ object Dedup {
             .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    owned(result, Seq(inv, invDf, cand, sets))
+    owned(result, Seq(inv, dfTab, idx, cand, sets))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:
@@ -405,15 +414,19 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         shiftrightByCol(col("sim"), b * 15) % 32768))
         .as(Seq("band", "seg")))
+    // hamming filter BEFORE the distinct: the band join emits one row
+    // per shared segment (up to 4 per value pair), and the codegen'd
+    // bit_count filter discards the far-apart majority map-side — the
+    // distinct then shuffles only the surviving near pairs, not every
+    // segment collision
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.seg") === col("b.seg") &&
           col("a.sim") < col("b.sim"))
-      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .distinct()
-      .withColumn("hamming_dist",
-        hamming(col("sim_a"), col("sim_b")).cast("int"))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"),
+        hamming(col("a.sim"), col("b.sim")).cast("int").as("hamming_dist"))
       .filter(col("hamming_dist") <= maxHamming)
+      .distinct()
     val crossPairs = cand
       .join(sims.as("x"), col("sim_a") === col("x.sim"))
       .join(sims.as("y"), col("sim_b") === col("y.sim"))
