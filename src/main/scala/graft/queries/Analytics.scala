@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Quality, Rank, Sampling, Sketch}
+import graft.operators.{Funnel, Fuzzy, Quality, Rank, Sampling, Series,
+  Sketch}
 
 /** Round-5 corpus-analytics operators: BM25 lexical retrieval,
   * character-entropy quality scoring, deterministic weighted sampling,
@@ -186,6 +187,154 @@ object Analytics {
        FROM dev JOIN mad USING (source)
        GROUP BY dev.source ORDER BY dev.source"""
 
+  // --------------------------------------------------------------- q102
+  /** Distribution windows: percent_rank / cume_dist / nth_value with
+    * an explicit ROWS frame (the RANGE default includes peer rows and
+    * is the classic cross-engine divergence trap) — completes the
+    * ranking-window family q46 started. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2)
+        .over(wRows))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  private val q102Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_totalprice, 2) OVER
+         (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS second_price
+       FROM orders WHERE o_custkey <= 50
+       WINDOW w AS (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey ASC)
+       ORDER BY o_orderstatus, o_orderkey"""
+
+  // --------------------------------------------------------------- q103
+  /** Time-series gap fill ([[Series.dailyGapFill]]): dense per-user
+    * daily grid over the observed span with zero-filled counts and
+    * forward-carried last-active day (running max of a monotone date —
+    * no IGNORE NULLS frame dependence). */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    Series.dailyGapFill(Tables.events(s, d), "user_id", "ts")
+      .orderBy("user_id", "day")
+
+  private val q103Sql =
+    """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           count(*) AS cnt
+         FROM events GROUP BY user_id, day),
+       span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+       grid AS (SELECT u.user_id, days.day
+                FROM (SELECT DISTINCT user_id FROM daily) u
+                CROSS JOIN days)
+       SELECT g.user_id, g.day,
+         coalesce(daily.cnt, 0) AS n_events,
+         max(CASE WHEN daily.cnt IS NOT NULL THEN g.day END) OVER
+           (PARTITION BY g.user_id ORDER BY g.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_active,
+         CAST(datediff('day',
+           max(CASE WHEN daily.cnt IS NOT NULL THEN g.day END) OVER
+             (PARTITION BY g.user_id ORDER BY g.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           g.day) AS INT) AS days_since
+       FROM grid g LEFT JOIN daily
+         ON g.user_id = daily.user_id AND g.day = daily.day
+       ORDER BY g.user_id, g.day"""
+
+  // --------------------------------------------------------------- q104
+  /** Fuzzy self-join ([[Fuzzy.editDistance1Pairs]]): DISTINCT part
+    * names within edit distance 1 via the symmetric-deletion candidate
+    * scheme. Names dedupe to one representative (min partkey) BEFORE
+    * the neighborhood join — the same collapse the simhash pipeline
+    * applies to fingerprints: duplicate strings would otherwise pair
+    * quadratically within every name group for zero information.
+    * Every 5th representative gets a deterministically injected
+    * one-character-deleted twin (q77/q88-style injection keeps the
+    * oracle non-vacuous); natural near-identical names pair too. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy("p_name").agg(min(col("p_partkey").cast("long")).as("pk"))
+      .select(col("pk"), col("p_name"))
+    val pos = pmod(col("pk"), length(col("p_name"))) + 1
+    val typos = names.filter(pmod(col("pk"), lit(5)) === 0)
+      .select((col("pk") + 1000000L).as("pk"),
+        concat(col("p_name").substr(lit(1), pos - 1),
+          col("p_name").substr(pos + 1, length(col("p_name"))))
+          .as("p_name"))
+    Fuzzy.editDistance1Pairs(names.unionByName(typos), "pk", "p_name")
+      .withColumn("dist", col("dist").cast("int"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q104Sql =
+    """WITH base AS (SELECT min(CAST(p_partkey AS BIGINT)) AS pk, p_name
+           FROM part GROUP BY p_name),
+       typo AS (SELECT pk + 1000000 AS pk,
+           substr(p_name, 1, CAST(pk % length(p_name) AS INT))
+             || substr(p_name, CAST(pk % length(p_name) AS INT) + 2)
+             AS p_name
+         FROM base WHERE pk % 5 = 0),
+       all_rows AS (SELECT pk, p_name FROM base
+                    UNION ALL SELECT pk, p_name FROM typo),
+       vars AS (SELECT pk, p_name AS str,
+                  unnest(list_prepend(p_name,
+                    list_transform(range(1, length(p_name) + 1), i ->
+                      substr(p_name, 1, CAST(i - 1 AS INT))
+                        || substr(p_name, CAST(i + 1 AS INT))))) AS v
+                FROM all_rows),
+       cand AS (SELECT DISTINCT a.pk AS id_a, b.pk AS id_b,
+                  a.str AS str_a, b.str AS str_b
+                FROM vars a JOIN vars b
+                  ON a.v = b.v AND a.pk < b.pk)
+       SELECT id_a, id_b, str_a, str_b,
+         CAST(levenshtein(str_a, str_b) AS INT) AS dist
+       FROM cand WHERE levenshtein(str_a, str_b) <= 1
+       ORDER BY id_a, id_b"""
+
+  // --------------------------------------------------------------- q105
+  /** Conversion funnel ([[Funnel.stages]]): earliest in-order
+    * view → click → purchase times per user, epoch-micros typed;
+    * events are scanned once per stage with the type predicate pushed
+    * down, every intermediate is user-cardinality. */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    Funnel.stages(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  private val q105Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(e.ts) AS tc
+             FROM events e JOIN v USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > v.tv
+             GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS tp
+             FROM events e JOIN c USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > c.tc
+             GROUP BY e.user_id)
+       SELECT v.user_id,
+         epoch_us(v.tv) AS t_view_us,
+         epoch_us(c.tc) AS t_click_us,
+         epoch_us(p.tp) AS t_purchase_us,
+         CAST(1 + (c.tc IS NOT NULL)::INT + (p.tp IS NOT NULL)::INT
+           AS INT) AS stage_reached
+       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       ORDER BY user_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -193,12 +342,20 @@ object Analytics {
     "q98_char_entropy" -> (q98 _),
     "q99_weighted_sample" -> (q99 _),
     "q100_cms_freq" -> (q100 _),
-    "q101_mad_outliers" -> (q101 _))
+    "q101_mad_outliers" -> (q101 _),
+    "q102_distribution_windows" -> (q102 _),
+    "q103_gap_fill" -> (q103 _),
+    "q104_fuzzy_join" -> (q104 _),
+    "q105_funnel" -> (q105 _))
 
   val oracles: Map[String, String] = Map(
     "q97_bm25" -> q97Sql,
     "q98_char_entropy" -> q98Sql,
     "q99_weighted_sample" -> q99Sql,
     "q100_cms_freq" -> q100Sql,
-    "q101_mad_outliers" -> q101Sql)
+    "q101_mad_outliers" -> q101Sql,
+    "q102_distribution_windows" -> q102Sql,
+    "q103_gap_fill" -> q103Sql,
+    "q104_fuzzy_join" -> q104Sql,
+    "q105_funnel" -> q105Sql)
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Quality, Rank, Sampling, Sketch}
+import graft.operators.{Funnel, Fuzzy, Quality, Rank, Sampling, Series,
+  Sketch}
 
 /** Unit coverage for the round-5 analytics operators: BM25, character
   * entropy, weighted sampling, Count-Min sketch, MAD outliers.
@@ -117,6 +118,108 @@ class AnalyticsOpsSpec extends SparkSpec {
       Sketch.countMin(df, "k", depth = 2, width = 64)
         .select(col("sketch")).as[Seq[Long]].head()
     assert(sk(items.repartition(1)) == sk(items.repartition(13)))
+  }
+
+  // -------------------------------------------------------- gap fill
+  test("dailyGapFill: dense grid, zero fill, forward-carried last_active") {
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00"),
+      (1L, "2024-03-01 11:00:00"),
+      (1L, "2024-03-04 09:00:00"),
+      (2L, "2024-03-02 08:00:00")
+    ).toDF("uid", "s").select(col("uid"), col("s").cast("timestamp").as("ts"))
+    val out = Series.dailyGapFill(ev, "uid", "ts")
+      .orderBy("uid", "day")
+      .select(col("uid"), col("day").cast("string"), col("n_events"),
+        col("last_active").cast("string"), col("days_since"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) -1 else r.getInt(4)))
+    // span 03-01..03-04 → 4 days × 2 users
+    assert(out.length == 8)
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._3).toSeq == Seq(2L, 0L, 0L, 1L), "zero-filled counts")
+    assert(u1.map(_._4).toSeq == Seq("2024-03-01", "2024-03-01",
+      "2024-03-01", "2024-03-04"), "carry-forward")
+    assert(u1.map(_._5).toSeq == Seq(0, 1, 2, 0))
+    val u2 = out.filter(_._1 == 2L)
+    // user 2's first day precedes their first event: null last_active
+    assert(u2.head._4 == null && u2.head._5 == -1)
+    assert(u2.map(_._3).toSeq == Seq(0L, 1L, 0L, 0L))
+  }
+
+  // ------------------------------------------------------ fuzzy join
+  test("editDistance1Pairs finds exactly the planted neighbors") {
+    val rows = Seq(
+      (1L, "kitten"), (2L, "kittex"),   // substitution
+      (3L, "kitte"),                    // deletion of 1
+      (4L, "kittenx"),                  // insertion on 1
+      (5L, "mitten"),                   // substitution of 1
+      (6L, "zebra"),                    // no neighbor
+      (7L, "kitten")                    // duplicate string: distance 0
+    ).toDF("id", "s")
+    val got = Fuzzy.editDistance1Pairs(rows, "id", "s")
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = Set(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 1), (1L, 7L, 0),
+      (2L, 7L, 1), (3L, 7L, 1), (4L, 7L, 1), (5L, 7L, 1),
+      (2L, 3L, 1), // "kittex" vs "kitte": one deletion
+      (2L, 4L, 1)) // "kittex" vs "kittenx": one insertion
+    assert(got == expected, s"got $got")
+  }
+
+  test("editDistance1Pairs never misses a distance-1 pair (vs brute force)") {
+    val words = Seq("cat", "cut", "cart", "ca", "dog", "dug", "dig",
+      "digs", "cats", "bat", "at", "hat", "chat", "coat")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "s")
+    val got = Fuzzy.editDistance1Pairs(df, "id", "s")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      i <- words.indices; j <- words.indices if i < j
+      if lev(words(i), words(j)) <= 1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == brute)
+  }
+
+  // ----------------------------------------------------------- funnel
+  test("funnel stages require strict in-order progression") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: click BEFORE first view → stage stops at view
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),
+      // user 3: view + click, purchase precedes click → stage 2
+      (3L, "view", "2024-01-01 08:00:00"),
+      (3L, "purchase", "2024-01-01 08:30:00"),
+      (3L, "click", "2024-01-01 09:00:00"),
+      // user 4: never viewed → absent
+      (4L, "purchase", "2024-01-01 07:00:00")
+    ).map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("uid", "etype", "ts")
+    val out = Funnel.stages(ev, "uid", "ts", "etype",
+        Seq("view", "click", "purchase"))
+      .orderBy("uid").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getInt(4) == 3)
+    assert(out(1).getInt(4) == 1, "pre-view click must not count")
+    assert(out(2).getInt(4) == 2, "pre-click purchase must not count")
+    // user 1's stage times are the actual event times, micros
+    assert(out(0).getLong(1) == ts("2024-01-01 10:00:00").getTime * 1000)
+    assert(out(0).getLong(3) == ts("2024-01-01 10:10:00").getTime * 1000)
   }
 
   // ------------------------------------------------------------- MAD
