@@ -108,6 +108,34 @@ object Quality {
         round(log2(col("n")) - col("s") / col("n"), 4).as("entropy"))
   }
 
+  /** Join-key skew diagnosis — the report to run BEFORE shuffling
+    * 100 TB on a key: per-key counts reduced to the `topN` heaviest
+    * keys with each key's share of all rows and its skew factor
+    * (count / mean-count-per-key). A skew factor in the hundreds says
+    * this key needs salting ([[Skew.saltedJoin]]) or AQE skew
+    * handling; ~1 says the key distributes fine.
+    *
+    * One hash aggregation on the key (map-side combined), a one-row
+    * global aggregate of that key table, and a top-N — nothing else
+    * touches the corpus.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).cast("double").as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(col("cnt").cast("double") /
+          (col("total").cast("double") / col("n_keys")), 4)
+          .as("skew_factor"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
+  }
+
   /** Per-group robust outlier statistics via the median absolute
     * deviation: `(group, n, med, mad, n_outliers)` where an outlier is
     * a row with `|x − med| > c · 1.4826 · mad` (1.4826 scales MAD to

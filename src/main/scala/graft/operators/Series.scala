@@ -27,6 +27,34 @@ object Series {
     * monotone date column equals last-non-null carry-forward, without
     * leaning on cross-engine IGNORE NULLS frames.
     */
+  /** First-order Markov transition statistics over per-entity ordered
+    * event streams — the "what happens after X" table behind
+    * next-event prediction features and behavioral anomaly scores:
+    * `(<typeCol>, next_type, n, prob)` where `prob` is the MLE
+    * conditional `P(next | current)` (4 decimals, shared rounding
+    * kernel). Transitions cross only consecutive events of the SAME
+    * entity; each entity's last event emits none.
+    *
+    * Scale posture: one shuffle+sort on the entity key (the per-entity
+    * order is the semantics), a codegen'd `lead` window, then a
+    * transition-type aggregation whose cardinality is |types|² — the
+    * corpus collapses map-side.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val w2 = Window.partitionBy(typeCol)
+    pairs.withColumn("prob",
+      graft.functions.Rounding.roundTo(
+        col("n").cast("double") / sum(col("n")).over(w2).cast("double"), 4))
+  }
+
   def dailyGapFill(events: DataFrame, keyCol: String,
                    tsCol: String): DataFrame = {
     val daily = events

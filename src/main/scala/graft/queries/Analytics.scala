@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Funnel, Fuzzy, Quality, Rank, Sampling, Series,
-  Sketch}
+import graft.operators.{Funnel, Fuzzy, History, Quality, Rank, Sampling,
+  Series, Sketch}
 
 /** Round-5 corpus-analytics operators: BM25 lexical retrieval,
   * character-entropy quality scoring, deterministic weighted sampling,
@@ -335,6 +335,80 @@ object Analytics {
        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
        ORDER BY user_id"""
 
+  // --------------------------------------------------------------- q106
+  /** SCD2 change tracking ([[History.changeHistory]]): each customer's
+    * order-status history collapsed to validity intervals — one
+    * shuffle+sort on the customer key, two window passes, no
+    * self-join. Restricted to custkey ≤ 100 to keep the graded result
+    * review-sized; the operator itself is corpus-wide. */
+  private def q106(s: SparkSession, d: String): DataFrame =
+    History.changeHistory(
+        Tables.orders(s, d).filter(col("o_custkey") <= 100)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey")),
+        "o_custkey", "o_orderstatus", "o_orderdate", Seq("o_orderkey"))
+      .orderBy("o_custkey", "valid_from",  "o_orderstatus")
+
+  private val q106Sql =
+    """WITH ordered AS (SELECT o_custkey, o_orderstatus, o_orderdate,
+           row_number() OVER w AS rn,
+           lag(o_orderstatus, 1) OVER w AS prev
+         FROM orders WHERE o_custkey <= 100
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)),
+       changes AS (SELECT o_custkey, o_orderstatus,
+                     o_orderdate AS valid_from, rn
+                   FROM ordered
+                   WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
+       SELECT o_custkey, o_orderstatus, valid_from,
+         lead(valid_from, 1) OVER (PARTITION BY o_custkey ORDER BY rn)
+           AS valid_to,
+         lead(valid_from, 1) OVER (PARTITION BY o_custkey ORDER BY rn)
+           IS NULL AS is_current
+       FROM changes
+       ORDER BY o_custkey, valid_from, o_orderstatus"""
+
+  // --------------------------------------------------------------- q107
+  /** Markov transition matrix ([[Series.transitionMatrix]]): P(next
+    * event type | current) over per-user ordered event streams —
+    * |types|² output, corpus collapses map-side after one key
+    * shuffle+sort. */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    Series.transitionMatrix(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("event_type", "next_type")
+
+  private val q107Sql =
+    """WITH seq AS (SELECT event_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next_type
+         FROM events),
+       pairs AS (SELECT event_type, next_type, count(*) AS n
+                 FROM seq WHERE next_type IS NOT NULL
+                 GROUP BY event_type, next_type)
+       SELECT event_type, next_type, n,
+         round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 4)
+           AS prob
+       FROM pairs ORDER BY event_type, next_type"""
+
+  // --------------------------------------------------------------- q108
+  /** Join-key skew report ([[Quality.skewReport]]): the 20 heaviest
+    * lineitem order keys with share and skew factor — the diagnosis
+    * run before committing a 100 TB shuffle to a key. */
+  private def q108(s: SparkSession, d: String): DataFrame =
+    Quality.skewReport(Tables.lineitem(s, d), "l_orderkey", topN = 20)
+
+  private val q108Sql =
+    """WITH counts AS (SELECT l_orderkey::VARCHAR AS key, count(*) AS cnt
+           FROM lineitem GROUP BY l_orderkey),
+       stats AS (SELECT sum(cnt) AS total, count(*)::DOUBLE AS n_keys
+                 FROM counts)
+       SELECT key, cnt,
+         round(cnt::DOUBLE / total, 6) AS share,
+         round(cnt::DOUBLE / (total / n_keys), 4) AS skew_factor
+       FROM counts, stats
+       ORDER BY cnt DESC, key LIMIT 20"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -346,7 +420,10 @@ object Analytics {
     "q102_distribution_windows" -> (q102 _),
     "q103_gap_fill" -> (q103 _),
     "q104_fuzzy_join" -> (q104 _),
-    "q105_funnel" -> (q105 _))
+    "q105_funnel" -> (q105 _),
+    "q106_change_history" -> (q106 _),
+    "q107_markov_transitions" -> (q107 _),
+    "q108_skew_report" -> (q108 _))
 
   val oracles: Map[String, String] = Map(
     "q97_bm25" -> q97Sql,
@@ -357,5 +434,8 @@ object Analytics {
     "q102_distribution_windows" -> q102Sql,
     "q103_gap_fill" -> q103Sql,
     "q104_fuzzy_join" -> q104Sql,
-    "q105_funnel" -> q105Sql)
+    "q105_funnel" -> q105Sql,
+    "q106_change_history" -> q106Sql,
+    "q107_markov_transitions" -> q107Sql,
+    "q108_skew_report" -> q108Sql)
 }

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Fuzzy, Quality, Rank, Sampling, Series,
-  Sketch}
+import graft.operators.{Funnel, Fuzzy, History, Quality, Rank, Sampling,
+  Series, Sketch}
 
 /** Unit coverage for the round-5 analytics operators: BM25, character
   * entropy, weighted sampling, Count-Min sketch, MAD outliers.
@@ -220,6 +220,81 @@ class AnalyticsOpsSpec extends SparkSpec {
     // user 1's stage times are the actual event times, micros
     assert(out(0).getLong(1) == ts("2024-01-01 10:00:00").getTime * 1000)
     assert(out(0).getLong(3) == ts("2024-01-01 10:10:00").getTime * 1000)
+  }
+
+  // ------------------------------------------------------------ SCD2
+  test("changeHistory collapses runs and closes validity intervals") {
+    val obs = Seq(
+      (1L, "A", "2024-01-01", 10L),
+      (1L, "A", "2024-01-03", 11L), // same value: collapsed
+      (1L, "B", "2024-01-05", 12L),
+      (1L, "A", "2024-01-07", 13L), // back to A: NEW interval
+      (2L, null.asInstanceOf[String], "2024-01-02", 20L),
+      (2L, null.asInstanceOf[String], "2024-01-04", 21L), // nulls collapse
+      (2L, "C", "2024-01-06", 22L)
+    ).toDF("k", "v", "d", "tie")
+      .select(col("k"), col("v"), col("d").cast("date").as("d"), col("tie"))
+    val out = History.changeHistory(obs, "k", "v", "d", Seq("tie"))
+      .orderBy("k", "valid_from")
+      .select(col("k"), col("v"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", "2024-01-01", "2024-01-05", false),
+      (1L, "B", "2024-01-05", "2024-01-07", false),
+      (1L, "A", "2024-01-07", null, true),
+      (2L, null, "2024-01-02", "2024-01-06", false),
+      (2L, "C", "2024-01-06", null, true)))
+  }
+
+  test("changeHistory breaks equal-timestamp ties deterministically") {
+    val obs = Seq(
+      (1L, "X", "2024-01-01", 2L),
+      (1L, "Y", "2024-01-01", 1L) // same day: tie column orders Y first
+    ).toDF("k", "v", "d", "tie")
+      .select(col("k"), col("v"), col("d").cast("date").as("d"), col("tie"))
+    val out = History.changeHistory(obs, "k", "v", "d", Seq("tie"))
+      .orderBy("valid_from", "v").collect()
+    assert(out.length == 2)
+    val current = out.filter(_.getBoolean(4))
+    assert(current.length == 1 && current.head.getString(1) == "X",
+      "higher tie value observed later must be the current row")
+  }
+
+  // ------------------------------------------------------ transitions
+  test("transitionMatrix: MLE conditionals per source state") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a b a b ; user 2: a c  → from 'a': b,b,c; from 'b': a
+    val ev = Seq(
+      (1L, "a", "2024-01-01 10:00:00", 1L),
+      (1L, "b", "2024-01-01 10:01:00", 2L),
+      (1L, "a", "2024-01-01 10:02:00", 3L),
+      (1L, "b", "2024-01-01 10:03:00", 4L),
+      (2L, "a", "2024-01-01 11:00:00", 5L),
+      (2L, "c", "2024-01-01 11:01:00", 6L)
+    ).map { case (u, t, s, id) => (u, t, ts(s), id) }
+      .toDF("uid", "etype", "ts", "eid")
+    val out = Series.transitionMatrix(ev, "uid", "ts", "etype", "eid")
+      .orderBy("etype", "next_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 0.6667), ("a", "c", 1L, 0.3333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  // ------------------------------------------------------ skew report
+  test("skewReport ranks heavy keys with share and skew factor") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      Seq.fill(5)("coolA") ++ Seq.fill(5)("coolB")).toDF("k")
+    val out = Quality.skewReport(df, "k", topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // 100 rows, 4 keys → mean 25
+    assert(out.toSeq == Seq(
+      ("hot", 60L, 0.6, 2.4), ("warm", 30L, 0.3, 1.2)))
   }
 
   // ------------------------------------------------------------- MAD
