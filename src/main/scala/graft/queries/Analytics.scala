@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Funnel, Fuzzy, History, Quality, Rank, Sampling,
-  Series, Sketch}
+import graft.operators.{Bpe, Funnel, Fuzzy, History, Quality, Rank,
+  Sampling, Series, Sketch}
 
 /** Round-5 corpus-analytics operators: BM25 lexical retrieval,
   * character-entropy quality scoring, deterministic weighted sampling,
@@ -409,6 +409,50 @@ object Analytics {
        FROM counts, stats
        ORDER BY cnt DESC, key LIMIT 20"""
 
+  // --------------------------------------------------------------- q109
+  /** BPE tokenizer training ([[Bpe.trainMerges]]): the first 4 merge
+    * rules learned from the corpus — each round is one pair-count
+    * aggregation over the (small) word-frequency table plus a 1-row
+    * argmax collect, the reference's distributed-reduce-feeds-driver-
+    * state loop. The oracle unrolls all 4 rounds as CTE chains. */
+  private def q109(s: SparkSession, d: String): DataFrame =
+    Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 4)
+      .orderBy("step")
+
+  private def bpeRound(rIn: String, p: String, b: String,
+                       rOut: String): String =
+    s"""$p AS (SELECT t[CAST(i AS INT)] AS x, t[CAST(i AS INT) + 1] AS y,
+           sum(freq) AS c
+         FROM (SELECT t, freq, unnest(range(1, len(t))) AS i
+               FROM (SELECT string_split(trim(s), '  ') AS t, freq
+                     FROM $rIn) u) v
+         GROUP BY x, y),
+       $b AS (SELECT x, y, c FROM $p ORDER BY c DESC, x, y LIMIT 1),
+       $rOut AS (SELECT replace(s, ' ' || x || '  ' || y || ' ',
+                   ' ' || x || y || ' ') AS s, freq
+                 FROM $rIn, $b)"""
+
+  private val q109Sql =
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),'\\s+'))
+           AS w FROM documents),
+       wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+       r0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+                || ' ' AS s, freq FROM wf),
+       ${bpeRound("r0", "p1", "b1", "r1")},
+       ${bpeRound("r1", "p2", "b2", "r2")},
+       ${bpeRound("r2", "p3", "b3", "r3")},
+       ${bpeRound("r3", "p4", "b4", "r4")}
+       SELECT * FROM (
+         SELECT CAST(1 AS INT) AS step, x AS left_sym, y AS right_sym,
+           x || y AS merged, CAST(c AS BIGINT) AS pair_count FROM b1
+         UNION ALL SELECT CAST(2 AS INT), x, y, x || y,
+           CAST(c AS BIGINT) FROM b2
+         UNION ALL SELECT CAST(3 AS INT), x, y, x || y,
+           CAST(c AS BIGINT) FROM b3
+         UNION ALL SELECT CAST(4 AS INT), x, y, x || y,
+           CAST(c AS BIGINT) FROM b4) m
+       ORDER BY step"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -423,7 +467,8 @@ object Analytics {
     "q105_funnel" -> (q105 _),
     "q106_change_history" -> (q106 _),
     "q107_markov_transitions" -> (q107 _),
-    "q108_skew_report" -> (q108 _))
+    "q108_skew_report" -> (q108 _),
+    "q109_bpe_merges" -> (q109 _))
 
   val oracles: Map[String, String] = Map(
     "q97_bm25" -> q97Sql,
@@ -437,5 +482,6 @@ object Analytics {
     "q105_funnel" -> q105Sql,
     "q106_change_history" -> q106Sql,
     "q107_markov_transitions" -> q107Sql,
-    "q108_skew_report" -> q108Sql)
+    "q108_skew_report" -> q108Sql,
+    "q109_bpe_merges" -> q109Sql)
 }

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Fuzzy, History, Quality, Rank, Sampling,
-  Series, Sketch}
+import graft.operators.{Bpe, Funnel, Fuzzy, History, Quality, Rank,
+  Sampling, Series, Sketch}
 
 /** Unit coverage for the round-5 analytics operators: BM25, character
   * entropy, weighted sampling, Count-Min sketch, MAD outliers.
@@ -295,6 +295,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     // 100 rows, 4 keys → mean 25
     assert(out.toSeq == Seq(
       ("hot", 60L, 0.6, 2.4), ("warm", 30L, 0.3, 1.2)))
+  }
+
+  // ------------------------------------------------------------- BPE
+  test("bpe merges follow weighted pair frequency with greedy rewrite") {
+    // words: aaab ×2, ab ×1
+    // round 1 pairs: (a,a): 2·2=4, (a,b): 2+1=3 → merge (a,a)→aa
+    // round 2 (aa,a):2, (a,b):2+1=3 → merge (a,b)→ab
+    // round 3: aaab = [aa,ab]: (aa,ab):2 → merge → aaab
+    // round 4: no pairs left → early stop
+    val docs = Seq("aaab ab aaab").toDF("text")
+    val out = Bpe.trainMerges(docs, "text", nMerges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpe greedy merge: runs collapse left-to-right ([aaaa] -> [aa][aa])") {
+    val docs = Seq("aaaa").toDF("text")
+    val out = Bpe.trainMerges(docs, "text", nMerges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // round 1: (a,a) appears 3 times in 'aaaa' → merged 'aa'
+    // round 2: [aa, aa] → (aa,aa) once
+    assert(out.toSeq == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
   }
 
   // ------------------------------------------------------------- MAD
