@@ -88,6 +88,31 @@ object Bpe {
     toMergesDf(spark, merges.result())
   }
 
+  /** Tokenize with a TRAINED merge table: per-document token counts
+    * under the given merge rules, `(<idCol>, n_words, n_tokens)`.
+    *
+    * Encoding is the cheap half of BPE and this shape shows why: the
+    * N merge rewrites compose into ONE map-only projection (N nested
+    * codegen'd `replace` calls inside the scan), so tokenizing 100 TB
+    * is a single corpus pass with no shuffle before the per-document
+    * count aggregation.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val init = concat(lit(" "),
+      array_join(slice(split(col("w"), ""), lit(1),
+        length(col("w"))), "  "),
+      lit(" "))
+    val encoded = merges.foldLeft(init) { case (s, (x, y)) =>
+      call_function("replace", s, lit(s" $x  $y "), lit(s" $x$y "))
+    }
+    docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .select(col(idCol),
+        size(split(trim(encoded), "  ")).cast("long").as("nt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"))
+  }
+
   private def toMergesDf(spark: SparkSession,
                          rows: Seq[(Int, String, String, String, Long)])
       : DataFrame = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Bpe, Funnel, Fuzzy, History, Quality, Rank,
+import graft.operators.{Bpe, Funnel, Fuzzy, History, Lake, Quality, Rank,
   Sampling, Series, Sketch}
 
 /** Round-5 corpus-analytics operators: BM25 lexical retrieval,
@@ -453,6 +453,79 @@ object Analytics {
            CAST(c AS BIGINT) FROM b4) m
        ORDER BY step"""
 
+  // --------------------------------------------------------------- q110
+  /** BPE encoding ([[Bpe.tokenCounts]]): tokenize every document under
+    * the 4 trained merge rules — the rewrites compose into ONE
+    * map-only projection (nested codegen'd replace), so encoding is a
+    * single corpus pass before the per-document count. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.tokenCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
+  }
+
+  private val q110Sql =
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),'\\s+'))
+           AS w FROM documents),
+       wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+       r0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+                || ' ' AS s, freq FROM wf),
+       ${bpeRound("r0", "p1", "b1", "r1")},
+       ${bpeRound("r1", "p2", "b2", "r2")},
+       ${bpeRound("r2", "p3", "b3", "r3")},
+       ${bpeRound("r3", "p4", "b4", "r4")},
+       dw AS (SELECT DISTINCT w FROM toks),
+       e0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ')
+                || ' ' AS s FROM dw),
+       e1 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e0, b1),
+       e2 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e1, b2),
+       e3 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e2, b3),
+       e4 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e3, b4),
+       wtok AS (SELECT w,
+                  CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt
+                FROM e4),
+       docw AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text),'\\s+')) AS w
+                FROM documents)
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+       FROM docw JOIN wtok USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- q111
+  /** Z-order clustering key ([[Lake.zValue]]): Morton interleave of
+    * (customer, order-day) — the layout key that gives every output
+    * file a tight bounding box in both dimensions so min/max stats
+    * prune scans on either filter. Pure bit arithmetic, mirrored in
+    * SQL. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      pmod(col("o_custkey"), lit(65536L)).cast("long").as("xk"),
+      pmod(datediff(col("o_orderdate"), lit("1990-01-01").cast("date")),
+        lit(65536)).cast("long").as("yk"))
+    base.withColumn("zkey", Lake.zValue(col("xk"), col("yk"), 16))
+      .orderBy(col("zkey"), col("o_orderkey"))
+      .limit(50)
+  }
+
+  private val q111Sql =
+    """SELECT o_orderkey, xk, yk,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+         (((xk >> i) & 1) << (2 * i)) + (((yk >> i) & 1) << (2 * i + 1))))
+         AS BIGINT) AS zkey
+       FROM (SELECT o_orderkey,
+               o_custkey % 65536 AS xk,
+               datediff('day', DATE '1990-01-01', o_orderdate) % 65536
+                 AS yk
+             FROM orders) t
+       ORDER BY zkey, o_orderkey LIMIT 50"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -468,7 +541,9 @@ object Analytics {
     "q106_change_history" -> (q106 _),
     "q107_markov_transitions" -> (q107 _),
     "q108_skew_report" -> (q108 _),
-    "q109_bpe_merges" -> (q109 _))
+    "q109_bpe_merges" -> (q109 _),
+    "q110_bpe_encode" -> (q110 _),
+    "q111_zorder_key" -> (q111 _))
 
   val oracles: Map[String, String] = Map(
     "q97_bm25" -> q97Sql,
@@ -483,5 +558,7 @@ object Analytics {
     "q106_change_history" -> q106Sql,
     "q107_markov_transitions" -> q107Sql,
     "q108_skew_report" -> q108Sql,
-    "q109_bpe_merges" -> q109Sql)
+    "q109_bpe_merges" -> q109Sql,
+    "q110_bpe_encode" -> q110Sql,
+    "q111_zorder_key" -> q111Sql)
 }

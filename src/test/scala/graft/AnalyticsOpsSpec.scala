@@ -325,6 +325,50 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
   }
 
+  test("bpe tokenCounts applies merges as one map-only encode") {
+    // words: 'abab' (chars a,b,a,b) with merges (a,b)->ab, (ab,ab)->abab
+    val docs = Seq((1L, "abab ab x"), (2L, "abab abab")).toDF("id", "text")
+    val out = graft.operators.Bpe.tokenCounts(docs, "id", "text",
+        Seq(("a", "b"), ("ab", "ab")))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: abab→[abab](1), ab→[ab](1), x→[x](1) = 3 words 3 tokens
+    // doc 2: abab→1, abab→1 = 2 words 2 tokens
+    assert(out.toSeq == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+  }
+
+  // ---------------------------------------------------------- z-order
+  test("zValue interleaves bits (Morton order on a 4x4 tile)") {
+    import graft.operators.Lake
+    val pts = for (x <- 0 to 3; y <- 0 to 3) yield (x, y)
+    val out = pts.toDF("x", "y")
+      .withColumn("z", Lake.zValue(col("x"), col("y"), 2))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // hand-checked Morton codes
+    assert(out((0, 0)) == 0L && out((1, 0)) == 1L && out((0, 1)) == 2L &&
+      out((1, 1)) == 3L && out((2, 0)) == 4L && out((2, 2)) == 12L &&
+      out((3, 3)) == 15L)
+    // quadrant locality: the low quadrant [0,1]² occupies codes 0..3
+    val lowQuad = pts.filter(p => p._1 <= 1 && p._2 <= 1)
+      .map(p => out(p)).toSet
+    assert(lowQuad == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("zOrderForWrite yields disjoint key ranges per output partition") {
+    import graft.operators.Lake
+    val df = (0 until 400).map(i => (i % 20, (i * 7) % 20)).toDF("x", "y")
+    val parts = Lake.zOrderForWrite(df, "x", "y", bits = 5, numFiles = 4)
+      .withColumn("z", Lake.zValue(col("x"), col("y"), 5))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(parts.length == 4)
+    parts.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, "partition key ranges must not overlap")
+    }
+  }
+
   // ------------------------------------------------------------- MAD
   test("madOutliers flags exactly the planted outliers") {
     // group g: 99 values in [100, 298] (step 2) + one wild point
