@@ -185,16 +185,25 @@ object Scale {
     * trade graph (distinct order-line pairs, symmetrized so the walk
     * has no dangling sinks): 2 damped rounds, top 30 nodes. The oracle
     * unrolls both rounds; the per-round rank quantization (operator
-    * contract) is what makes the comparison exact. */
+    * contract) is what makes the comparison exact. Nodes travel as
+    * LONGS through the per-round joins (even = customer, odd =
+    * supplier) and map to the display names only at the end — the hot
+    * path shuffles and compares 8-byte keys, not strings. */
   private def q92(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cn"),
-        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .select((col("o_custkey").cast("long") * 2).as("cn"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("sn"))
       .distinct()
     val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
     graft.operators.Graph.pagerank(edges, damping = 0.85, iters = 2)
+      .select(
+        when(pmod(col("node"), lit(2L)) === 0,
+          concat(lit("c"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(30)
   }
