@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Curation, Pipeline, Relational, Scale}
+import graft.queries.{Analytics, Curation, Insights, Pipeline, Relational,
+  Scale}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Pipeline.queries ++ Curation.queries ++
-      Scale.queries ++ Analytics.queries
+      Scale.queries ++ Analytics.queries ++ Insights.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -29,5 +30,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Pipeline.oracles ++ Curation.oracles ++
-      Scale.oracles ++ Analytics.oracles
+      Scale.oracles ++ Analytics.oracles ++ Insights.oracles
 }

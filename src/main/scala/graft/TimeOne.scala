@@ -18,8 +18,11 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val clear = sys.env.get("SPARK_GRAFT_CLEAR_CACHE").contains("1")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     args.foreach { name =>
-      (1 to 2).foreach { run =>
+      (1 to nRuns).foreach { run =>
+        if (clear) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // noop write evaluates every column; count() would let Catalyst
         // prune computed projections out of the measurement

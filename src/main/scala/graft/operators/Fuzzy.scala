@@ -45,4 +45,50 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= 1)
   }
+
+  /** Blocked sorted-neighborhood record linkage: candidate pairs are
+    * rows within `window` positions of each other when each BLOCK
+    * (strings sharing a `blockLen`-character prefix) is sorted by
+    * (string, id); survivors pay an exact `levenshtein ≤ maxDist`
+    * check. Output `(id_a, id_b, str_a, str_b, dist)`, `id_a < id_b`
+    * by id order within the pair.
+    *
+    * Classic SNM sorts the WHOLE corpus on one key — a single total
+    * order, which on a cluster means one giant range-sorted window.
+    * The blocked variant keeps the method's shape (sort key locality ⇒
+    * near-duplicates end up adjacent) but partitions the sort by the
+    * block prefix: each block sorts independently (a keyed window, no
+    * global coordination), candidate fan-out per row is ≤ `window`,
+    * and recall loss vs full SNM is exactly the pairs whose first
+    * `blockLen` characters already differ — pairs an edit-distance
+    * cap of `maxDist < blockLen` mostly rules out anyway for typos
+    * beyond the prefix. Complements [[editDistance1Pairs]]: SymSpell
+    * is exact for distance ≤ 1; SNM reaches larger distances at
+    * bounded cost.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              strCol: String, blockLen: Int = 4,
+                              window: Int = 3,
+                              maxDist: Int = 2): DataFrame = {
+    require(blockLen >= 1 && window >= 1 && maxDist >= 0,
+      "blockLen/window must be positive, maxDist non-negative")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ranked = df.select(col(idCol).as("id"), col(strCol).as("str"),
+        col(strCol).substr(1, blockLen).as("blk"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("blk").orderBy(col("str").asc, col("id").asc)))
+    ranked.as("a").join(ranked.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("b.rn") > col("a.rn") &&
+          col("b.rn") <= col("a.rn") + window)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.str"))
+          .otherwise(col("b.str")).as("str_a"),
+        when(col("a.id") < col("b.id"), col("b.str"))
+          .otherwise(col("a.str")).as("str_b"))
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -55,6 +55,90 @@ object Series {
         col("n").cast("double") / sum(col("n")).over(w2).cast("double"), 4))
   }
 
+  /** Weekly retention cohorts: `(cohort_week, week_offset, n_users,
+    * retention)` — users grouped by the week of their first event,
+    * tracked by how many return in each subsequent week. Weeks are
+    * integer indices from a fixed epoch (`floor(days/7)`) rather than
+    * engine `date_trunc('week', …)` so week boundaries can never
+    * diverge across engines. `retention` is the 4-decimal share of the
+    * cohort active at that offset (offset 0 is 1.0 by construction).
+    *
+    * Scale posture: the event stream collapses immediately to DISTINCT
+    * (user, week) — one aggregation — then everything downstream is
+    * user- or cohort-cardinality: a per-user min, a user-keyed join,
+    * and a (cohort, offset) aggregation of at most |users| × |span
+    * weeks| rows. No window over the corpus, no sort.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       epoch: String = "1990-01-01"): DataFrame = {
+    val week = floor(datediff(to_date(col(tsCol)),
+      lit(epoch).cast("date")) / 7).cast("long")
+    val userWeeks = events
+      .select(col(userCol).as("u"), week.as("week")).distinct()
+    val cohorts = userWeeks.groupBy("u")
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    userWeeks.join(cohorts, "u")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        graft.functions.Rounding.roundTo(
+          col("n_users").cast("double") / col("cohort_size").cast("double"),
+          4).as("retention"))
+  }
+
+  /** Rolling z-score anomaly flags over per-type daily volumes:
+    * `(<typeCol>, day, cnt, n_base, base_mean, base_sd, z, is_anomaly)`
+    * where the baseline is the trailing `lookback` days EXCLUDING the
+    * current day (an anomaly must not suppress itself), `z` is defined
+    * once the baseline has ≥ `minBase` days and positive spread, and
+    * `is_anomaly = |z| ≥ zThresh`.
+    *
+    * Cross-engine determinism: the baseline moments come from window
+    * sums of integer counts (`Σx`, `Σx²` are exact in double for any
+    * summation order), variance is the explicit
+    * `n/(n−1)·(E[x²]−E[x]²)` — never a streaming `stddev` whose
+    * update order could differ between engines.
+    *
+    * Scale posture: one hash aggregation corpus → (type, day), then
+    * windows run over |types| × |span days| rows only.
+    */
+  def rollingAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                       lookback: Int = 7, zThresh: Double = 3.0,
+                       minBase: Int = 3): DataFrame = {
+    require(lookback >= 2 && minBase >= 2,
+      "baseline needs at least two days for a sample variance")
+    import graft.functions.Rounding.{roundTo => round}
+    val daily = events
+      .select(col(typeCol).as("t"), to_date(col(tsCol)).as("day"))
+      .groupBy("t", "day").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("t").orderBy("day")
+      .rowsBetween(-lookback, -1)
+    val x = col("cnt").cast("double")
+    val withMoments = daily
+      .withColumn("n_base", count(col("cnt")).over(w))
+      .withColumn("sx", sum(x).over(w))
+      .withColumn("sxx", sum(x * x).over(w))
+    val n = col("n_base").cast("double")
+    val mean = col("sx") / n
+    val variance = (col("sxx") / n - mean * mean) * n / (n - 1.0)
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val z = when(col("n_base") >= minBase && sd > 0.0,
+      round((x - mean) / sd, 4))
+    withMoments
+      .withColumn("base_mean", when(col("n_base") >= 1, round(mean, 4)))
+      .withColumn("base_sd",
+        when(col("n_base") >= 2, round(sd, 4)))
+      .withColumn("z", z)
+      .withColumn("is_anomaly",
+        coalesce(abs(z) >= zThresh, lit(false)))
+      .select(col("t").as(typeCol), col("day"), col("cnt"), col("n_base"),
+        col("base_mean"), col("base_sd"), col("z"), col("is_anomaly"))
+  }
+
   def dailyGapFill(events: DataFrame, keyCol: String,
                    tsCol: String): DataFrame = {
     val daily = events

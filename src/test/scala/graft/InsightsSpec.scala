@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fuzzy, Series}
+
+/** Unit coverage for the round-5 insight operators: blocked
+  * sorted-neighborhood linkage, retention cohorts, rolling z-score
+  * anomalies.
+  */
+class InsightsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------- sorted neighborhood
+  test("snm pairs rank-adjacent near-duplicates and verifies distance") {
+    val rows = Seq(
+      (1L, "alpha centauri"),
+      (2L, "alpha centauri x"), // dist 2 from row 1, same block
+      (3L, "alpha zebra"),      // same block, far from both
+      (4L, "beta orion")        // different block
+    ).toDF("id", "s")
+    val out = Fuzzy.sortedNeighborhoodPairs(rows, "id", "s",
+      blockLen = 4, window = 3, maxDist = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getInt(4) == 2)
+  }
+
+  test("snm never pairs across blocks, even at distance 0") {
+    // identical strings except the first character → different blocks
+    val rows = Seq((1L, "aaaa tail"), (2L, "baaa tail")).toDF("id", "s")
+    val out = Fuzzy.sortedNeighborhoodPairs(rows, "id", "s",
+      blockLen = 4, window = 3, maxDist = 2)
+    assert(out.isEmpty)
+  }
+
+  test("snm window bounds candidate fan-out") {
+    // five same-block strings in sort order; w=1 pairs only neighbors
+    val rows = (1 to 5).map(i => (i.toLong, s"blk $i")).toDF("id", "s")
+    val out = Fuzzy.sortedNeighborhoodPairs(rows, "id", "s",
+      blockLen = 4, window = 1, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+  }
+
+  // ----------------------------------------------- retention cohorts
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+
+  test("retention cohorts: offsets count returning users, rate is share") {
+    // epoch weeks: 2024-01-01 is a Monday; days 1-7 one week, 8-14 next
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(8)),  // u1: cohort w, returns w+1
+      (2L, ts(2)),               // u2: cohort w only
+      (3L, ts(9))                // u3: cohort w+1
+    ).toDF("user_id", "ts")
+    val out = Series.retentionCohorts(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+    val byKey = out.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getDouble(3)))).toMap
+    val w0 = out.map(_.getLong(0)).min
+    assert(byKey((w0, 0L)) == ((2L, 1.0)))   // u1,u2 in first cohort
+    assert(byKey((w0, 1L)) == ((1L, 0.5)))   // u1 returns
+    assert(byKey((w0 + 1, 0L)) == ((1L, 1.0))) // u3's own cohort
+    assert(out.length == 3)
+  }
+
+  // ----------------------------------------------- rolling anomalies
+  test("rolling anomalies: spike flags, baseline excludes current day") {
+    // 9 calm days of 10 events then a day of 100
+    val events = (1 to 9).flatMap(d => (1 to 10).map(i =>
+      ("click", ts(d)))) ++ (1 to 100).map(i => ("click", ts(10)))
+    val out = Series.rollingAnomalies(events.toDF("event_type", "ts"),
+        "event_type", "ts", lookback = 7, zThresh = 3.0, minBase = 3)
+      .orderBy("day").collect()
+    // calm days: sd = 0 → z null, never anomalous
+    out.take(9).foreach { r =>
+      assert(r.isNullAt(6), s"calm day z should be null: $r")
+      assert(!r.getBoolean(7))
+    }
+    // spike day: baseline is the 7 calm days before it (mean 10, sd 0)
+    // → sd = 0 means z undefined there too; widen one count to get
+    // spread and re-check the flag fires
+    val varied = events.toDF("event_type", "ts")
+      .union(Seq(("click", ts(3))).toDF("event_type", "ts"))
+    val out2 = Series.rollingAnomalies(varied, "event_type", "ts",
+        lookback = 7, zThresh = 3.0, minBase = 3)
+      .orderBy("day").collect()
+    val spike = out2.last
+    assert(spike.getLong(2) == 100L)
+    assert(spike.getBoolean(7), s"spike day must flag: $spike")
+    // baseline mean on the spike day ignores the spike itself
+    assert(spike.getDouble(4) < 11.0)
+  }
+
+  test("rolling anomalies: first days have no z until minBase history") {
+    val events = (1 to 4).map(d => ("view", ts(d))).toDF("event_type", "ts")
+    val out = Series.rollingAnomalies(events, "event_type", "ts",
+        lookback = 7, zThresh = 3.0, minBase = 3)
+      .orderBy("day").collect()
+    assert(out(0).getLong(3) == 0L) // n_base
+    assert(out(1).getLong(3) == 1L)
+    out.take(3).foreach(r => assert(r.isNullAt(6)))
+  }
+}
