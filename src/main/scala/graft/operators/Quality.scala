@@ -136,6 +136,40 @@ object Quality {
       .limit(topN)
   }
 
+  /** Equi-depth histogram: `k` bins holding (near-)equal row counts,
+    * reported as `(bin, n_rows, lo, hi)` with the observed value range
+    * per bin. Bin boundaries are the exact interpolated `i/k` quantiles
+    * (one aggregation — the same `percentile` ↔ `quantile_cont`
+    * contract [[winsorize]] relies on); a value lands in
+    * `bin = #{boundaries strictly below it}`, so ties sitting exactly
+    * on a boundary go to the lower bin in every engine. Equi-WIDTH
+    * histograms (q87's shape) starve on skew — one hot bin, many empty
+    * ones; equi-depth is what optimizers and drift monitors keep.
+    *
+    * Scale posture: one quantile aggregation produces a k-sized
+    * boundary array that travels as a literal-sized broadcast; bin
+    * assignment is a codegen'd map-only fold over that array; then one
+    * k-group aggregation. No corpus sort, no window. (At extreme scale
+    * swap the exact quantile for `approx_percentile` — the bin
+    * assignment and contract are unchanged.)
+    */
+  def equiDepthHistogram(df: DataFrame, valCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 2, "an equi-depth histogram needs at least 2 bins")
+    val fracs = (1 until k).map(_.toDouble / k)
+    val bounds = df.agg(
+      expr(s"percentile($valCol, array(${fracs.mkString(",")}))")
+        .as("bounds"))
+    val x = col(valCol).cast("double")
+    df.filter(x.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(aggregate(col("bounds"), lit(0),
+        (acc, b) => acc + when(x > b, 1).otherwise(0)).as("bin"), x.as("x"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min(col("x")).as("lo"),
+        max(col("x")).as("hi"))
+  }
+
   /** Per-group robust outlier statistics via the median absolute
     * deviation: `(group, n, med, mad, n_outliers)` where an outlier is
     * a row with `|x − med| > c · 1.4826 · mad` (1.4826 scales MAD to

@@ -72,4 +72,42 @@ object Rank {
         round(sum(col("contrib")), 4).as("score"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.): merge ranked lists from
+    * heterogeneous retrievers — lexical BM25, embedding ANN, anything
+    * that emits (id, rank) — into one ranking by
+    * `score(d) = Σ_lists 1/(k0 + rank_list(d))`, the standard hybrid-
+    * retrieval combiner (scores from different retrievers are not
+    * comparable; ranks are). Output: `(<idCol>, rrf_score, n_lists,
+    * best_rank)`, `rrf_score` rounded to 6.
+    *
+    * Each input must carry one row per id with a 1-based `rankCol`.
+    * Determinism note: with two lists the fused sum is a single
+    * floating add (commutative bitwise); for 3+ lists the reciprocals
+    * are summed in rank order (`sort_array` on the collected list) so
+    * the result never depends on shuffle arrival order.
+    *
+    * Scale posture: candidate lists are top-k per retriever — k·lists
+    * rows total, NOT corpus-sized — so the fusion is a union + one
+    * hash aggregation on the id; at 100 TB all the weight stays in the
+    * upstream retrievers.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 1, "k0 must be positive (RRF denominator offset)")
+    val tagged = rankings.map(_.select(col(idCol).as("id"),
+      col(rankCol).cast("long").as("rank")))
+    val all = tagged.reduce(_ unionByName _)
+    all.groupBy("id")
+      .agg(
+        // fixed-order fold over the collected ranks: reciprocals are
+        // added smallest-rank-first regardless of partition arrival
+        round(aggregate(sort_array(collect_list(col("rank"))),
+          lit(0.0), (acc, r) => acc + lit(1.0) / (lit(k0.toDouble) + r)),
+          6).as("rrf_score"),
+        count(lit(1)).as("n_lists"),
+        min(col("rank")).as("best_rank"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Fuzzy, Series}
+import graft.operators.{Chunks, Fuzzy, Quality, Rank, Series, Similarity}
 
 /** Round-5 behavioral / linkage operators: blocked sorted-neighborhood
   * record linkage, weekly retention cohorts, and rolling z-score
@@ -135,15 +135,140 @@ object Insights {
                   false) AS is_anomaly
        FROM s ORDER BY event_type, day"""
 
+  // --------------------------------------------------------------- q115
+  /** Hybrid retrieval via reciprocal-rank fusion ([[Rank.rrfFuse]]):
+    * the BM25 lexical top-50 (q97's scorer) fused with the embedding
+    * cosine top-50 for query vector 0 (q40's ranker) — scores from the
+    * two retrievers are incomparable, ranks fuse. Both candidate lists
+    * are top-k-sized; the fusion itself never touches the corpus. */
+  private val rrfTerms = Seq("spark", "vector", "stream", "window", "hash")
+
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Rank.bm25(Tables.documents(s, d), "doc_id", "text", rrfTerms)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 50)
+      .select("doc_id", "rank")
+    val emb = Tables.embeddings(s, d)
+    val sem = Similarity.knnBruteForce(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Rank.rrfFuse(Seq(lex, sem), "doc_id", "rank", k0 = 60)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q115Sql =
+    s"""WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(text),'\\s+') AS w FROM documents),
+       dl AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM toks),
+       st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, t AS tok, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(w) AS t FROM toks) u
+              WHERE t IN (${rrfTerms.map(t => s"'$t'").mkString(",")})
+              GROUP BY doc_id, t),
+       idf AS (SELECT tok,
+                 ln(1 + (st.n_docs - count(*)::DOUBLE + 0.5)
+                      / (count(*)::DOUBLE + 0.5)) AS idf
+               FROM tf, st GROUP BY tok, st.n_docs),
+       sc AS (SELECT tf.doc_id,
+                round(sum(idf.idf * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+                  AS score
+              FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), st
+              GROUP BY tf.doc_id),
+       lex AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+               FROM sc ORDER BY rank LIMIT 50),
+       sem AS (SELECT c.vec_id AS doc_id,
+                 row_number() OVER (ORDER BY
+                   round(list_dot_product(q.embedding::DOUBLE[],
+                       c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                          q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                            c.embedding::DOUBLE[]))), 4) DESC,
+                   c.vec_id) AS rank
+               FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+               WHERE q.vec_id = 0
+               ORDER BY rank LIMIT 50),
+       u AS (SELECT doc_id, rank FROM lex
+             UNION ALL SELECT doc_id, rank FROM sem)
+       SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+         count(*) AS n_lists, min(rank) AS best_rank
+       FROM u GROUP BY doc_id
+       ORDER BY rrf_score DESC, doc_id LIMIT 20"""
+
+  // --------------------------------------------------------------- q116
+  /** Sliding-window RAG chunking ([[Chunks.slidingChunks]]): 32-word
+    * chunks advancing by 24 (8-word overlap), fingerprinted — the
+    * map-only segmentation pass in front of a chunk index; fan-out
+    * happens inside the scan projection with zero shuffle. */
+  private def q116(s: SparkSession, d: String): DataFrame =
+    Chunks.slidingChunks(Tables.documents(s, d), "doc_id", "text",
+        size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val q116Sql =
+    """WITH w AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS ws
+         FROM documents WHERE text IS NOT NULL),
+       n AS (SELECT doc_id, ws,
+               1 + CAST(floor((greatest(len(ws) - 32, 0) + 23) / 24.0)
+                 AS INT) AS nchunks
+             FROM w),
+       c AS (SELECT doc_id, ws, CAST(unnest(range(0, nchunks)) AS INT)
+               AS chunk_idx
+             FROM n),
+       s AS (SELECT doc_id, chunk_idx,
+               list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32)
+                 AS cw
+             FROM c)
+       SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
+         md5(array_to_string(cw, ' ')) AS chunk_fp
+       FROM s ORDER BY doc_id, chunk_idx"""
+
+  // --------------------------------------------------------------- q117
+  /** Equi-depth histogram ([[Quality.equiDepthHistogram]]): 8 equal-
+    * count bins over order totals — boundaries from one exact-quantile
+    * aggregation, bin assignment a map-only fold over the broadcast
+    * boundary array, ties-on-boundary to the lower bin in both
+    * engines. */
+  private val edhK = 8
+  private val edhFracs = (1 until edhK).map(_.toDouble / edhK)
+
+  private def q117(s: SparkSession, d: String): DataFrame =
+    Quality.equiDepthHistogram(
+        Tables.orders(s, d).select(col("o_totalprice")),
+        "o_totalprice", k = edhK)
+      .orderBy("bin")
+
+  private val q117Sql =
+    s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+           [${edhFracs.mkString(", ")}]) AS bounds FROM orders),
+       a AS (SELECT CAST(len(list_filter(b.bounds, x -> o_totalprice > x))
+               AS INT) AS bin,
+               o_totalprice AS x
+             FROM orders, b WHERE o_totalprice IS NOT NULL)
+       SELECT bin, count(*) AS n_rows, min(x) AS lo, max(x) AS hi
+       FROM a GROUP BY bin ORDER BY bin"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
-    "q114_rolling_anomaly" -> (q114 _))
+    "q114_rolling_anomaly" -> (q114 _),
+    "q115_rrf_fusion" -> (q115 _),
+    "q116_rag_chunks" -> (q116 _),
+    "q117_equidepth_hist" -> (q117 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
-    "q114_rolling_anomaly" -> q114Sql)
+    "q114_rolling_anomaly" -> q114Sql,
+    "q115_rrf_fusion" -> q115Sql,
+    "q116_rag_chunks" -> q116Sql,
+    "q117_equidepth_hist" -> q117Sql)
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Fuzzy, Series}
+import graft.operators.{Chunks, Fuzzy, Quality, Rank, Series}
 
 /** Unit coverage for the round-5 insight operators: blocked
   * sorted-neighborhood linkage, retention cohorts, rolling z-score
@@ -92,6 +92,60 @@ class InsightsSpec extends SparkSpec {
     assert(spike.getBoolean(7), s"spike day must flag: $spike")
     // baseline mean on the spike day ignores the spike itself
     assert(spike.getDouble(4) < 11.0)
+  }
+
+  // ----------------------------------------------- reciprocal rank fusion
+  test("rrf fuses two lists by summed reciprocal rank") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Rank.rrfFuse(Seq(a, b), "id", "rank", k0 = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    def rr(rs: Int*): Double = graft.functions.Rounding.roundTo(
+      rs.map(r => 1.0 / (60 + r)).sum, 6)
+    assert(out(20L) == ((rr(2, 1), 2L, 1L))) // in both lists
+    assert(out(10L) == ((rr(1), 1L, 1L)))
+    assert(out(40L) == ((rr(2), 1L, 2L)))
+    // doc in both lists outranks any single-list doc here
+    assert(out(20L)._1 > out(10L)._1)
+  }
+
+  // ----------------------------------------------- sliding chunks
+  test("sliding chunks cover the document with the declared overlap") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Chunks.slidingChunks(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", size = 32, stride = 24)
+      .orderBy("chunk_idx").collect()
+    // 1 + ceil((100-32)/24) = 1 + ceil(68/24) = 4 chunks
+    assert(out.length == 4)
+    assert(out.map(_.getInt(2)).toSeq == Seq(32, 32, 32, 100 - 3 * 24))
+    // fingerprints differ (overlap < size)
+    assert(out.map(_.getString(3)).distinct.length == 4)
+  }
+
+  test("sliding chunks: short and empty docs yield exactly one chunk") {
+    val out = Chunks.slidingChunks(
+        Seq((1L, "just three words"), (2L, ""), (3L, null.asInstanceOf[String]))
+          .toDF("id", "text"),
+        "id", "text", size = 32, stride = 24)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    // null text drops; empty text is the single empty-token chunk
+    assert(out.toSeq.sorted == Seq(1L -> 0, 2L -> 0))
+  }
+
+  // ----------------------------------------------- equi-depth histogram
+  test("equi-depth histogram balances counts and orders ranges") {
+    val df = (1 to 800).map(i => Tuple1(i.toDouble)).toDF("v")
+    val out = Quality.equiDepthHistogram(df, "v", k = 8)
+      .orderBy("bin").collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == 800L)
+    // near-equal depth on a uniform column
+    out.foreach(r => assert(math.abs(r.getLong(1) - 100L) <= 1,
+      s"unbalanced bin: $r"))
+    // ranges tile in order without overlap
+    val los = out.map(_.getDouble(2)); val his = out.map(_.getDouble(3))
+    (1 until 8).foreach(i => assert(los(i) > his(i - 1)))
   }
 
   test("rolling anomalies: first days have no z until minBase history") {
