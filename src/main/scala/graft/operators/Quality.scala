@@ -136,6 +136,43 @@ object Quality {
       .limit(topN)
   }
 
+  /** Self-join size forecast: predict `|df ⋈ df|` on `keyCol` — the
+    * number a planner needs BEFORE committing a 100 TB shuffle that
+    * might explode quadratically on hot keys. One row:
+    * `(exact_pairs, est_pairs, rel_err, n_rows, n_keys, max_key_cnt)`
+    * where `exact_pairs = Σ_k f(k)²` from the full per-key count table
+    * and `est_pairs` extrapolates the same sum from a deterministic
+    * 1-in-`sampleMod` KEY sample (the shared md5 kernel on the key, so
+    * the sample — and therefore the estimate — is identical on any
+    * engine or partitioning). Sampling keys, not rows, is what makes
+    * the estimator unbiased for Σf²: every sampled key contributes its
+    * exact f(k)², scaled by the sampling rate.
+    *
+    * At scale the exact branch is the expensive one (it is the
+    * verification here); the estimator's cost is a scan of the sampled
+    * keys only — push `hashBucket(key) = 0` into the scan and the
+    * count table shrinks by `sampleMod`×.
+    */
+  def selfJoinForecast(df: DataFrame, keyCol: String,
+                       sampleMod: Int = 10,
+                       salt: String = "sjf"): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val sampled = Sampling.hashBucket(col("key"), salt, sampleMod) === 0
+    counts.agg(
+        sum(col("cnt") * col("cnt")).as("exact_pairs"),
+        (sum(when(sampled, col("cnt") * col("cnt")).otherwise(0L))
+          * sampleMod).as("est_pairs"),
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_cnt"))
+      .select(col("exact_pairs"), col("est_pairs"),
+        round((col("est_pairs") - col("exact_pairs")).cast("double")
+          / col("exact_pairs").cast("double"), 4).as("rel_err"),
+        col("n_rows"), col("n_keys"), col("max_key_cnt"))
+  }
+
   /** Equi-depth histogram: `k` bins holding (near-)equal row counts,
     * reported as `(bin, n_rows, lo, hi)` with the observed value range
     * per bin. Bin boundaries are the exact interpolated `i/k` quantiles

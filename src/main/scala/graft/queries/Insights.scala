@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Chunks, Fuzzy, Quality, Rank, Series, Similarity}
+import graft.operators.{Chunks, Experiment, Fuzzy, Graph, Quality, Rank,
+  Series, Similarity}
 
 /** Round-5 behavioral / linkage operators: blocked sorted-neighborhood
   * record linkage, weekly retention cohorts, and rolling z-score
@@ -254,6 +255,105 @@ object Insights {
        SELECT bin, count(*) AS n_rows, min(x) AS lo, max(x) AS hi
        FROM a GROUP BY bin ORDER BY bin"""
 
+  // --------------------------------------------------------------- q118
+  /** Triangle counting ([[Graph.triangleCounts]]) over the part
+    * co-occurrence graph (parts sharing an order): the engine orients
+    * edges by (degree, id) — wedge fan-out capped near arboricity, the
+    * form that survives power-law graphs — while the oracle uses plain
+    * id order; any total-order orientation finds the same triangle
+    * set, so the per-node counts must agree exactly. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    Graph.triangleCounts(edges, "a", "b")
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(20)
+  }
+
+  private val q118Sql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1 JOIN e e2 ON e1.v = e2.u
+               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+       SELECT node, count(*) AS n_triangles
+       FROM (SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) n
+       GROUP BY node
+       ORDER BY n_triangles DESC, node LIMIT 20"""
+
+  // --------------------------------------------------------------- q119
+  /** Self-join size forecast ([[Quality.selfJoinForecast]]): exact
+    * Σf² for lineitem⋈lineitem on partkey next to the 1-in-10
+    * deterministic key-sample extrapolation — the planner probe run
+    * before committing the shuffle. */
+  private def q119(s: SparkSession, d: String): DataFrame =
+    Quality.selfJoinForecast(Tables.lineitem(s, d), "l_partkey",
+      sampleMod = 10, salt = "sjf")
+
+  private val q119Sql =
+    """WITH c AS (SELECT l_partkey AS key, count(*) AS cnt
+           FROM lineitem GROUP BY l_partkey),
+       s AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs,
+               CAST(10 * sum(CASE WHEN ('0x' ||
+                   substr(md5('sjf' || key::VARCHAR), 1, 15))::BIGINT
+                   % 10 = 0 THEN cnt * cnt ELSE 0 END) AS BIGINT)
+                 AS est_pairs,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               count(*) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_key_cnt
+             FROM c)
+       SELECT exact_pairs, est_pairs,
+         round((est_pairs - exact_pairs)::DOUBLE / exact_pairs::DOUBLE, 4)
+           AS rel_err,
+         n_rows, n_keys, max_key_cnt
+       FROM s"""
+
+  // --------------------------------------------------------------- q120
+  /** Welch A/B readout ([[Experiment.welchAb]]): users split into two
+    * deterministic hash arms (unit = user, never the event), per-type
+    * means/variances from one conditional aggregation, Welch z on the
+    * difference. */
+  private def q120(s: SparkSession, d: String): DataFrame =
+    Experiment.welchAb(Tables.events(s, d), "user_id", "value",
+        "event_type", salt = "ab")
+      .orderBy("event_type")
+
+  private val q120Sql =
+    """WITH b AS (SELECT event_type, value::DOUBLE AS x,
+           ('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 AS arm
+         FROM events WHERE value IS NOT NULL),
+       m AS (SELECT event_type,
+               CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               sum(x) FILTER (arm = 0) AS sa,
+               sum(x) FILTER (arm = 1) AS sb,
+               sum(x * x) FILTER (arm = 0) AS saa,
+               sum(x * x) FILTER (arm = 1) AS sbb
+             FROM b GROUP BY event_type
+             HAVING n_a >= 2 AND n_b >= 2),
+       t AS (SELECT event_type, n_a, n_b,
+               sa / n_a AS ma, sb / n_b AS mb,
+               greatest((saa / n_a - (sa / n_a) * (sa / n_a))
+                 * n_a / (n_a - 1.0), 0.0) AS va,
+               greatest((sbb / n_b - (sb / n_b) * (sb / n_b))
+                 * n_b / (n_b - 1.0), 0.0) AS vb
+             FROM m)
+       SELECT event_type, n_a, n_b,
+         round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+         round(ma - mb, 4) AS diff,
+         round(sqrt(va / n_a + vb / n_b), 6) AS se,
+         CASE WHEN va / n_a + vb / n_b > 0
+              THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 4)
+         END AS z
+       FROM t ORDER BY event_type"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -262,7 +362,10 @@ object Insights {
     "q114_rolling_anomaly" -> (q114 _),
     "q115_rrf_fusion" -> (q115 _),
     "q116_rag_chunks" -> (q116 _),
-    "q117_equidepth_hist" -> (q117 _))
+    "q117_equidepth_hist" -> (q117 _),
+    "q118_triangle_count" -> (q118 _),
+    "q119_selfjoin_forecast" -> (q119 _),
+    "q120_welch_ab" -> (q120 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -270,5 +373,8 @@ object Insights {
     "q114_rolling_anomaly" -> q114Sql,
     "q115_rrf_fusion" -> q115Sql,
     "q116_rag_chunks" -> q116Sql,
-    "q117_equidepth_hist" -> q117Sql)
+    "q117_equidepth_hist" -> q117Sql,
+    "q118_triangle_count" -> q118Sql,
+    "q119_selfjoin_forecast" -> q119Sql,
+    "q120_welch_ab" -> q120Sql)
 }

@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunks, Fuzzy, Quality, Rank, Series}
+import graft.operators.{Chunks, Experiment, Fuzzy, Graph, Quality, Rank,
+  Sampling, Series}
 
 /** Unit coverage for the round-5 insight operators: blocked
   * sorted-neighborhood linkage, retention cohorts, rolling z-score
@@ -146,6 +147,72 @@ class InsightsSpec extends SparkSpec {
     // ranges tile in order without overlap
     val los = out.map(_.getDouble(2)); val his = out.map(_.getDouble(3))
     (1 until 8).foreach(i => assert(los(i) > his(i - 1)))
+  }
+
+  // ----------------------------------------------- triangle counting
+  test("triangle counts: K4 gives every node C(3,2)=3 triangles") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield
+      (a.toLong, b.toLong)).toDF("a", "b")
+    val out = Graph.triangleCounts(k4, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts ignore duplicate/reversed edges and open wedges") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 3L), // one triangle
+      (3L, 4L), (4L, 5L)                                 // open path
+    ).toDF("a", "b")
+    val out = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ----------------------------------------------- self-join forecast
+  test("self-join forecast: exact pairs is the sum of squared counts") {
+    // key 1 ×3, key 2 ×2, key 3 ×1 → 9 + 4 + 1 = 14
+    val df = Seq(1, 1, 1, 2, 2, 3).map(Tuple1(_)).toDF("k")
+    val r = Quality.selfJoinForecast(df, "k", sampleMod = 1).collect()(0)
+    assert(r.getLong(0) == 14L)         // exact
+    assert(r.getLong(1) == 14L)         // sampleMod=1 → estimate exact
+    assert(r.getDouble(2) == 0.0)       // rel_err
+    assert(r.getLong(3) == 6L && r.getLong(4) == 3L && r.getLong(5) == 3L)
+  }
+
+  // ----------------------------------------------- welch A/B
+  test("welch A/B matches hand-computed moments for the hash arms") {
+    val rows = (1L to 40L).map(u => (u, "seg", u.toDouble % 7))
+    val df = rows.toDF("user_id", "seg", "value")
+    // recover the deterministic arm of each unit, then compute expected
+    val arms = df.select(col("user_id"),
+        Sampling.hashBucket(col("user_id"), "ab", 2).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a, b) = rows.partition(r => arms(r._1) == 0L)
+    def stats(xs: Seq[Double]): (Double, Double) = {
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (m, math.max((xs.map(x => x * x).sum / n - m * m) * n / (n - 1), 0.0))
+    }
+    val (ma, va) = stats(a.map(_._3)); val (mb, vb) = stats(b.map(_._3))
+    val se = math.sqrt(va / a.length + vb / b.length)
+    val out = Experiment.welchAb(df, "user_id", "value", "seg").collect()(0)
+    assert(out.getLong(1) == a.length && out.getLong(2) == b.length)
+    assert(out.getDouble(3) == graft.functions.Rounding.roundTo(ma, 4))
+    assert(out.getDouble(4) == graft.functions.Rounding.roundTo(mb, 4))
+    assert(out.getDouble(6) == graft.functions.Rounding.roundTo(se, 6))
+    assert(out.getDouble(7) ==
+      graft.functions.Rounding.roundTo((ma - mb) / se, 4))
+  }
+
+  test("welch A/B: degenerate arms yield null z, small segments drop") {
+    val df = Seq(
+      (1L, "flat", 5.0), (2L, "flat", 5.0), (3L, "flat", 5.0),
+      (4L, "flat", 5.0), (5L, "flat", 5.0), (6L, "flat", 5.0),
+      (1L, "tiny", 1.0)
+    ).toDF("user_id", "seg", "value")
+    val out = Experiment.welchAb(df, "user_id", "value", "seg").collect()
+    assert(out.length == 1 && out(0).getString(0) == "flat")
+    assert(out(0).isNullAt(7)) // zero spread in both arms → z undefined
   }
 
   test("rolling anomalies: first days have no z until minBase history") {
