@@ -261,13 +261,26 @@ object Insights {
     * edges by (degree, id) — wedge fan-out capped near arboricity, the
     * form that survives power-law graphs — while the oracle uses plain
     * id order; any total-order orientation finds the same triangle
-    * set, so the per-node counts must agree exactly. */
+    * set, so the per-node counts must agree exactly. Edges are
+    * support-thresholded (co-occurrence in ≥ 2 orders) — see the
+    * inline note. */
   private def q118(s: SparkSession, d: String): DataFrame = {
+    // distinct (order, part) FIRST: each pair then occurs once per
+    // order, so plain count(*) IS the distinct-order support — no
+    // count-distinct expand on the 2.8M-row pair stream
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // support-thresholded affinity edges: pairs must co-occur in >= 2
+    // distinct orders — the standard densification cut (incidental
+    // single-order co-occurrence makes the raw graph quadratic-dense;
+    // the threshold is what keeps Sum(deg^2), and so the wedge join,
+    // bounded on a 100 TB basket stream)
     val edges = li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
     Graph.triangleCounts(edges, "a", "b")
       .orderBy(col("n_triangles").desc, col("node"))
       .limit(20)
@@ -275,8 +288,10 @@ object Insights {
 
   private val q118Sql =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
-             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       e AS (SELECT x.pk AS u, y.pk AS v
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY x.pk, y.pk
+             HAVING count(DISTINCT x.ok) >= 2),
        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
                FROM e e1 JOIN e e2 ON e1.v = e2.u
                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
