@@ -68,6 +68,53 @@ object Graph {
     Exec.owned(ranks, Seq(e, nodes, weighted))
   }
 
+  /** Synchronous label propagation (community detection): `rounds`
+    * sweeps where every node simultaneously adopts the most frequent
+    * label among its NEIGHBORS' current labels, ties broken by the
+    * minimum label; labels start as node ids. Returns
+    * `(node, community)` — the label after the final sweep.
+    *
+    * Async LPA (update in visit order) is the textbook fast variant
+    * but its result depends on traversal order — unreproducible across
+    * partitionings, let alone engines. The synchronous sweep with a
+    * total tie-break is a pure function of (graph, rounds): an oracle
+    * can unroll it round by round. Unlike
+    * [[Dedup.connectedComponents]]' min-propagation (which converges
+    * to connected components), frequency voting respects edge DENSITY
+    * — two cliques joined by one bridge edge keep distinct labels.
+    *
+    * Per round: one edge⋈label join (the rank table is the small
+    * side), a (node, label) count aggregation, and a per-node argmax
+    * window over label-cardinality rows. Lineage is checkpoint-
+    * truncated per round like the other iterative operators.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(
+        edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
+    (1 to rounds).foreach { _ =>
+      val votes = e.join(labels.select(col("node").as("dst_n"),
+            col("lbl")), col("dst") === col("dst_n"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle counts over an undirected edge table: `(node,
     * n_triangles)` for every node in at least one triangle.
     *

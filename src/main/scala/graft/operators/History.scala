@@ -48,4 +48,43 @@ object History {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tieCols: _*)
   }
+
+  /** Keyed snapshot diff — the CDC/reconciliation primitive: compare
+    * two versions of a keyed table and report, per key, whether it was
+    * `added` (new only), `removed` (old only), `changed` (present in
+    * both, any tracked column differs), or `unchanged`, plus the
+    * comma-joined sorted list of changed column names. Both inputs
+    * must be key-unique (one row per key — pre-aggregate if not).
+    *
+    * Comparison is null-safe (`<=>`): null→value, value→null, and
+    * value→value′ all count as changes; null→null does not.
+    *
+    * Scale posture: ONE full outer join on the key — the minimal
+    * possible data movement for a diff (both sides shuffle once on the
+    * key; with both snapshots bucketed on the key it is shuffle-free) —
+    * and a map-only status projection. Nothing is collected, no
+    * windows.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   valCols: Seq[String]): DataFrame = {
+    require(valCols.nonEmpty, "diff needs at least one tracked column")
+    val o = oldDf.select(col(keyCol).as("k") +:
+      valCols.map(c => col(c).as(s"o_$c")): _*)
+    val n = newDf.select(col(keyCol).as("k") +:
+      valCols.map(c => col(c).as(s"n_$c")): _*)
+    // key presence must be judged by marker columns, not the value
+    // columns (a legitimately all-null row would read as absent)
+    val joined = o.withColumn("_in_old", lit(true))
+      .join(n.withColumn("_in_new", lit(true)), Seq("k"), "full_outer")
+    val changedCols = concat_ws(",", valCols.sorted.map(c =>
+      when(!(col(s"o_$c") <=> col(s"n_$c")), lit(c))): _*)
+    joined.select(
+      col("k").as(keyCol),
+      when(col("_in_old").isNull, "added")
+        .when(col("_in_new").isNull, "removed")
+        .when(changedCols =!= "", "changed")
+        .otherwise("unchanged").as("status"),
+      when(col("_in_old").isNotNull && col("_in_new").isNotNull,
+        changedCols).as("changed_cols"))
+  }
 }

@@ -99,6 +99,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors whose LABEL differs
+    * from the query's — the near-misses that teach an embedding model
+    * its decision boundary (easy negatives are information-free;
+    * same-label neighbors are positives, not negatives). Output
+    * `(query_id, neighbor_id, query_label, neighbor_label, cosine,
+    * rank)`.
+    *
+    * Same execution shape as [[knnBruteForce]] (query batch broadcast,
+    * corpus scanned once, no corpus shuffle); the label-mismatch
+    * predicate rides the broadcast join, so disqualified corpus rows
+    * die map-side before ranking. For corpus-scale mining swap the
+    * scan for [[knnLsh]]/[[knnIvf]] candidates — the mismatch filter
+    * and ranking are unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = Exec.widen(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"), col(labelCol).as("neighbor_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), col(labelCol).as("query_label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "query_label", "neighbor_label",
+        "cosine", "rank")
+  }
+
   def knnLsh(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              numPlanes: Int = 6, dim: Int = 64): DataFrame = {

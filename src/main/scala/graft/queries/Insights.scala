@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Chunks, Experiment, Fuzzy, Graph, Quality, Rank,
-  Series, Similarity}
+import graft.operators.{Chunks, Experiment, Fuzzy, Graph, History, Quality,
+  Rank, Series, Similarity}
 
 /** Round-5 behavioral / linkage operators: blocked sorted-neighborhood
   * record linkage, weekly retention cohorts, and rolling z-score
@@ -369,6 +369,129 @@ object Insights {
          END AS z
        FROM t ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q121
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each of
+    * the first 5 embedding queries, the 10 most-cosine-similar vectors
+    * with a DIFFERENT label — the contrastive-training near-misses.
+    * Same broadcast shape as q40; the label-mismatch predicate kills
+    * disqualified corpus rows map-side. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 10)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q121Sql =
+    """SELECT query_id, neighbor_id, query_label, neighbor_label, cosine,
+         CAST(rn AS INT) AS rank FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           q.label AS query_label, c.label AS neighbor_label,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                  q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                    c.embedding::DOUBLE[]))), 4) AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                    q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                      c.embedding::DOUBLE[]))), 4) DESC,
+             c.vec_id ASC) AS rn
+         FROM embeddings q JOIN embeddings c ON q.label != c.label
+         WHERE q.vec_id < 5) t
+       WHERE rn <= 10
+       ORDER BY query_id, rank"""
+
+  // --------------------------------------------------------------- q122
+  /** Keyed snapshot diff ([[History.snapshotDiff]]): per-customer
+    * order activity before vs from 2000-01-01, reconciled in one full
+    * outer join — added / removed / changed / unchanged with the
+    * changed-column list. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    def snap(pred: org.apache.spark.sql.Column) = orders.filter(pred)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+    val split = lit("2000-01-01").cast("date")
+    History.snapshotDiff(
+        snap(col("o_orderdate") < split),
+        snap(col("o_orderdate") >= split),
+        "o_custkey", Seq("n_orders", "total"))
+      .orderBy("o_custkey")
+  }
+
+  private val q122Sql =
+    """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+         FROM orders WHERE o_orderdate < DATE '2000-01-01'
+         GROUP BY o_custkey),
+       n AS (SELECT o_custkey AS k, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+         FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+         GROUP BY o_custkey),
+       j AS (SELECT coalesce(o.k, n.k) AS o_custkey,
+               o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+               concat_ws(',',
+                 CASE WHEN o.n_orders IS DISTINCT FROM n.n_orders
+                      THEN 'n_orders' END,
+                 CASE WHEN o.total IS DISTINCT FROM n.total
+                      THEN 'total' END) AS cc
+             FROM o FULL OUTER JOIN n ON o.k = n.k)
+       SELECT o_custkey,
+         CASE WHEN NOT in_old THEN 'added'
+              WHEN NOT in_new THEN 'removed'
+              WHEN cc <> '' THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CASE WHEN in_old AND in_new THEN cc END AS changed_cols
+       FROM j ORDER BY o_custkey"""
+
+  // --------------------------------------------------------------- q123
+  /** Label-propagation communities ([[Graph.labelPropagation]]): three
+    * synchronous frequency-voting sweeps over the q118 affinity graph
+    * — deterministic (min tie-break), oracle unrolled round by
+    * round. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .orderBy("node")
+  }
+
+  private def lpaRound(lIn: String, cPre: String, lOut: String): String =
+    s"""$cPre AS (SELECT e.src AS node, l.lbl, count(*) AS c
+         FROM e JOIN $lIn l ON e.dst = l.node
+         GROUP BY e.src, l.lbl),
+       $lOut AS (SELECT node, lbl FROM (
+           SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+               ORDER BY c DESC, lbl) AS rn
+           FROM $cPre) t
+         WHERE rn = 1)"""
+
+  private val q123Sql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+       und AS (SELECT x.pk AS u, y.pk AS v
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+               GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+       e AS (SELECT u AS src, v AS dst FROM und
+             UNION SELECT v, u FROM und),
+       l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       ${lpaRound("l0", "c1", "l1")},
+       ${lpaRound("l1", "c2", "l2")},
+       ${lpaRound("l2", "c3", "l3")}
+       SELECT node, lbl AS community FROM l3 ORDER BY node"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -380,7 +503,10 @@ object Insights {
     "q117_equidepth_hist" -> (q117 _),
     "q118_triangle_count" -> (q118 _),
     "q119_selfjoin_forecast" -> (q119 _),
-    "q120_welch_ab" -> (q120 _))
+    "q120_welch_ab" -> (q120 _),
+    "q121_hard_negatives" -> (q121 _),
+    "q122_snapshot_diff" -> (q122 _),
+    "q123_label_propagation" -> (q123 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -391,5 +517,8 @@ object Insights {
     "q117_equidepth_hist" -> q117Sql,
     "q118_triangle_count" -> q118Sql,
     "q119_selfjoin_forecast" -> q119Sql,
-    "q120_welch_ab" -> q120Sql)
+    "q120_welch_ab" -> q120Sql,
+    "q121_hard_negatives" -> q121Sql,
+    "q122_snapshot_diff" -> q122Sql,
+    "q123_label_propagation" -> q123Sql)
 }

@@ -4,8 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunks, Experiment, Fuzzy, Graph, Quality, Rank,
-  Sampling, Series}
+import graft.operators.{Chunks, Experiment, Fuzzy, Graph, History, Quality,
+  Rank, Sampling, Series, Similarity}
 
 /** Unit coverage for the round-5 insight operators: blocked
   * sorted-neighborhood linkage, retention cohorts, rolling z-score
@@ -213,6 +213,70 @@ class InsightsSpec extends SparkSpec {
     val out = Experiment.welchAb(df, "user_id", "value", "seg").collect()
     assert(out.length == 1 && out(0).getString(0) == "flat")
     assert(out(0).isNullAt(7)) // zero spread in both arms → z undefined
+  }
+
+  // ----------------------------------------------- hard negatives
+  test("hard negatives exclude same-label vectors and rank by cosine") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.9f, 0.1f), 1),  // same label as query — excluded
+      (2L, Seq(0.8f, 0.2f), 2),  // best cross-label
+      (3L, Seq(0.0f, 1.0f), 2),  // orthogonal cross-label
+      (4L, Seq(0.5f, 0.5f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding", "label",
+        k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 4L))
+    assert(!out.map(_.getLong(1)).contains(1L))
+    assert(out.forall(r => r.getInt(3) != 1)) // neighbor_label != query's
+  }
+
+  // ----------------------------------------------- snapshot diff
+  test("snapshot diff reports all four statuses with changed columns") {
+    val old = Seq((1L, 2L, 10.0), (2L, 1L, 5.0), (3L, 4L, 7.0))
+      .toDF("k", "n", "t")
+    val nw = Seq((1L, 2L, 10.0), (2L, 3L, 5.0), (4L, 1L, 1.0))
+      .toDF("k", "n", "t")
+    val out = History.snapshotDiff(old, nw, "k", Seq("n", "t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(out(1L) == (("unchanged", Some(""))))
+    assert(out(2L) == (("changed", Some("n"))))
+    assert(out(3L) == (("removed", None)))
+    assert(out(4L) == (("added", None)))
+  }
+
+  test("snapshot diff is null-safe: null→value changes, null→null doesn't") {
+    val old = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("k", "n")
+    val nw = Seq((1L, Option.empty[Long]), (2L, Some(9L))).toDF("k", "n")
+    val out = History.snapshotDiff(old, nw, "k", Seq("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  // ----------------------------------------------- label propagation
+  test("label propagation keeps bridged cliques in distinct communities") {
+    // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10:
+    // min-propagation (connected components) would merge them; LPA's
+    // frequency vote must not
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)
+    ).toDF("a", "b")
+    // 2 sync rounds leave the bridge-adjacent vertex half-converged
+    // (the min tie-break keeps re-injecting the bridge label); by
+    // round 3 each clique's frequency vote has settled
+    val out = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Set(1L, 2L, 3L).map(out)
+    val right = Set(10L, 11L, 12L).map(out)
+    assert(left.size == 1, s"left clique should agree: $out")
+    assert(right.size == 1, s"right clique should agree: $out")
+    assert(left != right, s"bridge must not merge cliques: $out")
   }
 
   test("rolling anomalies: first days have no z until minBase history") {
