@@ -207,6 +207,55 @@ object Quality {
         max(col("x")).as("hi"))
   }
 
+  /** Population-stability-index drift report: how far a value's
+    * distribution in `cur` has drifted from the `ref` baseline —
+    * the monitor every production feature/scoring pipeline runs before
+    * trusting this week's data. Bins are the REFERENCE's equi-depth
+    * quantile boundaries (same boundary contract as
+    * [[equiDepthHistogram]]); each bin contributes
+    * `(p_cur − p_ref) · ln(p_cur/p_ref)` and the shares are
+    * Laplace-smoothed (`(n + 0.5)/(N + 0.5k)`) so a bin the current
+    * period never hits stays finite instead of blowing the index up.
+    * Output: `(bin, n_ref, n_cur, p_ref, p_cur, psi_term)` — the
+    * headline PSI is the sum of `psi_term` (rule of thumb: < 0.1
+    * stable, > 0.25 action).
+    *
+    * Scale posture: one quantile aggregation on the reference, then
+    * each side is one map-only bin fold + one k-group aggregation —
+    * the two scans never join row-to-row, only the k-row bin tables
+    * meet.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+               k: Int): DataFrame = {
+    require(k >= 2, "PSI needs at least 2 bins")
+    val fracs = (1 until k).map(_.toDouble / k)
+    val bounds = ref.agg(
+      expr(s"percentile($valCol, array(${fracs.mkString(",")}))")
+        .as("bounds"))
+    def binned(df: DataFrame): DataFrame = {
+      val x = col(valCol).cast("double")
+      df.filter(x.isNotNull)
+        .crossJoin(broadcast(bounds))
+        .select(aggregate(col("bounds"), lit(0),
+          (acc, b) => acc + when(x > b, 1).otherwise(0)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    }
+    val r = binned(ref).select(col("bin"), col("n").as("n_ref"))
+    val c = binned(cur).select(col("bin"), col("n").as("n_cur"))
+    // every ref bin exists by construction (equi-depth on ref); a bin
+    // absent from cur joins as zero
+    val joined = r.join(c, Seq("bin"), "left")
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val totals = joined.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"))
+    val pr = (col("n_ref") + 0.5) / (col("tr") + lit(0.5 * k))
+    val pc = (col("n_cur") + 0.5) / (col("tc") + lit(0.5 * k))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
+        round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+  }
+
   /** Per-group robust outlier statistics via the median absolute
     * deviation: `(group, n, med, mad, n_outliers)` where an outlier is
     * a row with `|x − med| > c · 1.4826 · mad` (1.4826 scales MAD to

@@ -139,6 +139,39 @@ object Series {
         col("base_mean"), col("base_sd"), col("z"), col("is_anomaly"))
   }
 
+  /** Top event paths: the `topN` most frequent length-`len` sequences
+    * of consecutive event types within an entity's ordered stream —
+    * the "what journeys actually happen" mining step one order up from
+    * [[transitionMatrix]]'s single-step conditionals. Returns
+    * `(path, n)` with `path` as `a>b>c`. Windows at the end of an
+    * entity's stream (fewer than `len` events left) emit nothing.
+    *
+    * One shuffle+sort on the entity key, `len−1` codegen'd `lead`s
+    * over the SAME window sort (one pass), then a path-cardinality
+    * aggregation that collapses map-side; the top-N plans as
+    * TakeOrderedAndProject.
+    */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, tieCol: String, len: Int = 3,
+               topN: Int = 20): DataFrame = {
+    require(len >= 2, "a path needs at least 2 steps")
+    require(topN >= 1, "topN must be >= 1")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val steps = (0 until len).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    val withSteps = events.select(
+      steps.zipWithIndex.map { case (c, i) => c.as(s"_s$i") }: _*)
+    withSteps
+      .filter((0 until len).map(i => col(s"_s$i").isNotNull)
+        .reduce(_ && _))
+      .select(concat_ws(">", (0 until len).map(i => col(s"_s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
   def dailyGapFill(events: DataFrame, keyCol: String,
                    tsCol: String): DataFrame = {
     val daily = events

@@ -492,6 +492,71 @@ object Insights {
        ${lpaRound("l2", "c3", "l3")}
        SELECT node, lbl AS community FROM l3 ORDER BY node"""
 
+  // --------------------------------------------------------------- q124
+  /** PSI drift report ([[Quality.psiDrift]]): order-total distribution
+    * before vs from 2000-01-01, binned by the REFERENCE period's
+    * equi-depth boundaries, Laplace-smoothed shares — the headline PSI
+    * is the sum of psi_term. Two independent scans; only the k-row bin
+    * tables meet. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val split = lit("2000-01-01").cast("date")
+    Quality.psiDrift(
+        orders.filter(col("o_orderdate") < split),
+        orders.filter(col("o_orderdate") >= split),
+        "o_totalprice", k = edhK)
+      .orderBy("bin")
+  }
+
+  private val q124Sql =
+    s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+           [${edhFracs.mkString(", ")}]) AS bounds
+         FROM orders WHERE o_orderdate < DATE '2000-01-01'),
+       rb AS (SELECT CAST(len(list_filter(b.bounds, x -> o_totalprice > x))
+                AS INT) AS bin, count(*) AS n_ref
+              FROM orders, b
+              WHERE o_orderdate < DATE '2000-01-01'
+                AND o_totalprice IS NOT NULL
+              GROUP BY bin),
+       cb AS (SELECT CAST(len(list_filter(b.bounds, x -> o_totalprice > x))
+                AS INT) AS bin, count(*) AS n_cur
+              FROM orders, b
+              WHERE o_orderdate >= DATE '2000-01-01'
+                AND o_totalprice IS NOT NULL
+              GROUP BY bin),
+       j AS (SELECT rb.bin, rb.n_ref, coalesce(cb.n_cur, 0) AS n_cur
+             FROM rb LEFT JOIN cb USING (bin)),
+       t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+       SELECT bin, n_ref, n_cur,
+         round((n_ref + 0.5) / (tr + ${0.5 * edhK}), 6) AS p_ref,
+         round((n_cur + 0.5) / (tc + ${0.5 * edhK}), 6) AS p_cur,
+         round(((n_cur + 0.5) / (tc + ${0.5 * edhK})
+                - (n_ref + 0.5) / (tr + ${0.5 * edhK}))
+           * ln(((n_cur + 0.5) / (tc + ${0.5 * edhK}))
+                / ((n_ref + 0.5) / (tr + ${0.5 * edhK}))), 6) AS psi_term
+       FROM j, t ORDER BY bin"""
+
+  // --------------------------------------------------------------- q125
+  /** Top user journeys ([[Series.topPaths]]): the 20 most frequent
+    * 3-step event-type sequences — transitionMatrix's conditionals one
+    * order up; one key-sorted window pass, map-side-collapsing path
+    * aggregation, TakeOrderedAndProject top-N. */
+  private def q125(s: SparkSession, d: String): DataFrame =
+    Series.topPaths(Tables.events(s, d), "user_id", "ts", "event_type",
+      "event_id", len = 3, topN = 20)
+
+  private val q125Sql =
+    """WITH seq AS (SELECT event_type AS s0,
+           lead(event_type, 1) OVER w AS s1,
+           lead(event_type, 2) OVER w AS s2
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       paths AS (SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+                 FROM seq
+                 WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+                 GROUP BY path)
+       SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 20"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -506,7 +571,9 @@ object Insights {
     "q120_welch_ab" -> (q120 _),
     "q121_hard_negatives" -> (q121 _),
     "q122_snapshot_diff" -> (q122 _),
-    "q123_label_propagation" -> (q123 _))
+    "q123_label_propagation" -> (q123 _),
+    "q124_psi_drift" -> (q124 _),
+    "q125_top_paths" -> (q125 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -520,5 +587,7 @@ object Insights {
     "q120_welch_ab" -> q120Sql,
     "q121_hard_negatives" -> q121Sql,
     "q122_snapshot_diff" -> q122Sql,
-    "q123_label_propagation" -> q123Sql)
+    "q123_label_propagation" -> q123Sql,
+    "q124_psi_drift" -> q124Sql,
+    "q125_top_paths" -> q125Sql)
 }

@@ -279,6 +279,37 @@ class InsightsSpec extends SparkSpec {
     assert(left != right, s"bridge must not merge cliques: $out")
   }
 
+  // ----------------------------------------------- PSI drift
+  test("psi is ~0 for identical distributions, positive under shift") {
+    val ref = (1 to 400).map(i => Tuple1(i.toDouble)).toDF("v")
+    val same = Quality.psiDrift(ref, ref, "v", k = 8).collect()
+    assert(same.length == 8)
+    // identical data + same smoothing → every term is exactly 0
+    same.foreach(r => assert(r.getDouble(5) == 0.0, s"nonzero term: $r"))
+    // shifted current: mass leaves low bins for the top bin
+    val cur = (1 to 400).map(i => Tuple1(i.toDouble + 300)).toDF("v")
+    val drift = Quality.psiDrift(ref, cur, "v", k = 8).collect()
+    val psi = drift.map(_.getDouble(5)).sum
+    assert(psi > 0.25, s"strong shift must trip the PSI alarm: $psi")
+    // empty current bins stay finite thanks to smoothing
+    assert(drift.forall(r => !r.getDouble(5).isInfinite))
+    assert(drift.exists(r => r.getLong(2) == 0L))
+  }
+
+  // ----------------------------------------------- top paths
+  test("top paths count in-order type sequences per entity") {
+    val es = Seq(
+      (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "c", 3L),
+      (1L, ts(4), "b", 4L),
+      (2L, ts(1), "a", 5L), (2L, ts(2), "b", 6L), (2L, ts(3), "c", 7L),
+      (3L, ts(1), "x", 8L), (3L, ts(2), "y", 9L) // too short for len 3
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Series.topPaths(es, "user_id", "ts", "event_type",
+        "event_id", len = 3, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 2L, "b>c>b" -> 1L))
+  }
+
   test("rolling anomalies: first days have no z until minBase history") {
     val events = (1 to 4).map(d => ("view", ts(d))).toDF("event_type", "ts")
     val out = Series.rollingAnomalies(events, "event_type", "ts",
