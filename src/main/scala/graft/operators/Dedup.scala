@@ -255,6 +255,94 @@ object Dedup {
     owned(result, Seq(inv, dfTab, idx, cand, sets))
   }
 
+  /** Shingle-containment pairs — the ASYMMETRIC near-dup detector:
+    * `(inner_doc, outer_doc, containment)` where
+    * `containment = |inner ∩ outer| / |inner| ≥ threshold`. Jaccard
+    * misses exactly these (a page quoted inside a 100× larger page has
+    * tiny Jaccard but containment ≈ 1); quote/subset detection is how
+    * training pipelines catch wrapper pages, syndicated copies, and
+    * documents embedded in boilerplate.
+    *
+    * Same execution contract as [[jaccardPairsExact]]: candidates must
+    * co-occur on an indexed shingle (document frequency in
+    * `[2, maxShingleDf]` — the cap bounds per-shingle fan-out at
+    * corpus scale and is part of the semantics), the indexed-
+    * intersection upper bound `ii + min(hidden)` prunes before any
+    * full-set materialization, and the exact containment is computed
+    * on the FULL shingle sets of surviving documents only. Both
+    * directions of every candidate pair are evaluated; a mutual
+    * near-dup emits two rows.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3,
+                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    require(maxShingleDf >= 2,
+      "a document-frequency cap below 2 drops every co-occurring shingle " +
+        "and no pair can ever be reported")
+    val inv = shingleRowsRaw(docs, idCol, textCol, shingleN)
+      .dropDuplicates("id", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairable = dfTab.filter(col("df") >= 2 &&
+        (if (maxShingleDf == Int.MaxValue) lit(true)
+         else col("df") <= maxShingleDf))
+      .select("s")
+    val idx = inv.join(pairable, Seq("s"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hidSize =
+      if (maxShingleDf == Int.MaxValue)
+        setSize.select(col("id"), lit(0L).as("hid")).limit(0)
+      else
+        inv.join(broadcast(dfTab.filter(col("df") > maxShingleDf)
+            .select("s")), Seq("s"), "left_semi")
+          .groupBy("id").agg(count(lit(1)).as("hid"))
+    val docStats = setSize.join(hidSize, Seq("id"), "left")
+      .select(col("id"), col("sz"), coalesce(col("hid"), lit(0L)).as("hid"))
+    val ii = idx.as("a")
+      .join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("ii"))
+    // prune: true intersection <= ii + min(hidden); a pair survives if
+    // EITHER direction's containment bound could still round over the
+    // threshold
+    val margin = 0.5e-4
+    val cand = ii
+      .join(docStats.as("da"), col("doc_a") === col("da.id"))
+      .join(docStats.as("db"), col("doc_b") === col("db.id"))
+      .withColumn("ub_inter",
+        (col("ii") + least(col("da.hid"), col("db.hid"))).cast("double"))
+      .filter(col("ub_inter") / col("da.sz") >= threshold - margin ||
+        col("ub_inter") / col("db.sz") >= threshold - margin)
+      .select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = shingleSets(
+        docsInCandidates(docs, idCol, cand, Seq("doc_a", "doc_b")),
+        idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withInter = cand
+      .join(sets.as("x"), col("doc_a") === col("x.id"))
+      .join(sets.as("y"), col("doc_b") === col("y.id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.sh"), col("y.sh")))
+          .cast("double").as("inter"),
+        size(col("x.sh")).cast("double").as("sa"),
+        size(col("y.sh")).cast("double").as("sb"))
+    val dirA = withInter.select(col("doc_a").as("inner_doc"),
+      col("doc_b").as("outer_doc"),
+      round(col("inter") / col("sa"), 4).as("containment"))
+    val dirB = withInter.select(col("doc_b").as("inner_doc"),
+      col("doc_a").as("outer_doc"),
+      round(col("inter") / col("sb"), 4).as("containment"))
+    val result = dirA.unionByName(dirB)
+      .filter(col("containment") >= threshold)
+    owned(result, Seq(inv, dfTab, idx, cand, sets))
+  }
+
   /** Exact Jaccard for given candidate pairs over a shingle-row table:
     * |A∩B| from the pair-restricted shingle join, |A|,|B| from per-doc
     * counts. Pairs sharing zero shingles drop out of the join — their

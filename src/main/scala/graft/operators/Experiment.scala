@@ -62,4 +62,35 @@ object Experiment {
       round(sqrt(se2), 6).as("se"),
       when(se2 > 0.0, round((ma - mb) / sqrt(se2), 4)).as("z"))
   }
+
+  /** Sample-ratio-mismatch check — the guardrail read BEFORE any
+    * [[welchAb]] result is trusted: if the two arms' UNIT counts differ
+    * more than chance allows under the intended 50/50 split, the
+    * assignment or logging pipeline is broken and every downstream
+    * metric is biased. Per segment: `(<byCol>, n_a, n_b, chi2,
+    * srm_suspect)` with the 1-dof equal-split statistic
+    * `χ² = (n_a − n_b)²/(n_a + n_b)` flagged above 6.635 (p < 0.01 —
+    * the conventional SRM alarm level; an experimenter inspects, not
+    * auto-drops, at this threshold).
+    *
+    * Counts are DISTINCT units (a chatty unit must not weigh more):
+    * the corpus collapses to distinct (segment, unit) in one
+    * aggregation, and everything after is segment-cardinality.
+    */
+  def srmCheck(df: DataFrame, unitCol: String, byCol: String,
+               salt: String = "ab",
+               chi2Alarm: Double = 6.635): DataFrame = {
+    val units = df.select(col(byCol), col(unitCol).as("u")).distinct()
+    val arm = Sampling.hashBucket(col("u"), salt, 2)
+    val counts = units
+      .groupBy(col(byCol))
+      .agg(sum(when(arm === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("n_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val chi2 = (na - nb) * (na - nb) / (na + nb)
+    counts.select(col(byCol), col("n_a"), col("n_b"),
+      round(chi2, 4).as("chi2"),
+      (round(chi2, 4) > chi2Alarm).as("srm_suspect"))
+  }
 }

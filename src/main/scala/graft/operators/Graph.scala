@@ -115,6 +115,41 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Deterministic negative edge sampling — the non-edges a link-
+    * prediction or graph-contrastive trainer needs next to its
+    * positives. Candidates come from HASH-BUCKET ADJACENCY: nodes are
+    * salted-hashed into buckets, sorted by (hash, id) within each
+    * bucket, and consecutive nodes pair up; real edges are then
+    * anti-joined away. Pairing hash-neighbors is as good as uniform
+    * for sampling non-edges (the hash order is independent of the
+    * graph) while staying fully distributed: per-bucket windows, ~1
+    * candidate per node, no global sort, no rejection loop — and, like
+    * every sampler here, a pure function of (nodes, salt), so an
+    * oracle reproduces it exactly. Returns `(u, v)` canonical
+    * (`u < v`) candidate non-edges.
+    */
+  def negativeSample(edges: DataFrame, aCol: String, bCol: String,
+                     buckets: Int, salt: String = "neg"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val nodes = edges.select(col(aCol).as("node"))
+      .unionByName(edges.select(col(bCol).as("node")))
+      .distinct()
+      .withColumn("h", graft.functions.TextFunctions.token60(
+        concat(lit(salt), col("node").cast("string"))))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy(col("h").asc, col("node").asc)
+    val cand = nodes
+      .withColumn("nxt", lead(col("node"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(least(col("node"), col("nxt")).as("u"),
+        greatest(col("node"), col("nxt")).as("v"))
+    val canon = edges.select(
+      least(col(aCol), col(bCol)).as("u"),
+      greatest(col(aCol), col(bCol)).as("v"))
+    cand.join(canon, Seq("u", "v"), "left_anti")
+  }
+
   /** Per-node triangle counts over an undirected edge table: `(node,
     * n_triangles)` for every node in at least one triangle.
     *

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Chunks, Experiment, Fuzzy, Graph, History, Quality,
-  Rank, Series, Similarity}
+import graft.operators.{Chunks, Dedup, Experiment, Fuzzy, Graph, History,
+  Quality, Rank, Series, Similarity}
 
 /** Round-5 behavioral / linkage operators: blocked sorted-neighborhood
   * record linkage, weekly retention cohorts, and rolling z-score
@@ -557,6 +557,132 @@ object Insights {
                  GROUP BY path)
        SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 20"""
 
+  // --------------------------------------------------------------- q126
+  /** Sample-ratio-mismatch guardrail ([[Experiment.srmCheck]]): the
+    * pre-readout sanity check on q120's arms — distinct users per arm
+    * per event type, 1-dof equal-split chi-square, alarm at p < 0.01. */
+  private def q126(s: SparkSession, d: String): DataFrame =
+    Experiment.srmCheck(Tables.events(s, d), "user_id", "event_type",
+        salt = "ab")
+      .orderBy("event_type")
+
+  private val q126Sql =
+    """WITH units AS (SELECT DISTINCT event_type, user_id FROM events),
+       c AS (SELECT event_type,
+               CAST(sum(CASE WHEN ('0x' ||
+                   substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+                   % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN ('0x' ||
+                   substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             FROM units GROUP BY event_type)
+       SELECT event_type, n_a, n_b,
+         round((n_a - n_b)::DOUBLE * (n_a - n_b) / (n_a + n_b), 4)
+           AS chi2,
+         round((n_a - n_b)::DOUBLE * (n_a - n_b) / (n_a + n_b), 4)
+           > 6.635 AS srm_suspect
+       FROM c ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q127
+  /** Containment near-dup ([[Dedup.containmentPairs]]): asymmetric
+    * quote/subset detection at containment ≥ 0.9 over the df-capped
+    * inverted index — every 25th document gets an injected
+    * first-half twin (prefix shingles ⇒ containment 1.0), keeping the
+    * oracle non-vacuous alongside any natural subsets. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ws = words(col("text"))
+    val synth = docs
+      .filter(pmod(col("doc_id"), lit(25)) === 0 &&
+        org.apache.spark.sql.functions.size(ws) >= 6)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(ws, lit(1),
+          floor(org.apache.spark.sql.functions.size(ws) / lit(2.0))
+            .cast("int")), " ").as("text"))
+    Dedup.containmentPairs(docs.unionByName(synth), "doc_id", "text",
+        threshold = 0.9, shingleN = 3, maxShingleDf = 16)
+      .orderBy("inner_doc", "outer_doc")
+  }
+
+  private val q127Sql =
+    """WITH wa0 AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+           FROM documents),
+       synth AS (SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(w[1:CAST(floor(len(w) / 2.0) AS INT)], ' ')
+             AS text
+         FROM wa0 WHERE doc_id % 25 = 0 AND len(w) >= 6),
+       alldocs AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id, text FROM synth),
+       wa AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+              FROM alldocs),
+       sh AS (SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct(list_transform(range(1, len(w)-1),
+                       i -> array_to_string(w[i:i+2], ' ')))
+                ELSE [array_to_string(w, ' ')] END AS sh
+         FROM wa),
+       inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       dfT AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+       idx AS (SELECT inv.doc_id, inv.s FROM inv JOIN dfT USING (s)
+               WHERE df BETWEEN 2 AND 16),
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM idx a JOIN idx b
+                  ON a.s = b.s AND a.doc_id < b.doc_id),
+       pairs AS (SELECT da, db,
+                   len(list_intersect(x.sh, y.sh))::DOUBLE AS inter,
+                   len(x.sh)::DOUBLE AS sa, len(y.sh)::DOUBLE AS sb
+                 FROM cand JOIN sh x ON x.doc_id = da
+                 JOIN sh y ON y.doc_id = db)
+       SELECT inner_doc, outer_doc, containment FROM (
+         SELECT da AS inner_doc, db AS outer_doc,
+           round(inter / sa, 4) AS containment FROM pairs
+         UNION ALL
+         SELECT db, da, round(inter / sb, 4) FROM pairs) u
+       WHERE containment >= 0.9
+       ORDER BY inner_doc, outer_doc"""
+
+  // --------------------------------------------------------------- q128
+  /** Graph negative sampling ([[Graph.negativeSample]]): deterministic
+    * candidate non-edges for the q118 affinity graph — hash-bucket
+    * adjacency pairing, real edges anti-joined away; a pure function
+    * of (nodes, salt) the oracle replays. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    Graph.negativeSample(edges, "a", "b", buckets = 64, salt = "neg")
+      .orderBy("u", "v")
+  }
+
+  private val q128Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+       e AS (SELECT x.pk AS u, y.pk AS v
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+       nodes AS (SELECT DISTINCT node,
+                   ('0x' || substr(md5('neg' || node::VARCHAR), 1, 15))
+                     ::BIGINT AS h
+                 FROM (SELECT u AS node FROM e
+                       UNION ALL SELECT v FROM e) t),
+       nb AS (SELECT node, h, h % 64 AS b FROM nodes),
+       cand AS (SELECT least(node, nxt) AS u, greatest(node, nxt) AS v
+                FROM (SELECT node, b,
+                        lead(node, 1) OVER (PARTITION BY b
+                          ORDER BY h, node) AS nxt
+                      FROM nb) t
+                WHERE nxt IS NOT NULL)
+       SELECT cand.u, cand.v FROM cand
+       LEFT JOIN e ON e.u = cand.u AND e.v = cand.v
+       WHERE e.u IS NULL
+       ORDER BY cand.u, cand.v"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -573,7 +699,10 @@ object Insights {
     "q122_snapshot_diff" -> (q122 _),
     "q123_label_propagation" -> (q123 _),
     "q124_psi_drift" -> (q124 _),
-    "q125_top_paths" -> (q125 _))
+    "q125_top_paths" -> (q125 _),
+    "q126_srm_check" -> (q126 _),
+    "q127_containment" -> (q127 _),
+    "q128_negative_sample" -> (q128 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -589,5 +718,8 @@ object Insights {
     "q122_snapshot_diff" -> q122Sql,
     "q123_label_propagation" -> q123Sql,
     "q124_psi_drift" -> q124Sql,
-    "q125_top_paths" -> q125Sql)
+    "q125_top_paths" -> q125Sql,
+    "q126_srm_check" -> q126Sql,
+    "q127_containment" -> q127Sql,
+    "q128_negative_sample" -> q128Sql)
 }

@@ -4,8 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunks, Experiment, Fuzzy, Graph, History, Quality,
-  Rank, Sampling, Series, Similarity}
+import graft.operators.{Chunks, Dedup, Experiment, Fuzzy, Graph, History,
+  Quality, Rank, Sampling, Series, Similarity}
 
 /** Unit coverage for the round-5 insight operators: blocked
   * sorted-neighborhood linkage, retention cohorts, rolling z-score
@@ -308,6 +308,69 @@ class InsightsSpec extends SparkSpec {
         "event_id", len = 3, topN = 10)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a>b>c" -> 2L, "b>c>b" -> 1L))
+  }
+
+  // ----------------------------------------------- containment pairs
+  test("containment is asymmetric: quote detected, host not contained") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (11 to 20).map(i => s"w$i").mkString(" ") // contiguous slice
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, quote), (2L, quote), (3L, other))
+      .toDF("doc_id", "text").distinct()
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // quote's shingles are a subset of big's → containment 1.0
+    assert(out((2L, 1L)) == 1.0)
+    // the host document is NOT contained in the quote
+    assert(!out.contains((1L, 2L)))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    spark.catalog.clearCache()
+  }
+
+  test("containment candidates require an indexed (df-capped) shingle") {
+    // the shared shingle appears in 3 docs; cap 2 excludes it → no pairs
+    val t = "a b c d"
+    val docs = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.5, shingleN = 3, maxShingleDf = 2)
+    assert(out.isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  // ----------------------------------------------- SRM check
+  test("srm chi2 matches hand computation on distinct units") {
+    // one chatty unit (many rows) must count once
+    val rows = (1L to 30L).map(u => (u, "seg")) ++
+      Seq.fill(50)((1L, "seg"))
+    val df = rows.toDF("user_id", "seg")
+    val arms = df.select(col("user_id"),
+        Sampling.hashBucket(col("user_id"), "ab", 2).as("arm"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val na = arms.values.count(_ == 0L).toDouble
+    val nb = arms.values.count(_ == 1L).toDouble
+    val out = Experiment.srmCheck(df, "user_id", "seg").collect()(0)
+    assert(out.getLong(1) == na.toLong && out.getLong(2) == nb.toLong)
+    assert(out.getDouble(3) ==
+      graft.functions.Rounding.roundTo((na - nb) * (na - nb) / (na + nb), 4))
+    assert(!out.getBoolean(4)) // a fair hash split must not alarm
+  }
+
+  // ----------------------------------------------- negative sampling
+  test("negative samples are never real edges and are deterministic") {
+    val edges = (for { a <- 1 to 12; b <- 1 to 12 if a < b && (a + b) % 3 == 0 }
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val neg1 = Graph.negativeSample(edges, "a", "b", buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(neg1.nonEmpty)
+    val real = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(neg1.intersect(real).isEmpty, s"sampled a real edge: $neg1")
+    // pure function of (nodes, salt): partitioning must not matter
+    val neg2 = Graph.negativeSample(edges.repartition(7), "a", "b",
+        buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(neg1 == neg2)
   }
 
   test("rolling anomalies: first days have no z until minBase history") {
