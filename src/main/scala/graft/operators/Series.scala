@@ -139,6 +139,33 @@ object Series {
         col("base_mean"), col("base_sd"), col("z"), col("is_anomaly"))
   }
 
+  /** Day-of-week seasonality profile per event type: `(<typeCol>, dow,
+    * n, share, season_idx)` where `dow` is 0=Monday..6 computed as
+    * integer days from a fixed Monday epoch mod 7 — NEVER an engine
+    * `dayofweek()` (Spark numbers Sunday=1, DuckDB Sunday=0; the
+    * epoch-mod form cannot diverge), `share` is the type's within-type
+    * day share, and `season_idx = share·7` (1.0 = flat; the read-off
+    * for "is Tuesday special"). One hash aggregation over the corpus,
+    * then |types|·7 rows.
+    */
+  def weekdayProfile(events: DataFrame, typeCol: String, tsCol: String,
+                     epoch: String = "1990-01-01"): DataFrame = {
+    import graft.functions.Rounding.{roundTo => round}
+    val dow = pmod(datediff(to_date(col(tsCol)),
+      lit(epoch).cast("date")), lit(7))
+    val daily = events
+      .select(col(typeCol).as("t"), dow.cast("int").as("dow"))
+      .groupBy("t", "dow").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("t")
+    daily
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .withColumn("season_idx",
+        round(col("n").cast("double") * 7.0 / sum(col("n")).over(w), 4))
+      .select(col("t").as(typeCol), col("dow"), col("n"), col("share"),
+        col("season_idx"))
+  }
+
   /** Top event paths: the `topN` most frequent length-`len` sequences
     * of consecutive event types within an entity's ordered stream —
     * the "what journeys actually happen" mining step one order up from

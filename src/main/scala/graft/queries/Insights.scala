@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Chunks, Dedup, Experiment, Fuzzy, Graph, History,
-  Quality, Rank, Series, Similarity}
+import graft.operators.{Assoc, Chunks, Dedup, Experiment, Fuzzy, Graph,
+  History, Quality, Rank, Series, Similarity}
 
 /** Round-5 behavioral / linkage operators: blocked sorted-neighborhood
   * record linkage, weekly retention cohorts, and rolling z-score
@@ -683,6 +683,54 @@ object Insights {
        WHERE e.u IS NULL
        ORDER BY cand.u, cand.v"""
 
+  // --------------------------------------------------------------- q129
+  /** PMI association mining ([[Assoc.pmiPairs]]): the 20 part pairs
+    * whose order co-occurrence most exceeds what their individual
+    * popularity predicts (min support 3) — counts rank ubiquitous
+    * pairs first, PMI surfaces the informative ones. */
+  private def q129(s: SparkSession, d: String): DataFrame =
+    Assoc.pmiPairs(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 3L, topN = 20)
+
+  private val q129Sql =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           FROM lineitem),
+       tot AS (SELECT count(DISTINCT bk)::DOUBLE AS n_bk FROM bi),
+       ic AS (SELECT it, count(*) AS cnt FROM bi GROUP BY it),
+       p AS (SELECT x.it AS item_a, y.it AS item_b, count(*) AS n_pairs
+             FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+             GROUP BY x.it, y.it HAVING count(*) >= 3)
+       SELECT item_a, item_b, n_pairs, a.cnt AS n_a, b.cnt AS n_b,
+         round(ln(n_pairs::DOUBLE * tot.n_bk
+           / (a.cnt::DOUBLE * b.cnt::DOUBLE)), 4) AS pmi
+       FROM p JOIN ic a ON p.item_a = a.it JOIN ic b ON p.item_b = b.it,
+            tot
+       ORDER BY pmi DESC, item_a, item_b LIMIT 20"""
+
+  // --------------------------------------------------------------- q130
+  /** Day-of-week seasonality ([[Series.weekdayProfile]]): per-type
+    * weekday shares and seasonality indices, with `dow` as epoch-mod-7
+    * integer days (0 = Monday) — engine `dayofweek()` numbering is the
+    * cross-engine trap. */
+  private def q130(s: SparkSession, d: String): DataFrame =
+    Series.weekdayProfile(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type", "dow")
+
+  private val q130Sql =
+    """WITH daily AS (SELECT event_type,
+           CAST(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) % 7
+             AS INT) AS dow,
+           count(*) AS n
+         FROM events GROUP BY event_type, dow)
+       SELECT event_type, dow, n,
+         round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 6)
+           AS share,
+         round(n::DOUBLE * 7.0 / sum(n) OVER (PARTITION BY event_type), 4)
+           AS season_idx
+       FROM daily ORDER BY event_type, dow"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -702,7 +750,9 @@ object Insights {
     "q125_top_paths" -> (q125 _),
     "q126_srm_check" -> (q126 _),
     "q127_containment" -> (q127 _),
-    "q128_negative_sample" -> (q128 _))
+    "q128_negative_sample" -> (q128 _),
+    "q129_pmi_pairs" -> (q129 _),
+    "q130_seasonality" -> (q130 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -721,5 +771,7 @@ object Insights {
     "q125_top_paths" -> q125Sql,
     "q126_srm_check" -> q126Sql,
     "q127_containment" -> q127Sql,
-    "q128_negative_sample" -> q128Sql)
+    "q128_negative_sample" -> q128Sql,
+    "q129_pmi_pairs" -> q129Sql,
+    "q130_seasonality" -> q130Sql)
 }

@@ -4,8 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunks, Dedup, Experiment, Fuzzy, Graph, History,
-  Quality, Rank, Sampling, Series, Similarity}
+import graft.operators.{Assoc, Chunks, Dedup, Experiment, Fuzzy, Graph,
+  History, Quality, Rank, Sampling, Series, Similarity}
 
 /** Unit coverage for the round-5 insight operators: blocked
   * sorted-neighborhood linkage, retention cohorts, rolling z-score
@@ -371,6 +371,41 @@ class InsightsSpec extends SparkSpec {
         buckets = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(neg1 == neg2)
+  }
+
+  // ----------------------------------------------- PMI pairs
+  test("pmi ranks surprising co-occurrence above popular co-occurrence") {
+    // baskets: (a,b) always together in their 2 baskets (surprising);
+    // (c,d) co-occur twice but each appears in 6 baskets (expected)
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")
+    ) ++ (3L to 8L).flatMap(k => Seq((k, "c"), (k, "d")))
+    val out = Assoc.pmiPairs(rows.toDF("bk", "it"), "bk", "it",
+        minSupport = 2L, topN = 10)
+      .collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(5)).toMap
+    def pmi(np: Long, na: Long, nb: Long, n: Long): Double =
+      graft.functions.Rounding.roundTo(
+        math.log(np.toDouble * n / (na.toDouble * nb)), 4)
+    assert(byPair(("a", "b")) == pmi(2, 2, 2, 8))
+    assert(byPair(("c", "d")) == pmi(6, 6, 6, 8))
+    assert(byPair(("a", "b")) > byPair(("c", "d")))
+  }
+
+  // ----------------------------------------------- weekday profile
+  test("weekday profile uses epoch-mod dow (2024-01-01 is Monday=0)") {
+    val events = Seq(
+      ("click", ts(1)), ("click", ts(1)), // Mon
+      ("click", ts(2)),                   // Tue
+      ("click", ts(7))                    // Sun
+    ).toDF("event_type", "ts")
+    val out = Series.weekdayProfile(events, "event_type", "ts")
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(out(0) == ((2L, 3.5)))   // Monday share 0.5 → idx 3.5
+    assert(out(1) == ((1L, 1.75)))
+    assert(out(6) == ((1L, 1.75)))  // Sunday is 6, never 0
   }
 
   test("rolling anomalies: first days have no z until minBase history") {
