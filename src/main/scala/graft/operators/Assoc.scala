@@ -53,4 +53,60 @@ object Assoc {
       .orderBy(col("pmi").desc, col("item_a"), col("item_b"))
       .limit(topN)
   }
+
+  /** Skip-gram PMI over token windows — the statistic word2vec
+    * factorizes: for tokens a, b within `window` positions of each
+    * other, `pmi = ln( (n_ab/N_pairs) / ((n_a/N_tok)·(n_b/N_tok)) )`
+    * with `n_ab` the unordered co-occurrence count, `n_a` the corpus
+    * occurrence count, `N_pairs`/`N_tok` the respective totals. Top
+    * `topN` pairs with `n_ab ≥ minCount`, canonical `tok_a < tok_b`.
+    *
+    * Scale posture: co-occurrence is `window` EQUI-joins on
+    * `(doc, pos + k)` — never a position-range inequality join — so
+    * per-token fan-out is exactly `window` and each join is a
+    * key-partitioned shuffle; in practice the `window` joins collapse
+    * into one shuffle pair because every join shares the (doc, pos)
+    * key space. Marginals are vocabulary-cardinality; totals are
+    * one-row broadcasts. The min-count filter runs before the marginal
+    * joins.
+    */
+  def skipgramPmi(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, minCount: Long, topN: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(minCount >= 1 && topN >= 1, "minCount/topN must be >= 1")
+    import graft.functions.TextFunctions.words
+    val toks = docs.select(col(idCol).as("d"),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val nTok = toks.agg(count(lit(1)).cast("double").as("n_tok"))
+    val tokCnt = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val offsets = (1 to window).map(lit(_))
+    val pairsRaw = toks.as("a")
+      .select(col("d"), col("pos"), col("w"),
+        explode(array(offsets: _*)).as("k"))
+      .join(toks.as("b").select(col("d").as("d2"), col("pos").as("pos2"),
+          col("w").as("w2")),
+        col("d") === col("d2") && col("pos2") === col("pos") + col("k"))
+      .select(least(col("w"), col("w2")).as("tok_a"),
+        greatest(col("w"), col("w2")).as("tok_b"))
+    val pairCnt = pairsRaw.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairCnt.agg(sum(col("n_ab")).cast("double").as("n_pairs"))
+    val result = pairCnt
+      .filter(col("n_ab") >= minCount)
+      .join(tokCnt.select(col("w").as("tok_a"), col("cnt").as("n_a")),
+        "tok_a")
+      .join(tokCnt.select(col("w").as("tok_b"), col("cnt").as("n_b")),
+        "tok_b")
+      .crossJoin(broadcast(nPairs))
+      .crossJoin(broadcast(nTok))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(log((col("n_ab").cast("double") / col("n_pairs")) /
+          ((col("n_a").cast("double") / col("n_tok")) *
+           (col("n_b").cast("double") / col("n_tok")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(topN)
+    Exec.owned(result, Seq(pairCnt))
+  }
 }

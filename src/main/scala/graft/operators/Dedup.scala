@@ -177,9 +177,12 @@ object Dedup {
     // Distinct (id, shingle) rows once: feeds the df count (plain count
     // == countDistinct here, single-phase), the per-doc stats, and
     // the candidate self-join (whose per-pair counts must see each
-    // shared shingle exactly once).
-    val inv = shingleRowsRaw(docs, idCol, textCol, shingleN)
-      .dropDuplicates("id", "s")
+    // shared shingle exactly once). Per-doc distinctness comes from the
+    // native array expression INSIDE the scan projection — a
+    // dropDuplicates here would shuffle the corpus-sized row stream
+    // just to dedupe within documents.
+    val inv = shingleSets(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("sh")).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // |A|: full distinct set size per doc, uncapped — corpus-cardinality
     val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -281,8 +284,10 @@ object Dedup {
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    val inv = shingleRowsRaw(docs, idCol, textCol, shingleN)
-      .dropDuplicates("id", "s")
+    // per-doc-distinct shingle rows with no corpus shuffle — see the
+    // matching note in [[jaccardPairsExact]]
+    val inv = shingleSets(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("sh")).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))

@@ -136,6 +136,38 @@ object Quality {
       .limit(topN)
   }
 
+  /** Vocabulary-coverage / OOV scoring: how much of each document a
+    * fixed top-`topK` corpus vocabulary explains — high OOV rate flags
+    * gibberish, boilerplate hashes, and wrong-language text, and the
+    * same number sizes tokenizer vocab decisions. Returns
+    * `(<idCol>, n_tokens, n_oov, oov_rate)` (rate 4-decimal).
+    *
+    * The vocabulary is the top `topK` tokens by (count desc, token) —
+    * a total order, so the boundary is deterministic on any engine.
+    * Scale posture: one corpus token aggregation builds the vocab;
+    * the vocab is a K-row broadcast joined to the token stream
+    * map-side (left join + null flag, no shuffle of the corpus beyond
+    * the per-doc count aggregation).
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    import graft.functions.TextFunctions.words
+    val toks = docs.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(topK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"),
+          4).as("oov_rate"))
+  }
+
   /** Self-join size forecast: predict `|df ⋈ df|` on `keyCol` — the
     * number a planner needs BEFORE committing a 100 TB shuffle that
     * might explode quadratically on hot keys. One row:

@@ -600,8 +600,12 @@ object Insights {
         array_join(slice(ws, lit(1),
           floor(org.apache.spark.sql.functions.size(ws) / lit(2.0))
             .cast("int")), " ").as("text"))
+    // cap 8 (vs q38's 16): containment candidates skew toward short
+    // inner docs, so the index's df tail costs ~6x more pair fan-out
+    // here — and a subset relationship always shares the inner doc's
+    // RARE shingles, which is what the capped index keeps
     Dedup.containmentPairs(docs.unionByName(synth), "doc_id", "text",
-        threshold = 0.9, shingleN = 3, maxShingleDf = 16)
+        threshold = 0.9, shingleN = 3, maxShingleDf = 8)
       .orderBy("inner_doc", "outer_doc")
   }
 
@@ -625,7 +629,7 @@ object Insights {
        inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        dfT AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
        idx AS (SELECT inv.doc_id, inv.s FROM inv JOIN dfT USING (s)
-               WHERE df BETWEEN 2 AND 16),
+               WHERE df BETWEEN 2 AND 8),
        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                 FROM idx a JOIN idx b
                   ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -731,6 +735,63 @@ object Insights {
            AS season_idx
        FROM daily ORDER BY event_type, dow"""
 
+  // --------------------------------------------------------------- q131
+  /** Skip-gram PMI ([[Assoc.skipgramPmi]]): the 20 window-3 token
+    * pairs whose co-occurrence most exceeds their unigram rates — the
+    * statistic word2vec factorizes; co-occurrence via `window`
+    * (doc, pos+k) equi-joins, never a range join. */
+  private def q131(s: SparkSession, d: String): DataFrame =
+    Assoc.skipgramPmi(Tables.documents(s, d), "doc_id", "text",
+      window = 3, minCount = 5L, topN = 20)
+
+  private val q131Sql =
+    """WITH toks AS (SELECT doc_id AS d,
+           CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,
+           unnest(w) AS w
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+               FROM documents) t),
+       ntok AS (SELECT count(*)::DOUBLE AS n_tok FROM toks),
+       tc AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       praw AS (SELECT least(a.w, b.w) AS tok_a, greatest(a.w, b.w)
+                  AS tok_b
+                FROM toks a, range(1, 4) o(k)
+                JOIN toks b ON b.d = a.d AND b.pos = a.pos + k),
+       pc AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM praw
+              GROUP BY tok_a, tok_b),
+       npairs AS (SELECT sum(n_ab)::DOUBLE AS n_pairs FROM pc)
+       SELECT tok_a, tok_b, n_ab, a.cnt AS n_a, b.cnt AS n_b,
+         round(ln((n_ab::DOUBLE / npairs.n_pairs) /
+           ((a.cnt::DOUBLE / ntok.n_tok) * (b.cnt::DOUBLE / ntok.n_tok))),
+           4) AS pmi
+       FROM pc JOIN tc a ON pc.tok_a = a.w JOIN tc b ON pc.tok_b = b.w,
+            npairs, ntok
+       WHERE n_ab >= 5
+       ORDER BY pmi DESC, tok_a, tok_b LIMIT 20"""
+
+  // --------------------------------------------------------------- q132
+  /** Vocabulary coverage / OOV ([[Quality.vocabCoverage]]): per-doc
+    * share of tokens outside the top-500 corpus vocabulary — the
+    * gibberish/wrong-language flag and the tokenizer-vocab sizing
+    * number. */
+  private def q132(s: SparkSession, d: String): DataFrame =
+    Quality.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
+        topK = 500)
+      .orderBy("doc_id")
+
+  private val q132Sql =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+           trim(text),'\s+')) AS w FROM documents),
+       vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM toks
+                                GROUP BY w
+                                ORDER BY cnt DESC, w LIMIT 500) v),
+       flagged AS (SELECT t.doc_id, vocab.w IS NOT NULL AS inv
+                   FROM toks t LEFT JOIN vocab ON t.w = vocab.w)
+       SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         round(sum(CASE WHEN inv THEN 0 ELSE 1 END)::DOUBLE / count(*), 4)
+           AS oov_rate
+       FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -752,7 +813,9 @@ object Insights {
     "q127_containment" -> (q127 _),
     "q128_negative_sample" -> (q128 _),
     "q129_pmi_pairs" -> (q129 _),
-    "q130_seasonality" -> (q130 _))
+    "q130_seasonality" -> (q130 _),
+    "q131_skipgram_pmi" -> (q131 _),
+    "q132_vocab_coverage" -> (q132 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -773,5 +836,7 @@ object Insights {
     "q127_containment" -> q127Sql,
     "q128_negative_sample" -> q128Sql,
     "q129_pmi_pairs" -> q129Sql,
-    "q130_seasonality" -> q130Sql)
+    "q130_seasonality" -> q130Sql,
+    "q131_skipgram_pmi" -> q131Sql,
+    "q132_vocab_coverage" -> q132Sql)
 }

@@ -408,6 +408,40 @@ class InsightsSpec extends SparkSpec {
     assert(out(6) == ((1L, 1.75)))  // Sunday is 6, never 0
   }
 
+  // ----------------------------------------------- skip-gram PMI
+  test("skip-gram pairs respect the window and document boundaries") {
+    val docs = Seq(
+      (1L, "a b c d"),   // window 2: ab ac bc bd cd
+      (2L, "x a")        // xa — never pairs across docs with doc 1
+    ).toDF("doc_id", "text")
+    val out = Assoc.skipgramPmi(docs, "doc_id", "text",
+        window = 2, minCount = 1L, topN = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "x")))
+    // no (a,d): positions 0 and 3 exceed window 2
+    assert(!out.contains(("a", "d")))
+    spark.catalog.clearCache()
+  }
+
+  // ----------------------------------------------- vocab coverage
+  test("oov rate counts tokens outside the deterministic top-K vocab") {
+    // corpus: 'the' x4, 'cat' x3, 'sat' x2, rare x1 each
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat zzz"),
+      (3L, "the the cat qqq ppp")
+    ).toDF("doc_id", "text")
+    val out = Quality.vocabCoverage(docs, "doc_id", "text", topK = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // vocab = {the, cat, sat}
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((5L, 2L, 0.4)))
+  }
+
   test("rolling anomalies: first days have no z until minBase history") {
     val events = (1 to 4).map(d => ("view", ts(d))).toDF("event_type", "ts")
     val out = Series.rollingAnomalies(events, "event_type", "ts",
