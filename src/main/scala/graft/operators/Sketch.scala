@@ -99,4 +99,64 @@ object Sketch {
     probes.crossJoin(broadcast(sketch))
       .select(col(keyCol), est.as("cms_est"))
   }
+
+  /** Deterministic HyperLogLog distinct-count estimate (Flajolet et
+    * al.) — unlike Spark's engine-internal `approx_count_distinct`
+    * (whose registers are unreachable and whose hash is
+    * implementation-defined), this sketch runs on the shared 60-bit
+    * md5 kernel with EXACT integer register arithmetic, so an oracle
+    * replays every register and the estimate value-checks bit-for-bit
+    * across engines — the same "reproduce the sketch, collisions and
+    * all" contract as [[countMin]].
+    *
+    * `bucket = h mod 2^p`; `rank` = leading-zero count of the
+    * remaining `60−p` bits + 1, computed via binary-string length
+    * (exact — a float `log2` could land a boundary value in the wrong
+    * register). The register table is a `2^p`-group MAX aggregation —
+    * map-side combined, shuffle size `2^p` per partition, the same
+    * bounded-state shape as the other sketches, and registers merge
+    * across partitions/engines by plain MAX (mergeability is what
+    * makes HLL a 100 TB operator). The harmonic mean runs on the
+    * integer-scaled sum `Σ 2^(maxRank − M_j)` (≤ 2^p·2^maxRank <
+    * 2^63 for p ≥ 4) — double summation of `2^(−M)` terms would be
+    * order-sensitive past 53 mantissa bits; integers are not.
+    * Small-range linear counting applies below `2.5·m` when empty
+    * registers remain.
+    *
+    * One row: `(m, used, zeros, sum_scaled, hll_estimate)`.
+    */
+  def hllEstimate(items: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]: m = 2^p registers")
+    val m = 1 << p
+    val wBits = 60 - p
+    val maxRank = wBits + 1
+    val h = token60(col(keyCol))
+    val w = shiftright(h, p)
+    val rank = when(w === 0, lit(maxRank))
+      .otherwise(lit(maxRank) - length(bin(w)))
+    val regs = items
+      .select(pmod(h, lit(m.toLong)).as("bucket"), rank.as("r"))
+      .groupBy("bucket").agg(max(col("r")).as("mreg"))
+    val scaledTerm = call_function("shiftleft", lit(1L),
+      lit(maxRank) - col("mreg"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val twoMax = math.pow(2.0, maxRank) // 2^maxRank ≤ 2^56: exact double
+    regs
+      .agg(count(lit(1)).as("used"), sum(scaledTerm).as("sum_present"))
+      .select(lit(m).as("m"), col("used"),
+        (lit(m.toLong) - col("used")).as("zeros"),
+        (col("sum_present") +
+          (lit(m.toLong) - col("used")) * lit(1L << maxRank))
+          .as("sum_scaled"))
+      .withColumn("raw",
+        alpha * lit(m.toDouble * m) * lit(twoMax) /
+          col("sum_scaled").cast("double"))
+      .withColumn("hll_estimate",
+        graft.functions.Rounding.roundTo(
+          when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+            lit(m.toDouble) *
+              log(lit(m.toDouble) / col("zeros").cast("double")))
+            .otherwise(col("raw")), 4))
+      .select("m", "used", "zeros", "sum_scaled", "hll_estimate")
+  }
 }

@@ -7,7 +7,7 @@ import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
 import graft.operators.{Assoc, Chunks, Dedup, Experiment, Fuzzy, Graph,
-  History, Quality, Rank, Series, Similarity}
+  History, Quality, Rank, Series, Similarity, Sketch}
 
 /** Round-5 behavioral / linkage operators: blocked sorted-neighborhood
   * record linkage, weekly retention cohorts, and rolling z-score
@@ -792,6 +792,56 @@ object Insights {
            AS oov_rate
        FROM flagged GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q133
+  /** Deterministic HyperLogLog ([[Sketch.hllEstimate]]): distinct
+    * part keys in lineitem from 256 registers on the shared md5
+    * kernel, next to the exact count — registers, scaled harmonic sum,
+    * and estimate all replayed by the oracle (the value-checkable
+    * counterpart of q45's engine-internal approx_count_distinct). */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("string").as("k"))
+    val exact = keys.agg(countDistinct(col("k")).as("true_distinct"))
+    Sketch.hllEstimate(keys, "k", p = 8)
+      .crossJoin(exact)
+      .withColumn("rel_err",
+        round((col("hll_estimate") - col("true_distinct"))
+          / col("true_distinct").cast("double"), 4))
+  }
+
+  private val q133Sql =
+    """WITH h AS (SELECT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))
+           ::BIGINT AS h
+         FROM lineitem),
+       r AS (SELECT h % 256 AS bucket,
+               max(CASE WHEN (h >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(h >> 8)) END) AS mreg
+             FROM h GROUP BY bucket),
+       a AS (SELECT count(*) AS used,
+               CAST(sum(1::BIGINT << CAST(53 - mreg AS INT)) AS BIGINT)
+                 AS sum_present
+             FROM r),
+       st AS (SELECT used, 256 - used AS zeros,
+                sum_present + (256 - used) * (1::BIGINT << 53)
+                  AS sum_scaled
+              FROM a),
+       e AS (SELECT used, zeros, sum_scaled,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * 9007199254740992.0 / sum_scaled::DOUBLE AS raw
+             FROM st),
+       f AS (SELECT CAST(256 AS INT) AS m, used, zeros, sum_scaled,
+               round(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros::DOUBLE)
+                          ELSE raw END, 4) AS hll_estimate
+             FROM e),
+       t AS (SELECT count(DISTINCT l_partkey) AS true_distinct
+             FROM lineitem)
+       SELECT f.m, f.used, f.zeros, f.sum_scaled, f.hll_estimate,
+         t.true_distinct,
+         round((f.hll_estimate - t.true_distinct)
+           / t.true_distinct::DOUBLE, 4) AS rel_err
+       FROM f, t"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -815,7 +865,8 @@ object Insights {
     "q129_pmi_pairs" -> (q129 _),
     "q130_seasonality" -> (q130 _),
     "q131_skipgram_pmi" -> (q131 _),
-    "q132_vocab_coverage" -> (q132 _))
+    "q132_vocab_coverage" -> (q132 _),
+    "q133_hll_distinct" -> (q133 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -838,5 +889,6 @@ object Insights {
     "q129_pmi_pairs" -> q129Sql,
     "q130_seasonality" -> q130Sql,
     "q131_skipgram_pmi" -> q131Sql,
-    "q132_vocab_coverage" -> q132Sql)
+    "q132_vocab_coverage" -> q132Sql,
+    "q133_hll_distinct" -> q133Sql)
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Assoc, Chunks, Dedup, Experiment, Fuzzy, Graph,
-  History, Quality, Rank, Sampling, Series, Similarity}
+  History, Quality, Rank, Sampling, Series, Similarity, Sketch}
 
 /** Unit coverage for the round-5 insight operators: blocked
   * sorted-neighborhood linkage, retention cohorts, rolling z-score
@@ -440,6 +440,39 @@ class InsightsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 0L, 0.0)))
     assert(out(2L) == ((4L, 1L, 0.25)))
     assert(out(3L) == ((5L, 2L, 0.4)))
+  }
+
+  // ----------------------------------------------- HLL distinct
+  test("hll estimate lands within theory bounds, duplicates are free") {
+    val n = 5000
+    val base = (1 to n).map(i => Tuple1(s"key$i")).toDF("k")
+    val e1 = Sketch.hllEstimate(base, "k", p = 8)
+      .collect()(0).getDouble(4)
+    // 1.04/sqrt(256) ~ 6.5% std error; 4 sigma is a safe spec bound
+    assert(math.abs(e1 - n) / n < 0.26, s"estimate $e1 for $n")
+    // duplicating every key must not move a single register
+    val e2 = Sketch.hllEstimate(base.union(base), "k", p = 8)
+      .collect()(0).getDouble(4)
+    assert(e1 == e2)
+  }
+
+  test("hll small range uses linear counting and is near-exact") {
+    val df = (1 to 30).map(i => Tuple1(s"v$i")).toDF("k")
+    val r = Sketch.hllEstimate(df, "k", p = 8).collect()(0)
+    assert(r.getLong(2) > 0)   // zeros remain
+    val est = r.getDouble(4)
+    assert(math.abs(est - 30.0) < 3.0, s"linear counting off: $est")
+  }
+
+  test("hll registers merge by max: split + merge equals whole") {
+    val all = (1 to 2000).map(i => Tuple1(s"m$i")).toDF("k")
+    val whole = Sketch.hllEstimate(all, "k", p = 8).collect()(0)
+    // recompute over an arbitrary 3-way split union — same rows, so
+    // identical registers regardless of partitioning
+    val redistributed = Sketch.hllEstimate(all.repartition(13), "k", p = 8)
+      .collect()(0)
+    assert(whole.getLong(3) == redistributed.getLong(3)) // sum_scaled
+    assert(whole.getDouble(4) == redistributed.getDouble(4))
   }
 
   test("rolling anomalies: first days have no z until minBase history") {
