@@ -125,18 +125,30 @@ object Sketch {
     *
     * One row: `(m, used, zeros, sum_scaled, hll_estimate)`.
     */
-  def hllEstimate(items: DataFrame, keyCol: String, p: Int): DataFrame = {
+  /** HLL register table `(bucket, mreg)` — the sketch's mergeable
+    * state, exposed separately because a `groupBy(bucket).max` is also
+    * a valid STREAMING aggregation (complete/update mode, state bounded
+    * at 2^p rows regardless of stream cardinality): a live
+    * distinct-count monitor maintains exactly this table and reads
+    * [[hllEstimate]]'s arithmetic off it whenever asked.
+    */
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16]: m = 2^p registers")
     val m = 1 << p
-    val wBits = 60 - p
-    val maxRank = wBits + 1
+    val maxRank = 60 - p + 1
     val h = token60(col(keyCol))
     val w = shiftright(h, p)
     val rank = when(w === 0, lit(maxRank))
       .otherwise(lit(maxRank) - length(bin(w)))
-    val regs = items
+    items
       .select(pmod(h, lit(m.toLong)).as("bucket"), rank.as("r"))
       .groupBy("bucket").agg(max(col("r")).as("mreg"))
+  }
+
+  def hllEstimate(items: DataFrame, keyCol: String, p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val regs = hllRegisters(items, keyCol, p)
     val scaledTerm = call_function("shiftleft", lit(1L),
       lit(maxRank) - col("mreg"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))

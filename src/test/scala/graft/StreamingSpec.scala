@@ -247,6 +247,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch sketch (bounded state)") {
+    // a live distinct-count monitor IS Sketch.hllRegisters run as a
+    // streaming aggregation: groupBy(bucket).max is update-safe, and
+    // the state store holds at most 2^p rows no matter how many
+    // distinct keys stream past — the register table read at any point
+    // equals the batch sketch over the rows so far
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val regs = graft.operators.Sketch.hllRegisters(
+      mem.toDF().toDF("k"), "k", p = 8)
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_regs").start()
+    try {
+      mem.addData((1 to 700).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      mem.addData((500 to 1200).map(i => s"u$i"): _*) // overlap re-keys
+      q.processAllAvailable()
+      val streamed = spark.table("hll_regs").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = graft.operators.Sketch.hllRegisters(
+          (1 to 1200).map(i => Tuple1(s"u$i")).toDF("k"), "k", p = 8)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch)
+      assert(streamed.size <= 256)
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental dedup routes a stream against a growing corpus") {
     // the PRODUCTION ingest loop: each micro-batch is screened against
     // the corpus-so-far (Dedup.incrementalNearDups with the structural
