@@ -183,8 +183,9 @@ object Graph {
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient from lower (deg, id) to higher — broadcast-join degrees
-    // onto both endpoints (degree table is node-cardinality)
+    // orient from lower (deg, id) to higher — the degree table joins
+    // onto both endpoints un-hinted (it is node-cardinality, unbounded
+    // at scale; AQE broadcasts it when it actually fits)
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     val oriented = und.join(du, "u").join(dv, "v")

@@ -475,6 +475,40 @@ class InsightsSpec extends SparkSpec {
     assert(whole.getDouble(4) == redistributed.getDouble(4))
   }
 
+  // ----------------------------------------------- degenerate inputs
+  test("round-5 operators survive empty and degenerate inputs") {
+    val emptyEvents = Seq.empty[(Long, Timestamp, String, Long)]
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assert(Series.retentionCohorts(emptyEvents, "user_id", "ts").isEmpty)
+    assert(Series.rollingAnomalies(emptyEvents, "event_type", "ts")
+      .isEmpty)
+    assert(Series.topPaths(emptyEvents, "user_id", "ts", "event_type",
+      "event_id").isEmpty)
+    assert(Series.weekdayProfile(emptyEvents, "event_type", "ts").isEmpty)
+    // single-node graph: no pairs to sample, no triangles
+    val oneEdge = Seq((1L, 2L)).toDF("a", "b")
+    assert(Graph.triangleCounts(oneEdge, "a", "b").isEmpty)
+    spark.catalog.clearCache()
+    // a constant column has identical quantile boundaries: every row
+    // lands in bin 0 (ties go low) — one bin row, not a crash
+    val const = Seq.fill(50)(Tuple1(7.0)).toDF("v")
+    val edh = Quality.equiDepthHistogram(const, "v", k = 4).collect()
+    assert(edh.length == 1 && edh(0).getInt(0) == 0 &&
+      edh(0).getLong(1) == 50L)
+    // snapshot diff where one side is empty: everything is added
+    val empty = Seq.empty[(Long, Long)].toDF("k", "n")
+    val nw = Seq((1L, 2L), (2L, 3L)).toDF("k", "n")
+    val d = History.snapshotDiff(empty, nw, "k", Seq("n"))
+      .collect().map(_.getString(1))
+    assert(d.toSeq == Seq("added", "added"))
+    // PSI with an empty current period: smoothing keeps terms finite
+    val ref = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val emptyCur = Seq.empty[Tuple1[Double]].toDF("v")
+    val psi = Quality.psiDrift(ref, emptyCur, "v", k = 4).collect()
+    assert(psi.length == 4 &&
+      psi.forall(r => !r.getDouble(5).isInfinite && !r.getDouble(5).isNaN))
+  }
+
   test("rolling anomalies: first days have no z until minBase history") {
     val events = (1 to 4).map(d => ("view", ts(d))).toDF("event_type", "ts")
     val out = Series.rollingAnomalies(events, "event_type", "ts",
