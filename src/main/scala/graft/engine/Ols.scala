@@ -127,6 +127,46 @@ object Ols {
                   r.getDouble(3), r.getDouble(4)).solve
   }
 
+  /** Grouped closed-form RIDGE regression `y = w0 + w1·x` with the
+    * slope L2-penalized (intercept unpenalized, the standard
+    * convention): in centered form,
+    * {{{
+    * w1 = Σ(x−x̄)(y−ȳ) / (Σ(x−x̄)² + λ)
+    * w0 = ȳ − w1·x̄
+    * }}}
+    * `λ = 0` reduces exactly to the reference's OLS solve
+    * (`/root/reference/kernel.cu:62-63`) — ridge is the one-line
+    * extension that keeps the fit defined on degenerate inputs a plain
+    * OLS can't handle: a zero-variance group divides by `λ` instead of
+    * by zero (w1 = 0, w0 = ȳ — the right answer for a constant x).
+    *
+    * Same execution shape as the exact fit: ONE aggregation of the
+    * five sufficient statistics per group (map-side partials), then
+    * scalar arithmetic — no second pass, no collect beyond the result.
+    * Returns `(<groupCol>, n_rows, w0, w1)` with weights rounded to 6.
+    */
+  def fitRidgeGrouped(df: DataFrame, xCol: String, yCol: String,
+                      groupCol: String, lambda: Double): DataFrame = {
+    require(lambda >= 0.0, "lambda must be non-negative")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val stats = df
+      .select(col(groupCol), x.as("x"), y.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val n = col("n_rows").cast("double")
+    val xm = col("sx") / n
+    val ym = col("sy") / n
+    val w1 = (col("sxy") - n * xm * ym) /
+      ((col("sxx") - n * xm * xm) + lit(lambda))
+    stats.select(col(groupCol), col("n_rows"),
+      graft.functions.Rounding.roundTo(ym - w1 * xm, 6).as("w0"),
+      graft.functions.Rounding.roundTo(w1, 6).as("w1"))
+  }
+
   /** Two-feature exact OLS `y = w0 + w1·x1 + w2·x2` as a PURE PLAN —
     * the natural multivariate extension of the reference's closed-form
     * kernel (`/root/reference/kernel.cu:62-63` is the 1-feature

@@ -842,6 +842,65 @@ object Insights {
            / t.true_distinct::DOUBLE, 4) AS rel_err
        FROM f, t"""
 
+  // --------------------------------------------------------------- q134
+  /** Grouped ridge regression ([[graft.engine.Ols.fitRidgeGrouped]]):
+    * price-vs-quantity per return flag with λ = 100 — the one-line
+    * regularized extension of the reference's closed-form OLS kernel,
+    * still one sufficient-statistics aggregation. */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    graft.engine.Ols.fitRidgeGrouped(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice", "l_returnflag", lambda = 100.0)
+      .orderBy("l_returnflag")
+
+  private val q134Sql =
+    """WITH s AS (SELECT l_returnflag, count(*) AS n_rows,
+           sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+           sum(x * y) AS sxy
+         FROM (SELECT l_returnflag, l_quantity AS x,
+                 l_extendedprice AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND l_extendedprice IS NOT NULL) t
+         GROUP BY l_returnflag),
+       r AS (SELECT l_returnflag, n_rows, n_rows::DOUBLE AS n,
+               sx / n_rows::DOUBLE AS xm, sy / n_rows::DOUBLE AS ym,
+               sxx, sxy
+             FROM s),
+       w AS (SELECT l_returnflag, n_rows, xm, ym,
+               (sxy - n * xm * ym) / ((sxx - n * xm * xm) + 100.0) AS w1
+             FROM r)
+       SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+         round(ym - w1 * xm, 6) AS w0, round(w1, 6) AS w1
+       FROM w ORDER BY l_returnflag"""
+
+  // --------------------------------------------------------------- q135
+  /** Daily percentile bands: p10/p50/p90 of event values per day —
+    * the banded time-series view every metrics dashboard draws; exact
+    * interpolated quantiles, one grouped aggregation (same
+    * `percentile` ↔ `quantile_cont` contract as q48/q95). */
+  private def q135(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.1, 0.5, 0.9))").as("q"))
+      .select(col("day"), col("n"),
+        round(element_at(col("q"), 1), 4).as("p10"),
+        round(element_at(col("q"), 2), 4).as("p50"),
+        round(element_at(col("q"), 3), 4).as("p90"))
+      .orderBy("day")
+
+  private val q135Sql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, value FROM events
+         WHERE value IS NOT NULL),
+       g AS (SELECT day, count(*) AS n,
+               quantile_cont(value, [0.1, 0.5, 0.9]) AS q
+             FROM d GROUP BY day)
+       SELECT day, n, round(q[1], 4) AS p10, round(q[2], 4) AS p50,
+         round(q[3], 4) AS p90
+       FROM g ORDER BY day"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -866,7 +925,9 @@ object Insights {
     "q130_seasonality" -> (q130 _),
     "q131_skipgram_pmi" -> (q131 _),
     "q132_vocab_coverage" -> (q132 _),
-    "q133_hll_distinct" -> (q133 _))
+    "q133_hll_distinct" -> (q133 _),
+    "q134_ridge_regression" -> (q134 _),
+    "q135_percentile_bands" -> (q135 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -890,5 +951,7 @@ object Insights {
     "q130_seasonality" -> q130Sql,
     "q131_skipgram_pmi" -> q131Sql,
     "q132_vocab_coverage" -> q132Sql,
-    "q133_hll_distinct" -> q133Sql)
+    "q133_hll_distinct" -> q133Sql,
+    "q134_ridge_regression" -> q134Sql,
+    "q135_percentile_bands" -> q135Sql)
 }

@@ -54,6 +54,29 @@ class OlsSpec extends SparkSpec {
     assert(math.abs(w.w1 - 2.5) < 1e-6 && math.abs(w.w0 - 7.0) < 1e-6)
   }
 
+  test("fitRidgeGrouped: lambda=0 equals OLS, penalty shrinks the slope") {
+    val df = (1 to 100).map(i => ("g", i.toDouble, 2.5 * i + 7.0))
+      .toDF("g", "x", "y")
+    val ols = Ols.fitLinearExact(df, "x", "y")
+    val r0 = Ols.fitRidgeGrouped(df, "x", "y", "g", lambda = 0.0)
+      .collect()(0)
+    assert(math.abs(r0.getDouble(2) - ols.w0) < 1e-5)
+    assert(math.abs(r0.getDouble(3) - ols.w1) < 1e-5)
+    val r = Ols.fitRidgeGrouped(df, "x", "y", "g", lambda = 1e6)
+      .collect()(0)
+    assert(math.abs(r.getDouble(3)) < math.abs(ols.w1),
+      "a large penalty must shrink the slope toward zero")
+  }
+
+  test("fitRidgeGrouped: constant x stays defined (w1=0, w0=mean y)") {
+    val df = Seq(("g", 5.0, 1.0), ("g", 5.0, 3.0), ("g", 5.0, 8.0))
+      .toDF("g", "x", "y")
+    val r = Ols.fitRidgeGrouped(df, "x", "y", "g", lambda = 10.0)
+      .collect()(0)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(2) == 4.0)
+  }
+
   test("fitLinearExact is partition-invariant (fixes kernel.cu:108 truncation)") {
     val base = (1 to 101).map(i => (i.toDouble, 1.5 * i + 3.0 + (i % 7)))
     val w1 = Ols.fitLinearExact(base.toDF("x", "y").repartition(1), "x", "y")
