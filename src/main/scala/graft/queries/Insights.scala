@@ -901,6 +901,134 @@ object Insights {
          round(q[3], 4) AS p90
        FROM g ORDER BY day"""
 
+  // --------------------------------------------------------------- q136
+  /** RFM customer segmentation: per-customer recency (days before the
+    * corpus's last order date), frequency, and monetary total, each
+    * scored 1–4 against its own quartile boundaries (one quantile
+    * aggregation per metric, broadcast back — the equi-depth bin
+    * pattern, never a global ntile window). Ties on a boundary go to
+    * the lower bin in both engines; recency scores INVERT (recent =
+    * better). */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val maxDay = orders.agg(max(to_date(col("o_orderdate"))).as("d1"))
+    val rfm = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 4).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        datediff(col("d1"), col("last_day")).cast("long").as("recency"),
+        col("frequency"), col("monetary"))
+    val bounds = rfm.agg(
+      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rb"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fb"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mb"))
+    def above(v: org.apache.spark.sql.Column, b: String) =
+      aggregate(col(b), lit(0), (acc, x) =>
+        acc + when(v.cast("double") > x, 1).otherwise(0))
+    rfm.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("recency"), col("frequency"),
+        col("monetary"),
+        (lit(4) - above(col("recency"), "rb")).as("r_score"),
+        (lit(1) + above(col("frequency"), "fb")).as("f_score"),
+        (lit(1) + above(col("monetary"), "mb")).as("m_score"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+      .orderBy("o_custkey")
+  }
+
+  private val q136Sql =
+    """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+       rfm AS (SELECT o_custkey,
+                 CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                   (SELECT d1 FROM mx)) AS BIGINT) AS recency,
+                 count(*) AS frequency,
+                 round(sum(o_totalprice), 4) AS monetary
+               FROM orders GROUP BY o_custkey),
+       b AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rb,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fb,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+             FROM rfm),
+       sc AS (SELECT o_custkey, recency, frequency, monetary,
+                4 - len(list_filter(b.rb, x -> recency::DOUBLE > x))
+                  AS r_score,
+                1 + len(list_filter(b.fb, x -> frequency::DOUBLE > x))
+                  AS f_score,
+                1 + len(list_filter(b.mb, x -> monetary::DOUBLE > x))
+                  AS m_score
+              FROM rfm, b)
+       SELECT o_custkey, recency, frequency, monetary,
+         CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+         CAST(m_score AS INT) AS m_score,
+         r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+           AS segment
+       FROM sc ORDER BY o_custkey"""
+
+  // --------------------------------------------------------------- q137
+  /** Dedup evaluation harness — "measure, don't guess" as a query:
+    * banded-minhash pairs (q36's operator) scored against the exact
+    * capped-index Jaccard ground truth (q38's operator) at the same
+    * 0.8 threshold: one row `(n_exact, n_lsh, n_common, recall,
+    * precision)`. LSH recall < 1 comes from banding; precision < 1
+    * from the exact path's df-cap contract — this query watches both
+    * numbers so neither degrades silently. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b")
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        threshold = 0.8, maxShingleDf = 16)
+      .select("doc_a", "doc_b")
+    val common = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+    val stats = lsh.agg(count(lit(1)).as("n_lsh"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+    stats.select(col("n_exact"), col("n_lsh"), col("n_common"),
+      round(col("n_common").cast("double") /
+        col("n_exact").cast("double"), 4).as("recall"),
+      round(col("n_common").cast("double") /
+        col("n_lsh").cast("double"), 4).as("precision"))
+  }
+
+  private val q137Sql = Pipeline.minhashBandCtes +
+    s""",
+       lshcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.b = b.b AND a.key = b.key
+                     AND a.doc_id < b.doc_id),
+       lsh AS (SELECT da AS doc_a, db AS doc_b
+               FROM lshcand JOIN sh x ON x.doc_id = da
+               JOIN sh y ON y.doc_id = db
+               WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+                 4) >= 0.8),
+       inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       dfT AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+       idx AS (SELECT inv.doc_id, inv.s FROM inv JOIN dfT USING (s)
+               WHERE df BETWEEN 2 AND 16),
+       ecand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM idx a JOIN idx b
+                   ON a.s = b.s AND a.doc_id < b.doc_id),
+       ex AS (SELECT da AS doc_a, db AS doc_b
+              FROM ecand JOIN sh x ON x.doc_id = da
+              JOIN sh y ON y.doc_id = db
+              WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+                4) >= 0.8),
+       c AS (SELECT count(*) AS n_common
+             FROM lsh WHERE EXISTS (SELECT 1 FROM ex
+               WHERE ex.doc_a = lsh.doc_a AND ex.doc_b = lsh.doc_b))
+       SELECT (SELECT count(*) FROM ex) AS n_exact,
+         (SELECT count(*) FROM lsh) AS n_lsh,
+         c.n_common,
+         round(c.n_common::DOUBLE / (SELECT count(*) FROM ex), 4)
+           AS recall,
+         round(c.n_common::DOUBLE / (SELECT count(*) FROM lsh), 4)
+           AS precision
+       FROM c"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -927,7 +1055,9 @@ object Insights {
     "q132_vocab_coverage" -> (q132 _),
     "q133_hll_distinct" -> (q133 _),
     "q134_ridge_regression" -> (q134 _),
-    "q135_percentile_bands" -> (q135 _))
+    "q135_percentile_bands" -> (q135 _),
+    "q136_rfm_segmentation" -> (q136 _),
+    "q137_dedup_eval" -> (q137 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -953,5 +1083,7 @@ object Insights {
     "q132_vocab_coverage" -> q132Sql,
     "q133_hll_distinct" -> q133Sql,
     "q134_ridge_regression" -> q134Sql,
-    "q135_percentile_bands" -> q135Sql)
+    "q135_percentile_bands" -> q135Sql,
+    "q136_rfm_segmentation" -> q136Sql,
+    "q137_dedup_eval" -> q137Sql)
 }
