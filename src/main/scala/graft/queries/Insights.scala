@@ -1029,6 +1029,97 @@ object Insights {
            AS precision
        FROM c"""
 
+  // --------------------------------------------------------------- q138
+  /** Interpolated trigram LM score — the model order past q72
+    * (unigram) and q81 (bigram), with Jelinek-Mercer interpolation
+    * `P = 0.1·P(w₃) + 0.3·P(w₃|w₂) + 0.6·P(w₃|w₁w₂)` so rare contexts
+    * back off smoothly instead of spiking. Denominators are plain
+    * occurrence counts (every conditional is ≤ 1; edge positions make
+    * them not exactly normalized — the standard scoring convention).
+    * Per document: trigram count and mean interpolated log-prob.
+    *
+    * Scale: trigram/bigram/unigram rows all come from the native
+    * shingle expression inside the scan projection; the three count
+    * tables are ngram-cardinality and join back by ngram key; N is a
+    * one-row broadcast. No window, no self-join.
+    */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import graft.operators.Dedup.shingleRowsRaw
+    val docs = Tables.documents(s, d)
+      .filter(org.apache.spark.sql.functions.size(words(col("text"))) >= 3)
+    val tri = shingleRowsRaw(docs, "doc_id", "text", 3)
+      .withColumnRenamed("id", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("t"))
+    val c1 = uni.groupBy("t").agg(count(lit(1)).as("c1"))
+    val c2 = shingleRowsRaw(docs, "doc_id", "text", 2)
+      .groupBy("s").agg(count(lit(1)).as("c2"))
+    val c3 = tri.groupBy("s").agg(count(lit(1)).as("c3"))
+    val nTok = uni.agg(count(lit(1)).cast("double").as("n_tok"))
+    val keyed = tri.select(col("doc_id"), col("s"),
+      substring_index(col("s"), " ", 2).as("b12"),
+      substring_index(col("s"), " ", -2).as("b23"),
+      substring_index(substring_index(col("s"), " ", 2), " ", -1)
+        .as("w2"),
+      substring_index(col("s"), " ", -1).as("w3"))
+    val scored = keyed
+      .join(c3, "s")
+      .join(c2.select(col("s").as("b12"), col("c2").as("c2_12")), "b12")
+      .join(c2.select(col("s").as("b23"), col("c2").as("c2_23")), "b23")
+      .join(c1.select(col("t").as("w2"), col("c1").as("c1_2")), "w2")
+      .join(c1.select(col("t").as("w3"), col("c1").as("c1_3")), "w3")
+      .crossJoin(broadcast(nTok))
+      .select(col("doc_id"),
+        log(lit(0.1) * (col("c1_3").cast("double") / col("n_tok")) +
+          lit(0.3) * (col("c2_23").cast("double") /
+            col("c1_2").cast("double")) +
+          lit(0.6) * (col("c3").cast("double") /
+            col("c2_12").cast("double"))).as("l"))
+    val result = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(col("l")), 4).as("avg_interp_logprob"))
+      .orderBy("doc_id")
+    graft.operators.Exec.owned(result, Seq(tri))
+  }
+
+  private val q138Sql =
+    """WITH wa AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+           FROM documents),
+       w3a AS (SELECT doc_id, w FROM wa WHERE len(w) >= 3),
+       tri AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         FROM w3a),
+       bi AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS s
+         FROM w3a),
+       uni AS (SELECT doc_id, unnest(w) AS t FROM w3a),
+       c1 AS (SELECT t, count(*) AS c1 FROM uni GROUP BY t),
+       c2 AS (SELECT s, count(*) AS c2 FROM bi GROUP BY s),
+       c3 AS (SELECT s, count(*) AS c3 FROM tri GROUP BY s),
+       ntok AS (SELECT count(*)::DOUBLE AS n_tok FROM uni),
+       keyed AS (SELECT doc_id, s,
+           split_part(s, ' ', 1) || ' ' || split_part(s, ' ', 2) AS b12,
+           split_part(s, ' ', 2) || ' ' || split_part(s, ' ', 3) AS b23,
+           split_part(s, ' ', 2) AS w2, split_part(s, ' ', 3) AS w3
+         FROM tri),
+       scored AS (SELECT doc_id,
+           ln(0.1 * (f1.c1::DOUBLE / ntok.n_tok)
+            + 0.3 * (g23.c2::DOUBLE / f2.c1::DOUBLE)
+            + 0.6 * (c3.c3::DOUBLE / g12.c2::DOUBLE)) AS l
+         FROM keyed
+         JOIN c3 ON keyed.s = c3.s
+         JOIN c2 g12 ON keyed.b12 = g12.s
+         JOIN c2 g23 ON keyed.b23 = g23.s
+         JOIN c1 f2 ON keyed.w2 = f2.t
+         JOIN c1 f1 ON keyed.w3 = f1.t, ntok)
+       SELECT doc_id, count(*) AS n_trigrams,
+         round(avg(l), 4) AS avg_interp_logprob
+       FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1057,7 +1148,8 @@ object Insights {
     "q134_ridge_regression" -> (q134 _),
     "q135_percentile_bands" -> (q135 _),
     "q136_rfm_segmentation" -> (q136 _),
-    "q137_dedup_eval" -> (q137 _))
+    "q137_dedup_eval" -> (q137 _),
+    "q138_trigram_interp" -> (q138 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -1085,5 +1177,6 @@ object Insights {
     "q134_ridge_regression" -> q134Sql,
     "q135_percentile_bands" -> q135Sql,
     "q136_rfm_segmentation" -> q136Sql,
-    "q137_dedup_eval" -> q137Sql)
+    "q137_dedup_eval" -> q137Sql,
+    "q138_trigram_interp" -> q138Sql)
 }
