@@ -1134,6 +1134,42 @@ object Insights {
          round(avg(l), 4) AS avg_interp_logprob
        FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q139
+  /** Label-centroid similarity matrix: pairwise cosine between the
+    * per-label mean embeddings — the confusability diagnostic read
+    * before trusting labels as IVF cells (q52) or contrastive
+    * negatives (q121): two labels whose centroids sit at cosine ≈ 1
+    * are one class wearing two names. |labels|² output; the corpus is
+    * touched once by the centroid aggregation. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(dot(col("a.cvec"), col("b.cvec")) /
+          (norm(col("a.cvec")) * norm(col("b.cvec"))), 4).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
+  private val q139Sql =
+    """WITH c AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY label, i),
+       vec AS (SELECT label, array_agg(v ORDER BY i) AS cvec
+               FROM c GROUP BY label)
+       SELECT a.label AS label_a, b.label AS label_b,
+         round(list_dot_product(a.cvec, b.cvec)
+           / (sqrt(list_dot_product(a.cvec, a.cvec))
+              * sqrt(list_dot_product(b.cvec, b.cvec))), 4) AS cosine
+       FROM vec a JOIN vec b ON a.label < b.label
+       ORDER BY label_a, label_b"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1163,7 +1199,8 @@ object Insights {
     "q135_percentile_bands" -> (q135 _),
     "q136_rfm_segmentation" -> (q136 _),
     "q137_dedup_eval" -> (q137 _),
-    "q138_trigram_interp" -> (q138 _))
+    "q138_trigram_interp" -> (q138 _),
+    "q139_centroid_similarity" -> (q139 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -1192,5 +1229,6 @@ object Insights {
     "q135_percentile_bands" -> q135Sql,
     "q136_rfm_segmentation" -> q136Sql,
     "q137_dedup_eval" -> q137Sql,
-    "q138_trigram_interp" -> q138Sql)
+    "q138_trigram_interp" -> q138Sql,
+    "q139_centroid_similarity" -> q139Sql)
 }
