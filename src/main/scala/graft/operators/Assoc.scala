@@ -29,9 +29,12 @@ object Assoc {
                minSupport: Long, topN: Int): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(topN >= 1, "topN must be >= 1")
+    // referenced four times (total, marginals, both self-join sides) —
+    // persist so the distinct shuffle runs once, not per reference
     val bi = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = bi.agg(countDistinct(col("bk")).cast("double").as("n_bk"))
     val itemCnt = bi.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
     val pairs = bi.as("x").join(bi.as("y"),
@@ -39,7 +42,7 @@ object Assoc {
       .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .filter(col("n_pairs") >= minSupport)
-    pairs
+    val result = pairs
       .join(itemCnt.select(col("it").as("item_a"), col("cnt").as("n_a")),
         "item_a")
       .join(itemCnt.select(col("it").as("item_b"), col("cnt").as("n_b")),
@@ -52,6 +55,7 @@ object Assoc {
           .as("pmi"))
       .orderBy(col("pmi").desc, col("item_a"), col("item_b"))
       .limit(topN)
+    Exec.owned(result, Seq(bi))
   }
 
   /** Skip-gram PMI over token windows — the statistic word2vec
@@ -75,6 +79,11 @@ object Assoc {
     require(window >= 1, "window must be >= 1")
     require(minCount >= 1 && topN >= 1, "minCount/topN must be >= 1")
     import graft.functions.TextFunctions.words
+    // toks is referenced four times but deliberately NOT persisted: it
+    // is a corpus×positions row stream whose recompute is a map-only
+    // projection off the columnar scan — at 100 TB, re-projecting is
+    // cheaper than writing/reading a corpus-sized cache. (Contrast
+    // pmiPairs' `bi`, whose DISTINCT shuffle does warrant one.)
     val toks = docs.select(col(idCol).as("d"),
         posexplode(words(col(textCol))).as(Seq("pos", "w")))
     val nTok = toks.agg(count(lit(1)).cast("double").as("n_tok"))

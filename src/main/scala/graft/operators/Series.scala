@@ -73,13 +73,17 @@ object Series {
                        epoch: String = "1990-01-01"): DataFrame = {
     val week = floor(datediff(to_date(col(tsCol)),
       lit(epoch).cast("date")) / 7).cast("long")
+    // referenced by the cohort min AND the final join — without a
+    // persist Spark re-executes the corpus scan + distinct shuffle per
+    // reference (3 corpus scans at 100 TB instead of 1)
     val userWeeks = events
       .select(col(userCol).as("u"), week.as("week")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cohorts = userWeeks.groupBy("u")
       .agg(min(col("week")).as("cohort_week"))
     val sizes = cohorts.groupBy("cohort_week")
       .agg(count(lit(1)).as("cohort_size"))
-    userWeeks.join(cohorts, "u")
+    val result = userWeeks.join(cohorts, "u")
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
@@ -88,6 +92,7 @@ object Series {
         graft.functions.Rounding.roundTo(
           col("n_users").cast("double") / col("cohort_size").cast("double"),
           4).as("retention"))
+    Exec.owned(result, Seq(userWeeks))
   }
 
   /** Rolling z-score anomaly flags over per-type daily volumes:

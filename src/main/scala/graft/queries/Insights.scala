@@ -912,6 +912,8 @@ object Insights {
   private def q136(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val maxDay = orders.agg(max(to_date(col("o_orderdate"))).as("d1"))
+    // referenced by the boundary aggregation AND the scoring pass —
+    // persist so the customer aggregation shuffle runs once
     val rfm = orders
       .groupBy(col("o_custkey"))
       .agg(max(to_date(col("o_orderdate"))).as("last_day"),
@@ -921,6 +923,7 @@ object Insights {
       .select(col("o_custkey"),
         datediff(col("d1"), col("last_day")).cast("long").as("recency"),
         col("frequency"), col("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = rfm.agg(
       expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rb"),
       expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fb"),
@@ -928,7 +931,7 @@ object Insights {
     def above(v: org.apache.spark.sql.Column, b: String) =
       aggregate(col(b), lit(0), (acc, x) =>
         acc + when(v.cast("double") > x, 1).otherwise(0))
-    rfm.crossJoin(broadcast(bounds))
+    val result = rfm.crossJoin(broadcast(bounds))
       .select(col("o_custkey"), col("recency"), col("frequency"),
         col("monetary"),
         (lit(4) - above(col("recency"), "rb")).as("r_score"),
@@ -937,6 +940,7 @@ object Insights {
       .withColumn("segment", concat(col("r_score"), col("f_score"),
         col("m_score")))
       .orderBy("o_custkey")
+    graft.operators.Exec.owned(result, Seq(rfm))
   }
 
   private val q136Sql =
