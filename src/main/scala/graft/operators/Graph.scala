@@ -131,8 +131,16 @@ object Graph {
   def negativeSample(edges: DataFrame, aCol: String, bCol: String,
                      buckets: Int, salt: String = "neg"): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val nodes = edges.select(col(aCol).as("node"))
-      .unionByName(edges.select(col(bCol).as("node")))
+    // the edge input feeds both endpoint projections AND the anti-join
+    // — persist a canonical projection of it (a derived plan, so
+    // releasing it cannot drop a cache the CALLER registered on the
+    // same input) or the upstream edge build re-executes three times
+    val canon = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
       .distinct()
       .withColumn("h", graft.functions.TextFunctions.token60(
         concat(lit(salt), col("node").cast("string"))))
@@ -144,10 +152,7 @@ object Graph {
       .filter(col("nxt").isNotNull)
       .select(least(col("node"), col("nxt")).as("u"),
         greatest(col("node"), col("nxt")).as("v"))
-    val canon = edges.select(
-      least(col(aCol), col(bCol)).as("u"),
-      greatest(col(aCol), col(bCol)).as("v"))
-    cand.join(canon, Seq("u", "v"), "left_anti")
+    Exec.owned(cand.join(canon, Seq("u", "v"), "left_anti"), Seq(canon))
   }
 
   /** Per-node triangle counts over an undirected edge table: `(node,
