@@ -167,6 +167,63 @@ object Ols {
       graft.functions.Rounding.roundTo(w1, 6).as("w1"))
   }
 
+  /** Two-feature RIDGE `y = w0 + w1·x1 + w2·x2` as a pure plan — the
+    * regularized companion of [[fitLinearExact2Plan]]: λ is added to
+    * the two FEATURE diagonal cells of the normal matrix (the
+    * intercept row stays unpenalized), then the same Cramer solve.
+    * With λ > 0 the system is strictly better conditioned: collinear
+    * features that make the exact fit NaN out get a defined,
+    * shrunk-toward-zero solution here — the practical reason ridge
+    * exists. λ = 0 reduces exactly to the OLS plan.
+    */
+  def fitRidge2Plan(df: DataFrame, x1Col: String, x2Col: String,
+                    yCol: String, lambda: Double): DataFrame = {
+    require(lambda >= 0.0, "lambda must be non-negative")
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val y = col(yCol).cast("double")
+    val sums = df
+      .select(x1.as("x1"), x2.as("x2"), y.as("y"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull &&
+        col("y").isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum("x1").as("s1"), sum("x2").as("s2"),
+           (sum(col("x1") * col("x1")) + lambda).as("r11"),
+           (sum(col("x2") * col("x2")) + lambda).as("r22"),
+           sum(col("x1") * col("x2")).as("s12"),
+           sum("y").as("sy"),
+           sum(col("x1") * col("y")).as("s1y"),
+           sum(col("x2") * col("y")).as("s2y"))
+    def det3(a: Column, b: Column, c: Column,
+             d: Column, e: Column, f: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    sums.select(
+      det3(col("n"), col("s1"), col("s2"),
+           col("s1"), col("r11"), col("s12"),
+           col("s2"), col("s12"), col("r22")).as("det"),
+      det3(col("sy"), col("s1"), col("s2"),
+           col("s1y"), col("r11"), col("s12"),
+           col("s2y"), col("s12"), col("r22")).as("d0"),
+      det3(col("n"), col("sy"), col("s2"),
+           col("s1"), col("s1y"), col("s12"),
+           col("s2"), col("s2y"), col("r22")).as("d1"),
+      det3(col("n"), col("s1"), col("sy"),
+           col("s1"), col("r11"), col("s1y"),
+           col("s2"), col("s12"), col("s2y")).as("d2"),
+      (col("n") * col("r11") * col("r22")).as("diag"))
+    .withColumn("degenerate",
+      col("det").isNull ||
+        abs(col("det")) <= lit(1e-12) * abs(col("diag")))
+    .select(
+      when(col("degenerate"), Double.NaN)
+        .otherwise(col("d0") / col("det")).as("w0"),
+      when(col("degenerate"), Double.NaN)
+        .otherwise(col("d1") / col("det")).as("w1"),
+      when(col("degenerate"), Double.NaN)
+        .otherwise(col("d2") / col("det")).as("w2"))
+  }
+
   /** Two-feature exact OLS `y = w0 + w1·x1 + w2·x2` as a PURE PLAN —
     * the natural multivariate extension of the reference's closed-form
     * kernel (`/root/reference/kernel.cu:62-63` is the 1-feature

@@ -1174,6 +1174,49 @@ object Insights {
        FROM vec a JOIN vec b ON a.label < b.label
        ORDER BY label_a, label_b"""
 
+  // --------------------------------------------------------------- q140
+  /** Two-feature ridge ([[graft.engine.Ols.fitRidge2Plan]]): q83's
+    * normal-equation plan with λ = 50 on the feature diagonal — same
+    * single sufficient-statistics aggregation, Cramer solve on the
+    * penalized system, oracle term-for-term. */
+  private def q140(s: SparkSession, d: String): DataFrame =
+    graft.engine.Ols.fitRidge2Plan(Tables.lineitem(s, d),
+        "l_quantity", "l_discount", "l_extendedprice", lambda = 50.0)
+      .select(round(col("w0"), 4).as("w0"), round(col("w1"), 4).as("w1"),
+        round(col("w2"), 4).as("w2"))
+
+  private val q140Sql =
+    """WITH a AS (SELECT count(*)::DOUBLE AS n,
+         sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         sum(l_quantity*l_quantity) + 50.0 AS r11,
+         sum(l_discount*l_discount) + 50.0 AS r22,
+         sum(l_quantity*l_discount) AS s12,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity*l_extendedprice) AS s1y,
+         sum(l_discount*l_extendedprice) AS s2y
+       FROM lineitem
+       WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         AND l_extendedprice IS NOT NULL),
+       b AS (SELECT
+         n*(r11*r22 - s12*s12) - s1*(s1*r22 - s12*s2)
+           + s2*(s1*s12 - r11*s2) AS det,
+         sy*(r11*r22 - s12*s12) - s1*(s1y*r22 - s12*s2y)
+           + s2*(s1y*s12 - r11*s2y) AS d0,
+         n*(s1y*r22 - s12*s2y) - sy*(s1*r22 - s12*s2)
+           + s2*(s1*s2y - s1y*s2) AS d1,
+         n*(r11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+           + sy*(s1*s12 - r11*s2) AS d2,
+         n*r11*r22 AS diag
+       FROM a)
+       SELECT
+         CASE WHEN det IS NULL OR abs(det) <= 1e-12 * abs(diag)
+              THEN 'NaN'::DOUBLE ELSE round(d0/det, 4) END AS w0,
+         CASE WHEN det IS NULL OR abs(det) <= 1e-12 * abs(diag)
+              THEN 'NaN'::DOUBLE ELSE round(d1/det, 4) END AS w1,
+         CASE WHEN det IS NULL OR abs(det) <= 1e-12 * abs(diag)
+              THEN 'NaN'::DOUBLE ELSE round(d2/det, 4) END AS w2
+       FROM b"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1204,7 +1247,8 @@ object Insights {
     "q136_rfm_segmentation" -> (q136 _),
     "q137_dedup_eval" -> (q137 _),
     "q138_trigram_interp" -> (q138 _),
-    "q139_centroid_similarity" -> (q139 _))
+    "q139_centroid_similarity" -> (q139 _),
+    "q140_ridge_two_feature" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -1234,5 +1278,6 @@ object Insights {
     "q136_rfm_segmentation" -> q136Sql,
     "q137_dedup_eval" -> q137Sql,
     "q138_trigram_interp" -> q138Sql,
-    "q139_centroid_similarity" -> q139Sql)
+    "q139_centroid_similarity" -> q139Sql,
+    "q140_ridge_two_feature" -> q140Sql)
 }

@@ -77,6 +77,24 @@ class OlsSpec extends SparkSpec {
     assert(r.getDouble(2) == 4.0)
   }
 
+  test("fitRidge2Plan: lambda=0 equals the exact plan, collinear stays defined") {
+    val df = (1 to 60).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 9).toDouble
+      (x1, x2, 3.0 + 2.0 * x1 - 0.5 * x2)
+    }.toDF("x1", "x2", "y")
+    val exact = Ols.fitLinearExact2Plan(df, "x1", "x2", "y").collect()(0)
+    val r0 = Ols.fitRidge2Plan(df, "x1", "x2", "y", 0.0).collect()(0)
+    (0 to 2).foreach(i =>
+      assert(math.abs(exact.getDouble(i) - r0.getDouble(i)) < 1e-9))
+    // perfectly collinear features: exact NaNs out, ridge is defined
+    val coll = (1 to 30).map(i =>
+      (i.toDouble, 2.0 * i, 5.0 + i)).toDF("x1", "x2", "y")
+    val ex = Ols.fitLinearExact2Plan(coll, "x1", "x2", "y").collect()(0)
+    assert(ex.getDouble(1).isNaN)
+    val rr = Ols.fitRidge2Plan(coll, "x1", "x2", "y", 10.0).collect()(0)
+    assert(!rr.getDouble(1).isNaN && !rr.getDouble(2).isNaN)
+  }
+
   test("fitLinearExact is partition-invariant (fixes kernel.cu:108 truncation)") {
     val base = (1 to 101).map(i => (i.toDouble, 1.5 * i + 3.0 + (i % 7)))
     val w1 = Ols.fitLinearExact(base.toDF("x", "y").repartition(1), "x", "y")
