@@ -56,6 +56,32 @@ class InsightsPlanSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("vocab coverage broadcasts the K-row vocabulary onto the tokens") {
+    val out = graft.operators.Quality.vocabCoverage(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", topK = 50)
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"vocab must ride a broadcast, not shuffle the token stream:\n$p")
+    assert(out.count() > 0)
+  }
+
+  test("negative sampling plans per-bucket windows, never a global sort") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val out = graft.operators.Graph.negativeSample(edges, "a", "b",
+      buckets = 4)
+    val p = plan(out)
+    // a window without PARTITION BY plans as Exchange SinglePartition —
+    // the scale-killer this operator's bucketing exists to avoid
+    assert(!p.contains("SinglePartition"),
+      s"bucketed window must not collapse to one partition:\n$p")
+    out.count() // executes fine
+    spark.catalog.clearCache()
+  }
+
   test("psi drift never joins the two periods row-to-row") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val split = lit("2000-01-01").cast("date")
