@@ -1217,6 +1217,43 @@ object Insights {
               THEN 'NaN'::DOUBLE ELSE round(d2/det, 4) END AS w2
        FROM b"""
 
+  // --------------------------------------------------------------- q141
+  /** Per-source corpus report card — the dashboard a curation run
+    * reads per ingest source: document count, exact-dup rate (distinct
+    * normalized content hashes vs rows — q35's kernel aggregated one
+    * level up), size profile (mean + exact median chars), and mean
+    * token count. One grouped aggregation over one corpus scan; every
+    * output row is a source. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        Dedup.contentHash(col("text")).as("ch"),
+        org.apache.spark.sql.functions.size(words(col("text")))
+          .cast("double").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ch")).as("n_distinct"),
+        round(lit(1.0) - countDistinct(col("ch")).cast("double")
+          / count(lit(1)).cast("double"), 4).as("dup_rate"),
+        round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(avg(col("ntok")), 4).as("avg_tokens"))
+      .orderBy("source")
+  }
+
+  private val q141Sql =
+    """SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(lower(regexp_replace(trim(text),'\s+',' ','g'))))
+         AS n_distinct,
+       round(1.0 - count(DISTINCT md5(lower(regexp_replace(trim(text),
+           '\s+',' ','g'))))::DOUBLE / count(*)::DOUBLE, 4) AS dup_rate,
+       round(avg(n_chars::DOUBLE), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(avg(len(regexp_split_to_array(trim(text),'\s+'))::DOUBLE), 4)
+         AS avg_tokens
+       FROM documents GROUP BY source ORDER BY source"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1248,7 +1285,8 @@ object Insights {
     "q137_dedup_eval" -> (q137 _),
     "q138_trigram_interp" -> (q138 _),
     "q139_centroid_similarity" -> (q139 _),
-    "q140_ridge_two_feature" -> (q140 _))
+    "q140_ridge_two_feature" -> (q140 _),
+    "q141_source_report" -> (q141 _))
 
   val oracles: Map[String, String] = Map(
     "q112_snm_linkage" -> q112Sql,
@@ -1279,5 +1317,6 @@ object Insights {
     "q137_dedup_eval" -> q137Sql,
     "q138_trigram_interp" -> q138Sql,
     "q139_centroid_similarity" -> q139Sql,
-    "q140_ridge_two_feature" -> q140Sql)
+    "q140_ridge_two_feature" -> q140Sql,
+    "q141_source_report" -> q141Sql)
 }
