@@ -38,8 +38,18 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Dev-loop filter: comma-separated name prefixes (e.g. "q127,q137")
+    // to time a subset while iterating. Unset (the driver's mode) runs
+    // everything.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = filter match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         // query construction is INSIDE the timed region: eager
         // operators (dedup/ANN) do their work in fn itself
         def one(): Double = {

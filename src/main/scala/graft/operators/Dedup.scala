@@ -174,46 +174,8 @@ object Dedup {
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    // Distinct (id, shingle) rows once: feeds the df count (plain count
-    // == countDistinct here, single-phase), the per-doc stats, and
-    // the candidate self-join (whose per-pair counts must see each
-    // shared shingle exactly once). Per-doc distinctness comes from the
-    // native array expression INSIDE the scan projection — a
-    // dropDuplicates here would shuffle the corpus-sized row stream
-    // just to dedupe within documents.
-    val inv = shingleSets(docs, idCol, textCol, shingleN)
-      .select(col("id"), explode(col("sh")).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // |A|: full distinct set size per doc, uncapped — corpus-cardinality
-    val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Corpus document frequency per shingle; read twice (index filter +
-    // over-cap set), shingle-cardinality — persist beats re-aggregating
-    // the corpus-sized inv
-    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Pairable shingles: present in >= 2 docs (df < 2 never pairs —
-    // also keeps the self-join off the long unique-shingle tail), <= cap.
-    val pairable = dfTab.filter(col("df") >= 2 &&
-        (if (maxShingleDf == Int.MaxValue) lit(true)
-         else col("df") <= maxShingleDf))
-      .select("s")
-    // self-joined for candidate counts → persist
-    val idx = inv.join(pairable, Seq("s"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // hidden(A): ONLY over-cap shingles — df==1 singletons are
-    // unshareable and never loosen the bound. The over-cap set is the
-    // heavy-hitter tail (tiny by construction), so the probe broadcasts.
-    val hidSize =
-      if (maxShingleDf == Int.MaxValue)
-        setSize.select(col("id"), lit(0L).as("hid")).limit(0)
-      else
-        inv.join(broadcast(dfTab.filter(col("df") > maxShingleDf)
-            .select("s")), Seq("s"), "left_semi")
-          .groupBy("id").agg(count(lit(1)).as("hid"))
-    // per-doc (|A|, hidden(A)) — joins below are corpus-cardinality,
-    // tiny next to the pair table
-    val docStats = setSize.join(hidSize, Seq("id"), "left")
-      .select(col("id"), col("sz"), coalesce(col("hid"), lit(0L)).as("hid"))
+    val (kernelHandles, idx, docStats, withDf) =
+      cappedInvertedIndex(docs, idCol, textCol, shingleN, maxShingleDf)
     // exact shared-indexed-shingle count per candidate pair
     val ii = idx.as("a")
       .join(idx.as("b"),
@@ -234,16 +196,13 @@ object Dedup {
       .select("doc_a", "doc_b")
       // referenced three times below (two id-unions + the verify join)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Exact Jaccard on the FULL shingle sets of the (few) survivors:
-    // per-doc arrays from the native expression, computed ONLY for
+    // Exact Jaccard on the FULL shingle sets of the (few) survivors,
+    // collected from the cached kernel rows — computed ONLY for
     // documents that appear in a surviving pair (the corpus-wide array
-    // materialization would dominate the whole operator at scale) —
-    // no index re-join, no per-pair row explosion
-    val sets = shingleSets(
-        docsInCandidates(docs, idCol, cand, Seq("doc_a", "doc_b")),
-        idCol, textCol, shingleN)
+    // materialization would dominate the whole operator at scale)
+    val sets = candidateSets(withDf, cand, Seq("doc_a", "doc_b"))
       // joined below as both sides of the verification — persist so
-      // the candidate semi-join + shingle arrays compute once
+      // the candidate semi-join + set collection compute once
       .persist(StorageLevel.MEMORY_AND_DISK)
     val result = cand
       .join(sets.as("x"), col("doc_a") === col("x.id"))
@@ -255,7 +214,70 @@ object Dedup {
             .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    owned(result, Seq(inv, dfTab, idx, cand, sets))
+    owned(result, kernelHandles ++ Seq(cand, sets))
+  }
+
+  /** Shared df-capped inverted-index kernel of [[jaccardPairsExact]]
+    * and [[containmentPairs]]: distinct `(id, shingle)` rows with the
+    * corpus document frequency attached to every row in ONE shuffle.
+    *
+    * Per-doc distinctness comes from the native array expression INSIDE
+    * the scan projection — a dropDuplicates here would shuffle the
+    * corpus-sized row stream just to dedupe within documents. The df
+    * aggregation (plain count == countDistinct on distinct rows,
+    * single-phase) and the join's probe side both hash-partition the
+    * same `inv` subplan on `s`, so Spark's exchange reuse materializes
+    * ONE physical shuffle of the corpus; the cached joined table is
+    * partitioned by `s`, which the candidate self-join then reuses
+    * without another exchange.
+    *
+    * From that one pass:
+    *  - `idx`: rows whose shingle has df in `[2, maxShingleDf]`
+    *    (df < 2 never pairs — keeps the self-join off the long
+    *    unique-shingle tail; the cap bounds per-shingle fan-out);
+    *  - `docStats`: `(id, sz, hid)` — full distinct set size, and the
+    *    count of over-cap ("hidden") shingles that loosen the
+    *    intersection upper bound. df==1 singletons occur in exactly one
+    *    document and contribute to no intersection, so they are never
+    *    counted hidden.
+    *
+    * Returns `(handles-to-unpersist, idx, docStats)`; previously these
+    * came from three separate corpus passes (set-size aggregation,
+    * broadcast over-cap probe, pairable semi-join) each with its own
+    * cache.
+    */
+  private def cappedInvertedIndex(docs: DataFrame, idCol: String,
+                                  textCol: String, shingleN: Int,
+                                  maxShingleDf: Int)
+      : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
+    val inv = shingleSets(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("sh")).as("s"))
+    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val withDf = inv.join(dfTab, Seq("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docStats = withDf.groupBy("id").agg(
+      count(lit(1)).as("sz"),
+      (if (maxShingleDf == Int.MaxValue) lit(0L)
+       else sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)))
+        .as("hid"))
+    val idx = withDf.filter(col("df") >= 2 &&
+        (if (maxShingleDf == Int.MaxValue) lit(true)
+         else col("df") <= maxShingleDf))
+      .select("id", "s")
+    (Seq(withDf), idx, docStats, withDf)
+  }
+
+  /** Full distinct shingle SETS for documents appearing in a candidate
+    * pair, collected from the cached `(id, s)` kernel table — no second
+    * corpus scan, no re-shingling: verification reads the rows the
+    * index pass already materialized (including df==1 and over-cap
+    * shingles, which the exact intersection must see). */
+  private def candidateSets(withDf: DataFrame, cand: DataFrame,
+                            idCols: Seq[String]): DataFrame = {
+    val ids = idCols.map(c => cand.select(col(c).as("cid")))
+      .reduce(_.unionByName(_)).distinct()
+    withDf.join(ids, col("id") === col("cid"), "left_semi")
+      .groupBy("id").agg(collect_list(col("s")).as("sh"))
   }
 
   /** Shingle-containment pairs — the ASYMMETRIC near-dup detector:
@@ -284,29 +306,8 @@ object Dedup {
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    // per-doc-distinct shingle rows with no corpus shuffle — see the
-    // matching note in [[jaccardPairsExact]]
-    val inv = shingleSets(docs, idCol, textCol, shingleN)
-      .select(col("id"), explode(col("sh")).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val setSize = inv.groupBy("id").agg(count(lit(1)).as("sz"))
-    val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairable = dfTab.filter(col("df") >= 2 &&
-        (if (maxShingleDf == Int.MaxValue) lit(true)
-         else col("df") <= maxShingleDf))
-      .select("s")
-    val idx = inv.join(pairable, Seq("s"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hidSize =
-      if (maxShingleDf == Int.MaxValue)
-        setSize.select(col("id"), lit(0L).as("hid")).limit(0)
-      else
-        inv.join(broadcast(dfTab.filter(col("df") > maxShingleDf)
-            .select("s")), Seq("s"), "left_semi")
-          .groupBy("id").agg(count(lit(1)).as("hid"))
-    val docStats = setSize.join(hidSize, Seq("id"), "left")
-      .select(col("id"), col("sz"), coalesce(col("hid"), lit(0L)).as("hid"))
+    val (kernelHandles, idx, docStats, withDf) =
+      cappedInvertedIndex(docs, idCol, textCol, shingleN, maxShingleDf)
     val ii = idx.as("a")
       .join(idx.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -325,9 +326,7 @@ object Dedup {
         col("ub_inter") / col("db.sz") >= threshold - margin)
       .select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sets = shingleSets(
-        docsInCandidates(docs, idCol, cand, Seq("doc_a", "doc_b")),
-        idCol, textCol, shingleN)
+    val sets = candidateSets(withDf, cand, Seq("doc_a", "doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val withInter = cand
       .join(sets.as("x"), col("doc_a") === col("x.id"))
@@ -345,7 +344,7 @@ object Dedup {
       round(col("inter") / col("sb"), 4).as("containment"))
     val result = dirA.unionByName(dirB)
       .filter(col("containment") >= threshold)
-    owned(result, Seq(inv, dfTab, idx, cand, sets))
+    owned(result, kernelHandles ++ Seq(cand, sets))
   }
 
   /** Exact Jaccard for given candidate pairs over a shingle-row table:

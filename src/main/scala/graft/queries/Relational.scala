@@ -694,15 +694,29 @@ object Relational {
        GROUP BY 1 ORDER BY 1"""
 
   // ---------------------------------------------------------------- q45
-  /** approx_count_distinct (HyperLogLog++) next to the exact count.
-    * Sketch internals differ per engine → rows-only driver check; the
-    * spec asserts the approximation error bound instead. */
+  /** approx_count_distinct (HyperLogLog++) checked against the exact
+    * count. Sketch internals differ per engine, so the raw estimate is
+    * not oracle-comparable; instead the query emits the exact count
+    * plus a `within_5pct` bound flag (rsd = 0.02, so 5% is a 2.5-sigma
+    * bound) that the oracle asserts as TRUE — the q133 pattern of
+    * value-checking an approximation by its error contract. */
   private def q45(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(countDistinct(col("o_custkey")).as("exact_custs"),
-           approx_count_distinct(col("o_custkey")).as("approx_custs"))
+           approx_count_distinct(col("o_custkey"), rsd = 0.02)
+             .as("approx_custs"))
+      .withColumn("within_5pct",
+        abs(col("approx_custs") - col("exact_custs"))
+          <= col("exact_custs") * 0.05)
+      .drop("approx_custs")
       .orderBy("o_orderstatus")
+
+  private val q45Sql =
+    """SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS within_5pct
+       FROM orders GROUP BY 1 ORDER BY 1"""
 
   // ---------------------------------------------------------------- q46
   /** Ranking-window suite: rank / dense_rank / lead / ntile over one
@@ -1396,6 +1410,7 @@ object Relational {
     "q68_data_quality" -> (q68 _))
 
   val oracles: Map[String, String] = Map(
+    "q45_approx_distinct" -> q45Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,
     "q85_range_frame" -> q85Sql,
