@@ -15,14 +15,16 @@ final case class MediaFeatures(media_id: Long, mime: String,
                                brightness: Double)
 
 /** Multimodal column plumbing (SURVEY.md §2.11): image/audio/video as
-  * opaque `binary` columns with typed metadata. The Spark-side shape —
-  * schema, partition-level batch iteration, feature schema — is real
-  * and tested; the codec itself is STUBBED (no image/audio libraries in
-  * this container) with a deterministic fake so tests are reproducible.
+  * opaque `binary` columns with typed metadata. PPM (P6), PNG (RGB8)
+  * and PCM WAV travel through REAL codecs ([[MediaCodec]] — header
+  * parse, CRC checks, zlib inflate, filter reversal); only perceptual
+  * codecs needing an entropy/DCT stack (JPEG/MP3) remain STUBBED
+  * ([[decodeFeatures]]) with a deterministic fake so the pipeline
+  * shape stays testable without image libraries.
   *
   * Scale posture: decode runs per partition over an iterator
-  * (`mapPartitions`) — a real decoder would amortize codec init across
-  * the partition's rows, and no row or batch ever reaches the driver.
+  * (`mapPartitions`) — codec init amortizes across the partition's
+  * rows, and no row or batch ever reaches the driver.
   */
 object Multimodal {
 
@@ -84,26 +86,57 @@ object Multimodal {
       }
   }
 
-  /** REAL image decode: parses the P6 header ([[MediaCodec.decodePpm]]
-    * — magic, comments, dimensions, maxval, exact raster length),
-    * dimensions and brightness come from the DECODED image, not from
-    * byte heuristics. Corrupt payloads are dropped (decodePpm's reason
-    * is available to quarantine flows; MultimodalSpec covers the
+  /** REAL-codec media table, PNG edition of [[toPpmMedia]]: the same
+    * zero-padded 8-wide RGB raster, deflate-compressed into a genuine
+    * PNG file ([[MediaCodec.encodePng]] — IHDR/IDAT/IEND with real
+    * CRC-32s; the payload opens in any viewer). Raster arithmetic is
+    * deliberately identical to the PPM path so decoded features are
+    * codec-invariant — what changes is the container and the
+    * compression, which the decode side must genuinely undo.
+    */
+  def toPngMedia(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data = text.getBytes("UTF-8")
+          val w = 8
+          val h = data.length / (w * 3) + 1
+          val pixels = java.util.Arrays.copyOf(data, w * h * 3)
+          MediaFile(id, MediaCodec.encodePng(w, h, pixels), "image/png")
+        }
+      }
+  }
+
+  /** REAL image decode, dispatching on the FILE's magic bytes (not the
+    * claimed mime): PNG signature → [[MediaCodec.decodePng]] (CRC
+    * walk, inflate, filter reversal), `P6` → [[MediaCodec.decodePpm]]
+    * (header parse, exact raster length). Dimensions and brightness
+    * come from the DECODED raster, not byte heuristics. Corrupt or
+    * unrecognized payloads are dropped (the decoder's reason is
+    * available to quarantine flows; MultimodalSpec covers the
     * rejection paths) instead of decoding to garbage. Partition
     * iterator in, typed features out — the same 100 TB shape as the
-    * stub path, now with a working codec.
+    * stub path, now with working codecs.
     */
   def decodeImageFeatures(files: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
       it.flatMap { m =>
-        MediaCodec.decodePpm(m.payload) match {
-          case Right(img) =>
+        val decoded: Either[String, (Int, Int, Array[Byte])] =
+          if (m.payload.length >= 8 && (m.payload(0) & 0xff) == 0x89 &&
+              m.payload(1) == 'P')
+            MediaCodec.decodePng(m.payload)
+              .map(i => (i.width, i.height, i.pixels))
+          else
+            MediaCodec.decodePpm(m.payload)
+              .map(i => (i.width, i.height, i.pixels))
+        decoded match {
+          case Right((w, h, pixels)) =>
             var sum = 0L
-            img.pixels.foreach(b => sum += (b & 0xff))
+            pixels.foreach(b => sum += (b & 0xff))
             Some(MediaFeatures(m.media_id, m.mime, m.payload.length,
-              img.width, img.height,
-              sum.toDouble / (img.pixels.length * 255.0)))
+              w, h, sum.toDouble / (pixels.length * 255.0)))
           case Left(_) => None
         }
       }

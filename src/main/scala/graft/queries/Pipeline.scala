@@ -526,6 +526,36 @@ object Pipeline {
              FROM documents) t
        ORDER BY media_id"""
 
+  // --------------------------------------------------------------- q142
+  /** COMPRESSED-codec multimodal path: documents encoded as genuine
+    * PNG files ([[graft.operators.MediaCodec.encodePng]] — IHDR/IDAT/
+    * IEND, zlib deflate, per-chunk CRC-32), then DECODED for real
+    * (CRC verification, inflate, scanline-filter reversal). The raster
+    * arithmetic matches q59's PPM path by construction, so the oracle
+    * replays it from the text; the compressed byte size is a deflate
+    * artifact and deliberately NOT part of the result — what the query
+    * certifies is that dimensions and brightness survive a real
+    * compress/decompress roundtrip. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decodeImageFeatures(
+        Multimodal.toPngMedia(Tables.documents(s, d))).toDF()
+      .withColumn("brightness", round(col("brightness"), 4))
+      .select("media_id", "mime", "width", "height", "brightness")
+      .orderBy("media_id")
+  }
+
+  private val q142Sql =
+    """SELECT media_id, mime, CAST(8 AS INT) AS width,
+       CAST(h AS INT) AS height,
+       round(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, i, 1)))), 0)
+         / (24 * h * 255.0), 4) AS brightness
+       FROM (SELECT doc_id AS media_id, 'image/png' AS mime, text,
+               octet_length(CAST(text AS BLOB)) // 24 + 1 AS h
+             FROM documents) t
+       ORDER BY media_id"""
+
   // ---------------------------------------------------------------- q44
   /** Per-label embedding centroids (first 8 dims) — the building block
     * for IVF-style partitioned ANN. */
@@ -820,6 +850,7 @@ object Pipeline {
     "q52_knn_ivf" -> (q52 _),
     "q53_embedding_neardup_lsh" -> (q53 _),
     "q59_multimodal_ppm" -> (q59 _),
+    "q142_multimodal_png" -> (q142 _),
     "q60_tfidf" -> (q60 _),
     "q69_dataset_split" -> (q69 _),
     "q70_text_cleanup" -> (q70 _),
@@ -846,6 +877,7 @@ object Pipeline {
     "q52_knn_ivf" -> q52Sql,
     "q53_embedding_neardup_lsh" -> q53Sql,
     "q59_multimodal_ppm" -> q59Sql,
+    "q142_multimodal_png" -> q142Sql,
     "q60_tfidf" -> q60Sql,
     "q69_dataset_split" -> q69Sql,
     "q70_text_cleanup" -> q70Sql,

@@ -34,6 +34,115 @@ class MultimodalSpec extends SparkSpec {
       "P6\n2 2\n255X".getBytes ++ new Array[Byte](12)).isLeft)
   }
 
+  test("PNG codec round-trips pixels through a real deflate stream") {
+    val pixels = Array.tabulate(5 * 4 * 3)(i => (i * 31 % 256).toByte)
+    val enc = MediaCodec.encodePng(5, 4, pixels)
+    // a genuine PNG container: signature + IHDR first
+    assert((enc(0) & 0xff) == 0x89 && enc(1) == 'P' && enc(2) == 'N')
+    assert(new String(enc.slice(12, 16), "US-ASCII") == "IHDR")
+    val dec = MediaCodec.decodePng(enc)
+    assert(dec.isRight, dec)
+    val img = dec.toOption.get
+    assert(img.width == 5 && img.height == 4)
+    assert(img.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("PNG decode reverses all five scanline filters") {
+    // hand-build a 2x5 image whose five scanlines use filters
+    // 0..4 (None, Sub, Up, Average, Paeth) — any real encoder may
+    // emit any of them, so the decoder must reverse each
+    val w = 2; val h = 5; val stride = w * 3
+    val pixels = Array.tabulate(h * stride)(i => ((i * 37 + 11) % 256).toByte)
+    def px(y: Int, x: Int): Int = pixels(y * stride + x) & 0xff
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      raw(y * (1 + stride)) = y.toByte // filter type = row index
+      for (x <- 0 until stride) {
+        val cur = px(y, x)
+        val left = if (x >= 3) px(y, x - 3) else 0
+        val up = if (y > 0) px(y - 1, x) else 0
+        val ul = if (y > 0 && x >= 3) px(y - 1, x - 3) else 0
+        val filtered = y match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left
+                       else if (pb <= pc) up else ul
+            cur - pred
+        }
+        raw(y * (1 + stride) + 1 + x) = (filtered & 0xff).toByte
+      }
+    }
+    // wrap the filtered scanlines in a valid container by splicing the
+    // raw stream into encodePng's framing: deflate + chunk + crc
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    val idat = out.toByteArray
+    def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + d.length)
+      b.putInt(d.length).put(t.getBytes("US-ASCII")).put(d)
+      val crc = new java.util.zip.CRC32
+      crc.update(t.getBytes("US-ASCII")); crc.update(d)
+      b.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n',
+        0x1a, '\n') ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val dec = MediaCodec.decodePng(png)
+    assert(dec.isRight, dec)
+    assert(dec.toOption.get.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("PNG decode rejects corrupt payloads with a reason, never garbage") {
+    val good = MediaCodec.encodePng(3, 2, new Array[Byte](18))
+    assert(MediaCodec.decodePng("not a png".getBytes).isLeft)
+    assert(MediaCodec.decodePng(good.dropRight(1)).isLeft) // truncated
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x55).toByte
+    // flipped byte inside IEND's CRC → chunk walk must reject
+    assert(MediaCodec.decodePng(badCrc).isLeft)
+    val zlibCorrupt = good.clone()
+    // flip a byte inside IDAT data (offset: 8 sig + 25 ihdr + 8 + 2)
+    zlibCorrupt(8 + 25 + 10) = (zlibCorrupt(8 + 25 + 10) ^ 0x7f).toByte
+    assert(MediaCodec.decodePng(zlibCorrupt).isLeft)
+    // interlaced flag set (with fixed CRC) → unsupported, not garbage
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(3).putInt(2)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(1.toByte).array()
+    val crc = new java.util.zip.CRC32
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
+    val interlaced = good.clone()
+    System.arraycopy(ihdr, 0, interlaced, 16, 13)
+    val cb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(cb, 0, interlaced, 29, 4)
+    assert(MediaCodec.decodePng(interlaced).isLeft)
+  }
+
+  test("real PNG pipeline: compress docs, decode features via inflate") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
+                   (2L, "y" * 50, "en", "srcA", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeImageFeatures(Multimodal.toPngMedia(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 8 && out(1L).height == 1)
+    assert(out(2L).width == 8 && out(2L).height == 3)
+    assert(out(1L).mime == "image/png")
+    val sum = "hello world".getBytes("UTF-8").map(_ & 0xff).sum
+    assert(math.abs(out(1L).brightness - sum / (24.0 * 255.0)) < 1e-12)
+  }
+
   test("WAV codec round-trips PCM samples and rejects non-PCM") {
     val samples = Array.tabulate(100)(i => (math.sin(i / 7.0) * 8000).toShort)
     val enc = MediaCodec.encodeWavPcm16(16000, samples)
