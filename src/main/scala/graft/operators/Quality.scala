@@ -246,8 +246,12 @@ object Quality {
     * quantile boundaries (same boundary contract as
     * [[equiDepthHistogram]]); each bin contributes
     * `(p_cur − p_ref) · ln(p_cur/p_ref)` and the shares are
-    * Laplace-smoothed (`(n + 0.5)/(N + 0.5k)`) so a bin the current
-    * period never hits stays finite instead of blowing the index up.
+    * Laplace-smoothed (`(n + 0.5)/(N + 0.5k)`) so a bin either period
+    * never hits stays finite instead of blowing the index up. All `k`
+    * bins are reported: ties in the reference can collapse quantile
+    * boundaries and leave bins with ZERO reference rows — current rows
+    * landing there are precisely the drift the monitor exists to catch,
+    * so they must not fall out of the report.
     * Output: `(bin, n_ref, n_cur, p_ref, p_cur, psi_term)` — the
     * headline PSI is the sum of `psi_term` (rule of thumb: < 0.1
     * stable, > 0.25 action).
@@ -274,9 +278,16 @@ object Quality {
     }
     val r = binned(ref).select(col("bin"), col("n").as("n_ref"))
     val c = binned(cur).select(col("bin"), col("n").as("n_cur"))
-    // every ref bin exists by construction (equi-depth on ref); a bin
-    // absent from cur joins as zero
-    val joined = r.join(c, Seq("bin"), "left")
+    // anchor on the full bin range 0..k-1, NOT on the ref bins: under
+    // heavy ties the reference's quantile boundaries collapse and some
+    // bins hold zero ref rows — current-period rows landing there are
+    // exactly the drift PSI must see, and Laplace smoothing keeps their
+    // term finite. A bin absent from either side joins as zero.
+    val bins = ref.sparkSession.range(k)
+      .select(col("id").cast("int").as("bin"))
+    val joined = bins
+      .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
       .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
     val totals = joined.agg(sum(col("n_ref")).as("tr"),
       sum(col("n_cur")).as("tc"))

@@ -45,7 +45,10 @@ object Rank {
     val toks = docs.select(col(idCol).as("id"),
       words(col(textCol)).as("w"))
     val dl = toks.select(col("id"), size(col("w")).cast("double").as("dl"))
-    // corpus scalars: one row, broadcast by the cross join
+    // corpus scalars: one row; each attach point broadcast()s it so the
+    // nested-loop join's build side is pinned deterministically (AQE
+    // would usually pick it anyway, but the hint removes the
+    // size-estimate gamble, like every sibling operator's 1-row attach)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     // term frequencies restricted to query terms BEFORE the shuffle:
@@ -56,13 +59,13 @@ object Rank {
       .groupBy("id", "tok").agg(count(lit(1)).cast("double").as("tf"))
     // document frequency and idf per term — at most |terms| rows
     val idf = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-      .crossJoin(stats.select("n_docs"))
+      .crossJoin(broadcast(stats.select("n_docs")))
       .select(col("tok"),
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
           (col("df") + 0.5)).as("idf"))
     tf.join(broadcast(idf), "tok")
       .join(dl, "id")
-      .crossJoin(stats.select("avgdl"))
+      .crossJoin(broadcast(stats.select("avgdl")))
       .withColumn("contrib",
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /

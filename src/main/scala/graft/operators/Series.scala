@@ -97,10 +97,14 @@ object Series {
 
   /** Rolling z-score anomaly flags over per-type daily volumes:
     * `(<typeCol>, day, cnt, n_base, base_mean, base_sd, z, is_anomaly)`
-    * where the baseline is the trailing `lookback` days EXCLUDING the
-    * current day (an anomaly must not suppress itself), `z` is defined
-    * once the baseline has ≥ `minBase` days and positive spread, and
-    * `is_anomaly = |z| ≥ zThresh`.
+    * where the baseline is the trailing `lookback` CALENDAR days
+    * EXCLUDING the current day (an anomaly must not suppress itself),
+    * `z` is defined once the baseline has ≥ `minBase` days and positive
+    * spread, and `is_anomaly = |z| ≥ zThresh`. Days with zero events
+    * inside the corpus span are gap-filled to `cnt = 0` and scored like
+    * any other day — a type going silent is exactly the anomaly a
+    * volume monitor must flag, and the dense grid keeps the ROWS window
+    * from reaching across gaps.
     *
     * Cross-engine determinism: the baseline moments come from window
     * sums of integer counts (`Σx`, `Σx²` are exact in double for any
@@ -117,9 +121,21 @@ object Series {
     require(lookback >= 2 && minBase >= 2,
       "baseline needs at least two days for a sample variance")
     import graft.functions.Rounding.{roundTo => round}
-    val daily = events
+    val observed = events
       .select(col(typeCol).as("t"), to_date(col(tsCol)).as("day"))
       .groupBy("t", "day").agg(count(lit(1)).as("cnt"))
+    // dense per-type day grid over the corpus span: a silent day is a
+    // DATA POINT (cnt = 0, possibly the anomaly — a type's volume
+    // collapsing to zero must be flaggable), and without it the
+    // trailing ROWS window would reach arbitrarily far back across
+    // gaps, making the "trailing lookback days" baseline a lie. The
+    // grid is |types| × span-days rows — tiny next to the corpus scan.
+    val span = observed.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = observed.select(col("t")).distinct()
+      .crossJoin(broadcast(days))
+      .join(observed, Seq("t", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val w = Window.partitionBy("t").orderBy("day")
       .rowsBetween(-lookback, -1)
     val x = col("cnt").cast("double")

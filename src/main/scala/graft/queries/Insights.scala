@@ -102,18 +102,28 @@ object Insights {
 
   // --------------------------------------------------------------- q114
   /** Rolling z-score anomalies ([[Series.rollingAnomalies]]): per-type
-    * daily event volumes scored against the trailing 7-day baseline
-    * (current day excluded); moments from integer-exact window sums so
-    * both engines agree bit-for-bit. */
+    * daily event volumes on the gap-filled day grid (silent days score
+    * as cnt = 0) against the trailing 7-calendar-day baseline (current
+    * day excluded); moments from integer-exact window sums so both
+    * engines agree bit-for-bit. */
   private def q114(s: SparkSession, d: String): DataFrame =
     Series.rollingAnomalies(Tables.events(s, d), "event_type", "ts",
         lookback = 7, zThresh = 3.0, minBase = 3)
       .orderBy("event_type", "day")
 
   private val q114Sql =
-    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+    """WITH obs AS (SELECT event_type, CAST(ts AS DATE) AS day,
            count(*) AS cnt
          FROM events GROUP BY event_type, day),
+       span AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+       days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+       daily AS (SELECT t.event_type, days.day,
+                   coalesce(obs.cnt, 0) AS cnt
+                 FROM (SELECT DISTINCT event_type FROM obs) t
+                 CROSS JOIN days
+                 LEFT JOIN obs ON obs.event_type = t.event_type
+                              AND obs.day = days.day),
        m AS (SELECT event_type, day, cnt,
                count(cnt) OVER w AS n_base,
                sum(cnt::DOUBLE) OVER w AS sx,
@@ -524,8 +534,11 @@ object Insights {
               WHERE o_orderdate >= DATE '2000-01-01'
                 AND o_totalprice IS NOT NULL
               GROUP BY bin),
-       j AS (SELECT rb.bin, rb.n_ref, coalesce(cb.n_cur, 0) AS n_cur
-             FROM rb LEFT JOIN cb USING (bin)),
+       j AS (SELECT g.bin, coalesce(rb.n_ref, 0) AS n_ref,
+               coalesce(cb.n_cur, 0) AS n_cur
+             FROM (SELECT CAST(range AS INT) AS bin
+                   FROM range(0, $edhK)) g
+             LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
        SELECT bin, n_ref, n_cur,
          round((n_ref + 0.5) / (tr + ${0.5 * edhK}), 6) AS p_ref,
@@ -1144,13 +1157,24 @@ object Insights {
     * before trusting labels as IVF cells (q52) or contrastive
     * negatives (q121): two labels whose centroids sit at cosine ≈ 1
     * are one class wearing two names. |labels|² output; the corpus is
-    * touched once by the centroid aggregation. */
+    * touched once by the centroid aggregation.
+    *
+    * Determinism: the centroid mean is NOT a double avg() — distributed
+    * Spark and sequential DuckDB would sum in different orders and the
+    * round-to-4 could flip on a boundary. Instead each float is scaled
+    * by 2^24 and rounded to a LONG (exact: a power-of-two scale of a
+    * 24-bit-mantissa float just shifts the exponent), the sum is
+    * integer-exact in any order, and the mean divides once — the
+    * integer-exact-moment discipline of q114/q120. The ~6e-8
+    * quantization is 3 orders below the rounded output. */
   private def q139(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
+    val scale = (1L << 24).toDouble
     val cent = Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(avg(col("v").cast("double")).as("c"))
+      .agg((sum(round(col("v").cast("double") * scale, 0).cast("long"))
+              .cast("double") / (count(lit(1)) * scale)).as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cvec"))
@@ -1162,7 +1186,10 @@ object Insights {
   }
 
   private val q139Sql =
-    """WITH c AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+    """WITH c AS (SELECT label, i,
+           sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 16777216.0)
+                 AS BIGINT))::DOUBLE
+             / (count(*) * 16777216.0) AS v
            FROM embeddings, range(1, 65) t(i)
            GROUP BY label, i),
        vec AS (SELECT label, array_agg(v ORDER BY i) AS cvec

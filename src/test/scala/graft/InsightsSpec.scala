@@ -95,6 +95,24 @@ class InsightsSpec extends SparkSpec {
     assert(spike.getDouble(4) < 11.0)
   }
 
+  test("rolling anomalies: a silent day is scored, not skipped") {
+    // 8 noisy-but-high days (so sd > 0), then one day with ZERO events:
+    // the gap-filled grid must produce a cnt=0 row, baseline from the
+    // trailing CALENDAR days, and flag the collapse
+    val events = (1 to 9).flatMap(d =>
+      (1 to (100 + d % 2)).map(_ => ("click", ts(d)))) // ~100±1/day
+    val withSpan = events ++ Seq(("click", ts(11))) // day 10 is silent
+    val out = Series.rollingAnomalies(withSpan.toDF("event_type", "ts"),
+        "event_type", "ts", lookback = 7, zThresh = 3.0, minBase = 3)
+      .orderBy("day").collect()
+    // all 11 calendar days present — including the day-10 gap
+    assert(out.length == 11, s"expected dense grid: ${out.length}")
+    val day10 = out(9)
+    assert(day10.getLong(2) == 0L, s"gap day must carry cnt=0: $day10")
+    assert(day10.getBoolean(7),
+      s"volume collapse to zero must flag as anomaly: $day10")
+  }
+
   // ----------------------------------------------- reciprocal rank fusion
   test("rrf fuses two lists by summed reciprocal rank") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
@@ -294,6 +312,26 @@ class InsightsSpec extends SparkSpec {
     // empty current bins stay finite thanks to smoothing
     assert(drift.forall(r => !r.getDouble(5).isInfinite))
     assert(drift.exists(r => r.getLong(2) == 0L))
+  }
+
+  test("psi sees current rows landing in ref-empty collapsed bins") {
+    // heavy ties: 90% of ref mass sits on one value, so the k=4
+    // quantile boundaries collapse and most bins hold zero ref rows;
+    // current rows landing there must be REPORTED, not dropped
+    // bounds collapse to [5, 5, 50]: bin 1 is unreachable, bin 3
+    // (x > 50) holds zero ref rows but IS reachable by current data
+    val ref = ((1 to 280).map(_ => 5.0) ++ (1 to 120).map(_ => 50.0))
+      .map(Tuple1(_)).toDF("v")
+    val cur = (1 to 100).map(_ => 100.0).map(Tuple1(_)).toDF("v")
+    val out = Quality.psiDrift(ref, cur, "v", k = 4)
+      .orderBy("bin").collect()
+    assert(out.length == 4, s"all k bins must report: ${out.length}")
+    assert(out.map(_.getLong(2)).sum == 100L,
+      s"every current row must appear in some bin: ${out.toSeq}")
+    assert(out.exists(r => r.getLong(1) == 0L && r.getLong(2) > 0L),
+      s"a ref-empty bin holding cur mass is the drift signal: ${out.toSeq}")
+    val psi = out.map(_.getDouble(5)).sum
+    assert(psi > 0.25, s"total distribution swap must trip the alarm: $psi")
   }
 
   // ----------------------------------------------- top paths
