@@ -1051,6 +1051,50 @@ object Relational {
                            FROM lineitem l2
                            WHERE l2.l_partkey = l1.l_partkey)"""
 
+  // --------------------------------------------------------------- q145
+  /** SQL TEXT entry surface: a multi-join aggregation submitted as ANSI
+    * SQL through `spark.sql` over temp views — the full parse → analyze
+    * → optimize → execute lifecycle (SURVEY §3) driven from query TEXT,
+    * where every other entry drives the DataFrame API. The oracle runs
+    * the IDENTICAL statement, so this also certifies dialect-portable
+    * SQL generation. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val stmt =
+      """SELECT n.n_name AS nation, count(*) AS n_orders,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         FROM %s c
+         JOIN %s o ON o.o_custkey = c.c_custkey
+         JOIN %s l ON l.l_orderkey = o.o_orderkey
+         JOIN %s n ON n.n_nationkey = c.c_nationkey
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY n.n_name
+         ORDER BY revenue DESC, nation"""
+    val names = Seq("customer", "orders", "lineitem", "nation")
+      .map(t => t -> s"graft_sql_${t}_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+    try {
+      names.foreach { case (t, v) =>
+        (t match {
+          case "customer" => Tables.customer(s, d)
+          case "orders"   => Tables.orders(s, d)
+          case "lineitem" => Tables.lineitem(s, d)
+          case "nation"   => Tables.nation(s, d)
+        }).createOrReplaceTempView(v)
+      }
+      s.sql(stmt.format(names.map(_._2): _*))
+    } finally names.foreach { case (_, v) => s.catalog.dropTempView(v) }
+  }
+
+  private val q145Sql =
+    """SELECT n.n_name AS nation, count(*) AS n_orders,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+       WHERE o.o_orderpriority = '1-URGENT'
+       GROUP BY n.n_name
+       ORDER BY revenue DESC, nation"""
+
   // ---------------------------------------------------------------- q63
   /** Unpivot (melt): wide per-line charge columns to long
     * (metric, value) rows via the Dataset `unpivot` API; oracle is the
@@ -1114,6 +1158,74 @@ object Relational {
          columns = {'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
                     'n_regionkey': 'BIGINT'})
        GROUP BY n_regionkey ORDER BY n_regionkey"""
+
+  // --------------------------------------------------------------- q143
+  /** CSV SOURCE as a first-class query: rows staged as a header'd CSV
+    * lake file, re-read through `spark.read.schema(...).csv` (schema'd
+    * — no inference pass over 100 TB), aggregated. Staged from the
+    * SF-invariant nation table like q57/q64, so the fixed path is
+    * stable across scale factors and the DuckDB `read_csv` oracle
+    * always sees the same bytes — the oracle proving the CSV encoding
+    * itself round-trips, not just the aggregate. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val path = "/tmp/graft_nation_csv"
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .filter(col("n_regionkey") >= 1)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+           min("n_name").as("first_nation"),
+           sum("n_nationkey").as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
+  private val q143Sql =
+    """SELECT n_regionkey, count(*) AS n_nations,
+       min(n_name) AS first_nation,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+       FROM read_csv('/tmp/graft_nation_csv/part-*',
+         columns = {'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
+                    'n_regionkey': 'BIGINT'},
+         header = true)
+       WHERE n_regionkey >= 1
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
+  // --------------------------------------------------------------- q144
+  /** ORC SOURCE as a first-class query: the supplier table staged as
+    * ORC (the columnar lake format next to parquet), re-read with a
+    * pushed filter + pruned projection (SourcesSpec plan-asserts both
+    * reach the ORC scan), aggregated. DuckDB reads no ORC, so the
+    * oracle replays the same aggregation from the ORIGIN table — the
+    * staged bytes must round-trip exactly for the hashes to meet. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val path = "/tmp/graft_supplier_orc"
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter(col("s_acctbal") > 0)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+           round(sum("s_acctbal"), 2).as("acctbal_sum"),
+           max("s_name").as("last_name"))
+      .orderBy("s_nationkey")
+  }
+
+  private val q144Sql =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS acctbal_sum,
+       max(s_name) AS last_name
+       FROM supplier WHERE s_acctbal > 0
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
 
   // ---------------------------------------------------------------- q65
   /** The pair format through the engine's own DataSource V2 connector
@@ -1404,6 +1516,9 @@ object Relational {
     "q62_correlated_subquery" -> (q62 _),
     "q63_unpivot" -> (q63 _),
     "q64_json_source" -> (q64 _),
+    "q143_csv_source" -> (q143 _),
+    "q144_orc_source" -> (q144 _),
+    "q145_sql_text" -> (q145 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
     "q67_cogroup" -> (q67 _),
@@ -1411,6 +1526,9 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q45_approx_distinct" -> q45Sql,
+    "q143_csv_source" -> q143Sql,
+    "q144_orc_source" -> q144Sql,
+    "q145_sql_text" -> q145Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,
     "q85_range_frame" -> q85Sql,

@@ -82,6 +82,28 @@ class SourcesSpec extends SparkSpec {
     assert(files.forall(_.getPath.toString.contains("lang=en")))
   }
 
+  test("ORC source: filter pushdown and column pruning reach the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc").toString
+    Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "c", 7.5))
+      .toDF("k", "name", "bal")
+      .write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir)
+      .filter(col("bal") > 0).select("k", "bal")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a file scan for the ORC read")
+    // the bal predicate must reach the ORC reader (row-group skipping
+    // at scale), and the unused 'name' column must not be read
+    assert(scan.get.metadata("PushedFilters").contains("GreaterThan(bal"),
+      s"filter not pushed: ${scan.get.metadata("PushedFilters")}")
+    assert(scan.get.requiredSchema.fieldNames.toSet == Set("k", "bal"),
+      s"projection not pruned: ${scan.get.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("sizedForWrite bounds output files to ~rowsPerFile (small-files hygiene)") {
     import spark.implicits._
     // a skewed 37-partition layout with 10k rows must land as exactly
