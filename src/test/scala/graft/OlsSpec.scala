@@ -130,6 +130,32 @@ class OlsSpec extends SparkSpec {
     assert(math.abs(w.w1 - 4.0) < 1e-6 && math.abs(w.w0 + 1.0) < 1e-6)
   }
 
+  test("fitLinearMeta is stable under upstream physical layout (unique key)") {
+    // The meta estimate depends on row PLACEMENT, which fitLinearMeta
+    // pins by range-repartitioning on a caller-chosen ordering column
+    // before slicing. With a UNIQUE orderCol, the estimate must
+    // therefore be invariant to however the input arrived partitioned
+    // — the documented contract that distinguishes it from a naive
+    // avg-of-partition-fits whose value drifts with the physical plan.
+    val rows = (1 to 300).map { i =>
+      (i.toDouble, 1.5 * i + 3.0 + (i % 7) - 3.0)
+    }
+    val layouts = Seq(
+      rows.toDF("x", "y"),
+      rows.toDF("x", "y").repartition(13),
+      rows.reverse.toDF("x", "y").repartition(3),
+      rows.toDF("x", "y")
+        .repartition(29, org.apache.spark.sql.functions.col("y")))
+    val fits = layouts.map(df =>
+      Ols.fitLinearMeta(df, "x", "y", numPartitions = 4,
+        blocksPerPartition = 3, orderCol = "x"))
+    fits.tail.foreach { w =>
+      assert(math.abs(w.w0 - fits.head.w0) < 1e-9 &&
+        math.abs(w.w1 - fits.head.w1) < 1e-9,
+        s"meta estimate drifted with upstream layout: $w vs ${fits.head}")
+    }
+  }
+
   test("IterativeTrainer folds EMA exactly as kernel.cu:214-215") {
     val b1 = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y") // y=x
     val b2 = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y") // y=2x

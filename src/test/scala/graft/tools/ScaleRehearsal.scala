@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (test scope — never ships): times the heaviest
+  * bench queries at sf0.1 and at a synthesized 10× scale ("sf1") in
+  * ONE JVM, reporting the per-query ratio. A near-linear operator
+  * lands near the data ratio (10, modulo fixed overhead amortizing
+  * away — often less); a super-quadratic one blows far past it.
+  *
+  * sf1 synthesis (to /tmp, read-only inputs untouched):
+  *  - documents ×10: ids shifted per copy; every WORD carries a
+  *    per-copy suffix, so each copy reproduces the original's
+  *    near-dup/shingle structure while sharing no shingle across
+  *    copies — pair cardinality scales ×10 (linear), not ×100
+  *    (the naive duplicate-the-corpus corpus would manufacture 45
+  *    extra identical twins per doc and measure an adversarial input,
+  *    not scale).
+  *  - events ×10: user/event ids shifted per copy → 10 disjoint
+  *    subgraphs; graph work scales linearly by construction.
+  *  - orders ×10: order/cust keys shifted per copy.
+  *  - remaining tables: symlinks to sf0.1.
+  *
+  * Run: `sbt "Test/runMain graft.tools.ScaleRehearsal"`.
+  */
+object ScaleRehearsal {
+  val Copies = 10
+  val SrcDir = "/root/testdata/sf0.1"
+  val DstDir = "/tmp/graft_sf1"
+  val TopQueries = Seq("q127_containment", "q137_dedup_eval",
+    "q118_triangle_count", "q37_dedup_simhash", "q116_rag_chunks",
+    "q136_rfm_segmentation", "q92_pagerank", "q71_dedup_clusters",
+    "q128_negative_sample", "q38_ngram_jaccard")
+
+  def synthesize(spark: SparkSession): Unit = {
+    val done = new java.io.File(s"$DstDir/_DONE")
+    if (done.exists()) return
+    new java.io.File(DstDir).mkdirs()
+    val copies = (0 until Copies)
+
+    val docs = spark.read.parquet(s"$SrcDir/documents.parquet")
+    val nDocs = 1000000L // id stride safely above any source id
+    copies.map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * nDocs))
+        .withColumn("text",
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            w => concat(w, lit(s"_$k"))), " "))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$DstDir/documents.parquet")
+
+    val events = spark.read.parquet(s"$SrcDir/events.parquet")
+    val stride = 10000000L
+    copies.map { k =>
+      events.withColumn("user_id", col("user_id") + lit(k * stride))
+        .withColumn("event_id", col("event_id") + lit(k * stride))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$DstDir/events.parquet")
+
+    val orders = spark.read.parquet(s"$SrcDir/orders.parquet")
+    copies.map { k =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * stride))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * stride))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$DstDir/orders.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "lineitem", "embeddings")) {
+      val link = java.nio.file.Paths.get(s"$DstDir/$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$SrcDir/$t.parquet"))
+    }
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark)
+
+    def time(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JVM warmup so the first query isn't charged for codegen bring-up
+    spark.read.parquet(s"$SrcDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+
+    val rows = TopQueries.map { q =>
+      val small = time(q, SrcDir)
+      val big = time(q, DstDir)
+      val ratio = big / small
+      println(f"SCALE $q%-24s sf0.1 ${small}%7.2f s   sf1 ${big}%8.2f s   ratio ${ratio}%6.2f")
+      (q, small, big, ratio)
+    }
+    val json = rows.map { case (q, s, b, r) =>
+      f"""    "$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
+    }.mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/SCALE_r06.json"),
+      json.getBytes("UTF-8"))
+    println("wrote /root/repo/SCALE_r06.json")
+    spark.stop()
+  }
+}
