@@ -15,8 +15,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * are parsed, per-chunk CRCs are verified, scanline filters are
   * reversed, dimensions come from the file (not from heuristics), and
   * corrupt payloads are rejected with a reason instead of decoding to
-  * garbage. Perceptual formats needing an entropy/DCT/psychoacoustic
-  * stack (JPEG/MP3/H.264) remain out of scope, stubbed in
+  * garbage. Baseline JPEG (entropy/DCT) lives in [[JpegCodec]];
+  * video containers remain out of scope, stubbed in
   * [[Multimodal.decodeFeatures]].
   */
 object MediaCodec {

@@ -15,12 +15,12 @@ final case class MediaFeatures(media_id: Long, mime: String,
                                brightness: Double)
 
 /** Multimodal column plumbing (SURVEY.md §2.11): image/audio/video as
-  * opaque `binary` columns with typed metadata. PPM (P6), PNG (RGB8)
-  * and PCM WAV travel through REAL codecs ([[MediaCodec]] — header
-  * parse, CRC checks, zlib inflate, filter reversal); only perceptual
-  * codecs needing an entropy/DCT stack (JPEG/MP3) remain STUBBED
-  * ([[decodeFeatures]]) with a deterministic fake so the pipeline
-  * shape stays testable without image libraries.
+  * opaque `binary` columns with typed metadata. PPM (P6), PNG (RGB8),
+  * baseline JPEG and PCM/ADPCM WAV travel through REAL codecs
+  * ([[MediaCodec]], [[JpegCodec]] — header parse, CRC checks, zlib
+  * inflate, filter reversal, DCT + Huffman entropy coding); only video
+  * containers remain STUBBED ([[decodeFeatures]]) with a deterministic
+  * fake so that pipeline shape stays testable without codec libraries.
   *
   * Scale posture: decode runs per partition over an iterator
   * (`mapPartitions`) — codec init amortizes across the partition's
@@ -108,9 +108,34 @@ object Multimodal {
       }
   }
 
+  /** REAL-codec media table, JPEG edition of [[toPpmMedia]]: the same
+    * zero-padded 8-wide RGB raster, DCT-transformed, quantized and
+    * Huffman-coded into a genuine baseline JFIF file
+    * ([[JpegCodec.encodeJpeg]]; the payload opens in any viewer). JPEG
+    * is LOSSY — dimensions survive exactly, pixel statistics to within
+    * quantization error, which is exactly what q146's bounded-error
+    * oracle certifies.
+    */
+  def toJpegMedia(docs: DataFrame, quality: Int = 90): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data = text.getBytes("UTF-8")
+          val w = 8
+          val h = data.length / (w * 3) + 1
+          val pixels = java.util.Arrays.copyOf(data, w * h * 3)
+          MediaFile(id, JpegCodec.encodeJpeg(w, h, pixels, quality),
+            "image/jpeg")
+        }
+      }
+  }
+
   /** REAL image decode, dispatching on the FILE's magic bytes (not the
     * claimed mime): PNG signature → [[MediaCodec.decodePng]] (CRC
-    * walk, inflate, filter reversal), `P6` → [[MediaCodec.decodePpm]]
+    * walk, inflate, filter reversal), JPEG SOI → [[JpegCodec
+    * .decodeJpeg]] (marker walk, Huffman decode, dequantize, IDCT),
+    * `P6` → [[MediaCodec.decodePpm]]
     * (header parse, exact raster length). Dimensions and brightness
     * come from the DECODED raster, not byte heuristics. Corrupt or
     * unrecognized payloads are dropped (the decoder's reason is
@@ -127,6 +152,10 @@ object Multimodal {
           if (m.payload.length >= 8 && (m.payload(0) & 0xff) == 0x89 &&
               m.payload(1) == 'P')
             MediaCodec.decodePng(m.payload)
+              .map(i => (i.width, i.height, i.pixels))
+          else if (m.payload.length >= 2 && (m.payload(0) & 0xff) == 0xff &&
+              (m.payload(1) & 0xff) == 0xd8)
+            JpegCodec.decodeJpeg(m.payload)
               .map(i => (i.width, i.height, i.pixels))
           else
             MediaCodec.decodePpm(m.payload)

@@ -556,6 +556,51 @@ object Pipeline {
              FROM documents) t
        ORDER BY media_id"""
 
+  // --------------------------------------------------------------- q146
+  /** LOSSY-codec multimodal path: documents encoded as genuine baseline
+    * JPEGs ([[graft.operators.JpegCodec]] — DCT, quality-90 Annex-K
+    * quantization, Huffman entropy coding, JFIF markers), then DECODED
+    * for real (marker walk, Huffman decode, dequantize, IDCT, YCbCr→
+    * RGB). Unlike PNG (q142) the roundtrip is lossy, so decoded
+    * brightness carries quantization error; the query certifies the
+    * q45/q133 error CONTRACT instead of the raw value — dimensions
+    * exact, plus a `bright_ok` flag that the decoded brightness lies
+    * within ±0.02 of the deterministic raster brightness the oracle
+    * recomputes from the text. A decode failure drops the row and
+    * fails the rows gate — silent garbage cannot pass.
+    */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Multimodal.decodeImageFeatures(
+        Multimodal.toJpegMedia(Tables.documents(s, d))).toDF()
+      .select("media_id", "mime", "width", "height", "brightness")
+    val expected = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      (expr("aggregate(transform(sequence(1, char_length(text)), " +
+          "i -> ascii(substr(text, i, 1))), 0, (a, x) -> a + x)")
+          .cast("double") /
+        ((expr("octet_length(text) div 24") + 1) * 24 * 255.0))
+        .as("expected_raw"))
+    feats.join(expected, "media_id")
+      .select(col("media_id"), col("mime"), col("width"), col("height"),
+        round(col("expected_raw"), 4).as("expected_brightness"),
+        (abs(col("brightness") - col("expected_raw")) < 0.02)
+          .as("bright_ok"))
+      .orderBy("media_id")
+  }
+
+  private val q146Sql =
+    """SELECT media_id, mime, CAST(8 AS INT) AS width,
+       CAST(h AS INT) AS height,
+       round(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, i, 1)))), 0)
+         / (24 * h * 255.0), 4) AS expected_brightness,
+       TRUE AS bright_ok
+       FROM (SELECT doc_id AS media_id, 'image/jpeg' AS mime, text,
+               octet_length(CAST(text AS BLOB)) // 24 + 1 AS h
+             FROM documents) t
+       ORDER BY media_id"""
+
   // ---------------------------------------------------------------- q44
   /** Per-label embedding centroids (first 8 dims) — the building block
     * for IVF-style partitioned ANN. */
@@ -851,6 +896,7 @@ object Pipeline {
     "q53_embedding_neardup_lsh" -> (q53 _),
     "q59_multimodal_ppm" -> (q59 _),
     "q142_multimodal_png" -> (q142 _),
+    "q146_multimodal_jpeg" -> (q146 _),
     "q60_tfidf" -> (q60 _),
     "q69_dataset_split" -> (q69 _),
     "q70_text_cleanup" -> (q70 _),
@@ -878,6 +924,7 @@ object Pipeline {
     "q53_embedding_neardup_lsh" -> q53Sql,
     "q59_multimodal_ppm" -> q59Sql,
     "q142_multimodal_png" -> q142Sql,
+    "q146_multimodal_jpeg" -> q146Sql,
     "q60_tfidf" -> q60Sql,
     "q69_dataset_split" -> q69Sql,
     "q70_text_cleanup" -> q70Sql,

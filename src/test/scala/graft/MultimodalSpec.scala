@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{MediaCodec, MediaFile, Multimodal}
+import graft.operators.{JpegCodec, MediaCodec, MediaFile, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -141,6 +141,118 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).mime == "image/png")
     val sum = "hello world".getBytes("UTF-8").map(_ & 0xff).sum
     assert(math.abs(out(1L).brightness - sum / (24.0 * 255.0)) < 1e-12)
+  }
+
+  test("JPEG codec round-trips a smooth raster within quantization error") {
+    // smooth gradient: energy concentrates in low-frequency DCT
+    // coefficients, so a fine quantizer reconstructs almost exactly
+    val w = 24; val h = 16
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = (40 + 6 * x).toByte
+      rgb(o + 1) = (60 + 5 * y).toByte
+      rgb(o + 2) = (90 + 2 * x + 3 * y).toByte
+    }
+    val enc = JpegCodec.encodeJpeg(w, h, rgb, quality = 95)
+    // a genuine JFIF container: SOI + APP0 "JFIF"
+    assert((enc(0) & 0xff) == 0xff && (enc(1) & 0xff) == 0xd8)
+    assert(new String(enc.slice(6, 10), "US-ASCII") == "JFIF")
+    val dec = JpegCodec.decodeJpeg(enc)
+    assert(dec.isRight, dec)
+    val img = dec.toOption.get
+    assert(img.width == w && img.height == h)
+    val errs = img.pixels.indices.map(i =>
+      math.abs((img.pixels(i) & 0xff) - (rgb(i) & 0xff)))
+    assert(errs.max <= 12, s"max pixel error ${errs.max}")
+    assert(errs.sum.toDouble / errs.length <= 3.0,
+      s"mean pixel error ${errs.sum.toDouble / errs.length}")
+  }
+
+  test("JPEG grayscale frame round-trips through the 1-component path") {
+    val w = 16; val h = 8
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (16 + 8 * x + 4 * y).toByte
+      val o = (y * w + x) * 3
+      rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+    }
+    val enc = JpegCodec.encodeJpeg(w, h, rgb, quality = 95, gray = true)
+    val dec = JpegCodec.decodeJpeg(enc)
+    assert(dec.isRight, dec)
+    val img = dec.toOption.get
+    assert(img.width == w && img.height == h)
+    // grayscale decode replicates Y into all three channels
+    for (i <- 0 until w * h)
+      assert(img.pixels(3 * i) == img.pixels(3 * i + 1) &&
+        img.pixels(3 * i) == img.pixels(3 * i + 2))
+    val errs = (0 until w * h).map(i =>
+      math.abs((img.pixels(3 * i) & 0xff) - (rgb(3 * i) & 0xff)))
+    assert(errs.max <= 8, s"max gray error ${errs.max}")
+  }
+
+  test("JPEG restart markers resync and reproduce the no-restart decode") {
+    val w = 8; val h = 48 // 6 MCUs in one column
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 13 + 7) % 256).toByte)
+    val plain = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, rgb))
+    val withRst = JpegCodec.encodeJpeg(w, h, rgb, restartInterval = 2)
+    // the DRI segment and at least one RSTn marker are really present
+    assert(withRst.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xdd))
+    assert(withRst.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7))
+    val dec = JpegCodec.decodeJpeg(withRst)
+    assert(dec.isRight, dec)
+    // restart points change the entropy framing, not the pixels
+    assert(dec.toOption.get.pixels.toSeq ==
+      plain.toOption.get.pixels.toSeq)
+  }
+
+  test("JPEG decode rejects corrupt payloads with a reason, never garbage") {
+    val rgb = Array.tabulate(8 * 8 * 3)(i => (i * 3 % 256).toByte)
+    val good = JpegCodec.encodeJpeg(8, 8, rgb)
+    assert(JpegCodec.decodeJpeg("not a jpeg".getBytes).isLeft)
+    assert(JpegCodec.decodeJpeg(good.dropRight(2)).isLeft)  // missing EOI
+    assert(JpegCodec.decodeJpeg(good.dropRight(40)).isLeft) // truncated scan
+    assert(JpegCodec.decodeJpeg(good.take(2)).isLeft)       // SOI only
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    // find the SOF0 marker and patch inside it
+    val sof = good.sliding(2).indexWhere(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc0)
+    assert(sof > 0)
+    // 4:2:0 sampling factors → unsupported, reasoned reject
+    // (marker(2) + len(2) + precision(1) + h(2) + w(2) + nf(1) + id(1))
+    assert(JpegCodec.decodeJpeg(
+      patched(_(sof + 11) = 0x22.toByte)).isLeft)
+    // progressive frame marker → unsupported, reasoned reject
+    assert(JpegCodec.decodeJpeg(
+      patched(_(sof + 1) = 0xc2.toByte)).isLeft)
+  }
+
+  test("real JPEG pipeline: lossy compress, decode, bounded brightness error") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
+                   (2L, "the quick brown fox jumps over the lazy dog " * 3,
+                     "en", "srcA", 132L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeImageFeatures(Multimodal.toJpegMedia(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).mime == "image/jpeg")
+    assert(out(1L).width == 8 && out(1L).height == 1)
+    assert(out(2L).width == 8 && out(2L).height == 6)
+    def expected(text: String): Double = {
+      val data = text.getBytes("UTF-8")
+      val n = (data.length / 24 + 1) * 24
+      data.map(_ & 0xff).sum / (n * 255.0)
+    }
+    assert(math.abs(out(1L).brightness - expected("hello world")) < 0.02)
+    assert(math.abs(out(2L).brightness -
+      expected("the quick brown fox jumps over the lazy dog " * 3)) < 0.02)
+    // corrupt payloads are dropped, not decoded to garbage
+    val corrupt = Seq(MediaFile(9L,
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0, 1, 2, 3), "image/jpeg")).toDS()
+    assert(Multimodal.decodeImageFeatures(corrupt).count() == 0)
   }
 
   test("WAV codec round-trips PCM samples and rejects non-PCM") {
