@@ -342,4 +342,211 @@ object MediaCodec {
     if (samples == null) Left("no data chunk")
     else Right(WavAudio(sampleRate, samples))
   }
+
+  // ------------------------------------------------------------ IMA ADPCM
+
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-adjustment
+    * table — the standard constants from the IMA ADPCM reference
+    * algorithm (public spec; also WAV format tag 0x0011). */
+  private val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val AdpcmIndexAdjust: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM quantization step: encode `sample` against the
+    * running `(pred, index)` state, returning `(nibble, pred', index')`.
+    * The decoder applies the identical reconstruction arithmetic, so
+    * encode→decode is bit-deterministic. */
+  private def adpcmEncodeStep(sample: Int, pred: Int, index: Int)
+      : (Int, Int, Int) = {
+    val step = AdpcmSteps(index)
+    var diff = sample - pred
+    val sign = if (diff < 0) { diff = -diff; 8 } else 0
+    var code = 0
+    var vpdiff = step >> 3
+    var s = step
+    if (diff >= s) { code |= 4; diff -= s; vpdiff += s }
+    s >>= 1
+    if (diff >= s) { code |= 2; diff -= s; vpdiff += s }
+    s >>= 1
+    if (diff >= s) { code |= 1; vpdiff += s }
+    val p0 = if (sign != 0) pred - vpdiff else pred + vpdiff
+    val p = math.max(-32768, math.min(32767, p0))
+    val idx = math.max(0, math.min(88,
+      index + AdpcmIndexAdjust(code & 7)))
+    (code | sign, p, idx)
+  }
+
+  /** Reconstruction half of [[adpcmEncodeStep]]. */
+  private def adpcmDecodeStep(nibble: Int, pred: Int, index: Int)
+      : (Int, Int) = {
+    val step = AdpcmSteps(index)
+    var vpdiff = step >> 3
+    if ((nibble & 4) != 0) vpdiff += step
+    if ((nibble & 2) != 0) vpdiff += step >> 1
+    if ((nibble & 1) != 0) vpdiff += step >> 2
+    val p0 = if ((nibble & 8) != 0) pred - vpdiff else pred + vpdiff
+    val p = math.max(-32768, math.min(32767, p0))
+    val idx = math.max(0, math.min(88,
+      index + AdpcmIndexAdjust(nibble & 7)))
+    (p, idx)
+  }
+
+  /** COMPRESSED audio: mono IMA ADPCM in a canonical WAV container
+    * (format tag 0x0011, 4 bits/sample — a real 4:1 lossy codec, not a
+    * container trick). Standard block layout: 4-byte header (seed
+    * sample int16 + step index + reserved) then two nibbles per byte,
+    * low nibble first; a `fact` chunk records the true sample count so
+    * a partial final block round-trips exactly. `samplesPerBlock` must
+    * be odd-plus-one-free: 1 header sample + 2*(blockAlign-4) coded. */
+  def encodeWavAdpcm(sampleRate: Int, samples: Array[Short],
+                     samplesPerBlock: Int = 505): Array[Byte] = {
+    require(samplesPerBlock >= 2 && samplesPerBlock % 2 == 1,
+      s"IMA block carries 1 header + 2k coded samples (odd total), " +
+        s"got $samplesPerBlock")
+    val blockAlign = 4 + (samplesPerBlock - 1) / 2
+    val nBlocks =
+      if (samples.isEmpty) 0
+      else (samples.length + samplesPerBlock - 1) / samplesPerBlock
+    val dataLen = nBlocks * blockAlign
+    val byteRate =
+      math.max(1, (sampleRate.toLong * blockAlign / samplesPerBlock).toInt)
+    val buf = ByteBuffer.allocate(60 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(52 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11) // IMA ADPCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(byteRate)
+      .putShort(blockAlign.toShort)
+      .putShort(4) // bits per sample
+      .putShort(2) // cbSize
+      .putShort(samplesPerBlock.toShort)
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var off = 0
+    var index = 0 // step index carries across blocks (common practice)
+    while (off < samples.length) {
+      val n = math.min(samplesPerBlock, samples.length - off)
+      var pred: Int = samples(off) // header seeds the first sample
+      buf.putShort(pred.toShort).put(index.toByte).put(0.toByte)
+      var i = 1
+      var nib = 0
+      var half = false
+      while (i < samplesPerBlock) {
+        // pad a short final block by re-encoding its last real sample
+        val s = samples(off + math.min(i, n - 1))
+        val (code, p, idx) = adpcmEncodeStep(s, pred, index)
+        pred = p; index = idx
+        if (!half) { nib = code & 0x0f; half = true }
+        else { buf.put(((code << 4) | nib).toByte); half = false }
+        i += 1
+      }
+      if (half) buf.put(nib.toByte)
+      off += n
+    }
+    buf.array()
+  }
+
+  /** Real IMA ADPCM WAV decode: RIFF walk, fmt tag 0x0011 validation,
+    * per-block header + nibble-stream reconstruction, `fact`-chunk
+    * trim of the padded final block. Anything malformed — bad block
+    * align, truncated data, missing fact count — is a reasoned
+    * rejection, never garbage samples. */
+  def decodeWavAdpcm(bytes: Array[Byte]): Either[String, WavAudio] = {
+    if (bytes.length < 60) return Left("too short for an adpcm wav")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return Left("bad RIFF magic")
+    buf.getInt
+    if (tag() != "WAVE") return Left("bad WAVE magic")
+    var sampleRate = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
+    var factSamples = -1
+    var fmtOk = false
+    var data: Array[Byte] = null
+    while (buf.remaining() >= 8 && data == null) {
+      val id = tag()
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining())
+        return Left(s"bad chunk length $len in '$id'")
+      id match {
+        case "fmt " =>
+          if (len < 20) return Left("adpcm fmt chunk too short")
+          val fmtEnd = buf.position() + len
+          val audioFormat = buf.getShort
+          val channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt // byte rate
+          blockAlign = buf.getShort & 0xffff
+          val bits = buf.getShort
+          buf.getShort // cbSize
+          samplesPerBlock = buf.getShort & 0xffff
+          if (audioFormat != 0x11)
+            return Left(s"not IMA ADPCM (format $audioFormat)")
+          if (channels != 1) return Left(s"not mono ($channels channels)")
+          if (bits != 4) return Left(s"not 4-bit ($bits)")
+          if (blockAlign < 5 || samplesPerBlock != 1 + 2 * (blockAlign - 4))
+            return Left(
+              s"inconsistent block layout (align $blockAlign, " +
+                s"spb $samplesPerBlock)")
+          buf.position(fmtEnd)
+          fmtOk = true
+        case "fact" =>
+          if (len < 4) return Left("fact chunk too short")
+          val end = buf.position() + len + (len & 1)
+          factSamples = buf.getInt
+          buf.position(math.min(end, buf.limit()))
+        case "data" =>
+          if (!fmtOk) return Left("data chunk before fmt")
+          if (len % blockAlign != 0)
+            return Left(s"data length $len not a multiple of block $blockAlign")
+          data = new Array[Byte](len)
+          buf.get(data)
+        case _ =>
+          buf.position(
+            math.min(buf.position() + len + (len & 1), buf.limit()))
+      }
+    }
+    if (data == null) return Left("no data chunk")
+    if (factSamples < 0) return Left("no fact chunk (sample count unknown)")
+    val nBlocks = data.length / blockAlign
+    if (factSamples > nBlocks * samplesPerBlock)
+      return Left(s"fact count $factSamples exceeds coded capacity")
+    val out = new Array[Short](nBlocks * samplesPerBlock)
+    var b = 0
+    var w = 0
+    while (b < nBlocks) {
+      val base = b * blockAlign
+      var pred: Int =
+        ((data(base) & 0xff) | (data(base + 1) << 8)).toShort.toInt
+      var index = data(base + 2) & 0xff
+      if (index > 88) return Left(s"block $b step index $index out of range")
+      out(w) = pred.toShort; w += 1
+      var i = 4
+      while (i < blockAlign) {
+        val byte = data(base + i) & 0xff
+        val (p1, i1) = adpcmDecodeStep(byte & 0x0f, pred, index)
+        pred = p1; index = i1
+        out(w) = p1.toShort; w += 1
+        val (p2, i2) = adpcmDecodeStep(byte >> 4, pred, index)
+        pred = p2; index = i2
+        out(w) = p2.toShort; w += 1
+        i += 1
+      }
+      b += 1
+    }
+    Right(WavAudio(sampleRate, java.util.Arrays.copyOf(out, factSamples)))
+  }
 }

@@ -14,6 +14,12 @@ final case class MediaFeatures(media_id: Long, mime: String,
                                n_bytes: Int, width: Int, height: Int,
                                brightness: Double)
 
+/** Features extracted from a decoded audio blob: `mean_abs` is the
+  * mean absolute amplitude normalized to [0,1] (|sample|/32768). */
+final case class AudioFeatures(media_id: Long, mime: String,
+                               sample_rate: Int, n_samples: Int,
+                               duration_sec: Double, mean_abs: Double)
+
 /** Multimodal column plumbing (SURVEY.md §2.11): image/audio/video as
   * opaque `binary` columns with typed metadata. PPM (P6), PNG (RGB8),
   * baseline JPEG and PCM/ADPCM WAV travel through REAL codecs
@@ -166,6 +172,91 @@ object Multimodal {
             pixels.foreach(b => sum += (b & 0xff))
             Some(MediaFeatures(m.media_id, m.mime, m.payload.length,
               w, h, sum.toDouble / (pixels.length * 255.0)))
+          case Left(_) => None
+        }
+      }
+    }
+  }
+
+  /** REAL-codec media table, COMPRESSED-AUDIO edition: each document's
+    * UTF-8 bytes become a deterministic mono PCM signal — byte j maps
+    * to target level `(b_j - 128) * 256`, and each byte contributes 16
+    * samples RAMPING linearly from the previous byte's level (the
+    * first byte's segment is flat). A staircase would defeat the
+    * ADPCM quantizer by design: during a hold its step size decays to
+    * the minimum, so every transition restarts adaptation from
+    * nothing and the decoded mean is systematically biased low; the
+    * ramp keeps the slope inside the quantizer's tracking range,
+    * which is the signal shape ADPCM was built for (speech deltas).
+    * The per-sample values are exact integers (`(b_j - b_{j-1})*16*k`
+    * increments), so the signal's mean |amplitude| has a closed form
+    * the oracle recomputes from the text:
+    * `sum_samples = 16*Σp_j + 7.5*(p_1 - p_n)`.
+    *
+    * The signal is then genuinely compressed with mono IMA ADPCM
+    * ([[MediaCodec.encodeWavAdpcm]] — 4 bits/sample, real 4:1 lossy
+    * entropy reduction, WAV format tag 0x0011; the payload plays in
+    * any player). ADPCM is LOSSY, so amplitude statistics survive
+    * only to within quantizer tracking error — exactly what q147's
+    * bounded-error oracle certifies.
+    */
+  def toAdpcmMedia(docs: DataFrame, sampleRate: Int = 16000,
+                   samplesPerByte: Int = 16): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data = text.getBytes("UTF-8")
+          val samples = new Array[Short](data.length * samplesPerByte)
+          var i = 0
+          var prev = if (data.isEmpty) 0 else ((data(0) & 0xff) - 128) * 256
+          while (i < data.length) {
+            val cur = ((data(i) & 0xff) - 128) * 256
+            val inc = (cur - prev) / samplesPerByte // exact: 256/16=16
+            var k = 1
+            while (k <= samplesPerByte) {
+              samples(i * samplesPerByte + k - 1) = (prev + inc * k).toShort
+              k += 1
+            }
+            prev = cur
+            i += 1
+          }
+          MediaFile(id, MediaCodec.encodeWavAdpcm(sampleRate, samples),
+            "audio/x-adpcm")
+        }
+      }
+  }
+
+  /** REAL audio decode, dispatching on the WAV `fmt ` tag: PCM →
+    * [[MediaCodec.decodeWav]], IMA ADPCM → [[MediaCodec
+    * .decodeWavAdpcm]] (block headers, nibble reconstruction,
+    * fact-chunk trim). Sample count, rate and amplitude statistics
+    * come from the DECODED samples; corrupt payloads are dropped, not
+    * decoded to garbage. Same partition-iterator scale shape as
+    * [[decodeImageFeatures]].
+    */
+  def decodeAudioFeatures(files: Dataset[MediaFile]): Dataset[AudioFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { m =>
+        val isAdpcm = m.payload.length >= 22 && {
+          // RIFF....WAVEfmt_<len4><tag2>: tag at offset 20
+          val tagLo = m.payload(20) & 0xff
+          ((m.payload(21) & 0xff) << 8 | tagLo) == 0x11
+        }
+        val decoded =
+          if (isAdpcm) MediaCodec.decodeWavAdpcm(m.payload)
+          else MediaCodec.decodeWav(m.payload)
+        decoded match {
+          case Right(a) =>
+            var sumAbs = 0L
+            a.samples.foreach(s => sumAbs += math.abs(s.toInt))
+            val meanAbs =
+              if (a.samples.isEmpty) 0.0
+              else sumAbs.toDouble / (a.samples.length * 32768.0)
+            Some(AudioFeatures(m.media_id, m.mime, a.sampleRate,
+              a.samples.length,
+              a.samples.length.toDouble / a.sampleRate, meanAbs))
           case Left(_) => None
         }
       }

@@ -601,6 +601,66 @@ object Pipeline {
              FROM documents) t
        ORDER BY media_id"""
 
+  // --------------------------------------------------------------- q147
+  /** COMPRESSED-audio multimodal path: documents rendered as a
+    * deterministic 16 kHz ramp signal ([[graft.operators.Multimodal
+    * .toAdpcmMedia]] — byte j targets level `(b_j-128)*256`, 16
+    * samples ramping linearly from the previous level), genuinely
+    * compressed with mono IMA ADPCM (4 bits/sample, WAV tag 0x0011)
+    * and then DECODED for real ([[graft.operators.MediaCodec
+    * .decodeWavAdpcm]] — RIFF walk, block-header seeding, nibble
+    * reconstruction, fact-chunk trim). ADPCM is lossy, so the query
+    * certifies the q146-style error CONTRACT: sample count, rate and
+    * duration exact; decoded mean absolute amplitude within ±0.01 of
+    * the signal's closed-form mean `-(16·Σp + 7.5·(p₁-pₙ)) /
+    * (16n·32768)`, which the oracle recomputes from the text (ASCII
+    * corpus — every level is negative, so |mean| = -mean; same
+    * ASCII-reliance caveat as q43/q59). A decode failure drops the
+    * row and fails the rows gate.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Multimodal.decodeAudioFeatures(
+        Multimodal.toAdpcmMedia(Tables.documents(s, d))).toDF()
+      .select("media_id", "mime", "sample_rate", "n_samples",
+        "duration_sec", "mean_abs")
+    val n = char_length(col("text"))
+    val sumA = expr("aggregate(transform(sequence(1, char_length(text)), " +
+        "i -> ascii(substr(text, i, 1))), 0, (a, x) -> a + x)")
+      .cast("double")
+    val a1 = ascii(substring(col("text"), 1, 1)).cast("double")
+    val an = ascii(expr(
+      "substr(text, char_length(text), 1)")).cast("double")
+    val expected = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(n === 0, 0.0).otherwise(
+        -(lit(4096.0) * (sumA - lit(128.0) * n) +
+            lit(1920.0) * (a1 - an)) / (lit(524288.0) * n))
+        .as("expected_raw"))
+    feats.join(expected, "media_id")
+      .select(col("media_id"), col("mime"), col("sample_rate"),
+        col("n_samples"), round(col("duration_sec"), 4).as("duration_sec"),
+        round(col("expected_raw"), 4).as("expected_mean_abs"),
+        (abs(col("mean_abs") - col("expected_raw")) < 0.01).as("amp_ok"))
+      .orderBy("media_id")
+  }
+
+  private val q147Sql =
+    """SELECT media_id, mime, CAST(16000 AS INT) AS sample_rate,
+       CAST(16 * n AS INT) AS n_samples,
+       round(16 * n / 16000.0, 4) AS duration_sec,
+       round(CASE WHEN n = 0 THEN 0 ELSE
+         -(4096.0 * (list_sum(list_transform(range(1, n + 1),
+               i -> ascii(substr(text, i, 1)))) - 128.0 * n)
+           + 1920.0 * (ascii(substr(text, 1, 1))
+                       - ascii(substr(text, n, 1))))
+         / (524288.0 * n) END, 4) AS expected_mean_abs,
+       TRUE AS amp_ok
+       FROM (SELECT doc_id AS media_id, 'audio/x-adpcm' AS mime, text,
+               octet_length(CAST(text AS BLOB)) AS n
+             FROM documents) t
+       ORDER BY media_id"""
+
   // ---------------------------------------------------------------- q44
   /** Per-label embedding centroids (first 8 dims) — the building block
     * for IVF-style partitioned ANN. */
@@ -897,6 +957,7 @@ object Pipeline {
     "q59_multimodal_ppm" -> (q59 _),
     "q142_multimodal_png" -> (q142 _),
     "q146_multimodal_jpeg" -> (q146 _),
+    "q147_multimodal_adpcm" -> (q147 _),
     "q60_tfidf" -> (q60 _),
     "q69_dataset_split" -> (q69 _),
     "q70_text_cleanup" -> (q70 _),
@@ -925,6 +986,7 @@ object Pipeline {
     "q59_multimodal_ppm" -> q59Sql,
     "q142_multimodal_png" -> q142Sql,
     "q146_multimodal_jpeg" -> q146Sql,
+    "q147_multimodal_adpcm" -> q147Sql,
     "q60_tfidf" -> q60Sql,
     "q69_dataset_split" -> q69Sql,
     "q70_text_cleanup" -> q70Sql,

@@ -255,6 +255,103 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageFeatures(corrupt).count() == 0)
   }
 
+  test("ADPCM codec: 4:1 compression, bounded roundtrip error") {
+    val n = 4000
+    // smooth-ish signal: ADPCM tracks within a few steps
+    val samples = Array.tabulate(n)(i =>
+      ((math.sin(i / 19.0) * 9000 + math.sin(i / 7.0) * 3000)).toShort)
+    val enc = MediaCodec.encodeWavAdpcm(16000, samples)
+    // genuinely compressed: ~4 bits/sample vs 16 (container overhead
+    // plus per-block headers keeps it just above exactly 4:1)
+    assert(enc.length < n * 2 / 3.5, s"only ${n * 2}->${enc.length}")
+    val dec = MediaCodec.decodeWavAdpcm(enc)
+    assert(dec.isRight, dec)
+    val out = dec.toOption.get
+    assert(out.sampleRate == 16000)
+    assert(out.samples.length == n) // fact chunk trims block padding
+    val errs = samples.indices.map(i =>
+      math.abs(out.samples(i) - samples(i)))
+    // transient adaptation lag bounds: the quantizer needs a few
+    // samples to track a slope change, so worst-case error is a few
+    // steps of the current step size; the MEAN is what stays small
+    assert(errs.max < 4200, s"max err ${errs.max}")
+    assert(errs.sum.toDouble / n < 200.0, s"mean err ${errs.sum.toDouble / n}")
+  }
+
+  test("ADPCM ramp signal preserves mean amplitude within 1%") {
+    // the q147 signal shape: 16-sample linear ramps between byte levels
+    val text = "the quick brown fox jumps over the lazy dog " * 20
+    val data = text.getBytes("UTF-8")
+    val samples = new Array[Short](data.length * 16)
+    var prev = ((data(0) & 0xff) - 128) * 256
+    for (i <- data.indices) {
+      val cur = ((data(i) & 0xff) - 128) * 256
+      val inc = (cur - prev) / 16
+      for (k <- 1 to 16) samples(i * 16 + k - 1) = (prev + inc * k).toShort
+      prev = cur
+    }
+    val dec = MediaCodec.decodeWavAdpcm(
+      MediaCodec.encodeWavAdpcm(16000, samples))
+    assert(dec.isRight, dec)
+    val out = dec.toOption.get.samples
+    assert(out.length == samples.length)
+    def meanAbs(a: Array[Short]) =
+      a.map(s => math.abs(s.toInt).toLong).sum.toDouble / (a.length * 32768.0)
+    assert(math.abs(meanAbs(out) - meanAbs(samples)) < 0.01,
+      s"decoded ${meanAbs(out)} vs source ${meanAbs(samples)}")
+    // the closed form the q147 oracle uses matches the generated signal
+    val p = data.map(b => (((b & 0xff) - 128) * 256).toDouble)
+    val closed = -(16.0 * p.sum + 7.5 * (p.head - p.last)) /
+      (16.0 * p.length * 32768.0)
+    assert(math.abs(closed - meanAbs(samples)) < 1e-12,
+      s"closed $closed vs signal ${meanAbs(samples)}")
+  }
+
+  test("ADPCM decode rejects corrupt payloads with a reason") {
+    val samples = Array.tabulate(600)(i => (i * 37 % 4096 - 2048).toShort)
+    val good = MediaCodec.encodeWavAdpcm(8000, samples, samplesPerBlock = 249)
+    assert(MediaCodec.decodeWavAdpcm(good).isRight)
+    assert(MediaCodec.decodeWavAdpcm("junk".getBytes).isLeft)
+    // truncated data chunk: length no longer a block multiple
+    assert(MediaCodec.decodeWavAdpcm(good.dropRight(13)).isLeft)
+    // PCM payload routed to the ADPCM decoder: wrong format tag
+    assert(MediaCodec.decodeWavAdpcm(
+      MediaCodec.encodeWavPcm16(8000, samples)).isLeft)
+    // corrupt block-align/spb consistency
+    val bad = good.clone()
+    bad(32) = (bad(32) + 1).toByte // blockAlign low byte inside fmt
+    assert(MediaCodec.decodeWavAdpcm(bad).isLeft)
+    // empty signal round-trips to zero samples
+    val empty = MediaCodec.decodeWavAdpcm(
+      MediaCodec.encodeWavAdpcm(8000, Array.empty[Short]))
+    assert(empty.isRight && empty.toOption.get.samples.isEmpty)
+  }
+
+  test("real ADPCM pipeline: compress, decode, bounded amplitude error") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
+                   (2L, "aAzZ " * 40, "en", "srcA", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeAudioFeatures(Multimodal.toAdpcmMedia(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).mime == "audio/x-adpcm")
+    assert(out(1L).sample_rate == 16000)
+    assert(out(1L).n_samples == 176) // 11 bytes * 16 samples
+    assert(out(2L).n_samples == 3200)
+    def expected(text: String): Double = {
+      val p = text.getBytes("UTF-8").map(b => (((b & 0xff) - 128) * 256.0))
+      -(16.0 * p.sum + 7.5 * (p.head - p.last)) /
+        (16.0 * p.length * 32768.0)
+    }
+    assert(math.abs(out(1L).mean_abs - expected("hello world")) < 0.01)
+    // "aAzZ " alternates hard (a 23k-unit swing per byte) — the ramp
+    // keeps even that slope inside the quantizer's tracking range
+    assert(math.abs(out(2L).mean_abs - expected("aAzZ " * 40)) < 0.01)
+    // corrupt payloads are dropped, not decoded to garbage
+    val corrupt = Seq(MediaFile(9L, "RIFFxxxxWAVE".getBytes, "audio/x-adpcm"))
+      .toDS()
+    assert(Multimodal.decodeAudioFeatures(corrupt).count() == 0)
+  }
+
   test("WAV codec round-trips PCM samples and rejects non-PCM") {
     val samples = Array.tabulate(100)(i => (math.sin(i / 7.0) * 8000).toShort)
     val enc = MediaCodec.encodeWavPcm16(16000, samples)
