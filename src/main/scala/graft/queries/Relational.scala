@@ -1227,6 +1227,48 @@ object Relational {
        FROM supplier WHERE s_acctbal > 0
        GROUP BY s_nationkey ORDER BY s_nationkey"""
 
+  // --------------------------------------------------------------- q148
+  /** AVRO SOURCE as a first-class query: the customer table staged as
+    * deflate-compressed Avro object container files
+    * ([[graft.sources.AvroSource]] — one file per partition through
+    * the Hadoop FS API, read back with one task per file and standard
+    * Avro schema resolution). DuckDB reads no Avro, so the oracle
+    * replays the same aggregation from the ORIGIN table (the q144 ORC
+    * pattern) — the staged bytes must round-trip exactly, nulls and
+    * all, for the hashes to meet. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val path = "/tmp/graft_customer_avro"
+    graft.sources.AvroSource.write(
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"),
+          col("c_mktsegment")),
+      path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", LongType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    graft.sources.AvroSource.read(s, path, schema)
+      .filter(col("c_acctbal") > 0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum("c_acctbal"), 2).as("acctbal_sum"),
+           max("c_name").as("last_name"),
+           countDistinct("c_nationkey").as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q148Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS acctbal_sum,
+       max(c_name) AS last_name,
+       count(DISTINCT c_nationkey) AS n_nations
+       FROM customer WHERE c_acctbal > 0
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   // ---------------------------------------------------------------- q65
   /** The pair format through the engine's own DataSource V2 connector
     * ([[graft.sources.PairsV2]]): `spark.read.format(...)` — the
@@ -1518,6 +1560,7 @@ object Relational {
     "q64_json_source" -> (q64 _),
     "q143_csv_source" -> (q143 _),
     "q144_orc_source" -> (q144 _),
+    "q148_avro_source" -> (q148 _),
     "q145_sql_text" -> (q145 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
@@ -1528,6 +1571,7 @@ object Relational {
     "q45_approx_distinct" -> q45Sql,
     "q143_csv_source" -> q143Sql,
     "q144_orc_source" -> q144Sql,
+    "q148_avro_source" -> q148Sql,
     "q145_sql_text" -> q145Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,
