@@ -1269,6 +1269,124 @@ object Relational {
        FROM customer WHERE c_acctbal > 0
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // --------------------------------------------------------------- q149
+  /** MERGE / CDC upsert as a first-class query
+    * ([[graft.operators.Merge.mergeUpsert]]): a deterministic change
+    * batch against the customer table — updates (`%7` keys get
+    * +100 balance), deletes (`%13` keys, which WIN over a same-batch
+    * update for keys divisible by both — CDC compaction semantics),
+    * and inserts (`%11` keys re-keyed +1M). The oracle replays the
+    * merge relationally (keep ∪ upd ∪ ins minus deletes), so the
+    * operator's matched/unmatched/delete arbitration must be exactly
+    * SQL MERGE's.
+    */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val target = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+    val updates = target.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("op", lit("U"))
+    val deletes = target.filter(col("c_custkey") % 13 === 0)
+      .withColumn("op", lit("D"))
+    val inserts = target.filter(col("c_custkey") % 11 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", lit(42.0))
+      .withColumn("op", lit("I"))
+    val merged = graft.operators.Merge.mergeUpsert(
+      target, updates.unionByName(deletes).unionByName(inserts),
+      keys = Seq("c_custkey"), opCol = Some("op"))
+    merged.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("c_acctbal"), 2).as("bal_sum"),
+        sum("c_custkey").as("key_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q149Sql =
+    """WITH keep AS (SELECT c_custkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0),
+       upd AS (SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0),
+       ins AS (SELECT c_custkey + 1000000 AS c_custkey, 42.0 AS c_acctbal,
+               c_mktsegment
+           FROM customer WHERE c_custkey % 11 = 0),
+       merged AS (SELECT * FROM keep UNION ALL
+                  SELECT * FROM upd UNION ALL
+                  SELECT * FROM ins)
+       SELECT c_mktsegment, count(*) AS n_rows,
+         round(sum(c_acctbal), 2) AS bal_sum,
+         CAST(sum(c_custkey) AS BIGINT) AS key_sum
+       FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // --------------------------------------------------------------- q150
+  /** SCD TYPE 2 dimension maintenance as a first-class query
+    * ([[graft.operators.Merge.scd2Apply]]): the customer balance as a
+    * versioned dimension, two update batches applied in sequence
+    * (`%5` keys at t=100 with +50, `%3` keys at t=200 with +70 — keys
+    * divisible by 15 accumulate BOTH versions). The oracle rebuilds
+    * every version's validity interval arithmetically, so open/close
+    * chaining, idempotent no-ops and history preservation are all
+    * value-checked per segment.
+    */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("bal"))
+    val dim0 = base
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    // updates carry the full attr set (segment is a stable attr that
+    // rides along; only bal actually changes)
+    val batch1 = base.filter(col("c_custkey") % 5 === 0)
+      .withColumn("bal", col("bal") + 50.0)
+      .withColumn("eff", lit(100L))
+    val batch2 = base.filter(col("c_custkey") % 3 === 0)
+      .withColumn("bal", col("bal") + 70.0)
+      .withColumn("eff", lit(200L))
+    def apply1(dim: DataFrame, b: DataFrame): DataFrame =
+      graft.operators.Merge.scd2Apply(dim, b,
+        key = "c_custkey", attrs = Seq("c_mktsegment", "bal"),
+        effectiveCol = "eff")
+    val dim1 = apply1(dim0, batch1)
+    val dim2 = apply1(dim1, batch2)
+    dim2.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        sum(when(col("is_current"), col("bal"))).as("cur_bal_sum"),
+        sum("valid_from").as("from_sum"),
+        sum(coalesce(col("valid_to"), lit(0L))).as("to_sum"))
+      .withColumn("cur_bal_sum", round(col("cur_bal_sum"), 2))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q150Sql =
+    """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+                  FROM customer),
+       -- versions: v0 always; v1 for %5 keys (eff 100); v2 for %3 (eff 200)
+       v0 AS (SELECT c_custkey, c_mktsegment, bal, 0 AS valid_from,
+              CASE WHEN c_custkey % 5 = 0 THEN 100
+                   WHEN c_custkey % 3 = 0 THEN 200 END AS valid_to
+              FROM b),
+       v1 AS (SELECT c_custkey, c_mktsegment, bal + 50 AS bal,
+              100 AS valid_from,
+              CASE WHEN c_custkey % 3 = 0 THEN 200 END AS valid_to
+              FROM b WHERE c_custkey % 5 = 0),
+       v2 AS (SELECT c_custkey, c_mktsegment, bal + 70 AS bal,
+              200 AS valid_from, NULL AS valid_to
+              FROM b WHERE c_custkey % 3 = 0),
+       allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+                UNION ALL SELECT * FROM v2)
+       SELECT c_mktsegment, count(*) AS n_versions,
+         sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+         round(sum(CASE WHEN valid_to IS NULL THEN bal END), 2)
+           AS cur_bal_sum,
+         CAST(sum(valid_from) AS BIGINT) AS from_sum,
+         CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS to_sum
+       FROM allv GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   // ---------------------------------------------------------------- q65
   /** The pair format through the engine's own DataSource V2 connector
     * ([[graft.sources.PairsV2]]): `spark.read.format(...)` — the
@@ -1561,6 +1679,8 @@ object Relational {
     "q143_csv_source" -> (q143 _),
     "q144_orc_source" -> (q144 _),
     "q148_avro_source" -> (q148 _),
+    "q149_merge_upsert" -> (q149 _),
+    "q150_scd2" -> (q150 _),
     "q145_sql_text" -> (q145 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
@@ -1572,6 +1692,8 @@ object Relational {
     "q143_csv_source" -> q143Sql,
     "q144_orc_source" -> q144Sql,
     "q148_avro_source" -> q148Sql,
+    "q149_merge_upsert" -> q149Sql,
+    "q150_scd2" -> q150Sql,
     "q145_sql_text" -> q145Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,
