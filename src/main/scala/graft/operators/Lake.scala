@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Output-file hygiene for lake writes — the small-files problem: a
@@ -62,5 +63,65 @@ object Lake {
     val parts = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile)
     require(parts <= Int.MaxValue, "partition count overflow")
     df.repartition(parts.toInt)
+  }
+
+  /** Per-table file-layout statistics — the metadata half of lake
+    * maintenance: file count, byte sizes, and the small-files symptom
+    * (files under `smallBytes`). Pure filesystem listing through the
+    * Hadoop FS API — no data read, works on any supported filesystem.
+    */
+  final case class TableStats(nFiles: Int, totalBytes: Long,
+                              minBytes: Long, maxBytes: Long,
+                              nSmall: Int)
+
+  def tableStats(spark: SparkSession, dir: String,
+                 smallBytes: Long = 8L << 20): TableStats = {
+    val p = new Path(dir)
+    val sizes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getLen)
+    if (sizes.isEmpty) TableStats(0, 0L, 0L, 0L, 0)
+    else TableStats(sizes.length, sizes.sum, sizes.min, sizes.max,
+      sizes.count(_ < smallBytes))
+  }
+
+  /** COMPACTION: rewrite a fragmented parquet directory into
+    * `ceil(rows / rowsPerFile)` even files. The rewrite is
+    * crash-safe the way format-less lakes do it: write to a
+    * temporary sibling, verify the row count survived, then swap
+    * directories with two renames (the table is missing only between
+    * the renames — a table FORMAT's metadata pointer would close that
+    * gap, and is exactly what Delta/Iceberg add on top of this same
+    * rewrite). Readers pay one count job; the rewrite itself is one
+    * round-robin shuffle sized by [[sizedForWrite]].
+    *
+    * Returns (files before, files after, rows).
+    */
+  def compact(spark: SparkSession, dir: String,
+              rowsPerFile: Long): (Int, Int, Long) = {
+    val before = tableStats(spark, dir)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    val old = dir.stripSuffix("/") + ".compact-old"
+    sizedForWrite(df, rowsPerFile, knownRows = Some(rows))
+      .write.mode("overwrite").parquet(tmp)
+    val rewritten = spark.read.parquet(tmp).count()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rewritten != rows) {
+      fs.delete(new Path(tmp), true)
+      throw new IllegalStateException(
+        s"compaction row drift: $rows -> $rewritten; original left intact")
+    }
+    fs.delete(new Path(old), true)
+    if (!fs.rename(new Path(dir), new Path(old)))
+      throw new IllegalStateException(s"could not stage $dir aside")
+    if (!fs.rename(new Path(tmp), new Path(dir))) {
+      fs.rename(new Path(old), new Path(dir)) // roll back
+      throw new IllegalStateException(s"could not publish compacted $dir")
+    }
+    fs.delete(new Path(old), true) // the vacuum step
+    (before.nFiles, tableStats(spark, dir).nFiles, rows)
   }
 }

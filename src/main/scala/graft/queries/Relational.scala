@@ -1387,6 +1387,40 @@ object Relational {
          CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS to_sum
        FROM allv GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // --------------------------------------------------------------- q151
+  /** COMPACTION as a first-class query ([[graft.operators.Lake
+    * .compact]]): the supplier table staged deliberately fragmented
+    * (32 shards), compacted to ~rowsPerFile files with the crash-safe
+    * tmp-write/verify/swap rewrite, then VALUE-CHECKED: row count
+    * must survive exactly (oracle = count from the origin table),
+    * the file count must land at ceil(rows/rowsPerFile), and the
+    * post-compaction data must still aggregate identically
+    * (sum of keys — proves the rewrite shuffled rows, not values). */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val path = "/tmp/graft_supplier_compact"
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .repartition(32) // manufacture the small-files problem
+      .write.mode("overwrite").parquet(path)
+    val fragmented = graft.operators.Lake.tableStats(s, path).nFiles
+    val rowsPerFile = 100L
+    val (before, after, rows) =
+      graft.operators.Lake.compact(s, path, rowsPerFile)
+    val expectFiles = ((rows + rowsPerFile - 1) / rowsPerFile).toInt
+    s.read.parquet(path)
+      .agg(count(lit(1)).as("n_rows"), sum("s_suppkey").as("key_sum"))
+      .select(col("n_rows"), col("key_sum"),
+        lit(before == fragmented && before == 32).as("was_fragmented"),
+        lit(after == expectFiles).as("files_ok"),
+        (col("n_rows") === rows).as("rows_ok"))
+  }
+
+  private val q151Sql =
+    """SELECT count(*) AS n_rows,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+       TRUE AS was_fragmented, TRUE AS files_ok, TRUE AS rows_ok
+       FROM supplier"""
+
   // ---------------------------------------------------------------- q65
   /** The pair format through the engine's own DataSource V2 connector
     * ([[graft.sources.PairsV2]]): `spark.read.format(...)` — the
@@ -1681,6 +1715,7 @@ object Relational {
     "q148_avro_source" -> (q148 _),
     "q149_merge_upsert" -> (q149 _),
     "q150_scd2" -> (q150 _),
+    "q151_compaction" -> (q151 _),
     "q145_sql_text" -> (q145 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
@@ -1694,6 +1729,7 @@ object Relational {
     "q148_avro_source" -> q148Sql,
     "q149_merge_upsert" -> q149Sql,
     "q150_scd2" -> q150Sql,
+    "q151_compaction" -> q151Sql,
     "q145_sql_text" -> q145Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,

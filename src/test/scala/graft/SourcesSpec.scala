@@ -162,4 +162,25 @@ class SourcesSpec extends SparkSpec {
         Seq((1L, Array(1.0f))).toDF("id", "emb"), dir + "_bad")
     }
   }
+
+  test("compact merges a fragmented table without losing a row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    (1L to 5000L).map(i => (i, s"row$i")).toDF("id", "tag")
+      .repartition(40).write.parquet(dir)
+    val before = graft.operators.Lake.tableStats(spark, dir)
+    assert(before.nFiles == 40)
+    val (b, a, rows) = graft.operators.Lake.compact(spark, dir, 1000L)
+    assert((b, a, rows) == (40, 5, 5000L))
+    // data intact, no temp/old residue left behind
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) == 5000L * 5001 / 2)
+    val parent = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+    assert(!parent.exists(_.contains("compact-")),
+      s"residue: ${parent.toSeq}")
+    assert(graft.operators.Lake.tableStats(spark, dir).nFiles == 5)
+  }
 }
