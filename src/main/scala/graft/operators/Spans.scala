@@ -77,4 +77,59 @@ object Spans {
           " ")).as("clean_fp"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** SLIDING-window repeated-passage detection — the alignment-free
+    * upgrade of [[dropRepeatedSpans]] (closer to Lee et al.'s
+    * suffix-array ExactSubstr): every `k`-word window at EVERY word
+    * offset is hashed, windows whose hash recurs corpus-wide more than
+    * `maxOcc` times are flagged, and per document the flagged
+    * positions merge into maximal repeated passages (consecutive
+    * window positions overlap by k-1 words ⇒ one passage of
+    * `last - first + k` words). Stride-aligned blocks miss a copy
+    * shifted by one word; sliding windows cannot.
+    *
+    * Returns per-document passage reports
+    * `(<idCol>, n_passages, rep_words, longest)` for documents
+    * containing at least one repeated passage.
+    *
+    * Scale posture (100 TB): window TEXT never leaves the scan
+    * projection — only 60-bit hashes shuffle (k× word-count hash
+    * rows, each 8 bytes + id/pos). Two shuffles: hash-partitioned
+    * occurrence count (map-side combine collapses boilerplate
+    * floods), then per-document position merge. The flagged-hash set
+    * broadcasts (repeated windows are rare in a mostly-clean corpus —
+    * same contract as [[dropRepeatedSpans]]'s drop-set).
+    */
+  def repeatedPassages(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, maxOcc: Int = 1): DataFrame = {
+    require(k >= 2, "window must span at least 2 words")
+    require(maxOcc >= 1, "maxOcc must be >= 1")
+    val ws = words(col(textCol))
+    val winArr = when(col(textCol).isNull || size(ws) < k,
+        array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - lit(k - 1)),
+        i => token60(array_join(slice(ws, i, lit(k)), " "))))
+    val wins = docs
+      .select(col(idCol).as("id"), posexplode(winArr).as(Seq("p0", "wh")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("wh"))
+    val repSet = broadcast(
+      wins.groupBy("wh").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > maxOcc)
+        .select("wh"))
+    val flagged = wins.join(repSet, Seq("wh"))
+    // consecutive flagged positions = one passage: group by the
+    // (pos - rank) run id, a single per-document window pass
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val runs = flagged
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp")
+      .agg(min("pos").as("s"), (max("pos") + lit(k - 1)).as("e"))
+    runs.groupBy("id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(col("e") - col("s") + 1).as("rep_words"),
+        max(col("e") - col("s") + 1).cast("long").as("longest"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -622,6 +622,57 @@ object Insights {
       .orderBy("inner_doc", "outer_doc")
   }
 
+  // --------------------------------------------------------------- q152
+  /** Alignment-free repeated-passage detection ([[Spans
+    * .repeatedPassages]]): 8-word sliding windows at every offset,
+    * corpus-wide recurrence, per-document maximal-run merge. Every
+    * 20th document gets an injected half-twin (its first half under a
+    * new id — q127's construction), so cross-document passages exist
+    * at known places and the whole pipeline — window hashing,
+    * occurrence counting, run merging — is value-checked against the
+    * oracle's window-text replay. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ws = words(col("text"))
+    val synth = docs
+      .filter(pmod(col("doc_id"), lit(20)) === 0 &&
+        org.apache.spark.sql.functions.size(ws) >= 16)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(ws, lit(1),
+          floor(org.apache.spark.sql.functions.size(ws) / lit(2.0))
+            .cast("int")), " ").as("text"))
+    graft.operators.Spans.repeatedPassages(
+        docs.unionByName(synth), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
+  private val q152Sql =
+    """WITH wa0 AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
+           FROM documents),
+       synth AS (SELECT doc_id + 2000000 AS doc_id,
+           w[1:CAST(floor(len(w) / 2.0) AS INT)] AS w
+         FROM wa0 WHERE doc_id % 20 = 0 AND len(w) >= 16),
+       wa AS (SELECT doc_id, w FROM wa0 UNION ALL
+              SELECT doc_id, w FROM synth),
+       win AS (SELECT doc_id, unnest(range(1, len(w) - 6)) AS pos, w
+               FROM wa WHERE len(w) >= 8),
+       wt AS (SELECT doc_id, pos,
+                array_to_string(w[pos:pos+7], ' ') AS t FROM win),
+       rep AS (SELECT t FROM wt GROUP BY t HAVING count(*) > 1),
+       flag AS (SELECT doc_id, pos FROM wt
+                WHERE t IN (SELECT t FROM rep)),
+       seg AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS g
+               FROM flag),
+       sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM seg GROUP BY doc_id, g)
+       SELECT doc_id, count(*) AS n_passages,
+         CAST(sum(e - s + 1) AS BIGINT) AS rep_words,
+         CAST(max(e - s + 1) AS BIGINT) AS longest
+       FROM sp GROUP BY doc_id ORDER BY doc_id"""
+
   private val q127Sql =
     """WITH wa0 AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') w
            FROM documents),
@@ -1300,6 +1351,7 @@ object Insights {
     "q125_top_paths" -> (q125 _),
     "q126_srm_check" -> (q126 _),
     "q127_containment" -> (q127 _),
+    "q152_repeated_passages" -> (q152 _),
     "q128_negative_sample" -> (q128 _),
     "q129_pmi_pairs" -> (q129 _),
     "q130_seasonality" -> (q130 _),
@@ -1332,6 +1384,7 @@ object Insights {
     "q125_top_paths" -> q125Sql,
     "q126_srm_check" -> q126Sql,
     "q127_containment" -> q127Sql,
+    "q152_repeated_passages" -> q152Sql,
     "q128_negative_sample" -> q128Sql,
     "q129_pmi_pairs" -> q129Sql,
     "q130_seasonality" -> q130Sql,

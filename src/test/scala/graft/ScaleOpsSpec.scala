@@ -35,6 +35,46 @@ class ScaleOpsSpec extends SparkSpec {
       df.sparkSession.range(1).select(fp).head().getString(0))
   }
 
+  test("repeatedPassages finds a SHIFTED copy that stride blocks miss") {
+    // doc 2 carries doc 1's 10-word passage shifted by one word —
+    // stride-aligned blocks see different block texts, sliding
+    // windows see 3 shared 8-word windows merging into one passage
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val df = docs(
+      (1L, s"$passage tail1 tail2"),
+      (2L, s"lead $passage other words here"),
+      (3L, "an entirely unrelated document body"))
+    // the aligned detector misses it at block=8…
+    val aligned = Spans.dropRepeatedSpans(df, "doc_id", "text",
+      block = 8, maxOcc = 1).filter(col("n_kept") < col("n_blocks"))
+    assert(aligned.count() == 0, "aligned blocks shouldn't fire here")
+    // …the sliding detector reports the full 10-word passage in both
+    val out = Spans.repeatedPassages(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 10L, 10L), (2L, 1L, 10L, 10L)))
+  }
+
+  test("repeatedPassages merges runs and separates distinct passages") {
+    // doc 1 shares passage A with doc 2 and passage B with doc 3,
+    // with a unique gap between them -> two separate passages
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val df = docs(
+      (1L, s"$a gap1 gap2 gap3 $b"),
+      (2L, s"$a completely different ending here"),
+      (3L, s"prefix words then $b"))
+    val out = Spans.repeatedPassages(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 17L, 9L), (2L, 1L, 8L, 8L),
+      (3L, 1L, 9L, 9L)))
+    // a clean corpus reports nothing, and sub-k docs never window
+    val clean = Spans.repeatedPassages(
+      docs((1L, "short doc"), (2L, "short doc")), "doc_id", "text", k = 8)
+    assert(clean.count() == 0)
+  }
+
   test("dropRepeatedSpans drops within-document repetition too") {
     // occurrence count is corpus-wide, so a block repeated inside ONE
     // document crosses maxOcc as well
