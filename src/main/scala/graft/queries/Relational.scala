@@ -1421,6 +1421,48 @@ object Relational {
        TRUE AS was_fragmented, TRUE AS files_ok, TRUE AS rows_ok
        FROM supplier"""
 
+  // --------------------------------------------------------------- q153
+  /** SCHEMA EVOLUTION as a first-class query: a lake table written in
+    * two generations — v1 files carry `(o_orderkey, o_custkey)`, v2
+    * files add `o_totalprice` — read back through parquet
+    * `mergeSchema`, which unifies the footers and nulls the missing
+    * column in old files. The oracle recomputes the generation split
+    * from the origin table, so the merged read must null exactly the
+    * v1 rows and preserve every v2 price. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val path = "/tmp/graft_orders_evolved"
+    val orders = Tables.orders(s, d)
+    // generation 1: the first schema, even keys only
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").parquet(path + "/gen=1")
+    // generation 2: schema grew a column, odd keys
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .write.mode("overwrite").parquet(path + "/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+          .as("n_null_price"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2)
+          .as("price_sum"),
+        sum("o_custkey").as("cust_sum"))
+      .orderBy("gen")
+  }
+
+  private val q153Sql =
+    """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT)
+         AS gen,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_price,
+       round(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice
+                 ELSE 0 END), 2) AS price_sum,
+       CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   // ---------------------------------------------------------------- q65
   /** The pair format through the engine's own DataSource V2 connector
     * ([[graft.sources.PairsV2]]): `spark.read.format(...)` — the
@@ -1716,6 +1758,7 @@ object Relational {
     "q149_merge_upsert" -> (q149 _),
     "q150_scd2" -> (q150 _),
     "q151_compaction" -> (q151 _),
+    "q153_schema_evolution" -> (q153 _),
     "q145_sql_text" -> (q145 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
@@ -1730,6 +1773,7 @@ object Relational {
     "q149_merge_upsert" -> q149Sql,
     "q150_scd2" -> q150Sql,
     "q151_compaction" -> q151Sql,
+    "q153_schema_evolution" -> q153Sql,
     "q145_sql_text" -> q145Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,
