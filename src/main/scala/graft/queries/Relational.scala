@@ -1463,6 +1463,41 @@ object Relational {
        CAST(sum(o_custkey) AS BIGINT) AS cust_sum
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------- q154
+  /** RANGE-LOOKUP JOIN through the engine's custom Catalyst plan
+    * ([[graft.plans.RangeLookup]]): orders priced into fixed bands via
+    * a custom `LogicalPlan` → `SparkStrategy` → `SparkPlan` chain that
+    * broadcasts the sorted interval table and binary-searches per row
+    * — O(n·log m) with zero fact-side shuffle, where the built-in plan
+    * for this non-equi join is an O(n·m) BroadcastNestedLoopJoin. The
+    * oracle replays the same intervals as a plain VALUES join, so the
+    * custom operator must agree with naive join semantics exactly. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 50000.0, "xs"), (50000.0, 100000.0, "s"),
+      (100000.0, 200000.0, "m"), (200000.0, 350000.0, "l"),
+      (350000.0, 1e9, "xl")).toDF("lo", "hi", "band")
+    graft.plans.RangeLookup
+      .rangeLookup(Tables.orders(s, d), bands, "o_totalprice", "lo", "hi")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("price_sum"),
+        countDistinct("o_custkey").as("n_customers"))
+      .orderBy("band")
+  }
+
+  private val q154Sql =
+    """SELECT band, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS price_sum,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+       FROM orders
+       JOIN (VALUES (0.0, 50000.0, 'xs'), (50000.0, 100000.0, 's'),
+                    (100000.0, 200000.0, 'm'), (200000.0, 350000.0, 'l'),
+                    (350000.0, 1000000000.0, 'xl')) AS b(lo, hi, band)
+         ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY band ORDER BY band"""
+
   // ---------------------------------------------------------------- q65
   /** The pair format through the engine's own DataSource V2 connector
     * ([[graft.sources.PairsV2]]): `spark.read.format(...)` — the
@@ -1759,6 +1794,7 @@ object Relational {
     "q150_scd2" -> (q150 _),
     "q151_compaction" -> (q151 _),
     "q153_schema_evolution" -> (q153 _),
+    "q154_range_lookup" -> (q154 _),
     "q145_sql_text" -> (q145 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
@@ -1774,6 +1810,7 @@ object Relational {
     "q150_scd2" -> q150Sql,
     "q151_compaction" -> q151Sql,
     "q153_schema_evolution" -> q153Sql,
+    "q154_range_lookup" -> q154Sql,
     "q145_sql_text" -> q145Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,
