@@ -15,9 +15,14 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * are parsed, per-chunk CRCs are verified, scanline filters are
   * reversed, dimensions come from the file (not from heuristics), and
   * corrupt payloads are rejected with a reason instead of decoding to
-  * garbage. Baseline JPEG (entropy/DCT) lives in [[JpegCodec]];
-  * video containers remain out of scope, stubbed in
-  * [[Multimodal.decodeFeatures]].
+  * garbage. Baseline JPEG (entropy/DCT) lives in [[JpegCodec]]; video
+  * travels as YUV4MPEG2 (Y4M — the uncompressed planar container
+  * mjpegtools defined and every ffmpeg build reads/writes), giving the
+  * frame-sampling path a genuine multi-frame decode. Patent-era
+  * compressed video (H.26x/VP9/AV1) stays out of scope: a conformant
+  * decoder is a project of its own and would buy the ENGINE nothing —
+  * the Spark-side contract (binary column in, per-frame rows out) is
+  * identical for every container.
   */
 object MediaCodec {
 
@@ -548,5 +553,109 @@ object MediaCodec {
       b += 1
     }
     Right(WavAudio(sampleRate, java.util.Arrays.copyOf(out, factSamples)))
+  }
+
+  // ------------------------------------------------------------ Y4M video
+
+  /** A decoded Y4M stream: 4:2:0 frames as raw planes. `frames(f)` is
+    * the frame's Y (luma) plane, `w*h` bytes row-major; chroma planes
+    * are parsed and validated but not retained (the engine's video
+    * features are luma statistics — keeping U/V would triple the
+    * decoded footprint for bytes nothing reads).
+    */
+  final case class Y4mVideo(width: Int, height: Int, fpsNum: Int,
+                            fpsDen: Int, frames: Array[Array[Byte]])
+
+  /** YUV4MPEG2 container: one ASCII stream header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> Ip A1:1 C420jpeg\n`, then per
+    * frame a `FRAME\n` marker followed by raw planar 4:2:0 bytes —
+    * Y (w·h), U (w/2·h/2), V (w/2·h/2). `lumaFrames` are Y planes;
+    * chroma is written neutral (128), i.e. a grayscale stream.
+    * Dimensions must be even (4:2:0 subsamples both axes by 2).
+    */
+  def encodeY4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                lumaFrames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"4:2:0 needs positive even dimensions, got ${width}x$height")
+    require(lumaFrames.nonEmpty, "a Y4M stream needs at least one frame")
+    lumaFrames.foreach(f => require(f.length == width * height,
+      s"luma plane needs w*h=${width * height} bytes, got ${f.length}"))
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val cSize = (width / 2) * (height / 2)
+    val frameBytes = marker.length + width * height + 2 * cSize
+    val out = new Array[Byte](header.length + lumaFrames.length * frameBytes)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    lumaFrames.foreach { y =>
+      System.arraycopy(marker, 0, out, pos, marker.length)
+      pos += marker.length
+      System.arraycopy(y, 0, out, pos, y.length)
+      pos += y.length
+      java.util.Arrays.fill(out, pos, pos + 2 * cSize, 128.toByte)
+      pos += 2 * cSize
+    }
+    out
+  }
+
+  /** Real Y4M parser: magic + parameter-tag walk (W/H required, C only
+    * 4:2:0 variants — the container also allows 422/444, which this
+    * engine's features never produce), per-frame marker check, exact
+    * plane lengths. Truncated or malformed payloads are a
+    * `Left(reason)`, never a short decode.
+    */
+  def decodeY4m(bytes: Array[Byte]): Either[String, Y4mVideo] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (bytes.length < magic.length ||
+        !magic.indices.forall(i => bytes(i) == magic(i)))
+      return Left("not a Y4M stream (bad magic)")
+    var i = magic.length
+    var nl = i
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    if (nl >= bytes.length) return Left("unterminated stream header")
+    val params = new String(bytes, i, nl - i, "US-ASCII").trim
+      .split("\\s+").filter(_.nonEmpty)
+    var w = -1; var h = -1; var fn = 25; var fd = 1
+    params.foreach { p =>
+      (p.head, p.tail) match {
+        case ('W', v) => w = v.toIntOption.getOrElse(-1)
+        case ('H', v) => h = v.toIntOption.getOrElse(-1)
+        case ('F', v) => v.split(":") match {
+          case Array(a, b) =>
+            fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+          case _ => return Left(s"bad frame-rate tag F$v")
+        }
+        case ('C', v) =>
+          if (!v.startsWith("420")) return Left(s"unsupported chroma C$v")
+        case _ => () // Ip/A/X tags: valid, irrelevant here
+      }
+    }
+    if (w <= 0 || h <= 0) return Left(s"bad dimensions ${w}x$h")
+    if (w % 2 != 0 || h % 2 != 0)
+      return Left(s"4:2:0 dimensions must be even, got ${w}x$h")
+    if (fn <= 0 || fd <= 0) return Left(s"bad frame rate $fn:$fd")
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val marker = "FRAME".getBytes("US-ASCII")
+    i = nl + 1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (i < bytes.length) {
+      if (i + marker.length > bytes.length ||
+          !marker.indices.forall(k => bytes(i + k) == marker(k)))
+        return Left(s"expected FRAME marker at offset $i")
+      var fnl = i + marker.length
+      while (fnl < bytes.length && bytes(fnl) != '\n') fnl += 1
+      if (fnl >= bytes.length) return Left("unterminated FRAME header")
+      i = fnl + 1
+      if (i + ySize + 2 * cSize > bytes.length)
+        return Left(s"truncated frame ${frames.length}: need " +
+          s"${ySize + 2 * cSize} bytes, have ${bytes.length - i}")
+      frames += java.util.Arrays.copyOfRange(bytes, i, i + ySize)
+      i += ySize + 2 * cSize
+    }
+    if (frames.isEmpty) return Left("stream has no frames")
+    Right(Y4mVideo(w, h, fn, fd, frames.toArray))
   }
 }

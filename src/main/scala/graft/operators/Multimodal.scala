@@ -20,6 +20,14 @@ final case class AudioFeatures(media_id: Long, mime: String,
                                sample_rate: Int, n_samples: Int,
                                duration_sec: Double, mean_abs: Double)
 
+/** One SAMPLED frame of a decoded video stream: `luma_sum` is the
+  * exact integer sum of the frame's Y plane (order-independent under
+  * downstream aggregation), `mean_luma` the normalized mean in [0,1].
+  */
+final case class VideoFrame(media_id: Long, mime: String, width: Int,
+                            height: Int, n_frames: Int, frame_idx: Int,
+                            luma_sum: Long, mean_luma: Double)
+
 /** Multimodal column plumbing (SURVEY.md §2.11): image/audio/video as
   * opaque `binary` columns with typed metadata. PPM (P6), PNG (RGB8),
   * baseline JPEG and PCM/ADPCM WAV travel through REAL codecs
@@ -263,10 +271,79 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling stub: one row per sampled "frame", frame count
-    * derived deterministically from payload size (real impl: codec
-    * frame index). Exercises the generator/explode path over binary
-    * columns — SQL-expressible, so oracle-checked.
+  /** REAL-codec media table, VIDEO edition: each document's UTF-8
+    * bytes become the luma planes of consecutive 8×8 frames — frame f
+    * is bytes [f·64, f·64+64) zero-padded, ≥1 frame even for empty
+    * text — written as a genuine YUV4MPEG2 stream
+    * ([[MediaCodec.encodeY4m]] — real stream header, per-frame FRAME
+    * markers, neutral 4:2:0 chroma; the payload plays in ffmpeg/mpv).
+    * The frame partitioning of the byte stream is deterministic, so
+    * per-frame luma statistics have a closed form the q155 oracle
+    * recomputes from the text (ASCII-corpus caveat as q59).
+    */
+  def toY4mMedia(docs: DataFrame, fps: Int = 25): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data = text.getBytes("UTF-8")
+          val nf = if (data.isEmpty) 1 else (data.length - 1) / 64 + 1
+          val frames = Array.tabulate(nf) { f =>
+            val end = math.min(f * 64 + 64, data.length)
+            val y = new Array[Byte](64)
+            if (end > f * 64)
+              System.arraycopy(data, f * 64, y, 0, end - f * 64)
+            y
+          }
+          MediaFile(id, MediaCodec.encodeY4m(8, 8, fps, 1, frames),
+            "video/x-yuv4mpeg")
+        }
+      }
+  }
+
+  /** REAL video decode + FRAME SAMPLING: parse the Y4M container
+    * ([[MediaCodec.decodeY4m]] — header tags, frame markers, exact
+    * plane lengths), keep every `every`-th frame, and emit one typed
+    * row per SAMPLED frame with its luma statistics. `luma_sum` is the
+    * exact integer plane sum — downstream aggregates stay
+    * order-independent (the q139 integer-exact-moment discipline);
+    * `mean_luma` is the per-frame convenience ratio. Corrupt payloads
+    * drop (reason available via the codec), never decode short.
+    *
+    * 100 TB posture: decode and sampling run inside the partition
+    * iterator — a 10 000-frame stream yields rows lazily, UNSAMPLED
+    * frames are skipped at the iterator (never materialized as rows),
+    * and nothing reaches the driver. Frame rows inherit the input
+    * partitioning.
+    */
+  def sampleVideoFrames(files: Dataset[MediaFile],
+                        every: Int = 2): Dataset[VideoFrame] = {
+    require(every >= 1, s"sampling stride must be >= 1, got $every")
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { m =>
+        MediaCodec.decodeY4m(m.payload) match {
+          case Right(v) =>
+            val denom = v.width * v.height * 255.0
+            (0 until v.frames.length by every).iterator.map { f =>
+              var sum = 0L
+              v.frames(f).foreach(b => sum += (b & 0xff))
+              VideoFrame(m.media_id, m.mime, v.width, v.height,
+                v.frames.length, f, sum, sum / denom)
+            }
+          case Left(_) => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Frame sampling stub for OPAQUE containers (no codec): one row per
+    * sampled "frame", frame count derived deterministically from
+    * payload size. Kept as the pipeline-shape fallback for formats
+    * without a pure-JVM decoder; the REAL path is
+    * [[toY4mMedia]]→[[sampleVideoFrames]]. Exercises the
+    * generator/explode path over binary columns — SQL-expressible, so
+    * oracle-checked.
     */
   def sampleFrames(media: DataFrame): DataFrame =
     media

@@ -661,6 +661,61 @@ object Pipeline {
              FROM documents) t
        ORDER BY media_id"""
 
+  // --------------------------------------------------------------- q155
+  /** VIDEO multimodal path, closing the last stubbed media family:
+    * documents rendered as genuine YUV4MPEG2 streams
+    * ([[graft.operators.Multimodal.toY4mMedia]] — bytes [f·64,f·64+64)
+    * become frame f's 8×8 luma plane; real stream header, FRAME
+    * markers, 4:2:0 chroma), then DECODED for real
+    * ([[graft.operators.MediaCodec.decodeY4m]] — tag walk, marker
+    * check, exact plane lengths) with every-2nd FRAME SAMPLING inside
+    * the partition iterator. Per-frame luma sums are exact integers,
+    * so the per-doc aggregate is order-independent and the oracle
+    * recomputes the sampled-frame statistics in closed form from the
+    * text (even 64-byte windows; ASCII-corpus caveat as q59). A
+    * decode failure drops the row and fails the rows gate.
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.sampleVideoFrames(
+        Multimodal.toY4mMedia(Tables.documents(s, d)), every = 2).toDF()
+      .groupBy("media_id", "mime", "width", "height", "n_frames")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum("luma_sum") / (count(lit(1)) * 16320.0), 4)
+          .as("avg_luma"),
+        round(sum(when(col("frame_idx") === 0, col("luma_sum")))
+          / 16320.0, 4).as("first_luma"),
+        round(max(struct(col("frame_idx"), col("luma_sum")))
+          .getField("luma_sum") / 16320.0, 4).as("last_luma"))
+      .orderBy("media_id")
+  }
+
+  private val q155Sql =
+    """SELECT media_id, mime, CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height, CAST(nf AS INT) AS n_frames,
+       CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+       round(evensum / (((nf + 1) // 2) * 16320.0), 4) AS avg_luma,
+       round(firstsum / 16320.0, 4) AS first_luma,
+       round(lastsum / 16320.0, 4) AS last_luma
+       FROM (SELECT media_id, mime, nf,
+         coalesce(list_sum(list_transform(
+           list_filter(range(1, length(text) + 1),
+                       i -> ((i - 1) // 64) % 2 = 0),
+           i -> ascii(substr(text, i, 1)))), 0) AS evensum,
+         coalesce(list_sum(list_transform(
+           range(1, least(64, length(text)) + 1),
+           i -> ascii(substr(text, i, 1)))), 0) AS firstsum,
+         coalesce(list_sum(list_transform(
+           range(((nf - 1) // 2) * 2 * 64 + 1,
+                 least(((nf - 1) // 2) * 2 * 64 + 64, length(text)) + 1),
+           i -> ascii(substr(text, i, 1)))), 0) AS lastsum
+         FROM (SELECT doc_id AS media_id, 'video/x-yuv4mpeg' AS mime,
+                 text,
+                 greatest((octet_length(CAST(text AS BLOB)) - 1) // 64
+                          + 1, 1) AS nf
+               FROM documents) b) t
+       ORDER BY media_id"""
+
   // ---------------------------------------------------------------- q44
   /** Per-label embedding centroids (first 8 dims) — the building block
     * for IVF-style partitioned ANN. */
@@ -958,6 +1013,7 @@ object Pipeline {
     "q142_multimodal_png" -> (q142 _),
     "q146_multimodal_jpeg" -> (q146 _),
     "q147_multimodal_adpcm" -> (q147 _),
+    "q155_multimodal_y4m" -> (q155 _),
     "q60_tfidf" -> (q60 _),
     "q69_dataset_split" -> (q69 _),
     "q70_text_cleanup" -> (q70 _),
@@ -987,6 +1043,7 @@ object Pipeline {
     "q142_multimodal_png" -> q142Sql,
     "q146_multimodal_jpeg" -> q146Sql,
     "q147_multimodal_adpcm" -> q147Sql,
+    "q155_multimodal_y4m" -> q155Sql,
     "q60_tfidf" -> q60Sql,
     "q69_dataset_split" -> q69Sql,
     "q70_text_cleanup" -> q70Sql,

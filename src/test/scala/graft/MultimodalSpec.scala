@@ -416,4 +416,67 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("frame_idx") == 0)
     assert(r.getAs[Int]("frame_signature") == (6 * 31 + 0) % 997)
   }
+
+  test("Y4M codec round-trips luma planes through a real container") {
+    val frames = Array.tabulate(3)(f =>
+      Array.tabulate(64)(i => ((f * 64 + i) % 256).toByte))
+    val enc = MediaCodec.encodeY4m(8, 8, 30, 1, frames)
+    // the stream header is genuine ASCII Y4M
+    assert(new String(enc.take(9), "US-ASCII") == "YUV4MPEG2")
+    val dec = MediaCodec.decodeY4m(enc)
+    assert(dec.isRight)
+    val v = dec.toOption.get
+    assert(v.width == 8 && v.height == 8)
+    assert(v.fpsNum == 30 && v.fpsDen == 1)
+    assert(v.frames.length == 3)
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("Y4M decode rejects corrupt payloads with a reason, never garbage") {
+    val good = MediaCodec.encodeY4m(8, 8, 25, 1,
+      Array(Array.fill(64)(7.toByte)))
+    assert(MediaCodec.decodeY4m("RIFF-not-y4m".getBytes).isLeft)
+    // truncated mid-frame: parser must refuse, not return a short plane
+    assert(MediaCodec.decodeY4m(good.dropRight(1)).isLeft)
+    // unsupported chroma mode
+    val c444 = "YUV4MPEG2 W8 H8 F25:1 C444\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ new Array[Byte](8 * 8 * 3)
+    assert(MediaCodec.decodeY4m(c444).isLeft)
+    // odd dimensions cannot carry 4:2:0
+    val odd = "YUV4MPEG2 W7 H8 F25:1\n".getBytes("US-ASCII")
+    assert(MediaCodec.decodeY4m(odd).isLeft)
+    // garbage between frames
+    val junk = good ++ "JUNK!\n".getBytes
+    assert(MediaCodec.decodeY4m(junk).isLeft)
+  }
+
+  test("real Y4M pipeline: encode docs, sample every 2nd decoded frame") {
+    // 130 bytes → 3 frames; sampled frames 0 and 2
+    val text = ("a" * 64) + ("b" * 64) + "cd"
+    val docs = Seq((5L, text, "en", "s", 130L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Multimodal.sampleVideoFrames(
+      Multimodal.toY4mMedia(docs), every = 2).collect().sortBy(_.frame_idx)
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.width == 8 && r.height == 8 && r.n_frames == 3))
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(rows(0).luma_sum == 64L * 'a')            // full frame of 'a'
+    assert(rows(1).luma_sum == 'c' + 'd')            // 2 bytes + zero pad
+    assert(math.abs(rows(0).mean_luma - 64.0 * 'a' / 16320.0) < 1e-12)
+    // a corrupt payload drops the whole stream, not partial frames
+    val corrupt = Multimodal.toY4mMedia(docs)
+      .map(m => m.copy(payload = m.payload.dropRight(1)))
+    assert(Multimodal.sampleVideoFrames(corrupt, 2).count() == 0)
+  }
+
+  test("empty documents still produce one all-zero video frame") {
+    val docs = Seq((9L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Multimodal.sampleVideoFrames(
+      Multimodal.toY4mMedia(docs), every = 2).collect()
+    assert(rows.length == 1)
+    assert(rows.head.n_frames == 1 && rows.head.luma_sum == 0L)
+  }
 }
