@@ -140,6 +140,58 @@ object Scale {
        SELECT cid, count(*) AS n_members, round(sum(d2), 4) AS inertia
        FROM bf GROUP BY cid ORDER BY cid"""
 
+  // --------------------------------------------------------------- q156
+  /** Product quantization ([[graft.operators.Pq.codebookStats]]):
+    * 64-dim embeddings split into m=4 subspaces of 16 dims, one Lloyd
+    * round per subspace codebook (k=4, test-sized; production k=256 is
+    * the same plan), all subspaces trained in ONE distributed job. The
+    * oracle unrolls seeding, the round, and the final encode per
+    * subspace as CTEs — every codebook coordinate, every code
+    * assignment and every subspace's quantization error is
+    * value-checked. */
+  private def q156(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pq.codebookStats(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, m = 4, k = 4, iters = 1)
+      .orderBy("sub", "cid")
+
+  private def pqRound(in: String, cIn: String, a: String, b: String,
+                      cOut: String): String =
+    s"""$a AS (SELECT $in.vec_id, $in.s, $in.sv, $cIn.cid,
+           round(greatest(0, list_dot_product(sv,sv)
+             + list_dot_product(cv,cv)
+             - 2*list_dot_product(sv,cv)), 6) AS d2
+         FROM $in JOIN $cIn ON $in.s = $cIn.s),
+       $b AS (SELECT vec_id, s, sv, cid, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, cid) AS rn FROM $a) WHERE rn = 1),
+       $cOut AS (SELECT s, cid, list(m ORDER BY pos) AS cv FROM (
+           SELECT s, cid, pos, round(avg(sv[pos+1]), 6) AS m
+           FROM $b, range(0, 16) t(pos) GROUP BY s, cid, pos)
+         GROUP BY s, cid)"""
+
+  private val q156Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE len(embedding) = 64),
+       subv AS (SELECT vec_id, s, list_slice(v, s*16+1, s*16+16) AS sv
+           FROM e, range(0, 4) t(s)),
+       c0 AS (SELECT s, CAST(row_number() OVER (PARTITION BY s
+               ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(sv, x -> round(x, 6)) AS cv
+           FROM subv WHERE vec_id IN
+             (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+       ${pqRound("subv", "c0", "a1", "b1", "c1")},
+       af AS (SELECT subv.vec_id, subv.s, subv.sv, c1.cid,
+           round(greatest(0, list_dot_product(sv,sv)
+             + list_dot_product(cv,cv)
+             - 2*list_dot_product(sv,cv)), 6) AS d2
+         FROM subv JOIN c1 ON subv.s = c1.s),
+       bf AS (SELECT vec_id, s, cid, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, cid) AS rn FROM af) WHERE rn = 1)
+       SELECT CAST(s AS INT) AS sub, cid, count(*) AS n_vectors,
+         round(sum(d2), 4) AS inertia
+       FROM bf GROUP BY s, cid ORDER BY sub, cid"""
+
   // ---------------------------------------------------------------- q91
   /** Bloom-filter decontamination screening ([[Bloom.sketch]] +
     * [[Bloom.screen]]): same benchmark split as q73, but the benchmark
@@ -338,6 +390,7 @@ object Scale {
     "q88_span_dedup" -> (q88 _),
     "q89_heavy_hitters" -> (q89 _),
     "q90_kmeans" -> (q90 _),
+    "q156_pq_codebook" -> (q156 _),
     "q91_bloom_decontam" -> (q91 _),
     "q92_pagerank" -> (q92 _),
     "q93_embedding_cov" -> (q93 _),
@@ -349,6 +402,7 @@ object Scale {
     "q88_span_dedup" -> q88Sql,
     "q89_heavy_hitters" -> q89Sql,
     "q90_kmeans" -> q90Sql,
+    "q156_pq_codebook" -> q156Sql,
     "q91_bloom_decontam" -> q91Sql,
     "q92_pagerank" -> q92Sql,
     "q93_embedding_cov" -> q93Sql,
