@@ -4,8 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, BindReferences, Cast, Expression, JoinedRow, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+  And, Attribute, AttributeSet, BindReferences, Cast, Expression, JoinedRow,
+  PredicateHelper, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.DoubleType
 
@@ -144,16 +147,67 @@ object RangeLookup {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Custom optimizer rule: Catalyst's own pushdown stops at unknown
+    * plan nodes — without this rule, a `Filter` or `Project` above a
+    * [[RangeLookupJoin]] stays above it, the fact-side parquet scan
+    * reads every row and column, and the operator's zero-shuffle claim
+    * is hollow at 100 TB. Two rewrites, both standard-shape:
+    *
+    *  - predicate pushdown: conjuncts referencing only fact-side
+    *    columns move below the join (the lookup is 1-row → ≤1-row, so
+    *    fact predicates commute with it);
+    *  - column pruning: a Project above the join narrows both children
+    *    to the columns it needs plus the join's own value/lo/hi
+    *    columns.
+    *
+    * After the rewrite the Filter/Project sit directly on the scan
+    * relations, where FileSourceStrategy turns them into
+    * `PushedFilters` / a pruned `ReadSchema` during physical planning
+    * (plan-asserted in RangeLookupSpec).
+    */
+  object RangeLookupOptimization extends Rule[LogicalPlan]
+      with PredicateHelper {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, j: RangeLookupJoin) =>
+        val (leftOnly, rest) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic &&
+            p.references.subsetOf(j.left.outputSet))
+        if (leftOnly.isEmpty) f
+        else {
+          val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
+          rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+      case p @ Project(list, j: RangeLookupJoin) =>
+        val needed = AttributeSet(list.flatMap(_.references)) ++
+          j.value.references ++ j.lo.references ++ j.hi.references
+        def prune(child: LogicalPlan): LogicalPlan = {
+          val keep = child.output.filter(needed.contains)
+          // only narrow (fixed-point safety: an equal-width Project
+          // would re-match this case forever)
+          if (keep.length < child.output.length) Project(keep, child)
+          else child
+        }
+        val (l2, r2) = (prune(j.left), prune(j.right))
+        if (l2.eq(j.left) && r2.eq(j.right)) p
+        else p.copy(child = j.copy(left = l2, right = r2))
+    }
+  }
+
   /** Idempotent per-session registration via the public
     * `ExperimentalMethods` hook (the `SparkSessionExtensions
-    * .injectPlannerStrategy` path works identically for deployments
-    * that configure extensions declaratively — see
+    * .injectPlannerStrategy`/`.injectOptimizerRule` path works
+    * identically for deployments that configure extensions
+    * declaratively — see
     * [[graft.functions.expressions.GraftExtensions]]).
     */
   def ensureStrategy(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(RangeLookupStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeLookupStrategy
+    if (!spark.experimental.extraOptimizations
+          .contains(RangeLookupOptimization))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeLookupOptimization
   }
 
   /** Public API: join `facts` to a small `ranges` table of

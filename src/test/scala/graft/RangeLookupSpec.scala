@@ -78,6 +78,40 @@ class RangeLookupSpec extends SparkSpec {
     }.getMessage.contains("nope"))
   }
 
+  test("filter above the join pushes down to the fact-side scan") {
+    val s = spark
+    import s.implicits._
+    val path = "/tmp/graft_rl_facts"
+    (0 until 100).map(i => (i.toLong, (i % 50).toDouble, s"p$i"))
+      .toDF("id", "v", "payload").write.mode("overwrite").parquet(path)
+    val pf = spark.read.parquet(path)
+    val df = RangeLookup.rangeLookup(pf, bands, "v", "lo", "hi")
+      .filter(col("id") > 90)
+    val plan = df.queryExecution.executedPlan.toString
+    // the id predicate must reach the parquet scan as a pushed filter,
+    // not sit above the custom join
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"fact predicate did not reach the scan:\n$plan")
+    assert(df.count() == 9)
+  }
+
+  test("project above the join prunes the fact-side read schema") {
+    val path = "/tmp/graft_rl_facts2"
+    val s = spark
+    import s.implicits._
+    (0 until 100).map(i => (i.toLong, (i % 50).toDouble, s"p$i"))
+      .toDF("id", "v", "payload").write.mode("overwrite").parquet(path)
+    val pf = spark.read.parquet(path)
+    val df = RangeLookup.rangeLookup(pf, bands, "v", "lo", "hi")
+      .select("id", "band")
+    val plan = df.queryExecution.executedPlan.toString
+    // payload is unused → must not be read; v is the join key → must be
+    assert(!plan.contains("payload"), s"unused column read:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"fact scan not pruned:\n$plan")
+    assert(df.count() == 100)
+  }
+
   test("integer value/bound columns cast cleanly") {
     val s = spark
     import s.implicits._
