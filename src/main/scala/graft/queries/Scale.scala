@@ -192,6 +192,60 @@ object Scale {
          round(sum(d2), 4) AS inertia
        FROM bf GROUP BY s, cid ORDER BY sub, cid"""
 
+  // --------------------------------------------------------------- q157
+  /** ADC search over PQ codes ([[graft.operators.Pq.adcTopK]]): the
+    * q156 codebook encodes the corpus into m=4 small-int codes per
+    * vector; each query (the 3 lowest ids) builds its m·k lookup table
+    * of subspace distances and corpus vectors rank by the SUM of
+    * looked-up entries — approximate nearest neighbors without
+    * touching a corpus vector after encode. Micro-unit integer
+    * distances make the ranking engine-exact; the oracle replays
+    * codebook, codes, LUT and ranking in SQL. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Pq.adcTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", dim = 64, m = 4, k = 4, iters = 1,
+        topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val q157Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE len(embedding) = 64),
+       subv AS (SELECT vec_id, s, list_slice(v, s*16+1, s*16+16) AS sv
+           FROM e, range(0, 4) t(s)),
+       c0 AS (SELECT s, CAST(row_number() OVER (PARTITION BY s
+               ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(sv, x -> round(x, 6)) AS cv
+           FROM subv WHERE vec_id IN
+             (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+       ${pqRound("subv", "c0", "a1", "b1", "c1")},
+       af AS (SELECT subv.vec_id, subv.s, c1.cid,
+           round(greatest(0, list_dot_product(sv,sv)
+             + list_dot_product(cv,cv)
+             - 2*list_dot_product(sv,cv)), 6) AS d2
+         FROM subv JOIN c1 ON subv.s = c1.s),
+       codes AS (SELECT vec_id, s, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, cid) AS rn FROM af) WHERE rn = 1),
+       qsub AS (SELECT vec_id AS qid, s, sv AS qsv FROM subv
+           WHERE vec_id < 3),
+       lut AS (SELECT qid, qsub.s, cid,
+           CAST(floor(round(greatest(0, list_dot_product(qsv,qsv)
+             + list_dot_product(cv,cv)
+             - 2*list_dot_product(qsv,cv)), 6) * 1000000 + 0.5) AS BIGINT)
+             AS qd2i
+         FROM qsub JOIN c1 ON qsub.s = c1.s),
+       adc AS (SELECT qid, vec_id, sum(qd2i) AS di
+         FROM codes JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
+         WHERE vec_id != qid GROUP BY qid, vec_id)
+       SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+         round(di / 1000000.0, 6) AS adc_d2
+       FROM (SELECT qid AS query_id, vec_id AS neighbor_id, di,
+               row_number() OVER (PARTITION BY qid ORDER BY di, vec_id)
+                 AS rn FROM adc) r
+       WHERE rn <= 5 ORDER BY query_id, rank"""
+
   // ---------------------------------------------------------------- q91
   /** Bloom-filter decontamination screening ([[Bloom.sketch]] +
     * [[Bloom.screen]]): same benchmark split as q73, but the benchmark
@@ -391,6 +445,7 @@ object Scale {
     "q89_heavy_hitters" -> (q89 _),
     "q90_kmeans" -> (q90 _),
     "q156_pq_codebook" -> (q156 _),
+    "q157_pq_adc" -> (q157 _),
     "q91_bloom_decontam" -> (q91 _),
     "q92_pagerank" -> (q92 _),
     "q93_embedding_cov" -> (q93 _),
@@ -403,6 +458,7 @@ object Scale {
     "q89_heavy_hitters" -> q89Sql,
     "q90_kmeans" -> q90Sql,
     "q156_pq_codebook" -> q156Sql,
+    "q157_pq_adc" -> q157Sql,
     "q91_bloom_decontam" -> q91Sql,
     "q92_pagerank" -> q92Sql,
     "q93_embedding_cov" -> q93Sql,

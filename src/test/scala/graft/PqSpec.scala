@@ -61,6 +61,25 @@ class PqSpec extends SparkSpec {
       .map(_.getAs[Long]("n_vectors")).sum == 40)
   }
 
+  test("ADC top-k finds same-blob neighbors and excludes the query") {
+    val res = Pq.adcTopK(blobs, blobs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", dim = 8, m = 2, k = 2, iters = 2, topK = 5)
+      .collect()
+    assert(res.length == 5)
+    assert(res.forall(_.getAs[Long]("query_id") == 0L))
+    assert(res.forall(_.getAs[Long]("neighbor_id") != 0L))
+    // vec 0 sits in blob (even, %3==0); its ADC neighbors must share
+    // BOTH blob memberships (codes identical → adc distance ≈ inertia)
+    res.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n % 2 == 0 && n % 3 == 0, s"neighbor $n not in vec 0's blobs")
+    }
+    // ranks are 1..5 and distances non-decreasing
+    assert(res.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+    val byRank = res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adc_d2"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+  }
+
   test("dim must split into m equal subvectors") {
     assert(intercept[IllegalArgumentException] {
       Pq.codebookStats(blobs, "vec_id", "embedding", dim = 8, m = 3,
