@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 // cross-engine deterministic rounding shadows functions.round
 import graft.functions.Rounding.{roundTo => round}
@@ -297,6 +298,84 @@ object Quality {
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
         round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-free companion to [[psiDrift]]: `KS = max over x of
+    * |F_ref(x) − F_cur(x)|`, evaluated at every distinct value of
+    * either sample (the max is always attained at a sample point).
+    * PSI bins first and answers "how much drift"; KS answers "is the
+    * whole CDF the same shape" with no binning choice to defend.
+    *
+    * Scale shape — the naive formulation is a global window cumsum,
+    * i.e. a single-partition sort of all distinct values. This
+    * implementation is the two-level prefix sum instead (the
+    * reference's partial-then-meta reduce shape, kernel.cu:148-174):
+    * values RANGE-BUCKET by `buckets` quantile boundaries (broadcast
+    * k-row array), the cumsum window runs PER BUCKET in parallel, and
+    * bucket offsets come from a `buckets`-row exclusive prefix — the
+    * only single-partition step is over `buckets` rows.
+    *
+    * Exactness: the decision quantity `|cum_ref·n_cur − cum_cur·n_ref|`
+    * is computed in DECIMAL(38,0) — exact at any corpus size (doubles
+    * lose integer exactness past 2^53, and an ulp at the max flips the
+    * argmax tie cross-engine); ties on the max break to the smallest
+    * value. Nulls are excluded from both samples.
+    *
+    * Returns one row: `(n_ref, n_cur, ks_stat, ks_at)` — the statistic
+    * (6 decimals) and the value attaining it.
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+              buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "need at least one range bucket")
+    val x = col(valCol).cast("double")
+    def side(df: DataFrame, n: String): DataFrame =
+      df.filter(x.isNotNull).select(x.as("v"))
+        .groupBy("v").agg(count(lit(1)).as(n))
+    val vals = side(ref, "nr").withColumn("nc", lit(0L))
+      .unionByName(side(cur, "nc").withColumn("nr", lit(0L)))
+      .groupBy("v").agg(sum("nr").as("nr"), sum("nc").as("nc"))
+    // range buckets from value-table quantiles: ANY monotone bucketing
+    // is correct (buckets only exist for parallelism); quantiles keep
+    // them balanced
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val boundsDf =
+      if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
+      else vals.agg(expr(
+        s"percentile(v, array(${fracs.mkString(",")}))").as("bounds"))
+    val bucketed = vals.crossJoin(broadcast(boundsDf))
+      .select(col("v"), col("nr"), col("nc"),
+        aggregate(col("bounds"), lit(0),
+          (acc, b) => acc + when(col("v") > b, 1).otherwise(0)).as("bk"))
+    val inBucket = Window.partitionBy("bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed
+      .withColumn("lcr", sum("nr").over(inBucket))
+      .withColumn("lcc", sum("nc").over(inBucket))
+    // exclusive bucket-offset prefix: `buckets` rows, single partition
+    // by construction
+    val offW = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bk")
+      .agg(sum("nr").as("tnr"), sum("nc").as("tnc"))
+      .withColumn("onr", coalesce(sum("tnr").over(offW), lit(0L)))
+      .withColumn("onc", coalesce(sum("tnc").over(offW), lit(0L)))
+      .select("bk", "onr", "onc")
+    val totals = vals.agg(sum("nr").as("tr"), sum("nc").as("tc"))
+    val dec = "decimal(38,0)"
+    val cum = withLocal.join(broadcast(offsets), "bk")
+      .crossJoin(broadcast(totals))
+      .withColumn("diff",
+        abs((col("lcr") + col("onr")).cast(dec) * col("tc").cast(dec) -
+            (col("lcc") + col("onc")).cast(dec) * col("tr").cast(dec)))
+    cum
+      .agg(max(struct(col("diff"), (-col("v")).as("nv"))).as("m"),
+        first(col("tr")).as("n_ref"), first(col("tc")).as("n_cur"))
+      .select(col("n_ref"), col("n_cur"),
+        round(col("m.diff").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")), 6)
+          .as("ks_stat"),
+        (-col("m.nv")).as("ks_at"))
   }
 
   /** Per-group robust outlier statistics via the median absolute

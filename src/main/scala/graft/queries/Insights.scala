@@ -549,6 +549,43 @@ object Insights {
                 / ((n_ref + 0.5) / (tr + ${0.5 * edhK}))), 6) AS psi_term
        FROM j, t ORDER BY bin"""
 
+  // --------------------------------------------------------------- q158
+  /** Exact two-sample KS drift ([[Quality.ksDrift]]): event-value
+    * distribution in the first half of the corpus window vs the rest —
+    * the binning-free companion to q124's PSI. The engine's two-level
+    * bucketed prefix sum must agree with the oracle's single global
+    * cumsum on the statistic, its location and the exact decimal
+    * cross-product tie-break. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val split = lit("2024-01-16").cast("date")
+    Quality.ksDrift(
+      ev.filter(to_date(col("ts")) < split),
+      ev.filter(to_date(col("ts")) >= split),
+      "value", buckets = 32)
+  }
+
+  private val q158Sql =
+    """WITH r AS (SELECT value AS v, count(*) AS nr FROM events
+           WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+             AND value IS NOT NULL GROUP BY v),
+       c AS (SELECT value AS v, count(*) AS nc FROM events
+           WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+             AND value IS NOT NULL GROUP BY v),
+       u AS (SELECT coalesce(r.v, c.v) AS v, coalesce(nr, 0) AS nr,
+               coalesce(nc, 0) AS nc
+             FROM r FULL OUTER JOIN c ON r.v = c.v),
+       m AS (SELECT v, sum(nr) OVER (ORDER BY v) AS cr,
+               sum(nc) OVER (ORDER BY v) AS cc FROM u),
+       t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM u),
+       d AS (SELECT v,
+               abs(cr::HUGEINT * tc::HUGEINT - cc::HUGEINT * tr::HUGEINT)
+                 AS diff, tr, tc FROM m, t)
+       SELECT CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur,
+         round(diff::DOUBLE / (tr::DOUBLE * tc::DOUBLE), 6) AS ks_stat,
+         v AS ks_at
+       FROM d ORDER BY diff DESC, v ASC LIMIT 1"""
+
   // --------------------------------------------------------------- q125
   /** Top user journeys ([[Series.topPaths]]): the 20 most frequent
     * 3-step event-type sequences — transitionMatrix's conditionals one
@@ -1348,6 +1385,7 @@ object Insights {
     "q122_snapshot_diff" -> (q122 _),
     "q123_label_propagation" -> (q123 _),
     "q124_psi_drift" -> (q124 _),
+    "q158_ks_drift" -> (q158 _),
     "q125_top_paths" -> (q125 _),
     "q126_srm_check" -> (q126 _),
     "q127_containment" -> (q127 _),
@@ -1381,6 +1419,7 @@ object Insights {
     "q122_snapshot_diff" -> q122Sql,
     "q123_label_propagation" -> q123Sql,
     "q124_psi_drift" -> q124Sql,
+    "q158_ks_drift" -> q158Sql,
     "q125_top_paths" -> q125Sql,
     "q126_srm_check" -> q126Sql,
     "q127_containment" -> q127Sql,

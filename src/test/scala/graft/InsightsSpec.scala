@@ -556,4 +556,30 @@ class InsightsSpec extends SparkSpec {
     assert(out(1).getLong(3) == 1L)
     out.take(3).foreach(r => assert(r.isNullAt(6)))
   }
+
+  test("KS drift: known statistic, smallest-value tie-break") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("x")
+    val r = Quality.ksDrift(ref, cur, "x", buckets = 2).head()
+    // F diverges by 0.5 at v=2, 3 and 4 — tie breaks to the smallest
+    assert(r.getAs[Long]("n_ref") == 4 && r.getAs[Long]("n_cur") == 4)
+    assert(r.getAs[Double]("ks_stat") == 0.5)
+    assert(r.getAs[Double]("ks_at") == 2.0)
+  }
+
+  test("KS drift: identical samples score zero; nulls are excluded") {
+    val a = Seq[java.lang.Double](1.0, 2.0, 2.0, 9.0, null).toDF("x")
+    val r = Quality.ksDrift(a, a, "x", buckets = 3).head()
+    assert(r.getAs[Long]("n_ref") == 4) // null dropped
+    assert(r.getAs[Double]("ks_stat") == 0.0)
+    assert(r.getAs[Double]("ks_at") == 1.0) // all values tie at 0 → smallest
+  }
+
+  test("KS drift: bucketed prefix sum equals the single-bucket cumsum") {
+    val ref = (1 to 200).map(i => (i * 37 % 101).toDouble).toDF("x")
+    val cur = (1 to 150).map(i => (i * 53 % 97 + 10).toDouble).toDF("x")
+    val one = Quality.ksDrift(ref, cur, "x", buckets = 1).head()
+    val many = Quality.ksDrift(ref, cur, "x", buckets = 8).head()
+    assert(one == many)
+  }
 }
