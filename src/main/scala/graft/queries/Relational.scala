@@ -1269,6 +1269,44 @@ object Relational {
        FROM customer WHERE c_acctbal > 0
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // --------------------------------------------------------------- q159
+  /** Incremental aggregate maintenance as a first-class query
+    * ([[graft.operators.Merge.incrementalAgg]]): yesterday's state =
+    * per-priority count/sum over pre-1996 orders; the delta inserts
+    * every 1996+ order and deletes the `%7 = 3` slice of the base.
+    * The engine maintains the aggregate from state + delta ONLY —
+    * the oracle recomputes from scratch over the equivalent final
+    * table, so the maintained state must equal a full recompute
+    * exactly (decimal sums; float accumulation order would diverge).
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+    val split = lit("1996-01-01").cast("date")
+    val base = orders.filter(col("o_orderdate") < split)
+    val prev = base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("price").as("val_sum"))
+    val delta = orders.filter(col("o_orderdate") >= split)
+      .withColumn("op", lit("I"))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("op", lit("D")))
+      .select(col("o_orderpriority"), col("price"), col("op"))
+    graft.operators.Merge.incrementalAgg(prev, delta,
+        keys = Seq("o_orderpriority"), valCol = "price", opCol = "op")
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("val_sum").cast("decimal(18,2)").as("price_sum"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q159Sql =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+       CAST(sum(o_totalprice::DECIMAL(18,2)) AS DECIMAL(18,2))
+         AS price_sum
+       FROM orders
+       WHERE NOT (o_orderdate < DATE '1996-01-01' AND o_orderkey % 7 = 3)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // --------------------------------------------------------------- q149
   /** MERGE / CDC upsert as a first-class query
     * ([[graft.operators.Merge.mergeUpsert]]): a deterministic change
@@ -1795,6 +1833,7 @@ object Relational {
     "q151_compaction" -> (q151 _),
     "q153_schema_evolution" -> (q153 _),
     "q154_range_lookup" -> (q154 _),
+    "q159_incremental_agg" -> (q159 _),
     "q145_sql_text" -> (q145 _),
     "q65_pairs_dsv2" -> (q65 _),
     "q66_approx_percentile" -> (q66 _),
@@ -1811,6 +1850,7 @@ object Relational {
     "q151_compaction" -> q151Sql,
     "q153_schema_evolution" -> q153Sql,
     "q154_range_lookup" -> q154Sql,
+    "q159_incremental_agg" -> q159Sql,
     "q145_sql_text" -> q145Sql,
     "q82_salted_join" -> q82Sql,
     "q83_ols_multi" -> q83Sql,

@@ -85,4 +85,45 @@ class MergeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(merged.count() == 1500)
   }
+
+  test("incrementalAgg equals a from-scratch recompute") {
+    val base = (1 to 300).map(i =>
+      (s"g${i % 5}", BigDecimal(i).setScale(2)))
+    val ins = (301 to 400).map(i =>
+      (s"g${i % 7}", BigDecimal(i * 2).setScale(2)))
+    val delIdx = (1 to 300).filter(_ % 3 == 0)
+    val baseDf = base.toDF("g", "v")
+    val prev = baseDf.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("val_sum"))
+    val delta = ins.map { case (g, v) => (g, v, "I") }
+      .++(delIdx.map(i => (s"g${i % 5}", BigDecimal(i).setScale(2), "D")))
+      .toDF("g", "v", "op")
+    val got = Merge.incrementalAgg(prev, delta, Seq("g"), "v", "op")
+      .select("g", "n_rows", "val_sum")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toSet
+    val want = base.filterNot { case (g, v) =>
+        delIdx.exists(i => s"g${i % 5}" == g && BigDecimal(i).setScale(2) == v)
+      }.++(ins).toDF("g", "v")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("val_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toSet
+    assert(got == want)
+  }
+
+  test("incrementalAgg: keys drop at zero, inconsistent deletes surface") {
+    val prev = Seq(("a", 2L, BigDecimal(30).setScale(2)))
+      .toDF("g", "n_rows", "val_sum")
+    val delta = Seq(
+      ("a", BigDecimal(10).setScale(2), "D"),
+      ("a", BigDecimal(20).setScale(2), "D"),  // a's count reaches 0 → drops
+      ("ghost", BigDecimal(5).setScale(2), "D")) // delete of unknown key
+      .toDF("g", "v", "op")
+    val out = Merge.incrementalAgg(prev, delta, Seq("g"), "v", "op")
+      .collect()
+    assert(!out.exists(_.getString(0) == "a"))
+    // the impossible delete is RETAINED with a negative count, not hidden
+    val ghost = out.filter(_.getString(0) == "ghost")
+    assert(ghost.length == 1 && ghost.head.getAs[Long]("n_rows") == -1L)
+  }
 }
