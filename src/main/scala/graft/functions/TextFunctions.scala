@@ -16,6 +16,16 @@ object TextFunctions {
     */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Jaro-Winkler similarity in [0,1] — backed by the native
+    * codegen'd [[expressions.JaroWinkler]]; semantics match DuckDB's
+    * `jaro_winkler_similarity` exactly (see the expression's
+    * Scaladoc for the verified conventions). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    expressions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(expressions.GraftFunctions.jaroWinklerName, a, b)
+  }
+
   /** Regex-based corpus cleanup (the standard LLM pre-training text
     * normalization): strip URLs and e-mail addresses, remove control
     * characters, collapse whitespace, trim. Every step is a builtin

@@ -141,6 +141,12 @@ object GraftFunctions {
   val wordShinglesName = "graft_word_shingles"
   val simhashName = "graft_simhash60"
   val quantStatsName = "graft_quant_stats"
+  val jaroWinklerName = "graft_jaro_winkler"
+
+  val jaroWinklerBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$jaroWinklerName takes exactly 2 arguments")
+    JaroWinkler(exprs.head, exprs(1))
+  }
 
   val quantStatsBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, s"$quantStatsName takes exactly 1 argument")
@@ -166,7 +172,8 @@ object GraftFunctions {
     rollingHashName -> rollingHashBuilder,
     wordShinglesName -> wordShinglesBuilder,
     simhashName -> simhashBuilder,
-    quantStatsName -> quantStatsBuilder)
+    quantStatsName -> quantStatsBuilder,
+    jaroWinklerName -> jaroWinklerBuilder)
 
   /** Idempotent per-session registration (used by the Column API so
     * the library works without spark.sql.extensions configuration).
@@ -212,5 +219,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[QuantStats].getName,
         GraftFunctions.quantStatsName),
       GraftFunctions.quantStatsBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.jaroWinklerName),
+      new ExpressionInfo(classOf[JaroWinkler].getName,
+        GraftFunctions.jaroWinklerName),
+      GraftFunctions.jaroWinklerBuilder))
   }
 }

@@ -70,8 +70,20 @@ object Fuzzy {
                               strCol: String, blockLen: Int = 4,
                               window: Int = 3,
                               maxDist: Int = 2): DataFrame = {
-    require(blockLen >= 1 && window >= 1 && maxDist >= 0,
-      "blockLen/window must be positive, maxDist non-negative")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    snmCandidates(df, idCol, strCol, blockLen, window)
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** The shared blocked-SNM candidate kernel: rank-adjacent rows (≤
+    * `window` apart) within each `blockLen`-prefix block's (string,
+    * id) sort. `(id_a, id_b, str_a, str_b)`, `id_a < id_b`. */
+  private def snmCandidates(df: DataFrame, idCol: String, strCol: String,
+                            blockLen: Int, window: Int): DataFrame = {
+    require(blockLen >= 1 && window >= 1,
+      "blockLen/window must be positive")
     import org.apache.spark.sql.expressions.{Window => W}
     val ranked = df.select(col(idCol).as("id"), col(strCol).as("str"),
         col(strCol).substr(1, blockLen).as("blk"))
@@ -87,8 +99,29 @@ object Fuzzy {
           .otherwise(col("b.str")).as("str_a"),
         when(col("a.id") < col("b.id"), col("b.str"))
           .otherwise(col("a.str")).as("str_b"))
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
-      .filter(col("dist") <= maxDist)
+  }
+
+  /** Blocked-SNM linkage scored by JARO-WINKLER similarity instead of
+    * an edit-distance cap: the graded metric record linkage actually
+    * ranks by — it rewards shared prefixes (the Winkler boost) and
+    * normalizes by length, so "Catherine/Cathrine" (JW .988) and a
+    * 2-edit typo in a 40-char name score comparably where a raw
+    * levenshtein cap treats them as equally borderline. Candidates
+    * are the same bounded-fan-out [[snmCandidates]] kernel; the
+    * native codegen'd [[graft.functions.expressions.JaroWinkler]]
+    * scores survivors only. Similarity is rounded to 4 decimals
+    * BEFORE the threshold so the cut is cross-engine exact.
+    * Output `(id_a, id_b, str_a, str_b, jw)`, `id_a < id_b`.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       blockLen: Int = 4, window: Int = 3,
+                       minSim: Double = 0.9): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, "minSim must be in [0,1]")
+    import graft.functions.Rounding.{roundTo => round}
+    import graft.functions.TextFunctions.jaroWinkler
+    snmCandidates(df, idCol, strCol, blockLen, window)
+      .withColumn("jw", round(jaroWinkler(col("str_a"), col("str_b")), 4))
+      .filter(col("jw") >= minSim)
       .distinct()
   }
 }

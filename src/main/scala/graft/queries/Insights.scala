@@ -74,6 +74,62 @@ object Insights {
        FROM cand WHERE levenshtein(str_a, str_b) <= 2
        ORDER BY id_a, id_b"""
 
+  // --------------------------------------------------------------- q160
+  /** Jaro-Winkler linkage ([[Fuzzy.jaroWinklerPairs]]): q112's
+    * injected-typo-twin setup scored by the native codegen'd
+    * [[graft.functions.expressions.JaroWinkler]] instead of an edit-
+    * distance cap — the graded prefix-weighted metric record linkage
+    * ranks by. Similarity rounds to 4 decimals BEFORE the 0.88
+    * threshold so the cut is engine-exact; the oracle scores the same
+    * SNM candidates with DuckDB's own `jaro_winkler_similarity`, so
+    * the expression must match it bit-for-bit. */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy("p_name").agg(min(col("p_partkey").cast("long")).as("pk"))
+      .select(col("pk"), col("p_name"))
+      .filter(length(col("p_name")) >= 7)
+    val pos = (lit(5) + pmod(col("pk"), length(col("p_name")) - 5))
+      .cast("int")
+    val typos = names.filter(pmod(col("pk"), lit(7)) === 0)
+      .select((col("pk") + 1000000L).as("pk"),
+        concat(col("p_name").substr(lit(1), pos - 1), lit("qz"),
+          col("p_name").substr(pos + 2, length(col("p_name"))))
+          .as("p_name"))
+    Fuzzy.jaroWinklerPairs(names.unionByName(typos), "pk", "p_name",
+        blockLen = 4, window = 3, minSim = 0.88)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q160Sql =
+    """WITH base AS (SELECT min(CAST(p_partkey AS BIGINT)) AS pk, p_name
+           FROM part GROUP BY p_name HAVING length(p_name) >= 7),
+       typo AS (SELECT pk + 1000000 AS pk,
+           substr(p_name, 1, pos - 1) || 'qz' || substr(p_name, pos + 2)
+             AS p_name
+         FROM (SELECT pk, p_name,
+                 5 + CAST(pk % (length(p_name) - 5) AS INT) AS pos
+               FROM base WHERE pk % 7 = 0)),
+       all_rows AS (SELECT pk, p_name FROM base
+                    UNION ALL SELECT pk, p_name FROM typo),
+       ranked AS (SELECT pk, p_name,
+                    row_number() OVER (PARTITION BY substr(p_name, 1, 4)
+                      ORDER BY p_name, pk) AS rn,
+                    substr(p_name, 1, 4) AS blk
+                  FROM all_rows),
+       cand AS (SELECT least(a.pk, b.pk) AS id_a,
+                  greatest(a.pk, b.pk) AS id_b,
+                  CASE WHEN a.pk < b.pk THEN a.p_name
+                       ELSE b.p_name END AS str_a,
+                  CASE WHEN a.pk < b.pk THEN b.p_name
+                       ELSE a.p_name END AS str_b
+                FROM ranked a JOIN ranked b
+                  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3)
+       SELECT DISTINCT id_a, id_b, str_a, str_b,
+         round(jaro_winkler_similarity(str_a, str_b), 4) AS jw
+       FROM cand
+       WHERE round(jaro_winkler_similarity(str_a, str_b), 4) >= 0.88
+       ORDER BY id_a, id_b"""
+
   // --------------------------------------------------------------- q113
   /** Weekly retention cohorts ([[Series.retentionCohorts]]): users
     * bucketed by first-event week (integer weeks from a fixed epoch —
@@ -1386,6 +1442,7 @@ object Insights {
     "q123_label_propagation" -> (q123 _),
     "q124_psi_drift" -> (q124 _),
     "q158_ks_drift" -> (q158 _),
+    "q160_jw_linkage" -> (q160 _),
     "q125_top_paths" -> (q125 _),
     "q126_srm_check" -> (q126 _),
     "q127_containment" -> (q127 _),
@@ -1420,6 +1477,7 @@ object Insights {
     "q123_label_propagation" -> q123Sql,
     "q124_psi_drift" -> q124Sql,
     "q158_ks_drift" -> q158Sql,
+    "q160_jw_linkage" -> q160Sql,
     "q125_top_paths" -> q125Sql,
     "q126_srm_check" -> q126Sql,
     "q127_containment" -> q127Sql,

@@ -212,4 +212,41 @@ class ExpressionSpec extends SparkSpec {
     assert(q.getDouble(0) == 2.0) // scale = 254/127
     assert(q.getDouble(1) == 0.0) // 254 -> code 127, -128 -> code -64
   }
+
+  test("graft_jaro_winkler matches the published reference values") {
+    import graft.functions.TextFunctions.jaroWinkler
+    val df = Seq(
+      ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+      ("abcd", "abcd"), ("ab", "ba"), ("x", "y"))
+      .toDF("a", "b")
+    val got = df.select(jaroWinkler(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    // Winkler's own worked examples + degenerate cases
+    assert(math.abs(got(0) - 0.9611111111) < 1e-9)
+    assert(math.abs(got(1) - 0.84) < 1e-9)
+    assert(math.abs(got(2) - 0.8133333333) < 1e-9)
+    assert(got(3) == 1.0)
+    assert(got(4) == 0.0) // window 0: transposed bigram never matches
+    assert(got(5) == 0.0)
+  }
+
+  test("graft_jaro_winkler duckdb conventions: empties score 0, " +
+      "boost only above jaro 0.7") {
+    import graft.functions.expressions.JaroWinklerImpl.compute
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(compute(u(""), u("")) == 0.0)       // NOT the classic 1.0
+    assert(compute(u("a"), u("")) == 0.0)
+    // jaro("prefab","prezzz") = 2/3 < 0.7 → the 3-char prefix must NOT boost
+    assert(math.abs(compute(u("prefab"), u("prezzz")) - 2.0 / 3) < 1e-9)
+  }
+
+  test("graft_jaro_winkler: null propagation and SQL registration") {
+    import graft.functions.TextFunctions.jaroWinkler
+    val df = Seq((Option("abc"), Option.empty[String])).toDF("a", "b")
+    assert(df.select(jaroWinkler(col("a"), col("b"))).head().isNullAt(0))
+    graft.functions.expressions.GraftFunctions.ensureRegistered(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS j").head()
+    assert(math.abs(viaSql.getDouble(0) - 0.9611111111) < 1e-9)
+  }
 }
