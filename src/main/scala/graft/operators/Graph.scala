@@ -213,4 +213,43 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     Exec.owned(counts, Seq(und, oriented))
   }
+
+  /** k-hop BFS distances from a source set over an UNDIRECTED edge
+    * table: `(node, dist)` for every node within `hops` of a source
+    * (dist = length of the shortest path, sources at 0). The
+    * neighborhood-growth primitive behind "how far does contamination
+    * / influence / linkage spread in k steps".
+    *
+    * Execution shape: the symmetrized edge table partitions once by
+    * source endpoint and persists; each round joins ONLY the previous
+    * FRONTIER (rows at dist = h−1, shrinking, never the accumulated
+    * table) against it, then folds new reaches in with a min-dist
+    * aggregation keyed by node — per-round shuffle is frontier +
+    * distance table, never edges. Exactly `hops` rounds: bounded work,
+    * no convergence test (the k-hop question is the bounded one; full
+    * SSSP is [[connectedComponents]]-style iteration to fixpoint).
+    * Deterministic by construction — distances are pure min-plus
+    * functions of the graph, no tie-breaks needed.
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+              sources: DataFrame, srcCol: String, hops: Int): DataFrame = {
+    require(hops >= 0, "hops must be non-negative")
+    val und = edges
+      .select(col(aCol).as("s"), col(bCol).as("d"))
+      .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct()
+      .repartition(col("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = sources.select(col(srcCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+    val dist = (1 to hops).foldLeft(init) { (acc, h) =>
+      val frontier = acc.filter(col("dist") === h - 1)
+      val reached = frontier
+        .join(und, frontier("node") === und("s"))
+        .select(col("d").as("node"), lit(h).as("dist"))
+      acc.unionByName(reached)
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    Exec.owned(dist, Seq(und))
+  }
 }

@@ -368,6 +368,58 @@ object Insights {
        GROUP BY node
        ORDER BY n_triangles DESC, node LIMIT 20"""
 
+  // --------------------------------------------------------------- q161
+  /** k-hop BFS ([[Graph.bfsHops]]): 3-hop neighborhood growth from the
+    * smallest node of q118's support-thresholded part co-occurrence
+    * graph — per-distance reach counts. The engine's frontier-only
+    * expansion must produce exactly the oracle's unrolled min-dist
+    * closure. */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val src = edges.agg(min(col("a")).as("node"))
+    Graph.bfsHops(edges, "a", "b", src, "node", hops = 3)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
+        max("node").as("max_node"))
+      .orderBy("dist")
+  }
+
+  private val q161Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+       e AS (SELECT x.pk AS u, y.pk AS v
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+       und AS (SELECT u AS s, v AS d FROM e
+               UNION SELECT v AS s, u AS d FROM e),
+       src AS (SELECT min(u) AS node FROM e),
+       d0 AS (SELECT node, 0 AS dist FROM src),
+       d1 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d0
+           UNION ALL
+           SELECT und.d, 1 FROM d0 JOIN und ON d0.node = und.s
+           WHERE d0.dist = 0) t GROUP BY node),
+       d2 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d1
+           UNION ALL
+           SELECT und.d, 2 FROM d1 JOIN und ON d1.node = und.s
+           WHERE d1.dist = 1) t GROUP BY node),
+       d3 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d2
+           UNION ALL
+           SELECT und.d, 3 FROM d2 JOIN und ON d2.node = und.s
+           WHERE d2.dist = 2) t GROUP BY node)
+       SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes,
+         min(node) AS min_node, max(node) AS max_node
+       FROM d3 GROUP BY dist ORDER BY dist"""
+
   // --------------------------------------------------------------- q119
   /** Self-join size forecast ([[Quality.selfJoinForecast]]): exact
     * Σf² for lineitem⋈lineitem on partkey next to the 1-in-10
@@ -1443,6 +1495,7 @@ object Insights {
     "q124_psi_drift" -> (q124 _),
     "q158_ks_drift" -> (q158 _),
     "q160_jw_linkage" -> (q160 _),
+    "q161_bfs_hops" -> (q161 _),
     "q125_top_paths" -> (q125 _),
     "q126_srm_check" -> (q126 _),
     "q127_containment" -> (q127 _),
@@ -1478,6 +1531,7 @@ object Insights {
     "q124_psi_drift" -> q124Sql,
     "q158_ks_drift" -> q158Sql,
     "q160_jw_linkage" -> q160Sql,
+    "q161_bfs_hops" -> q161Sql,
     "q125_top_paths" -> q125Sql,
     "q126_srm_check" -> q126Sql,
     "q127_containment" -> q127Sql,

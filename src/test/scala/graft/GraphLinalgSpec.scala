@@ -88,4 +88,29 @@ class GraphLinalgSpec extends SparkSpec {
     val varr = proj.agg(var_pop(col("pc0"))).head().getDouble(0)
     assert(math.abs(varr - l) < 0.01 * l, s"projected var $varr vs $l")
   }
+
+  test("bfsHops: shortest distances on a chain with a shortcut") {
+    // 1-2-3-4-5 chain plus shortcut 1-4: dist(4)=1, dist(3)=2 both ways,
+    // dist(5)=2 via the shortcut; 9 is disconnected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("a", "b")
+    val src = Seq(1L).toDF("node")
+    val got = graft.operators.Graph
+      .bfsHops(edges, "a", "b", src, "node", hops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("bfsHops: hops=0 is just the sources; undirected reach") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val src = Seq(2L).toDF("node")
+    assert(graft.operators.Graph
+      .bfsHops(edges, "a", "b", src, "node", hops = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((2L, 0)))
+    // edge direction must not matter: 2 reaches 1
+    val one = graft.operators.Graph
+      .bfsHops(edges, "a", "b", src, "node", hops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == Map(2L -> 0, 1L -> 1))
+  }
 }
