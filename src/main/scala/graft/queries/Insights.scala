@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
+import graft.engine.Logistic
 import graft.operators.{Assoc, Chunks, Dedup, Experiment, Fuzzy, Graph,
   History, Quality, Rank, Series, Similarity, Sketch}
 
@@ -1477,9 +1478,88 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q162
+  /** Distributed logistic-regression trainer ([[Logistic.fitGd]]): a
+    * binary quality-classifier head (label < 5) on two embedding
+    * coordinates, 3 full-batch GD rounds at lr = 1/2. Each round is one
+    * distributed aggregation of 2^24-quantized gradient longs (the
+    * q139 integer-exact discipline), so the oracle can unroll all three
+    * rounds and land on bit-identical weights; train accuracy reads the
+    * final margin sign (no transcendentals at predict time). */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.embeddings(s, d).select(
+      col("embedding").getItem(0).cast("double").as("x1"),
+      col("embedding").getItem(1).cast("double").as("x2"),
+      when(col("label") < 5, 1.0).otherwise(0.0).as("y"))
+    val w = Logistic.fitGd(pts, Seq("x1", "x2"), "y", lr = 0.5, rounds = 3)
+    val z = Logistic.margin(w, Seq(col("x1"), col("x2")))
+    pts.agg(
+      count(lit(1)).as("n"),
+      round(lit(w(0)), 6).as("w0"),
+      round(lit(w(1)), 6).as("w1"),
+      round(lit(w(2)), 6).as("w2"),
+      round(sum(when((z > lit(0.0)) === (col("y") === lit(1.0)), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 4)
+        .as("train_acc"))
+  }
+
+  private val q162Sql =
+    """WITH pts AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+           CAST(embedding[2] AS DOUBLE) AS x2,
+           CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+         FROM embeddings),
+       g1 AS (SELECT count(*) AS n,
+           sum(CAST(round((1.0/(1.0+exp(-((0.0 + 0.0*x1) + 0.0*x2))) - y)
+                 * 16777216.0) AS BIGINT)) AS s0,
+           sum(CAST(round(((1.0/(1.0+exp(-((0.0 + 0.0*x1) + 0.0*x2))) - y)
+                 * x1) * 16777216.0) AS BIGINT)) AS s1,
+           sum(CAST(round(((1.0/(1.0+exp(-((0.0 + 0.0*x1) + 0.0*x2))) - y)
+                 * x2) * 16777216.0) AS BIGINT)) AS s2
+         FROM pts),
+       w1 AS (SELECT n,
+           0.0 - 0.5*(s0::DOUBLE/(n::DOUBLE*16777216.0)) AS a0,
+           0.0 - 0.5*(s1::DOUBLE/(n::DOUBLE*16777216.0)) AS a1,
+           0.0 - 0.5*(s2::DOUBLE/(n::DOUBLE*16777216.0)) AS a2
+         FROM g1),
+       g2 AS (SELECT n, a0, a1, a2,
+           sum(CAST(round((1.0/(1.0+exp(-((a0 + a1*x1) + a2*x2))) - y)
+                 * 16777216.0) AS BIGINT)) AS s0,
+           sum(CAST(round(((1.0/(1.0+exp(-((a0 + a1*x1) + a2*x2))) - y)
+                 * x1) * 16777216.0) AS BIGINT)) AS s1,
+           sum(CAST(round(((1.0/(1.0+exp(-((a0 + a1*x1) + a2*x2))) - y)
+                 * x2) * 16777216.0) AS BIGINT)) AS s2
+         FROM pts, w1 GROUP BY n, a0, a1, a2),
+       w2 AS (SELECT n,
+           a0 - 0.5*(s0::DOUBLE/(n::DOUBLE*16777216.0)) AS b0,
+           a1 - 0.5*(s1::DOUBLE/(n::DOUBLE*16777216.0)) AS b1,
+           a2 - 0.5*(s2::DOUBLE/(n::DOUBLE*16777216.0)) AS b2
+         FROM g2),
+       g3 AS (SELECT n, b0, b1, b2,
+           sum(CAST(round((1.0/(1.0+exp(-((b0 + b1*x1) + b2*x2))) - y)
+                 * 16777216.0) AS BIGINT)) AS s0,
+           sum(CAST(round(((1.0/(1.0+exp(-((b0 + b1*x1) + b2*x2))) - y)
+                 * x1) * 16777216.0) AS BIGINT)) AS s1,
+           sum(CAST(round(((1.0/(1.0+exp(-((b0 + b1*x1) + b2*x2))) - y)
+                 * x2) * 16777216.0) AS BIGINT)) AS s2
+         FROM pts, w2 GROUP BY n, b0, b1, b2),
+       w3 AS (SELECT n,
+           b0 - 0.5*(s0::DOUBLE/(n::DOUBLE*16777216.0)) AS w0,
+           b1 - 0.5*(s1::DOUBLE/(n::DOUBLE*16777216.0)) AS w1,
+           b2 - 0.5*(s2::DOUBLE/(n::DOUBLE*16777216.0)) AS w2
+         FROM g3),
+       fin AS (SELECT count(*) AS n,
+           sum(CASE WHEN (((w0 + w1*x1) + w2*x2) > 0.0) = (y = 1.0)
+                 THEN 1 ELSE 0 END) AS ok,
+           max(w0) AS w0, max(w1) AS w1, max(w2) AS w2
+         FROM pts, w3)
+       SELECT n, round(w0, 6) AS w0, round(w1, 6) AS w1,
+         round(w2, 6) AS w2, round(ok::DOUBLE / n::DOUBLE, 4) AS train_acc
+       FROM fin"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q162_logreg_gd" -> (q162 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1516,6 +1596,7 @@ object Insights {
     "q141_source_report" -> (q141 _))
 
   val oracles: Map[String, String] = Map(
+    "q162_logreg_gd" -> q162Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,
