@@ -252,4 +252,62 @@ object Graph {
     }
     Exec.owned(dist, Seq(und))
   }
+
+  /** Adamic-Adar link prediction: for every NON-edge pair (a, b) with
+    * at least one shared neighbor, `score = Σ_w 1/ln(deg(w))` over the
+    * shared neighbors w — the classic "which links are missing"
+    * ranking (hubs contribute little, tight mutual friends a lot).
+    * Returns the `topK` candidates as
+    * `(a, b, common_neighbors, score_q, score)`.
+    *
+    * Scale posture: candidate generation is a wedge self-join on the
+    * shared middle vertex, whose cost is Σ deg(w)² — unbounded on
+    * power-law graphs. `maxMidDegree` excludes hub middles BEFORE the
+    * join (sound for ranking: a degree-10⁶ hub adds only 1/ln(10⁶) ≈
+    * 0.07 per pair while generating 10¹² candidates), capping the join
+    * at ≤ cap·2|E| wedge rows, every step key-partitioned.
+    *
+    * Determinism: each middle's weight is quantized to
+    * `round(2^24/ln(deg))` as a LONG (shared rounding kernel), so the
+    * per-pair sum is integer-exact in any order and `score_q` gives a
+    * total ORDER BY rank an oracle reproduces bit-for-bit; `score` is
+    * the human-readable unscaled value.
+    */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+                 maxMidDegree: Int = 64, topK: Int = 25): DataFrame = {
+    require(maxMidDegree >= 2, "maxMidDegree must be at least 2")
+    val scale = (1L << 24).toDouble
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d")))
+    val deg = adj.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("dg"))
+    // hub middles dropped BEFORE the wedge join; deg >= 2 is implied
+    // (a middle with one neighbor forms no pair) but made explicit so
+    // ln(1) = 0 can never reach the division
+    val mid = adj.join(deg, adj("s") === deg("node"))
+      .filter(col("dg").between(2, maxMidDegree))
+      .select(col("s"), col("d"),
+        round(lit(scale) / log(col("dg").cast("double")), 0)
+          .cast("long").as("wq"))
+    val cand = mid.as("n1")
+      .join(mid.as("n2"),
+        col("n1.s") === col("n2.s") && col("n1.d") < col("n2.d"))
+      .groupBy(col("n1.d").as("a"), col("n2.d").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("n1.wq")).as("score_q"))
+    val nonEdge = cand.join(und,
+      cand("a") === und("u") && cand("b") === und("v"), "left_anti")
+    val out = nonEdge
+      .select(col("a"), col("b"), col("common_neighbors"), col("score_q"),
+        round(col("score_q").cast("double") / lit(scale), 4).as("score"))
+      .orderBy(col("score_q").desc, col("a"), col("b"))
+      .limit(topK)
+    Exec.owned(out, Seq(und))
+  }
 }

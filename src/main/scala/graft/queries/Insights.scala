@@ -1478,6 +1478,47 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q163
+  /** Adamic-Adar link prediction ([[Graph.adamicAdar]]): top missing
+    * links of q118/q161's support-thresholded part co-occurrence graph
+    * — non-edge pairs ranked by Σ 1/ln(deg) over shared neighbors,
+    * hub middles (deg > 64) excluded before the wedge join. Ranked by
+    * the exact quantized long so the top-25 cut is engine-identical. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    Graph.adamicAdar(edges, "a", "b", maxMidDegree = 64, topK = 25)
+  }
+
+  private val q163Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+       e AS (SELECT x.pk AS u, y.pk AS v
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+       adj AS (SELECT u AS s, v AS d FROM e
+               UNION ALL SELECT v AS s, u AS d FROM e),
+       deg AS (SELECT s AS node, count(*) AS dg FROM adj GROUP BY s),
+       mid AS (SELECT adj.s, adj.d,
+                 CAST(round(16777216.0 / ln(dg::DOUBLE)) AS BIGINT) AS wq
+               FROM adj JOIN deg ON adj.s = deg.node
+               WHERE dg BETWEEN 2 AND 64),
+       c AS (SELECT n1.d AS a, n2.d AS b, count(*) AS common_neighbors,
+               CAST(sum(n1.wq) AS BIGINT) AS score_q
+             FROM mid n1 JOIN mid n2 ON n1.s = n2.s AND n1.d < n2.d
+             GROUP BY n1.d, n2.d),
+       ne AS (SELECT c.* FROM c LEFT JOIN e
+               ON c.a = e.u AND c.b = e.v WHERE e.u IS NULL)
+       SELECT a, b, common_neighbors, score_q,
+         round(score_q::DOUBLE / 16777216.0, 4) AS score
+       FROM ne ORDER BY score_q DESC, a, b LIMIT 25"""
+
   // --------------------------------------------------------------- q162
   /** Distributed logistic-regression trainer ([[Logistic.fitGd]]): a
     * binary quality-classifier head (label < 5) on two embedding
@@ -1560,6 +1601,7 @@ object Insights {
 
   val queries: Map[String, Q] = Map(
     "q162_logreg_gd" -> (q162 _),
+    "q163_adamic_adar" -> (q163 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1597,6 +1639,7 @@ object Insights {
 
   val oracles: Map[String, String] = Map(
     "q162_logreg_gd" -> q162Sql,
+    "q163_adamic_adar" -> q163Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

@@ -113,4 +113,25 @@ class GraphLinalgSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(one == Map(2L -> 0, 1L -> 1))
   }
+
+  test("adamicAdar: 4-cycle diagonals score 2/ln2; edges are excluded") {
+    // square 1-2-3-4-1: the only non-edges are the diagonals (1,3) and
+    // (2,4), each with two shared degree-2 neighbors
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Graph.adamicAdar(edges, "a", "b").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val wq = math.floor((1L << 24).toDouble / math.log(2.0) + 0.5).toLong
+    assert(got == Map((1L, 3L) -> ((2L, 2 * wq)), (2L, 4L) -> ((2L, 2 * wq))))
+  }
+
+  test("adamicAdar: hub middles beyond the degree cap contribute nothing") {
+    // star center 0 neighbors 1..5 (deg 5) plus the pendant edge 1-2's
+    // alternative path; cap=4 removes the hub so no candidates remain
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(Graph.adamicAdar(star, "a", "b", maxMidDegree = 4).count() == 0L)
+    // with the cap admitting the hub, all C(5,2) leaf pairs appear
+    assert(Graph.adamicAdar(star, "a", "b", maxMidDegree = 5,
+      topK = 100).count() == 10L)
+  }
 }
