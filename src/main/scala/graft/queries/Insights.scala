@@ -1478,6 +1478,44 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q164
+  /** Exact decision stump ([[graft.engine.Stump.bestSplits]]): the 5
+    * best `value <= t` splits separating purchase events from the
+    * rest, ranked by exact weighted Gini — per-value counts, two-level
+    * bucketed prefix sum (never a global value sort), IEEE-fixed-shape
+    * impurity on exact longs so the oracle's global-window replay
+    * lands on the identical cut. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("value"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    graft.engine.Stump.bestSplits(ev, "value", "y", buckets = 32, topK = 5)
+  }
+
+  private val q164Sql =
+    """WITH pts AS (SELECT value AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         FROM events WHERE value IS NOT NULL),
+       per AS (SELECT v, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+               FROM pts GROUP BY v),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(p) AS BIGINT) AS pos FROM per),
+       cum AS (SELECT v, CAST(sum(c) OVER w AS BIGINT) AS nl,
+                 CAST(sum(p) OVER w AS BIGINT) AS pl
+               FROM per WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       cand AS (SELECT v, nl, pl, nl - pl AS ql, n - nl AS nr,
+                  pos - pl AS pr, (n - nl) - (pos - pl) AS qr, n
+                FROM cum, tot WHERE nl < n),
+       sc AS (SELECT v, nl, pl, nr, pr,
+                ((nl::DOUBLE - (pl::DOUBLE*pl::DOUBLE
+                     + ql::DOUBLE*ql::DOUBLE)/nl::DOUBLE)
+                 + (nr::DOUBLE - (pr::DOUBLE*pr::DOUBLE
+                     + qr::DOUBLE*qr::DOUBLE)/nr::DOUBLE)) / n::DOUBLE AS g
+              FROM cand)
+       SELECT v AS threshold, nl AS n_left, pl AS pos_left, nr AS n_right,
+         pr AS pos_right, round(g, 6) AS gini
+       FROM sc ORDER BY g, v LIMIT 5"""
+
   // --------------------------------------------------------------- q163
   /** Adamic-Adar link prediction ([[Graph.adamicAdar]]): top missing
     * links of q118/q161's support-thresholded part co-occurrence graph
@@ -1602,6 +1640,7 @@ object Insights {
   val queries: Map[String, Q] = Map(
     "q162_logreg_gd" -> (q162 _),
     "q163_adamic_adar" -> (q163 _),
+    "q164_decision_stump" -> (q164 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1640,6 +1679,7 @@ object Insights {
   val oracles: Map[String, String] = Map(
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,
+    "q164_decision_stump" -> q164Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,
