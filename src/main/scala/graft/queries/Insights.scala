@@ -1478,6 +1478,74 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q165
+  /** Mergeable-sketch rollup ([[Sketch.hllRegistersBy]] +
+    * [[Sketch.hllRollup]]): per-DAY HLL register tables of active
+    * users merged to per-epoch-week distinct estimates by register
+    * MAX — the pre-aggregation discipline that answers "weekly
+    * uniques" at 100 TB from 2^p-row day states without ever
+    * re-scanning keys. The oracle replays daily registers, the
+    * max-merge, and the harmonic estimate bit-for-bit, next to the
+    * exact weekly distinct. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").cast("string").as("k"),
+        to_date(col("ts")).as("day"))
+    val daily = Sketch.hllRegistersBy(ev, "k", "day", p = 8)
+    val toWeek = floor(datediff(col("grp"),
+      lit("1990-01-01").cast("date")) / 7).cast("long")
+    val weekly = Sketch.hllRollup(daily, toWeek, p = 8)
+      .withColumnRenamed("grp", "wk")
+    val exact = Tables.events(s, d)
+      .groupBy(floor(datediff(to_date(col("ts")),
+          lit("1990-01-01").cast("date")) / 7).cast("long").as("wk"))
+      .agg(countDistinct(col("user_id")).as("true_distinct"))
+    weekly.join(exact, "wk")
+      .withColumn("rel_err",
+        round((col("hll_estimate") - col("true_distinct"))
+          / col("true_distinct").cast("double"), 4))
+      .orderBy("wk")
+  }
+
+  private val q165Sql =
+    """WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+           ::BIGINT AS h, CAST(ts AS DATE) AS day
+         FROM events),
+       drg AS (SELECT day, h % 256 AS bucket,
+                 max(CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END) AS mreg
+               FROM h GROUP BY day, bucket),
+       wrg AS (SELECT CAST(floor(datediff('day', DATE '1990-01-01', day)
+                   / 7) AS BIGINT) AS wk,
+                 bucket, max(mreg) AS mreg
+               FROM drg GROUP BY wk, bucket),
+       a AS (SELECT wk, count(*) AS used,
+               CAST(sum(1::BIGINT << CAST(53 - mreg AS INT)) AS BIGINT)
+                 AS sum_present
+             FROM wrg GROUP BY wk),
+       st AS (SELECT wk, used, 256 - used AS zeros,
+                sum_present + (256 - used) * (1::BIGINT << 53)
+                  AS sum_scaled
+              FROM a),
+       e AS (SELECT wk, used, zeros, sum_scaled,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * 9007199254740992.0 / sum_scaled::DOUBLE AS raw
+             FROM st),
+       f AS (SELECT wk, CAST(256 AS INT) AS m, used, zeros, sum_scaled,
+               round(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros::DOUBLE)
+                          ELSE raw END, 4) AS hll_estimate
+             FROM e),
+       t AS (SELECT CAST(floor(datediff('day', DATE '1990-01-01',
+                   CAST(ts AS DATE)) / 7) AS BIGINT) AS wk,
+               count(DISTINCT user_id) AS true_distinct
+             FROM events GROUP BY wk)
+       SELECT f.wk, f.m, f.used, f.zeros, f.sum_scaled, f.hll_estimate,
+         t.true_distinct,
+         round((f.hll_estimate - t.true_distinct)
+           / t.true_distinct::DOUBLE, 4) AS rel_err
+       FROM f JOIN t USING (wk) ORDER BY wk"""
+
   // --------------------------------------------------------------- q164
   /** Exact decision stump ([[graft.engine.Stump.bestSplits]]): the 5
     * best `value <= t` splits separating purchase events from the
@@ -1641,6 +1709,7 @@ object Insights {
     "q162_logreg_gd" -> (q162 _),
     "q163_adamic_adar" -> (q163 _),
     "q164_decision_stump" -> (q164 _),
+    "q165_hll_rollup" -> (q165 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1680,6 +1749,7 @@ object Insights {
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,
     "q164_decision_stump" -> q164Sql,
+    "q165_hll_rollup" -> q165Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

@@ -513,6 +513,22 @@ class InsightsSpec extends SparkSpec {
     assert(whole.getDouble(4) == redistributed.getDouble(4))
   }
 
+  test("hllRollup: max-merged group registers = registers of the union") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 3 "days" with overlapping keys; rolling all days up into one
+    // group must equal the ungrouped estimate on the union — exactly
+    val rows = (1 to 900).map(i => (s"u${i % 400}", i % 3))
+    val df = rows.toDF("k", "day")
+    val daily = Sketch.hllRegistersBy(df, "k", "day", p = 8)
+    assert(daily.select("grp").distinct().count() == 3L)
+    val rolled = Sketch.hllRollup(daily, lit(0), p = 8).collect()(0)
+    val whole = Sketch.hllEstimate(df.select("k"), "k", p = 8).collect()(0)
+    assert(rolled.getLong(4) == whole.getLong(3))     // sum_scaled
+    assert(rolled.getDouble(5) == whole.getDouble(4)) // estimate
+    // identity rollup keeps the per-day groups distinct
+    assert(Sketch.hllRollup(daily, col("grp"), p = 8).count() == 3L)
+  }
+
   // ----------------------------------------------- degenerate inputs
   test("round-5 operators survive empty and degenerate inputs") {
     val emptyEvents = Seq.empty[(Long, Timestamp, String, Long)]
