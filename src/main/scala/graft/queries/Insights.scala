@@ -1478,6 +1478,75 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q166
+  /** Golden-record survivorship ([[graft.operators.Golden.goldenRecords]]):
+    * customers polluted with deterministic duplicate rows (every 10th
+    * gets a lower-balance twin, every 20th a second one), linked by
+    * shared phone, clustered by transitive closure, then merged —
+    * min-id golden key, max-balance survivor supplies the payload.
+    * The oracle replays the closure as a recursive CTE (q71 pattern)
+    * and the survivorship rules as plain aggregates. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    // ek (the original custkey, carried unchanged by the injected
+    // twins) stands in for the shared natural key — phone/SSN/email —
+    // that real blocking would produce
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
+      col("c_custkey").cast("long").as("ek"),
+      col("c_acctbal").cast("double").as("bal"))
+    def twin(mod: Int, off: Long, drop: Double, tag: String) =
+      base.filter(col("id") % mod === 0).select(
+        (col("id") + off).as("id"),
+        concat(col("name"), lit(tag)).as("name"),
+        col("ek"), (col("bal") - drop).as("bal"))
+    val dirty = base
+      .unionByName(twin(10, 1000000L, 50.0, " (dup)"))
+      .unionByName(twin(20, 2000000L, 100.0, " (dup2)"))
+    val pairs = dirty.as("a").join(dirty.as("b"),
+        col("a.ek") === col("b.ek") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+    graft.operators.Golden.goldenRecords(dirty, "id", "bal",
+        Seq("name", "ek"), pairs, "ida", "idb")
+      .orderBy("cluster_id")
+  }
+
+  private val q166Sql =
+    """WITH RECURSIVE base AS (SELECT c_custkey AS id, c_name AS name,
+           c_custkey AS ek, CAST(c_acctbal AS DOUBLE) AS bal
+         FROM customer),
+       dirty AS (SELECT * FROM base
+         UNION ALL
+         SELECT id + 1000000, name || ' (dup)', ek, bal - 50.0
+         FROM base WHERE id % 10 = 0
+         UNION ALL
+         SELECT id + 2000000, name || ' (dup2)', ek, bal - 100.0
+         FROM base WHERE id % 20 = 0),
+       p AS (SELECT a.id AS ida, b.id AS idb
+             FROM dirty a JOIN dirty b
+               ON a.ek = b.ek AND a.id < b.id),
+       edges AS (SELECT ida AS a, idb AS b FROM p
+                 UNION ALL SELECT idb, ida FROM p),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach AS (SELECT id, id AS r FROM nodes
+                 UNION
+                 SELECT e.a, reach.r FROM edges e
+                 JOIN reach ON e.b = reach.id),
+       cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       mem AS (SELECT cl.cluster_id, d.id, d.name, d.ek, d.bal
+               FROM dirty d JOIN cl ON d.id = cl.id),
+       agg AS (SELECT cluster_id, count(*) AS n_members,
+                 min(id) AS golden_id, max(bal) AS best_bal
+               FROM mem GROUP BY cluster_id),
+       surv AS (SELECT m.cluster_id, min(m.id) AS sid
+                FROM mem m JOIN agg ON m.cluster_id = agg.cluster_id
+                  AND m.bal = agg.best_bal
+                GROUP BY m.cluster_id)
+       SELECT agg.cluster_id, agg.n_members, agg.golden_id, agg.best_bal,
+         r.name AS rep_name, r.ek AS rep_ek
+       FROM agg JOIN surv ON agg.cluster_id = surv.cluster_id
+       JOIN mem r ON r.id = surv.sid
+       ORDER BY agg.cluster_id"""
+
   // --------------------------------------------------------------- q165
   /** Mergeable-sketch rollup ([[Sketch.hllRegistersBy]] +
     * [[Sketch.hllRollup]]): per-DAY HLL register tables of active
@@ -1710,6 +1779,7 @@ object Insights {
     "q163_adamic_adar" -> (q163 _),
     "q164_decision_stump" -> (q164 _),
     "q165_hll_rollup" -> (q165 _),
+    "q166_golden_record" -> (q166 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1750,6 +1820,7 @@ object Insights {
     "q163_adamic_adar" -> q163Sql,
     "q164_decision_stump" -> q164Sql,
     "q165_hll_rollup" -> q165Sql,
+    "q166_golden_record" -> q166Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,
