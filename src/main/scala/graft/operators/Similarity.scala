@@ -132,6 +132,53 @@ object Similarity {
         "cosine", "rank")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023's
+    * cluster-then-prune shape): assign every vector to its nearest of
+    * `k` centroids, then find near-duplicate PAIRS only within each
+    * cluster and drop the higher id of each pair. The cluster pass is
+    * what makes semantic dedup tractable at scale — candidate
+    * generation is a cell equi-join (cell sizes ≈ N/k), never the
+    * corpus². At 100 TB, `k` grows with N to hold cell size constant
+    * and the centroids come from [[KMeans]]; here they are the `k`
+    * smallest-id vectors so an oracle can replay the assignment
+    * exactly.
+    *
+    * Determinism: assignment ranks by the 6-decimal-rounded cosine
+    * (ties to the smaller centroid id) via one struct-max aggregation
+    * (no per-id window sort); the dup threshold applies to the
+    * 4-decimal-rounded pair cosine — both cuts engine-exact under the
+    * q40 oracle convention. Zero-norm vectors are undefined input.
+    *
+    * Returns per-cell `(cell, n_members, n_dropped, n_kept)`.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+               k: Int = 16, tau: Double = 0.95): DataFrame = {
+    require(k >= 1, "need at least one centroid")
+    val cents = embs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val sim = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        round(cosine(col("vec"), col("cvec")), 6).as("s"))
+    val asg = sim.groupBy("id")
+      .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("p"))
+      .select(col("id"), (-col("p.negcid")).as("cell"))
+    val av = asg.join(
+      embs.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+    val pairs = av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(round(cosine(col("a.vec"), col("b.vec")), 4) >= tau)
+      .select(col("a.cell").as("cell"), col("b.id").as("ib"))
+    val members = asg.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val dropped = pairs.groupBy("cell")
+      .agg(countDistinct(col("ib")).as("n_dropped"))
+    members.join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+          .as("n_kept"))
+  }
+
   def knnLsh(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              numPlanes: Int = 6, dim: Int = 64): DataFrame = {

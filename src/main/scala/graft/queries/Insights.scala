@@ -1478,6 +1478,56 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q167
+  /** SemDeDup ([[Similarity.semDedup]]): embeddings polluted with an
+    * exact twin for every 25th vector, assigned to the 16 smallest-id
+    * centroid vectors, near-dups (rounded cosine ≥ 0.95) pruned
+    * within cells only — per-cell member/dropped/kept counts. The
+    * twins land in their original's cell and are dropped; the corpus
+    * is never compared all-pairs. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+    val dirty = base.unionByName(
+      base.filter(col("id") % 25 === 0)
+        .select((col("id") + 100000L).as("id"), col("embedding")))
+    Similarity.semDedup(dirty, "id", "embedding", k = 16, tau = 0.95)
+      .orderBy("cell")
+  }
+
+  private val q167Sql =
+    """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+       v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+             FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000, embedding::DOUBLE[]
+             FROM embeddings WHERE vec_id % 25 = 0),
+       sim AS (SELECT id, cid,
+                 round(list_dot_product(vec, cvec)
+                   / (sqrt(list_dot_product(vec, vec))
+                      * sqrt(list_dot_product(cvec, cvec))), 6) AS s
+               FROM v, c),
+       asg AS (SELECT id, cid AS cell FROM (
+                 SELECT id, cid, row_number() OVER (PARTITION BY id
+                   ORDER BY s DESC, cid ASC) AS rn
+                 FROM sim) t
+               WHERE rn = 1),
+       av AS (SELECT asg.id, asg.cell, v.vec
+              FROM asg JOIN v ON asg.id = v.id),
+       p AS (SELECT a.cell, b.id AS ib
+             FROM av a JOIN av b ON a.cell = b.cell AND a.id < b.id
+             WHERE round(list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                    * sqrt(list_dot_product(b.vec, b.vec))), 4) >= 0.95),
+       m AS (SELECT cell, count(*) AS n_members FROM asg GROUP BY cell),
+       dr AS (SELECT cell, count(DISTINCT ib) AS n_dropped
+              FROM p GROUP BY cell)
+       SELECT m.cell, m.n_members,
+         coalesce(dr.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+         m.n_members - coalesce(dr.n_dropped, CAST(0 AS BIGINT)) AS n_kept
+       FROM m LEFT JOIN dr USING (cell) ORDER BY cell"""
+
   // --------------------------------------------------------------- q166
   /** Golden-record survivorship ([[graft.operators.Golden.goldenRecords]]):
     * customers polluted with deterministic duplicate rows (every 10th
@@ -1780,6 +1830,7 @@ object Insights {
     "q164_decision_stump" -> (q164 _),
     "q165_hll_rollup" -> (q165 _),
     "q166_golden_record" -> (q166 _),
+    "q167_semdedup" -> (q167 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1821,6 +1872,7 @@ object Insights {
     "q164_decision_stump" -> q164Sql,
     "q165_hll_rollup" -> q165Sql,
     "q166_golden_record" -> q166Sql,
+    "q167_semdedup" -> q167Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

@@ -73,4 +73,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(out.toSeq == Seq((4L, 1), (5L, 2)))
   }
+
+  test("semDedup: exact twins are dropped inside their cell, others kept") {
+    // two well-separated directions; ids 0,1 become the centroids
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),   // centroids
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (10L, Seq(1.0f, 0.0f)),                          // exact twin of 0
+      (11L, Seq(0.0f, 1.0f))                           // exact twin of 1
+    ).toDF("id", "embedding")
+    val got = Similarity.semDedup(vecs, "id", "embedding", k = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cell 0: {0, 2, 10} — 10 dropped (cos(0,10)=1); 2 kept (cos≈0.994 w/0?)
+    // cos((1,0),(0.9,0.1)) = 0.9/(1·0.9055) ≈ 0.9939 → also ≥ .95: dropped
+    assert(got(0L) == ((3L, 2L, 1L)))
+    assert(got(1L) == ((3L, 2L, 1L)))
+  }
+
+  test("semDedup with tau above every pair similarity drops nothing") {
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.7f, 0.7f))).toDF("id", "embedding")
+    val got = Similarity.semDedup(vecs, "id", "embedding", k = 2, tau = 0.999)
+    assert(got.agg(sum("n_dropped")).head().getLong(0) == 0L)
+    // every vector lands in exactly one cell
+    assert(got.agg(sum("n_members")).head().getLong(0) == 3L)
+  }
 }
