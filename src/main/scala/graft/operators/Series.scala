@@ -220,6 +220,59 @@ object Series {
       .limit(topN)
   }
 
+  /** CUSUM changepoint detection per series: the day where the
+    * cumulative deviation from a constant rate peaks — `argmax_t
+    * |n·S_t − t·S_n|` over the gap-filled daily counts (S = prefix
+    * sum, n = days). The normalized statistic `D/(n·S_n)` is the
+    * classic "did the level shift, and when" readout; silent days
+    * count as zero (a traffic cliff IS the changepoint).
+    *
+    * Scale shape: one corpus aggregation to daily counts, then all
+    * windows run over the (series × days) table — state is bounded by
+    * the calendar, not the corpus, so per-series partitions are tiny
+    * by construction (no two-level prefix needed, unlike value-indexed
+    * [[graft.operators.Quality.ksDrift]]).
+    *
+    * Exactness: counts/prefixes/deviations are pure longs
+    * (`n·S_t ≤ days·rows` — overflow above ~9e18 day-rows, far past
+    * any real corpus), the argmax ties to the earliest day, and the
+    * one double division happens after the argmax.
+    *
+    * Returns per series: `(event_type, n_days, total, cp_day, cusum)`.
+    */
+  def cusumChangepoint(events: DataFrame, typeCol: String,
+                       tsCol: String): DataFrame = {
+    val obs = events
+      .select(col(typeCol).as("k"), to_date(col(tsCol)).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("cnt"))
+    val span = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = obs.select("k").distinct().crossJoin(broadcast(days))
+      .join(obs, Seq("k", "day"), "left")
+      .select(col("k"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val ord = Window.partitionBy("k").orderBy("day")
+    val cum = daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("s", sum("cnt").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.groupBy("k")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("total"))
+    cum.join(broadcast(tot), "k")
+      .withColumn("dev",
+        abs(col("n_days") * col("s") - col("t") * col("total")))
+      .withColumn("negd",
+        -datediff(col("day"), lit("1990-01-01").cast("date")))
+      .groupBy(col("k").as("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total"),
+        max(struct(col("dev"), col("negd"), col("day"))).as("p"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("p.day").as("cp_day"),
+        graft.functions.Rounding.roundTo(
+          col("p.dev").cast("double") /
+            (col("n_days").cast("double") * col("total").cast("double")), 6)
+          .as("cusum"))
+  }
+
   def dailyGapFill(events: DataFrame, keyCol: String,
                    tsCol: String): DataFrame = {
     val daily = events

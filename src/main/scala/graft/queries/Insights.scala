@@ -1478,6 +1478,48 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q168
+  /** CUSUM changepoint ([[Series.cusumChangepoint]]): per event type,
+    * the day where cumulative volume deviates most from a constant
+    * rate — all-long prefix arithmetic on the gap-filled day grid,
+    * argmax tied to the earliest day, one normalizing division after
+    * the cut. */
+  private def q168(s: SparkSession, d: String): DataFrame =
+    Series.cusumChangepoint(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
+  private val q168Sql =
+    """WITH obs AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+           count(*) AS cnt
+         FROM events GROUP BY k, day),
+       span AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+       days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+       daily AS (SELECT t.k, days.day, coalesce(obs.cnt, 0) AS cnt
+                 FROM (SELECT DISTINCT k FROM obs) t
+                 CROSS JOIN days
+                 LEFT JOIN obs ON obs.k = t.k AND obs.day = days.day),
+       cum AS (SELECT k, day, cnt,
+                 CAST(row_number() OVER (PARTITION BY k ORDER BY day)
+                   AS BIGINT) AS t,
+                 CAST(sum(cnt) OVER (PARTITION BY k ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s
+               FROM daily),
+       tot AS (SELECT k, count(*) AS n_days,
+                 CAST(sum(cnt) AS BIGINT) AS total
+               FROM daily GROUP BY k),
+       dev AS (SELECT cum.k, cum.day,
+                 abs(tot.n_days * cum.s - cum.t * tot.total) AS dv,
+                 tot.n_days, tot.total,
+                 row_number() OVER (PARTITION BY cum.k
+                   ORDER BY abs(tot.n_days * cum.s - cum.t * tot.total)
+                     DESC, cum.day ASC) AS rn
+               FROM cum JOIN tot ON cum.k = tot.k)
+       SELECT k AS event_type, n_days, total, day AS cp_day,
+         round(dv::DOUBLE / (n_days::DOUBLE * total::DOUBLE), 6) AS cusum
+       FROM dev WHERE rn = 1 ORDER BY event_type"""
+
   // --------------------------------------------------------------- q167
   /** SemDeDup ([[Similarity.semDedup]]): embeddings polluted with an
     * exact twin for every 25th vector, assigned to the 16 smallest-id
@@ -1831,6 +1873,7 @@ object Insights {
     "q165_hll_rollup" -> (q165 _),
     "q166_golden_record" -> (q166 _),
     "q167_semdedup" -> (q167 _),
+    "q168_cusum_changepoint" -> (q168 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1873,6 +1916,7 @@ object Insights {
     "q165_hll_rollup" -> q165Sql,
     "q166_golden_record" -> q166Sql,
     "q167_semdedup" -> q167Sql,
+    "q168_cusum_changepoint" -> q168Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

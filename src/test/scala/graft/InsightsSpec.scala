@@ -67,6 +67,28 @@ class InsightsSpec extends SparkSpec {
     assert(out.length == 3)
   }
 
+  test("cusum changepoint lands on the last day of the old regime") {
+    // 5 days at 1/day then 5 days at 3/day: D_t = |10·S_t − 20t| peaks
+    // at t=5 (D=50) → cp_day = day 5, cusum = 50/(10·20) = 0.25
+    val rows = (1 to 5).map(d => ("shift", ts(d))) ++
+      (6 to 10).flatMap(d => Seq.fill(3)(("shift", ts(d))))
+    val r = Series.cusumChangepoint(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()(0)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 20L)
+    assert(r.getDate(3).toString == "2024-01-05")
+    assert(r.getDouble(4) == 0.25)
+  }
+
+  test("cusum: constant series scores 0 at the earliest day; gaps count") {
+    val flat = (1 to 4).map(d => ("c", ts(d))).toDF("event_type", "ts")
+    val rf = Series.cusumChangepoint(flat, "event_type", "ts").collect()(0)
+    assert(rf.getDouble(4) == 0.0 && rf.getDate(3).toString == "2024-01-01")
+    // events only on days 1 and 10 → 8 silent days are real zeros
+    val sparse = Seq(("g", ts(1)), ("g", ts(10))).toDF("event_type", "ts")
+    val rs = Series.cusumChangepoint(sparse, "event_type", "ts").collect()(0)
+    assert(rs.getLong(1) == 10L) // gap-filled span, not 2 observed days
+  }
+
   // ----------------------------------------------- rolling anomalies
   test("rolling anomalies: spike flags, baseline excludes current day") {
     // 9 calm days of 10 events then a day of 100
