@@ -124,6 +124,47 @@ object Sampling {
     * `[0, trainPct)` → train, `[trainPct, trainPct+valPct)` → val,
     * rest → test. Disjoint and exhaustive by construction.
     */
+  /** Temperature-scaled source mixture weights — the allocation
+    * POLICY half of data mixing ([[mixSources]] executes a given mix):
+    * each source's sampling weight is `n_tokens^alpha` normalized
+    * (alpha = 1 reproduces natural proportions, alpha = 0 uniform;
+    * 0 < alpha < 1 up-weights small high-value sources, the standard
+    * multilingual/multi-corpus temperature trick), with the token
+    * `budget` allocated pro rata and the implied epochs-per-source
+    * (allocation ÷ corpus size — the over-sampling multiplier small
+    * sources will be repeated by).
+    *
+    * One grouped aggregation over the corpus; everything after runs on
+    * the k-row source table. Determinism: the power-scaled weight is
+    * quantized to a 2^24-scaled long before the normalizing sum, so
+    * the k-term sum is order-independent and exact cross-engine.
+    *
+    * Returns `(source, n_docs, n_tokens, weight, alloc_tokens,
+    * epochs)`.
+    */
+  def mixtureWeights(docs: DataFrame, sourceCol: String, textCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0,1]")
+    require(budget > 0, "budget must be positive")
+    val scale = (1L << 24).toDouble
+    val per = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.words(col(textCol)))
+          .cast("long")).as("n_tokens"))
+    val t = per.withColumn("wq",
+      graft.functions.Rounding.roundTo(
+        pow(col("n_tokens").cast("double"), lit(alpha)) * scale, 0)
+        .cast("long"))
+    val share = col("wq").cast("double") / col("twq").cast("double")
+    t.crossJoin(broadcast(t.agg(sum("wq").as("twq"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.Rounding.roundTo(share, 6).as("weight"),
+        floor(share * lit(budget.toDouble)).as("alloc_tokens"),
+        graft.functions.Rounding.roundTo(
+          share * lit(budget.toDouble) / col("n_tokens").cast("double"), 4)
+          .as("epochs"))
+  }
+
   def split(df: DataFrame, idCol: String, salt: String,
             trainPct: Int, valPct: Int): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,

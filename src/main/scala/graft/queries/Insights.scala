@@ -1478,6 +1478,34 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q169
+  /** Temperature-scaled mixture weights
+    * ([[graft.operators.Sampling.mixtureWeights]]): per-source
+    * `n_tokens^0.5` sampling weights with a 1B-token budget allocated
+    * pro rata — the data-mixing policy table (weights quantized before
+    * the normalizing sum, so the k-source shares are engine-exact). */
+  private def q169(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.mixtureWeights(Tables.documents(s, d),
+        "source", "text", alpha = 0.5, budget = 1000000000L)
+      .orderBy("source")
+
+  private val q169Sql =
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source),
+       t AS (SELECT *, CAST(round(power(n_tokens::DOUBLE, 0.5)
+                 * 16777216.0) AS BIGINT) AS wq
+             FROM per),
+       tot AS (SELECT CAST(sum(wq) AS BIGINT) AS twq FROM t)
+       SELECT source, n_docs, n_tokens,
+         round(wq::DOUBLE / twq::DOUBLE, 6) AS weight,
+         CAST(floor(wq::DOUBLE / twq::DOUBLE * 1000000000.0) AS BIGINT)
+           AS alloc_tokens,
+         round(wq::DOUBLE / twq::DOUBLE * 1000000000.0
+           / n_tokens::DOUBLE, 4) AS epochs
+       FROM t, tot ORDER BY source"""
+
   // --------------------------------------------------------------- q168
   /** CUSUM changepoint ([[Series.cusumChangepoint]]): per event type,
     * the day where cumulative volume deviates most from a constant
@@ -1874,6 +1902,7 @@ object Insights {
     "q166_golden_record" -> (q166 _),
     "q167_semdedup" -> (q167 _),
     "q168_cusum_changepoint" -> (q168 _),
+    "q169_mixture_weights" -> (q169 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1917,6 +1946,7 @@ object Insights {
     "q166_golden_record" -> q166Sql,
     "q167_semdedup" -> q167Sql,
     "q168_cusum_changepoint" -> q168Sql,
+    "q169_mixture_weights" -> q169Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

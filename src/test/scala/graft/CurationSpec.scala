@@ -217,4 +217,31 @@ class CurationSpec extends SparkSpec {
         .as("sse")).head()
     assert(row.getDouble(0) / 5.0 <= (s / 2) * (s / 2) + 1e-15)
   }
+
+  test("mixtureWeights: alpha endpoints — natural proportions vs uniform") {
+    // source a: 3 docs × 2 tokens; source b: 1 doc × 2 tokens
+    val docs = Seq(("a", "x y"), ("a", "x y"), ("a", "x y"), ("b", "x y"))
+      .toDF("source", "text")
+    def w(alpha: Double) = Sampling
+      .mixtureWeights(docs, "source", "text", alpha, budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val nat = w(1.0) // weights 6/8 and 2/8
+    assert(nat("a") == ((6L, 0.75, 750L)))
+    assert(nat("b") == ((2L, 0.25, 250L)))
+    val uni = w(0.0) // n^0 = 1 each → 50/50
+    assert(uni("a")._2 == 0.5 && uni("b")._2 == 0.5)
+    // temperature 0.5 sits strictly between
+    val mid = w(0.5)
+    assert(mid("a")._2 < 0.75 && mid("a")._2 > 0.5)
+  }
+
+  test("mixtureWeights: epochs = allocation over corpus size") {
+    val docs = Seq(("s", "a b c d")).toDF("source", "text")
+    val r = Sampling.mixtureWeights(docs, "source", "text", 0.5, 400L)
+      .collect()(0)
+    assert(r.getLong(2) == 4L)      // tokens
+    assert(r.getDouble(3) == 1.0)   // single source takes all weight
+    assert(r.getLong(4) == 400L && r.getDouble(5) == 100.0)
+  }
 }
