@@ -1478,6 +1478,27 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q170
+  /** Exact lower median by iterative range narrowing
+    * ([[graft.engine.OrderStat.lowerMedian]]): the k=(n+1)/2 order
+    * statistic of event values found in ~log₆₄(range) histogram
+    * rounds with `bins`-long shuffle state per round — never a global
+    * sort. The oracle simply sorts: the iterative answer must equal
+    * the true order statistic to the bit. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val (n, k, v) = graft.engine.OrderStat.lowerMedian(
+      Tables.events(s, d), "value")
+    s.range(1).select(lit(n).as("n"), lit(k).as("k"),
+      lit(v).as("kth_value"))
+  }
+
+  private val q170Sql =
+    """WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+       n AS (SELECT count(*) AS n FROM v),
+       r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+       SELECT n.n, (n.n + 1) // 2 AS k, r.v AS kth_value
+       FROM r, n WHERE r.rn = (n.n + 1) // 2"""
+
   // --------------------------------------------------------------- q169
   /** Temperature-scaled mixture weights
     * ([[graft.operators.Sampling.mixtureWeights]]): per-source
@@ -1903,6 +1924,7 @@ object Insights {
     "q167_semdedup" -> (q167 _),
     "q168_cusum_changepoint" -> (q168 _),
     "q169_mixture_weights" -> (q169 _),
+    "q170_iterative_median" -> (q170 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1947,6 +1969,7 @@ object Insights {
     "q167_semdedup" -> q167Sql,
     "q168_cusum_changepoint" -> q168Sql,
     "q169_mixture_weights" -> q169Sql,
+    "q170_iterative_median" -> q170Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,
