@@ -48,6 +48,44 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Cross-source duplication matrix — "which sources copy from
+    * which": for every source pair, the number of distinct normalized
+    * content hashes they share, plus each side's distinct-hash total
+    * and the containment ratio `shared / min(|A|, |B|)`. The curation
+    * read before trusting per-source mixture weights (a mirror site
+    * inflates its source's weight with content another source already
+    * contributes).
+    *
+    * Scale shape: one distinct (hash, source) projection, one
+    * hash-keyed self-join whose per-key fan-out is bounded by the
+    * SOURCE COUNT (never corpus²), one pair aggregation. Totals attach
+    * as a k-row broadcast.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val hs = docs
+      .select(contentHash(col(textCol)).as("h"), col(sourceCol).as("src"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = hs.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = pairs
+      .join(broadcast(totals.select(col("src").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(totals.select(col("src").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        graft.functions.Rounding.roundTo(
+          col("n_shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 4)
+          .as("containment"))
+    owned(out, Seq(hs))
+  }
+
   /** Shingle sets per document: `(id, sh: array<string>)` — the
     * native multiset expression + `array_distinct`, equal to the
     * lambda [[wordShingles]] formulation but produced in one codegen'd

@@ -273,6 +273,60 @@ object Series {
           .as("cusum"))
   }
 
+  /** Rolling Pearson correlation between two series' daily volumes —
+    * "do clicks still predict purchases this week": trailing
+    * `window`-day moments over the gap-filled aligned day grid, with
+    * the correlation emitted only once a full window exists.
+    * Zero-variance windows yield NULL (no spurious ±1 from flat
+    * series).
+    *
+    * Scale shape: one corpus aggregation to (day, type) counts; the
+    * grid/pivot/window all run on calendar-bounded tables (same
+    * argument as [[cusumChangepoint]]). Moments are window sums of
+    * exact daily counts in frame order — both engines accumulate the
+    * same values in the same order, and the correlation is
+    * fixed-shape IEEE arithmetic on them, so 4-decimal rounding is
+    * cross-engine-stable (the q114 discipline).
+    *
+    * Returns `(day, cnt_a, cnt_b, corr)` for full-window days.
+    */
+  def rollingCorrelation(events: DataFrame, typeCol: String, tsCol: String,
+                         typeA: String, typeB: String,
+                         window: Int = 7): DataFrame = {
+    require(window >= 2, "correlation needs at least a 2-day window")
+    val obs = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("k"), to_date(col(tsCol)).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("cnt"))
+    val span = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days
+      .join(obs.filter(col("k") === typeA)
+        .select(col("day"), col("cnt").as("ca")), Seq("day"), "left")
+      .join(obs.filter(col("k") === typeB)
+        .select(col("day"), col("cnt").as("cb")), Seq("day"), "left")
+      .select(col("day"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val ord = Window.orderBy("day")
+    val w = ord.rowsBetween(-(window - 1), Window.currentRow)
+    val (x, y) = (col("ca").cast("double"), col("cb").cast("double"))
+    val n = lit(window.toDouble)
+    val m = grid
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("sx", sum(x).over(w)).withColumn("sy", sum(y).over(w))
+      .withColumn("sxy", sum(x * y).over(w))
+      .withColumn("sxx", sum(x * x).over(w))
+      .withColumn("syy", sum(y * y).over(w))
+    val da = n * col("sxx") - col("sx") * col("sx")
+    val db = n * col("syy") - col("sy") * col("sy")
+    m.filter(col("rn") >= window)
+      .select(col("day"), col("ca").as("cnt_a"), col("cb").as("cnt_b"),
+        when(da > 0.0 && db > 0.0,
+          graft.functions.Rounding.roundTo(
+            (n * col("sxy") - col("sx") * col("sy")) / sqrt(da * db), 4))
+          .as("corr"))
+  }
+
   def dailyGapFill(events: DataFrame, keyCol: String,
                    tsCol: String): DataFrame = {
     val daily = events

@@ -1478,6 +1478,81 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q172
+  /** Rolling correlation ([[Series.rollingCorrelation]]): trailing
+    * 7-day Pearson r between click and purchase daily volumes on the
+    * gap-filled grid — window moments in frame order, fixed-shape
+    * correlation, NULL on zero variance. */
+  private def q172(s: SparkSession, d: String): DataFrame =
+    Series.rollingCorrelation(Tables.events(s, d), "event_type", "ts",
+        "click", "purchase", window = 7)
+      .orderBy("day")
+
+  private val q172Sql =
+    """WITH obs AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+           count(*) AS cnt
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY k, day),
+       span AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+       days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+       g AS (SELECT days.day, coalesce(a.cnt, 0) AS ca,
+               coalesce(b.cnt, 0) AS cb
+             FROM days
+             LEFT JOIN (SELECT day, cnt FROM obs WHERE k = 'click') a
+               ON days.day = a.day
+             LEFT JOIN (SELECT day, cnt FROM obs WHERE k = 'purchase') b
+               ON days.day = b.day),
+       m AS (SELECT day, ca, cb,
+               row_number() OVER (ORDER BY day) AS rn,
+               sum(ca::DOUBLE) OVER w AS sx, sum(cb::DOUBLE) OVER w AS sy,
+               sum(ca::DOUBLE * cb::DOUBLE) OVER w AS sxy,
+               sum(ca::DOUBLE * ca::DOUBLE) OVER w AS sxx,
+               sum(cb::DOUBLE * cb::DOUBLE) OVER w AS syy
+             FROM g WINDOW w AS (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT day, ca AS cnt_a, cb AS cnt_b,
+         CASE WHEN (7.0*sxx - sx*sx) > 0.0 AND (7.0*syy - sy*sy) > 0.0
+              THEN round((7.0*sxy - sx*sy)
+                / sqrt((7.0*sxx - sx*sx) * (7.0*syy - sy*sy)), 4)
+         END AS corr
+       FROM m WHERE rn >= 7 ORDER BY day"""
+
+  // --------------------------------------------------------------- q171
+  /** Cross-source duplication matrix ([[Dedup.sourceOverlap]]): every
+    * 7th document re-attributed to an injected 'mirror' source, then
+    * the pairwise shared-content-hash counts and containment ratios —
+    * the mirror shows up against every original source, natural
+    * sources stay disjoint. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val dirty = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"), lit("mirror").as("source")))
+    Dedup.sourceOverlap(dirty, "text", "source")
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q171Sql =
+    """WITH d AS (SELECT text, source FROM documents
+         UNION ALL
+         SELECT text, 'mirror' FROM documents WHERE doc_id % 7 = 0),
+       h AS (SELECT DISTINCT
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                 AS h, source AS src
+             FROM d),
+       tot AS (SELECT src, count(*) AS n FROM h GROUP BY src),
+       p AS (SELECT a.src AS source_a, b.src AS source_b,
+               count(*) AS n_shared
+             FROM h a JOIN h b ON a.h = b.h AND a.src < b.src
+             GROUP BY 1, 2)
+       SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+         round(n_shared::DOUBLE / least(ta.n, tb.n)::DOUBLE, 4)
+           AS containment
+       FROM p JOIN tot ta ON p.source_a = ta.src
+       JOIN tot tb ON p.source_b = tb.src
+       ORDER BY source_a, source_b"""
+
   // --------------------------------------------------------------- q170
   /** Exact lower median by iterative range narrowing
     * ([[graft.engine.OrderStat.lowerMedian]]): the k=(n+1)/2 order
@@ -1925,6 +2000,8 @@ object Insights {
     "q168_cusum_changepoint" -> (q168 _),
     "q169_mixture_weights" -> (q169 _),
     "q170_iterative_median" -> (q170 _),
+    "q171_source_overlap" -> (q171 _),
+    "q172_rolling_corr" -> (q172 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -1970,6 +2047,8 @@ object Insights {
     "q168_cusum_changepoint" -> q168Sql,
     "q169_mixture_weights" -> q169Sql,
     "q170_iterative_median" -> q170Sql,
+    "q171_source_overlap" -> q171Sql,
+    "q172_rolling_corr" -> q172Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

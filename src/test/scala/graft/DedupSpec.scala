@@ -157,6 +157,21 @@ class DedupSpec extends SparkSpec {
     assert(out.count { case (id, c) => id == c } == 2)
   }
 
+  test("sourceOverlap counts shared normalized hashes with containment") {
+    val docs = Seq(
+      (1L, "Shared  Text", "a"), (2L, "shared text", "b"), // same normalized
+      (3L, "only a", "a"), (4L, "only b one", "b"), (5L, "only b two", "b"),
+      (6L, "shared text", "a") // dup within a — distinct hash set unchanged
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceOverlap(docs, "text", "source").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // a: {shared, only-a} = 2 hashes; b: {shared, b1, b2} = 3; shared 1
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 0.5) // 1 / min(2,3)
+  }
+
   test("connectedComponents raises when the diameter exceeds maxIters") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {

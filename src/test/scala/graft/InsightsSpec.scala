@@ -89,6 +89,41 @@ class InsightsSpec extends SparkSpec {
     assert(rs.getLong(1) == 10L) // gap-filled span, not 2 observed days
   }
 
+  test("rollingCorrelation: perfectly coupled series hit +1, opposed -1") {
+    // a = [1,2,3,4], b = 2a → r = 1 over any window
+    val pos = (1 to 4).flatMap { d =>
+      Seq.fill(d)(("click", ts(d))) ++ Seq.fill(2 * d)(("purchase", ts(d)))
+    }
+    val rp = Series.rollingCorrelation(pos.toDF("event_type", "ts"),
+      "event_type", "ts", "click", "purchase", window = 3)
+      .orderBy("day").collect()
+    assert(rp.length == 2) // days 3 and 4 have full windows
+    assert(rp.forall(_.getDouble(3) == 1.0))
+    // anti-coupled: a rises 1,2,3 while b falls 3,2,1 → r = -1
+    val neg = (1 to 3).flatMap { d =>
+      Seq.fill(d)(("click", ts(d))) ++ Seq.fill(4 - d)(("purchase", ts(d)))
+    }
+    val rn = Series.rollingCorrelation(neg.toDF("event_type", "ts"),
+      "event_type", "ts", "click", "purchase", window = 3).collect()
+    assert(rn.length == 1 && rn(0).getDouble(3) == -1.0)
+  }
+
+  test("rollingCorrelation: zero-variance window yields NULL, gaps are 0s") {
+    // click constant (1/day); purchase varies → da = 0 → NULL
+    val rows = (1 to 3).flatMap { d =>
+      Seq(("click", ts(d))) ++ Seq.fill(d)(("purchase", ts(d)))
+    }
+    val r = Series.rollingCorrelation(rows.toDF("event_type", "ts"),
+      "event_type", "ts", "click", "purchase", window = 3).collect()
+    assert(r.length == 1 && r(0).isNullAt(3))
+    // purchase absent entirely → gap-filled zeros, also zero variance
+    val solo = (1 to 3).map(d => ("click", ts(d)))
+      .toDF("event_type", "ts")
+    val rs = Series.rollingCorrelation(solo, "event_type", "ts",
+      "click", "purchase", window = 3).collect()
+    assert(rs.length == 1 && rs(0).getLong(2) == 0L && rs(0).isNullAt(3))
+  }
+
   // ----------------------------------------------- rolling anomalies
   test("rolling anomalies: spike flags, baseline excludes current day") {
     // 9 calm days of 10 events then a day of 100
