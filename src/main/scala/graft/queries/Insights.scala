@@ -1478,6 +1478,63 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q173
+  /** Feature ranking by stump ([[graft.engine.Stump.featureRanking]]):
+    * which lineitem column best predicts a return — the best
+    * `x <= t` split per feature from ONE melted corpus pass, ranked
+    * by exact weighted Gini (lower = more predictive). */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    graft.engine.Stump.featureRanking(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), "y")
+      .orderBy("feature")
+  }
+
+  private val q173Sql =
+    """WITH long AS (
+         SELECT 'l_quantity' AS f, l_quantity AS v,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem WHERE l_quantity IS NOT NULL
+         UNION ALL
+         SELECT 'l_extendedprice', l_extendedprice,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+         FROM lineitem WHERE l_extendedprice IS NOT NULL
+         UNION ALL
+         SELECT 'l_discount', l_discount,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+         FROM lineitem WHERE l_discount IS NOT NULL
+         UNION ALL
+         SELECT 'l_tax', l_tax,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+         FROM lineitem WHERE l_tax IS NOT NULL),
+       per AS (SELECT f, v, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+               FROM long GROUP BY f, v),
+       tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(p) AS BIGINT) AS pos
+               FROM per GROUP BY f),
+       cum AS (SELECT f, v, CAST(sum(c) OVER w AS BIGINT) AS nl,
+                 CAST(sum(p) OVER w AS BIGINT) AS pl
+               FROM per WINDOW w AS (PARTITION BY f ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       cand AS (SELECT cum.f, v, nl, pl, nl - pl AS ql, n - nl AS nr,
+                  pos - pl AS pr, (n - nl) - (pos - pl) AS qr, n
+                FROM cum JOIN tot ON cum.f = tot.f WHERE nl < n),
+       sc AS (SELECT f, v, nl, pl, nr, pr,
+                ((nl::DOUBLE - (pl::DOUBLE*pl::DOUBLE
+                     + ql::DOUBLE*ql::DOUBLE)/nl::DOUBLE)
+                 + (nr::DOUBLE - (pr::DOUBLE*pr::DOUBLE
+                     + qr::DOUBLE*qr::DOUBLE)/nr::DOUBLE)) / n::DOUBLE AS g
+              FROM cand),
+       pick AS (SELECT *, row_number() OVER (PARTITION BY f
+                  ORDER BY g, v) AS rn
+                FROM sc)
+       SELECT f AS feature, v AS threshold, nl AS n_left, pl AS pos_left,
+         nr AS n_right, pr AS pos_right, round(g, 6) AS gini
+       FROM pick WHERE rn = 1 ORDER BY feature"""
+
   // --------------------------------------------------------------- q172
   /** Rolling correlation ([[Series.rollingCorrelation]]): trailing
     * 7-day Pearson r between click and purchase daily volumes on the
@@ -2002,6 +2059,7 @@ object Insights {
     "q170_iterative_median" -> (q170 _),
     "q171_source_overlap" -> (q171 _),
     "q172_rolling_corr" -> (q172 _),
+    "q173_feature_ranking" -> (q173 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -2049,6 +2107,7 @@ object Insights {
     "q170_iterative_median" -> q170Sql,
     "q171_source_overlap" -> q171Sql,
     "q172_rolling_corr" -> q172Sql,
+    "q173_feature_ranking" -> q173Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

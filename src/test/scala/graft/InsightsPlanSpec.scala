@@ -99,4 +99,42 @@ class InsightsPlanSpec extends SparkSpec {
     assert(joins <= 1, s"unexpected row-level join in PSI plan:\n$p")
     assert(out.count() == 4)
   }
+
+  test("semDedup broadcasts the k centroids; assignment is one agg") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val out = Similarity.semDedup(emb, "id", "embedding", k = 4, tau = 0.99)
+    val p = plan(out)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the k-row centroid table must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"centroid attach must never plan a CartesianProduct:\n$p")
+    assert(out.count() == 4)
+  }
+
+  test("mixtureWeights touches the corpus in exactly one aggregation") {
+    val out = graft.operators.Sampling.mixtureWeights(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      "source", "text", alpha = 0.5, budget = 1000000L)
+    val p = plan(out)
+    // corpus-side HashAggregate pairs (partial+final) for the per-source
+    // rollup, plus the k-row wq sum — no join back to row data
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no row-level join belongs in this plan:\n$p")
+    assert(out.count() > 0)
+  }
+
+  test("sourceOverlap totals attach as k-row broadcasts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val dirty = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"), lit("mirror").as("source")))
+    val out = graft.operators.Dedup.sourceOverlap(dirty, "text", "source")
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast onto the pair table:\n$p")
+    assert(out.count() > 0)
+  }
 }

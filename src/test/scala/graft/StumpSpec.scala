@@ -35,6 +35,23 @@ class StumpSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("featureRanking agrees with per-feature bestSplits; perfect feature wins") {
+    // x1 perfectly separates y; x2 is noise
+    val df = Seq(
+      (1.0, 9.0, 0L), (2.0, 1.0, 0L), (3.0, 8.0, 0L),
+      (10.0, 2.0, 1L), (11.0, 7.0, 1L)
+    ).toDF("x1", "x2", "y")
+    val ranked = Stump.featureRanking(df, Seq("x1", "x2"), "y", buckets = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(6)))).toMap
+    assert(ranked("x1") == ((3.0, 0.0))) // clean split at x1 <= 3
+    assert(ranked("x2")._2 > 0.0)
+    // consistency with the single-feature kernel
+    val single = Stump.bestSplits(df, "x2", "y", buckets = 2, topK = 1)
+      .head()
+    assert(ranked("x2") == ((single.getDouble(0), single.getDouble(5))))
+  }
+
   test("the all-left non-split is excluded and nulls are ignored") {
     val df = Seq((Some(1.0), Some(0L)), (Some(2.0), Some(1L)),
       (None, Some(1L)), (Some(3.0), None)).toDF("x", "y")
