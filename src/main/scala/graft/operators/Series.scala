@@ -327,6 +327,65 @@ object Series {
           .as("corr"))
   }
 
+  /** Holt linear-trend forecast per series — [[graft.engine.IterativeTrainer]]'s
+    * smoothing idea applied to weekly volumes, with a TREND term so a
+    * steadily growing series forecasts growth instead of lagging:
+    * `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`, init `l₁ = x₁,
+    * b₁ = x₂ − x₁`, forecast `l_n + b_n`.
+    *
+    * Execution: weekly totals on the gap-filled epoch-week grid (one
+    * corpus aggregation), then the recurrence folds INSIDE Catalyst —
+    * `aggregate()` over each series' sorted week array (arrays are
+    * calendar-bounded) — no driver loop, every series in parallel.
+    *
+    * Determinism: α and β must be powers of two (exact halving) and
+    * the fold shape is fixed IEEE arithmetic on integer-valued counts,
+    * so a recursive-CTE oracle replays it bit-for-bit.
+    *
+    * Returns `(event_type, n_weeks, level, trend, forecast)` (4 dp).
+    */
+  def holtForecast(events: DataFrame, typeCol: String, tsCol: String,
+                   alpha: Double = 0.5, beta: Double = 0.5): DataFrame = {
+    def pow2(v: Double) = v > 0 && v <= 1 &&
+      (java.lang.Double.doubleToLongBits(v) & ((1L << 52) - 1)) == 0
+    require(pow2(alpha) && pow2(beta),
+      "alpha/beta must be powers of two for exact cross-engine folds")
+    val week = floor(datediff(to_date(col(tsCol)),
+      lit("1990-01-01").cast("date")) / 7).cast("long")
+    val obs = events.select(col(typeCol).as("k"), week.as("w"))
+      .groupBy("k", "w").agg(count(lit(1)).as("cnt"))
+    val span = obs.agg(min(col("w")).as("w0"), max(col("w")).as("w1"))
+    val grid = obs.select("k").distinct()
+      .crossJoin(broadcast(span.select(
+        explode(sequence(col("w0"), col("w1"))).as("w"))))
+      .join(obs, Seq("k", "w"), "left")
+      .select(col("k"), col("w"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("x"))
+    val series = grid.groupBy("k")
+      .agg(transform(array_sort(collect_list(struct(col("w"), col("x")))),
+        s => s.getField("x")).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    val (a, b) = (lit(alpha), lit(beta))
+    val folded = series.select(col("k").as("event_type"),
+      size(col("xs")).cast("long").as("n_weeks"),
+      aggregate(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        struct(element_at(col("xs"), 1).as("l"),
+          (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b")),
+        (acc, x) => {
+          val l2 = a * x + (lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+          struct(l2.as("l"),
+            (b * (l2 - acc.getField("l")) +
+              (lit(1.0) - b) * acc.getField("b")).as("b"))
+        }).as("st"))
+    folded.select(col("event_type"), col("n_weeks"),
+      graft.functions.Rounding.roundTo(col("st.l"), 4).as("level"),
+      graft.functions.Rounding.roundTo(col("st.b"), 4).as("trend"),
+      graft.functions.Rounding.roundTo(col("st.l") + col("st.b"), 4)
+        .as("forecast"))
+  }
+
   def dailyGapFill(events: DataFrame, keyCol: String,
                    tsCol: String): DataFrame = {
     val daily = events

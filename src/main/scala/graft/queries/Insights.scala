@@ -1478,6 +1478,51 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q174
+  /** Holt linear-trend forecast ([[Series.holtForecast]]): per-type
+    * weekly volumes smoothed with level+trend (α = β = 1/2), next
+    * week forecast — the recurrence folds inside Catalyst over the
+    * calendar-bounded week array; the oracle replays it as a
+    * recursive CTE, bit-for-bit. */
+  private def q174(s: SparkSession, d: String): DataFrame =
+    Series.holtForecast(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
+  private val q174Sql =
+    """WITH RECURSIVE obs AS (SELECT event_type AS k,
+           CAST(floor(datediff('day', DATE '1990-01-01', CAST(ts AS DATE))
+             / 7) AS BIGINT) AS w,
+           count(*) AS cnt
+         FROM events GROUP BY k, w),
+       span AS (SELECT min(w) AS w0, max(w) AS w1 FROM obs),
+       weeks AS (SELECT unnest(generate_series(w0, w1)) AS w FROM span),
+       grid AS (SELECT t.k, weeks.w, coalesce(obs.cnt, 0)::DOUBLE AS x
+                FROM (SELECT DISTINCT k FROM obs) t
+                CROSS JOIN weeks
+                LEFT JOIN obs ON obs.k = t.k AND obs.w = weeks.w),
+       idx AS (SELECT k, x,
+                 row_number() OVER (PARTITION BY k ORDER BY w) AS i
+               FROM grid),
+       n AS (SELECT k, max(i) AS n FROM idx GROUP BY k),
+       rec AS (
+         SELECT i1.k, CAST(1 AS BIGINT) AS i, i1.x AS l,
+           i2.x - i1.x AS b
+         FROM idx i1 JOIN idx i2 ON i1.k = i2.k AND i1.i = 1 AND i2.i = 2
+         UNION ALL
+         SELECT r.k, r.i + 1,
+           0.5*w.x + 0.5*(r.l + r.b),
+           0.5*((0.5*w.x + 0.5*(r.l + r.b)) - r.l) + 0.5*r.b
+         FROM rec r
+         JOIN idx w ON w.k = r.k AND w.i = r.i + 1
+         JOIN n ON n.k = r.k
+         WHERE r.i < n.n)
+       SELECT rec.k AS event_type, n.n AS n_weeks,
+         round(l, 4) AS level, round(b, 4) AS trend,
+         round(l + b, 4) AS forecast
+       FROM rec JOIN n ON rec.k = n.k
+       WHERE rec.i = n.n
+       ORDER BY event_type"""
+
   // --------------------------------------------------------------- q173
   /** Feature ranking by stump ([[graft.engine.Stump.featureRanking]]):
     * which lineitem column best predicts a return — the best
@@ -2060,6 +2105,7 @@ object Insights {
     "q171_source_overlap" -> (q171 _),
     "q172_rolling_corr" -> (q172 _),
     "q173_feature_ranking" -> (q173 _),
+    "q174_holt_forecast" -> (q174 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -2108,6 +2154,7 @@ object Insights {
     "q171_source_overlap" -> q171Sql,
     "q172_rolling_corr" -> q172Sql,
     "q173_feature_ranking" -> q173Sql,
+    "q174_holt_forecast" -> q174Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

@@ -89,6 +89,28 @@ class InsightsSpec extends SparkSpec {
     assert(rs.getLong(1) == 10L) // gap-filled span, not 2 observed days
   }
 
+  test("holtForecast extrapolates a linear weekly ramp exactly") {
+    // weekly volumes 1,2,3 → l=3, b=1, forecast 4 (hand-unrolled fold)
+    val ev = (Seq(1) ++ Seq(8, 9) ++ Seq(15, 16, 17))
+      .map(d => ("t", ts(d))).toDF("event_type", "ts")
+    val r = Series.holtForecast(ev, "event_type", "ts").collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 4.0)
+  }
+
+  test("holtForecast: silent weeks gap-fill; single-week series dropped") {
+    // weeks 0 and 2 active, week 1 silent → n_weeks = 3
+    val gap = Seq(("g", ts(1)), ("g", ts(16))).toDF("event_type", "ts")
+    assert(Series.holtForecast(gap, "event_type", "ts")
+      .collect()(0).getLong(1) == 3L)
+    val single = Seq(("s", ts(2))).toDF("event_type", "ts")
+    assert(Series.holtForecast(single, "event_type", "ts").isEmpty)
+    intercept[IllegalArgumentException] {
+      Series.holtForecast(gap, "event_type", "ts", alpha = 0.3)
+    }
+  }
+
   test("rollingCorrelation: perfectly coupled series hit +1, opposed -1") {
     // a = [1,2,3,4], b = 2a → r = 1 over any window
     val pos = (1 to 4).flatMap { d =>

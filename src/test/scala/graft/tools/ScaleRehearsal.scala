@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
   val Copies = 10
   val SrcDir = "/root/testdata/sf0.1"
-  val DstDir = "/tmp/graft_sf1"
+  val DstDir = "/tmp/graft_sf1_v2" // v2: lineitem now scales too
   val TopQueries = Seq("q127_containment", "q137_dedup_eval",
     "q118_triangle_count", "q37_dedup_simhash", "q116_rag_chunks",
     "q136_rfm_segmentation", "q92_pagerank", "q71_dedup_clusters",
-    "q128_negative_sample", "q38_ngram_jaccard")
+    "q128_negative_sample", "q38_ngram_jaccard",
+    // round-6 additions: the lineitem-graph family (now genuinely
+    // scaled — earlier rehearsals symlinked lineitem, so q118's old
+    // ratio measured overhead, not data) and the new heavy operators
+    "q161_bfs_hops", "q163_adamic_adar", "q173_feature_ranking",
+    "q152_repeated_passages", "q166_golden_record")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
@@ -64,8 +69,27 @@ object ScaleRehearsal {
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$DstDir/orders.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "lineitem", "embeddings")) {
+    // lineitem ×10: all three entity keys shifted per copy → 10
+    // disjoint co-occurrence subgraphs (q118/q161/q163 scale linearly
+    // by construction, the same contract as events)
+    val lineitem = spark.read.parquet(s"$SrcDir/lineitem.parquet")
+    copies.map { k =>
+      lineitem
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * stride))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * stride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * stride))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$DstDir/lineitem.parquet")
+
+    // customer ×10 (q166's entity-resolution input)
+    val customer = spark.read.parquet(s"$SrcDir/customer.parquet")
+    copies.map { k =>
+      customer.withColumn("c_custkey", col("c_custkey") + lit(k * stride))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$DstDir/customer.parquet")
+
+    for (t <- Seq("region", "nation", "supplier", "part",
+        "embeddings")) {
       val link = java.nio.file.Paths.get(s"$DstDir/$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
