@@ -1478,6 +1478,69 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q175
+  /** Rolling 7-day distinct users from daily HLL registers
+    * ([[Sketch.hllRegistersBy]] + [[Sketch.hllRollup]]): each day's
+    * 2^p-row register table contributes to the 7 window positions it
+    * covers (a bounded ×7 explode of SKETCH rows, never key rows),
+    * then one register-max merge per window end — "rolling uniques"
+    * at 100 TB without touching raw keys twice. Windows clipped to
+    * full coverage of the corpus span. */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").cast("string").as("k"),
+        to_date(col("ts")).as("day"))
+    val daily = Sketch.hllRegistersBy(ev, "k", "day", p = 8)
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val contrib = daily
+      .select(col("grp"), col("bucket"), col("mreg"),
+        explode(sequence(col("grp"), date_add(col("grp"), 6)))
+          .as("win_end"))
+      .crossJoin(broadcast(span))
+      .filter(col("win_end") <= col("d1") &&
+        col("win_end") >= date_add(col("d0"), 6))
+      .select(col("win_end"), col("bucket"), col("mreg"))
+    Sketch.hllRollup(contrib.withColumnRenamed("win_end", "grp"),
+        col("grp"), p = 8)
+      .withColumnRenamed("grp", "win_end")
+      .orderBy("win_end")
+  }
+
+  private val q175Sql =
+    """WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+           ::BIGINT AS h, CAST(ts AS DATE) AS day
+         FROM events),
+       span AS (SELECT min(day) AS d0, max(day) AS d1 FROM h),
+       drg AS (SELECT day, h % 256 AS bucket,
+                 max(CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END) AS mreg
+               FROM h GROUP BY day, bucket),
+       contrib AS (SELECT CAST(unnest(generate_series(day, day +
+                     INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE)
+                     AS win_end, bucket, mreg
+                   FROM drg),
+       wrg AS (SELECT win_end, bucket, max(mreg) AS mreg
+               FROM contrib, span
+               WHERE win_end <= d1 AND win_end >= d0 + INTERVAL 6 DAY
+               GROUP BY win_end, bucket),
+       a AS (SELECT win_end, count(*) AS used,
+               CAST(sum(1::BIGINT << CAST(53 - mreg AS INT)) AS BIGINT)
+                 AS sum_present
+             FROM wrg GROUP BY win_end),
+       st AS (SELECT win_end, used, 256 - used AS zeros,
+                sum_present + (256 - used) * (1::BIGINT << 53)
+                  AS sum_scaled
+              FROM a),
+       e AS (SELECT win_end, used, zeros, sum_scaled,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * 9007199254740992.0 / sum_scaled::DOUBLE AS raw
+             FROM st)
+       SELECT win_end, CAST(256 AS INT) AS m, used, zeros, sum_scaled,
+         round(CASE WHEN raw <= 640.0 AND zeros > 0
+                    THEN 256.0 * ln(256.0 / zeros::DOUBLE)
+                    ELSE raw END, 4) AS hll_estimate
+       FROM e ORDER BY win_end"""
+
   // --------------------------------------------------------------- q174
   /** Holt linear-trend forecast ([[Series.holtForecast]]): per-type
     * weekly volumes smoothed with level+trend (α = β = 1/2), next
@@ -2106,6 +2169,7 @@ object Insights {
     "q172_rolling_corr" -> (q172 _),
     "q173_feature_ranking" -> (q173 _),
     "q174_holt_forecast" -> (q174 _),
+    "q175_rolling_uniques" -> (q175 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -2155,6 +2219,7 @@ object Insights {
     "q172_rolling_corr" -> q172Sql,
     "q173_feature_ranking" -> q173Sql,
     "q174_holt_forecast" -> q174Sql,
+    "q175_rolling_uniques" -> q175Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,
