@@ -110,9 +110,12 @@ object Spans {
       .otherwise(transform(
         sequence(lit(1), size(ws) - lit(k - 1)),
         i => token60(array_join(slice(ws, i, lit(k)), " "))))
+    // the window-hash projection (k md5s per word) feeds BOTH the
+    // occurrence count and the flag join — hash once, not twice
     val wins = docs
       .select(col(idCol).as("id"), posexplode(winArr).as(Seq("p0", "wh")))
       .select(col("id"), (col("p0") + 1).as("pos"), col("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repSet = broadcast(
       wins.groupBy("wh").agg(count(lit(1)).as("occ"))
         .filter(col("occ") > maxOcc)
@@ -126,10 +129,11 @@ object Spans {
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("id", "grp")
       .agg(min("pos").as("s"), (max("pos") + lit(k - 1)).as("e"))
-    runs.groupBy("id")
+    val out = runs.groupBy("id")
       .agg(count(lit(1)).as("n_passages"),
         sum(col("e") - col("s") + 1).as("rep_words"),
         max(col("e") - col("s") + 1).cast("long").as("longest"))
       .withColumnRenamed("id", idCol)
+    Exec.owned(out, Seq(wins))
   }
 }
