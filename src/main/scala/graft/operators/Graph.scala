@@ -68,6 +68,54 @@ object Graph {
     Exec.owned(ranks, Seq(e, nodes, weighted))
   }
 
+  /** Personalized PageRank: [[pagerank]] with the teleport mass
+    * concentrated on a SOURCE set instead of spread uniformly —
+    * "importance as seen from these nodes", the standard seed-expansion
+    * / recommendation primitive (rank mass diffuses outward from the
+    * seeds through the damped walk). Ranks start AT the teleport
+    * distribution and each round applies
+    * `r' = (1−d)·p + d·W·r` with `p = 1/|S|` on sources, 0 elsewhere.
+    *
+    * Execution shape is pagerank's: edge weights folded once, per-round
+    * shuffle = the rank table, ranks quantized (9 dp) each round so the
+    * result is partition- and engine-independent. The teleport vector
+    * persists once (node-cardinality, referenced every round).
+    */
+  def personalizedPagerank(edges: DataFrame, sources: DataFrame,
+                           srcCol: String, damping: Double = 0.85,
+                           iters: Int = 2): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = Exec.widen(edges.select(col("src"), col("dst")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val weighted = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = sources.select(col(srcCol).as("node")).distinct()
+    val nS = srcs.count().toDouble
+    require(nS > 0, "source set must be non-empty")
+    val tele = nodes
+      .join(srcs.withColumn("t", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("t").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = tele.select(col("node"), round(col("p"), 9).as("rank"))
+    val ranks = (1 to iters).foldLeft(init) { (r, _) =>
+      val contrib = r.join(weighted, col("node") === col("src"))
+        .groupBy("dst").agg(sum(col("rank") * col("w")).as("mass"))
+      tele.join(contrib, tele("node") === col("dst"), "left")
+        .select(tele("node"),
+          round(lit(1 - damping) * col("p") +
+            lit(damping) * coalesce(col("mass"), lit(0.0)), 9).as("rank"))
+    }
+    Exec.owned(ranks, Seq(e, nodes, weighted, tele))
+  }
+
   /** Synchronous label propagation (community detection): `rounds`
     * sweeps where every node simultaneously adopts the most frequent
     * label among its NEIGHBORS' current labels, ties broken by the

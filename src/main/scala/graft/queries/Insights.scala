@@ -1478,6 +1478,69 @@ object Insights {
          AS avg_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q176
+  /** Personalized PageRank ([[Graph.personalizedPagerank]]): q92's
+    * customer–supplier bipartite graph seen from customers 1–5 —
+    * teleport mass on the seeds, two damped diffusion rounds, top 30.
+    * Same long-encoded nodes (2c / 2s+1) decoded at the edge. */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("cn"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("sn"))
+      .distinct()
+    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+    val seeds = Tables.orders(s, d).filter(col("o_custkey") < 6)
+      .select((col("o_custkey").cast("long") * 2).as("node"))
+    Graph.personalizedPagerank(edges, seeds, "node",
+        damping = 0.85, iters = 2)
+      .select(
+        when(pmod(col("node"), lit(2L)) === 0,
+          concat(lit("c"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(30)
+  }
+
+  private val q176Sql =
+    """WITH ed0 AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS cn,
+           's' || l_suppkey::VARCHAR AS sn
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       ed AS (SELECT cn AS src, sn AS dst FROM ed0
+              UNION ALL SELECT sn, cn FROM ed0),
+       nodes AS (SELECT src AS node FROM ed
+                 UNION SELECT dst FROM ed),
+       deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       wed AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.deg AS w
+               FROM ed e JOIN deg d USING (src)),
+       s AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS node
+             FROM orders WHERE o_custkey < 6),
+       ns AS (SELECT count(*)::DOUBLE AS n FROM s),
+       tele AS (SELECT nodes.node,
+                  CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n
+                       ELSE 0.0 END AS p
+                FROM nodes CROSS JOIN ns
+                LEFT JOIN s ON nodes.node = s.node),
+       r0 AS (SELECT node, round(p, 9) AS rank FROM tele),
+       r1 AS (SELECT t.node,
+                round((1 - 0.85) * t.p + 0.85 * coalesce(m.mass, 0), 9)
+                  AS rank
+              FROM tele t
+              LEFT JOIN (SELECT w.dst, sum(r.rank * w.w) AS mass
+                         FROM r0 r JOIN wed w ON r.node = w.src
+                         GROUP BY w.dst) m ON t.node = m.dst),
+       r2 AS (SELECT t.node,
+                round((1 - 0.85) * t.p + 0.85 * coalesce(m.mass, 0), 9)
+                  AS rank
+              FROM tele t
+              LEFT JOIN (SELECT w.dst, sum(r.rank * w.w) AS mass
+                         FROM r1 r JOIN wed w ON r.node = w.src
+                         GROUP BY w.dst) m ON t.node = m.dst)
+       SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 30"""
+
   // --------------------------------------------------------------- q175
   /** Rolling 7-day distinct users from daily HLL registers
     * ([[Sketch.hllRegistersBy]] + [[Sketch.hllRollup]]): each day's
@@ -2170,6 +2233,7 @@ object Insights {
     "q173_feature_ranking" -> (q173 _),
     "q174_holt_forecast" -> (q174 _),
     "q175_rolling_uniques" -> (q175 _),
+    "q176_personalized_pagerank" -> (q176 _),
     "q112_snm_linkage" -> (q112 _),
     "q113_retention_cohorts" -> (q113 _),
     "q114_rolling_anomaly" -> (q114 _),
@@ -2220,6 +2284,7 @@ object Insights {
     "q173_feature_ranking" -> q173Sql,
     "q174_holt_forecast" -> q174Sql,
     "q175_rolling_uniques" -> q175Sql,
+    "q176_personalized_pagerank" -> q176Sql,
     "q112_snm_linkage" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q114_rolling_anomaly" -> q114Sql,

@@ -114,6 +114,20 @@ class GraphLinalgSpec extends SparkSpec {
     assert(one == Map(2L -> 0, 1L -> 1))
   }
 
+  test("personalizedPagerank: mass diffuses from the seed on a 2-cycle") {
+    // a↔b, seed {a}: r0 = (1, 0); r1 = (0.15, 0.85);
+    // r2 = (0.15 + 0.85², 0.85·0.15) = (0.8725, 0.1275)
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = Graph.personalizedPagerank(edges, seeds, "node", iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") == 0.8725 && r("b") == 0.1275)
+    // zero rounds returns the teleport distribution itself
+    val r0 = Graph.personalizedPagerank(edges, seeds, "node", iters = 0)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r0 == Map("a" -> 1.0, "b" -> 0.0))
+  }
+
   test("adamicAdar: 4-cycle diagonals score 2/ln2; edges are excluded") {
     // square 1-2-3-4-1: the only non-edges are the diagonals (1,3) and
     // (2,4), each with two shared degree-2 neighbors
