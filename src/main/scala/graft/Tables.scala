@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -25,18 +25,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in the driver's parquet, which
-    * Spark has no native type for. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so it scans as a
-    * nanosecond Long; this loader truncates to microseconds (integer
-    * DIV — the values exceed double precision) exactly like DuckDB's
-    * ns→us conversion, so oracle comparisons agree.
+  /** `events.ts` has shipped in three parquet generations, and this
+    * loader normalizes all of them to a session-TZ TIMESTAMP:
+    *  - TIMESTAMP(NANOS): Spark has no native type; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` so it scans as a
+    *    nanosecond Long, truncated here to microseconds (integer DIV —
+    *    the values exceed double precision) exactly like DuckDB's
+    *    ns→us conversion.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as
+    *    TIMESTAMP_NTZ; every entry point runs with
+    *    `spark.sql.session.timeZone=UTC`, so the cast to TIMESTAMP is
+    *    value-exact and `unix_micros`/window arithmetic behave
+    *    identically to the legacy path.
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType, pass-through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -29,6 +29,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // error sentinel: leave an EMPTY result dir (no parquet) plus
+        // the exception text, so the driver's compare records an `err`
+        // row for this query instead of silently dropping it — a
+        // thrown query must never read as "absent" in CORRECTNESS
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir))
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR.txt"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case _: Throwable => () }
       }
       // operators persist reusable subplans; drop them between queries
       // so a 50-query run doesn't accumulate storage-memory pressure

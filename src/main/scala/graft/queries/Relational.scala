@@ -1277,32 +1277,36 @@ object Relational {
     * The engine maintains the aggregate from state + delta ONLY —
     * the oracle recomputes from scratch over the equivalent final
     * table, so the maintained state must equal a full recompute
-    * exactly (decimal sums; float accumulation order would diverge).
+    * exactly. The graded sum accumulates INTEGER CENTS
+    * (`round(price*100)` as long): a LONG sum is order-independent
+    * and engine-exact, where a per-row double→DECIMAL cast can land
+    * a cent apart between Spark (shortest-repr HALF_UP) and DuckDB
+    * (binary-value rounding) on `x.xx5`-boundary doubles.
     */
   private def q159(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
-      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
     val split = lit("1996-01-01").cast("date")
     val base = orders.filter(col("o_orderdate") < split)
     val prev = base.groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_rows"),
-        sum("price").as("val_sum"))
+        sum("cents").as("val_sum"))
     val delta = orders.filter(col("o_orderdate") >= split)
       .withColumn("op", lit("I"))
       .unionByName(base.filter(col("o_orderkey") % 7 === 3)
         .withColumn("op", lit("D")))
-      .select(col("o_orderpriority"), col("price"), col("op"))
+      .select(col("o_orderpriority"), col("cents"), col("op"))
     graft.operators.Merge.incrementalAgg(prev, delta,
-        keys = Seq("o_orderpriority"), valCol = "price", opCol = "op")
+        keys = Seq("o_orderpriority"), valCol = "cents", opCol = "op")
       .select(col("o_orderpriority"), col("n_rows"),
-        col("val_sum").cast("decimal(18,2)").as("price_sum"))
+        col("val_sum").as("price_cents"))
       .orderBy("o_orderpriority")
   }
 
   private val q159Sql =
     """SELECT o_orderpriority, count(*) AS n_rows,
-       CAST(sum(o_totalprice::DECIMAL(18,2)) AS DECIMAL(18,2))
-         AS price_sum
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
        FROM orders
        WHERE NOT (o_orderdate < DATE '1996-01-01' AND o_orderkey % 7 = 3)
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
@@ -1390,13 +1394,16 @@ object Relational {
         effectiveCol = "eff")
     val dim1 = apply1(dim0, batch1)
     val dim2 = apply1(dim1, batch2)
+    // graded balance column accumulates INTEGER CENTS: a LONG sum is
+    // order-independent and engine-exact, where round(sum(double),2)
+    // is summation-order-dependent and can land a cent apart in DuckDB
     dim2.groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_versions"),
         sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
-        sum(when(col("is_current"), col("bal"))).as("cur_bal_sum"),
+        sum(when(col("is_current"),
+          round(col("bal") * 100, 0).cast("long"))).as("cur_bal_cents"),
         sum("valid_from").as("from_sum"),
         sum(coalesce(col("valid_to"), lit(0L))).as("to_sum"))
-      .withColumn("cur_bal_sum", round(col("cur_bal_sum"), 2))
       .orderBy("c_mktsegment")
   }
 
@@ -1419,8 +1426,9 @@ object Relational {
                 UNION ALL SELECT * FROM v2)
        SELECT c_mktsegment, count(*) AS n_versions,
          sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
-         round(sum(CASE WHEN valid_to IS NULL THEN bal END), 2)
-           AS cur_bal_sum,
+         CAST(sum(CASE WHEN valid_to IS NULL
+                  THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+           AS cur_bal_cents,
          CAST(sum(valid_from) AS BIGINT) AS from_sum,
          CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS to_sum
        FROM allv GROUP BY c_mktsegment ORDER BY c_mktsegment"""
