@@ -271,11 +271,17 @@ object Graph {
     * Execution shape: the symmetrized edge table partitions once by
     * source endpoint and persists; each round joins ONLY the previous
     * FRONTIER (rows at dist = h−1, shrinking, never the accumulated
-    * table) against it, then folds new reaches in with a min-dist
-    * aggregation keyed by node — per-round shuffle is frontier +
-    * distance table, never edges. Exactly `hops` rounds: bounded work,
-    * no convergence test (the k-hop question is the bounded one; full
-    * SSSP is [[connectedComponents]]-style iteration to fixpoint).
+    * table) against it, dedups candidate reaches (a frontier-sized
+    * aggregation), then ANTI-JOINS them against the known distance
+    * table — a node's first discovery hop IS its shortest distance, so
+    * no re-aggregation of the accumulated table ever happens; the
+    * accumulated result only grows by lazy union. Per-round shuffle is
+    * frontier + one anti-join probe, never edges, and `localCheckpoint`
+    * every few hops truncates the union/join lineage so deep BFS
+    * doesn't re-execute prior rounds (the [[labelPropagation]]
+    * discipline). Exactly `hops` rounds: bounded work, no convergence
+    * test (the k-hop question is the bounded one; full SSSP is
+    * [[connectedComponents]]-style iteration to fixpoint).
     * Deterministic by construction — distances are pure min-plus
     * functions of the graph, no tie-breaks needed.
     */
@@ -294,9 +300,11 @@ object Graph {
       val frontier = acc.filter(col("dist") === h - 1)
       val reached = frontier
         .join(und, frontier("node") === und("s"))
-        .select(col("d").as("node"), lit(h).as("dist"))
-      acc.unionByName(reached)
-        .groupBy("node").agg(min("dist").as("dist"))
+        .select(col("d").as("node")).distinct()
+        .join(acc, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+      val next = acc.unionByName(reached)
+      if (h % 3 == 0 && h < hops) next.localCheckpoint() else next
     }
     Exec.owned(dist, Seq(und))
   }

@@ -376,17 +376,30 @@ object Insights {
     * expansion must produce exactly the oracle's unrolled min-dist
     * closure. */
   private def q161(s: SparkSession, d: String): DataFrame = {
+    // build the co-occurrence graph ONCE: co-partition lineitem by
+    // order key so the wedge self-join reuses one exchange (hash(ok)
+    // satisfies the (ok,pk) dedup's clustering too — no extra shuffle),
+    // and persist the thresholded edges because BOTH the source pick
+    // and the BFS consume them (unpersisted, the wedge join would run
+    // twice)
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .repartition(col("ok"))
+      .dropDuplicates("ok", "pk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val src = edges.agg(min(col("a")).as("node"))
-    Graph.bfsHops(edges, "a", "b", src, "node", hops = 3)
-      .groupBy("dist")
+    // bfsHops materializes its result (Exec.owned) before returning,
+    // so the builder caches can be released immediately after
+    val dist = Graph.bfsHops(edges, "a", "b", src, "node", hops = 3)
+    li.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    dist.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
         max("node").as("max_node"))
       .orderBy("dist")
@@ -2216,9 +2229,70 @@ object Insights {
          round(w2, 6) AS w2, round(ok::DOUBLE / n::DOUBLE, 4) AS train_acc
        FROM fin"""
 
+  // --------------------------------------------------------------- q177
+  /** STREAMING distinct-count monitor, oracle-graded (SURVEY §2.10):
+    * the events table replayed as a FILE STREAM through
+    * [[Sketch.hllRegisters]] as a streaming aggregation (complete
+    * mode — state bounded at 2^p register rows no matter how many
+    * events stream past), sunk via `foreachBatch` into an idempotent
+    * parquet overwrite: the production "live distinct-users gauge"
+    * loop. Grading: (a) the FINAL streamed register table must equal
+    * the batch sketch over the same rows register-for-register (HLL
+    * merge is exact, so streamed max-fold ≡ batch max — the
+    * StreamingSpec equality run as a driver-checked query); (b) the
+    * estimate read off it must land within the 3σ=3·1.04/√m error
+    * contract of the true distinct count, which DuckDB recomputes
+    * exactly. */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val p = 10
+    val batchEvents = Tables.events(s, d)
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_hll").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_hll_ckpt").toString
+    // FileStreamSource requires a DIRECTORY: stream the sf dir with a
+    // glob filter so only the events file is picked up
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val regs = Sketch.hllRegisters(
+      stream.select(col("user_id").cast("string").as("k")), "k", p)
+    val q = regs.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = s.read.parquet(outDir)
+    val batchRegs = Sketch.hllRegisters(
+      batchEvents.select(col("user_id").cast("string").as("k")), "k", p)
+    val nMismatch = streamed.join(batchRegs, Seq("bucket"), "full_outer")
+      .filter(streamed("mreg").isNull || batchRegs("mreg").isNull ||
+        streamed("mreg") =!= batchRegs("mreg"))
+      .count()
+    val est = Sketch.hllRollup(streamed.withColumn("g", lit(1)),
+        col("g"), p)
+      .select(col("hll_estimate"))
+    batchEvents.agg(countDistinct(col("user_id")).as("n_exact"))
+      .crossJoin(broadcast(est))
+      .select(col("n_exact"),
+        lit(nMismatch == 0L).as("stream_eq_batch"),
+        (abs(col("hll_estimate") - col("n_exact")) / col("n_exact") <=
+          lit(3.0 * 1.04 / math.sqrt((1 << p).toDouble)))
+          .as("within_bounds"))
+  }
+
+  private val q177Sql =
+    """SELECT count(DISTINCT user_id) AS n_exact,
+       TRUE AS stream_eq_batch, TRUE AS within_bounds
+       FROM events"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q177_streaming_hll" -> (q177 _),
     "q162_logreg_gd" -> (q162 _),
     "q163_adamic_adar" -> (q163 _),
     "q164_decision_stump" -> (q164 _),
@@ -2270,6 +2344,7 @@ object Insights {
     "q141_source_report" -> (q141 _))
 
   val oracles: Map[String, String] = Map(
+    "q177_streaming_hll" -> q177Sql,
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,
     "q164_decision_stump" -> q164Sql,

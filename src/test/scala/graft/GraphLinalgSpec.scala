@@ -114,6 +114,20 @@ class GraphLinalgSpec extends SparkSpec {
     assert(one == Map(2L -> 0, 1L -> 1))
   }
 
+  test("bfsHops: deep chain crosses localCheckpoint boundaries; cycles don't regress") {
+    // 12-node chain 1-2-…-12 driven 10 hops (checkpoints land at h=3,6,9)
+    // plus a 3-cycle 1-2, 2-20, 20-1: re-reaching an already-known node
+    // via a longer path must be anti-joined away, never re-aggregated
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((2L, 20L), (20L, 1L))).toDF("a", "b")
+    val src = Seq(1L).toDF("node")
+    val got = graft.operators.Graph
+      .bfsHops(edges, "a", "b", src, "node", hops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = (1L to 11L).map(i => i -> (i - 1).toInt).toMap + (20L -> 1)
+    assert(got == want)
+  }
+
   test("personalizedPagerank: mass diffuses from the seed on a 2-cycle") {
     // a↔b, seed {a}: r0 = (1, 0); r1 = (0.15, 0.85);
     // r2 = (0.15 + 0.85², 0.85·0.15) = (0.8725, 0.1275)
