@@ -116,6 +116,55 @@ object Graph {
     Exec.owned(ranks, Seq(e, nodes, weighted, tele))
   }
 
+  /** HITS (hubs & authorities) over a directed/bipartite edge table
+    * `(a → b)`: `iters` rounds of the mutual-reinforcement recurrence —
+    * `auth(b) = Σ_edges hub(a)`, `hub(a) = Σ_edges auth(b)` — each
+    * half-step L1-normalized (Kleinberg's formulation uses L2; L1 keeps
+    * every score a probability-like mass whose oracle replay needs no
+    * sqrt) and QUANTIZED to 9 decimals (shared rounding kernel): like
+    * [[pagerank]], the result is a pure function of the graph,
+    * independent of partitioning, join order, or engine.
+    *
+    * Execution shape per iteration: the edge table persists ONCE,
+    * hash-partitioned on the hub endpoint; each half-round joins the
+    * (node-cardinality) score table against it and aggregates on the
+    * opposite endpoint — per-round shuffle is scores, never edges. The
+    * L1 total is a one-row aggregate broadcast back onto the scores.
+    * Returns `(node, side, score)` with side ∈ ('hub', 'auth'); the
+    * two endpoint columns must share a data type (hub and auth score
+    * tables union into the one result frame).
+    */
+  def hits(edges: DataFrame, aCol: String, bCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = Exec.widen(
+        edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct(), "a")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs0 = e.select(col("a").as("node")).distinct()
+    val nHubs = hubs0.count().toDouble // materializes the edge cache too
+    def l1norm(scores: DataFrame): DataFrame = {
+      val total = scores.agg(sum("score").as("tot"))
+      scores.crossJoin(broadcast(total))
+        .select(col("node"), round(col("score") / col("tot"), 9).as("score"))
+    }
+    val init = hubs0.withColumn("score", round(lit(1.0 / nHubs), 9))
+    val (hub, auth) = (1 to iters).foldLeft(
+        (init, init.limit(0))) { case ((h, _), _) =>
+      val authRaw = h.join(e, col("node") === col("a"))
+        .groupBy(col("b")).agg(sum("score").as("score"))
+        .select(col("b").as("node"), col("score"))
+      val a2 = l1norm(authRaw)
+      val hubRaw = a2.join(e, col("node") === col("b"))
+        .groupBy(col("a")).agg(sum("score").as("score"))
+        .select(col("a").as("node"), col("score"))
+      (l1norm(hubRaw), a2)
+    }
+    val out = hub.withColumn("side", lit("hub"))
+      .unionByName(auth.withColumn("side", lit("auth")))
+      .select(col("node"), col("side"), col("score"))
+    Exec.owned(out, Seq(e))
+  }
+
   /** Synchronous label propagation (community detection): `rounds`
     * sweeps where every node simultaneously adopts the most frequent
     * label among its NEIGHBORS' current labels, ties broken by the

@@ -2229,6 +2229,148 @@ object Insights {
          round(w2, 6) AS w2, round(ok::DOUBLE / n::DOUBLE, 4) AS train_acc
        FROM fin"""
 
+  // --------------------------------------------------------------- q178
+  /** HITS hubs & authorities ([[Graph.hits]]) on the customer→part
+    * purchase bipartite graph (distinct (custkey, partkey) pairs via
+    * orders⋈lineitem): 2 mutual-reinforcement rounds, each half-step
+    * L1-normalized and 9-dp quantized, so the oracle unrolls the exact
+    * recurrence CTE by CTE. Top 15 per side by (score, node) — the
+    * "which catalog items anchor the heavy buyers" ranking. */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    val scored = Graph.hits(edges, "cust", "part", iters = 2)
+    val w = Window.partitionBy("side")
+      .orderBy(col("score").desc, col("node"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+      .select("side", "rn", "node", "score")
+      .orderBy("side", "rn")
+  }
+
+  private val q178Sql =
+    """WITH e AS (SELECT DISTINCT o.o_custkey AS a, l.l_partkey AS b
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       h0 AS (SELECT a AS node,
+              round(1.0 / (SELECT count(DISTINCT a) FROM e), 9) AS score
+              FROM (SELECT DISTINCT a FROM e)),
+       a1r AS (SELECT e.b AS node, sum(h.score) AS score
+               FROM e JOIN h0 h ON e.a = h.node GROUP BY e.b),
+       a1 AS (SELECT node,
+              round(score / (SELECT sum(score) FROM a1r), 9) AS score
+              FROM a1r),
+       h1r AS (SELECT e.a AS node, sum(x.score) AS score
+               FROM e JOIN a1 x ON e.b = x.node GROUP BY e.a),
+       h1 AS (SELECT node,
+              round(score / (SELECT sum(score) FROM h1r), 9) AS score
+              FROM h1r),
+       a2r AS (SELECT e.b AS node, sum(h.score) AS score
+               FROM e JOIN h1 h ON e.a = h.node GROUP BY e.b),
+       a2 AS (SELECT node,
+              round(score / (SELECT sum(score) FROM a2r), 9) AS score
+              FROM a2r),
+       h2r AS (SELECT e.a AS node, sum(x.score) AS score
+               FROM e JOIN a2 x ON e.b = x.node GROUP BY e.a),
+       h2 AS (SELECT node,
+              round(score / (SELECT sum(score) FROM h2r), 9) AS score
+              FROM h2r),
+       scored AS (SELECT 'hub' AS side, node, score FROM h2
+                  UNION ALL SELECT 'auth' AS side, node, score FROM a2),
+       ranked AS (SELECT side, node, score,
+                  row_number() OVER (PARTITION BY side
+                    ORDER BY score DESC, node) AS rn
+                  FROM scored)
+       SELECT side, rn, node, score FROM ranked
+       WHERE rn <= 15 ORDER BY side, rn"""
+
+  // --------------------------------------------------------------- q179
+  /** Last-touch attribution ([[graft.operators.AsOf.asofJoin]] as the
+    * kernel): every purchase attributes to the user's most recent click
+    * at-or-before it within a 7-day lookback — the marketing-pipeline
+    * question "which conversions did a click precede". The as-of shape
+    * (union → one sort per user → running max-struct window) is the
+    * plan that survives 100 TB of events; a range join here would plan
+    * a per-key nested loop. Daily rollup grades attribution counts and
+    * integer-cent revenue splits. */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tolUs = 7L * 24L * 3600L * 1000000L
+    val attributed = graft.operators.AsOf
+      .asofJoin(purchases, clicks, "user_id", "ts", "event_id", tolUs)
+      .select(col("left_id").as("event_id"), lit(1L).as("attr"))
+    val cents = round(col("value") * 100, 0).cast("long")
+    purchases.join(attributed, Seq("event_id"), "left")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(coalesce(col("attr"), lit(0L))).as("n_attributed"),
+        sum(cents).as("value_cents"),
+        sum(when(col("attr") === 1L, cents).otherwise(0L))
+          .as("attr_value_cents"))
+      .orderBy("day")
+  }
+
+  private val q179Sql =
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+       a AS (SELECT p.event_id,
+               (SELECT max(c.ts) FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts
+                   AND c.ts >= p.ts - INTERVAL 7 DAY) AS click_ts
+             FROM p)
+       SELECT CAST(p.ts AS DATE) AS day, count(*) AS n_purchases,
+         CAST(sum(CASE WHEN a.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_attributed,
+         CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         CAST(sum(CASE WHEN a.click_ts IS NOT NULL
+              THEN CAST(round(p.value * 100) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS attr_value_cents
+       FROM p JOIN a ON p.event_id = a.event_id
+       GROUP BY day ORDER BY day"""
+
+  // --------------------------------------------------------------- q180
+  /** Sketch-algebra set intersection: distinct users doing BOTH click
+    * and purchase, estimated by HLL inclusion-exclusion
+    * (|A∩B| ≈ Ê(A) + Ê(B) − Ê(A∪B)) — at 100 TB each side keeps only
+    * its 2^p-register table and the intersection costs three register
+    * merges, never a shuffle of raw keys. Graded q45/q133-style: the
+    * oracle recomputes the EXACT intersection and the estimate must
+    * land within the summed 3σ=3·1.04/√m contract (inclusion-exclusion
+    * compounds the three estimates' errors additively). */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = 12
+    val ev = Tables.events(s, d)
+    def keys(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").cast("string").as("k"))
+    val a = keys("click")
+    val b = keys("purchase")
+    def est(df: DataFrame): Double = Sketch.hllRollup(
+        Sketch.hllRegisters(df, "k", p).withColumn("g", lit(1)),
+        col("g"), p)
+      .select(col("hll_estimate")).head().getDouble(0)
+    val (eA, eB, eU) = (est(a), est(b), est(a.unionByName(b)))
+    val inter = eA + eB - eU
+    val bound = 3.0 * 1.04 / math.sqrt((1 << p).toDouble) * (eA + eB + eU)
+    val exact = a.intersect(b).count()
+    Seq((exact, math.abs(inter - exact) <= bound))
+      .toDF("n_exact", "within_bounds")
+  }
+
+  private val q180Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS within_bounds
+       FROM (SELECT user_id FROM events WHERE event_type = 'click'
+             INTERSECT
+             SELECT user_id FROM events WHERE event_type = 'purchase')"""
+
   // --------------------------------------------------------------- q177
   /** STREAMING distinct-count monitor, oracle-graded (SURVEY §2.10):
     * the events table replayed as a FILE STREAM through
@@ -2293,6 +2435,9 @@ object Insights {
 
   val queries: Map[String, Q] = Map(
     "q177_streaming_hll" -> (q177 _),
+    "q178_hits" -> (q178 _),
+    "q179_attribution" -> (q179 _),
+    "q180_hll_intersection" -> (q180 _),
     "q162_logreg_gd" -> (q162 _),
     "q163_adamic_adar" -> (q163 _),
     "q164_decision_stump" -> (q164 _),
@@ -2345,6 +2490,9 @@ object Insights {
 
   val oracles: Map[String, String] = Map(
     "q177_streaming_hll" -> q177Sql,
+    "q178_hits" -> q178Sql,
+    "q179_attribution" -> q179Sql,
+    "q180_hll_intersection" -> q180Sql,
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,
     "q164_decision_stump" -> q164Sql,

@@ -128,6 +128,24 @@ class GraphLinalgSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hits: L1-normalized sides, mutual reinforcement ranks the heavy hub first") {
+    // hub 1 touches {10,11,12}, hub 2 touches {10}: 10 is the strongest
+    // authority (both hubs), 1 the strongest hub (most authorities);
+    // endpoint columns must share a type (the hub/auth score tables
+    // union into one frame)
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("c", "p")
+    val r = Graph.hits(edges, "c", "p", iters = 2)
+      .collect().map(x => (x.getString(1), x.getLong(0)) -> x.getDouble(2))
+      .toMap
+    val hubSum = r.collect { case (("hub", _), v) => v }.sum
+    val authSum = r.collect { case (("auth", _), v) => v }.sum
+    assert(math.abs(hubSum - 1.0) < 1e-6 && math.abs(authSum - 1.0) < 1e-6)
+    assert(r(("hub", 1L)) > r(("hub", 2L)))
+    assert(r(("auth", 10L)) > r(("auth", 11L)))
+    assert(r(("auth", 11L)) == r(("auth", 12L))) // symmetric authorities tie
+  }
+
   test("personalizedPagerank: mass diffuses from the seed on a 2-cycle") {
     // a↔b, seed {a}: r0 = (1, 0); r1 = (0.15, 0.85);
     // r2 = (0.15 + 0.85², 0.85·0.15) = (0.8725, 0.1275)
