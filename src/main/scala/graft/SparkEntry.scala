@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, Curation, Insights, Pipeline, Relational,
-  Scale}
+  Scale, Signals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Pipeline.queries ++ Curation.queries ++
-      Scale.queries ++ Analytics.queries ++ Insights.queries
+      Scale.queries ++ Analytics.queries ++ Insights.queries ++
+      Signals.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -30,5 +31,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Pipeline.oracles ++ Curation.oracles ++
-      Scale.oracles ++ Analytics.oracles ++ Insights.oracles
+      Scale.oracles ++ Analytics.oracles ++ Insights.oracles ++
+      Signals.oracles
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Time-series regularization — turning an irregular event stream into
   * the dense, gap-filled grid every downstream window/forecast/feature
@@ -384,6 +385,83 @@ object Series {
       graft.functions.Rounding.roundTo(col("st.b"), 4).as("trend"),
       graft.functions.Rounding.roundTo(col("st.l") + col("st.b"), 4)
         .as("forecast"))
+  }
+
+  /** Holt-Winters by DECOMPOSITION: additive day-of-week seasonality
+    * handled as a closed-form pre-pass (per-dow mean minus overall
+    * mean, 6-dp quantized), then [[holtForecast]]'s level+trend fold
+    * over the DESEASONALIZED daily series, and the next day's forecast
+    * re-seasonalized with its dow index. Decompose-then-forecast
+    * avoids carrying a 7-slot seasonal vector through the recurrence —
+    * the seasonal fit is one aggregation, the recurrence stays the
+    * proven 2-state fold, and a recursive-CTE oracle replays the whole
+    * pipeline bit-for-bit (seasonal indices are ratios of exact
+    * integer sums quantized identically in both engines; the fold is
+    * exact-halving IEEE on identical inputs).
+    *
+    * Returns `(event_type, n_days, level, trend, s_next, forecast)`
+    * with forecast = level + trend + s_next (4 dp).
+    */
+  def holtWintersDaily(events: DataFrame, typeCol: String, tsCol: String,
+                       alpha: Double = 0.5, beta: Double = 0.5): DataFrame = {
+    def pow2(v: Double) = v > 0 && v <= 1 &&
+      (java.lang.Double.doubleToLongBits(v) & ((1L << 52) - 1)) == 0
+    require(pow2(alpha) && pow2(beta),
+      "alpha/beta must be powers of two for exact cross-engine folds")
+    val epochDay = datediff(to_date(col(tsCol)),
+      lit("1990-01-01").cast("date")).cast("long")
+    val obs = events.select(col(typeCol).as("k"), epochDay.as("t"))
+      .groupBy("k", "t").agg(count(lit(1)).as("cnt"))
+    val span = obs.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grid = obs.select("k").distinct()
+      .crossJoin(broadcast(span.select(
+        explode(sequence(col("t0"), col("t1"))).as("t"))))
+      .join(obs, Seq("k", "t"), "left")
+      .select(col("k"), col("t"), pmod(col("t"), lit(7L)).as("dow"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // additive seasonal index per (series, dow): integer-exact sums,
+    // one quantized division — identical doubles in any engine
+    val seas = grid.groupBy("k", "dow")
+      .agg(sum("x").as("sx"), count(lit(1)).as("nx"))
+      .join(grid.groupBy("k").agg(sum("x").as("so"),
+        count(lit(1)).as("no")), "k")
+      .select(col("k"), col("dow"),
+        graft.functions.Rounding.roundTo(
+          col("sx") / col("nx") - col("so") / col("no"), 6).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val series = grid.join(seas, Seq("k", "dow"))
+      .select(col("k"), col("t"), (col("x") - col("s")).as("x"))
+      .groupBy("k")
+      .agg(transform(array_sort(collect_list(struct(col("t"), col("x")))),
+        s => s.getField("x")).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    val (a, b) = (lit(alpha), lit(beta))
+    val folded = series.select(col("k"),
+      size(col("xs")).cast("long").as("n_days"),
+      aggregate(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        struct(element_at(col("xs"), 1).as("l"),
+          (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b")),
+        (acc, x) => {
+          val l2 = a * x +
+            (lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+          struct(l2.as("l"),
+            (b * (l2 - acc.getField("l")) +
+              (lit(1.0) - b) * acc.getField("b")).as("b"))
+        }).as("st"))
+    val out = folded
+      .crossJoin(broadcast(span.select(
+        pmod(col("t1") + 1, lit(7L)).as("dow"))))
+      .join(seas.withColumnRenamed("s", "s_next"), Seq("k", "dow"))
+      .select(col("k").as("event_type"), col("n_days"),
+        graft.functions.Rounding.roundTo(col("st.l"), 4).as("level"),
+        graft.functions.Rounding.roundTo(col("st.b"), 4).as("trend"),
+        col("s_next"),
+        graft.functions.Rounding.roundTo(
+          col("st.l") + col("st.b") + col("s_next"), 4).as("forecast"))
+    Exec.owned(out, Seq(span, grid, seas))
   }
 
   def dailyGapFill(events: DataFrame, keyCol: String,

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Series
+
+/** Round-7 signal-engineering operators: seasonal forecasting by
+  * decomposition, weight-of-evidence feature binning, referential-
+  * integrity auditing, and Matryoshka embedding-truncation quality.
+  * Oracle discipline matches [[Insights]]: shared rounding kernel,
+  * integer-exact graded sums, total-order ranks.
+  */
+object Signals {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------- q181
+  /** Holt-Winters by decomposition ([[Series.holtWintersDaily]]):
+    * per-type DAILY volumes split into a closed-form day-of-week
+    * additive seasonal index plus the proven level+trend fold over the
+    * deseasonalized series; tomorrow's forecast re-seasonalizes with
+    * its dow. The oracle replays seasonal fit AND recurrence (recursive
+    * CTE) bit-for-bit. */
+  private def q181(s: SparkSession, d: String): DataFrame =
+    Series.holtWintersDaily(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
+  private val q181Sql =
+    """WITH RECURSIVE obs AS (SELECT event_type AS k,
+           CAST(datediff('day', DATE '1990-01-01', CAST(ts AS DATE))
+             AS BIGINT) AS t,
+           count(*) AS cnt
+         FROM events GROUP BY k, t),
+       span AS (SELECT min(t) AS t0, max(t) AS t1 FROM obs),
+       grid AS (SELECT ks.k, ds.t, ds.t % 7 AS dow,
+                coalesce(obs.cnt, 0)::DOUBLE AS x
+                FROM (SELECT DISTINCT k FROM obs) ks
+                CROSS JOIN (SELECT unnest(generate_series(t0, t1)) AS t
+                            FROM span) ds
+                LEFT JOIN obs ON obs.k = ks.k AND obs.t = ds.t),
+       seas AS (SELECT g.k, g.dow,
+                round(sum(g.x) / count(*) -
+                  (SELECT sum(x) FROM grid g2 WHERE g2.k = g.k) /
+                  (SELECT count(*) FROM grid g2 WHERE g2.k = g.k),
+                  6) AS s
+                FROM grid g GROUP BY g.k, g.dow),
+       des AS (SELECT grid.k, grid.t, grid.x - seas.s AS x
+               FROM grid JOIN seas
+                 ON grid.k = seas.k AND grid.dow = seas.dow),
+       idx AS (SELECT k, x,
+                 row_number() OVER (PARTITION BY k ORDER BY t) AS i
+               FROM des),
+       n AS (SELECT k, max(i) AS n FROM idx GROUP BY k),
+       rec AS (
+         SELECT i1.k, CAST(1 AS BIGINT) AS i, i1.x AS l,
+           i2.x - i1.x AS b
+         FROM idx i1 JOIN idx i2 ON i1.k = i2.k AND i1.i = 1 AND i2.i = 2
+         UNION ALL
+         SELECT r.k, r.i + 1,
+           0.5*w.x + 0.5*(r.l + r.b),
+           0.5*((0.5*w.x + 0.5*(r.l + r.b)) - r.l) + 0.5*r.b
+         FROM rec r
+         JOIN idx w ON w.k = r.k AND w.i = r.i + 1
+         JOIN n ON n.k = r.k
+         WHERE r.i < n.n),
+       nxt AS (SELECT (t1 + 1) % 7 AS dow FROM span)
+       SELECT rec.k AS event_type, n.n AS n_days,
+         round(l, 4) AS level, round(b, 4) AS trend,
+         seas.s AS s_next,
+         round(l + b + seas.s, 4) AS forecast
+       FROM rec JOIN n ON rec.k = n.k
+       JOIN nxt ON TRUE
+       JOIN seas ON seas.k = rec.k AND seas.dow = nxt.dow
+       WHERE rec.i = n.n
+       ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q182
+  /** Weight-of-evidence / information-value feature binning: exact
+    * interpolated decile boundaries (the q135 `percentile` ↔
+    * `quantile_cont` contract) broadcast back onto the corpus — never
+    * a global ntile window, which would funnel 100 TB through one
+    * partition — then per-bin WOE = ln((pos_i/pos)/(neg_i/neg)) and
+    * its IV contribution from integer-exact class counts. The credit-
+    * scoring / feature-audit primitive: which price deciles separate
+    * returned lineitems. */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_extendedprice").as("x"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = li.agg(percentile(col("x"),
+      lit(qs.toArray)).as("bs"))
+    val binned = li.crossJoin(broadcast(bounds))
+      .select(col("y"), (lit(1) + aggregate(col("bs"), lit(0),
+        (acc, bv) => acc + when(col("x") > bv, 1).otherwise(0)))
+        .as("bin"))
+    val agg = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"),
+        (count(lit(1)) - sum("y")).as("neg"))
+    val tot = agg.agg(sum("pos").as("pt"), sum("neg").as("nt"))
+    val lnOdds = log((col("pos") * col("nt")).cast("double") /
+      (col("neg") * col("pt")).cast("double"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"), col("neg"),
+        when(col("pos") > 0 && col("neg") > 0, round(lnOdds, 6))
+          .as("woe"),
+        when(col("pos") > 0 && col("neg") > 0,
+          round((col("pos").cast("double") / col("pt") -
+            col("neg").cast("double") / col("nt")) * lnOdds, 6))
+          .as("iv"))
+      .orderBy("bin")
+  }
+
+  private val q182Sql =
+    """WITH li AS (SELECT l_extendedprice AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem),
+       b AS (SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS bs FROM li),
+       binned AS (SELECT li.y,
+           1 + len(list_filter(b.bs, e -> li.x > e)) AS bin
+         FROM li, b),
+       agg AS (SELECT bin, count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS neg
+               FROM binned GROUP BY bin),
+       tot AS (SELECT CAST(sum(pos) AS BIGINT) AS pt,
+                 CAST(sum(neg) AS BIGINT) AS nt FROM agg)
+       SELECT CAST(bin AS INT) AS bin, n, pos, neg,
+         CASE WHEN pos > 0 AND neg > 0 THEN
+           round(ln((pos * nt)::DOUBLE / (neg * pt)::DOUBLE), 6) END
+           AS woe,
+         CASE WHEN pos > 0 AND neg > 0 THEN
+           round((pos::DOUBLE / pt - neg::DOUBLE / nt) *
+             ln((pos * nt)::DOUBLE / (neg * pt)::DOUBLE), 6) END
+           AS iv
+       FROM agg, tot ORDER BY bin"""
+
+  // --------------------------------------------------------------- q183
+  /** Referential-integrity audit: every declared FK relationship in
+    * the star schema checked in one pass per edge — row count, orphan
+    * count (child key with no parent, anti-join semantics), null-key
+    * count. Parent key sets are deduped before the probe; at 100 TB
+    * each audit is one shuffle (or a broadcast when the parent is a
+    * dimension), never a driver-side scan. The "can I trust my joins"
+    * pre-flight. */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("hit").isNull && col("k").isNotNull, 1L)
+            .otherwise(0L)).as("n_orphans"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+          col("n_null_keys"))
+    val li = Tables.lineitem(s, d)
+    val od = Tables.orders(s, d)
+    rel("customer.c_nationkey->nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey")
+      .unionByName(rel("lineitem.l_orderkey->orders", li,
+        "l_orderkey", od, "o_orderkey"))
+      .unionByName(rel("lineitem.l_partkey->part", li,
+        "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionByName(rel("nation.n_regionkey->region", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey"))
+      .unionByName(rel("orders.o_custkey->customer", od,
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .unionByName(rel("supplier.s_nationkey->nation", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .orderBy("fk")
+  }
+
+  private val q183Sql =
+    """WITH audits(fk, n_rows, n_orphans, n_null_keys) AS (
+         SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM nation n
+                             WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)
+         UNION ALL
+         SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+         UNION ALL
+         SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM part p
+                             WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)
+         UNION ALL
+         SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM region r
+                             WHERE r.r_regionkey = n.n_regionkey)),
+           (SELECT count(*) FROM nation WHERE n_regionkey IS NULL)
+         UNION ALL
+         SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+         UNION ALL
+         SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM nation n
+                             WHERE n.n_nationkey = s.s_nationkey)),
+           (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL))
+       SELECT fk, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(n_orphans AS BIGINT) AS n_orphans,
+         CAST(n_null_keys AS BIGINT) AS n_null_keys
+       FROM audits ORDER BY fk"""
+
+  // --------------------------------------------------------------- q184
+  /** Matryoshka truncation quality: how much neighbor geometry
+    * survives keeping only the first k of 64 embedding dims —
+    * per-pair |Δcosine| between the full vector and its k-prefix over
+    * the deterministic (vec_id, vec_id+1) probe pairs, for
+    * k ∈ {8,16,32}. Graded integer-exact: each |Δ| is quantized to
+    * micro-units (×10⁶, the shared rounding kernel) and SUMMED AS A
+    * LONG, so the average is order-independent; max is inherently
+    * order-free. The "can I ship the 8-dim index" report. */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def cos(x: Column, y: Column): Column =
+      VectorFunctions.dot(x, y) /
+        (VectorFunctions.norm(x) * VectorFunctions.norm(y))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    def qdelta(k: Int): Column =
+      round(abs(cos(slice(col("ea"), 1, k), slice(col("eb"), 1, k)) -
+        cos(col("ea"), col("eb"))) * 1e6, 0).cast("long")
+    val one = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(qdelta(8)).as("s8"), max(qdelta(8)).as("m8"),
+      sum(qdelta(16)).as("s16"), max(qdelta(16)).as("m16"),
+      sum(qdelta(32)).as("s32"), max(qdelta(32)).as("m32"))
+    def row(k: Int, sc: String, mc: String): DataFrame =
+      one.select(lit(k).as("k"), col("n_pairs"),
+        col(sc).as("sum_microdelta"),
+        round(col(sc).cast("double") / col("n_pairs") / 1e6, 6)
+          .as("avg_delta"),
+        round(col(mc).cast("double") / 1e6, 6).as("max_delta"))
+    row(8, "s8", "m8").unionByName(row(16, "s16", "m16"))
+      .unionByName(row(32, "s32", "m32"))
+      .orderBy("k")
+  }
+
+  private val q184Sql =
+    """WITH pairs AS (SELECT a.embedding AS ea, b.embedding AS eb
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id + 1 = b.vec_id),
+       d AS (SELECT
+           CAST(round(abs(
+             list_dot_product((ea[1:8])::DOUBLE[], (eb[1:8])::DOUBLE[])
+             / (sqrt(list_dot_product((ea[1:8])::DOUBLE[], (ea[1:8])::DOUBLE[]))
+                * sqrt(list_dot_product((eb[1:8])::DOUBLE[], (eb[1:8])::DOUBLE[])))
+             - list_dot_product(ea::DOUBLE[], eb::DOUBLE[])
+             / (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[]))
+                * sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[])))
+           ) * 1e6) AS BIGINT) AS q8,
+           CAST(round(abs(
+             list_dot_product((ea[1:16])::DOUBLE[], (eb[1:16])::DOUBLE[])
+             / (sqrt(list_dot_product((ea[1:16])::DOUBLE[], (ea[1:16])::DOUBLE[]))
+                * sqrt(list_dot_product((eb[1:16])::DOUBLE[], (eb[1:16])::DOUBLE[])))
+             - list_dot_product(ea::DOUBLE[], eb::DOUBLE[])
+             / (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[]))
+                * sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[])))
+           ) * 1e6) AS BIGINT) AS q16,
+           CAST(round(abs(
+             list_dot_product((ea[1:32])::DOUBLE[], (eb[1:32])::DOUBLE[])
+             / (sqrt(list_dot_product((ea[1:32])::DOUBLE[], (ea[1:32])::DOUBLE[]))
+                * sqrt(list_dot_product((eb[1:32])::DOUBLE[], (eb[1:32])::DOUBLE[])))
+             - list_dot_product(ea::DOUBLE[], eb::DOUBLE[])
+             / (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[]))
+                * sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[])))
+           ) * 1e6) AS BIGINT) AS q32
+         FROM pairs),
+       agg AS (SELECT count(*) AS n_pairs,
+           CAST(sum(q8) AS BIGINT) AS s8, CAST(max(q8) AS BIGINT) AS m8,
+           CAST(sum(q16) AS BIGINT) AS s16, CAST(max(q16) AS BIGINT) AS m16,
+           CAST(sum(q32) AS BIGINT) AS s32, CAST(max(q32) AS BIGINT) AS m32
+         FROM d)
+       SELECT k, n_pairs, sum_microdelta, avg_delta, max_delta FROM (
+         SELECT CAST(8 AS INT) AS k, n_pairs, s8 AS sum_microdelta,
+           round(s8::DOUBLE / n_pairs / 1e6, 6) AS avg_delta,
+           round(m8::DOUBLE / 1e6, 6) AS max_delta FROM agg
+         UNION ALL
+         SELECT CAST(16 AS INT), n_pairs, s16,
+           round(s16::DOUBLE / n_pairs / 1e6, 6),
+           round(m16::DOUBLE / 1e6, 6) FROM agg
+         UNION ALL
+         SELECT CAST(32 AS INT), n_pairs, s32,
+           round(s32::DOUBLE / n_pairs / 1e6, 6),
+           round(m32::DOUBLE / 1e6, 6) FROM agg)
+       ORDER BY k"""
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q181_holt_winters" -> (q181 _),
+    "q182_woe_iv" -> (q182 _),
+    "q183_fk_audit" -> (q183 _),
+    "q184_matryoshka" -> (q184 _))
+
+  val oracles: Map[String, String] = Map(
+    "q181_holt_winters" -> q181Sql,
+    "q182_woe_iv" -> q182Sql,
+    "q183_fk_audit" -> q183Sql,
+    "q184_matryoshka" -> q184Sql)
+}

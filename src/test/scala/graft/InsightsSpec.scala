@@ -111,6 +111,21 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("holtWintersDaily: weekly spike decomposes to flat level + exact seasonal") {
+    // days 1..14, one event/day except days 1 and 8 (same dow) get 8:
+    // per-dow means are (8,1,1,1,1,1,1), overall mean 2 → s_peak = 6,
+    // s_other = −1; deseasonalized series is flat 2 → l = 2, b = 0;
+    // day 15 shares the peak dow → forecast = 2 + 0 + 6 = 8
+    val ev = (1 to 14).flatMap { d =>
+      val n = if (d == 1 || d == 8) 8 else 1
+      Seq.fill(n)(("t", ts(d)))
+    }.toDF("event_type", "ts")
+    val r = Series.holtWintersDaily(ev, "event_type", "ts").collect()(0)
+    assert(r.getLong(1) == 14L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 6.0 && r.getDouble(5) == 8.0)
+  }
+
   test("rollingCorrelation: perfectly coupled series hit +1, opposed -1") {
     // a = [1,2,3,4], b = 2a → r = 1 over any window
     val pos = (1 to 4).flatMap { d =>
