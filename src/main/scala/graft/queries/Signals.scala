@@ -310,17 +310,85 @@ object Signals {
            round(m32::DOUBLE / 1e6, 6) FROM agg)
        ORDER BY k"""
 
+  // --------------------------------------------------------------- q185
+  /** Bucketed co-located join as a driver-graded query (upgrades the
+    * §2.3 spec-only row): orders and customer written `bucketBy` their
+    * join key into managed tables, then joined THROUGH the bucketed
+    * layout — the ingest-time pre-shuffle that makes every subsequent
+    * big-big join on the key exchange-free (BucketingSpec asserts the
+    * no-Exchange plan; this query value-checks the results that plan
+    * produces against the origin tables). Grades integer-cent revenue
+    * per segment. */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_q185_orders")
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_q185_customer")
+    s.table("graft_q185_orders")
+      .join(s.table("graft_q185_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("price_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q185Sql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // --------------------------------------------------------------- q186
+  /** Parquet sink round-trip as a driver-graded query (upgrades the
+    * §2.1 sink plumbing row): a computed projection written
+    * `partitionBy(l_returnflag)` to a lake path, read BACK through the
+    * partition-discovering scan, and aggregated — so written bytes,
+    * partition-column round-trip, and read-path pruning all sit inside
+    * the value check. Revenue pre-quantized to integer cents at write
+    * time: the graded sum is a LONG both before and after the trip. */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val path = "/tmp/graft_q186_sink"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100, 0).cast("long").as("rev_cents"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    s.read.parquet(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("rev_cents").as("rev_cents_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q186Sql =
+    """SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         AS BIGINT)) AS BIGINT) AS rev_cents_sum
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q181_holt_winters" -> (q181 _),
     "q182_woe_iv" -> (q182 _),
     "q183_fk_audit" -> (q183 _),
-    "q184_matryoshka" -> (q184 _))
+    "q184_matryoshka" -> (q184 _),
+    "q185_bucketed_join" -> (q185 _),
+    "q186_parquet_roundtrip" -> (q186 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
     "q182_woe_iv" -> q182Sql,
     "q183_fk_audit" -> q183Sql,
-    "q184_matryoshka" -> q184Sql)
+    "q184_matryoshka" -> q184Sql,
+    "q185_bucketed_join" -> q185Sql,
+    "q186_parquet_roundtrip" -> q186Sql)
 }

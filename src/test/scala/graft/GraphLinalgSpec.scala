@@ -128,6 +128,22 @@ class GraphLinalgSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bfsHops plan: no aggregation re-folds the accumulated distance table") {
+    // the anti-join rewrite leaves NO Aggregate in the logical plan at
+    // all (dedup is per-round distinct over frontier-sized joins,
+    // expressed as Deduplicate; the union only ever concatenates) — the
+    // pre-rewrite shape re-aggregated the full accumulated table every
+    // hop, which showed up as one Aggregate-over-Union per round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val src = Seq(1L).toDF("node")
+    val dist = graft.operators.Graph.bfsHops(edges, "a", "b", src, "node", 2)
+    val aggs = dist.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty,
+      s"accumulated-table aggregation reappeared:\n${dist.queryExecution.analyzed}")
+  }
+
   test("hits: L1-normalized sides, mutual reinforcement ranks the heavy hub first") {
     // hub 1 touches {10,11,12}, hub 2 touches {10}: 10 is the strongest
     // authority (both hubs), 1 the strongest hub (most authorities);
