@@ -374,6 +374,185 @@ object Signals {
          AS BIGINT)) AS BIGINT) AS rev_cents_sum
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --------------------------------------------------------------- q187
+  /** Event debounce (retry/duplicate throttling): within each
+    * (user, event_type) stream, an event repeating within the grace
+    * window of the previously KEPT event is a duplicate delivery —
+    * kept-anchored (not lag-anchored) debounce is the exact at-least-
+    * once-ingest cleanup. Implemented as a per-key ordered fold INSIDE
+    * Catalyst (`aggregate` over the sorted per-key event array —
+    * per-key cardinality is bounded by a user's own event volume, the
+    * same contract as the session folds); never a global window. The
+    * grade: per-type kept/dropped counts. */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val graceUs = 24L * 3600L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("event_id"))
+    // fold over the (ts, id)-sorted per-key array: keep an event iff
+    // it clears the last KEPT event by more than the grace window
+    val kept = ev.groupBy("user_id", "event_type")
+      .agg(array_sort(collect_list(struct(col("tu"), col("event_id"))))
+        .as("evs"))
+      .select(col("user_id"), col("event_type"),
+        size(col("evs")).cast("long").as("n_events"),
+        aggregate(
+          slice(col("evs"), lit(2), greatest(size(col("evs")) - 1, lit(0))),
+          struct(lit(1L).as("n_kept"),
+            element_at(col("evs"), 1).getField("tu").as("last")),
+          (acc, e) => {
+            val keep = e.getField("tu") - acc.getField("last") > graceUs
+            struct(
+              (acc.getField("n_kept") + when(keep, 1L).otherwise(0L))
+                .as("n_kept"),
+              when(keep, e.getField("tu")).otherwise(acc.getField("last"))
+                .as("last"))
+          }).getField("n_kept").as("n_kept"))
+    kept.groupBy("event_type")
+      .agg(sum("n_events").as("n_events"), sum("n_kept").as("n_kept"),
+        (sum("n_events") - sum("n_kept")).as("n_dropped"))
+      .orderBy("event_type")
+  }
+
+  private val q187Sql =
+    """WITH RECURSIVE ev AS (SELECT user_id, event_type,
+           epoch_us(ts) AS tu, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY epoch_us(ts), event_id) AS i
+         FROM events),
+       n AS (SELECT user_id, event_type, max(i) AS n FROM ev
+             GROUP BY user_id, event_type),
+       rec AS (
+         SELECT user_id, event_type, i, CAST(1 AS BIGINT) AS n_kept,
+           tu AS last
+         FROM ev WHERE i = 1
+         UNION ALL
+         SELECT r.user_id, r.event_type, e.i,
+           r.n_kept + CASE WHEN e.tu - r.last > 86400000000 THEN 1
+                           ELSE 0 END,
+           CASE WHEN e.tu - r.last > 86400000000 THEN e.tu ELSE r.last END
+         FROM rec r JOIN ev e ON e.user_id = r.user_id
+           AND e.event_type = r.event_type AND e.i = r.i + 1),
+       fin AS (SELECT rec.user_id, rec.event_type, n.n AS n_events,
+                 rec.n_kept
+               FROM rec JOIN n ON n.user_id = rec.user_id
+                 AND n.event_type = rec.event_type
+               WHERE rec.i = n.n)
+       SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(n_kept) AS BIGINT) AS n_kept,
+         CAST(sum(n_events) - sum(n_kept) AS BIGINT) AS n_dropped
+       FROM fin GROUP BY event_type ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q188
+  /** Growth accounting (new vs returning): each user's first-seen day
+    * splits every day's active users into new and returning, with the
+    * cumulative acquired-user curve. Two corpus aggregations (per-user
+    * first day; per-day distinct actives) and a calendar-bounded final
+    * window — the prefix sum runs over AGGREGATED day rows (≤ span
+    * days), never events. */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("first_day"))
+    val dailyActive = ev.distinct()
+    val byDay = dailyActive.join(firstSeen, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .orderBy("day")
+  }
+
+  private val q188Sql =
+    """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+       fs AS (SELECT user_id, min(day) AS first_day FROM ev
+              GROUP BY user_id),
+       byday AS (SELECT ev.day, count(*) AS n_active,
+                   CAST(sum(CASE WHEN ev.day = fs.first_day THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_new
+                 FROM ev JOIN fs ON ev.user_id = fs.user_id
+                 GROUP BY ev.day)
+       SELECT day, n_active, n_new,
+         CAST(n_active - n_new AS BIGINT) AS n_returning,
+         CAST(sum(n_new) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+       FROM byday ORDER BY day"""
+
+  // --------------------------------------------------------------- q189
+  /** Revenue concentration (Pareto report): per-customer lifetime
+    * revenue in integer cents, exact interpolated p50/p90/p99
+    * boundaries (q135 contract), and for each tier the customer count,
+    * revenue mass and share — "how top-heavy is the book" without a
+    * global sort: one aggregation, a 3-value boundary broadcast, one
+    * conditional re-aggregation. */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("rev_cents"))
+    val bounds = rev.agg(percentile(col("rev_cents").cast("double"),
+      lit(Array(0.5, 0.9, 0.99))).as("bs"))
+    val tiers = rev.crossJoin(broadcast(bounds))
+      .select(col("rev_cents"),
+        element_at(col("bs"), 1).as("b50"),
+        element_at(col("bs"), 2).as("b90"),
+        element_at(col("bs"), 3).as("b99"))
+    val tot = rev.agg(sum("rev_cents").as("total_cents"))
+    def tier(name: String, cond: Column, bound: Column): DataFrame =
+      tiers.filter(cond)
+        .agg(count(lit(1)).as("n_customers"),
+          coalesce(sum("rev_cents"), lit(0L)).as("rev_cents"),
+          round(first(bound), 4).as("boundary"))
+        .crossJoin(broadcast(tot))
+        .select(lit(name).as("tier"), col("boundary"),
+          col("n_customers"), col("rev_cents"),
+          round(col("rev_cents").cast("double") /
+            col("total_cents").cast("double"), 6).as("share"))
+    tier("1_top_half", col("rev_cents").cast("double") >= col("b50"),
+        col("b50"))
+      .unionByName(tier("2_top_decile",
+        col("rev_cents").cast("double") >= col("b90"), col("b90")))
+      .unionByName(tier("3_top_percentile",
+        col("rev_cents").cast("double") >= col("b99"), col("b99")))
+      .orderBy("tier")
+  }
+
+  private val q189Sql =
+    """WITH rev AS (SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+         FROM orders GROUP BY o_custkey),
+       b AS (SELECT quantile_cont(rev_cents::DOUBLE, [0.5, 0.9, 0.99])
+               AS bs FROM rev),
+       tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents
+               FROM rev),
+       tiers(tier, boundary, n_customers, rev_cents) AS (
+         SELECT '1_top_half', round(b.bs[1], 4), count(*),
+           CAST(coalesce(sum(rev_cents), 0) AS BIGINT)
+         FROM rev, b WHERE rev.rev_cents::DOUBLE >= b.bs[1]
+         GROUP BY b.bs[1]
+         UNION ALL
+         SELECT '2_top_decile', round(b.bs[2], 4), count(*),
+           CAST(coalesce(sum(rev_cents), 0) AS BIGINT)
+         FROM rev, b WHERE rev.rev_cents::DOUBLE >= b.bs[2]
+         GROUP BY b.bs[2]
+         UNION ALL
+         SELECT '3_top_percentile', round(b.bs[3], 4), count(*),
+           CAST(coalesce(sum(rev_cents), 0) AS BIGINT)
+         FROM rev, b WHERE rev.rev_cents::DOUBLE >= b.bs[3]
+         GROUP BY b.bs[3])
+       SELECT tier, boundary, n_customers, rev_cents,
+         round(rev_cents::DOUBLE / total_cents::DOUBLE, 6) AS share
+       FROM tiers, tot ORDER BY tier"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -382,7 +561,10 @@ object Signals {
     "q183_fk_audit" -> (q183 _),
     "q184_matryoshka" -> (q184 _),
     "q185_bucketed_join" -> (q185 _),
-    "q186_parquet_roundtrip" -> (q186 _))
+    "q186_parquet_roundtrip" -> (q186 _),
+    "q187_debounce" -> (q187 _),
+    "q188_growth_accounting" -> (q188 _),
+    "q189_revenue_concentration" -> (q189 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -390,5 +572,8 @@ object Signals {
     "q183_fk_audit" -> q183Sql,
     "q184_matryoshka" -> q184Sql,
     "q185_bucketed_join" -> q185Sql,
-    "q186_parquet_roundtrip" -> q186Sql)
+    "q186_parquet_roundtrip" -> q186Sql,
+    "q187_debounce" -> q187Sql,
+    "q188_growth_accounting" -> q188Sql,
+    "q189_revenue_concentration" -> q189Sql)
 }

@@ -36,7 +36,11 @@ object ScaleRehearsal {
     // scaled — earlier rehearsals symlinked lineitem, so q118's old
     // ratio measured overhead, not data) and the new heavy operators
     "q161_bfs_hops", "q163_adamic_adar", "q173_feature_ranking",
-    "q152_repeated_passages", "q166_golden_record")
+    "q152_repeated_passages", "q166_golden_record",
+    // round-7 additions: the new graph / event-time / forecast ops
+    // (all on scaled tables — hits on lineitem×orders, attribution and
+    // holt-winters on events)
+    "q178_hits", "q179_attribution", "q181_holt_winters")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
@@ -134,9 +138,9 @@ object ScaleRehearsal {
       f"""    "$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
     }.mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/SCALE_r06.json"),
+      java.nio.file.Paths.get("/root/repo/SCALE_r07.json"),
       json.getBytes("UTF-8"))
-    println("wrote /root/repo/SCALE_r06.json")
+    println("wrote /root/repo/SCALE_r07.json")
     spark.stop()
   }
 }
