@@ -125,11 +125,19 @@ object Graph {
     * [[pagerank]], the result is a pure function of the graph,
     * independent of partitioning, join order, or engine.
     *
-    * Execution shape per iteration: the edge table persists ONCE,
-    * hash-partitioned on the hub endpoint; each half-round joins the
-    * (node-cardinality) score table against it and aggregates on the
-    * opposite endpoint — per-round shuffle is scores, never edges. The
-    * L1 total is a one-row aggregate broadcast back onto the scores.
+    * Execution shape per iteration: the edge table persists TWICE —
+    * once hash-partitioned on each endpoint, so BOTH half-rounds join
+    * a (node-cardinality) score table against a co-partitioned edge
+    * copy and shuffle only scores, never edges. Every half-round's
+    * score table is `localCheckpoint`ed (the [[labelPropagation]]
+    * discipline) before the next consumes it: the L1 total is a
+    * one-row aggregate over the SAME truncated scores it then
+    * normalizes, so neither execution nor — critically — Catalyst
+    * ANALYSIS ever re-walks prior rounds (the normalize step
+    * references its input twice, so an untruncated lineage doubles
+    * per half-round: by iteration two the driver spends multiple
+    * seconds per job just analyzing a 16×-duplicated tree, dwarfing
+    * the task time).
     * Returns `(node, side, score)` with side ∈ ('hub', 'auth'); the
     * two endpoint columns must share a data type (hub and auth score
     * tables union into the one result frame).
@@ -140,29 +148,33 @@ object Graph {
     val e = Exec.widen(
         edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct(), "a")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val eByB = e.repartition(col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hubs0 = e.select(col("a").as("node")).distinct()
     val nHubs = hubs0.count().toDouble // materializes the edge cache too
-    def l1norm(scores: DataFrame): DataFrame = {
-      val total = scores.agg(sum("score").as("tot"))
-      scores.crossJoin(broadcast(total))
+    def l1norm(raw: DataFrame): DataFrame = {
+      val r = raw.localCheckpoint(true)
+      val total = r.agg(sum("score").as("tot"))
+      r.crossJoin(broadcast(total))
         .select(col("node"), round(col("score") / col("tot"), 9).as("score"))
+        .localCheckpoint(true)
     }
     val init = hubs0.withColumn("score", round(lit(1.0 / nHubs), 9))
+      .localCheckpoint(true)
     val (hub, auth) = (1 to iters).foldLeft(
         (init, init.limit(0))) { case ((h, _), _) =>
-      val authRaw = h.join(e, col("node") === col("a"))
+      val a2 = l1norm(h.join(e, col("node") === col("a"))
         .groupBy(col("b")).agg(sum("score").as("score"))
-        .select(col("b").as("node"), col("score"))
-      val a2 = l1norm(authRaw)
-      val hubRaw = a2.join(e, col("node") === col("b"))
+        .select(col("b").as("node"), col("score")))
+      val h2 = l1norm(a2.join(eByB, col("node") === col("b"))
         .groupBy(col("a")).agg(sum("score").as("score"))
-        .select(col("a").as("node"), col("score"))
-      (l1norm(hubRaw), a2)
+        .select(col("a").as("node"), col("score")))
+      (h2, a2)
     }
     val out = hub.withColumn("side", lit("hub"))
       .unionByName(auth.withColumn("side", lit("auth")))
       .select(col("node"), col("side"), col("score"))
-    Exec.owned(out, Seq(e))
+    Exec.owned(out, Seq(e, eByB))
   }
 
   /** Synchronous label propagation (community detection): `rounds`
