@@ -2176,7 +2176,10 @@ object Insights {
         .as("train_acc"))
   }
 
-  private val q162Sql =
+  // the GD replay CTEs (pts → w3) shared by q162 and q190: three
+  // quantized-gradient rounds, each gradient component summed as a
+  // 2^24-scaled LONG so the replay is order-independent and engine-exact
+  private val logregCtes =
     """WITH pts AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
            CAST(embedding[2] AS DOUBLE) AS x2,
            CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
@@ -2219,7 +2222,10 @@ object Insights {
            b0 - 0.5*(s0::DOUBLE/(n::DOUBLE*16777216.0)) AS w0,
            b1 - 0.5*(s1::DOUBLE/(n::DOUBLE*16777216.0)) AS w1,
            b2 - 0.5*(s2::DOUBLE/(n::DOUBLE*16777216.0)) AS w2
-         FROM g3),
+         FROM g3)"""
+
+  private val q162Sql = logregCtes +
+    """,
        fin AS (SELECT count(*) AS n,
            sum(CASE WHEN (((w0 + w1*x1) + w2*x2) > 0.0) = (y = 1.0)
                  THEN 1 ELSE 0 END) AS ok,
@@ -2228,6 +2234,58 @@ object Insights {
        SELECT n, round(w0, 6) AS w0, round(w1, 6) AS w1,
          round(w2, 6) AS w2, round(ok::DOUBLE / n::DOUBLE, 4) AS train_acc
        FROM fin"""
+
+  // --------------------------------------------------------------- q190
+  /** Model calibration (reliability diagram) for q162's GD logistic
+    * model: predictions bucketed into fixed 0.1-wide probability bins,
+    * per-bin count, mean predicted probability and observed positive
+    * rate — "does a 0.7 score mean 70%". Scores are TEMPERATURE-SCALED
+    * (T=200 on the margin: three small-step GD rounds leave a weak
+    * margin whose raw sigmoid hugs 0.5, and an overconfident rescale is
+    * precisely what a reliability diagram exists to expose — the
+    * per-bin frac_pos shows how little the sharpened scores earn their
+    * confidence). The mean prediction is graded micro-unit (×10⁶)
+    * LONG-summed (order-independent); the oracle replays the full
+    * quantized-gradient training (shared CTE chain with q162) and then
+    * the binning, so weights, sigmoid scores, bin edges and rates are
+    * all engine-exact. */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.embeddings(s, d).select(
+      col("embedding").getItem(0).cast("double").as("x1"),
+      col("embedding").getItem(1).cast("double").as("x2"),
+      when(col("label") < 5, 1.0).otherwise(0.0).as("y"))
+    val w = Logistic.fitGd(pts, Seq("x1", "x2"), "y", lr = 0.5, rounds = 3)
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-(lit(200.0) * Logistic.margin(w, Seq(col("x1"), col("x2"))))))
+    pts
+      .withColumn("p", p)
+      .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("p") * 1e6, 0).cast("long")).as("p_micro_sum"),
+        sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bin"), col("n"), col("p_micro_sum"),
+        round(col("p_micro_sum").cast("double") / col("n") / 1e6, 6)
+          .as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+      .orderBy("bin")
+  }
+
+  private val q190Sql = logregCtes +
+    """,
+       scored AS (SELECT y,
+           1.0/(1.0+exp(-(200.0 * ((w0 + w1*x1) + w2*x2)))) AS p
+         FROM pts, w3),
+       binned AS (SELECT y, p,
+           least(CAST(floor(p * 10) AS INT), 9) AS bin
+         FROM scored)
+       SELECT bin, count(*) AS n,
+         CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT)
+           AS p_micro_sum,
+         round(sum(CAST(round(p * 1000000) AS BIGINT))::DOUBLE
+           / count(*) / 1000000, 6) AS mean_pred,
+         round(CAST(sum(y) AS BIGINT)::DOUBLE / count(*), 6) AS frac_pos
+       FROM binned GROUP BY bin ORDER BY bin"""
 
   // --------------------------------------------------------------- q178
   /** HITS hubs & authorities ([[Graph.hits]]) on the customer→part
@@ -2438,6 +2496,7 @@ object Insights {
     "q178_hits" -> (q178 _),
     "q179_attribution" -> (q179 _),
     "q180_hll_intersection" -> (q180 _),
+    "q190_calibration" -> (q190 _),
     "q162_logreg_gd" -> (q162 _),
     "q163_adamic_adar" -> (q163 _),
     "q164_decision_stump" -> (q164 _),
@@ -2493,6 +2552,7 @@ object Insights {
     "q178_hits" -> q178Sql,
     "q179_attribution" -> q179Sql,
     "q180_hll_intersection" -> q180Sql,
+    "q190_calibration" -> q190Sql,
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,
     "q164_decision_stump" -> q164Sql,
