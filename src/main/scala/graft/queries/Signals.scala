@@ -320,6 +320,19 @@ object Signals {
     * produces against the origin tables). Grades integer-cent revenue
     * per segment. */
   private def q185(s: SparkSession, d: String): DataFrame = {
+    // the catalog is in-memory per JVM but the warehouse directory is
+    // not: a table dropped-by-restart leaves its location behind, and
+    // CREATE then fails with LOCATION_ALREADY_EXISTS — clear both
+    Seq("graft_q185_orders", "graft_q185_customer").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .write.mode("overwrite")
