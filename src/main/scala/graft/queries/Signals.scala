@@ -566,6 +566,140 @@ object Signals {
          round(rev_cents::DOUBLE / total_cents::DOUBLE, 6) AS share
        FROM tiers, tot ORDER BY tier"""
 
+  // --------------------------------------------------------------- q191
+  /** Time-decayed popularity (the feature-store freshness score):
+    * per-part `Σ exp(−λ·age_days)` over its order lines, λ = 0.0231
+    * (≈30-day half-life), ages anchored to the corpus' max order date.
+    * Each decay term is micro-unit (×10⁶) quantized and summed AS A
+    * LONG — exp sums on doubles are order-dependent, integer sums are
+    * not — so the ranking grades engine-exactly. One join + one
+    * aggregation; the anchor is a 1-row broadcast. */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val anchor = od.agg(max("od").as("ref"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(anchor))
+      .select(col("l_partkey"),
+        round(exp(lit(-0.0231) *
+          datediff(col("ref"), col("od")).cast("double")) * 1e6, 0)
+          .cast("long").as("w"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), sum("w").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  private val q191Sql =
+    """WITH od AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+           FROM orders),
+       anchor AS (SELECT max(od) AS ref FROM od),
+       w AS (SELECT l.l_partkey,
+               CAST(round(exp(-0.0231 *
+                 CAST(datediff('day', od.od, anchor.ref) AS DOUBLE))
+                 * 1000000) AS BIGINT) AS w
+             FROM lineitem l JOIN od ON l.l_orderkey = od.o_orderkey,
+                  anchor)
+       SELECT l_partkey, count(*) AS n_lines,
+         CAST(sum(w) AS BIGINT) AS score_micro
+       FROM w GROUP BY l_partkey
+       ORDER BY score_micro DESC, l_partkey LIMIT 20"""
+
+  // --------------------------------------------------------------- q192
+  /** Leave-one-out target encoding (the leakage-safe categorical
+    * feature): each lineitem's supplier encoded as
+    * `(pos_supplier − y) / (n_supplier − 1)` — the supplier's return
+    * rate EXCLUDING the row itself, so the feature never sees its own
+    * label. One grouped aggregation joined back onto the rows
+    * (broadcast at dimension cardinality); singleton categories
+    * encode NULL. Graded per-row over the deterministic
+    * `l_suppkey ≤ 10` slice — bounded output at any corpus scale. */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val stats = li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_cat"), sum("y").as("pos_cat"))
+    li.join(broadcast(stats), Seq("l_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("y"),
+        when(col("n_cat") > 1,
+          round((col("pos_cat") - col("y")).cast("double") /
+            (col("n_cat") - 1).cast("double"), 6)).as("loo_enc"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q192Sql =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem WHERE l_suppkey <= 10),
+       stats AS (SELECT l_suppkey, count(*) AS n_cat,
+                   CAST(sum(y) AS BIGINT) AS pos_cat
+                 FROM li GROUP BY l_suppkey)
+       SELECT li.l_orderkey, li.l_linenumber, li.l_suppkey,
+         CAST(li.y AS BIGINT) AS y,
+         CASE WHEN stats.n_cat > 1 THEN
+           round((stats.pos_cat - li.y)::DOUBLE /
+             (stats.n_cat - 1)::DOUBLE, 6) END AS loo_enc
+       FROM li JOIN stats ON li.l_suppkey = stats.l_suppkey
+       ORDER BY l_orderkey, l_linenumber"""
+
+  // --------------------------------------------------------------- q193
+  /** k-anonymity audit (privacy pre-flight before sharing a table):
+    * for each quasi-identifier set, how many equivalence classes fall
+    * below k=5 members and how many rows they expose. Two QI sets on
+    * customer — the coarse (nation, segment) pairing and the sharper
+    * one adding the account balance rounded to hundreds — one grouped
+    * count each, aggregated to a one-row-per-QI-set report. */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val cust = Tables.customer(s, d)
+    def audit(name: String, grouped: DataFrame): DataFrame =
+      grouped
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("n") < k, col("n")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          min("n").as("min_group_size"))
+        .select(lit(name).as("qi_set"), lit(k.toLong).as("k"),
+          col("n_groups"), col("n_small_groups"), col("n_rows_at_risk"),
+          col("min_group_size"))
+    val coarse = cust.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val sharp = cust
+      .withColumn("bal_100",
+        (floor(col("c_acctbal") / 100) * 100).cast("long"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_100")
+      .agg(count(lit(1)).as("n"))
+    audit("1_nation_segment", coarse)
+      .unionByName(audit("2_nation_segment_bal100", sharp))
+      .orderBy("qi_set")
+  }
+
+  private val q193Sql =
+    """WITH coarse AS (SELECT count(*) AS n FROM customer
+           GROUP BY c_nationkey, c_mktsegment),
+       sharp AS (SELECT count(*) AS n FROM customer
+           GROUP BY c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 100) * 100 AS BIGINT))
+       SELECT '1_nation_segment' AS qi_set, CAST(5 AS BIGINT) AS k,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small_groups,
+         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk,
+         CAST(min(n) AS BIGINT) AS min_group_size
+       FROM coarse
+       UNION ALL
+       SELECT '2_nation_segment_bal100', CAST(5 AS BIGINT), count(*),
+         CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+         CAST(min(n) AS BIGINT)
+       FROM sharp
+       ORDER BY qi_set"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -577,7 +711,10 @@ object Signals {
     "q186_parquet_roundtrip" -> (q186 _),
     "q187_debounce" -> (q187 _),
     "q188_growth_accounting" -> (q188 _),
-    "q189_revenue_concentration" -> (q189 _))
+    "q189_revenue_concentration" -> (q189 _),
+    "q191_decayed_popularity" -> (q191 _),
+    "q192_target_encoding" -> (q192 _),
+    "q193_k_anonymity" -> (q193 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -588,5 +725,8 @@ object Signals {
     "q186_parquet_roundtrip" -> q186Sql,
     "q187_debounce" -> q187Sql,
     "q188_growth_accounting" -> q188Sql,
-    "q189_revenue_concentration" -> q189Sql)
+    "q189_revenue_concentration" -> q189Sql,
+    "q191_decayed_popularity" -> q191Sql,
+    "q192_target_encoding" -> q192Sql,
+    "q193_k_anonymity" -> q193Sql)
 }
