@@ -700,6 +700,121 @@ object Signals {
        FROM sharp
        ORDER BY qi_set"""
 
+  // --------------------------------------------------------------- q194
+  /** Feature correlation matrix from EXACT integer moments: the four
+    * lineitem numerics integer-scaled at the scan (quantity, cents,
+    * percent units), every sufficient statistic (Σa, Σa², Σab) summed
+    * as DECIMAL(38,0) — per-row products fit a LONG, corpus sums
+    * don't — in ONE aggregation pass, then the 6 pairwise Pearson
+    * coefficients evaluated in fixed IEEE shape from identical exact
+    * integers. No sampling, no order-dependent float accumulation, one
+    * corpus scan for the full matrix. */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("q", "p", "disc", "tax")
+    val li = Tables.lineitem(s, d).select(
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("p"),
+      round(col("l_discount") * 100, 0).cast("long").as("disc"),
+      round(col("l_tax") * 100, 0).cast("long").as("tax"))
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+      cols.map(c => sum((col(c) * col(c)).cast("decimal(38,0)"))
+        .as(s"s_${c}_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"s_${a}_$b")
+      }.toSeq
+    val m = li.agg(sums.head, sums.tail: _*)
+    def corrRow(a: String, b: String): DataFrame = {
+      val n = col("n").cast("double")
+      def d38(c: String) = col(c).cast("double")
+      val cov = n * d38(s"s_${a}_$b") - d38(s"s_$a") * d38(s"s_$b")
+      val va = n * d38(s"s_${a}_$a") - d38(s"s_$a") * d38(s"s_$a")
+      val vb = n * d38(s"s_${b}_$b") - d38(s"s_$b") * d38(s"s_$b")
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        round(cov / sqrt(va * vb), 6).as("pearson"))
+    }
+    cols.combinations(2).map { case Seq(a, b) => corrRow(a, b) }
+      .reduce(_.unionByName(_))
+      .orderBy("col_a", "col_b")
+  }
+
+  private val q194Sql = {
+    val cols = Seq("q" -> "CAST(l_quantity AS BIGINT)",
+      "p" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 100) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
+    val names = cols.map(_._1)
+    val selfSums = names.map(c =>
+      s"sum(CAST($c * $c AS HUGEINT)) AS s_${c}_$c")
+    val pairSums = names.combinations(2).map { case Seq(a, b) =>
+      s"sum(CAST($a * $b AS HUGEINT)) AS s_${a}_$b"
+    }.toSeq
+    val rows = names.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         round((n::DOUBLE * s_${a}_$b::DOUBLE
+             - s_$a::DOUBLE * s_$b::DOUBLE)
+           / sqrt((n::DOUBLE * s_${a}_$a::DOUBLE
+               - s_$a::DOUBLE * s_$a::DOUBLE)
+             * (n::DOUBLE * s_${b}_$b::DOUBLE
+               - s_$b::DOUBLE * s_$b::DOUBLE)), 6) AS pearson
+         FROM m"""
+    }.mkString("\n UNION ALL\n")
+    s"""WITH li AS (SELECT ${cols.map { case (n, e) => s"$e AS $n" }
+        .mkString(", ")} FROM lineitem),
+       m AS (SELECT count(*) AS n,
+         ${names.map(c => s"sum(CAST($c AS HUGEINT)) AS s_$c")
+        .mkString(", ")},
+         ${(selfSums ++ pairSums).mkString(", ")}
+         FROM li)
+       $rows
+       ORDER BY col_a, col_b"""
+  }
+
+  // --------------------------------------------------------------- q195
+  /** Conversion latency distribution: per user, minutes from first
+    * signup to the first purchase AFTER it, summarized as exact
+    * interpolated quartiles + p90 (q135 contract). Latencies derive
+    * from integer microsecond differences (identical in any engine);
+    * two grouped aggregations and a user-keyed join — the product-
+    * analytics "time to convert" panel. */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tu").as("su"))
+    val latency = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("tu") > col("su"))
+      .groupBy("user_id").agg(min("tu").as("pu"), first("su").as("fsu"))
+      .select(((col("pu") - col("fsu")).cast("double") / 6e7)
+        .as("latency_min"))
+    latency.agg(
+      count(lit(1)).as("n_converted"),
+      round(percentile(col("latency_min"), lit(0.25)), 4).as("p25"),
+      round(percentile(col("latency_min"), lit(0.5)), 4).as("p50"),
+      round(percentile(col("latency_min"), lit(0.75)), 4).as("p75"),
+      round(percentile(col("latency_min"), lit(0.9)), 4).as("p90"))
+  }
+
+  private val q195Sql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+           FROM events),
+       su AS (SELECT user_id, min(tu) AS su FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+       lat AS (SELECT (min(ev.tu) - any_value(su.su))::DOUBLE / 60000000.0
+                 AS latency_min
+               FROM ev JOIN su ON ev.user_id = su.user_id
+               WHERE ev.event_type = 'purchase' AND ev.tu > su.su
+               GROUP BY ev.user_id)
+       SELECT count(*) AS n_converted,
+         round(quantile_cont(latency_min, 0.25), 4) AS p25,
+         round(quantile_cont(latency_min, 0.5), 4) AS p50,
+         round(quantile_cont(latency_min, 0.75), 4) AS p75,
+         round(quantile_cont(latency_min, 0.9), 4) AS p90
+       FROM lat"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -714,7 +829,9 @@ object Signals {
     "q189_revenue_concentration" -> (q189 _),
     "q191_decayed_popularity" -> (q191 _),
     "q192_target_encoding" -> (q192 _),
-    "q193_k_anonymity" -> (q193 _))
+    "q193_k_anonymity" -> (q193 _),
+    "q194_corr_matrix" -> (q194 _),
+    "q195_conversion_latency" -> (q195 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -728,5 +845,7 @@ object Signals {
     "q189_revenue_concentration" -> q189Sql,
     "q191_decayed_popularity" -> q191Sql,
     "q192_target_encoding" -> q192Sql,
-    "q193_k_anonymity" -> q193Sql)
+    "q193_k_anonymity" -> q193Sql,
+    "q194_corr_matrix" -> q194Sql,
+    "q195_conversion_latency" -> q195Sql)
 }
