@@ -815,6 +815,93 @@ object Signals {
          round(quantile_cont(latency_min, 0.9), 4) AS p90
        FROM lat"""
 
+  // --------------------------------------------------------------- q196
+  /** k-center coreset (greedy farthest-point diverse-subset
+    * selection, the Gonzalez 2-approximation): seed at the smallest
+    * vec_id, then `k−1` rounds of "take the point farthest from every
+    * chosen center", tracking each point's min cosine-distance to the
+    * chosen set. The modern curation primitive behind diverse
+    * fine-tuning subsets and IVF seed picking.
+    *
+    * Scale shape: each round is ONE corpus pass (a broadcast of the
+    * new center's vector, a `least` fold into the running min-dist
+    * column, a TakeOrdered argmax — never a global sort), state is
+    * `localCheckpoint`ed per round so round j's plan never re-walks
+    * rounds 1..j−1. Distances are micro-unit-quantized LONGs with a
+    * vec_id tie-break, so the greedy trajectory is a pure function of
+    * the data — the oracle unrolls all k rounds CTE-by-CTE and must
+    * pick the identical centers and coverage radii. */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 6
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    def cosTo(df: DataFrame, centerId: Long): DataFrame = {
+      val ce = emb.filter(col("vec_id") === centerId)
+        .select(col("embedding").as("cemb"))
+      df.crossJoin(broadcast(ce))
+        .withColumn("dq", round((lit(1.0) -
+          VectorFunctions.dot(col("embedding"), col("cemb")) /
+            (VectorFunctions.norm(col("embedding")) *
+             VectorFunctions.norm(col("cemb")))) * 1e6, 0).cast("long"))
+        .drop("cemb")
+    }
+    val c1 = emb.agg(min("vec_id")).head().getLong(0)
+    var state = cosTo(emb, c1)
+      .select(col("vec_id"), col("embedding"), col("dq").as("md"))
+      .localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1, c1, state.agg(max("md")).head().getLong(0)))
+    for (j <- 2 to k) {
+      val cj = state.orderBy(col("md").desc, col("vec_id"))
+        .select("vec_id").head().getLong(0)
+      state = cosTo(state, cj)
+        .select(col("vec_id"), col("embedding"),
+          least(col("md"), col("dq")).as("md"))
+        .localCheckpoint(true)
+      picks += ((j, cj, state.agg(max("md")).head().getLong(0)))
+    }
+    picks.toSeq.toDF("rank", "vec_id", "radius_micro")
+      .orderBy("rank")
+  }
+
+  private val q196Sql = {
+    def cos(a: String, b: String) =
+      s"""(list_dot_product($a::DOUBLE[], $b::DOUBLE[])
+         / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))
+            * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"""
+    def dq(a: String, b: String) =
+      s"CAST(round((1.0 - ${cos(a, b)}) * 1000000) AS BIGINT)"
+    val rounds = (2 to 6).map { j =>
+      val p = j - 1
+      s"""c$j AS (SELECT vec_id AS id FROM e$p
+             ORDER BY md DESC, vec_id LIMIT 1),
+         ce$j AS (SELECT e.embedding AS cemb FROM emb e, c$j
+             WHERE e.vec_id = c$j.id),
+         e$j AS (SELECT p.vec_id, p.embedding,
+             least(p.md, ${dq("p.embedding", "ce$.cemb")
+        .replace("ce$.cemb", s"ce$j.cemb")}) AS md
+           FROM e$p p, ce$j),
+         r$j AS (SELECT $j AS rank, (SELECT id FROM c$j) AS vec_id,
+             CAST(max(md) AS BIGINT) AS radius_micro FROM e$j)"""
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       c1 AS (SELECT min(vec_id) AS id FROM emb),
+       ce1 AS (SELECT e.embedding AS cemb FROM emb e, c1
+           WHERE e.vec_id = c1.id),
+       e1 AS (SELECT e.vec_id, e.embedding,
+           ${dq("e.embedding", "ce1.cemb")} AS md
+         FROM emb e, ce1),
+       r1 AS (SELECT 1 AS rank, (SELECT id FROM c1) AS vec_id,
+           CAST(max(md) AS BIGINT) AS radius_micro FROM e1),
+       $rounds
+       SELECT rank, vec_id, radius_micro FROM (
+         SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+         UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6)
+       ORDER BY rank"""
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -831,7 +918,8 @@ object Signals {
     "q192_target_encoding" -> (q192 _),
     "q193_k_anonymity" -> (q193 _),
     "q194_corr_matrix" -> (q194 _),
-    "q195_conversion_latency" -> (q195 _))
+    "q195_conversion_latency" -> (q195 _),
+    "q196_kcenter_coreset" -> (q196 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -847,5 +935,6 @@ object Signals {
     "q192_target_encoding" -> q192Sql,
     "q193_k_anonymity" -> q193Sql,
     "q194_corr_matrix" -> q194Sql,
-    "q195_conversion_latency" -> q195Sql)
+    "q195_conversion_latency" -> q195Sql,
+    "q196_kcenter_coreset" -> q196Sql)
 }
