@@ -902,6 +902,169 @@ object Signals {
        ORDER BY rank"""
   }
 
+  // --------------------------------------------------------------- q197
+  /** FK fan-out profile (the join-explosion pre-flight next to q119's
+    * Σf² forecast): the full per-key cardinality DISTRIBUTION of the
+    * two hot relationships — orders per customer, lines per order —
+    * as exact interpolated p50/p90/p99 plus max. Two grouped counts
+    * and two tiny percentile aggregations; at 100 TB this is what
+    * tells you whether a key's fan-out makes a shuffle join safe
+    * before you commit it. */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    def profile(name: String, counts: DataFrame): DataFrame =
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        round(percentile(col("n").cast("double"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("n").cast("double"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("n").cast("double"), lit(0.99)), 4)
+          .as("p99"),
+        max("n").as("max_fanout"))
+        .select(lit(name).as("fk"), col("n_keys"), col("p50"),
+          col("p90"), col("p99"), col("max_fanout"))
+    val opc = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    val lpo = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    profile("1_orders_per_customer", opc)
+      .unionByName(profile("2_lines_per_order", lpo))
+      .orderBy("fk")
+  }
+
+  private val q197Sql =
+    """WITH opc AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey),
+       lpo AS (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)
+       SELECT '1_orders_per_customer' AS fk, count(*) AS n_keys,
+         round(quantile_cont(n::DOUBLE, 0.5), 4) AS p50,
+         round(quantile_cont(n::DOUBLE, 0.9), 4) AS p90,
+         round(quantile_cont(n::DOUBLE, 0.99), 4) AS p99,
+         CAST(max(n) AS BIGINT) AS max_fanout
+       FROM opc
+       UNION ALL
+       SELECT '2_lines_per_order', count(*),
+         round(quantile_cont(n::DOUBLE, 0.5), 4),
+         round(quantile_cont(n::DOUBLE, 0.9), 4),
+         round(quantile_cont(n::DOUBLE, 0.99), 4),
+         CAST(max(n) AS BIGINT)
+       FROM lpo
+       ORDER BY fk"""
+
+  // --------------------------------------------------------------- q198
+  /** Bidirectional nearest-event join (the as-of family completed):
+    * each purchase matches its NEAREST click within ±1 day — backward
+    * candidate from the running max-struct window (the q28 kernel),
+    * forward candidate from the mirrored min-struct-over-following
+    * window, nearer one wins, exact tie → the earlier (backward)
+    * click. Still one sort per user and zero range joins. Daily
+    * rollup grades match counts and the exact integer-microsecond gap
+    * mass. */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tolUs = 24L * 3600L * 1000000L
+    val ev = Tables.events(s, d)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), lit(1).as("is_left"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), lit(0).as("is_left"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tu"), col("is_left"), col("event_id"))
+    val bw = max(when(col("is_left") === 0, col("tu")))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fw = min(when(col("is_left") === 0, col("tu")))
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val gapped = l.unionByName(r)
+      .withColumn("bw", bw).withColumn("fw", fw)
+      .filter(col("is_left") === 1)
+      .withColumn("bgap", when(col("bw").isNotNull &&
+        col("tu") - col("bw") <= tolUs, col("tu") - col("bw")))
+      .withColumn("fgap", when(col("fw").isNotNull &&
+        col("fw") - col("tu") <= tolUs, col("fw") - col("tu")))
+      .withColumn("gap",
+        when(col("bgap").isNotNull &&
+          (col("fgap").isNull || col("bgap") <= col("fgap")), col("bgap"))
+          .otherwise(col("fgap")))
+    gapped.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(coalesce(col("gap"), lit(0L))).as("gap_micro_sum"))
+      .orderBy("day")
+  }
+
+  private val q198Sql =
+    """WITH p AS (SELECT user_id, ts, epoch_us(ts) AS tu FROM events
+           WHERE event_type = 'purchase'),
+       g AS (SELECT p.ts,
+           (SELECT max(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts
+               AND epoch_us(c.ts) >= p.tu - 86400000000) AS bts,
+           (SELECT min(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts > p.ts
+               AND epoch_us(c.ts) <= p.tu + 86400000000) AS fts
+         FROM p),
+       gg AS (SELECT ts,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                  epoch_us(ts) - epoch_us(bts) <=
+                    epoch_us(fts) - epoch_us(ts))
+                THEN epoch_us(ts) - epoch_us(bts)
+                ELSE epoch_us(fts) - epoch_us(ts) END AS gap
+         FROM g)
+       SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases,
+         CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         CAST(sum(coalesce(gap, 0)) AS BIGINT) AS gap_micro_sum
+       FROM gg GROUP BY day ORDER BY day"""
+
+  // --------------------------------------------------------------- q199
+  /** Linear multi-touch attribution (q179's last-touch generalized):
+    * every click in a purchase's 7-day lookback shares the credit
+    * equally, `round(10⁶/n)` micro-credits each, so the per-day credit
+    * mass is an exact LONG sum. The pair join is user-keyed with a
+    * time-window predicate — per-user fan-out is bounded by a user's
+    * own click volume, never corpus²; rolled up by CLICK day ("which
+    * day's marketing earned today's conversions"). */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 7L * 24L * 3600L * 1000000L
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("ptu"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        unix_micros(col("ts")).as("ctu"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter(col("ctu") <= col("ptu") &&
+        col("ctu") >= col("ptu") - tolUs)
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")))
+      .withColumn("credit_micro",
+        round(lit(1e6) / col("n").cast("double"), 0).cast("long"))
+    credited.groupBy(to_date(col("cts")).as("click_day"))
+      .agg(count(lit(1)).as("n_credited_clicks"),
+        sum("credit_micro").as("credit_micro_sum"))
+      .orderBy("click_day")
+  }
+
+  private val q199Sql =
+    """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS ptu
+           FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts AS cts, epoch_us(ts) AS ctu FROM events
+           WHERE event_type = 'click'),
+       pairs AS (SELECT p.pid, c.cts,
+           count(*) OVER (PARTITION BY p.pid) AS n
+         FROM p JOIN c ON p.user_id = c.user_id
+         WHERE c.ctu <= p.ptu AND c.ctu >= p.ptu - 604800000000),
+       credited AS (SELECT cts,
+           CAST(round(1000000.0 / n::DOUBLE) AS BIGINT) AS credit_micro
+         FROM pairs)
+       SELECT CAST(cts AS DATE) AS click_day,
+         count(*) AS n_credited_clicks,
+         CAST(sum(credit_micro) AS BIGINT) AS credit_micro_sum
+       FROM credited GROUP BY click_day ORDER BY click_day"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -919,7 +1082,10 @@ object Signals {
     "q193_k_anonymity" -> (q193 _),
     "q194_corr_matrix" -> (q194 _),
     "q195_conversion_latency" -> (q195 _),
-    "q196_kcenter_coreset" -> (q196 _))
+    "q196_kcenter_coreset" -> (q196 _),
+    "q197_fanout_profile" -> (q197 _),
+    "q198_nearest_event" -> (q198 _),
+    "q199_linear_attribution" -> (q199 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -936,5 +1102,8 @@ object Signals {
     "q193_k_anonymity" -> q193Sql,
     "q194_corr_matrix" -> q194Sql,
     "q195_conversion_latency" -> q195Sql,
-    "q196_kcenter_coreset" -> q196Sql)
+    "q196_kcenter_coreset" -> q196Sql,
+    "q197_fanout_profile" -> q197Sql,
+    "q198_nearest_event" -> q198Sql,
+    "q199_linear_attribution" -> q199Sql)
 }
