@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
+import graft.functions.TextFunctions.words
 import graft.functions.VectorFunctions
-import graft.operators.Series
+import graft.operators.{Decontam, Dedup, Quality, Series}
 
 /** Round-7 signal-engineering operators: seasonal forecasting by
   * decomposition, weight-of-evidence feature binning, referential-
@@ -1065,6 +1066,140 @@ object Signals {
          CAST(sum(credit_micro) AS BIGINT) AS credit_micro_sum
        FROM credited GROUP BY click_day ORDER BY click_day"""
 
+  // --------------------------------------------------------------- q200
+  /** END-TO-END curation funnel — the capstone composition: the raw
+    * corpus (every 20th doc held out as the benchmark) flows through
+    * Gopher quality rules → exact content-hash dedup → MinHash-LSH
+    * near-dup pair-drop (greater id of each verified pair) → 3-gram
+    * benchmark decontamination with a RANK-BASED drop (the top decile
+    * of contamination ratio, threshold = exact interpolated p90
+    * computed in-query — an absolute cutoff can't be scale-robust
+    * when the held-out set grows with the corpus; ratios are int/int
+    * doubles identical in both engines, so the boundary comparison
+    * is too), and lands as a per-source funnel report with the
+    * surviving token mass. Every stage is one of the already-graded
+    * kernels
+    * ([[Quality.gopherFlags]], [[Dedup.exact]], [[Dedup.minhashPairs]],
+    * [[Decontam.overlap]]) composed as a user would compose them; the
+    * oracle replays all four stages in one CTE chain over the SHARED
+    * shingle/band CTEs (q36/q73/q74's own text), so the composition
+    * can never drift from the parts. */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val gIds = Quality.gopherFlags(corpus, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val qDocs = corpus.join(gIds, "doc_id")
+    val exIds = Dedup.exact(qDocs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exDocs = qDocs.join(exIds, "doc_id")
+    val dropB = Dedup.minhashPairs(exDocs, "doc_id", "text",
+        threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val ndIds = exIds.join(dropB, Seq("doc_id"), "left_anti")
+    val ndDocs = exDocs.join(ndIds.select("doc_id"), "doc_id")
+    val rd = ndIds
+      .join(Decontam.overlap(ndDocs, bench, "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"),
+          (col("n_contam").cast("double") /
+            col("n_ngrams").cast("double")).as("ratio")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ratio"), lit(0.0)).as("ratio"))
+    val thr = rd.agg(percentile(col("ratio"), lit(0.9)).as("thr"))
+    val contamIds = rd.crossJoin(broadcast(thr))
+      .filter(col("ratio") >= col("thr") && col("ratio") > 0.0)
+      .select("doc_id")
+    val cleanIds = ndIds.join(contamIds, Seq("doc_id"), "left_anti")
+    def tag(ids: DataFrame, name: String): DataFrame =
+      ids.withColumn(name, lit(1L))
+    corpus
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("toks"))
+      .join(tag(gIds, "f_q"), Seq("doc_id"), "left")
+      .join(tag(exIds, "f_ex"), Seq("doc_id"), "left")
+      .join(tag(ndIds, "f_nd"), Seq("doc_id"), "left")
+      .join(tag(cleanIds, "f_cl"), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_in"),
+        sum(coalesce(col("f_q"), lit(0L))).as("n_quality"),
+        sum(coalesce(col("f_ex"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("f_nd"), lit(0L))).as("n_neardup"),
+        sum(coalesce(col("f_cl"), lit(0L))).as("n_clean"),
+        sum(when(col("f_cl") === 1L, col("toks")).otherwise(0L))
+          .as("clean_token_sum"))
+      .orderBy("source")
+  }
+
+  private val q200Sql = Pipeline.minhashBandCtes +
+    """,
+       gq AS (SELECT wa.doc_id FROM wa
+           WHERE wa.doc_id % 20 <> 0
+             AND len(w) >= 40 AND len(w) <= 50000
+             AND round(length(array_to_string(w,''))::DOUBLE / len(w), 4)
+                   >= 4.0
+             AND round(length(array_to_string(w,''))::DOUBLE / len(w), 4)
+                   <= 10.0
+             AND round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4)
+                   <= 0.55
+             AND len(list_filter(w, t ->
+                   list_contains(['the','a','of','and','to','in'], t)))
+                   >= 2),
+       ex AS (SELECT min(d.doc_id) AS doc_id
+              FROM gq JOIN documents d ON d.doc_id = gq.doc_id
+              GROUP BY md5(lower(regexp_replace(trim(d.text),
+                '\s+',' ','g')))),
+       ndrop AS (SELECT DISTINCT b.doc_id AS doc_id
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+           JOIN ex ea ON ea.doc_id = a.doc_id
+           JOIN ex eb ON eb.doc_id = b.doc_id
+           JOIN sh x ON x.doc_id = a.doc_id
+           JOIN sh y ON y.doc_id = b.doc_id
+           WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+             4) >= 0.8),
+       nd AS (SELECT doc_id FROM ex
+              WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+       ban AS (SELECT DISTINCT ('0x' || substr(md5(s),1,15))::BIGINT AS h
+           FROM (SELECT unnest(sh.sh) AS s FROM sh
+                 WHERE sh.doc_id % 20 = 0) t),
+       corp3 AS (SELECT t.doc_id,
+             ('0x' || substr(md5(t.s),1,15))::BIGINT AS h
+           FROM (SELECT sh.doc_id, unnest(sh.sh) AS s
+                 FROM sh JOIN nd ON nd.doc_id = sh.doc_id) t),
+       contam AS (SELECT c.doc_id, count(*) AS n_contam
+                  FROM corp3 c JOIN ban USING (h) GROUP BY c.doc_id),
+       rat AS (SELECT nd.doc_id,
+             coalesce(c.n_contam::DOUBLE / len(sh.sh), 0.0) AS ratio
+           FROM nd JOIN sh ON sh.doc_id = nd.doc_id
+           LEFT JOIN contam c ON c.doc_id = nd.doc_id),
+       thr AS (SELECT quantile_cont(ratio, 0.9) AS thr FROM rat),
+       cdrop AS (SELECT rat.doc_id FROM rat, thr
+                 WHERE rat.ratio >= thr.thr AND rat.ratio > 0.0),
+       clean AS (SELECT doc_id FROM nd
+                 WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+       rep AS (SELECT d.source, d.doc_id,
+             CAST(len(wa.w) AS BIGINT) AS toks,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM gq)
+                  THEN 1 ELSE 0 END AS f_q,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+                  THEN 1 ELSE 0 END AS f_ex,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM nd)
+                  THEN 1 ELSE 0 END AS f_nd,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM clean)
+                  THEN 1 ELSE 0 END AS f_cl
+           FROM documents d JOIN wa ON wa.doc_id = d.doc_id
+           WHERE d.doc_id % 20 <> 0)
+       SELECT source, count(*) AS n_in,
+         CAST(sum(f_q) AS BIGINT) AS n_quality,
+         CAST(sum(f_ex) AS BIGINT) AS n_exact,
+         CAST(sum(f_nd) AS BIGINT) AS n_neardup,
+         CAST(sum(f_cl) AS BIGINT) AS n_clean,
+         CAST(sum(CASE WHEN f_cl = 1 THEN toks ELSE 0 END) AS BIGINT)
+           AS clean_token_sum
+       FROM rep GROUP BY source ORDER BY source"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1085,7 +1220,8 @@ object Signals {
     "q196_kcenter_coreset" -> (q196 _),
     "q197_fanout_profile" -> (q197 _),
     "q198_nearest_event" -> (q198 _),
-    "q199_linear_attribution" -> (q199 _))
+    "q199_linear_attribution" -> (q199 _),
+    "q200_e2e_curation" -> (q200 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -1105,5 +1241,6 @@ object Signals {
     "q196_kcenter_coreset" -> q196Sql,
     "q197_fanout_profile" -> q197Sql,
     "q198_nearest_event" -> q198Sql,
-    "q199_linear_attribution" -> q199Sql)
+    "q199_linear_attribution" -> q199Sql,
+    "q200_e2e_curation" -> q200Sql)
 }
