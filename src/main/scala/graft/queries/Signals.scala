@@ -1090,14 +1090,18 @@ object Signals {
     val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
     val gIds = Quality.gopherFlags(corpus, "doc_id", "text")
       .filter(col("keep")).select("doc_id")
-    val qDocs = corpus.join(gIds, "doc_id")
+    // each survivor frame feeds TWO+ downstream stages; quality prunes
+    // the corpus ~6×, so checkpointing the small survivors stops every
+    // stage from re-running the full text scan + quality pass
+    val qDocs = corpus.join(gIds, "doc_id").localCheckpoint(true)
     val exIds = Dedup.exact(qDocs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val exDocs = qDocs.join(exIds, "doc_id")
+    val exDocs = qDocs.join(exIds, "doc_id").localCheckpoint(true)
     val dropB = Dedup.minhashPairs(exDocs, "doc_id", "text",
         threshold = 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
     val ndIds = exIds.join(dropB, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val ndDocs = exDocs.join(ndIds.select("doc_id"), "doc_id")
     val rd = ndIds
       .join(Decontam.overlap(ndDocs, bench, "doc_id", "text", n = 3)

@@ -39,8 +39,10 @@ object ScaleRehearsal {
     "q152_repeated_passages", "q166_golden_record",
     // round-7 additions: the new graph / event-time / forecast ops
     // (all on scaled tables — hits on lineitem×orders, attribution and
-    // holt-winters on events)
-    "q178_hits", "q179_attribution", "q181_holt_winters")
+    // holt-winters on events) and the composed end-to-end curation
+    // funnel (documents-scaled: quality → dedup → near-dup → decontam)
+    "q178_hits", "q179_attribution", "q181_holt_winters",
+    "q200_e2e_curation")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
