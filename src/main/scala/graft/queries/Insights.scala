@@ -213,10 +213,14 @@ object Insights {
 
   private def q115(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // top-k FIRST (TakeOrdered — distributed partial top-k, no global
+    // single-partition window over the scored corpus), THEN rank the
+    // 50 survivors; same rows, same ranks, scale-safe plan
     val lex = Rank.bm25(Tables.documents(s, d), "doc_id", "text", rrfTerms)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(50)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rank") <= 50)
       .select("doc_id", "rank")
     val emb = Tables.embeddings(s, d)
     val sem = Similarity.knnBruteForce(emb,
