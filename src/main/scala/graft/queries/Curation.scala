@@ -215,21 +215,23 @@ object Curation {
   // ---------------------------------------------------------------- q78
   /** Vocabulary / Zipf statistics: top-100 words with rank, frequency,
     * cumulative coverage, and the (negated) log-log Zipf slope as a
-    * constant audit column. Scale note: the rank window runs over the
-    * AGGREGATED vocabulary (≪ corpus — the corpus-sized work is the
-    * codegen'd token count), so the single-partition window is bounded
-    * by vocabulary size, not data size.
+    * constant audit column. Scale note: the top-100 is taken FIRST
+    * with a distributed TakeOrdered (`orderBy().limit`), so the rank
+    * and cumulative windows run over exactly 100 rows — the prefix
+    * coverage of rank ≤ k depends only on the top-k frequencies
+    * themselves, never on the vocabulary tail; the corpus-sized work
+    * is the codegen'd token count.
     */
   private def q78(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(words(col("text"))).as("w"))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
     val ord = Window.orderBy(col("freq").desc, col("w").asc)
-    val ranked = freq
+    val top = freq
+      .orderBy(col("freq").desc, col("w").asc).limit(100)
       .withColumn("rank", row_number().over(ord))
       .withColumn("cum", sum("freq").over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val top = ranked.filter(col("rank") <= 100)
     val total = freq.agg(sum("freq").as("n_total"))
     val slope = top.agg(
       round(-expr("regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4)
