@@ -8,7 +8,7 @@ import graft.functions.Rounding.{roundTo => round}
 import graft.Tables
 import graft.functions.TextFunctions.words
 import graft.functions.VectorFunctions
-import graft.operators.{Decontam, Dedup, Quality, Series}
+import graft.operators.{Decontam, Dedup, Quality, Sampling, Series}
 
 /** Round-7 signal-engineering operators: seasonal forecasting by
   * decomposition, weight-of-evidence feature binning, referential-
@@ -1204,6 +1204,115 @@ object Signals {
            AS clean_token_sum
        FROM rep GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- q201
+  /** CUPED variance reduction (the modern experimentation readout next
+    * to q120's Welch test): per-user purchase revenue split into a
+    * pre-period covariate (days before Jan 16) and the post-period
+    * metric, `θ = cov(pre, post)/var(pre)` fitted pooled from EXACT
+    * integer-cent moments (q194's DECIMAL(38,0)/HUGEINT discipline),
+    * and each user's adjusted metric `post − θ·(pre − mean_pre)`
+    * quantized to 10⁻⁴-cent LONGs so every per-arm sum is
+    * order-independent. Reports, per arm (q120's md5 hash-arm kernel):
+    * users, raw vs adjusted mean, and the variance-reduction fraction
+    * — how much experiment sensitivity the covariate buys. */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val split = lit("2024-01-16").cast("date")
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < split, col("cents")).otherwise(0L))
+        .as("pre"),
+        sum(when(col("day") >= split, col("cents")).otherwise(0L))
+          .as("post"))
+      .withColumn("arm", Sampling.hashBucket(col("user_id"), "ab", 2))
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(col("pre").cast("decimal(38,0)")).as("sx"),
+      sum(col("post").cast("decimal(38,0)")).as("sy"),
+      sum((col("pre") * col("pre")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("pre") * col("post")).cast("decimal(38,0)")).as("sxy"))
+    val n = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val varPre = n * dd("sxx") - dd("sx") * dd("sx")
+    val theta = when(varPre > 0.0,
+      (n * dd("sxy") - dd("sx") * dd("sy")) / varPre).otherwise(0.0)
+    val meanPre = dd("sx") / n
+    val adjQ = round((col("post").cast("double") -
+      theta * (col("pre").cast("double") - meanPre)) * 1e4, 0)
+      .cast("long")
+    val perArm = perUser.crossJoin(broadcast(m))
+      .withColumn("adj_q", adjQ)
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("post").cast("decimal(38,0)")).as("sp"),
+        sum(col("post").cast("decimal(38,0)") *
+          col("post").cast("decimal(38,0)")).as("spp"),
+        sum(col("adj_q").cast("decimal(38,0)")).as("sa"),
+        sum(col("adj_q").cast("decimal(38,0)") *
+          col("adj_q").cast("decimal(38,0)")).as("saa"))
+    val na = col("n_users").cast("double")
+    val vp = (na * dd("spp") - dd("sp") * dd("sp")) / (na * na)
+    val va = (na * dd("saa") - dd("sa") * dd("sa")) / (na * na) / 1e8
+    perArm.select(col("arm").cast("int").as("arm"), col("n_users"),
+      round(dd("sp") / na, 4).as("post_mean_cents"),
+      round(dd("sa") / na / 1e4, 4).as("adj_mean_cents"),
+      when(vp > 0.0, round(lit(1.0) - va / vp, 4)).as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  private val q201Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       pu AS (SELECT user_id,
+           CAST(sum(CASE WHEN day < DATE '2024-01-16' THEN cents
+                    ELSE 0 END) AS BIGINT) AS pre,
+           CAST(sum(CASE WHEN day >= DATE '2024-01-16' THEN cents
+                    ELSE 0 END) AS BIGINT) AS post,
+           ('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 AS arm
+         FROM ev GROUP BY user_id),
+       m AS (SELECT count(*) AS n,
+           sum(CAST(pre AS HUGEINT)) AS sx,
+           sum(CAST(post AS HUGEINT)) AS sy,
+           sum(CAST(pre * pre AS HUGEINT)) AS sxx,
+           sum(CAST(pre * post AS HUGEINT)) AS sxy
+         FROM pu),
+       th AS (SELECT sx::DOUBLE / n::DOUBLE AS mean_pre,
+           CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                     > 0.0
+                THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                ELSE 0.0 END AS theta
+         FROM m),
+       adj AS (SELECT pu.arm, pu.post,
+           CAST(round((pu.post::DOUBLE -
+             th.theta * (pu.pre::DOUBLE - th.mean_pre)) * 10000)
+             AS BIGINT) AS adj_q
+         FROM pu, th),
+       pa AS (SELECT arm, count(*) AS n_users,
+           sum(CAST(post AS HUGEINT)) AS sp,
+           sum(CAST(post AS HUGEINT) * post) AS spp,
+           sum(CAST(adj_q AS HUGEINT)) AS sa,
+           sum(CAST(adj_q AS HUGEINT) * adj_q) AS saa
+         FROM adj GROUP BY arm)
+       SELECT CAST(arm AS INT) AS arm, n_users,
+         round(sp::DOUBLE / n_users::DOUBLE, 4) AS post_mean_cents,
+         round(sa::DOUBLE / n_users::DOUBLE / 10000.0, 4)
+           AS adj_mean_cents,
+         CASE WHEN (n_users::DOUBLE * spp::DOUBLE
+                    - sp::DOUBLE * sp::DOUBLE)
+                   / (n_users::DOUBLE * n_users::DOUBLE) > 0.0
+              THEN round(1.0 -
+                ((n_users::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                  / (n_users::DOUBLE * n_users::DOUBLE) / 100000000.0)
+                / ((n_users::DOUBLE * spp::DOUBLE
+                    - sp::DOUBLE * sp::DOUBLE)
+                  / (n_users::DOUBLE * n_users::DOUBLE)), 4) END
+           AS var_reduction
+       FROM pa ORDER BY arm"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1225,7 +1334,8 @@ object Signals {
     "q197_fanout_profile" -> (q197 _),
     "q198_nearest_event" -> (q198 _),
     "q199_linear_attribution" -> (q199 _),
-    "q200_e2e_curation" -> (q200 _))
+    "q200_e2e_curation" -> (q200 _),
+    "q201_cuped" -> (q201 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -1246,5 +1356,6 @@ object Signals {
     "q197_fanout_profile" -> q197Sql,
     "q198_nearest_event" -> q198Sql,
     "q199_linear_attribution" -> q199Sql,
-    "q200_e2e_curation" -> q200Sql)
+    "q200_e2e_curation" -> q200Sql,
+    "q201_cuped" -> q201Sql)
 }
