@@ -1313,6 +1313,49 @@ object Signals {
            AS var_reduction
        FROM pa ORDER BY arm"""
 
+  // --------------------------------------------------------------- q202
+  /** Extraction inventory (the VALUE side of q77's PII counting):
+    * email DOMAINS pulled out of the text with
+    * `regexp_extract_all(…, group)` — capture groups, not just match
+    * counts — exploded and aggregated into a per-domain mention/doc
+    * census. Deterministic q77-style injection (`admin@<source>.org`
+    * on every 4th doc, `sales@` on every 6th) keeps the oracle
+    * non-vacuous; one codegen'd scan projection, one aggregation. */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" contact admin@"), col("source"), lit(".org")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(lit(" and sales@"), col("source"), lit(".org")))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), injected.as("txt"))
+      .select(col("doc_id"), explode(regexp_extract_all(col("txt"),
+        lit("[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})"),
+        lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("domain")
+  }
+
+  private val q202Sql =
+    """WITH inj AS (SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 = 0
+                THEN ' contact admin@' || source || '.org' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+                THEN ' and sales@' || source || '.org' ELSE '' END AS txt
+         FROM documents),
+       ex AS (SELECT doc_id, unnest(regexp_extract_all(txt,
+           '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1))
+           AS domain
+         FROM inj)
+       SELECT domain, count(*) AS n_mentions,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM ex GROUP BY domain ORDER BY domain"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1335,7 +1378,8 @@ object Signals {
     "q198_nearest_event" -> (q198 _),
     "q199_linear_attribution" -> (q199 _),
     "q200_e2e_curation" -> (q200 _),
-    "q201_cuped" -> (q201 _))
+    "q201_cuped" -> (q201 _),
+    "q202_domain_census" -> (q202 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -1357,5 +1401,6 @@ object Signals {
     "q198_nearest_event" -> q198Sql,
     "q199_linear_attribution" -> q199Sql,
     "q200_e2e_curation" -> q200Sql,
-    "q201_cuped" -> q201Sql)
+    "q201_cuped" -> q201Sql,
+    "q202_domain_census" -> q202Sql)
 }
