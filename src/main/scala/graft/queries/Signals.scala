@@ -1356,6 +1356,43 @@ object Signals {
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        FROM ex GROUP BY domain ORDER BY domain"""
 
+  // --------------------------------------------------------------- q203
+  /** Burst detection (the abuse / rate-limit audit): per user, the
+    * peak hourly event count against their mean over ACTIVE hours —
+    * a crawler retries in bursts, a human doesn't. Two grouped
+    * aggregations, integer-exact until the final ratio (max and sums
+    * are LONGs; the ratio of identical exact integers rounds
+    * identically in any engine). Top 20 burstiest by (ratio, user). */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy("user_id")
+      .agg(count(lit(1)).as("n_active_hours"),
+        max("c").as("peak_hourly"),
+        sum("c").as("n_events"))
+      .select(col("user_id"), col("n_active_hours"), col("peak_hourly"),
+        col("n_events"),
+        round(col("peak_hourly").cast("double") *
+          col("n_active_hours").cast("double") /
+          col("n_events").cast("double"), 4).as("burst_ratio"))
+      .orderBy(col("burst_ratio").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val q203Sql =
+    """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+           count(*) AS c
+         FROM events GROUP BY user_id, hr),
+       pu AS (SELECT user_id, count(*) AS n_active_hours,
+           CAST(max(c) AS BIGINT) AS peak_hourly,
+           CAST(sum(c) AS BIGINT) AS n_events
+         FROM hourly GROUP BY user_id)
+       SELECT user_id, n_active_hours, peak_hourly, n_events,
+         round(peak_hourly::DOUBLE * n_active_hours::DOUBLE
+           / n_events::DOUBLE, 4) AS burst_ratio
+       FROM pu ORDER BY burst_ratio DESC, user_id LIMIT 20"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1379,7 +1416,8 @@ object Signals {
     "q199_linear_attribution" -> (q199 _),
     "q200_e2e_curation" -> (q200 _),
     "q201_cuped" -> (q201 _),
-    "q202_domain_census" -> (q202 _))
+    "q202_domain_census" -> (q202 _),
+    "q203_burst_detection" -> (q203 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -1402,5 +1440,6 @@ object Signals {
     "q199_linear_attribution" -> q199Sql,
     "q200_e2e_curation" -> q200Sql,
     "q201_cuped" -> q201Sql,
-    "q202_domain_census" -> q202Sql)
+    "q202_domain_census" -> q202Sql,
+    "q203_burst_detection" -> q203Sql)
 }
