@@ -35,9 +35,12 @@ object Verify {
         // thrown query must never read as "absent" in CORRECTNESS
         try {
           val dir = Paths.get(s"$outDir/$name")
-          if (Files.exists(dir))
-            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
           Files.createDirectories(dir)
           Files.writeString(dir.resolve("_ERROR.txt"),
             s"${e.getClass.getName}: ${e.getMessage}\n")

@@ -55,6 +55,33 @@ private[graft] object Exec {
     * it returns, so caching the result is bounded, while the
     * intermediates it releases are corpus-sized.
     */
+  /** Recursively delete a directory tree (no-op if absent), closing
+    * the walk stream deterministically — `Files.walk` without a
+    * `close()` leaks a directory handle per call. */
+  def deleteRecursively(path: String): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** Eagerly materialize a SMALL result (localCheckpoint truncates its
+    * lineage so it no longer references any input file), then delete
+    * the scratch directories it was computed from. For queries that
+    * stage intermediate files/tables: without this the scratch outlives
+    * the call — leaked per run, and colliding under concurrent
+    * verifies when the path is fixed. */
+  def detachFromScratch(result: DataFrame, scratchDirs: Seq[String]): DataFrame = {
+    val out = result.localCheckpoint(true)
+    scratchDirs.foreach { p =>
+      try deleteRecursively(p) catch { case _: Throwable => () }
+    }
+    out
+  }
+
   def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist(StorageLevel.MEMORY_AND_DISK)
     try out.count()

@@ -121,9 +121,12 @@ object Graph {
     * `auth(b) = Σ_edges hub(a)`, `hub(a) = Σ_edges auth(b)` — each
     * half-step L1-normalized (Kleinberg's formulation uses L2; L1 keeps
     * every score a probability-like mass whose oracle replay needs no
-    * sqrt) and QUANTIZED to 9 decimals (shared rounding kernel): like
-    * [[pagerank]], the result is a pure function of the graph,
-    * independent of partitioning, join order, or engine.
+    * sqrt) and carried as 1e9-scaled LONG units between half-rounds,
+    * so every sum is an exact integer add: the result is a pure
+    * function of the graph, independent of partitioning, join order,
+    * or engine BY CONSTRUCTION (the [[pagerank]] 9-dp quantization
+    * relies on the grid absorbing FP reordering; here no FP sum
+    * exists to reorder).
     *
     * Execution shape per iteration: the edge table persists TWICE —
     * once hash-partitioned on each endpoint, so BOTH half-rounds join
@@ -152,28 +155,39 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hubs0 = e.select(col("a").as("node")).distinct()
     val nHubs = hubs0.count().toDouble // materializes the edge cache too
+    // scores live as 1e9-scaled LONG units ("u") between half-rounds:
+    // the per-group and L1-total sums are then exact integer adds —
+    // order-independent BY CONSTRUCTION, not merely because 1e-9
+    // quantization usually absorbs FP reordering error. The one FP op
+    // per half-round is the normalize divide, a pure function of two
+    // integers (identical in any engine); its result re-enters the
+    // integer grid immediately.
     def l1norm(raw: DataFrame): DataFrame = {
       val r = raw.localCheckpoint(true)
-      val total = r.agg(sum("score").as("tot"))
+      val total = r.agg(sum("u").as("tot"))
       r.crossJoin(broadcast(total))
-        .select(col("node"), round(col("score") / col("tot"), 9).as("score"))
+        .select(col("node"),
+          round(col("u").cast("double") * 1e9 / col("tot").cast("double"),
+            0).cast("long").as("u"))
         .localCheckpoint(true)
     }
-    val init = hubs0.withColumn("score", round(lit(1.0 / nHubs), 9))
+    val init = hubs0
+      .withColumn("u", round(lit(1e9 / nHubs), 0).cast("long"))
       .localCheckpoint(true)
     val (hub, auth) = (1 to iters).foldLeft(
         (init, init.limit(0))) { case ((h, _), _) =>
       val a2 = l1norm(h.join(e, col("node") === col("a"))
-        .groupBy(col("b")).agg(sum("score").as("score"))
-        .select(col("b").as("node"), col("score")))
+        .groupBy(col("b")).agg(sum("u").as("u"))
+        .select(col("b").as("node"), col("u")))
       val h2 = l1norm(a2.join(eByB, col("node") === col("b"))
-        .groupBy(col("a")).agg(sum("score").as("score"))
-        .select(col("a").as("node"), col("score")))
+        .groupBy(col("a")).agg(sum("u").as("u"))
+        .select(col("a").as("node"), col("u")))
       (h2, a2)
     }
     val out = hub.withColumn("side", lit("hub"))
       .unionByName(auth.withColumn("side", lit("auth")))
-      .select(col("node"), col("side"), col("score"))
+      .select(col("node"), col("side"),
+        round(col("u").cast("double") / 1e9, 9).as("score"))
     Exec.owned(out, Seq(e, eByB))
   }
 

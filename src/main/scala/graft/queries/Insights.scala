@@ -2316,31 +2316,41 @@ object Insights {
   private val q178Sql =
     """WITH e AS (SELECT DISTINCT o.o_custkey AS a, l.l_partkey AS b
              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       -- scores are 1e9-scaled BIGINT units between half-rounds (the
+       -- engine's exact-integer-sum discipline): sums are exact adds,
+       -- the normalize divide is the only FP op per half-round
        h0 AS (SELECT a AS node,
-              round(1.0 / (SELECT count(DISTINCT a) FROM e), 9) AS score
+              CAST(round(1000000000.0 /
+                (SELECT count(DISTINCT a) FROM e)) AS BIGINT) AS u
               FROM (SELECT DISTINCT a FROM e)),
-       a1r AS (SELECT e.b AS node, sum(h.score) AS score
+       a1r AS (SELECT e.b AS node, CAST(sum(h.u) AS BIGINT) AS u
                FROM e JOIN h0 h ON e.a = h.node GROUP BY e.b),
        a1 AS (SELECT node,
-              round(score / (SELECT sum(score) FROM a1r), 9) AS score
+              CAST(round(u::DOUBLE * 1000000000.0 /
+                (SELECT sum(u) FROM a1r)::DOUBLE) AS BIGINT) AS u
               FROM a1r),
-       h1r AS (SELECT e.a AS node, sum(x.score) AS score
+       h1r AS (SELECT e.a AS node, CAST(sum(x.u) AS BIGINT) AS u
                FROM e JOIN a1 x ON e.b = x.node GROUP BY e.a),
        h1 AS (SELECT node,
-              round(score / (SELECT sum(score) FROM h1r), 9) AS score
+              CAST(round(u::DOUBLE * 1000000000.0 /
+                (SELECT sum(u) FROM h1r)::DOUBLE) AS BIGINT) AS u
               FROM h1r),
-       a2r AS (SELECT e.b AS node, sum(h.score) AS score
+       a2r AS (SELECT e.b AS node, CAST(sum(h.u) AS BIGINT) AS u
                FROM e JOIN h1 h ON e.a = h.node GROUP BY e.b),
        a2 AS (SELECT node,
-              round(score / (SELECT sum(score) FROM a2r), 9) AS score
+              CAST(round(u::DOUBLE * 1000000000.0 /
+                (SELECT sum(u) FROM a2r)::DOUBLE) AS BIGINT) AS u
               FROM a2r),
-       h2r AS (SELECT e.a AS node, sum(x.score) AS score
+       h2r AS (SELECT e.a AS node, CAST(sum(x.u) AS BIGINT) AS u
                FROM e JOIN a2 x ON e.b = x.node GROUP BY e.a),
        h2 AS (SELECT node,
-              round(score / (SELECT sum(score) FROM h2r), 9) AS score
+              CAST(round(u::DOUBLE * 1000000000.0 /
+                (SELECT sum(u) FROM h2r)::DOUBLE) AS BIGINT) AS u
               FROM h2r),
-       scored AS (SELECT 'hub' AS side, node, score FROM h2
-                  UNION ALL SELECT 'auth' AS side, node, score FROM a2),
+       scored AS (SELECT 'hub' AS side, node,
+                    round(u::DOUBLE / 1000000000.0, 9) AS score FROM h2
+                  UNION ALL SELECT 'auth' AS side, node,
+                    round(u::DOUBLE / 1000000000.0, 9) AS score FROM a2),
        ranked AS (SELECT side, node, score,
                   row_number() OVER (PARTITION BY side
                     ORDER BY score DESC, node) AS rn
@@ -2479,13 +2489,17 @@ object Insights {
     val est = Sketch.hllRollup(streamed.withColumn("g", lit(1)),
         col("g"), p)
       .select(col("hll_estimate"))
-    batchEvents.agg(countDistinct(col("user_id")).as("n_exact"))
+    val result = batchEvents
+      .agg(countDistinct(col("user_id")).as("n_exact"))
       .crossJoin(broadcast(est))
       .select(col("n_exact"),
         lit(nMismatch == 0L).as("stream_eq_batch"),
         (abs(col("hll_estimate") - col("n_exact")) / col("n_exact") <=
           lit(3.0 * 1.04 / math.sqrt((1 << p).toDouble)))
           .as("within_bounds"))
+    // the 1-row result is checkpointed eagerly so the stream's scratch
+    // (sink parquet + checkpoint log) can be deleted before returning
+    graft.operators.Exec.detachFromScratch(result, Seq(outDir, ckpt))
   }
 
   private val q177Sql =

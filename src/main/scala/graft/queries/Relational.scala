@@ -1373,9 +1373,13 @@ object Relational {
     * value-checked per segment.
     */
   private def q150(s: SparkSession, d: String): DataFrame = {
+    // the tracked balance is INTEGER CENTS from the scan onward: every
+    // subsequent +50.00/+70.00 update is exact LONG arithmetic (+5000/
+    // +7000), so both engines agree bit-for-bit with no FP rounding in
+    // the versioned history at all
     val base = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"),
-        col("c_acctbal").cast("double").as("bal"))
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
     val dim0 = base
       .withColumn("valid_from", lit(0L))
       .withColumn("valid_to", lit(null).cast("long"))
@@ -1383,51 +1387,50 @@ object Relational {
     // updates carry the full attr set (segment is a stable attr that
     // rides along; only bal actually changes)
     val batch1 = base.filter(col("c_custkey") % 5 === 0)
-      .withColumn("bal", col("bal") + 50.0)
+      .withColumn("bal_cents", col("bal_cents") + 5000L)
       .withColumn("eff", lit(100L))
     val batch2 = base.filter(col("c_custkey") % 3 === 0)
-      .withColumn("bal", col("bal") + 70.0)
+      .withColumn("bal_cents", col("bal_cents") + 7000L)
       .withColumn("eff", lit(200L))
     def apply1(dim: DataFrame, b: DataFrame): DataFrame =
       graft.operators.Merge.scd2Apply(dim, b,
-        key = "c_custkey", attrs = Seq("c_mktsegment", "bal"),
+        key = "c_custkey", attrs = Seq("c_mktsegment", "bal_cents"),
         effectiveCol = "eff")
     val dim1 = apply1(dim0, batch1)
     val dim2 = apply1(dim1, batch2)
-    // graded balance column accumulates INTEGER CENTS: a LONG sum is
-    // order-independent and engine-exact, where round(sum(double),2)
-    // is summation-order-dependent and can land a cent apart in DuckDB
     dim2.groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_versions"),
         sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
-        sum(when(col("is_current"),
-          round(col("bal") * 100, 0).cast("long"))).as("cur_bal_cents"),
+        sum(when(col("is_current"), col("bal_cents")))
+          .as("cur_bal_cents"),
         sum("valid_from").as("from_sum"),
         sum(coalesce(col("valid_to"), lit(0L))).as("to_sum"))
       .orderBy("c_mktsegment")
   }
 
   private val q150Sql =
-    """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+    """WITH b AS (SELECT c_custkey, c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
                   FROM customer),
        -- versions: v0 always; v1 for %5 keys (eff 100); v2 for %3 (eff 200)
-       v0 AS (SELECT c_custkey, c_mktsegment, bal, 0 AS valid_from,
+       v0 AS (SELECT c_custkey, c_mktsegment, bal_cents, 0 AS valid_from,
               CASE WHEN c_custkey % 5 = 0 THEN 100
                    WHEN c_custkey % 3 = 0 THEN 200 END AS valid_to
               FROM b),
-       v1 AS (SELECT c_custkey, c_mktsegment, bal + 50 AS bal,
-              100 AS valid_from,
+       v1 AS (SELECT c_custkey, c_mktsegment,
+              bal_cents + 5000 AS bal_cents, 100 AS valid_from,
               CASE WHEN c_custkey % 3 = 0 THEN 200 END AS valid_to
               FROM b WHERE c_custkey % 5 = 0),
-       v2 AS (SELECT c_custkey, c_mktsegment, bal + 70 AS bal,
-              200 AS valid_from, NULL AS valid_to
+       v2 AS (SELECT c_custkey, c_mktsegment,
+              bal_cents + 7000 AS bal_cents, 200 AS valid_from,
+              NULL AS valid_to
               FROM b WHERE c_custkey % 3 = 0),
        allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
                 UNION ALL SELECT * FROM v2)
        SELECT c_mktsegment, count(*) AS n_versions,
-         sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
-         CAST(sum(CASE WHEN valid_to IS NULL
-                  THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+         CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_current,
+         CAST(sum(CASE WHEN valid_to IS NULL THEN bal_cents END) AS BIGINT)
            AS cur_bal_cents,
          CAST(sum(valid_from) AS BIGINT) AS from_sum,
          CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS to_sum

@@ -103,8 +103,12 @@ object Signals {
       .agg(count(lit(1)).as("n"), sum("y").as("pos"),
         (count(lit(1)) - sum("y")).as("neg"))
     val tot = agg.agg(sum("pos").as("pt"), sum("neg").as("nt"))
-    val lnOdds = log((col("pos") * col("nt")).cast("double") /
-      (col("neg") * col("pt")).cast("double"))
+    // each factor is cast to double BEFORE the multiply: LONG×LONG
+    // silently wraps in Spark at corpus scale (and errors in DuckDB),
+    // while double×double is IEEE-exact for counts < 2^53 on both
+    val lnOdds = log(
+      (col("pos").cast("double") * col("nt").cast("double")) /
+        (col("neg").cast("double") * col("pt").cast("double")))
     agg.crossJoin(broadcast(tot))
       .select(col("bin"), col("n"), col("pos"), col("neg"),
         when(col("pos") > 0 && col("neg") > 0, round(lnOdds, 6))
@@ -133,11 +137,13 @@ object Signals {
                  CAST(sum(neg) AS BIGINT) AS nt FROM agg)
        SELECT CAST(bin AS INT) AS bin, n, pos, neg,
          CASE WHEN pos > 0 AND neg > 0 THEN
-           round(ln((pos * nt)::DOUBLE / (neg * pt)::DOUBLE), 6) END
+           round(ln((pos::DOUBLE * nt::DOUBLE) /
+                    (neg::DOUBLE * pt::DOUBLE)), 6) END
            AS woe,
          CASE WHEN pos > 0 AND neg > 0 THEN
            round((pos::DOUBLE / pt - neg::DOUBLE / nt) *
-             ln((pos * nt)::DOUBLE / (neg * pt)::DOUBLE), 6) END
+             ln((pos::DOUBLE * nt::DOUBLE) /
+                (neg::DOUBLE * pt::DOUBLE)), 6) END
            AS iv
        FROM agg, tot ORDER BY bin"""
 
@@ -324,16 +330,14 @@ object Signals {
     // the catalog is in-memory per JVM but the warehouse directory is
     // not: a table dropped-by-restart leaves its location behind, and
     // CREATE then fails with LOCATION_ALREADY_EXISTS — clear both
-    Seq("graft_q185_orders", "graft_q185_customer").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get(
-        s.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), t)
-      if (java.nio.file.Files.exists(loc))
-        java.nio.file.Files.walk(loc)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    def dropBucketTables(): Unit =
+      Seq("graft_q185_orders", "graft_q185_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.operators.Exec.deleteRecursively(java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), t).toString)
+      }
+    dropBucketTables()
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .write.mode("overwrite")
@@ -344,7 +348,7 @@ object Signals {
       .write.mode("overwrite")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .saveAsTable("graft_q185_customer")
-    s.table("graft_q185_orders")
+    val result = s.table("graft_q185_orders")
       .join(s.table("graft_q185_customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
@@ -352,6 +356,11 @@ object Signals {
         sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .as("price_cents"))
       .orderBy("c_mktsegment")
+      .localCheckpoint(true)
+    // result is materialized (lineage truncated) — the bucketed scratch
+    // tables can be dropped before returning instead of leaking per run
+    dropBucketTables()
+    result
   }
 
   private val q185Sql =
@@ -370,16 +379,21 @@ object Signals {
     * the value check. Revenue pre-quantized to integer cents at write
     * time: the graded sum is a LONG both before and after the trip. */
   private def q186(s: SparkSession, d: String): DataFrame = {
-    val path = "/tmp/graft_q186_sink"
+    // per-run unique sink: a fixed path leaks per run and collides
+    // under concurrent verifies; the small result is checkpointed
+    // eagerly below so the scratch can be deleted before returning
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q186_sink").toString
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
           * 100, 0).cast("long").as("rev_cents"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    s.read.parquet(path)
+    val result = s.read.parquet(path)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum("rev_cents").as("rev_cents_sum"))
       .orderBy("l_returnflag")
+    graft.operators.Exec.detachFromScratch(result, Seq(path))
   }
 
   private val q186Sql =
