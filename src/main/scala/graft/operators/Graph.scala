@@ -43,9 +43,18 @@ object Graph {
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = Exec.widen(edges.select(col("src"), col("dst")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // nodes and weighted are PINNED to their per-round join keys
+    // (hash(node) / hash(src)) before persisting: every iteration's
+    // joins then reuse the cached layout and the only per-round
+    // exchanges move the contrib table (N rows, ≪ edges). Without the
+    // explicit pin the cached partitioning is whatever the build plan
+    // happened to produce, and a mismatch re-shuffles the NODE table
+    // every round — the 10×-scale bottleneck the round-7 rehearsal
+    // measured on q92 (ratio 2.37).
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
+      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 1/outdeg folded into the edge table once — per-round cost is the
     // small rank table's shuffle, not a degree recompute
@@ -53,6 +62,7 @@ object Graph {
     val weighted = e.join(outdeg, "src")
       .select(col("src"), col("dst"),
         (lit(1.0) / col("deg")).as("w"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nRow = nodes.count().toDouble // materializes the node cache too
@@ -88,13 +98,17 @@ object Graph {
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = Exec.widen(edges.select(col("src"), col("dst")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // same layout pin as [[pagerank]]: per-round exchanges move only
+    // the rank/contrib tables, never nodes or edges
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
+      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = sources.select(col(srcCol).as("node")).distinct()
     val nS = srcs.count().toDouble
@@ -148,8 +162,13 @@ object Graph {
   def hits(edges: DataFrame, aCol: String, bCol: String,
            iters: Int = 2): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // both edge copies are PINNED to their half-round join key:
+    // distinct() leaves the table hash(a,b)-partitioned, which matches
+    // NEITHER join — without the explicit hash(a) pin the hub→auth
+    // half-round re-shuffles the edge table every iteration
     val e = Exec.widen(
         edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct(), "a")
+      .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eByB = e.repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)

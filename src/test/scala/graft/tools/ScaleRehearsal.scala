@@ -106,6 +106,8 @@ object ScaleRehearsal {
     done.createNewFile()
   }
 
+  /** Optional args: query-name prefixes — time only that subset (dev
+    * loop) and skip writing the JSON; no args = full set + JSON. */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -131,20 +133,25 @@ object ScaleRehearsal {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
-    val rows = TopQueries.map { q =>
+    val selected =
+      if (args.isEmpty) TopQueries
+      else TopQueries.filter(q => args.exists(q.startsWith))
+    val rows = selected.map { q =>
       val small = time(q, SrcDir)
       val big = time(q, DstDir)
       val ratio = big / small
       println(f"SCALE $q%-24s sf0.1 ${small}%7.2f s   sf1 ${big}%8.2f s   ratio ${ratio}%6.2f")
       (q, small, big, ratio)
     }
-    val json = rows.map { case (q, s, b, r) =>
-      f"""    "$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
-    }.mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/SCALE_r07.json"),
-      json.getBytes("UTF-8"))
-    println("wrote /root/repo/SCALE_r07.json")
+    if (args.isEmpty) {
+      val json = rows.map { case (q, s, b, r) =>
+        f"""    "$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
+      }.mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/SCALE_r08.json"),
+        json.getBytes("UTF-8"))
+      println("wrote /root/repo/SCALE_r08.json")
+    }
     spark.stop()
   }
 }
