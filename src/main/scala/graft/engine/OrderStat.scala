@@ -36,6 +36,37 @@ object OrderStat {
     } finally { vals.unpersist() }
   }
 
+  /** Several exact order statistics over ONE cached value projection:
+    * `(n, values)` where `values(i)` is the `ks(i)`-th smallest (the
+    * per-k range narrowing re-scans the shared cache, never the
+    * source). The multi-quantile entry point for queries that bin on
+    * a boundary set — replaces a single-group exact `percentile`,
+    * whose aggregation buffer holds the whole group's value multiset:
+    * at corpus scale that buffer is an executor-killer, while each
+    * narrowing round here shuffles `bins` longs no matter the data
+    * size. `ks` entries are resolved AFTER `n` is known via
+    * `k = max(1, ceil(q * n))` by [[quantileRanks]].
+    */
+  def kthSmallests(df: DataFrame, valCol: String,
+                   ks: Long => Seq[Long], bins: Int = 64,
+                   cutoff: Long = 4096): (Long, Seq[Double]) = {
+    val vals = project(df, valCol)
+    try {
+      val n = vals.count()
+      val resolved = ks(n)
+      require(resolved.forall(k => k >= 1 && k <= n),
+        s"some rank outside 1..$n: $resolved")
+      (n, resolved.map(k => solve(vals, k, bins, cutoff)))
+    } finally { vals.unpersist() }
+  }
+
+  /** The shared rank convention for quantile boundaries: the q-th
+    * quantile of n values is the `max(1, ceil(q*n))`-th smallest —
+    * replayable in ANY engine as `row_number() ORDER BY v` at that
+    * rank, with no interpolation arithmetic to align. */
+  def quantileRanks(qs: Seq[Double])(n: Long): Seq[Long] =
+    qs.map(q => math.max(1L, math.ceil(q * n).toLong))
+
   /** `(n, k, value)` for the lower median (`k = (n+1)/2`). */
   def lowerMedian(df: DataFrame, valCol: String, bins: Int = 64,
                   cutoff: Long = 4096): (Long, Long, Double) = {

@@ -1131,9 +1131,10 @@ object Insights {
   // --------------------------------------------------------------- q136
   /** RFM customer segmentation: per-customer recency (days before the
     * corpus's last order date), frequency, and monetary total, each
-    * scored 1–4 against its own quartile boundaries (one quantile
-    * aggregation per metric, broadcast back — the equi-depth bin
-    * pattern, never a global ntile window). Ties on a boundary go to
+    * scored 1–4 against its own quartile boundaries (exact order
+    * statistics per metric via the narrowing kernel, folded back as
+    * literals — the equi-depth bin pattern, never a global ntile
+    * window). Ties on a boundary go to
     * the lower bin in both engines; recency scores INVERT (recent =
     * better). */
   private def q136(s: SparkSession, d: String): DataFrame = {
@@ -1151,19 +1152,22 @@ object Insights {
         datediff(col("d1"), col("last_day")).cast("long").as("recency"),
         col("frequency"), col("monetary"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = rfm.agg(
-      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rb"),
-      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fb"),
-      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mb"))
-    def above(v: org.apache.spark.sql.Column, b: String) =
-      aggregate(col(b), lit(0), (acc, x) =>
-        acc + when(v.cast("double") > x, 1).otherwise(0))
-    val result = rfm.crossJoin(broadcast(bounds))
+    // quartile boundaries as exact order statistics (k = ceil(q·n),
+    // the q182 contract) — the customer table is one group, and a
+    // single-group exact `percentile` buffers its whole multiset
+    val qs3 = graft.engine.OrderStat.quantileRanks(Seq(0.25, 0.5, 0.75)) _
+    val (_, rb) = graft.engine.OrderStat.kthSmallests(rfm, "recency", qs3)
+    val (_, fb) = graft.engine.OrderStat.kthSmallests(rfm, "frequency", qs3)
+    val (_, mb) = graft.engine.OrderStat.kthSmallests(rfm, "monetary", qs3)
+    def above(v: org.apache.spark.sql.Column, bs: Seq[Double]) =
+      bs.foldLeft(lit(0))((acc, x) =>
+        acc + when(v.cast("double") > lit(x), 1).otherwise(0))
+    val result = rfm
       .select(col("o_custkey"), col("recency"), col("frequency"),
         col("monetary"),
-        (lit(4) - above(col("recency"), "rb")).as("r_score"),
-        (lit(1) + above(col("frequency"), "fb")).as("f_score"),
-        (lit(1) + above(col("monetary"), "mb")).as("m_score"))
+        (lit(4) - above(col("recency"), rb)).as("r_score"),
+        (lit(1) + above(col("frequency"), fb)).as("f_score"),
+        (lit(1) + above(col("monetary"), mb)).as("m_score"))
       .withColumn("segment", concat(col("r_score"), col("f_score"),
         col("m_score")))
       .orderBy("o_custkey")
@@ -1178,10 +1182,24 @@ object Insights {
                  count(*) AS frequency,
                  round(sum(o_totalprice), 4) AS monetary
                FROM orders GROUP BY o_custkey),
-       b AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rb,
-               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fb,
-               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
-             FROM rfm),
+       -- quartiles as exact order statistics (k = ceil(q*n)),
+       -- mirroring the engine's iterative k-th-smallest kernel
+       nn AS (SELECT count(*) AS c FROM rfm),
+       ks AS (SELECT q, greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+              FROM (SELECT unnest([0.25, 0.5, 0.75]) AS q), nn),
+       rr AS (SELECT recency::DOUBLE AS x,
+              row_number() OVER (ORDER BY recency) AS rn FROM rfm),
+       fr AS (SELECT frequency::DOUBLE AS x,
+              row_number() OVER (ORDER BY frequency) AS rn FROM rfm),
+       mr AS (SELECT monetary::DOUBLE AS x,
+              row_number() OVER (ORDER BY monetary) AS rn FROM rfm),
+       b AS (SELECT
+               (SELECT list(r.x ORDER BY ks.q) FROM ks
+                  JOIN rr r ON r.rn = ks.k) AS rb,
+               (SELECT list(r.x ORDER BY ks.q) FROM ks
+                  JOIN fr r ON r.rn = ks.k) AS fb,
+               (SELECT list(r.x ORDER BY ks.q) FROM ks
+                  JOIN mr r ON r.rn = ks.k) AS mb),
        sc AS (SELECT o_custkey, recency, frequency, monetary,
                 4 - len(list_filter(b.rb, x -> recency::DOUBLE > x))
                   AS r_score,

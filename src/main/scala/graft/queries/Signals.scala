@@ -92,13 +92,18 @@ object Signals {
     val li = Tables.lineitem(s, d).select(
       col("l_extendedprice").as("x"),
       when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    // decile boundaries as EXACT ORDER STATISTICS via the iterative
+    // narrowing kernel (q170's) — a single-group exact `percentile`
+    // buffers the whole corpus's value multiset in one aggregation
+    // buffer, which does not survive 100×; the k-th-smallest contract
+    // (k = ceil(q·n)) is also interpolation-free, so the oracle
+    // replays it as a row_number rank lookup
     val qs = (1 to 9).map(_ / 10.0)
-    val bounds = li.agg(percentile(col("x"),
-      lit(qs.toArray)).as("bs"))
-    val binned = li.crossJoin(broadcast(bounds))
-      .select(col("y"), (lit(1) + aggregate(col("bs"), lit(0),
-        (acc, bv) => acc + when(col("x") > bv, 1).otherwise(0)))
-        .as("bin"))
+    val (_, bs) = graft.engine.OrderStat.kthSmallests(
+      li, "x", graft.engine.OrderStat.quantileRanks(qs))
+    val binned = li.select(col("y"),
+      bs.foldLeft(lit(1))((acc, b) =>
+        acc + when(col("x") > lit(b), 1).otherwise(0)).as("bin"))
     val agg = binned.groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("pos"),
         (count(lit(1)) - sum("y")).as("neg"))
@@ -124,8 +129,15 @@ object Signals {
     """WITH li AS (SELECT l_extendedprice AS x,
            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
          FROM lineitem),
-       b AS (SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
-               AS bs FROM li),
+       -- decile boundaries as exact order statistics (k = ceil(q*n)),
+       -- mirroring the engine's iterative k-th-smallest kernel
+       nn AS (SELECT count(*) AS c FROM li),
+       ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM li),
+       ks AS (SELECT greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+              FROM (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                    AS q), nn),
+       b AS (SELECT list(r.x ORDER BY r.rn) AS bs
+             FROM ks JOIN ranked r ON r.rn = ks.k),
        binned AS (SELECT li.y,
            1 + len(list_filter(b.bs, e -> li.x > e)) AS bin
          FROM li, b),
@@ -169,12 +181,35 @@ object Signals {
           col("n_null_keys"))
     val li = Tables.lineitem(s, d)
     val od = Tables.orders(s, d)
+    // both lineitem audits in ONE scan of the fact table: a 2-column
+    // projection probed against both parent key sets, then a single
+    // aggregate carrying both audits' conditional counts (the fact
+    // table is the 100 TB side — scanning it once per audit is the
+    // whole cost of this query; the two probe joins stay AQE-
+    // broadcastable when a parent is dimension-sized)
+    val liBoth = li.select(col("l_orderkey"), col("l_partkey"))
+      .join(od.select(col("o_orderkey").as("l_orderkey")).distinct()
+        .withColumn("hit_o", lit(1)), Seq("l_orderkey"), "left")
+      .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"))
+        .distinct().withColumn("hit_p", lit(1)), Seq("l_partkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("hit_o").isNull && col("l_orderkey").isNotNull, 1L)
+          .otherwise(0L)).as("orph_o"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_o"),
+        sum(when(col("hit_p").isNull && col("l_partkey").isNotNull, 1L)
+          .otherwise(0L)).as("orph_p"),
+        sum(when(col("l_partkey").isNull, 1L).otherwise(0L)).as("null_p"))
+      .select(explode(array(
+        struct(lit("lineitem.l_orderkey->orders").as("fk"),
+          col("n_rows"), col("orph_o").as("n_orphans"),
+          col("null_o").as("n_null_keys")),
+        struct(lit("lineitem.l_partkey->part").as("fk"),
+          col("n_rows"), col("orph_p").as("n_orphans"),
+          col("null_p").as("n_null_keys")))).as("a"))
+      .select("a.*")
     rel("customer.c_nationkey->nation", Tables.customer(s, d),
         "c_nationkey", Tables.nation(s, d), "n_nationkey")
-      .unionByName(rel("lineitem.l_orderkey->orders", li,
-        "l_orderkey", od, "o_orderkey"))
-      .unionByName(rel("lineitem.l_partkey->part", li,
-        "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionByName(liBoth)
       .unionByName(rel("nation.n_regionkey->region", Tables.nation(s, d),
         "n_regionkey", Tables.region(s, d), "r_regionkey"))
       .unionByName(rel("orders.o_custkey->customer", od,
@@ -516,8 +551,9 @@ object Signals {
 
   // --------------------------------------------------------------- q189
   /** Revenue concentration (Pareto report): per-customer lifetime
-    * revenue in integer cents, exact interpolated p50/p90/p99
-    * boundaries (q135 contract), and for each tier the customer count,
+    * revenue in integer cents, exact order-statistic p50/p90/p99
+    * boundaries (k = ceil(q·n) via [[graft.engine.OrderStat]] — no
+    * single-group multiset buffer), and for each tier the customer count,
     * revenue mass and share — "how top-heavy is the book" without a
     * global sort: one aggregation, a 3-value boundary broadcast, one
     * conditional re-aggregation. */
@@ -526,31 +562,30 @@ object Signals {
       .groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
         .as("rev_cents"))
-    val bounds = rev.agg(percentile(col("rev_cents").cast("double"),
-      lit(Array(0.5, 0.9, 0.99))).as("bs"))
-    val tiers = rev.crossJoin(broadcast(bounds))
-      .select(col("rev_cents"),
-        element_at(col("bs"), 1).as("b50"),
-        element_at(col("bs"), 2).as("b90"),
-        element_at(col("bs"), 3).as("b99"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tier boundaries as exact order statistics (k = ceil(q·n), the
+    // q182 contract): the narrowing kernel's per-round state is `bins`
+    // longs, where a single-group exact `percentile` would buffer the
+    // whole per-customer table's multiset in one aggregation buffer
+    val (_, Seq(b50, b90, b99)) = graft.engine.OrderStat.kthSmallests(
+      rev, "rev_cents",
+      graft.engine.OrderStat.quantileRanks(Seq(0.5, 0.9, 0.99)))
     val tot = rev.agg(sum("rev_cents").as("total_cents"))
-    def tier(name: String, cond: Column, bound: Column): DataFrame =
-      tiers.filter(cond)
+    def tier(name: String, bound: Double): DataFrame =
+      rev.filter(col("rev_cents").cast("double") >= lit(bound))
         .agg(count(lit(1)).as("n_customers"),
-          coalesce(sum("rev_cents"), lit(0L)).as("rev_cents"),
-          round(first(bound), 4).as("boundary"))
+          coalesce(sum("rev_cents"), lit(0L)).as("rev_cents"))
         .crossJoin(broadcast(tot))
-        .select(lit(name).as("tier"), col("boundary"),
+        .select(lit(name).as("tier"),
+          round(lit(bound), 4).as("boundary"),
           col("n_customers"), col("rev_cents"),
           round(col("rev_cents").cast("double") /
             col("total_cents").cast("double"), 6).as("share"))
-    tier("1_top_half", col("rev_cents").cast("double") >= col("b50"),
-        col("b50"))
-      .unionByName(tier("2_top_decile",
-        col("rev_cents").cast("double") >= col("b90"), col("b90")))
-      .unionByName(tier("3_top_percentile",
-        col("rev_cents").cast("double") >= col("b99"), col("b99")))
+    val result = tier("1_top_half", b50)
+      .unionByName(tier("2_top_decile", b90))
+      .unionByName(tier("3_top_percentile", b99))
       .orderBy("tier")
+    graft.operators.Exec.owned(result, Seq(rev))
   }
 
   private val q189Sql =
@@ -558,8 +593,13 @@ object Signals {
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS rev_cents
          FROM orders GROUP BY o_custkey),
-       b AS (SELECT quantile_cont(rev_cents::DOUBLE, [0.5, 0.9, 0.99])
-               AS bs FROM rev),
+       nn AS (SELECT count(*) AS c FROM rev),
+       ranked AS (SELECT rev_cents::DOUBLE AS x,
+              row_number() OVER (ORDER BY rev_cents) AS rn FROM rev),
+       ks AS (SELECT q, greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+              FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), nn),
+       b AS (SELECT list(r.x ORDER BY ks.q) AS bs
+             FROM ks JOIN ranked r ON r.rn = ks.k),
        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents
                FROM rev),
        tiers(tier, boundary, n_customers, rev_cents) AS (
@@ -789,10 +829,12 @@ object Signals {
   // --------------------------------------------------------------- q195
   /** Conversion latency distribution: per user, minutes from first
     * signup to the first purchase AFTER it, summarized as exact
-    * interpolated quartiles + p90 (q135 contract). Latencies derive
-    * from integer microsecond differences (identical in any engine);
-    * two grouped aggregations and a user-keyed join — the product-
-    * analytics "time to convert" panel. */
+    * order-statistic quartiles + p90 (k = ceil(q·n) via
+    * [[graft.engine.OrderStat]] — the q182 contract; no single-group
+    * multiset buffer). Latencies derive from integer microsecond
+    * differences (identical in any engine); two grouped aggregations
+    * and a user-keyed join — the product-analytics "time to convert"
+    * panel. */
   private def q195(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
@@ -805,12 +847,15 @@ object Signals {
       .groupBy("user_id").agg(min("tu").as("pu"), first("su").as("fsu"))
       .select(((col("pu") - col("fsu")).cast("double") / 6e7)
         .as("latency_min"))
-    latency.agg(
-      count(lit(1)).as("n_converted"),
-      round(percentile(col("latency_min"), lit(0.25)), 4).as("p25"),
-      round(percentile(col("latency_min"), lit(0.5)), 4).as("p50"),
-      round(percentile(col("latency_min"), lit(0.75)), 4).as("p75"),
-      round(percentile(col("latency_min"), lit(0.9)), 4).as("p90"))
+    val (n, Seq(p25, p50, p75, p90)) = graft.engine.OrderStat
+      .kthSmallests(latency, "latency_min",
+        graft.engine.OrderStat.quantileRanks(Seq(0.25, 0.5, 0.75, 0.9)))
+    s.range(1).select(
+      lit(n).as("n_converted"),
+      round(lit(p25), 4).as("p25"),
+      round(lit(p50), 4).as("p50"),
+      round(lit(p75), 4).as("p75"),
+      round(lit(p90), 4).as("p90"))
   }
 
   private val q195Sql =
@@ -822,13 +867,18 @@ object Signals {
                  AS latency_min
                FROM ev JOIN su ON ev.user_id = su.user_id
                WHERE ev.event_type = 'purchase' AND ev.tu > su.su
-               GROUP BY ev.user_id)
-       SELECT count(*) AS n_converted,
-         round(quantile_cont(latency_min, 0.25), 4) AS p25,
-         round(quantile_cont(latency_min, 0.5), 4) AS p50,
-         round(quantile_cont(latency_min, 0.75), 4) AS p75,
-         round(quantile_cont(latency_min, 0.9), 4) AS p90
-       FROM lat"""
+               GROUP BY ev.user_id),
+       nn AS (SELECT count(*) AS c FROM lat),
+       ranked AS (SELECT latency_min AS x,
+              row_number() OVER (ORDER BY latency_min) AS rn FROM lat),
+       ks AS (SELECT q, greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+              FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q), nn),
+       b AS (SELECT list(r.x ORDER BY ks.q) AS bs
+             FROM ks JOIN ranked r ON r.rn = ks.k)
+       SELECT (SELECT c FROM nn) AS n_converted,
+         round(bs[1], 4) AS p25, round(bs[2], 4) AS p50,
+         round(bs[3], 4) AS p75, round(bs[4], 4) AS p90
+       FROM b"""
 
   // --------------------------------------------------------------- q196
   /** k-center coreset (greedy farthest-point diverse-subset
@@ -921,21 +971,24 @@ object Signals {
   /** FK fan-out profile (the join-explosion pre-flight next to q119's
     * Σf² forecast): the full per-key cardinality DISTRIBUTION of the
     * two hot relationships — orders per customer, lines per order —
-    * as exact interpolated p50/p90/p99 plus max. Two grouped counts
-    * and two tiny percentile aggregations; at 100 TB this is what
-    * tells you whether a key's fan-out makes a shuffle join safe
-    * before you commit it. */
+    * as exact order-statistic p50/p90/p99 (k = ceil(q·n) via
+    * [[graft.engine.OrderStat]] — the key table is corpus-sized, so a
+    * single-group exact `percentile` buffer is exactly the explosion
+    * this query exists to prevent) plus max. Two grouped counts and
+    * two narrowing scans; at 100 TB this is what tells you whether a
+    * key's fan-out makes a shuffle join safe before you commit it. */
   private def q197(s: SparkSession, d: String): DataFrame = {
-    def profile(name: String, counts: DataFrame): DataFrame =
-      counts.agg(
-        count(lit(1)).as("n_keys"),
-        round(percentile(col("n").cast("double"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("n").cast("double"), lit(0.9)), 4).as("p90"),
-        round(percentile(col("n").cast("double"), lit(0.99)), 4)
-          .as("p99"),
-        max("n").as("max_fanout"))
-        .select(lit(name).as("fk"), col("n_keys"), col("p50"),
-          col("p90"), col("p99"), col("max_fanout"))
+    def profile(name: String, counts: DataFrame): DataFrame = {
+      val c = counts
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (n, Seq(p50, p90, p99)) = graft.engine.OrderStat.kthSmallests(
+        c, "n", graft.engine.OrderStat.quantileRanks(Seq(0.5, 0.9, 0.99)))
+      val result = c.agg(max("n").as("max_fanout"))
+        .select(lit(name).as("fk"), lit(n).as("n_keys"),
+          round(lit(p50), 4).as("p50"), round(lit(p90), 4).as("p90"),
+          round(lit(p99), 4).as("p99"), col("max_fanout"))
+      graft.operators.Exec.owned(result, Seq(c))
+    }
     val opc = Tables.orders(s, d).groupBy("o_custkey")
       .agg(count(lit(1)).as("n"))
     val lpo = Tables.lineitem(s, d).groupBy("l_orderkey")
@@ -947,20 +1000,34 @@ object Signals {
 
   private val q197Sql =
     """WITH opc AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey),
-       lpo AS (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)
-       SELECT '1_orders_per_customer' AS fk, count(*) AS n_keys,
-         round(quantile_cont(n::DOUBLE, 0.5), 4) AS p50,
-         round(quantile_cont(n::DOUBLE, 0.9), 4) AS p90,
-         round(quantile_cont(n::DOUBLE, 0.99), 4) AS p99,
-         CAST(max(n) AS BIGINT) AS max_fanout
-       FROM opc
+       lpo AS (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey),
+       -- p50/p90/p99 as exact order statistics (k = ceil(q*n)),
+       -- mirroring the engine's iterative k-th-smallest kernel
+       oppr AS (SELECT n::DOUBLE AS x, row_number() OVER (ORDER BY n)
+                  AS rn FROM opc),
+       opn AS (SELECT count(*) AS c FROM opc),
+       opks AS (SELECT q, greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+                FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), opn),
+       opb AS (SELECT list(r.x ORDER BY ks.q) AS bs
+               FROM opks ks JOIN oppr r ON r.rn = ks.k),
+       lppr AS (SELECT n::DOUBLE AS x, row_number() OVER (ORDER BY n)
+                  AS rn FROM lpo),
+       lpn AS (SELECT count(*) AS c FROM lpo),
+       lpks AS (SELECT q, greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+                FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), lpn),
+       lpb AS (SELECT list(r.x ORDER BY ks.q) AS bs
+               FROM lpks ks JOIN lppr r ON r.rn = ks.k)
+       SELECT '1_orders_per_customer' AS fk,
+         (SELECT c FROM opn) AS n_keys,
+         round(bs[1], 4) AS p50, round(bs[2], 4) AS p90,
+         round(bs[3], 4) AS p99,
+         (SELECT CAST(max(n) AS BIGINT) FROM opc) AS max_fanout
+       FROM opb
        UNION ALL
-       SELECT '2_lines_per_order', count(*),
-         round(quantile_cont(n::DOUBLE, 0.5), 4),
-         round(quantile_cont(n::DOUBLE, 0.9), 4),
-         round(quantile_cont(n::DOUBLE, 0.99), 4),
-         CAST(max(n) AS BIGINT)
-       FROM lpo
+       SELECT '2_lines_per_order', (SELECT c FROM lpn),
+         round(bs[1], 4), round(bs[2], 4), round(bs[3], 4),
+         (SELECT CAST(max(n) AS BIGINT) FROM lpo)
+       FROM lpb
        ORDER BY fk"""
 
   // --------------------------------------------------------------- q198
@@ -1086,11 +1153,12 @@ object Signals {
     * Gopher quality rules → exact content-hash dedup → MinHash-LSH
     * near-dup pair-drop (greater id of each verified pair) → 3-gram
     * benchmark decontamination with a RANK-BASED drop (the top decile
-    * of contamination ratio, threshold = exact interpolated p90
-    * computed in-query — an absolute cutoff can't be scale-robust
-    * when the held-out set grows with the corpus; ratios are int/int
-    * doubles identical in both engines, so the boundary comparison
-    * is too), and lands as a per-source funnel report with the
+    * of contamination ratio, threshold = the exact k = ceil(0.9·n)
+    * order statistic via [[graft.engine.OrderStat]] — an absolute
+    * cutoff can't be scale-robust when the held-out set grows with
+    * the corpus; ratios are int/int doubles identical in both
+    * engines, so the boundary comparison is too), and lands as a
+    * per-source funnel report with the
     * surviving token mass. Every stage is one of the already-graded
     * kernels
     * ([[Quality.gopherFlags]], [[Dedup.exact]], [[Dedup.minhashPairs]],
@@ -1124,9 +1192,14 @@ object Signals {
             col("n_ngrams").cast("double")).as("ratio")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("ratio"), lit(0.0)).as("ratio"))
-    val thr = rd.agg(percentile(col("ratio"), lit(0.9)).as("thr"))
-    val contamIds = rd.crossJoin(broadcast(thr))
-      .filter(col("ratio") >= col("thr") && col("ratio") > 0.0)
+    // p90 threshold as an exact order statistic (k = ceil(0.9·n), the
+    // q182 contract): no doc-cardinality multiset buffer, and the
+    // boundary is a data value both engines hold bit-identically
+    val rdC = rd.localCheckpoint(true)
+    val (_, Seq(thr)) = graft.engine.OrderStat.kthSmallests(
+      rdC, "ratio", graft.engine.OrderStat.quantileRanks(Seq(0.9)))
+    val contamIds = rdC
+      .filter(col("ratio") >= lit(thr) && col("ratio") > 0.0)
       .select("doc_id")
     val cleanIds = ndIds.join(contamIds, Seq("doc_id"), "left_anti")
     def tag(ids: DataFrame, name: String): DataFrame =
@@ -1192,7 +1265,11 @@ object Signals {
              coalesce(c.n_contam::DOUBLE / len(sh.sh), 0.0) AS ratio
            FROM nd JOIN sh ON sh.doc_id = nd.doc_id
            LEFT JOIN contam c ON c.doc_id = nd.doc_id),
-       thr AS (SELECT quantile_cont(ratio, 0.9) AS thr FROM rat),
+       ratn AS (SELECT count(*) AS c FROM rat),
+       ratr AS (SELECT ratio, row_number() OVER (ORDER BY ratio) AS rn
+                FROM rat),
+       thr AS (SELECT r.ratio AS thr FROM ratr r, ratn
+               WHERE r.rn = greatest(1, CAST(ceil(0.9 * c) AS BIGINT))),
        cdrop AS (SELECT rat.doc_id FROM rat, thr
                  WHERE rat.ratio >= thr.thr AND rat.ratio > 0.0),
        clean AS (SELECT doc_id FROM nd
