@@ -1156,9 +1156,11 @@ object Insights {
     // the q182 contract) — the customer table is one group, and a
     // single-group exact `percentile` buffers its whole multiset
     val qs3 = graft.engine.OrderStat.quantileRanks(Seq(0.25, 0.5, 0.75)) _
-    val (_, rb) = graft.engine.OrderStat.kthSmallests(rfm, "recency", qs3)
-    val (_, fb) = graft.engine.OrderStat.kthSmallests(rfm, "frequency", qs3)
-    val (_, mb) = graft.engine.OrderStat.kthSmallests(rfm, "monetary", qs3)
+    // all nine (metric, quantile) tasks advance through ONE wide
+    // histogram aggregation per narrowing round
+    val Seq((_, rb), (_, fb), (_, mb)) = graft.engine.OrderStat
+      .multiQuantiles(rfm,
+        Seq("recency" -> qs3, "frequency" -> qs3, "monetary" -> qs3))
     def above(v: org.apache.spark.sql.Column, bs: Seq[Double]) =
       bs.foldLeft(lit(0))((acc, x) =>
         acc + when(v.cast("double") > lit(x), 1).otherwise(0))

@@ -1484,6 +1484,83 @@ object Signals {
            / n_events::DOUBLE, 4) AS burst_ratio
        FROM pu ORDER BY burst_ratio DESC, user_id LIMIT 20"""
 
+  // --------------------------------------------------------------- q204
+  /** STREAMING stream-stream interval join, oracle-graded — the last
+    * §2.10 capability without a CORRECTNESS row (the q177 pattern:
+    * file-stream replay + foreachBatch sink puts a streaming operator
+    * under the DuckDB gate). The events table replays as ONE file
+    * stream split into a purchase stream and a click stream, both
+    * watermarked; the inner join constrains each click to the day
+    * BEFORE its purchase on the same user — the time-interval
+    * condition is what lets Spark bound the buffered state to
+    * watermark + interval instead of retaining both streams forever.
+    * Joined pairs append to a parquet sink per micro-batch; the sunk
+    * pairs roll up per purchase-day. A correctly-watermarked streaming
+    * INNER join's final output equals the batch join over the same
+    * rows, so DuckDB replays the identical interval join as batch SQL
+    * — grading counts AND both distinct-endpoint cardinalities. */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+      TimestampType}
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ssj_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ssj_ckpt").toString
+    // same ts normalization as Tables.events (raw parquet is
+    // TIMESTAMP(NANOS): a LONG under nanosAsLong, NTZ otherwise)
+    def norm(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+    val ev = norm(s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
+      .select(col("p_id"), col("c_id"), col("p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val result = s.read.parquet(outDir)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(col("c_id")).as("n_clicks"))
+      .orderBy("day")
+    graft.operators.Exec.detachFromScratch(result, Seq(outDir, ckpt))
+  }
+
+  private val q204Sql =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+           FROM events WHERE event_type = 'click'),
+       j AS (SELECT p.p_id, c.c_id, p.p_ts
+             FROM p JOIN c ON p.user_id = c.user_id
+               AND c.c_ts <= p.p_ts
+               AND c.c_ts >= p.p_ts - INTERVAL 1 DAY)
+       SELECT CAST(p_ts AS DATE) AS day, count(*) AS n_pairs,
+         count(DISTINCT p_id) AS n_purchases,
+         count(DISTINCT c_id) AS n_clicks
+       FROM j GROUP BY day ORDER BY day"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1508,7 +1585,8 @@ object Signals {
     "q200_e2e_curation" -> (q200 _),
     "q201_cuped" -> (q201 _),
     "q202_domain_census" -> (q202 _),
-    "q203_burst_detection" -> (q203 _))
+    "q203_burst_detection" -> (q203 _),
+    "q204_stream_stream_join" -> (q204 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -1532,5 +1610,6 @@ object Signals {
     "q200_e2e_curation" -> q200Sql,
     "q201_cuped" -> q201Sql,
     "q202_domain_census" -> q202Sql,
-    "q203_burst_detection" -> q203Sql)
+    "q203_burst_detection" -> q203Sql,
+    "q204_stream_stream_join" -> q204Sql)
 }
