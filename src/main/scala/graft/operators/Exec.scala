@@ -55,6 +55,19 @@ private[graft] object Exec {
     * it returns, so caching the result is bounded, while the
     * intermediates it releases are corpus-sized.
     */
+  /** Hash-pin a table to `key` with the session's FIXED shuffle
+    * partition count before caching it for an iterative loop. The
+    * explicit count is the point: without it AQE coalesces the build
+    * exchange to whatever count the data suggested, the cached layout
+    * then fails every later join's clustering requirement (which asks
+    * for the full shuffle-partition count), and the "pinned" table
+    * re-shuffles per round anyway.
+    */
+  def pin(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col(key))
+
   /** Recursively delete a directory tree (no-op if absent), closing
     * the walk stream deterministically — `Files.walk` without a
     * `close()` leaks a directory handle per call. */

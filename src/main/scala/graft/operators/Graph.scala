@@ -41,28 +41,31 @@ object Graph {
                iters: Int = 2): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val e = Exec.widen(edges.select(col("src"), col("dst")), "src")
+    // the edge table is PINNED to hash(src) ONCE, up front: the
+    // out-degree aggregation, the weighted-edge join, and every
+    // iteration's rank⋈edge join all consume that one layout, so the
+    // build shuffles the (corpus-sized) edge table exactly once and
+    // the only per-round exchanges move the contrib table (N rows,
+    // ≪ edges). `nodes` is likewise pinned BEFORE its distinct — the
+    // explicit-count repartition both feeds the dedup aggregation and
+    // survives as the cached layout (AQE never coalesces an explicit
+    // repartition, where it does coalesce a distinct's own exchange —
+    // the mismatch that re-shuffled the node table every round and
+    // cost q92 its 10×-scale ratio in the round-7 rehearsal).
+    val e = Exec.pin(edges.select(col("src"), col("dst")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // nodes and weighted are PINNED to their per-round join keys
-    // (hash(node) / hash(src)) before persisting: every iteration's
-    // joins then reuse the cached layout and the only per-round
-    // exchanges move the contrib table (N rows, ≪ edges). Without the
-    // explicit pin the cached partitioning is whatever the build plan
-    // happened to produce, and a mismatch re-shuffles the NODE table
-    // every round — the 10×-scale bottleneck the round-7 rehearsal
-    // measured on q92 (ratio 2.37).
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val nodes = Exec.pin(e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))), "node")
       .distinct()
-      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 1/outdeg folded into the edge table once — per-round cost is the
-    // small rank table's shuffle, not a degree recompute
+    // small rank table's shuffle, not a degree recompute; both the
+    // aggregation and the join run exchange-free on e's pinned layout,
+    // and `weighted` INHERITS hash(src) through them (no re-pin)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outdeg, "src")
       .select(col("src"), col("dst"),
         (lit(1.0) / col("deg")).as("w"))
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nRow = nodes.count().toDouble // materializes the node cache too
@@ -96,19 +99,19 @@ object Graph {
                            iters: Int = 2): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val e = Exec.widen(edges.select(col("src"), col("dst")), "src")
+    // same one-pin layout discipline as [[pagerank]]: e pinned to
+    // hash(src) once; outdeg/weighted inherit it exchange-free; nodes
+    // pinned before its distinct; per-round exchanges move only the
+    // rank/contrib tables, never nodes or edges
+    val e = Exec.pin(edges.select(col("src"), col("dst")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // same layout pin as [[pagerank]]: per-round exchanges move only
-    // the rank/contrib tables, never nodes or edges
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val nodes = Exec.pin(e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))), "node")
       .distinct()
-      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = sources.select(col(srcCol).as("node")).distinct()
     val nS = srcs.count().toDouble
@@ -166,11 +169,11 @@ object Graph {
     // distinct() leaves the table hash(a,b)-partitioned, which matches
     // NEITHER join — without the explicit hash(a) pin the hub→auth
     // half-round re-shuffles the edge table every iteration
-    val e = Exec.widen(
-        edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct(), "a")
-      .repartition(col("a"))
+    val e = Exec.pin(
+        edges.select(col(aCol).as("a"), col(bCol).as("b")), "a")
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eByB = e.repartition(col("b"))
+    val eByB = Exec.pin(e, "b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hubs0 = e.select(col("a").as("node")).distinct()
     val nHubs = hubs0.count().toDouble // materializes the edge cache too
@@ -382,11 +385,11 @@ object Graph {
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
               sources: DataFrame, srcCol: String, hops: Int): DataFrame = {
     require(hops >= 0, "hops must be non-negative")
-    val und = edges
-      .select(col(aCol).as("s"), col(bCol).as("d"))
-      .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("d")))
+    val und = Exec.pin(edges
+        .select(col(aCol).as("s"), col(bCol).as("d"))
+        .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("d"))),
+        "s")
       .distinct()
-      .repartition(col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init = sources.select(col(srcCol).as("node")).distinct()
       .withColumn("dist", lit(0))
