@@ -35,10 +35,13 @@ object Graph {
     * no redistributed mass (standard dangling-sink behavior: their
     * rank drains into the (1−d) teleport term only — callers wanting
     * strict mass conservation should symmetrize their edges first).
-    * Returns `(node, rank)` with rank quantized to 9 decimals.
+    * Pass `undirected = true` when the input IS symmetrized: the src
+    * set then equals the node set, which drops the edge-sized
+    * endpoint-union pass from the node build (the result is
+    * identical). Returns `(node, rank)` quantized to 9 decimals.
     */
   def pagerank(edges: DataFrame, damping: Double = 0.85,
-               iters: Int = 2): DataFrame = {
+               iters: Int = 2, undirected: Boolean = false): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     // the edge table is PINNED to hash(src) ONCE, up front: the
@@ -46,17 +49,14 @@ object Graph {
     // iteration's rank⋈edge join all consume that one layout, so the
     // build shuffles the (corpus-sized) edge table exactly once and
     // the only per-round exchanges move the contrib table (N rows,
-    // ≪ edges). `nodes` is likewise pinned BEFORE its distinct — the
-    // explicit-count repartition both feeds the dedup aggregation and
-    // survives as the cached layout (AQE never coalesces an explicit
-    // repartition, where it does coalesce a distinct's own exchange —
-    // the mismatch that re-shuffled the node table every round and
-    // cost q92 its 10×-scale ratio in the round-7 rehearsal).
+    // ≪ edges). The hash-based agg+join degree fold deliberately beats
+    // a window over the same layout — the window's per-partition SORT
+    // of the full edge set costs more than the two cache scans. Pins
+    // are EXPLICIT repartitions, which AQE never coalesces — a
+    // distinct's own exchange it does coalesce, the partition-count
+    // mismatch that re-shuffled the node table every round and cost
+    // q92 its 10×-scale ratio in the round-7 rehearsal.
     val e = Exec.pin(edges.select(col("src"), col("dst")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = Exec.pin(e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))), "node")
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 1/outdeg folded into the edge table once — per-round cost is the
     // small rank table's shuffle, not a degree recompute; both the
@@ -67,8 +67,18 @@ object Graph {
       .select(col("src"), col("dst"),
         (lit(1.0) / col("deg")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // node set: a symmetrized graph's src set IS the node set, so the
+    // undirected path re-reads the (node-sized, already-distinct)
+    // out-degree srcs — no edge-sized endpoint union, no distinct
+    // shuffle. The directed path unions both endpoint sets.
+    val nodes = (
+      if (undirected) Exec.pin(outdeg.select(col("src").as("node")), "node")
+      else Exec.pin(e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))), "node")
+        .distinct()
+      ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    val nRow = nodes.count().toDouble // materializes the node cache too
+    val nRow = nodes.count().toDouble // materializes the caches below it
     val init = nodes.withColumn("rank", round(lit(1.0 / nRow), 9))
     val ranks = (1 to iters).foldLeft(init) { (r, _) =>
       val contrib = r.join(weighted, col("node") === col("src"))
@@ -78,7 +88,7 @@ object Graph {
           round(lit((1 - damping) / nRow) +
             lit(damping) * coalesce(col("mass"), lit(0.0)), 9).as("rank"))
     }
-    Exec.owned(ranks, Seq(e, nodes, weighted))
+    Exec.owned(ranks, Seq(e, weighted, nodes))
   }
 
   /** Personalized PageRank: [[pagerank]] with the teleport mass
@@ -105,13 +115,13 @@ object Graph {
     // rank/contrib tables, never nodes or edges
     val e = Exec.pin(edges.select(col("src"), col("dst")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = Exec.pin(e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))), "node")
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = Exec.pin(e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))), "node")
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = sources.select(col(srcCol).as("node")).distinct()
     val nS = srcs.count().toDouble

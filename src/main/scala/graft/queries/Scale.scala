@@ -303,7 +303,8 @@ object Scale {
       .distinct()
     val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
-    graft.operators.Graph.pagerank(edges, damping = 0.85, iters = 2)
+    graft.operators.Graph.pagerank(edges, damping = 0.85, iters = 2,
+      undirected = true)
       .select(
         when(pmod(col("node"), lit(2L)) === 0,
           concat(lit("c"), (col("node") / 2).cast("long")))
