@@ -1,0 +1,465 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+import graft.functions.TextFunctions.words
+
+/** Round-8 lifecycle & market-structure operators: survival analysis,
+  * association rules, k-core decomposition, DSIR-style importance
+  * weighting, difference-in-differences, and an l-diversity audit.
+  * Oracle discipline matches [[Signals]]: shared rounding kernel,
+  * integer-exact graded sums (money as cents, FP only behind a
+  * quantization), total-order ranks on every top-k.
+  */
+object Lifecycle {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  // --------------------------------------------------------------- q205
+  /** Kaplan-Meier survival curve over customer lifetimes (orders
+    * table): per-customer lifetime = days between first and last
+    * order; a customer whose last order falls within 90 days of the
+    * corpus end is CENSORED (still alive at observation end),
+    * otherwise the last order marks churn. The estimator's risk sets
+    * are exact integer counts (`n_risk(t) = #{lifetime ≥ t}` via one
+    * descending cumulative sum over the day-cardinality lifetime
+    * table); the survival product is `exp(Σ ln(1 − d/n))` quantized
+    * to 9 dp — the q72 contract: libm ln/exp differ across engines by
+    * ulps, far below the grid. Distribution shape: the corpus-sized
+    * input collapses to per-customer rows in ONE aggregation, then to
+    * per-day rows; the windows run over the bounded day table only.
+    */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1990-01-01").cast("date")).cast("long")
+    val users = Tables.orders(s, d)
+      .select(col("o_custkey"), day.as("day"))
+      .groupBy("o_custkey")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val end = users.agg(max("d1").as("endday"))
+    val lifetimes = users.crossJoin(broadcast(end))
+      .select((col("d1") - col("d0")).as("t"),
+        (col("endday") - col("d1") >= 90).as("died"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("died"), 1L).otherwise(0L)).as("d"))
+    // risk set: all users with lifetime >= t — one descending cumsum
+    // over the (bounded) day-cardinality table
+    val byTDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byTAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = lifetimes
+      .withColumn("n_risk", sum(col("n_users")).over(byTDesc))
+      .filter(col("d") > 0)
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+    atRisk
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("n_events"),
+        when(min(col("factor")).over(byTAsc) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("factor"))).over(byTAsc)), 9))
+          .as("survival"))
+      .orderBy("t_days")
+  }
+
+  private val q205Sql =
+    """WITH u AS (SELECT o_custkey,
+           min(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)))
+             AS d0,
+           max(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)))
+             AS d1
+         FROM orders GROUP BY o_custkey),
+       e AS (SELECT max(d1) AS endday FROM u),
+       lt AS (SELECT CAST(u.d1 - u.d0 AS BIGINT) AS t,
+                count(*) AS n_users,
+                sum(CASE WHEN e.endday - u.d1 >= 90 THEN 1 ELSE 0 END) AS d
+              FROM u, e GROUP BY 1),
+       r AS (SELECT t, n_users, d,
+               sum(n_users) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+             FROM lt),
+       f AS (SELECT t, n_risk, d,
+               1.0 - d::DOUBLE / n_risk::DOUBLE AS factor
+             FROM r WHERE d > 0)
+       SELECT t AS t_days, n_risk, CAST(d AS BIGINT) AS n_events,
+         CASE WHEN min(factor) OVER w = 0.0 THEN 0.0
+              ELSE round(exp(sum(ln(factor)) OVER w), 9) END AS survival
+       FROM f
+       WINDOW w AS (ORDER BY t ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY t_days"""
+
+  // --------------------------------------------------------------- q206
+  /** Association rules over order baskets (market-basket analysis):
+    * support / confidence / lift for part pairs that co-occur in ≥ 3
+    * orders, both rule directions, top 25 by lift under a TOTAL order.
+    * The pair generation is a within-basket self-join — bounded by
+    * basket size (≤ ~15 items), never corpus² — and every statistic
+    * derives from integer co-occurrence counts; the only FP is the
+    * final quantized division (operands cast to double first, so both
+    * engines run the identical IEEE ops even past 2^53).
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+      .persist(sl)
+    val nOrders = items.select("oid").distinct().count()
+    val supp = items.groupBy("item").agg(count(lit(1)).as("s"))
+    val a = items.select(col("oid"), col("item").as("x"))
+    val b = items.select(col("oid"), col("item").as("y"))
+    val pairs = a.join(b, "oid").filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("sab"))
+      .filter(col("sab") >= 3)
+    val rules = pairs
+      .unionByName(pairs.select(col("y").as("x"), col("x").as("y"),
+        col("sab")))
+      .join(supp.select(col("item").as("x"), col("s").as("sx")), "x")
+      .join(supp.select(col("item").as("y"), col("s").as("sy")), "y")
+    val result = rules.select(
+        col("x").as("antecedent"), col("y").as("consequent"),
+        col("sab").as("support"),
+        round(col("sab").cast("double") / col("sx").cast("double"), 6)
+          .as("confidence"),
+        round(col("sab").cast("double") * lit(nOrders.toDouble) /
+          (col("sx").cast("double") * col("sy").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("support").desc,
+        col("antecedent"), col("consequent"))
+      .limit(25)
+    graft.operators.Exec.owned(result, Seq(items))
+  }
+
+  private val q206Sql =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+           FROM lineitem),
+       n AS (SELECT count(DISTINCT oid) AS n FROM it),
+       supp AS (SELECT item, count(*) AS s FROM it GROUP BY item),
+       p AS (SELECT a.item AS x, b.item AS y, count(*) AS sab
+             FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+       r AS (SELECT x, y, sab FROM p
+             UNION ALL SELECT y, x, sab FROM p)
+       SELECT r.x AS antecedent, r.y AS consequent, r.sab AS support,
+         round(r.sab::DOUBLE / sx.s::DOUBLE, 6) AS confidence,
+         round(r.sab::DOUBLE * n.n::DOUBLE /
+           (sx.s::DOUBLE * sy.s::DOUBLE), 6) AS lift
+       FROM r JOIN supp sx ON r.x = sx.item
+              JOIN supp sy ON r.y = sy.item, n
+       ORDER BY lift DESC, support DESC, antecedent, consequent
+       LIMIT 25"""
+
+  // --------------------------------------------------------------- q207
+  /** k-core decomposition of the order↔part bipartite graph by
+    * synchronous peeling: 6 rounds where every node with degree < 6 is
+    * removed SIMULTANEOUSLY and the edge set restricted to survivors —
+    * the deterministic variant of the classic peel (visit-order
+    * peeling is unreproducible across partitionings; the synchronous
+    * sweep is a pure function of the graph, so an oracle can unroll it
+    * round by round). Per round: one degree aggregation on the pinned
+    * symmetric edge table + two survivor semi-joins, lineage truncated
+    * per round ([[graft.operators.Graph.labelPropagation]]
+    * discipline). Output: nodes/edges remaining after each round.
+    */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    val k = 6
+    val roundsN = 6
+    val pairs = Tables.lineitem(s, d)
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    var sym = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val stats = (1 to roundsN).map { r =>
+      val keepS = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val keepD = keepS.withColumnRenamed("node", "node2")
+      sym = sym
+        .join(keepS, col("src") === col("node")).drop("node")
+        .join(keepD, col("dst") === col("node2")).drop("node2")
+        .localCheckpoint(true)
+      sym.agg(countDistinct(col("src")).as("n_nodes"),
+          (count(lit(1)) / lit(2)).cast("long").as("n_edges"))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    stats.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  private val q207Sql = {
+    def roundCte(i: Int) =
+      s"""k$i AS (SELECT src AS node FROM e${i - 1}
+             GROUP BY src HAVING count(*) >= 6),
+         e$i AS (SELECT s.src, s.dst FROM e${i - 1} s
+             JOIN k$i a ON s.src = a.node
+             JOIN k$i b ON s.dst = b.node)"""
+    val rounds = (1 to 6).map(roundCte).mkString(",\n       ")
+    val stats = (1 to 6).map(i =>
+      s"""SELECT $i AS round, count(DISTINCT src) AS n_nodes,
+           CAST(count(*) / 2 AS BIGINT) AS n_edges FROM e$i""")
+      .mkString("\n       UNION ALL ")
+    s"""WITH p AS (SELECT DISTINCT l_orderkey * 2 AS src,
+           l_partkey * 2 + 1 AS dst FROM lineitem),
+       e0 AS (SELECT src, dst FROM p
+              UNION ALL SELECT dst, src FROM p),
+       $rounds
+       SELECT * FROM ($stats) ORDER BY round"""
+  }
+
+  // --------------------------------------------------------------- q208
+  /** DSIR-style importance weights (data selection for language
+    * models, Xie et al. 2023 shape): score every document by how much
+    * more likely its tokens are under the TARGET distribution (here
+    * the English subcorpus) than under the full-corpus distribution —
+    * per-token `ln p_tgt(w) − ln p_all(w)` with add-1 smoothing over
+    * the shared vocabulary, averaged per document. Top 30 under a
+    * total order. Execution: token counts are two aggregations over
+    * one cached token projection; the per-word log-ratio table is
+    * vocabulary-sized; the per-doc score is one join + aggregation.
+    * No model, no RNG — a pure corpus statistic, fully oracle-graded.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .persist(sl)
+    val allCnt = toks.groupBy("w").agg(count(lit(1)).as("ca"))
+      .persist(sl)
+    val tgtCnt = toks.filter(col("lang") === "en")
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val Seq(ta, tt, v) = {
+      val r = toks.agg(count(lit(1)).as("ta"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+        count_distinct(col("w")).as("v")).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val lw = allCnt.join(tgtCnt, Seq("w"), "left")
+      .select(col("w"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            lit((tt + v).toDouble)) -
+          log((col("ca").cast("double") + 1.0) / lit((ta + v).toDouble)))
+          .as("lw"))
+    val result = toks.join(lw, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lw")), 4).as("dsir_weight"))
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(30)
+    graft.operators.Exec.owned(result, Seq(toks, allCnt))
+  }
+
+  private val q208Sql =
+    """WITH toks AS (SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+         FROM documents),
+       ca AS (SELECT w, count(*) AS ca FROM toks GROUP BY w),
+       ct AS (SELECT w, count(*) AS ct FROM toks WHERE lang = 'en'
+              GROUP BY w),
+       tot AS (SELECT count(*) AS ta,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt,
+                 count(DISTINCT w) AS v
+               FROM toks),
+       lw AS (SELECT ca.w,
+                ln((coalesce(ct.ct, 0)::DOUBLE + 1.0) /
+                   (tot.tt + tot.v)::DOUBLE) -
+                ln((ca.ca::DOUBLE + 1.0) / (tot.ta + tot.v)::DOUBLE) AS lw
+              FROM ca LEFT JOIN ct ON ca.w = ct.w, tot)
+       SELECT t.doc_id, count(*) AS n_tokens,
+         round(avg(lw.lw), 4) AS dsir_weight
+       FROM toks t JOIN lw ON t.w = lw.w
+       GROUP BY t.doc_id
+       ORDER BY dsir_weight DESC, doc_id
+       LIMIT 30"""
+
+  // --------------------------------------------------------------- q209
+  /** Difference-in-differences readout per event type: treatment =
+    * even user ids, post-period = days after the corpus midpoint; the
+    * DiD estimate is (treat_post − treat_pre) − (ctrl_post −
+    * ctrl_pre) on mean event value, with a pooled standard error from
+    * the four cell variances and the t statistic. All four cells come
+    * from ONE conditional aggregation pass (no per-cell scans). Money
+    * travels as integer cents; squared sums ride DECIMAL(38,0) so the
+    * variance inputs are exact integers in both engines — FP appears
+    * only in the final quantized divisions.
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(to_date(col("ts")),
+      lit("1990-01-01").cast("date")).cast("long")
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), day.as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val cells = ev.crossJoin(broadcast(span))
+      .select(col("event_type"),
+        (col("user_id") % 2 === 0).as("treat"),
+        (col("day") > col("d0") +
+          ((col("d1") - col("d0")) / lit(2L)).cast("long")).as("post"),
+        col("cents"))
+      .persist(sl)
+    def cell(t: Boolean, p: Boolean, suffix: String): Seq[Column] = {
+      val in = col("treat") === t && col("post") === p
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$suffix"),
+        sum(when(in, col("cents")).otherwise(0L)).as(s"s_$suffix"),
+        sum(when(in, (col("cents") * col("cents"))
+            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as(s"q_$suffix"))
+    }
+    val cols = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+      cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    val agg = cells.groupBy("event_type").agg(cols.head, cols.tail: _*)
+      .persist(sl)
+    def m(x: String) = round(col(s"s_$x").cast("double") /
+      col(s"n_$x").cast("double"), 4)
+    def va(x: String) = (col(s"q_$x").cast("double") -
+      col(s"s_$x").cast("double") * col(s"s_$x").cast("double") /
+        col(s"n_$x").cast("double")) /
+      (col(s"n_$x").cast("double") - 1.0)
+    val result = agg.select(col("event_type"),
+        (col("n_tpre") + col("n_tpost") + col("n_cpre") + col("n_cpost"))
+          .as("n_total"),
+        m("tpre").as("m_treat_pre"), m("tpost").as("m_treat_post"),
+        m("cpre").as("m_ctrl_pre"), m("cpost").as("m_ctrl_post"))
+      .withColumn("did", round(col("m_treat_post") - col("m_treat_pre") -
+        (col("m_ctrl_post") - col("m_ctrl_pre")), 4))
+      .join(agg.select(col("event_type"),
+        round(sqrt(va("tpre") / col("n_tpre") + va("tpost") / col("n_tpost") +
+          va("cpre") / col("n_cpre") + va("cpost") / col("n_cpost")), 4)
+          .as("se")), "event_type")
+      .withColumn("t_stat", round(col("did") / col("se"), 4))
+      .orderBy("event_type")
+    graft.operators.Exec.owned(result, Seq(cells, agg))
+  }
+
+  private val q209Sql =
+    """WITH ev AS (SELECT event_type, user_id,
+           datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+       c AS (SELECT event_type, user_id % 2 = 0 AS treat,
+               day > sp.d0 + (sp.d1 - sp.d0) // 2 AS post, cents
+             FROM ev, sp),
+       a AS (SELECT event_type,
+         sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS n_tpre,
+         sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) AS s_tpre,
+         sum(CASE WHEN treat AND NOT post THEN cents::HUGEINT * cents
+             ELSE 0 END) AS q_tpre,
+         sum(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS n_tpost,
+         sum(CASE WHEN treat AND post THEN cents ELSE 0 END) AS s_tpost,
+         sum(CASE WHEN treat AND post THEN cents::HUGEINT * cents
+             ELSE 0 END) AS q_tpost,
+         sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS n_cpre,
+         sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END)
+           AS s_cpre,
+         sum(CASE WHEN NOT treat AND NOT post THEN cents::HUGEINT * cents
+             ELSE 0 END) AS q_cpre,
+         sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS n_cpost,
+         sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS s_cpost,
+         sum(CASE WHEN NOT treat AND post THEN cents::HUGEINT * cents
+             ELSE 0 END) AS q_cpost
+         FROM c GROUP BY event_type),
+       r AS (SELECT event_type,
+         CAST(n_tpre + n_tpost + n_cpre + n_cpost AS BIGINT) AS n_total,
+         round(s_tpre::DOUBLE / n_tpre::DOUBLE, 4) AS m_treat_pre,
+         round(s_tpost::DOUBLE / n_tpost::DOUBLE, 4) AS m_treat_post,
+         round(s_cpre::DOUBLE / n_cpre::DOUBLE, 4) AS m_ctrl_pre,
+         round(s_cpost::DOUBLE / n_cpost::DOUBLE, 4) AS m_ctrl_post,
+         round(sqrt(
+           (q_tpre::DOUBLE - s_tpre::DOUBLE * s_tpre::DOUBLE /
+             n_tpre::DOUBLE) / (n_tpre::DOUBLE - 1.0) / n_tpre::DOUBLE +
+           (q_tpost::DOUBLE - s_tpost::DOUBLE * s_tpost::DOUBLE /
+             n_tpost::DOUBLE) / (n_tpost::DOUBLE - 1.0) / n_tpost::DOUBLE +
+           (q_cpre::DOUBLE - s_cpre::DOUBLE * s_cpre::DOUBLE /
+             n_cpre::DOUBLE) / (n_cpre::DOUBLE - 1.0) / n_cpre::DOUBLE +
+           (q_cpost::DOUBLE - s_cpost::DOUBLE * s_cpost::DOUBLE /
+             n_cpost::DOUBLE) / (n_cpost::DOUBLE - 1.0) / n_cpost::DOUBLE),
+           4) AS se
+         FROM a)
+       SELECT event_type, n_total, m_treat_pre, m_treat_post,
+         m_ctrl_pre, m_ctrl_post,
+         round(m_treat_post - m_treat_pre - (m_ctrl_post - m_ctrl_pre), 4)
+           AS did,
+         se,
+         round(round(m_treat_post - m_treat_pre -
+           (m_ctrl_post - m_ctrl_pre), 4) / se, 4) AS t_stat
+       FROM r ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q210
+  /** l-diversity audit — the companion to q193's k-anonymity: a group
+    * can be large (k-anonymous) yet still leak if every member shares
+    * the same SENSITIVE value. For each quasi-identifier set, count
+    * the equivalence classes whose sensitive attribute (account
+    * balance bracket, $1000 steps) takes fewer than l = 3 distinct
+    * values, and the rows they expose. One grouped count-distinct per
+    * QI set, aggregated to a one-row report each.
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    val l = 3
+    val cust = Tables.customer(s, d)
+      .withColumn("bracket", floor(col("c_acctbal") / 1000).cast("long"))
+    def audit(name: String, qi: Seq[String]): DataFrame =
+      cust.groupBy(qi.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("bracket")).as("div"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("div") < l, 1L).otherwise(0L)).as("n_low_div"),
+          sum(when(col("div") < l, col("n")).otherwise(0L))
+            .as("n_rows_exposed"),
+          min("div").as("min_diversity"))
+        .select(lit(name).as("qi_set"), lit(l.toLong).as("l"),
+          col("n_groups"), col("n_low_div"), col("n_rows_exposed"),
+          col("min_diversity"))
+    audit("1_segment", Seq("c_mktsegment"))
+      .unionByName(audit("2_nation_segment",
+        Seq("c_nationkey", "c_mktsegment")))
+      .orderBy("qi_set")
+  }
+
+  private val q210Sql =
+    """WITH b AS (SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bracket
+         FROM customer),
+       g1 AS (SELECT count(*) AS n, count(DISTINCT bracket) AS div
+              FROM b GROUP BY c_mktsegment),
+       g2 AS (SELECT count(*) AS n, count(DISTINCT bracket) AS div
+              FROM b GROUP BY c_nationkey, c_mktsegment)
+       SELECT '1_segment' AS qi_set, CAST(3 AS BIGINT) AS l,
+         count(*) AS n_groups,
+         sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS n_low_div,
+         CAST(sum(CASE WHEN div < 3 THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_exposed,
+         min(div) AS min_diversity
+       FROM g1
+       UNION ALL
+       SELECT '2_nation_segment', CAST(3 AS BIGINT), count(*),
+         sum(CASE WHEN div < 3 THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN div < 3 THEN n ELSE 0 END) AS BIGINT),
+         min(div)
+       FROM g2
+       ORDER BY qi_set"""
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q205_kaplan_meier" -> (q205 _),
+    "q206_assoc_rules" -> (q206 _),
+    "q207_kcore" -> (q207 _),
+    "q208_dsir_weights" -> (q208 _),
+    "q209_diff_in_diff" -> (q209 _),
+    "q210_l_diversity" -> (q210 _))
+
+  val oracles: Map[String, String] = Map(
+    "q205_kaplan_meier" -> q205Sql,
+    "q206_assoc_rules" -> q206Sql,
+    "q207_kcore" -> q207Sql,
+    "q208_dsir_weights" -> q208Sql,
+    "q209_diff_in_diff" -> q209Sql,
+    "q210_l_diversity" -> q210Sql)
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computable fixtures for the round-8 lifecycle operators: each
+  * test stages a tiny parquet table and runs the REAL registered query
+  * against it, asserting exact values (the DuckDB gate covers the
+  * corpus path; these pin the estimator semantics).
+  */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staged(name: String)(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_lifecycle_$name").toString
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def day(n: Int): Timestamp =
+    Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(n)
+      .atStartOfDay())
+
+  test("q205 Kaplan-Meier: risk sets and survival on a 4-user cohort") {
+    // c1 dies at t=1, c2 dies at t=2, c3 censored at t=2 (last order
+    // 50 days before corpus end < 90), c4 censored at t=500 (defines
+    // the corpus end). KM: t=1 -> n=4,d=1,S=.75; t=2 -> n=3,d=1,S=.5
+    val orders = Seq(
+      (1L, day(0)), (1L, day(1)),
+      (2L, day(0)), (2L, day(2)),
+      (3L, day(448)), (3L, day(450)),
+      (4L, day(0)), (4L, day(500))
+    ).toDF("o_custkey", "o_orderdate")
+    val dir = staged("km")("orders" -> orders)
+    val rows = SparkEntry.queries("q205_kaplan_meier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5)))
+  }
+
+  test("q206 association rules: confidence and lift on a 4-basket set") {
+    // {10,20} x3 plus {10} alone: s10=4, s20=3, N=4, pair support 3.
+    // 10->20: conf 3/4, lift 3*4/(4*3)=1; 20->10: conf 1, lift 1.
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = staged("rules")("lineitem" -> li)
+    val rows = SparkEntry.queries("q206_assoc_rules")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((10L, 20L, 3L, 0.75, 1.0),
+      (20L, 10L, 3L, 1.0, 1.0)))
+  }
+
+  test("q207 k-core: K6,6 survives the peel, a pendant order does not") {
+    // complete bipartite 6 orders x 6 parts (every degree exactly 6)
+    // plus order 7 holding only part 1: order 7 peels in round 1 and
+    // part 1's degree falls back to 6 - the 6-core is stable after.
+    val k66 = for (o <- 1 to 6; p <- 1 to 6) yield (o.toLong, p.toLong)
+    val li = (k66 :+ (7L, 1L)).toDF("l_orderkey", "l_partkey")
+    val dir = staged("kcore")("lineitem" -> li)
+    val rows = SparkEntry.queries("q207_kcore")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 6)
+    assert(rows.head == ((1, 12L, 36L)))
+    assert(rows.last == ((6, 12L, 36L)))
+  }
+
+  test("q208 DSIR weights: target-exclusive tokens score positive") {
+    // ca: alpha 2, beta 2; ct: alpha 2; Ta=4, Tt=2, V=2.
+    // lw(alpha)=ln(3/4)-ln(3/6)=ln 1.5; lw(beta)=ln(1/4)-ln(3/6)=ln .5
+    val docs = Seq((1L, "alpha alpha", "en"), (2L, "beta beta", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val dir = staged("dsir")("documents" -> docs)
+    val rows = SparkEntry.queries("q208_dsir_weights")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 0.4055), (2L, 2L, -0.6931)))
+  }
+
+  test("q209 diff-in-diff: hand 2x2 with known effect and SE") {
+    // treat (even uid) pre 1.00/1.02 post 3.00/3.02; ctrl pre same,
+    // post 2.00/2.02 -> did 100 cents; each cell var 2 cents^2,
+    // se = sqrt(4 * 2/2) = 2, t = 50
+    val ev = Seq(
+      ("x", 2L, day(0), 1.00), ("x", 2L, day(1), 1.02),
+      ("x", 2L, day(9), 3.00), ("x", 2L, day(10), 3.02),
+      ("x", 3L, day(0), 1.00), ("x", 3L, day(1), 1.02),
+      ("x", 3L, day(9), 2.00), ("x", 3L, day(10), 2.02)
+    ).toDF("event_type", "user_id", "ts", "value")
+    val dir = staged("did")("events" -> ev)
+    val r = SparkEntry.queries("q209_diff_in_diff")(spark, dir)
+      .collect().head
+    assert(r.getAs[Double]("m_treat_pre") == 101.0)
+    assert(r.getAs[Double]("m_treat_post") == 301.0)
+    assert(r.getAs[Double]("m_ctrl_post") == 201.0)
+    assert(r.getAs[Double]("did") == 100.0)
+    assert(r.getAs[Double]("se") == 2.0)
+    assert(r.getAs[Double]("t_stat") == 50.0)
+  }
+
+  test("q210 l-diversity: uniform sensitive value flags the group") {
+    // one segment where every balance lands in bracket 1 (div=1 < 3),
+    // one segment spread over 3 brackets (div=3, not flagged)
+    val cust = Seq(
+      (1L, 1, 1100.0, "AAA"), (2L, 1, 1200.0, "AAA"), (3L, 1, 1300.0, "AAA"),
+      (4L, 1, 1100.0, "BBB"), (5L, 1, 2200.0, "BBB"), (6L, 1, 3300.0, "BBB")
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val dir = staged("ldiv")("customer" -> cust)
+    val rows = SparkEntry.queries("q210_l_diversity")(spark, dir)
+      .collect()
+    val r1 = rows.find(_.getString(0) == "1_segment").get
+    assert(r1.getAs[Long]("n_groups") == 2L)
+    assert(r1.getAs[Long]("n_low_div") == 1L)
+    assert(r1.getAs[Long]("n_rows_exposed") == 3L)
+    assert(r1.getAs[Long]("min_diversity") == 1L)
+  }
+}
