@@ -445,9 +445,122 @@ object Lifecycle {
        FROM g2
        ORDER BY qi_set"""
 
+  // --------------------------------------------------------------- q211
+  /** STREAMING stateful session EVICTION, oracle-graded — the last
+    * §2.10 capability without a CORRECTNESS row (q177 proved the
+    * file-stream-replay pattern; q204 covered the stream-stream join).
+    * The events table is re-written into time-ordered 3-day chunk
+    * files (mtime-sequenced so `maxFilesPerTrigger=1` replays them as
+    * separate micro-batches in event-time order — no late data by
+    * construction), then streamed through
+    * [[graft.streaming.EventPipeline.sessionFinalTallies]]:
+    * `flatMapGroupsWithState` in APPEND mode with `EventTimeTimeout`,
+    * emitting a user's cumulative segment tally ONLY when the
+    * watermark passes `lastEvent + gap` and EVICTS the state. Two
+    * far-future sentinel chunks (a dedicated user, +10d and +20d past
+    * the corpus end) deterministically drag the one-batch-lagging
+    * watermark past every real user's horizon, so by end-of-stream
+    * EVERY real session segment has been evicted exactly once —
+    * without relying on Spark's trailing no-data batch (which, if it
+    * also runs, can only evict the excluded sentinel user). Segment
+    * BOUNDARIES depend on micro-batch timing; per-user segment SUMS do
+    * not (an eviction break implies ≥3 days of silence ≫ the 30-min
+    * gap, so no session ever spans segments) — which is exactly what
+    * makes the final per-user rollup equal batch sessionization and
+    * lets q23's lag() oracle grade a stateful streaming operator. */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val chunkUs = 3L * 86400 * 1000000 // 3-day event-time chunks
+    val gapUs = 30L * 60 * 1000000     // q23's 30-min inactivity gap
+    val tmp = Files.createTempDirectory("graft_sess_split").toString
+    val ingest = Files.createTempDirectory("graft_sess_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_sess_out").toString
+
+    val ev = Tables.events(s, d)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+    // one file per chunk: all rows of a chunk land in one task, so
+    // partitionBy emits a single part file per chunk directory
+    ev.withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(s"$tmp/real")
+    Seq((-1L, maxTs + 10L * 86400 * 1000000))
+      .toDF("user_id", "ts_us").coalesce(1)
+      .write.parquet(s"$tmp/sentinel_a")
+    Seq((-1L, maxTs + 20L * 86400 * 1000000))
+      .toDF("user_id", "ts_us").coalesce(1)
+      .write.parquet(s"$tmp/sentinel_b")
+
+    // sequence the chunk files into the ingest dir with strictly
+    // increasing mtimes = the FileStreamSource replay order
+    val real = new java.io.File(s"$tmp/real").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+      .map(_.toString)
+    val ordered = real ++ Seq(s"$tmp/sentinel_a", s"$tmp/sentinel_b")
+    ordered.zipWithIndex.foreach { case (dir, k) =>
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(ingest)
+      .as[graft.streaming.SessionEvent]
+    val tallies = graft.streaming.EventPipeline
+      .sessionFinalTallies(stream, gapUs, "1 hour")
+    val q = tallies.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.SessionTally],
+         _: Long) => b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val result = s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(sum("n_sessions").as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id")
+    graft.operators.Exec.detachFromScratch(result,
+      Seq(tmp, ingest, ckpt, outDir))
+  }
+
+  /** Streaming result == batch sessionization, so the oracle IS the
+    * q23 lag() formulation (30-min strictly-greater gap). */
+  private val q211Sql =
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+       FROM (
+         SELECT user_id,
+           CASE WHEN prev_us IS NULL
+                  OR epoch_us(ts) - prev_us > 30*60*1000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM (
+           SELECT user_id, ts,
+             lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_us
+           FROM events) a) b
+       GROUP BY user_id
+       ORDER BY user_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q211_streaming_sessions" -> (q211 _),
     "q205_kaplan_meier" -> (q205 _),
     "q206_assoc_rules" -> (q206 _),
     "q207_kcore" -> (q207 _),
@@ -456,6 +569,7 @@ object Lifecycle {
     "q210_l_diversity" -> (q210 _))
 
   val oracles: Map[String, String] = Map(
+    "q211_streaming_sessions" -> q211Sql,
     "q205_kaplan_meier" -> q205Sql,
     "q206_assoc_rules" -> q206Sql,
     "q207_kcore" -> q207Sql,

@@ -119,6 +119,51 @@ object EventPipeline {
       }
   }
 
+  /** [[sessionTalliesEvicting]] in APPEND output mode: emits a key's
+    * tally ONLY when the watermark evicts its state — each output row
+    * is one FINALIZED session segment (the cumulative count since the
+    * key's previous eviction), never a running update. Because the
+    * inactivity-gap fold inside the state counts sessions exactly and
+    * eviction merely splits a user's timeline into segments at silent
+    * gaps the watermark has passed, the per-user SUM of finalized
+    * segment tallies equals batch sessionization (`Relational.q23`)
+    * once every key has been swept — which is what lets q211 put this
+    * operator under the DuckDB oracle: segment boundaries depend on
+    * micro-batch timing, the per-user totals do not.
+    */
+  def sessionFinalTallies(events: Dataset[SessionEvent], gapUs: Long,
+                          watermarkDelay: String): Dataset[SessionTally] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionTally(user, st.nSessions, st.nEvents))
+          } else {
+            val sorted = it.toArray.sortBy(_.ts_us)
+            var st = state.getOption
+              .getOrElse(SessionState(0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val newSession =
+                st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+              st = SessionState(st.nSessions + (if (newSession) 1L else 0L),
+                st.nEvents + 1L, math.max(st.lastTsUs, e.ts_us))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastTsUs + gapUs + 999L) / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Declarative sessionization via the built-in `session_window` gap
     * window (SURVEY.md §2.10) — the same inactivity-gap semantics as
     * [[sessionTallies]]/`Relational.q23` expressed as a plain windowed

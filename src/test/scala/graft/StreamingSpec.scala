@@ -122,6 +122,45 @@ class StreamingSpec extends SparkSpec {
       col("a.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("sessionFinalTallies emits ONLY finalized segments; sums equal batch (q211 kernel)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val tallies = EventPipeline.sessionFinalTallies(
+      mem.toDS(), gapUs = 30L * 60 * 1000000, watermarkDelay = "0 seconds")
+    val q = tallies.writeStream.outputMode("append")
+      .format("memory").queryName("final_out").start()
+    try {
+      val min = 60L * 1000000
+      val base = 1440 * min
+      // user 1: two sessions' worth of events (65-min gap), one batch
+      mem.addData(SessionEvent(1L, base), SessionEvent(1L, base + 10 * min),
+        SessionEvent(1L, base + 75 * min))
+      q.processAllAvailable()
+      // append mode: NOTHING emitted until eviction
+      assert(spark.table("final_out").count() == 0)
+      // advance the watermark past user 1's horizon (lags one batch)
+      mem.addData(SessionEvent(2L, base + 300 * min))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, base + 301 * min))
+      q.processAllAvailable()
+      val seg = spark.table("final_out").as[SessionTally].collect()
+      // exactly ONE row: user 1's finalized segment (2 sessions, 3 events)
+      assert(seg.toSeq == Seq(SessionTally(1L, 2L, 3L)), seg.toSeq.toString)
+      // user 1 returns after eviction -> fresh state; sweep via user 2
+      mem.addData(SessionEvent(1L, base + 600 * min))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, base + 900 * min))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, base + 901 * min))
+      q.processAllAvailable()
+      val rows = spark.table("final_out").as[SessionTally].collect()
+        .filter(_.user_id == 1L).map(t => (t.n_sessions, t.n_events)).toSeq
+      // two finalized segments; per-user SUM (3 sessions, 4 events)
+      // equals the batch lag() sessionization of the same timeline
+      assert(rows.sorted == Seq((1L, 1L), (2L, 3L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("EventTimeTimeout evicts session state once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
