@@ -557,10 +557,130 @@ object Lifecycle {
        GROUP BY user_id
        ORDER BY user_id"""
 
+  // --------------------------------------------------------------- q212
+  /** CCNet-style PERPLEXITY FILTER (Wenzek et al. 2020, the classic
+    * LLM-pretraining quality split): an add-1-smoothed bigram LM is
+    * trained on a deterministic 20% "clean reference" slice
+    * (`doc_id % 5 = 0` — the stand-in for CCNet's Wikipedia-trained
+    * KenLM), every document is scored by its cross-entropy under that
+    * model, and the corpus is split into head/middle/tail at the exact
+    * cross-entropy TERCILES. Determinism discipline: each bigram's
+    * log-prob is ln of an exact integer rational (counts + smoothing,
+    * never a running float), micro-unit (×10⁶) quantized and summed
+    * AS A LONG per doc — order-independent by construction — then the
+    * per-doc entropy lands on the 10⁻⁴ grid BEFORE the tercile
+    * boundaries are taken, so the split thresholds are order
+    * statistics of engine-identical values. Scale shape: the model
+    * tables are clean-slice-vocabulary-sized (bounded, broadcastable —
+    * CCNet's model is a fixed artifact), the corpus side is two
+    * map-side joins + one per-doc aggregation, and the tercile
+    * boundaries come from [[graft.engine.OrderStat]]'s narrowing
+    * kernel (per-round shuffle = `bins` longs), never a single-group
+    * percentile buffering the corpus multiset.
+    */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(size(words(col("text"))) >= 2)
+    val bi = graft.operators.Dedup
+      .shingleRowsRaw(docs, "doc_id", "text", 2)
+      .withColumnRenamed("id", "doc_id").persist(sl)
+    // the clean-reference model: bigram + prefix counts, V = distinct
+    // prefix words + 1 (the UNK slot)
+    val bc = bi.filter(col("doc_id") % 5 === 0)
+      .groupBy("s").agg(count(lit(1)).as("cb"))
+    val pc = bc.select(substring_index(col("s"), " ", 1).as("p"),
+        col("cb"))
+      .groupBy("p").agg(sum("cb").as("cp"))
+    val vRow = pc.agg(count(lit(1)).as("v"))
+    // score EVERY doc: P(b|a) = (c(ab)+1)/(c(a·)+V+1), unseen → 0-count
+    val scored = bi
+      .withColumn("p", substring_index(col("s"), " ", 1))
+      .join(bc, Seq("s"), "left")
+      .join(pc, Seq("p"), "left")
+      .crossJoin(broadcast(vRow))
+      .select(col("doc_id"),
+        round(log((coalesce(col("cb"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("cp"), lit(0L)).cast("double") +
+            col("v").cast("double") + 1.0)) * 1e6, 0)
+          .cast("long").as("lu"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lu").as("slu"))
+      .withColumn("h",
+        round(-(col("slu").cast("double") /
+          col("n_bigrams").cast("double")) / 1e6, 4))
+      .persist(sl)
+    val (_, Seq(t1, t2)) = graft.engine.OrderStat.kthSmallests(
+      perDoc, "h",
+      graft.engine.OrderStat.quantileRanks(Seq(1.0 / 3, 2.0 / 3)))
+    val result = perDoc
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket",
+        when(col("h") <= t1, "1_head")
+          .when(col("h") <= t2, "2_middle")
+          .otherwise("3_tail"))
+      .groupBy("bucket", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        sum(round(col("h") * 1e4, 0).cast("long")).as("sum_h4"))
+      .withColumn("avg_h",
+        round(col("sum_h4").cast("double") /
+          col("n_docs").cast("double") / 1e4, 4))
+      .orderBy("bucket", "lang")
+    graft.operators.Exec.owned(result, Seq(bi, perDoc))
+  }
+
+  private val q212Sql =
+    """WITH wa AS (SELECT doc_id, lang,
+           regexp_split_to_array(trim(text), '\s+') w
+         FROM documents),
+       bi AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS s
+         FROM wa WHERE len(w) >= 2),
+       bc AS (SELECT s, count(*) AS cb FROM bi
+              WHERE doc_id % 5 = 0 GROUP BY s),
+       pc AS (SELECT split_part(s, ' ', 1) AS p, sum(cb) AS cp
+              FROM bc GROUP BY 1),
+       vv AS (SELECT count(*) AS v FROM pc),
+       sc AS (SELECT bi.doc_id,
+           CAST(round(ln((coalesce(bc.cb, 0)::DOUBLE + 1.0) /
+             (coalesce(pc.cp, 0)::DOUBLE + vv.v::DOUBLE + 1.0))
+             * 1000000) AS BIGINT) AS lu
+         FROM bi
+         LEFT JOIN bc ON bi.s = bc.s
+         LEFT JOIN pc ON split_part(bi.s, ' ', 1) = pc.p
+         CROSS JOIN vv),
+       pd AS (SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(lu) AS BIGINT) AS slu
+         FROM sc GROUP BY doc_id),
+       ph AS (SELECT doc_id, n_bigrams,
+           round(-(slu::DOUBLE / n_bigrams::DOUBLE) / 1000000.0, 4) AS h
+         FROM pd),
+       nn AS (SELECT count(*) AS c FROM ph),
+       ranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ph),
+       ks AS (SELECT q, greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+              FROM (SELECT unnest([1.0/3, 2.0/3]) AS q), nn),
+       b AS (SELECT list(r.h ORDER BY ks.q) AS bs
+             FROM ks JOIN ranked r ON r.rn = ks.k),
+       agg AS (SELECT
+           CASE WHEN ph.h <= b.bs[1] THEN '1_head'
+                WHEN ph.h <= b.bs[2] THEN '2_middle'
+                ELSE '3_tail' END AS bucket,
+           wa.lang, count(*) AS n_docs,
+           CAST(sum(ph.n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(round(ph.h * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_h4
+         FROM ph JOIN wa ON ph.doc_id = wa.doc_id, b
+         GROUP BY 1, 2)
+       SELECT bucket, lang, n_docs, n_bigrams, sum_h4,
+         round(sum_h4::DOUBLE / n_docs::DOUBLE / 10000.0, 4) AS avg_h
+       FROM agg ORDER BY bucket, lang"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q211_streaming_sessions" -> (q211 _),
+    "q212_perplexity_filter" -> (q212 _),
     "q205_kaplan_meier" -> (q205 _),
     "q206_assoc_rules" -> (q206 _),
     "q207_kcore" -> (q207 _),
@@ -570,6 +690,7 @@ object Lifecycle {
 
   val oracles: Map[String, String] = Map(
     "q211_streaming_sessions" -> q211Sql,
+    "q212_perplexity_filter" -> q212Sql,
     "q205_kaplan_meier" -> q205Sql,
     "q206_assoc_rules" -> q206Sql,
     "q207_kcore" -> q207Sql,

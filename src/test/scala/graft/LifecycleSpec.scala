@@ -102,6 +102,22 @@ class LifecycleSpec extends SparkSpec {
     assert(r.getAs[Double]("t_stat") == 50.0)
   }
 
+  test("q212 perplexity filter: smoothing, terciles, and bucket split") {
+    // train slice = doc 0 ("a a a"): bc{a a:2}, pc{a:2}, V-1=1 prefix.
+    // score: "a a" -> ln(3/4) -> h=0.2877 (docs 0,1); unseen "b b" ->
+    // ln(1/2) -> h=0.6931 (doc 2). n=3: t1=t2=0.2877 -> docs 0,1 head,
+    // doc 2 tail.
+    val docs = Seq((0L, "a a a", "en"), (1L, "a a", "en"),
+      (2L, "b b", "zh")).toDF("doc_id", "text", "lang")
+    val dir = staged("ppl")("documents" -> docs)
+    val rows = SparkEntry.queries("q212_perplexity_filter")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      ("1_head", "en", 2L, 3L, 5754L, 0.2877),
+      ("3_tail", "zh", 1L, 1L, 6931L, 0.6931)), rows.toSeq.toString)
+  }
+
   test("q210 l-diversity: uniform sensitive value flags the group") {
     // one segment where every balance lands in bracket 1 (div=1 < 3),
     // one segment spread over 3 brackets (div=3, not flagged)
