@@ -676,11 +676,85 @@ object Lifecycle {
          round(sum_h4::DOUBLE / n_docs::DOUBLE / 10000.0, 4) AS avg_h
        FROM agg ORDER BY bucket, lang"""
 
+  // --------------------------------------------------------------- q213
+  /** SPLIT-LEAKAGE AUDIT — the eval-contamination check every LLM
+    * pipeline needs before trusting a held-out score: documents are
+    * assigned train/val/test by the deterministic hash split (the
+    * `Sampling.mixSources` token60 kernel, 80/10/10), and every
+    * MinHash near-duplicate pair (the q36 kernel, verbatim — shared
+    * CTEs in the oracle so the two can never drift) is classified by
+    * the splits it straddles. A near-dup pair crossing train→test
+    * means the test doc is effectively IN the training set; the audit
+    * reports, per split-pair class, the pair count, the distinct
+    * LEAKED docs (the eval-side doc of each cross pair — the
+    * quarantine set), and the worst-case similarity. Scale shape: the
+    * pair table is LSH-banded (never corpus²) and the split
+    * assignment is a map-side hash — the audit adds two id-keyed
+    * joins on the (small) pair table only.
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val b = pmod(graft.functions.TextFunctions.token60(
+      concat(lit("split|"), col("doc_id").cast("string"))), lit(100L))
+    val assign = docs.select(col("doc_id"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        .as("split"),
+      when(b < 80, 0).when(b < 90, 1).otherwise(2).as("rk"))
+    val pairs = graft.operators.Dedup
+      .minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val j = pairs
+      .join(assign.select(col("doc_id").as("doc_a"),
+        col("split").as("sa"), col("rk").as("ra")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"),
+        col("split").as("sb"), col("rk").as("rb")), "doc_b")
+    j.select(
+        concat(
+          when(col("ra") <= col("rb"), col("sa")).otherwise(col("sb")),
+          lit("->"),
+          when(col("ra") <= col("rb"), col("sb")).otherwise(col("sa")))
+          .as("pair_class"),
+        col("jaccard"),
+        when(col("ra") === col("rb"), lit(null).cast("long"))
+          .when(col("ra") < col("rb"), col("doc_b"))
+          .otherwise(col("doc_a")).as("leaked_doc"))
+      .groupBy("pair_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("leaked_doc")).as("n_leaked_docs"),
+        max("jaccard").as("max_jaccard"))
+      .orderBy("pair_class")
+  }
+
+  private val q213Sql =
+    s"""WITH p AS (${Pipeline.q36Core}),
+       asg AS (SELECT doc_id,
+           (('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+             1, 15))::BIGINT) % 100 AS b
+         FROM documents),
+       a2 AS (SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN b < 80 THEN 0 WHEN b < 90 THEN 1 ELSE 2 END AS rk
+         FROM asg),
+       cl AS (SELECT
+           CASE WHEN x.rk <= y.rk THEN x.split || '->' || y.split
+                ELSE y.split || '->' || x.split END AS pair_class,
+           p.jaccard,
+           CASE WHEN x.rk = y.rk THEN NULL
+                WHEN x.rk < y.rk THEN p.doc_b ELSE p.doc_a END
+             AS leaked_doc
+         FROM p JOIN a2 x ON p.doc_a = x.doc_id
+                JOIN a2 y ON p.doc_b = y.doc_id)
+       SELECT pair_class, count(*) AS n_pairs,
+         CAST(count(DISTINCT leaked_doc) AS BIGINT) AS n_leaked_docs,
+         max(jaccard) AS max_jaccard
+       FROM cl GROUP BY pair_class ORDER BY pair_class"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q211_streaming_sessions" -> (q211 _),
     "q212_perplexity_filter" -> (q212 _),
+    "q213_split_leakage" -> (q213 _),
     "q205_kaplan_meier" -> (q205 _),
     "q206_assoc_rules" -> (q206 _),
     "q207_kcore" -> (q207 _),
@@ -691,6 +765,7 @@ object Lifecycle {
   val oracles: Map[String, String] = Map(
     "q211_streaming_sessions" -> q211Sql,
     "q212_perplexity_filter" -> q212Sql,
+    "q213_split_leakage" -> q213Sql,
     "q205_kaplan_meier" -> q205Sql,
     "q206_assoc_rules" -> q206Sql,
     "q207_kcore" -> q207Sql,

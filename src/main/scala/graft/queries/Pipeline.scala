@@ -202,7 +202,7 @@ object Pipeline {
   // the q36 pipeline WITHOUT the final ORDER BY — reused verbatim as
   // the pair source of the clustering oracle (q71), so the two queries
   // can never drift apart
-  private val q36Core = minhashBandCtes +
+  private[queries] val q36Core = minhashBandCtes +
     """,
        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                 FROM bands a JOIN bands b

@@ -118,6 +118,41 @@ class LifecycleSpec extends SparkSpec {
       ("3_tail", "zh", 1L, 1L, 6931L, 0.6931)), rows.toSeq.toString)
   }
 
+  test("q213 split leakage: identical twins classified by hash split") {
+    // two identical-twin pairs (jaccard 1.0); expected classes derived
+    // from the SAME token60 split kernel the query uses, so the test
+    // pins the classification/leak-count logic, not the hash values
+    import org.apache.spark.sql.functions._
+    val texts = Map(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "zeta eta theta iota", 4L -> "zeta eta theta iota")
+    val docs = texts.toSeq.map { case (id, t) => (id, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val dir = staged("leak")("documents" -> docs)
+    val split = spark.createDataset(texts.keys.toSeq).toDF("doc_id")
+      .select(col("doc_id"), pmod(functions.TextFunctions.token60(
+        concat(lit("split|"), col("doc_id").cast("string"))), lit(100L))
+        .as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) 0 else if (r.getLong(1) < 90) 1 else 2))
+      .toMap
+    val names = Map(0 -> "train", 1 -> "val", 2 -> "test")
+    def cls(a: Long, b: Long): String = {
+      val (ra, rb) = (split(a), split(b))
+      names(math.min(ra, rb)) + "->" + names(math.max(ra, rb))
+    }
+    val expected = Seq(cls(1L, 2L), cls(3L, 4L))
+      .groupBy(identity).map { case (k, v) =>
+        val leaked = Seq((1L, 2L), (3L, 4L)).filter(p =>
+          cls(p._1, p._2) == k && split(p._1) != split(p._2)).size
+        (k, v.size.toLong, leaked.toLong, 1.0)
+      }.toSeq.sortBy(_._1)
+    val rows = SparkEntry.queries("q213_split_leakage")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows == expected, s"rows=$rows expected=$expected")
+  }
+
   test("q210 l-diversity: uniform sensitive value flags the group") {
     // one segment where every balance lands in bracket 1 (div=1 < 3),
     // one segment spread over 3 brackets (div=3, not flagged)
