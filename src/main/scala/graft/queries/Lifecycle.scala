@@ -449,7 +449,7 @@ object Lifecycle {
   /** STREAMING stateful session EVICTION, oracle-graded — the last
     * §2.10 capability without a CORRECTNESS row (q177 proved the
     * file-stream-replay pattern; q204 covered the stream-stream join).
-    * The events table is re-written into time-ordered 3-day chunk
+    * The events table is re-written into time-ordered 6-day chunk
     * files (mtime-sequenced so `maxFilesPerTrigger=1` replays them as
     * separate micro-batches in event-time order — no late data by
     * construction), then streamed through
@@ -464,14 +464,14 @@ object Lifecycle {
     * without relying on Spark's trailing no-data batch (which, if it
     * also runs, can only evict the excluded sentinel user). Segment
     * BOUNDARIES depend on micro-batch timing; per-user segment SUMS do
-    * not (an eviction break implies ≥3 days of silence ≫ the 30-min
+    * not (an eviction break implies ≥6 days of silence ≫ the 30-min
     * gap, so no session ever spans segments) — which is exactly what
     * makes the final per-user rollup equal batch sessionization and
     * lets q23's lag() oracle grade a stateful streaming operator. */
   private def q211(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val chunkUs = 3L * 86400 * 1000000 // 3-day event-time chunks
+    val chunkUs = 6L * 86400 * 1000000 // 6-day event-time chunks
     val gapUs = 30L * 60 * 1000000     // q23's 30-min inactivity gap
     val tmp = Files.createTempDirectory("graft_sess_split").toString
     val ingest = Files.createTempDirectory("graft_sess_ingest").toString
@@ -520,14 +520,22 @@ object Lifecycle {
       .as[graft.streaming.SessionEvent]
     val tallies = graft.streaming.EventPipeline
       .sessionFinalTallies(stream, gapUs, "1 hour")
-    val q = tallies.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[graft.streaming.SessionTally],
-         _: Long) => b.write.mode("append").parquet(outDir)
-      }
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // the state-store shuffle width is read from the session conf at
+    // query start: narrow it for the stream (per-batch fixed cost is
+    // one state-store commit PER partition PER batch — 32 wide is all
+    // overhead at this key cardinality), restore for the batch rollup
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = tallies.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.SessionTally],
+           _: Long) => b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
 
     val result = s.read.parquet(outDir)
       .filter(col("user_id") >= 0)
