@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.{roundTo => round}
+
+/** Classifier/ranker evaluation kernels.
+  *
+  * Reference scope: the reference engine (kernel.cu) trains fitted
+  * models but never grades them; these are the evaluation counterparts
+  * a curation pipeline needs before trusting a quality classifier's
+  * scores as filter thresholds (SURVEY §2.11).
+  *
+  * Determinism contract: inputs are INTEGER score units (the caller
+  * quantizes), every rank statistic is an exact integer count, and the
+  * only floating-point op is the final division — so results are
+  * independent of partitioning, join order, and engine.
+  */
+object MlEval {
+
+  /** Exact ROC AUC (Mann-Whitney U with the standard tie correction)
+    * of an integer score against a boolean label:
+    *
+    *   AUC = [Σ_s pos(s) · (2·negBelow(s) + neg(s))] / (2·P·N)
+    *
+    * over distinct score values `s` — pairs are NEVER enumerated
+    * (corpus² would be), and there is no global row sort: per-value
+    * counts feed q158's two-level bucketed prefix sum (per-bucket
+    * windows + a `buckets`-row offset prefix), so the widest shuffle
+    * is the distinct-score table and the only single-partition state
+    * is `buckets` rows. The numerator accumulates in DECIMAL(38,0):
+    * P·N overflows LONG already at ~4.3e9 rows; the
+    * `n·S_t`-style cross-products here reach P·N·2.
+    *
+    * `scoreUnits` must be an integral column (quantize doubles to
+    * micro-units first — exactness of the grade depends on it);
+    * `posCol` boolean. Returns one row `(n_pos, n_neg, auc)` with
+    * `auc` rounded to 9 dp; NULL auc when either class is empty.
+    */
+  def aucExact(df: DataFrame, scoreUnitsCol: String, posCol: String,
+               buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "need at least one range bucket")
+    val vals = df
+      .select(col(scoreUnitsCol).cast("long").as("u"), col(posCol).as("y"))
+      .groupBy("u")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+           sum(when(col("y"), 0L).otherwise(1L)).as("n"))
+    // range buckets exist only for parallelism — ANY monotone bucketing
+    // yields the same prefix sums; quantiles keep them balanced
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val boundsDf =
+      if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
+      else vals.agg(expr(
+        s"percentile(u, array(${fracs.mkString(",")}))").as("bounds"))
+    val bucketed = vals.crossJoin(broadcast(boundsDf))
+      .select(col("u"), col("p"), col("n"),
+        aggregate(col("bounds"), lit(0),
+          (acc, b) => acc + when(col("u").cast("double") > b, 1)
+            .otherwise(0)).as("bk"))
+    val inBucket = Window.partitionBy("bk").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed
+      .withColumn("lcn", sum("n").over(inBucket))
+    // exclusive bucket-offset prefix: `buckets` rows, single partition
+    // by construction
+    val offW = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bk")
+      .agg(sum(col("n")).as("tn"))
+      .withColumn("onb", coalesce(sum("tn").over(offW), lit(0L)))
+      .select("bk", "onb")
+    val dec = "decimal(38,0)"
+    val terms = withLocal.join(broadcast(offsets), "bk")
+      // exclusive negatives strictly below u + the tie block at u
+      .withColumn("nb", col("lcn") - col("n") + col("onb"))
+      .select(col("p"), col("n"),
+        (col("p").cast(dec) *
+          (lit(2L) * col("nb") + col("n")).cast(dec)).as("t2"))
+    terms
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+           sum(col("t2")).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+             col("n_neg").cast("double")), 9)).as("auc"))
+  }
+}

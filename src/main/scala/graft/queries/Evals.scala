@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+import graft.functions.TextFunctions.words
+
+/** Round-8 evaluation & corpus-statistics operators: exact ROC AUC,
+  * inter-rater agreement (Cohen's kappa), per-source distribution
+  * divergence (Jensen-Shannon vs the pooled corpus), token-mass
+  * concentration (Gini), and a graded ANN recall harness.
+  *
+  * These are the grading counterparts to the engine's trainers and
+  * index builders: before a quality classifier's scores gate a 100 TB
+  * corpus (q162), AUC says whether the scores rank at all; before
+  * heuristic labels join the curation funnel, kappa says whether two
+  * cheap raters even agree; before IVF answers production queries
+  * (q52), recall@k against the exact ranking bounds what it misses.
+  *
+  * Oracle discipline matches [[Signals]]/[[Lifecycle]]: every rank
+  * statistic is an exact integer, FP appears only behind a micro-unit
+  * quantization or as the single final division, and every ordering
+  * is a total order both engines agree on.
+  */
+object Evals {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  private val dec = "decimal(38,0)"
+
+  // --------------------------------------------------------------- q214
+  /** Exact ROC AUC of a detector score over the embedding corpus:
+    * score = first embedding component (micro-unit quantized — the
+    * exactness contract of [[graft.operators.MlEval.aucExact]]),
+    * positive class = label 0 (a one-vs-rest detector with realistic
+    * ~10% prevalence). Mann-Whitney with the standard tie correction;
+    * no pair enumeration and no global sort — per-score counts feed
+    * the q158 two-level bucketed prefix sum, so the widest shuffle is
+    * the distinct-score table.
+    */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val x = element_at(col("embedding"), 1).cast("double")
+    val scored = Tables.embeddings(s, d).select(
+      (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+        when(x < 0, -1L).otherwise(1L) as "u",
+      (col("label") === 0).as("y"))
+    graft.operators.MlEval.aucExact(scored, "u", "y")
+  }
+
+  private val q214Sql =
+    """WITH s AS (SELECT
+           CAST(floor(abs(x) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS u,
+           (label = 0) AS y
+         FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x, label
+               FROM embeddings)),
+       c AS (SELECT u,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+             FROM s GROUP BY u),
+       w AS (SELECT p, n,
+               coalesce(sum(n) OVER (ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS nb
+             FROM c)
+       SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(n) AS BIGINT) AS n_neg,
+         round(CAST(sum(p::HUGEINT * (2 * nb + n)) AS DOUBLE)
+           / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)),
+           9) AS auc
+       FROM w"""
+
+  // --------------------------------------------------------------- q215
+  /** Cohen's kappa between two cheap document raters — the
+    * inter-annotator-agreement gate before heuristic labels are
+    * trusted as training signal. Rater A buckets by character count,
+    * rater B by token count (correlated but not identical, so kappa
+    * lands strictly between chance and 1). Exact-integer algebra:
+    * kappa = (d·n − Σ row·col) / (n² − Σ row·col) over the k²-row
+    * confusion table — ONE corpus aggregation, then k-row frames;
+    * the only FP op is the final division.
+    */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val nt = size(words(col("text")))
+    val conf = Tables.documents(s, d)
+      .select(
+        when(col("n_chars") < 150, "short")
+          .when(col("n_chars") < 300, "medium").otherwise("long").as("ra"),
+        when(nt < 27, "short")
+          .when(nt < 50, "medium").otherwise("long").as("rb"))
+      .groupBy("ra", "rb").agg(count(lit(1)).as("c"))
+      .persist(sl)
+    val tot = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("ra") === col("rb"), col("c")).otherwise(0L)).as("dg"))
+    val rows = conf.groupBy("ra").agg(sum(col("c")).as("rc"))
+    val cols = conf.groupBy("rb").agg(sum(col("c")).as("cc"))
+    val pe = rows.join(cols, col("ra") === col("rb"))
+      .agg(coalesce(sum(col("rc").cast(dec) * col("cc").cast(dec)),
+        lit(0).cast(dec)).as("sp"))
+    val result = tot.crossJoin(broadcast(pe)).select(
+      col("n").as("n_docs"),
+      round(col("dg").cast("double") / col("n").cast("double"), 9)
+        .as("po"),
+      round(col("sp").cast("double") /
+        (col("n").cast("double") * col("n").cast("double")), 9).as("pe"),
+      round((col("dg").cast(dec) * col("n").cast(dec) - col("sp"))
+          .cast("double") /
+        (col("n").cast(dec) * col("n").cast(dec) - col("sp"))
+          .cast("double"), 9).as("kappa"))
+    graft.operators.Exec.owned(result, Seq(conf))
+  }
+
+  private val q215Sql =
+    """WITH rated AS (SELECT
+           CASE WHEN n_chars < 150 THEN 'short'
+                WHEN n_chars < 300 THEN 'medium' ELSE 'long' END AS ra,
+           CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 27
+                  THEN 'short'
+                WHEN len(regexp_split_to_array(trim(text), '\s+')) < 50
+                  THEN 'medium' ELSE 'long' END AS rb
+         FROM documents),
+       conf AS (SELECT ra, rb, count(*)::BIGINT AS c
+                FROM rated GROUP BY ra, rb),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT)
+                   AS dg
+               FROM conf),
+       rws AS (SELECT ra, sum(c)::BIGINT AS rc FROM conf GROUP BY ra),
+       cls AS (SELECT rb, sum(c)::BIGINT AS cc FROM conf GROUP BY rb),
+       pe AS (SELECT coalesce(sum(rc::HUGEINT * cc::HUGEINT),
+                0::HUGEINT) AS sp
+              FROM rws JOIN cls ON rws.ra = cls.rb)
+       SELECT n AS n_docs,
+         round(dg::DOUBLE / n::DOUBLE, 9) AS po,
+         round(CAST(sp AS DOUBLE) / (n::DOUBLE * n::DOUBLE), 9) AS pe,
+         round(CAST(dg::HUGEINT * n::HUGEINT - sp AS DOUBLE) /
+               CAST(n::HUGEINT * n::HUGEINT - sp AS DOUBLE), 9) AS kappa
+       FROM tot, pe"""
+
+  // --------------------------------------------------------------- q216
+  /** Per-source Jensen-Shannon divergence against the pooled corpus
+    * word distribution — the data-mixing diagnostic next to q208's
+    * DSIR weights: a source whose JSD spikes is distributionally
+    * unlike the corpus it feeds. Computed WITHOUT the vocab×sources
+    * grid: words absent from a source contribute a closed-form tail
+    * `½·ln2·(1 − coverage)` (their p-term is 0 and m = q/2), so only
+    * the present (source, word) rows — the token aggregate itself —
+    * carry ln terms. Those terms are micro-unit (1e-12) LONG sums:
+    * order-independent by construction, with libm ulp noise far below
+    * the grid (the q212 contract).
+    */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      .persist(sl)
+    val ts = cs.groupBy("source").agg(sum(col("cs")).as("ts"))
+    val cg = cs.groupBy("w").agg(sum(col("cs")).as("cg"))
+    val tg = cs.agg(sum(col("cs")).as("tg"))
+    val p = col("cs").cast("double") / col("ts").cast("double")
+    val q = col("cg").cast("double") / col("tg").cast("double")
+    val m = (p + q) / lit(2.0)
+    val t = lit(0.5) * (p * log(p / m) + q * log(q / m))
+    val units = floor(abs(t) * lit(1e12) + lit(0.5)).cast("long") *
+      when(t < 0, -1L).otherwise(1L)
+    val per = cs.join(cg, "w").join(broadcast(ts), "source")
+      .crossJoin(broadcast(tg))
+      .groupBy("source")
+      .agg(first(col("ts")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("cg")).as("covnum"), sum(units).as("tunits"),
+        first(col("tg")).as("tg"))
+    val cov = col("covnum").cast("double") / col("tg").cast("double")
+    val tailUnits = floor(
+      lit(0.5) * log(lit(2.0)) * (lit(1.0) - cov) * lit(1e12) + lit(0.5))
+      .cast("long")
+    val result = per.select(col("source"), col("n_tokens"), col("vocab"),
+        round(cov, 6).as("coverage"),
+        round((col("tunits") + tailUnits).cast("double") / lit(1e12), 6)
+          .as("jsd"))
+      .orderBy("source")
+    graft.operators.Exec.owned(result, Seq(cs))
+  }
+
+  private val q216Sql =
+    """WITH toks AS (SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+         FROM documents),
+       cs AS (SELECT source, w, count(*)::BIGINT AS cs
+              FROM toks GROUP BY source, w),
+       ts AS (SELECT source, sum(cs)::BIGINT AS ts FROM cs GROUP BY source),
+       cg AS (SELECT w, sum(cs)::BIGINT AS cg FROM cs GROUP BY w),
+       tg AS (SELECT sum(cs)::BIGINT AS tg FROM cs),
+       terms AS (SELECT cs.source, cs.cs, cg.cg, ts.ts, tg.tg,
+           0.5 * ((cs.cs::DOUBLE / ts.ts::DOUBLE)
+                    * ln((cs.cs::DOUBLE / ts.ts::DOUBLE)
+                      / (((cs.cs::DOUBLE / ts.ts::DOUBLE)
+                          + (cg.cg::DOUBLE / tg.tg::DOUBLE)) / 2.0))
+                  + (cg.cg::DOUBLE / tg.tg::DOUBLE)
+                    * ln((cg.cg::DOUBLE / tg.tg::DOUBLE)
+                      / (((cs.cs::DOUBLE / ts.ts::DOUBLE)
+                          + (cg.cg::DOUBLE / tg.tg::DOUBLE)) / 2.0)))
+             AS t
+         FROM cs JOIN cg USING (w) JOIN ts USING (source), tg),
+       per AS (SELECT source, first(ts) AS n_tokens,
+                 count(*)::BIGINT AS vocab, sum(cg)::BIGINT AS covnum,
+                 first(tg) AS tg,
+                 CAST(sum(CAST(floor(abs(t) * 1e12 + 0.5) AS BIGINT)
+                   * (CASE WHEN t < 0 THEN -1 ELSE 1 END)) AS BIGINT)
+                   AS tunits
+               FROM terms GROUP BY source)
+       SELECT source, n_tokens, vocab,
+         round(covnum::DOUBLE / tg::DOUBLE, 6) AS coverage,
+         round((tunits + CAST(floor(0.5 * ln(2.0)
+             * (1.0 - covnum::DOUBLE / tg::DOUBLE) * 1e12 + 0.5)
+             AS BIGINT))::DOUBLE / 1e12, 6) AS jsd
+       FROM per ORDER BY source"""
+
+  // --------------------------------------------------------------- q217
+  /** Per-source Gini coefficient of token mass across documents — the
+    * concentration audit: a source whose token mass sits in a few
+    * giant documents (G → 1) skews packing (q75) and per-doc quality
+    * gates. Grouped-data identity on the (source, token-count) value
+    * table: with `a_v` = docs strictly below value v,
+    * `2·Σ i·x_i = Σ_v v·(2·n_v·a_v + n_v·(n_v+1))` exactly, so
+    * G = Σ/(N·S) − (N+1)/N needs no per-document rank — windows run
+    * over the bounded per-source distinct-value table only, and all
+    * rank algebra is HUGEINT/DECIMAL-exact.
+    */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.documents(s, d)
+      .select(col("source"), size(words(col("text"))).cast("long").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = sum(col("n")).over(w) - col("n")
+    val contr2 = col("v").cast(dec) *
+      (lit(2L).cast(dec) * col("n").cast(dec) * a.cast(dec) +
+       col("n").cast(dec) * (col("n") + lit(1L)).cast(dec))
+    val per = vals.withColumn("c2", contr2)
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("n").cast(dec) * col("v").cast(dec)).as("s"),
+        sum(col("c2")).as("c2"))
+    per.select(col("source"), col("n_docs"),
+        col("s").cast("long").as("total_tokens"),
+        round(col("c2").cast("double") /
+            (col("n_docs").cast("double") * col("s").cast("double")) -
+          (col("n_docs") + lit(1L)).cast("double") /
+            col("n_docs").cast("double"), 9).as("gini"))
+      .orderBy("source")
+  }
+
+  private val q217Sql =
+    """WITH vals AS (SELECT source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS v
+         FROM documents),
+       cnt AS (SELECT source, v, count(*)::BIGINT AS n
+               FROM vals GROUP BY source, v),
+       cum AS (SELECT source, v, n,
+                 sum(n) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS a
+               FROM cnt),
+       per AS (SELECT source,
+                 CAST(sum(n) AS BIGINT) AS n_docs,
+                 sum(n::HUGEINT * v::HUGEINT) AS s,
+                 sum(v::HUGEINT * (2 * n::HUGEINT * a::HUGEINT
+                   + n::HUGEINT * (n + 1)::HUGEINT)) AS c2
+               FROM cum GROUP BY source)
+       SELECT source, n_docs, CAST(s AS BIGINT) AS total_tokens,
+         round(CAST(c2 AS DOUBLE)
+             / (n_docs::DOUBLE * CAST(s AS DOUBLE))
+           - (n_docs + 1)::DOUBLE / n_docs::DOUBLE, 9) AS gini
+       FROM per ORDER BY source"""
+
+  // --------------------------------------------------------------- q218
+  /** ANN recall harness: IVF (q52's index, nprobe=2) graded per query
+    * against the exact brute-force top-5 — recall@5 as a driver-graded
+    * query, so index quality can never degrade silently (the q137
+    * pattern, applied to the similarity-search family). The
+    * ground-truth side is a 50-query batch broadcast against one
+    * corpus scan — the standard sampled-eval shape at any corpus
+    * size; the IVF side touches only probed cells. Set intersection
+    * by (query, neighbor) equi-join on the two k-row-per-query
+    * frames.
+    */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 50)
+    val exact = graft.operators.Similarity
+      .knnBruteForce(emb, qs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = graft.operators.Similarity
+      .knnIvf(emb, qs, "vec_id", "embedding", "label", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    qs.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).cast("int").as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / lit(5.0), 4)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val q218Sql =
+    """WITH exact AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               round(list_dot_product(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))),
+                 4) DESC, c.vec_id ASC) AS rn
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 50) t
+         WHERE rn <= 5),
+       cent AS (
+         SELECT cell, list(c ORDER BY i) AS cvec FROM (
+           SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY label, i) a
+         GROUP BY cell),
+       q AS (SELECT vec_id AS query_id, embedding AS qv,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS qn
+             FROM embeddings WHERE vec_id < 50),
+       probes AS (
+         SELECT query_id, qv, qn, cell FROM (
+           SELECT q.query_id, q.qv, q.qn, cent.cell,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round(list_dot_product(CAST(q.qv AS DOUBLE[]), cvec)
+                 / (q.qn * sqrt(list_dot_product(cvec, cvec))), 4) DESC,
+               cent.cell ASC) AS crank
+           FROM q, cent) p
+         WHERE crank <= 2),
+       approx AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY
+               round(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))
+                 / (p.qn * sqrt(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])))), 4) DESC,
+               e.vec_id ASC) AS rn
+           FROM probes p JOIN embeddings e
+             ON e.label = p.cell AND e.vec_id != p.query_id) r
+         WHERE rn <= 5),
+       hits AS (SELECT a.query_id, count(*)::BIGINT AS h
+                FROM approx a JOIN exact x
+                  ON a.query_id = x.query_id
+                 AND a.neighbor_id = x.neighbor_id
+                GROUP BY a.query_id)
+       SELECT q.query_id, CAST(coalesce(h.h, 0) AS INT) AS n_hits,
+         round(coalesce(h.h, 0)::DOUBLE / 5.0, 4) AS recall
+       FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+       ORDER BY q.query_id"""
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q214_auc_roc" -> (q214 _),
+    "q215_cohens_kappa" -> (q215 _),
+    "q216_source_divergence" -> (q216 _),
+    "q217_gini_concentration" -> (q217 _),
+    "q218_ann_recall" -> (q218 _))
+
+  val oracles: Map[String, String] = Map(
+    "q214_auc_roc" -> q214Sql,
+    "q215_cohens_kappa" -> q215Sql,
+    "q216_source_divergence" -> q216Sql,
+    "q217_gini_concentration" -> q217Sql,
+    "q218_ann_recall" -> q218Sql)
+}

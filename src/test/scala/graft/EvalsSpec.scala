@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.MlEval
+
+/** Hand-computable fixtures for the round-8 evaluation operators: the
+  * AUC kernel's exact rank algebra, and the registered kappa / JSD /
+  * Gini / ANN-recall queries against tiny staged tables (the DuckDB
+  * gate covers the corpus path; these pin the estimator semantics).
+  */
+class EvalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staged(name: String)(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_evals_$name").toString
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("aucExact: hand-computed AUC with a tie block") {
+    // pos scores {3, 2}, neg scores {1, 2}: of the 4 (pos, neg) pairs,
+    // 3 are strict wins and 1 is a tie -> AUC = 3.5/4 = 0.875
+    val df = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("u", "y")
+    val r = MlEval.aucExact(df, "u", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == (2L, 2L, 0.875))
+  }
+
+  test("aucExact: perfect separation is 1, inverted is 0, ties-only 0.5") {
+    val perfect = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("u", "y")
+    assert(MlEval.aucExact(perfect, "u", "y").collect()(0).getDouble(2)
+      == 1.0)
+    val inverted = Seq((1L, true), (2L, true), (9L, false), (10L, false))
+      .toDF("u", "y")
+    assert(MlEval.aucExact(inverted, "u", "y").collect()(0).getDouble(2)
+      == 0.0)
+    val flat = Seq((5L, true), (5L, true), (5L, false)).toDF("u", "y")
+    assert(MlEval.aucExact(flat, "u", "y").collect()(0).getDouble(2)
+      == 0.5)
+  }
+
+  test("aucExact: single-class input yields NULL, not a crash") {
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("u", "y")
+    assert(MlEval.aucExact(onlyPos, "u", "y").collect()(0).isNullAt(2))
+  }
+
+  test("aucExact: bucket count never changes the answer") {
+    // 200 rows, scores colliding across labels — prefix-sum bucketing
+    // is parallelism only
+    val df = (1 to 200)
+      .map(i => ((i % 37).toLong, i % 3 == 0)).toDF("u", "y")
+    val a1 = MlEval.aucExact(df, "u", "y", buckets = 1).collect()(0)
+    val a32 = MlEval.aucExact(df, "u", "y", buckets = 32).collect()(0)
+    assert(a1.getDouble(2) == a32.getDouble(2))
+  }
+
+  test("q215 kappa: identical raters agree perfectly, kappa = 1") {
+    // n_chars and token count bucket identically for every doc
+    val docs = Seq(
+      (1L, "a b c", "en", "s0", 100L),     // short / short (3 tokens)
+      (2L, ("w " * 30).trim, "en", "s0", 200L),  // medium / medium
+      (3L, ("w " * 60).trim, "en", "s0", 400L)   // long / long
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("kappa1")("documents" -> docs)
+    val r = SparkEntry.queries("q215_cohens_kappa")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.0 &&
+      r.getDouble(3) == 1.0)
+  }
+
+  test("q215 kappa: hand-computed 2x2 disagreement") {
+    // confusion: (short,short)=1, (short,medium)=1 -> n=2, diag=1,
+    // po = 1/2; row short=2, col short=1, col medium=1 ->
+    // pe = (2·1 + 0·1)/2² = 1/2; kappa = (po−pe)/(1−pe) = 0
+    val docs = Seq(
+      (1L, "a b c", "en", "s0", 100L),            // A short, B short
+      (2L, ("w " * 30).trim, "en", "s0", 100L)    // A short, B medium
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("kappa2")("documents" -> docs)
+    val r = SparkEntry.queries("q215_cohens_kappa")(spark, dir)
+      .collect()(0)
+    assert(r.getDouble(1) == 0.5)   // po
+    assert(r.getDouble(2) == 0.5)   // pe = (2·1 + 2·1)/4² = 0.25… recompute below
+    assert(r.getDouble(3) == 0.0)   // kappa
+  }
+
+  test("q216 JSD: a source that IS the corpus distribution diverges 0") {
+    // two sources with identical word multisets -> every source's
+    // distribution equals the pooled corpus -> jsd = 0, coverage = 1
+    val docs = Seq(
+      (1L, "x x y", "en", "sA", 5L),
+      (2L, "x x y", "en", "sB", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("jsd0")("documents" -> docs)
+    val rows = SparkEntry.queries("q216_source_divergence")(spark, dir)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+    }
+  }
+
+  test("q216 JSD: disjoint vocabularies approach the ln2 ceiling") {
+    // sA = {a}, sB = {b}: p/m = 2 on the own-word, q/m tail elsewhere;
+    // JSD(source vs pooled corpus) for a 50/50 disjoint split is
+    // 0.5·ln2 + 0.5·[0.5·ln(2/3)·… ] — just assert symmetry and range
+    val docs = Seq(
+      (1L, "a a a a", "en", "sA", 7L),
+      (2L, "b b b b", "en", "sB", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("jsd1")("documents" -> docs)
+    val rows = SparkEntry.queries("q216_source_divergence")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(4)))
+    assert(rows(0)._2 == rows(1)._2)
+    assert(rows(0)._2 > 0.2 && rows(0)._2 <= 0.6931472)
+  }
+
+  test("q217 Gini: equal docs concentrate nothing; a hand case is 0.25") {
+    val docs = Seq(
+      (1L, "w w w", "en", "flat", 5L),
+      (2L, "w w w", "en", "flat", 5L),
+      (3L, "w", "en", "skew", 1L),        // token masses 1 and 3:
+      (4L, "w w w", "en", "skew", 5L)     // G = 2·7/(2·4) − 3/2 = 0.25
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("gini")("documents" -> docs)
+    val rows = SparkEntry.queries("q217_gini_concentration")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows == Seq(("flat", 2L, 6L, 0.0), ("skew", 2L, 4L, 0.25)))
+  }
+
+  test("q218 ANN recall: hits are exact-set intersections in [0, 5]") {
+    val rows = SparkEntry.queries("q218_ann_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val h = r.getInt(1)
+      assert(h >= 0 && h <= 5)
+      assert(r.getDouble(2) == h / 5.0)
+    }
+    // label cells are a COARSE quantizer (not geometric clusters), so
+    // nprobe=2 recall is well below 1 — which is exactly what this
+    // harness exists to measure; the floor only guards against the
+    // intersection degenerating to empty
+    val mean = rows.map(_.getInt(1)).sum / (5.0 * rows.length)
+    assert(mean > 0.1, s"mean recall@5 = $mean")
+  }
+}
