@@ -366,6 +366,303 @@ object Evals {
        FROM q LEFT JOIN hits h ON q.query_id = h.query_id
        ORDER BY q.query_id"""
 
+  // --------------------------------------------------------------- q219
+  /** Benjamini-Hochberg FDR control over a FAMILY of A/B readouts —
+    * the multiple-testing discipline q120's single Welch readout needs
+    * once the same experiment is read out per (event_type, weekday):
+    * ~35 simultaneous hypotheses at α=0.1 would expect ~3.5 false
+    * rejections under naive per-test thresholds. p-values use the
+    * logistic approximation of the normal CDF
+    * (Φ(x) ≈ 1/(1+e^(−1.702x)), max abs error < 0.01 — documented
+    * approximation; the BH step-up itself is exact given them):
+    * p = 2/(1+exp(1.702·|z|)) is monotone in |z|, an explicit closed
+    * form both engines evaluate identically on the 4-dp-rounded z.
+    * The step-up (rank by (p, segment), reject rank ≤ max{i : p_i ≤
+    * α·i/m}) runs on the m-row family table — corpus work is the ONE
+    * conditional moment aggregation inside [[Experiment.welchAb]].
+    */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("segment",
+      concat(col("event_type"), lit("_d"),
+        pmod(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+          lit(7))))
+    val fam = graft.operators.Experiment
+      .welchAb(ev, "user_id", "value", "segment", salt = "ab")
+      .filter(col("z").isNotNull)
+      .withColumn("p_value",
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))), 9))
+    val m = Window.partitionBy()
+    val byP = Window.orderBy(col("p_value"), col("segment"))
+    val ranked = fam
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rank", row_number().over(byP))
+      .withColumn("ok", col("p_value") <=
+        round(col("rank") * lit(0.1) / col("m").cast("double"), 9))
+    val kmax = Window.partitionBy()
+    ranked
+      .withColumn("kmax",
+        max(when(col("ok"), col("rank")).otherwise(0)).over(kmax))
+      .select(col("segment"), col("n_a"), col("n_b"), col("z"),
+        col("p_value"), col("rank").cast("int").as("rank"),
+        (col("rank") <= col("kmax")).as("reject"))
+      .orderBy("rank")
+  }
+
+  private val q219Sql =
+    """WITH b AS (SELECT
+           event_type || '_d' ||
+             (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+               ::VARCHAR AS segment,
+           value::DOUBLE AS x,
+           ('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 AS arm
+         FROM events WHERE value IS NOT NULL),
+       mo AS (SELECT segment,
+               CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               sum(x) FILTER (arm = 0) AS sa,
+               sum(x) FILTER (arm = 1) AS sb,
+               sum(x * x) FILTER (arm = 0) AS saa,
+               sum(x * x) FILTER (arm = 1) AS sbb
+             FROM b GROUP BY segment
+             HAVING n_a >= 2 AND n_b >= 2),
+       t AS (SELECT segment, n_a, n_b,
+               sa / n_a AS ma, sb / n_b AS mb,
+               greatest((saa / n_a - (sa / n_a) * (sa / n_a))
+                 * n_a / (n_a - 1.0), 0.0) AS va,
+               greatest((sbb / n_b - (sb / n_b) * (sb / n_b))
+                 * n_b / (n_b - 1.0), 0.0) AS vb
+             FROM mo),
+       fam AS (SELECT segment, n_a, n_b,
+               round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS z
+             FROM t WHERE va / n_a + vb / n_b > 0),
+       pv AS (SELECT segment, n_a, n_b, z,
+               round(2.0 / (1.0 + exp(1.702 * abs(z))), 9) AS p_value
+             FROM fam),
+       rk AS (SELECT *, count(*) OVER () AS m,
+               row_number() OVER (ORDER BY p_value, segment) AS rank
+             FROM pv),
+       ok AS (SELECT *,
+               (p_value <= round(rank * 0.1 / m::DOUBLE, 9)) AS ok
+             FROM rk),
+       km AS (SELECT *,
+               max(CASE WHEN ok THEN rank ELSE 0 END) OVER () AS kmax
+             FROM ok)
+       SELECT segment, n_a, n_b, z, p_value, CAST(rank AS INT) AS rank,
+         (rank <= kmax) AS reject
+       FROM km ORDER BY rank"""
+
+  // --------------------------------------------------------------- q220
+  /** Markov-chain (removal-effect) attribution — the principled
+    * successor to q179/q199's positional credit: user journeys become
+    * a first-order chain over channel states, and a channel's credit
+    * is how much the START→purchase absorption probability drops when
+    * the channel is removed (transitions touching it die; no
+    * renormalization — the standard formulation). Corpus work is ONE
+    * lag-window pass per user producing exact integer transition
+    * counts; the chain itself is a bounded states² matrix, iterated
+    * K=20 rounds in 1e-12-unit LONG arithmetic
+    * (v'(s) = Σ_t ⌊P(s→t)·v(t) + ½⌋, P exact-rational) — every round
+    * is order-independent and engine-exact, and the oracle replays
+    * the identical recursion per removal scenario in a recursive CTE.
+    */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val K = 20
+    val unit = 1e12
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wAll = Window.partitionBy("user_id")
+    // journeys truncate at the first purchase: later events belong to
+    // the next journey only in a sessionized model — keeping ONE
+    // journey per user keeps the oracle a pure window mirror.
+    // Truncation is by journey POSITION (row number), never event_id —
+    // ids need not be time-ordered.
+    val seq0 = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prn",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wAll))
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .withColumn("mrn", max(col("rn")).over(wAll))
+    val steps = seq0
+      .withColumn("src", lag(col("event_type"), 1, "START").over(w))
+      .select(col("src"), col("event_type").as("dst"))
+      .unionByName(
+        // terminal step: last event of a non-converting journey → NULLS
+        seq0.filter(col("rn") === col("mrn") &&
+            col("event_type") =!= "purchase")
+          .select(col("event_type").as("src"), lit("NULLS").as("dst")))
+    val trans = steps.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outTot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val channels = trans.iterator.flatMap(t => Seq(t._1, t._2))
+      .filter(c => c != "START" && c != "purchase" && c != "NULLS")
+      .toSeq.distinct.sorted
+    // absorption probability of START under a removal scenario, in
+    // 1e-12-unit LONG arithmetic (engine-exact; oracle replays it)
+    def solve(removed: Option[String]): Long = {
+      val live = trans.filter(t => !removed.contains(t._1) &&
+        !removed.contains(t._2))
+      val states = live.iterator.map(_._1).toSeq.distinct
+      var v: Map[String, Long] = states.map(_ -> 0L).toMap +
+        ("purchase" -> unit.toLong) + ("NULLS" -> 0L)
+      for (_ <- 1 to K) {
+        val next = states.map { st =>
+          st -> live.filter(_._1 == st).sortBy(_._2).map { case (_, t, c) =>
+            math.floor(c.toDouble / outTot(st).toDouble *
+              v.getOrElse(t, 0L).toDouble + 0.5).toLong
+          }.sum
+        }.toMap
+        v = next + ("purchase" -> unit.toLong) + ("NULLS" -> 0L)
+      }
+      v.getOrElse("START", 0L)
+    }
+    val base = solve(None)
+    val rows = channels.map { c =>
+      val pc = solve(Some(c))
+      val eff = (base - pc).toDouble / base.toDouble
+      (c, base / unit, pc / unit, eff)
+    }
+    val effUnits = rows.map(r => math.floor(r._4 * 1e6 + 0.5).toLong)
+    val totEff = effUnits.sum
+    val out = rows.zip(effUnits).map { case ((c, b, p, eff), eu) =>
+      (c, round(b, 9), round(p, 9), round(eff, 9),
+        round(eu.toDouble / totEff.toDouble, 6))
+    }
+    out.toDF("channel", "base_conv", "removal_conv", "removal_effect",
+        "credit_share")
+      .orderBy("channel")
+  }
+
+  private val q220Sql = {
+    val K = 20
+    // one removal scenario per channel + the base chain (removed IS
+    // NULL); the K rounds are UNROLLED as chained CTEs — each round is
+    // the SAME unit-LONG update the engine runs
+    val rounds = (1 to K).map { k =>
+      s"""v$k AS MATERIALIZED (SELECT l.removed, l.src AS st,
+           sum(CAST(floor(l.c::DOUBLE / l.ct::DOUBLE *
+             (CASE WHEN l.dst = 'purchase' THEN 1000000000000
+                   WHEN l.dst = 'NULLS' THEN 0
+                   ELSE coalesce(p.v, 0) END)::DOUBLE + 0.5)
+             AS BIGINT))::BIGINT AS v
+         FROM live l LEFT JOIN v${k - 1} p
+           ON p.removed IS NOT DISTINCT FROM l.removed
+          AND p.st = l.dst
+         GROUP BY l.removed, l.src)"""
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+       pfx AS (SELECT *,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM ev),
+       cut AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                   THEN rn END) OVER (PARTITION BY user_id) AS prn
+               FROM pfx),
+       jo AS (SELECT *, max(rn) OVER (PARTITION BY user_id) AS mrn
+              FROM cut WHERE prn IS NULL OR rn <= prn),
+       steps AS (
+         SELECT coalesce(lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY rn), 'START') AS src,
+           event_type AS dst
+         FROM jo
+         UNION ALL
+         SELECT event_type AS src, 'NULLS' AS dst FROM jo
+         WHERE rn = mrn AND event_type != 'purchase'),
+       trans AS (SELECT src, dst, count(*)::BIGINT AS c
+                 FROM steps GROUP BY src, dst),
+       tot AS (SELECT src, sum(c)::BIGINT AS ct FROM trans GROUP BY src),
+       chan AS (SELECT DISTINCT ch FROM (
+           SELECT src AS ch FROM trans UNION ALL
+           SELECT dst AS ch FROM trans)
+         WHERE ch NOT IN ('START', 'purchase', 'NULLS')),
+       scen AS (SELECT ch AS removed FROM chan
+                UNION ALL SELECT NULL AS removed),
+       live AS MATERIALIZED (SELECT s.removed, t.src, t.dst, t.c, o.ct
+                FROM scen s JOIN trans t
+                  ON (s.removed IS NULL
+                      OR (t.src != s.removed AND t.dst != s.removed))
+                JOIN tot o ON o.src = t.src),
+       v0 AS MATERIALIZED (SELECT removed, src AS st, 0::BIGINT AS v
+              FROM (SELECT DISTINCT removed, src FROM live)),
+       $rounds,
+       fin AS (SELECT removed, v FROM v$K WHERE st = 'START'),
+       base AS (SELECT v AS bv FROM fin WHERE removed IS NULL),
+       eff AS (SELECT f.removed AS channel, b.bv, f.v,
+                 CAST(floor((b.bv - f.v)::DOUBLE / b.bv::DOUBLE * 1e6
+                   + 0.5) AS BIGINT) AS eu
+               FROM fin f, base b WHERE f.removed IS NOT NULL),
+       te AS (SELECT sum(eu)::BIGINT AS t FROM eff)
+       SELECT channel,
+         round(bv::DOUBLE / 1e12, 9) AS base_conv,
+         round(v::DOUBLE / 1e12, 9) AS removal_conv,
+         round((bv - v)::DOUBLE / bv::DOUBLE, 9) AS removal_effect,
+         round(eu::DOUBLE / te.t::DOUBLE, 6) AS credit_share
+       FROM eff, te ORDER BY channel"""
+  }
+
+  // --------------------------------------------------------------- q221
+  /** Neyman-optimal stratified sample allocation: a 1000-doc budget
+    * split across sources ∝ N_h·σ_h (σ over per-doc token counts) —
+    * minimum-variance stratification, the sampling-design step before
+    * q99's weighted draw. σ² from EXACT integer moments (token counts
+    * are ints; Σx, Σx² in DECIMAL/HUGEINT), weights quantized to
+    * micro-units BEFORE the normalizing sum (the q169 contract) so
+    * k-source shares are order-independent. One corpus aggregation,
+    * then k-row frames.
+    */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000L
+    val m = Tables.documents(s, d)
+      .select(col("source"), size(words(col("text"))).cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val varX = greatest(
+      (col("sxx").cast("double") / nD -
+        (col("sx").cast("double") / nD) * (col("sx").cast("double") / nD))
+        * nD / (nD - lit(1.0)), lit(0.0))
+    val wu = m.withColumn("sigma", sqrt(varX))
+      .withColumn("wu",
+        floor(nD * col("sigma") * lit(1e6) + lit(0.5)).cast("long"))
+    val tot = wu.agg(sum(col("wu")).as("tw"))
+    wu.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("wu").cast("double") / col("tw").cast("double"), 6)
+          .as("share"),
+        floor(lit(budget.toDouble) * col("wu").cast("double") /
+          col("tw").cast("double") + lit(0.5)).cast("long").as("alloc"))
+      .orderBy("source")
+  }
+
+  private val q221Sql =
+    """WITH v AS (SELECT source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS x
+         FROM documents),
+       m AS (SELECT source, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(x::HUGEINT * x::HUGEINT) AS sxx
+             FROM v GROUP BY source HAVING count(*) >= 2),
+       sg AS (SELECT source, n,
+               sqrt(greatest((CAST(sxx AS DOUBLE) / n::DOUBLE
+                 - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE))
+                 * n::DOUBLE / (n::DOUBLE - 1.0), 0.0)) AS sigma
+             FROM m),
+       wu AS (SELECT source, n, sigma,
+               CAST(floor(n::DOUBLE * sigma * 1e6 + 0.5) AS BIGINT) AS wu
+             FROM sg),
+       t AS (SELECT sum(wu)::BIGINT AS tw FROM wu)
+       SELECT source, n AS n_docs, round(sigma, 6) AS sigma,
+         round(wu::DOUBLE / tw::DOUBLE, 6) AS share,
+         CAST(floor(1000.0 * wu::DOUBLE / tw::DOUBLE + 0.5) AS BIGINT)
+           AS alloc
+       FROM wu, t ORDER BY source"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -373,12 +670,18 @@ object Evals {
     "q215_cohens_kappa" -> (q215 _),
     "q216_source_divergence" -> (q216 _),
     "q217_gini_concentration" -> (q217 _),
-    "q218_ann_recall" -> (q218 _))
+    "q218_ann_recall" -> (q218 _),
+    "q219_fdr_bh" -> (q219 _),
+    "q220_markov_attribution" -> (q220 _),
+    "q221_neyman_allocation" -> (q221 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
     "q215_cohens_kappa" -> q215Sql,
     "q216_source_divergence" -> q216Sql,
     "q217_gini_concentration" -> q217Sql,
-    "q218_ann_recall" -> q218Sql)
+    "q218_ann_recall" -> q218Sql,
+    "q219_fdr_bh" -> q219Sql,
+    "q220_markov_attribution" -> q220Sql,
+    "q221_neyman_allocation" -> q221Sql)
 }

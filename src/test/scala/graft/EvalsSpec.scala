@@ -151,4 +151,64 @@ class EvalsSpec extends SparkSpec {
     val mean = rows.map(_.getInt(1)).sum / (5.0 * rows.length)
     assert(mean > 0.1, s"mean recall@5 = $mean")
   }
+
+  test("q219 BH: rejections are a rank prefix under a monotone p order") {
+    val rows = SparkEntry.queries("q219_fdr_bh")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getDouble(4))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      "p-values must be nondecreasing in rank")
+    val rejects = rows.map(_.getBoolean(6))
+    // BH step-up: the reject set is exactly ranks 1..kmax
+    val lastReject = rejects.lastIndexOf(true)
+    assert(rejects.take(lastReject + 1).forall(identity))
+    assert(rejects.drop(lastReject + 1).forall(!_))
+  }
+
+  private def ts(n: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(n).atStartOfDay())
+
+  test("q220 Markov attribution: hand-computed removal effects") {
+    // u1,u2: click -> purchase; u3: view only; u4: purchase directly.
+    // chain: START->click 2, click->purchase 2, START->view 1,
+    // view->NULLS 1, START->purchase 1; conv(START) = 3/4... with
+    // v(click)=1, v(view)=0: base = 2/4 + 1/4 = 0.75. Removing click
+    // leaves only the direct path: 0.25 -> effect 2/3; removing view
+    // changes nothing -> effect 0, so click takes the full credit.
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(0), 10L, "click", 1.0, "{}"),
+      (4L, ts(1), 10L, "purchase", 1.0, "{}"),
+      (5L, ts(0), 20L, "view", 1.0, "{}"),
+      (6L, ts(0), 30L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("markov")("events" -> ev)
+    val rows = SparkEntry.queries("q220_markov_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(rows == Seq(
+      ("click", 0.75, 0.25, 0.666666667, 1.0),
+      ("view", 0.75, 0.75, 0.0, 0.0)))
+  }
+
+  test("q221 Neyman: zero-variance strata get zero allocation") {
+    // source A token masses {1,3}: sigma = sqrt(2); B {2,2}: sigma 0
+    // -> the whole 1000-doc budget lands on A
+    val docs = Seq(
+      (1L, "w", "en", "A", 1L),
+      (2L, "w w w", "en", "A", 5L),
+      (3L, "w w", "en", "B", 3L),
+      (4L, "w w", "en", "B", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("neyman")("documents" -> docs)
+    val rows = SparkEntry.queries("q221_neyman_allocation")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      ("A", 2L, 1.414214, 1.0, 1000L),
+      ("B", 2L, 0.0, 0.0, 0L)))
+  }
 }
