@@ -663,6 +663,262 @@ object Evals {
            AS alloc
        FROM wu, t ORDER BY source"""
 
+  // --------------------------------------------------------------- q222
+  /** B-cubed clustering quality: the near-dup clusters (q71's minhash
+    * pairs + connected components, reused VERBATIM) graded against the
+    * exact-content-hash truth partition. Per-document precision =
+    * |C(d)∩T(d)|/|C(d)| collapses to the grouped identity
+    * Σ_c (Σ_t n_ct²)/n_c — exact integer squares with ONE rational
+    * division per cluster, quantized to 1e-12-unit LONGs before the
+    * corpus sum (order-independent); recall mirrors over truth groups.
+    * Docs in no near-dup pair are singleton clusters (coalesce to own
+    * id), so the metric covers the WHOLE corpus, not just paired docs.
+    */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.8))
+    val assign = docs.select(col("doc_id"),
+        graft.operators.Dedup.contentHash(col("text")).as("t"))
+      .join(clusters, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("c"), col("t"))
+      .persist(sl)
+    val nct = assign.groupBy("c", "t").agg(count(lit(1)).as("n"))
+      .persist(sl)
+    def sideUnits(grp: String) = nct
+      .groupBy(grp)
+      .agg(sum(col("n") * col("n")).as("s2"), sum(col("n")).as("ng"))
+      .select(floor(col("s2").cast("double") / col("ng").cast("double")
+        * lit(1e12) + lit(0.5)).cast("long").as("u"))
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("k"))
+    val p = sideUnits("c").select(col("su").as("pu"),
+      col("k").as("n_clusters"))
+    val r = sideUnits("t").select(col("su").as("ru"),
+      col("k").as("n_truth"))
+    val n = assign.agg(count(lit(1)).as("n_docs"))
+    val result = n.crossJoin(broadcast(p)).crossJoin(broadcast(r))
+      .select(col("n_docs"), col("n_clusters"), col("n_truth"),
+        round(col("pu").cast("double") / lit(1e12) /
+          col("n_docs").cast("double"), 9).as("b3_precision"),
+        round(col("ru").cast("double") / lit(1e12) /
+          col("n_docs").cast("double"), 9).as("b3_recall"),
+        round(lit(2.0) *
+            (col("pu").cast("double") / lit(1e12) /
+              col("n_docs").cast("double")) *
+            (col("ru").cast("double") / lit(1e12) /
+              col("n_docs").cast("double")) /
+          (col("pu").cast("double") / lit(1e12) /
+            col("n_docs").cast("double") +
+           col("ru").cast("double") / lit(1e12) /
+            col("n_docs").cast("double")), 9).as("b3_f1"))
+    graft.operators.Exec.owned(result, Seq(assign, nct))
+  }
+
+  private val q222Sql =
+    s"""WITH RECURSIVE p AS (${Pipeline.q36Core}),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                 UNION ALL SELECT doc_b, doc_a FROM p),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach AS (SELECT id, id AS r FROM nodes
+                 UNION
+                 SELECT e.a, reach.r FROM edges e
+                 JOIN reach ON e.b = reach.id),
+       cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       assign AS (SELECT d.doc_id,
+           coalesce(cl.cluster_id, d.doc_id) AS c,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS t
+         FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+       nct AS (SELECT c, t, count(*)::BIGINT AS n
+               FROM assign GROUP BY c, t),
+       pc AS (SELECT CAST(sum(u) AS BIGINT) AS pu,
+                count(*)::BIGINT AS n_clusters FROM (
+           SELECT CAST(floor(sum(n * n)::DOUBLE / sum(n)::DOUBLE
+             * 1e12 + 0.5) AS BIGINT) AS u
+           FROM nct GROUP BY c)),
+       rc AS (SELECT CAST(sum(u) AS BIGINT) AS ru,
+                count(*)::BIGINT AS n_truth FROM (
+           SELECT CAST(floor(sum(n * n)::DOUBLE / sum(n)::DOUBLE
+             * 1e12 + 0.5) AS BIGINT) AS u
+           FROM nct GROUP BY t)),
+       nn AS (SELECT count(*)::BIGINT AS n_docs FROM assign)
+       SELECT n_docs, n_clusters, n_truth,
+         round(pu::DOUBLE / 1e12 / n_docs::DOUBLE, 9) AS b3_precision,
+         round(ru::DOUBLE / 1e12 / n_docs::DOUBLE, 9) AS b3_recall,
+         round(2.0 * (pu::DOUBLE / 1e12 / n_docs::DOUBLE)
+             * (ru::DOUBLE / 1e12 / n_docs::DOUBLE)
+           / (pu::DOUBLE / 1e12 / n_docs::DOUBLE
+              + ru::DOUBLE / 1e12 / n_docs::DOUBLE), 9) AS b3_f1
+       FROM nn, pc, rc"""
+
+  // --------------------------------------------------------------- q223
+  /** Mutual-information feature ranking: I(X; high_value) for each
+    * categorical order feature, from ONE melted corpus pass (the q173
+    * shape — k struct rows per order inside the scan projection).
+    * MI = Σ_xy (n_xy/N)·ln(n_xy·N / (n_x·n_y)) over the per-feature
+    * contingency cells — counts exact, each cell's (possibly negative)
+    * ln term quantized to 1e-12-unit LONGs before the sum. Features
+    * ranked by quantized MI with name tie-break — the categorical
+    * companion to q173's threshold-split ranking.
+    */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val melted = Tables.orders(s, d)
+      .select(explode(array(
+          struct(lit("o_orderstatus").as("f"),
+            col("o_orderstatus").cast("string").as("v")),
+          struct(lit("o_orderpriority").as("f"),
+            col("o_orderpriority").cast("string").as("v")),
+          struct(lit("o_year").as("f"),
+            year(to_date(col("o_orderdate"))).cast("string").as("v"))))
+        .as("e"),
+        (col("o_totalprice") > 150000.0).as("y"))
+      .select(col("e.f").as("f"), col("e.v").as("v"), col("y"))
+    val cells = melted.groupBy("f", "v", "y").agg(count(lit(1)).as("nxy"))
+      .persist(sl)
+    val nx = cells.groupBy("f", "v").agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy("f", "y").agg(sum(col("nxy")).as("ny"))
+    val nTot = cells.groupBy("f").agg(sum(col("nxy")).as("nn"))
+    val t = col("nxy").cast("double") / col("nn").cast("double") *
+      log(col("nxy").cast("double") * col("nn").cast("double") /
+        (col("nx").cast("double") * col("ny").cast("double")))
+    val units = floor(abs(t) * lit(1e12) + lit(0.5)).cast("long") *
+      when(t < 0, -1L).otherwise(1L)
+    val mi = cells
+      .join(nx, Seq("f", "v")).join(ny, Seq("f", "y"))
+      .join(broadcast(nTot), Seq("f"))
+      .groupBy("f")
+      .agg(countDistinct(col("v")).as("n_values"),
+        sum(units).as("units"))
+    val byMi = Window.orderBy(col("units").desc, col("f"))
+    val result = mi.select(col("f").as("feature"), col("n_values"),
+        round(col("units").cast("double") / lit(1e12), 6).as("mi"),
+        row_number().over(byMi).cast("int").as("rank"))
+      .orderBy("rank")
+    graft.operators.Exec.owned(result, Seq(cells))
+  }
+
+  private val q223Sql =
+    """WITH melted AS (
+         SELECT f, v, (o_totalprice > 150000.0) AS y FROM (
+           SELECT unnest(['o_orderstatus', 'o_orderpriority',
+                          'o_year']) AS f,
+             unnest([o_orderstatus::VARCHAR, o_orderpriority::VARCHAR,
+                     year(CAST(o_orderdate AS DATE))::VARCHAR]) AS v,
+             o_totalprice
+           FROM orders)),
+       cells AS (SELECT f, v, y, count(*)::BIGINT AS nxy
+                 FROM melted GROUP BY f, v, y),
+       nx AS (SELECT f, v, sum(nxy)::BIGINT AS nx
+              FROM cells GROUP BY f, v),
+       ny AS (SELECT f, y, sum(nxy)::BIGINT AS ny
+              FROM cells GROUP BY f, y),
+       nt AS (SELECT f, sum(nxy)::BIGINT AS nn FROM cells GROUP BY f),
+       terms AS (SELECT cells.f,
+           cells.nxy::DOUBLE / nt.nn::DOUBLE *
+             ln(cells.nxy::DOUBLE * nt.nn::DOUBLE /
+               (nx.nx::DOUBLE * ny.ny::DOUBLE)) AS t,
+           cells.v
+         FROM cells
+         JOIN nx ON nx.f = cells.f AND nx.v = cells.v
+         JOIN ny ON ny.f = cells.f AND ny.y = cells.y
+         JOIN nt ON nt.f = cells.f),
+       mi AS (SELECT f, count(DISTINCT v)::BIGINT AS n_values,
+               CAST(sum(CAST(floor(abs(t) * 1e12 + 0.5) AS BIGINT)
+                 * (CASE WHEN t < 0 THEN -1 ELSE 1 END)) AS BIGINT)
+                 AS units
+             FROM terms GROUP BY f)
+       SELECT f AS feature, n_values,
+         round(units::DOUBLE / 1e12, 6) AS mi,
+         CAST(row_number() OVER (ORDER BY units DESC, f) AS INT) AS rank
+       FROM mi ORDER BY rank"""
+
+  // --------------------------------------------------------------- q224
+  /** Precision-recall sweep — the operating-point companion to q214's
+    * threshold-free AUC: the same detector (score = first embedding
+    * component, positive = label 0) evaluated at 7 fixed micro-unit
+    * thresholds. Exact TP/FP/FN from the per-score count table
+    * crossed with a broadcast 7-row threshold frame; the only FP ops
+    * are the final divisions. F1 NULL when the predicted-positive or
+    * recall mass is empty rather than 0/0.
+    */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Seq(-200000L, -100000L, -50000L, 0L, 50000L,
+      100000L, 200000L)
+    val spark = s
+    import spark.implicits._
+    val x = element_at(col("embedding"), 1).cast("double")
+    val counts = Tables.embeddings(s, d).select(
+        (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+          when(x < 0, -1L).otherwise(1L) as "u",
+        (col("label") === 0).as("y"))
+      .groupBy("u")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+           sum(when(col("y"), 0L).otherwise(1L)).as("n"))
+    val th = thresholds.toDF("th")
+    val tot = counts.agg(sum(col("p")).as("pp"))
+    val byTh = counts.crossJoin(broadcast(th))
+      .filter(col("u") >= col("th"))
+      .groupBy("th")
+      .agg(sum(col("p")).as("tp"), sum(col("n")).as("fp"))
+    // thresholds above every score keep zero rows — re-attach them
+    th.join(byTh, Seq("th"), "left").crossJoin(broadcast(tot))
+      .select(col("th"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        (col("pp") - coalesce(col("tp"), lit(0L))).as("fn"),
+        when(coalesce(col("tp"), lit(0L)) + coalesce(col("fp"), lit(0L))
+            > 0,
+          round(coalesce(col("tp"), lit(0L)).cast("double") /
+            (coalesce(col("tp"), lit(0L)) + coalesce(col("fp"), lit(0L)))
+              .cast("double"), 9)).as("precision"),
+        round(coalesce(col("tp"), lit(0L)).cast("double") /
+          col("pp").cast("double"), 9).as("recall"),
+        when(lit(2L) * coalesce(col("tp"), lit(0L)) +
+            coalesce(col("fp"), lit(0L)) +
+            col("pp") - coalesce(col("tp"), lit(0L)) > 0,
+          round(lit(2.0) * coalesce(col("tp"), lit(0L)).cast("double") /
+            (lit(2L) * coalesce(col("tp"), lit(0L)) +
+             coalesce(col("fp"), lit(0L)) +
+             col("pp") - coalesce(col("tp"), lit(0L))).cast("double"), 9))
+          .as("f1"))
+      .orderBy("th")
+  }
+
+  private val q224Sql =
+    """WITH s AS (SELECT
+           CAST(floor(abs(x) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS u,
+           (label = 0) AS y
+         FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x, label
+               FROM embeddings)),
+       c AS (SELECT u,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+             FROM s GROUP BY u),
+       th AS (SELECT unnest([-200000, -100000, -50000, 0, 50000,
+                             100000, 200000])::BIGINT AS th),
+       tot AS (SELECT CAST(sum(p) AS BIGINT) AS pp FROM c),
+       agg AS (SELECT th, CAST(sum(p) AS BIGINT) AS tp,
+                 CAST(sum(n) AS BIGINT) AS fp
+               FROM th JOIN c ON c.u >= th.th GROUP BY th)
+       SELECT th.th,
+         coalesce(a.tp, 0) AS tp, coalesce(a.fp, 0) AS fp,
+         (tot.pp - coalesce(a.tp, 0)) AS fn,
+         CASE WHEN coalesce(a.tp, 0) + coalesce(a.fp, 0) > 0
+           THEN round(coalesce(a.tp, 0)::DOUBLE
+             / (coalesce(a.tp, 0) + coalesce(a.fp, 0))::DOUBLE, 9)
+         END AS precision,
+         round(coalesce(a.tp, 0)::DOUBLE / tot.pp::DOUBLE, 9) AS recall,
+         CASE WHEN 2 * coalesce(a.tp, 0) + coalesce(a.fp, 0)
+             + tot.pp - coalesce(a.tp, 0) > 0
+           THEN round(2.0 * coalesce(a.tp, 0)::DOUBLE
+             / (2 * coalesce(a.tp, 0) + coalesce(a.fp, 0)
+                + tot.pp - coalesce(a.tp, 0))::DOUBLE, 9)
+         END AS f1
+       FROM th LEFT JOIN agg a ON a.th = th.th, tot
+       ORDER BY th.th"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -673,7 +929,10 @@ object Evals {
     "q218_ann_recall" -> (q218 _),
     "q219_fdr_bh" -> (q219 _),
     "q220_markov_attribution" -> (q220 _),
-    "q221_neyman_allocation" -> (q221 _))
+    "q221_neyman_allocation" -> (q221 _),
+    "q222_bcubed_eval" -> (q222 _),
+    "q223_mi_ranking" -> (q223 _),
+    "q224_pr_curve" -> (q224 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -683,5 +942,8 @@ object Evals {
     "q218_ann_recall" -> q218Sql,
     "q219_fdr_bh" -> q219Sql,
     "q220_markov_attribution" -> q220Sql,
-    "q221_neyman_allocation" -> q221Sql)
+    "q221_neyman_allocation" -> q221Sql,
+    "q222_bcubed_eval" -> q222Sql,
+    "q223_mi_ranking" -> q223Sql,
+    "q224_pr_curve" -> q224Sql)
 }

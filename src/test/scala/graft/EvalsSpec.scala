@@ -211,4 +211,59 @@ class EvalsSpec extends SparkSpec {
       ("A", 2L, 1.414214, 1.0, 1000L),
       ("B", 2L, 0.0, 0.0, 0L)))
   }
+
+  test("q222 B-cubed: perfect clustering scores 1/1/1") {
+    // two exact-dup pairs + a unique doc: minhash clusters == exact
+    // content-hash truth groups, so precision = recall = f1 = 1
+    val t1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, t1, "en", "s0", 50L), (2L, t1, "en", "s0", 50L),
+      (3L, t2, "en", "s0", 50L), (4L, t2, "en", "s0", 50L),
+      (5L, "gamma only once here now", "en", "s0", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("b3")("documents" -> docs)
+    val r = SparkEntry.queries("q222_bcubed_eval")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 5L)                    // n_docs
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 &&
+      r.getDouble(5) == 1.0)
+  }
+
+  test("q223 MI: a perfectly predictive feature scores ln 2, rank 1") {
+    import java.sql.Date
+    val orders = Seq(
+      (1L, 1L, "A", 200000.0, Date.valueOf("2020-01-01"), "P"),
+      (2L, 2L, "A", 200000.0, Date.valueOf("2020-02-01"), "P"),
+      (3L, 3L, "B", 100000.0, Date.valueOf("2020-03-01"), "P"),
+      (4L, 4L, "B", 100000.0, Date.valueOf("2020-04-01"), "P")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("mi")("orders" -> orders)
+    val rows = SparkEntry.queries("q223_mi_ranking")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // status splits y exactly -> MI = ln 2; priority and year carry 0
+    assert(rows.head == ("o_orderstatus", 2L, 0.693147, 1))
+    assert(rows.map(_._1).toSet ==
+      Set("o_orderstatus", "o_orderpriority", "o_year"))
+    assert(rows.tail.forall(_._3 == 0.0))
+  }
+
+  test("q224 PR curve: hand-computed sweep over a 2-point detector") {
+    // pos score 0.25 (u=250000), neg score -0.15 (u=-150000)
+    val emb = Seq(
+      (1L, Array(0.25f, 0.0f), 0),
+      (2L, Array(-0.15f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = staged("pr")("embeddings" -> emb)
+    val rows = SparkEntry.queries("q224_pr_curve")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // th=-200000: both predicted positive; every later threshold
+    // keeps only the positive (250000 >= 200000 included)
+    assert(rows(0) == ((-200000L, 1L, 1L, 0L)))
+    assert(rows.drop(1).map(t => (t._2, t._3, t._4))
+      .forall(_ == ((1L, 0L, 0L))))
+  }
 }
