@@ -919,6 +919,83 @@ object Evals {
        FROM th LEFT JOIN agg a ON a.th = th.th, tot
        ORDER BY th.th"""
 
+  // --------------------------------------------------------------- q225
+  /** Exact Spearman rank correlation between document length (chars)
+    * and token count — the monotone-association readout Pearson (q194)
+    * misses under nonlinearity, with the standard average-rank tie
+    * treatment. No per-document rank sort: average ranks come from the
+    * per-VALUE count tables (avg rank of value v = a_v + (n_v+1)/2,
+    * held as the integer 2·rank = 2a+n+1), joined back by value; the
+    * correlation is Pearson over exact integer 2×rank sums in
+    * DECIMAL(38,0) (the ×2 scale cancels; exact regime ≈ 3e9 docs —
+    * overflow surfaces as NULL, never a silent wrap). Value tables are
+    * bounded by document length, not corpus size.
+    */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("n_chars").as("x"),
+        size(words(col("text"))).cast("long").as("y"))
+      .persist(sl)
+    def rank2(c: String) = {
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        // 2·avgRank = 2·(below) + n + 1
+        .select(col("v"),
+          (lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L))
+            .as(s"r$c"))
+    }
+    val ranked = pairs
+      .join(rank2("x").withColumnRenamed("v", "x"), Seq("x"))
+      .join(rank2("y").withColumnRenamed("v", "y"), Seq("y"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).as("sx"),
+      sum(col("ry").cast(dec)).as("sy"),
+      sum((col("rx").cast(dec) * col("rx").cast(dec))).as("sxx"),
+      sum((col("ry").cast(dec) * col("ry").cast(dec))).as("syy"),
+      sum((col("rx").cast(dec) * col("ry").cast(dec))).as("sxy"))
+    val result = m.select(col("n").as("n_docs"),
+      round((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+        sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+          (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+            .cast("double")), 9).as("spearman_rho"))
+    graft.operators.Exec.owned(result, Seq(pairs))
+  }
+
+  private val q225Sql =
+    """WITH pairs AS (SELECT n_chars AS x,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS y
+         FROM documents),
+       rx AS (SELECT v AS x, 2 * (cum - n) + n + 1 AS rx FROM (
+           SELECT v, n, sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM (SELECT x AS v, count(*)::BIGINT AS n
+                 FROM pairs GROUP BY x))),
+       ry AS (SELECT v AS y, 2 * (cum - n) + n + 1 AS ry FROM (
+           SELECT v, n, sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM (SELECT y AS v, count(*)::BIGINT AS n
+                 FROM pairs GROUP BY y))),
+       ranked AS (SELECT rx.rx, ry.ry FROM pairs
+                  JOIN rx USING (x) JOIN ry USING (y)),
+       m AS (SELECT count(*)::BIGINT AS n,
+               sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+               sum(rx::HUGEINT * rx::HUGEINT) AS sxx,
+               sum(ry::HUGEINT * ry::HUGEINT) AS syy,
+               sum(rx::HUGEINT * ry::HUGEINT) AS sxy
+             FROM ranked)
+       SELECT n AS n_docs,
+         round(CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE) /
+           sqrt(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE) *
+                CAST(n::HUGEINT * syy - sy * sy AS DOUBLE)), 9)
+           AS spearman_rho
+       FROM m"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -932,7 +1009,8 @@ object Evals {
     "q221_neyman_allocation" -> (q221 _),
     "q222_bcubed_eval" -> (q222 _),
     "q223_mi_ranking" -> (q223 _),
-    "q224_pr_curve" -> (q224 _))
+    "q224_pr_curve" -> (q224 _),
+    "q225_spearman" -> (q225 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -945,5 +1023,6 @@ object Evals {
     "q221_neyman_allocation" -> q221Sql,
     "q222_bcubed_eval" -> q222Sql,
     "q223_mi_ranking" -> q223Sql,
-    "q224_pr_curve" -> q224Sql)
+    "q224_pr_curve" -> q224Sql,
+    "q225_spearman" -> q225Sql)
 }

@@ -757,9 +757,99 @@ object Lifecycle {
          max(jaccard) AS max_jaccard
        FROM cl GROUP BY pair_class ORDER BY pair_class"""
 
+  // --------------------------------------------------------------- q226
+  /** STREAMING DEDUP, oracle-graded — the ingest-side duplicate
+    * suppression of a training-data pipeline (a re-crawled page must
+    * not enter the corpus twice), as the fourth oracle-graded
+    * streaming capability (after q177 sketch, q204 join, q211
+    * eviction). The events table is replayed through q211's
+    * time-ordered chunk-file pattern with ADVERSARIAL duplicates
+    * injected: every third event is re-sent in the NEXT micro-batch,
+    * so suppression must come from cross-batch STATE, not intra-batch
+    * dedup. `dropDuplicatesWithinWatermark("event_id")` under a 7-day
+    * watermark delay guarantees the one-chunk-later duplicates land
+    * inside the state-retention window (state still evicts as the
+    * watermark advances — bounded memory, unlike bare
+    * `dropDuplicates`). First-seen rows emit immediately, so no
+    * sentinel flush is needed. If suppression failed, per-type counts
+    * would exceed the batch oracle — which reads the CLEAN table. */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val chunkUs = 6L * 86400 * 1000000
+    val tmp = Files.createTempDirectory("graft_sdd_split").toString
+    val ingest = Files.createTempDirectory("graft_sdd_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_sdd_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_sdd_out").toString
+
+    val ev = Tables.events(s, d)
+      .select(col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
+    // duplicates: every 3rd event re-sent one chunk later (same id,
+    // same payload — the re-crawl case)
+    val dups = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("chunk", col("chunk") + 1)
+    ev.unionByName(dups)
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(s"$tmp/real")
+
+    val ordered = new java.io.File(s"$tmp/real").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+      .map(_.toString)
+    ordered.zipWithIndex.foreach { case (dir, k) =>
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type",
+        StringType)))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val deduped = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "7 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "event_type")
+      val q = deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val result = s.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"))
+      .orderBy("event_type")
+    graft.operators.Exec.detachFromScratch(result,
+      Seq(tmp, ingest, ckpt, outDir))
+  }
+
+  /** The oracle reads the CLEAN events table: streaming output equals
+    * it only if every injected duplicate was suppressed. */
+  private val q226Sql =
+    """SELECT event_type, count(*) AS n_events,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q226_streaming_dedup" -> (q226 _),
     "q211_streaming_sessions" -> (q211 _),
     "q212_perplexity_filter" -> (q212 _),
     "q213_split_leakage" -> (q213 _),
@@ -771,6 +861,7 @@ object Lifecycle {
     "q210_l_diversity" -> (q210 _))
 
   val oracles: Map[String, String] = Map(
+    "q226_streaming_dedup" -> q226Sql,
     "q211_streaming_sessions" -> q211Sql,
     "q212_perplexity_filter" -> q212Sql,
     "q213_split_leakage" -> q213Sql,

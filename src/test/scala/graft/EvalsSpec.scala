@@ -266,4 +266,24 @@ class EvalsSpec extends SparkSpec {
     assert(rows.drop(1).map(t => (t._2, t._3, t._4))
       .forall(_ == ((1L, 0L, 0L))))
   }
+
+  test("q225 Spearman: monotone pairs hit ±1; ties use average ranks") {
+    def run(docs: Seq[(Long, String, String, String, Long)]): Double = {
+      val dir = staged("rho")("documents" ->
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      SparkEntry.queries("q225_spearman")(spark, dir)
+        .collect()(0).getDouble(1)
+    }
+    val up = Seq((1L, "w", "en", "s", 10L),
+      (2L, "w w", "en", "s", 20L), (3L, "w w w", "en", "s", 30L))
+    assert(run(up) == 1.0)
+    val down = Seq((1L, "w w w", "en", "s", 10L),
+      (2L, "w w", "en", "s", 20L), (3L, "w", "en", "s", 30L))
+    assert(run(down) == -1.0)
+    // tied x {10,10,30}, y {1,2,3}: 2·avg-ranks x (3,3,6), y (2,4,6)
+    // -> rho = 18/sqrt(18·24) = 0.866025404
+    val tied = Seq((1L, "w", "en", "s", 10L),
+      (2L, "w w", "en", "s", 10L), (3L, "w w w", "en", "s", 30L))
+    assert(run(tied) == 0.866025404)
+  }
 }

@@ -169,4 +169,23 @@ class LifecycleSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_rows_exposed") == 3L)
     assert(r1.getAs[Long]("min_diversity") == 1L)
   }
+
+  test("q226 streaming dedup: cross-batch duplicates are suppressed") {
+    // two events 7 days apart -> two chunk files -> two micro-batches;
+    // the injected re-send of event 3 (id % 3 == 0) lands in the LATER
+    // batch, so suppression must come from cross-batch state
+    val ev = Seq(
+      (3L, day(0).toInstant.toEpochMilli, 1L, "view", 1.0, "{}"),
+      (4L, day(7).toInstant.toEpochMilli, 1L, "click", 1.0, "{}")
+    ).map { case (id, ms, u, t, v, p) =>
+      (id, new java.sql.Timestamp(ms), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("sdd")("events" -> ev)
+    val rows = SparkEntry.queries("q226_streaming_dedup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // event 3 was re-sent in chunk 1 alongside event 4; if state-based
+    // suppression failed, 'view' would count 2
+    assert(rows == Seq(("click", 1L, 1L), ("view", 1L, 1L)))
+  }
 }
