@@ -113,6 +113,30 @@ object Fuzzy {
     * BEFORE the threshold so the cut is cross-engine exact.
     * Output `(id_a, id_b, str_a, str_b, jw)`, `id_a < id_b`.
     */
+  /** Blocking-quality statistics for the SNM candidate generator —
+    * the numbers an entity-resolution pipeline reads before trusting
+    * a blocking scheme: how many candidate pairs the blocks emit
+    * (`n_candidates`, the cost) and how many survive the distance cap
+    * (`n_matched`, the yield). One row `(n_rows, n_candidates,
+    * n_matched)`; the caller grades completeness against an exact
+    * ground-truth pair count and reduction ratio against n·(n−1)/2.
+    */
+  def snmBlockingStats(df: DataFrame, idCol: String, strCol: String,
+                       blockLen: Int = 4, window: Int = 3,
+                       maxDist: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val cand = snmCandidates(df, idCol, strCol, blockLen, window)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nc = cand.agg(cnt(lit(1)).as("n_candidates"))
+    val nm = cand.filter(levenshtein(col("str_a"), col("str_b"))
+        <= maxDist)
+      .agg(cnt(lit(1)).as("n_matched"))
+    val nr = df.agg(cnt(lit(1)).as("n_rows"))
+    val out = nr.crossJoin(broadcast(nc)).crossJoin(broadcast(nm))
+    Exec.owned(out, Seq(cand))
+  }
+
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
                        blockLen: Int = 4, window: Int = 3,
                        minSim: Double = 0.9): DataFrame = {

@@ -305,6 +305,92 @@ object Analytics {
        FROM cand WHERE levenshtein(str_a, str_b) <= 1
        ORDER BY id_a, id_b"""
 
+  // --------------------------------------------------------------- q228
+  /** Blocking-quality harness ([[Fuzzy.snmBlockingStats]]) — the
+    * grade-the-candidate-generator pattern (q137 MinHash, q218 IVF)
+    * applied to the third candidate-generation family, SNM blocking:
+    * the q104 corpus (distinct part names + injected distance-1
+    * twins) gives an EXACT ground-truth pair count via the
+    * symmetric-deletion kernel; blocked SNM (4-char prefix, window 3)
+    * is graded on pairs completeness (found / true — every SNM pair
+    * under the d≤1 cap is true by construction) and reduction ratio
+    * (1 − candidates / n·(n−1)/2 — the work the blocking avoided).
+    * A blocking scheme silently losing recall, or silently exploding
+    * candidate volume, flips a graded number. */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy("p_name").agg(min(col("p_partkey").cast("long")).as("pk"))
+      .select(col("pk"), col("p_name"))
+    val pos = pmod(col("pk"), length(col("p_name"))) + 1
+    val typos = names.filter(pmod(col("pk"), lit(5)) === 0)
+      .select((col("pk") + 1000000L).as("pk"),
+        concat(col("p_name").substr(lit(1), pos - 1),
+          col("p_name").substr(pos + 1, length(col("p_name"))))
+          .as("p_name"))
+    val all = names.unionByName(typos)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = graft.operators.Fuzzy
+      .editDistance1Pairs(all, "pk", "p_name")
+      .agg(count(lit(1)).as("n_true"))
+    val stats = graft.operators.Fuzzy
+      .snmBlockingStats(all, "pk", "p_name", blockLen = 4, window = 3,
+        maxDist = 1)
+    val n = col("n_rows").cast("double")
+    val result = stats.crossJoin(broadcast(nTrue))
+      .select(col("n_rows"), col("n_true"), col("n_candidates"),
+        col("n_matched"),
+        round(col("n_matched").cast("double") /
+          col("n_true").cast("double"), 9).as("completeness"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          (n * (n - lit(1.0)) / lit(2.0)), 9).as("reduction_ratio"))
+    graft.operators.Exec.owned(result, Seq(all))
+  }
+
+  private val q228Sql =
+    """WITH base AS (SELECT min(CAST(p_partkey AS BIGINT)) AS pk, p_name
+           FROM part GROUP BY p_name),
+       typo AS (SELECT pk + 1000000 AS pk,
+           substr(p_name, 1, CAST(pk % length(p_name) AS INT))
+             || substr(p_name, CAST(pk % length(p_name) AS INT) + 2)
+             AS p_name
+         FROM base WHERE pk % 5 = 0),
+       all_rows AS (SELECT pk, p_name FROM base
+                    UNION ALL SELECT pk, p_name FROM typo),
+       vars AS (SELECT pk, p_name AS str,
+                  unnest(list_prepend(p_name,
+                    list_transform(range(1, length(p_name) + 1), i ->
+                      substr(p_name, 1, CAST(i - 1 AS INT))
+                        || substr(p_name, CAST(i + 1 AS INT))))) AS v
+                FROM all_rows),
+       truth AS (SELECT count(*)::BIGINT AS n_true FROM (
+           SELECT DISTINCT a.pk AS id_a, b.pk AS id_b
+           FROM vars a JOIN vars b ON a.v = b.v AND a.pk < b.pk
+           WHERE levenshtein(a.str, b.str) <= 1)),
+       ranked AS (SELECT pk, p_name,
+                    row_number() OVER (PARTITION BY substr(p_name, 1, 4)
+                      ORDER BY p_name, pk) AS rn,
+                    substr(p_name, 1, 4) AS blk
+                  FROM all_rows),
+       cand AS (SELECT DISTINCT least(a.pk, b.pk) AS id_a,
+                  greatest(a.pk, b.pk) AS id_b,
+                  CASE WHEN a.pk < b.pk THEN a.p_name
+                       ELSE b.p_name END AS str_a,
+                  CASE WHEN a.pk < b.pk THEN b.p_name
+                       ELSE a.p_name END AS str_b
+                FROM ranked a JOIN ranked b
+                  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3),
+       cc AS (SELECT count(*)::BIGINT AS n_candidates,
+                CAST(sum(CASE WHEN levenshtein(str_a, str_b) <= 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+              FROM cand),
+       nr AS (SELECT count(*)::BIGINT AS n_rows FROM all_rows)
+       SELECT n_rows, n_true, n_candidates, n_matched,
+         round(n_matched::DOUBLE / n_true::DOUBLE, 9) AS completeness,
+         round(1.0 - n_candidates::DOUBLE /
+           (n_rows::DOUBLE * (n_rows::DOUBLE - 1.0) / 2.0), 9)
+           AS reduction_ratio
+       FROM nr, truth, cc"""
+
   // --------------------------------------------------------------- q105
   /** Conversion funnel ([[Funnel.stages]]): earliest in-order
     * view → click → purchase times per user, epoch-micros typed;
@@ -537,6 +623,7 @@ object Analytics {
     "q102_distribution_windows" -> (q102 _),
     "q103_gap_fill" -> (q103 _),
     "q104_fuzzy_join" -> (q104 _),
+    "q228_blocking_quality" -> (q228 _),
     "q105_funnel" -> (q105 _),
     "q106_change_history" -> (q106 _),
     "q107_markov_transitions" -> (q107 _),
@@ -554,6 +641,7 @@ object Analytics {
     "q102_distribution_windows" -> q102Sql,
     "q103_gap_fill" -> q103Sql,
     "q104_fuzzy_join" -> q104Sql,
+    "q228_blocking_quality" -> q228Sql,
     "q105_funnel" -> q105Sql,
     "q106_change_history" -> q106Sql,
     "q107_markov_transitions" -> q107Sql,

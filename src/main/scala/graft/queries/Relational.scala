@@ -1372,11 +1372,13 @@ object Relational {
     * chaining, idempotent no-ops and history preservation are all
     * value-checked per segment.
     */
-  private def q150(s: SparkSession, d: String): DataFrame = {
-    // the tracked balance is INTEGER CENTS from the scan onward: every
-    // subsequent +50.00/+70.00 update is exact LONG arithmetic (+5000/
-    // +7000), so both engines agree bit-for-bit with no FP rounding in
-    // the versioned history at all
+  /** The q150 versioned dimension, shared with q227's point-in-time
+    * join: two [[graft.operators.Merge.scd2Apply]] batches (balances
+    * +50.00 at eff 100 for %5 keys, +70.00 at eff 200 for %3 keys)
+    * over integer-cent balances — every update is exact LONG
+    * arithmetic, so both engines agree bit-for-bit with no FP
+    * rounding anywhere in the versioned history. */
+  private[queries] def scd2Dim(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
@@ -1396,20 +1398,14 @@ object Relational {
       graft.operators.Merge.scd2Apply(dim, b,
         key = "c_custkey", attrs = Seq("c_mktsegment", "bal_cents"),
         effectiveCol = "eff")
-    val dim1 = apply1(dim0, batch1)
-    val dim2 = apply1(dim1, batch2)
-    dim2.groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_versions"),
-        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
-        sum(when(col("is_current"), col("bal_cents")))
-          .as("cur_bal_cents"),
-        sum("valid_from").as("from_sum"),
-        sum(coalesce(col("valid_to"), lit(0L))).as("to_sum"))
-      .orderBy("c_mktsegment")
+    apply1(apply1(dim0, batch1), batch2)
   }
 
-  private val q150Sql =
-    """WITH b AS (SELECT c_custkey, c_mktsegment,
+  /** The oracle's rendering of [[scd2Dim]] — the three version
+    * generations written closed-form; shared by q150 and q227 so the
+    * two oracles can never drift apart. */
+  private[queries] val scd2DimCte =
+    """b AS (SELECT c_custkey, c_mktsegment,
                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
                   FROM customer),
        -- versions: v0 always; v1 for %5 keys (eff 100); v2 for %3 (eff 200)
@@ -1426,7 +1422,21 @@ object Relational {
               NULL AS valid_to
               FROM b WHERE c_custkey % 3 = 0),
        allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
-                UNION ALL SELECT * FROM v2)
+                UNION ALL SELECT * FROM v2)"""
+
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    scd2Dim(s, d).groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        sum(when(col("is_current"), col("bal_cents")))
+          .as("cur_bal_cents"),
+        sum("valid_from").as("from_sum"),
+        sum(coalesce(col("valid_to"), lit(0L))).as("to_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q150Sql =
+    s"""WITH $scd2DimCte
        SELECT c_mktsegment, count(*) AS n_versions,
          CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_current,
@@ -1435,6 +1445,46 @@ object Relational {
          CAST(sum(valid_from) AS BIGINT) AS from_sum,
          CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS to_sum
        FROM allv GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // --------------------------------------------------------------- q227
+  /** POINT-IN-TIME dimension join over [[scd2Dim]] — the feature-store
+    * correctness primitive: each fact joins the dimension VERSION that
+    * was valid at the fact's own time (`valid_from ≤ t <
+    * valid_to`), never the current row — the "no future feature
+    * leakage" guarantee training pipelines audit for. Facts take a
+    * deterministic as-of time `o_orderkey % 300` spanning all three
+    * version epochs. Execution shape: equi-join on the customer key
+    * with the interval predicate as a residual filter — per-key
+    * fan-out is the version count (≤3), never a range-join explosion;
+    * exactly one version matches each fact by the SCD2 interval
+    * partition invariant. */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Dim(s, d)
+    val facts = Tables.orders(s, d)
+      .select(col("o_custkey"), pmod(col("o_orderkey"), lit(300L)).as("t"))
+    facts.join(dim, facts("o_custkey") === dim("c_custkey") &&
+        col("valid_from") <= col("t") &&
+        (col("valid_to").isNull || col("t") < col("valid_to")))
+      .groupBy(col("c_mktsegment"), col("valid_from"))
+      .agg(count(lit(1)).as("n_facts"),
+        sum(col("bal_cents")).as("bal_sum"))
+      .select(col("c_mktsegment"),
+        col("valid_from").cast("long").as("version_from"),
+        col("n_facts"), col("bal_sum").cast("long").as("bal_cents_sum"))
+      .orderBy("c_mktsegment", "version_from")
+  }
+
+  private val q227Sql =
+    s"""WITH $scd2DimCte,
+       f AS (SELECT o_custkey, o_orderkey % 300 AS t FROM orders)
+       SELECT c_mktsegment, CAST(valid_from AS BIGINT) AS version_from,
+         count(*) AS n_facts,
+         CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+       FROM f JOIN allv v ON v.c_custkey = f.o_custkey
+         AND v.valid_from <= f.t
+         AND (v.valid_to IS NULL OR f.t < v.valid_to)
+       GROUP BY c_mktsegment, valid_from
+       ORDER BY c_mktsegment, version_from"""
 
   // --------------------------------------------------------------- q151
   /** COMPACTION as a first-class query ([[graft.operators.Lake
@@ -1841,6 +1891,7 @@ object Relational {
     "q148_avro_source" -> (q148 _),
     "q149_merge_upsert" -> (q149 _),
     "q150_scd2" -> (q150 _),
+    "q227_point_in_time" -> (q227 _),
     "q151_compaction" -> (q151 _),
     "q153_schema_evolution" -> (q153 _),
     "q154_range_lookup" -> (q154 _),
@@ -1858,6 +1909,7 @@ object Relational {
     "q148_avro_source" -> q148Sql,
     "q149_merge_upsert" -> q149Sql,
     "q150_scd2" -> q150Sql,
+    "q227_point_in_time" -> q227Sql,
     "q151_compaction" -> q151Sql,
     "q153_schema_evolution" -> q153Sql,
     "q154_range_lookup" -> q154Sql,

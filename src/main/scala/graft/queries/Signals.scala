@@ -1531,13 +1531,22 @@ object Signals {
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
       .select(col("p_id"), col("c_id"), col("p_ts"))
-    val q = joined.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outDir)
-      }
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // the stream-stream join keeps FOUR state stores per shuffle
+    // partition (two per side); each commits once per micro-batch, so
+    // partition width is pure fixed cost at this key cardinality —
+    // narrow it for the stream, restore for the batch rollup (the
+    // q211 treatment: the width is read from the conf at query start)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val result = s.read.parquet(outDir)
       .groupBy(to_date(col("p_ts")).as("day"))
       .agg(count(lit(1)).as("n_pairs"),

@@ -385,4 +385,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     val h = out(1)
     assert(h.getDouble(3) == 0.0 && h.getLong(4) == 0L)
   }
+
+  test("q228 blocking quality: cross-block true pairs count as loss") {
+    // (aaaa_x, aaaa_xy): d=1, same 4-char block -> found by SNM.
+    // (bbbbz, cbbbz): d=1 via a FIRST-char substitution -> different
+    // blocks, invisible to the blocking -> completeness 1/2.
+    // pks avoid %5 == 0 so the corpus injection stays quiet.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blocking").toString
+    Seq((1L, "aaaa_x"), (2L, "aaaa_xy"), (3L, "bbbbz"), (4L, "cbbbz"))
+      .toDF("p_partkey", "p_name")
+      .write.parquet(s"$dir/part.parquet")
+    val r = SparkEntry.queries("q228_blocking_quality")(spark, dir)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 2L, 1L, 1L)))
+    assert(r.getDouble(4) == 0.5)           // completeness
+    assert(r.getDouble(5) == 0.833333333)   // 1 - 1/6
+  }
 }

@@ -126,4 +126,23 @@ class MergeSpec extends SparkSpec {
     val ghost = out.filter(_.getString(0) == "ghost")
     assert(ghost.length == 1 && ghost.head.getAs[Long]("n_rows") == -1L)
   }
+
+  test("q227 point-in-time: each fact sees its epoch's balance version") {
+    // custkey 15 takes both updates (v0 1000c, v1 @100 6000c,
+    // v2 @200 8000c); facts at t = 50/150/250 must each land on a
+    // DIFFERENT version — the current row would leak future features
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_merge_pit").toString
+    Seq((15L, 1, 10.0, "S"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((50L, 15L), (150L, 15L), (250L, 15L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q227_point_in_time")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rows == Seq(("S", 0L, 1L, 1000L), ("S", 100L, 1L, 6000L),
+      ("S", 200L, 1L, 8000L)))
+  }
 }
