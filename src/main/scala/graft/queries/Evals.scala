@@ -996,6 +996,122 @@ object Evals {
            AS spearman_rho
        FROM m"""
 
+  // --------------------------------------------------------------- q229
+  /** Uplift (heterogeneous treatment effect) by pre-treatment decile —
+    * the causal readout after q120's pooled Welch and q201's CUPED:
+    * customers split into the deterministic hash arms, bucketed by
+    * their PRE-treatment covariate (account balance) into exact
+    * deciles (the q136 boundary kernel: OrderStat narrowing, ties to
+    * the lower bin), and each decile reads treated-vs-control mean
+    * spend — where in the covariate distribution the effect lives,
+    * plus the cumulative (Qini-style) track. All money is integer
+    * cents; the only FP ops are the final mean divisions. Corpus
+    * shape: one customer aggregation of orders + a k-row boundary
+    * fold; windows run over the 10-row decile table. */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    val arm = graft.operators.Sampling
+      .hashBucket(col("c_custkey"), "up", 2)
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"),
+        (arm === 0).as("treated"))
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("spend_cents"))
+    val joined = cust
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("bal_cents"), col("treated"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend"))
+      .persist(sl)
+    val qs9 = graft.engine.OrderStat
+      .quantileRanks((1 to 9).map(_ / 10.0)) _
+    val Seq((_, bs)) = graft.engine.OrderStat
+      .multiQuantiles(joined, Seq("bal_cents" -> qs9), bins = 512)
+    val decile = bs.foldLeft(lit(1))((acc, b) =>
+      acc + when(col("bal_cents").cast("double") > lit(b), 1)
+        .otherwise(0))
+    val per = joined.groupBy(decile.as("decile"))
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated"), col("spend")).otherwise(0L)).as("st"),
+        sum(when(!col("treated"), col("spend")).otherwise(0L)).as("sc"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mt = col("st").cast("double") / col("n_t").cast("double")
+    val mc = col("sc").cast("double") / col("n_c").cast("double")
+    val cmt = sum(col("st")).over(w).cast("double") /
+      sum(col("n_t")).over(w).cast("double")
+    val cmc = sum(col("sc")).over(w).cast("double") /
+      sum(col("n_c")).over(w).cast("double")
+    val result = per.select(col("decile").cast("int").as("decile"),
+        col("n_t"), col("n_c"),
+        round(mt, 4).as("mean_t_cents"),
+        round(mc, 4).as("mean_c_cents"),
+        round(mt - mc, 4).as("uplift_cents"),
+        round(cmt - cmc, 4).as("cum_uplift_cents"))
+      .orderBy("decile")
+    graft.operators.Exec.owned(result, Seq(joined))
+  }
+
+  private val q229Sql =
+    """WITH cust AS (SELECT c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           (('0x' || substr(md5('up' || c_custkey::VARCHAR), 1, 15))
+             ::BIGINT % 2 = 0) AS treated
+         FROM customer),
+       spend AS (SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS spend_cents
+         FROM orders GROUP BY o_custkey),
+       j AS (SELECT bal_cents, treated,
+               coalesce(spend_cents, 0) AS spend
+             FROM cust LEFT JOIN spend ON o_custkey = c_custkey),
+       nn AS (SELECT count(*) AS c FROM j),
+       ks AS (SELECT q, greatest(1, CAST(ceil(q * c) AS BIGINT)) AS k
+              FROM (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+                                   0.8, 0.9]) AS q), nn),
+       rr AS (SELECT bal_cents::DOUBLE AS x,
+              row_number() OVER (ORDER BY bal_cents) AS rn FROM j),
+       b AS (SELECT (SELECT list(r.x ORDER BY ks.q) FROM ks
+                     JOIN rr r ON r.rn = ks.k) AS bs),
+       dec AS (SELECT treated, spend,
+               1 + len(list_filter(b.bs, x -> bal_cents::DOUBLE > x))
+                 AS decile
+             FROM j, b),
+       per AS (SELECT decile,
+               CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_t,
+               CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN treated THEN spend ELSE 0 END)
+                 AS BIGINT) AS st,
+               CAST(sum(CASE WHEN NOT treated THEN spend ELSE 0 END)
+                 AS BIGINT) AS sc
+             FROM dec GROUP BY decile),
+       cum AS (SELECT *,
+               sum(st) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cst,
+               sum(n_t) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cnt,
+               sum(sc) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS csc,
+               sum(n_c) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cnc
+             FROM per)
+       SELECT CAST(decile AS INT) AS decile, n_t, n_c,
+         round(st::DOUBLE / n_t::DOUBLE, 4) AS mean_t_cents,
+         round(sc::DOUBLE / n_c::DOUBLE, 4) AS mean_c_cents,
+         round(st::DOUBLE / n_t::DOUBLE - sc::DOUBLE / n_c::DOUBLE, 4)
+           AS uplift_cents,
+         round(cst::DOUBLE / cnt::DOUBLE - csc::DOUBLE / cnc::DOUBLE, 4)
+           AS cum_uplift_cents
+       FROM cum ORDER BY decile"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1010,7 +1126,8 @@ object Evals {
     "q222_bcubed_eval" -> (q222 _),
     "q223_mi_ranking" -> (q223 _),
     "q224_pr_curve" -> (q224 _),
-    "q225_spearman" -> (q225 _))
+    "q225_spearman" -> (q225 _),
+    "q229_uplift_deciles" -> (q229 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1024,5 +1141,6 @@ object Evals {
     "q222_bcubed_eval" -> q222Sql,
     "q223_mi_ranking" -> q223Sql,
     "q224_pr_curve" -> q224Sql,
-    "q225_spearman" -> q225Sql)
+    "q225_spearman" -> q225Sql,
+    "q229_uplift_deciles" -> q229Sql)
 }

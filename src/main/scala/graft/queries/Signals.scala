@@ -1516,8 +1516,16 @@ object Signals {
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
-    val ev = norm(s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d))
+    // the events table ships in two layouts: a single events.parquet
+    // FILE (driver testdata — stream the parent dir with a glob, since
+    // FileStreamSource's basePath must be a directory) or an
+    // events.parquet DIRECTORY of part files (synthesized scale dirs —
+    // stream it directly; the glob-on-parent would match no leaf file)
+    val evPath = s"$d/events.parquet"
+    val reader = s.readStream.schema(rawSchema)
+    val ev = norm(
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(d))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))

@@ -286,4 +286,21 @@ class EvalsSpec extends SparkSpec {
       (2L, "w w", "en", "s", 10L), (3L, "w w w", "en", "s", 30L))
     assert(run(tied) == 0.866025404)
   }
+
+  test("q229 uplift: deciles partition the cohort; the cumulative " +
+      "track ends at the pooled effect") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q229_uplift_deciles")(spark, sf)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nCust)
+    // decile-10 cumulative = pooled treated-vs-control mean difference
+    val st = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    val sc = rows.map(r => r.getLong(2) * r.getDouble(4)).sum
+    val pooled = st / rows.map(_.getLong(1)).sum -
+      sc / rows.map(_.getLong(2)).sum
+    assert(math.abs(rows.last.getDouble(6) - pooled) < 0.01,
+      s"cum=${rows.last.getDouble(6)} pooled=$pooled")
+  }
 }

@@ -51,7 +51,12 @@ object ScaleRehearsal {
     "q178_hits", "q179_attribution", "q181_holt_winters",
     // round-8: the flagship funnel re-admitted — the stopword-
     // preserving synth keeps its quality gate non-vacuous
-    "q200_e2e_curation")
+    "q200_e2e_curation",
+    // round-8 additions: the B-cubed harness (runs the full minhash+CC
+    // clustering on the scaled corpus) and the two streaming replays
+    // on scaled events (state-store + micro-batch cost must scale too)
+    "q222_bcubed_eval", "q204_stream_stream_join",
+    "q226_streaming_dedup")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
