@@ -1112,6 +1112,106 @@ object Evals {
            AS cum_uplift_cents
        FROM cum ORDER BY decile"""
 
+  // --------------------------------------------------------------- q230
+  /** Sketch SET ALGEBRA: the distinct-user overlap of two event
+    * populations (purchasers ∩ clickers) estimated entirely from
+    * mergeable HLL register tables — |A∩B| = E(A)+E(B)−E(A∪B), where
+    * the union sketch is a register MAX-merge of the two class
+    * sketches (exact mergeability: identical to sketching the union
+    * of the key sets). This is the question q165's rollup can't
+    * answer alone (HLLs union natively but never intersect) and the
+    * reason register TABLES beat opaque estimates at 100 TB: any
+    * boolean combination of populations folds from the same 2^p-row
+    * states without re-scanning keys. Graded against the exact
+    * intersection with a relative-error readout; all register
+    * arithmetic is the q133/q165 exact-integer harmonic form.
+    */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    val p = 8
+    // the value floor keeps both populations PARTIAL subsets of the
+    // user base (every user does every event type in this corpus, so
+    // unfiltered classes would degenerate to A = B = U)
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value") > 90.0)
+      .select(col("user_id").cast("string").as("k"),
+        when(col("event_type") === "purchase", "A").otherwise("B")
+          .as("cls"))
+    val regs = graft.operators.Sketch.hllRegistersBy(ev, "k", "cls", p)
+      .persist(sl)
+    // identity rollup evaluates A and B; the relabel-to-'U' rollup
+    // max-merges both classes into the union sketch
+    val per = graft.operators.Sketch.hllRollup(regs, col("grp"), p)
+      .unionByName(graft.operators.Sketch.hllRollup(regs, lit("U"), p))
+    val pivot = per.agg(
+      max(when(col("grp") === "A", col("hll_estimate"))).as("est_a"),
+      max(when(col("grp") === "B", col("hll_estimate"))).as("est_b"),
+      max(when(col("grp") === "U", col("hll_estimate"))).as("est_union"))
+    val exact = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value") > 90.0)
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("true_intersection"))
+    val result = pivot.crossJoin(broadcast(exact))
+      .withColumn("est_intersection",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersection"), col("true_intersection"),
+        round((col("est_intersection") - col("true_intersection"))
+          / col("true_intersection").cast("double"), 4).as("rel_err"))
+    graft.operators.Exec.owned(result, Seq(regs))
+  }
+
+  private val q230Sql =
+    """WITH h AS (SELECT
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+           CASE WHEN event_type = 'purchase' THEN 'A' ELSE 'B' END
+             AS cls
+         FROM events WHERE event_type IN ('purchase', 'click')
+           AND value > 90.0),
+       rg AS (SELECT cls, h % 256 AS bucket,
+                max(CASE WHEN (h >> 8) = 0 THEN 53
+                         ELSE 53 - length(bin(h >> 8)) END) AS mreg
+              FROM h GROUP BY cls, bucket),
+       allrg AS (SELECT cls AS g, bucket, mreg FROM rg
+                 UNION ALL
+                 SELECT 'U' AS g, bucket, max(mreg) AS mreg
+                 FROM rg GROUP BY bucket),
+       a AS (SELECT g, count(*) AS used,
+               CAST(sum(1::BIGINT << CAST(53 - mreg AS INT)) AS BIGINT)
+                 AS sum_present
+             FROM allrg GROUP BY g),
+       st AS (SELECT g, used, 256 - used AS zeros,
+                sum_present + (256 - used) * (1::BIGINT << 53)
+                  AS sum_scaled
+              FROM a),
+       e AS (SELECT g, used, zeros,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * 9007199254740992.0 / sum_scaled::DOUBLE AS raw
+             FROM st),
+       f AS (SELECT g,
+               round(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros::DOUBLE)
+                          ELSE raw END, 4) AS est
+             FROM e),
+       pv AS (SELECT max(CASE WHEN g = 'A' THEN est END) AS est_a,
+                max(CASE WHEN g = 'B' THEN est END) AS est_b,
+                max(CASE WHEN g = 'U' THEN est END) AS est_union
+              FROM f),
+       ti AS (SELECT count(*)::BIGINT AS true_intersection FROM (
+           SELECT user_id FROM events
+           WHERE event_type IN ('purchase', 'click') AND value > 90.0
+           GROUP BY user_id
+           HAVING count(DISTINCT event_type) = 2))
+       SELECT est_a, est_b, est_union,
+         round(est_a + est_b - est_union, 4) AS est_intersection,
+         true_intersection,
+         round((round(est_a + est_b - est_union, 4) - true_intersection)
+           / true_intersection::DOUBLE, 4) AS rel_err
+       FROM pv, ti"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1127,7 +1227,8 @@ object Evals {
     "q223_mi_ranking" -> (q223 _),
     "q224_pr_curve" -> (q224 _),
     "q225_spearman" -> (q225 _),
-    "q229_uplift_deciles" -> (q229 _))
+    "q229_uplift_deciles" -> (q229 _),
+    "q230_hll_intersection" -> (q230 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1142,5 +1243,6 @@ object Evals {
     "q223_mi_ranking" -> q223Sql,
     "q224_pr_curve" -> q224Sql,
     "q225_spearman" -> q225Sql,
-    "q229_uplift_deciles" -> q229Sql)
+    "q229_uplift_deciles" -> q229Sql,
+    "q230_hll_intersection" -> q230Sql)
 }

@@ -303,4 +303,26 @@ class EvalsSpec extends SparkSpec {
     assert(math.abs(rows.last.getDouble(6) - pooled) < 0.01,
       s"cum=${rows.last.getDouble(6)} pooled=$pooled")
   }
+
+  test("q230 HLL intersection: identical classes collapse exactly; " +
+      "the corpus estimate lands near truth") {
+    // A = B: every user fires one high-value purchase AND click, so
+    // all three sketches are identical and inclusion-exclusion must
+    // collapse to est_a EXACTLY (register algebra, not approximation)
+    val ev = (1L to 30L).flatMap(u => Seq(
+      (u * 2, ts(0), u, "purchase", 100.0, "{}"),
+      (u * 2 + 1, ts(1), u, "click", 100.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("hllx")("events" -> ev)
+    val r = SparkEntry.queries("q230_hll_intersection")(spark, dir)
+      .collect()(0)
+    assert(r.getDouble(0) == r.getDouble(3),
+      "A = B = U must collapse to est_a")
+    assert(r.getLong(4) == 30L)
+    // and on the real corpus the estimate tracks the exact overlap
+    val c = SparkEntry.queries("q230_hll_intersection")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(math.abs(c.getDouble(5)) < 0.5,
+      s"rel_err=${c.getDouble(5)}")
+  }
 }
