@@ -846,9 +846,102 @@ object Lifecycle {
          CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q231
+  /** STREAMING transformWithState, oracle-graded — the Spark 4
+    * arbitrary-state API (typed ValueState on the RocksDB provider)
+    * under the DuckDB gate, closing the last spec-only streaming row:
+    * per-user running (event count, spend) carried across the q226
+    * chunk-replayed micro-batches by
+    * [[graft.streaming.EventPipeline.runningSpend]]. Spend
+    * accumulates PRE-QUANTIZED micro-unit LONGs, so the running sum
+    * is independent of batch boundaries and arrival order — the final
+    * emission per user (its count strictly grows, so `max(struct)`
+    * selects it) must equal the plain batch aggregation, which is the
+    * oracle. Update-mode emissions are immediate; no sentinel flush
+    * or watermark choreography is needed. */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val chunkUs = 6L * 86400 * 1000000
+    val tmp = Files.createTempDirectory("graft_tws_split").toString
+    val ingest = Files.createTempDirectory("graft_tws_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_tws_out").toString
+
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+          .as("units"),
+        (unix_micros(col("ts")) / lit(chunkUs)).cast("long").as("chunk"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(s"$tmp/real")
+    val ordered = new java.io.File(s"$tmp/real").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+      .map(_.toString)
+    ordered.zipWithIndex.foreach { case (dir, k) =>
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("units", LongType)))
+    val conf = s.conf
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = conf.getOption(provKey)
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      import s.implicits._
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+        .as[graft.streaming.ValueEvent]
+      val tallies = graft.streaming.EventPipeline.runningSpend(stream)
+      val q = tallies.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.SpendTally],
+           _: Long) => b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => conf.set(provKey, v)
+        case None => conf.unset(provKey)
+      }
+    }
+
+    val result = s.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("spend_units"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.spend_units").as("spend_units"))
+      .orderBy("user_id")
+    graft.operators.Exec.detachFromScratch(result,
+      Seq(tmp, ingest, ckpt, outDir))
+  }
+
+  /** Final transformWithState totals == the batch aggregation. */
+  private val q231Sql =
+    """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_units
+       FROM events WHERE value IS NOT NULL
+       GROUP BY user_id ORDER BY user_id"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q231_streaming_tws" -> (q231 _),
     "q226_streaming_dedup" -> (q226 _),
     "q211_streaming_sessions" -> (q211 _),
     "q212_perplexity_filter" -> (q212 _),
@@ -861,6 +954,7 @@ object Lifecycle {
     "q210_l_diversity" -> (q210 _))
 
   val oracles: Map[String, String] = Map(
+    "q231_streaming_tws" -> q231Sql,
     "q226_streaming_dedup" -> q226Sql,
     "q211_streaming_sessions" -> q211Sql,
     "q212_perplexity_filter" -> q212Sql,

@@ -182,4 +182,56 @@ object EventPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("sess_start"),
               col("sw.end").as("sess_end"), col("n_events"))
+
+  /** Running per-user spend via `transformWithState` (the Spark 4
+    * arbitrary-state successor to flatMapGroupsWithState): typed
+    * [[org.apache.spark.sql.streaming.ValueState]] carries
+    * (event count, spend micro-units) across micro-batches, emitting
+    * the updated running totals for each key a batch touches.
+    * Spend accumulates as PRE-QUANTIZED micro-unit LONGs, so the
+    * running sum is order- and batch-boundary-independent — which is
+    * what lets q231 grade the final state against a plain batch
+    * aggregation. Requires the RocksDB state-store provider (the only
+    * provider implementing the new state API's column families).
+    */
+  def runningSpend(events: Dataset[ValueEvent])
+      : Dataset[SpendTally] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** One valued event (spend pre-quantized to micro-units). */
+final case class ValueEvent(user_id: Long, units: Long)
+
+/** Running per-user totals emitted after each batch touching the key. */
+final case class SpendTally(user_id: Long, n_events: Long,
+                            spend_units: Long)
+
+/** Typed per-key running (count, spend) on a single ValueState handle. */
+class RunningSpendProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ValueEvent, SpendTally] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("spend",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ValueEvent],
+      timerValues: TimerValues): Iterator[SpendTally] = {
+    val (c0, u0) = if (st.exists()) st.get() else (0L, 0L)
+    var c = c0
+    var u = u0
+    rows.foreach { r => c += 1; u += r.units }
+    st.update((c, u))
+    Iterator.single(SpendTally(key, c, u))
+  }
 }

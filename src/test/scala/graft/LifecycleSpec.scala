@@ -188,4 +188,23 @@ class LifecycleSpec extends SparkSpec {
     // suppression failed, 'view' would count 2
     assert(rows == Seq(("click", 1L, 1L), ("view", 1L, 1L)))
   }
+
+  test("q231 transformWithState: running totals accumulate across " +
+      "micro-batches") {
+    // one user active in two 7-day-separated chunks: the final tally
+    // (2 events, 3.5 spend-units total) only exists if ValueState
+    // survived the batch boundary
+    val ev = Seq(
+      (1L, day(0), 7L, "view", 1.25, "{}"),
+      (2L, day(7), 7L, "click", 2.25, "{}"),
+      (3L, day(0), 8L, "view", 4.0, "{}")
+    ).map { case (id, ts, u, t, v, p) =>
+      (id, java.sql.Timestamp.from(ts.toInstant), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("tws")("events" -> ev)
+    val rows = SparkEntry.queries("q231_streaming_tws")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows == Seq((7L, 2L, 3500000L), (8L, 1L, 4000000L)))
+  }
 }

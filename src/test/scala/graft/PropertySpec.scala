@@ -181,4 +181,26 @@ class PropertySpec extends SparkSpec {
       small.forall { case (id, c) => large.getOrElse(id, 0L) >= c }
     })
   }
+
+  test("aucExact equals brute-force pair counting with tie credit") {
+    val rowGen = for {
+      u <- Gen.chooseNum(-20L, 20L)
+      y <- Gen.oneOf(true, false)
+    } yield (u, y)
+    val dataGen = Gen.chooseNum(2, 60)
+      .flatMap(n => Gen.listOfN(n, rowGen))
+      .suchThat(r => r.exists(_._2) && r.exists(!_._2))
+    check(Prop.forAll(dataGen) { rows =>
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val wins = (for (p <- pos; q <- neg) yield
+        if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      val expect = graft.functions.Rounding
+        .roundTo(wins / (pos.size.toDouble * neg.size), 9)
+      val got = graft.operators.MlEval
+        .aucExact(rows.toDF("u", "y"), "u", "y", buckets = 4)
+        .head().getDouble(2)
+      got == expect
+    })
+  }
 }
