@@ -40,48 +40,72 @@ object MlEval {
     * `auc` rounded to 9 dp; NULL auc when either class is empty.
     */
   def aucExact(df: DataFrame, scoreUnitsCol: String, posCol: String,
-               buckets: Int = 32): DataFrame = {
+               buckets: Int = 32): DataFrame =
+    aucImpl(df.withColumn("__g", lit(0)), "__g", scoreUnitsCol, posCol,
+        buckets)
+      .drop("__g")
+
+  /** Per-GROUP exact AUC — the same rank algebra partitioned by a
+    * segment column: the fairness / robustness readout ("does the
+    * detector rank equally well on every source / language / fold?")
+    * that a single pooled AUC hides. Each group's prefix sums run
+    * inside its own (group, bucket) windows; the single-partition
+    * offset table holds groups×buckets rows and the per-group offset
+    * prefix windows partition BY GROUP, so no corpus-sized
+    * single-partition state appears for any group count. Returns one
+    * row per group `(byCol, n_pos, n_neg, auc)`.
+    */
+  def aucExactBy(df: DataFrame, byCol: String, scoreUnitsCol: String,
+                 posCol: String, buckets: Int = 32): DataFrame =
+    aucImpl(df, byCol, scoreUnitsCol, posCol, buckets)
+
+  private def aucImpl(df: DataFrame, byCol: String, scoreUnitsCol: String,
+                      posCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, "need at least one range bucket")
     val vals = df
-      .select(col(scoreUnitsCol).cast("long").as("u"), col(posCol).as("y"))
-      .groupBy("u")
+      .select(col(byCol).as("g"),
+        col(scoreUnitsCol).cast("long").as("u"), col(posCol).as("y"))
+      .groupBy("g", "u")
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
            sum(when(col("y"), 0L).otherwise(1L)).as("n"))
     // range buckets exist only for parallelism — ANY monotone bucketing
-    // yields the same prefix sums; quantiles keep them balanced
+    // yields the same prefix sums; GLOBAL quantiles keep them balanced
+    // and shared across groups (per-group boundaries would be another
+    // aggregation for zero correctness gain)
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     val boundsDf =
       if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
       else vals.agg(expr(
         s"percentile(u, array(${fracs.mkString(",")}))").as("bounds"))
     val bucketed = vals.crossJoin(broadcast(boundsDf))
-      .select(col("u"), col("p"), col("n"),
+      .select(col("g"), col("u"), col("p"), col("n"),
         aggregate(col("bounds"), lit(0),
           (acc, b) => acc + when(col("u").cast("double") > b, 1)
             .otherwise(0)).as("bk"))
-    val inBucket = Window.partitionBy("bk").orderBy("u")
+    val inBucket = Window.partitionBy("g", "bk").orderBy("u")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = bucketed
       .withColumn("lcn", sum("n").over(inBucket))
-    // exclusive bucket-offset prefix: `buckets` rows, single partition
-    // by construction
-    val offW = Window.orderBy("bk")
+    // exclusive bucket-offset prefix: groups × buckets rows, windowed
+    // per group
+    val offW = Window.partitionBy("g").orderBy("bk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bk")
+    val offsets = bucketed.groupBy("g", "bk")
       .agg(sum(col("n")).as("tn"))
       .withColumn("onb", coalesce(sum("tn").over(offW), lit(0L)))
-      .select("bk", "onb")
+      .select("g", "bk", "onb")
     val dec = "decimal(38,0)"
-    val terms = withLocal.join(broadcast(offsets), "bk")
+    val terms = withLocal.join(offsets, Seq("g", "bk"))
       // exclusive negatives strictly below u + the tie block at u
       .withColumn("nb", col("lcn") - col("n") + col("onb"))
-      .select(col("p"), col("n"),
+      .select(col("g"), col("p"), col("n"),
         (col("p").cast(dec) *
           (lit(2L) * col("nb") + col("n")).cast(dec)).as("t2"))
     terms
+      .groupBy("g")
       .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
            sum(col("t2")).as("num2"))
-      .select(col("n_pos"), col("n_neg"),
+      .select(col("g").as(byCol), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("num2").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") *

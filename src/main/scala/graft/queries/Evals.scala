@@ -1212,6 +1212,49 @@ object Evals {
            / true_intersection::DOUBLE, 4) AS rel_err
        FROM pv, ti"""
 
+  // --------------------------------------------------------------- q232
+  /** Per-fold exact AUC ([[graft.operators.MlEval.aucExactBy]]) — the
+    * cross-validation / robustness companion to q214's pooled number:
+    * the same detector graded independently on 4 deterministic
+    * hash-free folds (`vec_id % 4`), exposing the fold-to-fold
+    * variance a single AUC hides. Same rank algebra, prefix sums
+    * partitioned by (fold, bucket) — no corpus-sized single-partition
+    * state for any fold count.
+    */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    val x = element_at(col("embedding"), 1).cast("double")
+    val scored = Tables.embeddings(s, d).select(
+      pmod(col("vec_id"), lit(4L)).as("fold"),
+      (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+        when(x < 0, -1L).otherwise(1L) as "u",
+      (col("label") === 0).as("y"))
+    graft.operators.MlEval.aucExactBy(scored, "fold", "u", "y")
+      .orderBy("fold")
+  }
+
+  private val q232Sql =
+    """WITH s AS (SELECT vec_id % 4 AS fold,
+           CAST(floor(abs(x) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS u,
+           (label = 0) AS y
+         FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, label
+               FROM embeddings)),
+       c AS (SELECT fold, u,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+             FROM s GROUP BY fold, u),
+       w AS (SELECT fold, p, n,
+               coalesce(sum(n) OVER (PARTITION BY fold ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS nb
+             FROM c)
+       SELECT fold, CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(n) AS BIGINT) AS n_neg,
+         round(CAST(sum(p::HUGEINT * (2 * nb + n)) AS DOUBLE)
+           / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)),
+           9) AS auc
+       FROM w GROUP BY fold ORDER BY fold"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1228,7 +1271,8 @@ object Evals {
     "q224_pr_curve" -> (q224 _),
     "q225_spearman" -> (q225 _),
     "q229_uplift_deciles" -> (q229 _),
-    "q230_hll_intersection" -> (q230 _))
+    "q230_hll_intersection" -> (q230 _),
+    "q232_auc_folds" -> (q232 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1244,5 +1288,6 @@ object Evals {
     "q224_pr_curve" -> q224Sql,
     "q225_spearman" -> q225Sql,
     "q229_uplift_deciles" -> q229Sql,
-    "q230_hll_intersection" -> q230Sql)
+    "q230_hll_intersection" -> q230Sql,
+    "q232_auc_folds" -> q232Sql)
 }

@@ -45,6 +45,20 @@ class EvalsSpec extends SparkSpec {
       == 0.5)
   }
 
+  test("aucExactBy: groups grade independently in one pass") {
+    // group 1 is the hand-computed tie case (0.875); group 2 is
+    // perfectly separated (1.0) — shared global bucket boundaries
+    // must not leak rank mass across groups
+    val df = Seq(
+      (1, 3L, true), (1, 2L, true), (1, 1L, false), (1, 2L, false),
+      (2, 10L, true), (2, 1L, false)
+    ).toDF("seg", "u", "y")
+    val rows = MlEval.aucExactBy(df, "seg", "u", "y", buckets = 2)
+      .orderBy("seg").collect()
+      .map(r => (r.getInt(0), r.getDouble(3))).toSeq
+    assert(rows == Seq((1, 0.875), (2, 1.0)))
+  }
+
   test("aucExact: single-class input yields NULL, not a crash") {
     val onlyPos = Seq((1L, true), (2L, true)).toDF("u", "y")
     assert(MlEval.aucExact(onlyPos, "u", "y").collect()(0).isNullAt(2))
