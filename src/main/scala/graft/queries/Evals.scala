@@ -466,18 +466,16 @@ object Evals {
     * is order-independent and engine-exact, and the oracle replays
     * the identical recursion per removal scenario in a recursive CTE.
     */
-  private def q220(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val K = 20
-    val unit = 1e12
+  /** Journey transition counts (shared by q220 and q233): journeys
+    * truncate at the first purchase BY POSITION (ids need not be
+    * time-ordered), START precedes each journey, non-converting
+    * journeys close with a NULLS step. Returns the (src, dst, count)
+    * table — bounded at (event types + 2)² rows, the legitimate
+    * reduce-feeds-driver shape — and the per-src totals. */
+  private def journeyChain(s: SparkSession, d: String)
+      : (Array[(String, String, Long)], Map[String, Long]) = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wAll = Window.partitionBy("user_id")
-    // journeys truncate at the first purchase: later events belong to
-    // the next journey only in a sessionized model — keeping ONE
-    // journey per user keeps the oracle a pure window mirror.
-    // Truncation is by journey POSITION (row number), never event_id —
-    // ids need not be time-ordered.
     val seq0 = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
@@ -497,28 +495,46 @@ object Evals {
     val trans = steps.groupBy("src", "dst").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val outTot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    (trans, outTot)
+  }
+
+  private val chainK = 20
+  private val chainUnit = 1e12
+
+  /** START's absorption probability in 1e-12-unit LONGs after K
+    * rounds of v'(s) = Σ_t ⌊P(s→t)·v(t)+½⌋ over the given LIVE
+    * transitions — order-independent, engine-exact (the oracle
+    * replays the identical recursion). Denominators stay the FULL
+    * out-totals (no renormalization — the removal-effect convention).
+    */
+  private def absorbUnits(live: Array[(String, String, Long)],
+                          outTot: Map[String, Long]): Long = {
+    val states = live.iterator.map(_._1).toSeq.distinct
+    var v: Map[String, Long] = states.map(_ -> 0L).toMap +
+      ("purchase" -> chainUnit.toLong) + ("NULLS" -> 0L)
+    for (_ <- 1 to chainK) {
+      val next = states.map { st =>
+        st -> live.filter(_._1 == st).map { case (_, t, c) =>
+          math.floor(c.toDouble / outTot(st).toDouble *
+            v.getOrElse(t, 0L).toDouble + 0.5).toLong
+        }.sum
+      }.toMap
+      v = next + ("purchase" -> chainUnit.toLong) + ("NULLS" -> 0L)
+    }
+    v.getOrElse("START", 0L)
+  }
+
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val unit = chainUnit
+    val (trans, outTot) = journeyChain(s, d)
     val channels = trans.iterator.flatMap(t => Seq(t._1, t._2))
       .filter(c => c != "START" && c != "purchase" && c != "NULLS")
       .toSeq.distinct.sorted
-    // absorption probability of START under a removal scenario, in
-    // 1e-12-unit LONG arithmetic (engine-exact; oracle replays it)
-    def solve(removed: Option[String]): Long = {
-      val live = trans.filter(t => !removed.contains(t._1) &&
-        !removed.contains(t._2))
-      val states = live.iterator.map(_._1).toSeq.distinct
-      var v: Map[String, Long] = states.map(_ -> 0L).toMap +
-        ("purchase" -> unit.toLong) + ("NULLS" -> 0L)
-      for (_ <- 1 to K) {
-        val next = states.map { st =>
-          st -> live.filter(_._1 == st).sortBy(_._2).map { case (_, t, c) =>
-            math.floor(c.toDouble / outTot(st).toDouble *
-              v.getOrElse(t, 0L).toDouble + 0.5).toLong
-          }.sum
-        }.toMap
-        v = next + ("purchase" -> unit.toLong) + ("NULLS" -> 0L)
-      }
-      v.getOrElse("START", 0L)
-    }
+    def solve(removed: Option[String]): Long =
+      absorbUnits(trans.filter(t => !removed.contains(t._1) &&
+        !removed.contains(t._2)), outTot)
     val base = solve(None)
     val rows = channels.map { c =>
       val pc = solve(Some(c))
@@ -601,6 +617,120 @@ object Evals {
          round((bv - v)::DOUBLE / bv::DOUBLE, 9) AS removal_effect,
          round(eu::DOUBLE / te.t::DOUBLE, 6) AS credit_share
        FROM eff, te ORDER BY channel"""
+  }
+
+  // --------------------------------------------------------------- q233
+  /** EXACT Shapley attribution — the axiomatic upgrade of q220's
+    * removal effect: each channel's credit is its Shapley value over
+    * coalition conversion v(S) = START's absorption probability with
+    * only the channels in S alive (transitions touching an absent
+    * channel die; denominators stay full — q220's convention). With 4
+    * channels that is all 2⁴ subset chains, each solved by the SAME
+    * unit-LONG recursion, and the Shapley sum
+    * φ_c = Σ_{S∌c} |S|!(3−|S|)!·(v(S∪c)−v(S)) / 4! stays EXACT
+    * integer arithmetic in conv-units×24 until the final division.
+    * Efficiency (Σφ = v(all)−v(none)) is spec-pinned. The corpus cost
+    * is unchanged — ONE lag-window pass; the 16 solves run on the
+    * collected (types+2)²-row chain. Oracle unrolls all 16 scenarios
+    * × 20 rounds keyed by subset bitmask. */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (trans, outTot) = journeyChain(s, d)
+    // the four non-absorbing channels, fixed alphabetical index order
+    // (bit i of a scenario mask = channels(i) alive) — mirrored in SQL
+    val channels = Seq("click", "error", "signup", "view")
+    def vOf(mask: Int): Long = {
+      def alive(x: String): Boolean = {
+        val i = channels.indexOf(x)
+        i < 0 || ((mask >> i) & 1) == 1
+      }
+      absorbUnits(trans.filter(t => alive(t._1) && alive(t._2)), outTot)
+    }
+    val v = (0 until 16).map(vOf)
+    val weight = Array(6L, 2L, 2L, 6L) // |S|!·(3−|S|)! for |S| = 0..3
+    val phi24 = channels.zipWithIndex.map { case (c, i) =>
+      val u = (0 until 16).filter(m => ((m >> i) & 1) == 0).map { m =>
+        weight(Integer.bitCount(m)) * (v(m | (1 << i)) - v(m))
+      }.sum
+      (c, u)
+    }
+    val total = phi24.map(_._2).sum // = 24·(v(all) − v(none)) exactly
+    val out = phi24.map { case (c, u) =>
+      (c, round(u.toDouble / 24.0 / chainUnit, 9),
+        round(u.toDouble / total.toDouble, 6))
+    }
+    out.toDF("channel", "shapley_conv", "shapley_share")
+      .orderBy("channel")
+  }
+
+  private val q233Sql = {
+    val K = chainK
+    val rounds = (1 to K).map { k =>
+      s"""v$k AS MATERIALIZED (SELECT l.m, l.src AS st,
+           sum(CAST(floor(l.c::DOUBLE / l.ct::DOUBLE *
+             (CASE WHEN l.dst = 'purchase' THEN 1000000000000
+                   WHEN l.dst = 'NULLS' THEN 0
+                   ELSE coalesce(p.v, 0) END)::DOUBLE + 0.5)
+             AS BIGINT))::BIGINT AS v
+         FROM live l LEFT JOIN v${k - 1} p
+           ON p.m = l.m AND p.st = l.dst
+         GROUP BY l.m, l.src)"""
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+       pfx AS (SELECT *,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM ev),
+       cut AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                   THEN rn END) OVER (PARTITION BY user_id) AS prn
+               FROM pfx),
+       jo AS (SELECT *, max(rn) OVER (PARTITION BY user_id) AS mrn
+              FROM cut WHERE prn IS NULL OR rn <= prn),
+       steps AS (
+         SELECT coalesce(lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY rn), 'START') AS src,
+           event_type AS dst
+         FROM jo
+         UNION ALL
+         SELECT event_type AS src, 'NULLS' AS dst FROM jo
+         WHERE rn = mrn AND event_type != 'purchase'),
+       trans AS (SELECT src, dst, count(*)::BIGINT AS c
+                 FROM steps GROUP BY src, dst),
+       tot AS (SELECT src, sum(c)::BIGINT AS ct FROM trans GROUP BY src),
+       chan AS (SELECT ch, ci FROM (VALUES ('click', 0), ('error', 1),
+                  ('signup', 2), ('view', 3)) t(ch, ci)),
+       scen AS (SELECT CAST(range AS INT) AS m FROM range(0, 16)),
+       live AS MATERIALIZED (
+         SELECT s.m, t.src, t.dst, t.c, o.ct
+         FROM scen s JOIN trans t
+           ON (TRUE) JOIN tot o ON o.src = t.src
+         LEFT JOIN chan cs ON cs.ch = t.src
+         LEFT JOIN chan cd ON cd.ch = t.dst
+         WHERE (cs.ci IS NULL OR ((s.m >> cs.ci) & 1) = 1)
+           AND (cd.ci IS NULL OR ((s.m >> cd.ci) & 1) = 1)),
+       v0 AS MATERIALIZED (SELECT m, src AS st, 0::BIGINT AS v
+              FROM (SELECT DISTINCT m, src FROM live)),
+       $rounds,
+       fin AS (SELECT m, v FROM v$K WHERE st = 'START'),
+       -- a scenario whose chain loses START entirely still has a
+       -- defined v = 0 (no live transitions from START)
+       finall AS (SELECT s.m, coalesce(f.v, 0) AS v
+                  FROM scen s LEFT JOIN fin f ON f.m = s.m),
+       sh AS (SELECT c.ch AS channel,
+                CAST(sum((CASE (((v0.m >> 0) & 1) + ((v0.m >> 1) & 1)
+                       + ((v0.m >> 2) & 1) + ((v0.m >> 3) & 1))
+                     WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                     ELSE 6 END) * (v1.v - v0.v)) AS BIGINT) AS u24
+              FROM chan c
+              JOIN finall v0 ON ((v0.m >> c.ci) & 1) = 0
+              JOIN finall v1 ON v1.m = v0.m + (1 << c.ci)
+              GROUP BY c.ch),
+       te AS (SELECT sum(u24)::BIGINT AS t FROM sh)
+       SELECT channel,
+         round(u24::DOUBLE / 24.0 / 1e12, 9) AS shapley_conv,
+         round(u24::DOUBLE / te.t::DOUBLE, 6) AS shapley_share
+       FROM sh, te ORDER BY channel"""
   }
 
   // --------------------------------------------------------------- q221
@@ -1272,7 +1402,8 @@ object Evals {
     "q225_spearman" -> (q225 _),
     "q229_uplift_deciles" -> (q229 _),
     "q230_hll_intersection" -> (q230 _),
-    "q232_auc_folds" -> (q232 _))
+    "q232_auc_folds" -> (q232 _),
+    "q233_shapley_attribution" -> (q233 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1289,5 +1420,6 @@ object Evals {
     "q225_spearman" -> q225Sql,
     "q229_uplift_deciles" -> q229Sql,
     "q230_hll_intersection" -> q230Sql,
-    "q232_auc_folds" -> q232Sql)
+    "q232_auc_folds" -> q232Sql,
+    "q233_shapley_attribution" -> q233Sql)
 }

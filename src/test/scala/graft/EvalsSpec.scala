@@ -208,6 +208,28 @@ class EvalsSpec extends SparkSpec {
       ("view", 0.75, 0.75, 0.0, 0.0)))
   }
 
+  test("q233 Shapley: the only contributing channel takes the full " +
+      "efficiency; absent channels are null players") {
+    // q220's fixture: the click path carries Δ = 0.5 conversion in
+    // EVERY coalition, so phi_click = 0.5 exactly; view only leads to
+    // NULLS and error/signup never occur -> all three are null
+    // players with phi = 0
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(0), 10L, "click", 1.0, "{}"),
+      (4L, ts(1), 10L, "purchase", 1.0, "{}"),
+      (5L, ts(0), 20L, "view", 1.0, "{}"),
+      (6L, ts(0), 30L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("shap")("events" -> ev)
+    val rows = SparkEntry.queries("q233_shapley_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2))).toSeq
+    assert(rows == Seq(("click", 0.5, 1.0), ("error", 0.0, 0.0),
+      ("signup", 0.0, 0.0), ("view", 0.0, 0.0)))
+  }
+
   test("q221 Neyman: zero-variance strata get zero allocation") {
     // source A token masses {1,3}: sigma = sqrt(2); B {2,2}: sigma 0
     // -> the whole 1000-doc budget lands on A
