@@ -1243,18 +1243,18 @@ object Evals {
        FROM cum ORDER BY decile"""
 
   // --------------------------------------------------------------- q230
-  /** Sketch SET ALGEBRA: the distinct-user overlap of two event
-    * populations (purchasers ∩ clickers) estimated entirely from
-    * mergeable HLL register tables — |A∩B| = E(A)+E(B)−E(A∪B), where
-    * the union sketch is a register MAX-merge of the two class
-    * sketches (exact mergeability: identical to sketching the union
-    * of the key sets). This is the question q165's rollup can't
-    * answer alone (HLLs union natively but never intersect) and the
-    * reason register TABLES beat opaque estimates at 100 TB: any
-    * boolean combination of populations folds from the same 2^p-row
-    * states without re-scanning keys. Graded against the exact
-    * intersection with a relative-error readout; all register
-    * arithmetic is the q133/q165 exact-integer harmonic form.
+  /** Sketch SET ALGEBRA, fully oracle-replayed — the upgrade of
+    * q180's bounds-flag contract: where q180 only asserts the
+    * inclusion-exclusion estimate lands inside 3σ, here the DuckDB
+    * oracle replays the REGISTER algebra itself (per-class register
+    * tables, the union's register MAX-merge, the harmonic estimates)
+    * bit-for-bit, so the sketch pipeline — not just its error bound —
+    * is value-checked. The union sketch comes from q165's register
+    * TABLES (any boolean combination of populations folds from the
+    * same 2^p-row states without re-scanning keys), and the value
+    * floor keeps A and B genuinely partial subsets rather than the
+    * degenerate A = B = U. Graded against the exact intersection with
+    * a relative-error readout.
     */
   private def q230(s: SparkSession, d: String): DataFrame = {
     val p = 8
