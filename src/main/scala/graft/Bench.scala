@@ -107,7 +107,12 @@ object Bench {
     val es = errs.map { case (k, e) => s"\"${esc(shortKey(k))}\":\"${esc(e.take(80))}\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}"}""")
+    // field order puts the headline LAST: the harness keeps only the
+    // final ~2 kB of stdout, and at 230+ queries the line front (where
+    // "value" used to sit) is what gets truncated — JSON field order is
+    // semantically free, so the total/errors/runs now always survive
+    // into the captured tail even when the full line no longer parses
+    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

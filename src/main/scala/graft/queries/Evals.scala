@@ -1385,6 +1385,75 @@ object Evals {
            9) AS auc
        FROM w GROUP BY fold ORDER BY fold"""
 
+  // --------------------------------------------------------------- q234
+  /** Horvitz-Thompson design correction — the audit that makes a
+    * downsampled corpus still ANSWER corpus-level questions: after
+    * q76's deterministic per-source mixing (inclusion probability
+    * π_h = pct_h/100, known by construction), the surviving rows
+    * estimate each source's TRUE token total as Σ_kept x / π_h, graded
+    * against the unsampled truth with a relative-error readout. The
+    * expansion is exact integer arithmetic (kept-token LONGs × 100)
+    * until the single division; the mix rule is the VERBATIM q76
+    * kernel, so the two queries can never drift. One scan, one
+    * aggregation.
+    */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("x"))
+    val mixed = graft.operators.Sampling.mixSources(docs, "doc_id",
+      "source",
+      Map("src0" -> 90, "src1" -> 75, "src2" -> 50, "src3" -> 25,
+        "src4" -> 10),
+      defaultPct = 40)
+    val pct = when(col("source") === "src0", 90)
+      .when(col("source") === "src1", 75)
+      .when(col("source") === "src2", 50)
+      .when(col("source") === "src3", 25)
+      .when(col("source") === "src4", 10).otherwise(40)
+    val per = mixed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("true_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("x")).otherwise(0L)).as("kept_tokens"))
+    val ht = round((col("kept_tokens") * lit(100L)).cast("double") /
+      pct.cast("double"), 4)
+    per.select(col("source"), col("n_docs"), col("n_kept"),
+        col("true_tokens"), ht.as("ht_tokens"),
+        round((ht - col("true_tokens").cast("double")) /
+          col("true_tokens").cast("double"), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
+  private val q234Sql =
+    """WITH t AS (SELECT source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS x,
+           ('0x' || substr(md5('mix|' || coalesce(source, '') || '|'
+               || coalesce(doc_id::VARCHAR, '')), 1, 15))::BIGINT % 100
+             < CASE coalesce(source, '')
+                 WHEN 'src0' THEN 90 WHEN 'src1' THEN 75
+                 WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+                 WHEN 'src4' THEN 10 ELSE 40 END AS kept
+         FROM documents),
+       per AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(x) AS BIGINT) AS true_tokens,
+                 CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+                 CAST(coalesce(sum(x) FILTER (kept), 0) AS BIGINT)
+                   AS kept_tokens
+               FROM t GROUP BY source)
+       SELECT source, n_docs, n_kept, true_tokens,
+         round((kept_tokens * 100)::DOUBLE /
+           (CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 75
+              WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+              WHEN 'src4' THEN 10 ELSE 40 END)::DOUBLE, 4) AS ht_tokens,
+         round((round((kept_tokens * 100)::DOUBLE /
+             (CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 75
+                WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+                WHEN 'src4' THEN 10 ELSE 40 END)::DOUBLE, 4)
+             - true_tokens::DOUBLE) / true_tokens::DOUBLE, 6) AS rel_err
+       FROM per ORDER BY source"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1403,7 +1472,8 @@ object Evals {
     "q229_uplift_deciles" -> (q229 _),
     "q230_hll_intersection" -> (q230 _),
     "q232_auc_folds" -> (q232 _),
-    "q233_shapley_attribution" -> (q233 _))
+    "q233_shapley_attribution" -> (q233 _),
+    "q234_ht_estimate" -> (q234 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1421,5 +1491,6 @@ object Evals {
     "q229_uplift_deciles" -> q229Sql,
     "q230_hll_intersection" -> q230Sql,
     "q232_auc_folds" -> q232Sql,
-    "q233_shapley_attribution" -> q233Sql)
+    "q233_shapley_attribution" -> q233Sql,
+    "q234_ht_estimate" -> q234Sql)
 }

@@ -230,6 +230,28 @@ class EvalsSpec extends SparkSpec {
       ("signup", 0.0, 0.0), ("view", 0.0, 0.0)))
   }
 
+  test("q234 HT estimate: the mix agrees with q76 and the expansion " +
+      "is exact arithmetic") {
+    val sf = "/root/testdata/sf0.001"
+    val ht = SparkEntry.queries("q234_ht_estimate")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // same kernel, same keep decisions: n_kept must equal q76's
+    val mix = SparkEntry.queries("q76_source_mixing")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    ht.foreach { case (src, r) =>
+      assert(r.getLong(2) == mix(src),
+        s"$src kept ${r.getLong(2)} != q76 ${mix(src)}")
+    }
+    // pct=90 source: the expansion factor is 100/90, so ht is within
+    // a whisker of kept_tokens/0.9 — and rel_err is the graded diff
+    ht.values.foreach { r =>
+      val est = r.getDouble(4)
+      val tru = r.getLong(3).toDouble
+      assert(r.getDouble(5) ==
+        graft.functions.Rounding.roundTo((est - tru) / tru, 6))
+    }
+  }
+
   test("q221 Neyman: zero-variance strata get zero allocation") {
     // source A token masses {1,3}: sigma = sqrt(2); B {2,2}: sigma 0
     // -> the whole 1000-doc budget lands on A
