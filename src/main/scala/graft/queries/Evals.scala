@@ -1454,6 +1454,106 @@ object Evals {
              - true_tokens::DOUBLE) / true_tokens::DOUBLE, 6) AS rel_err
        FROM per ORDER BY source"""
 
+  // --------------------------------------------------------------- q235
+  /** Retrieval-quality harness (MRR / hit@10) — the IR eval next to
+    * q218's ANN recall: every 40th document becomes a query (its
+    * first 8 distinct words), multi-query BM25 scores the corpus, and
+    * the ORIGIN document's rank grades the retriever (self-retrieval:
+    * the one relevance label a synthetic corpus provides for free).
+    * Unlike q97's single static term list, term frequencies restrict
+    * to the query-term UNION via a semi-join (terms aren't known at
+    * plan time), and scoring is a (query-term × doc-term) equi-join —
+    * candidate volume is bounded by term document frequency, never
+    * queries × corpus. Scores round to 4 dp BEFORE ranking (the q97
+    * total-order contract); reciprocal ranks quantize to 6 dp.
+    */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .persist(sl)
+    val dl = toks.select(col("doc_id"),
+      size(col("w")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qterms = toks.filter(pmod(col("doc_id"), lit(40)) === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(col("w"), 1, 8))).as("tok"))
+      .persist(sl)
+    val terms = qterms.select("tok").distinct()
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+      .join(terms, Seq("tok"), "left_semi")
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(sl)
+    val idf = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .select(col("tok"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"))
+    val scored = qterms
+      .join(tf, "tok")
+      .join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+            col("avgdl"))))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val result = scored
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("doc_id") === col("qid"))
+      .select(col("qid"), col("rnk").cast("int").as("origin_rank"),
+        (col("rnk") <= 10).as("hit10"),
+        round(when(col("rnk") <= 10,
+          lit(1.0) / col("rnk").cast("double")).otherwise(0.0), 6)
+          .as("rr"))
+      .orderBy("qid")
+    graft.operators.Exec.owned(result, Seq(toks, qterms, tf))
+  }
+
+  private val q235Sql =
+    """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       dl AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM toks),
+       st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+       qterms AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+                  FROM toks WHERE doc_id % 40 = 0),
+       terms AS (SELECT DISTINCT tok FROM qterms),
+       tf AS (SELECT doc_id, t AS tok, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(w) AS t FROM toks) u
+              JOIN terms ON t = terms.tok
+              GROUP BY doc_id, t),
+       idf AS (SELECT tok,
+                 ln(1 + (st.n_docs - count(*)::DOUBLE + 0.5)
+                      / (count(*)::DOUBLE + 0.5)) AS idf
+               FROM tf, st GROUP BY tok, st.n_docs),
+       sc AS (SELECT q.qid, tf.doc_id,
+                round(sum(idf.idf * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+                  4) AS score
+              FROM qterms q
+              JOIN tf USING (tok) JOIN idf USING (tok)
+              JOIN dl ON dl.doc_id = tf.doc_id, st
+              GROUP BY q.qid, tf.doc_id),
+       rk AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM sc)
+       SELECT qid, CAST(rnk AS INT) AS origin_rank,
+         (rnk <= 10) AS hit10,
+         round(CASE WHEN rnk <= 10 THEN 1.0 / rnk::DOUBLE
+                    ELSE 0.0 END, 6) AS rr
+       FROM rk WHERE doc_id = qid
+       ORDER BY qid"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1473,7 +1573,8 @@ object Evals {
     "q230_hll_intersection" -> (q230 _),
     "q232_auc_folds" -> (q232 _),
     "q233_shapley_attribution" -> (q233 _),
-    "q234_ht_estimate" -> (q234 _))
+    "q234_ht_estimate" -> (q234 _),
+    "q235_retrieval_eval" -> (q235 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1492,5 +1593,6 @@ object Evals {
     "q230_hll_intersection" -> q230Sql,
     "q232_auc_folds" -> q232Sql,
     "q233_shapley_attribution" -> q233Sql,
-    "q234_ht_estimate" -> q234Sql)
+    "q234_ht_estimate" -> q234Sql,
+    "q235_retrieval_eval" -> q235Sql)
 }

@@ -252,6 +252,23 @@ class EvalsSpec extends SparkSpec {
     }
   }
 
+  test("q235 retrieval eval: every query grades its origin; " +
+      "reciprocal ranks are consistent") {
+    val rows = SparkEntry.queries("q235_retrieval_eval")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 13) // doc_ids 0, 40, ..., 480
+    rows.foreach { r =>
+      val rank = r.getInt(1)
+      assert(rank >= 1)
+      assert(r.getBoolean(2) == (rank <= 10))
+      val expected = if (rank <= 10)
+        graft.functions.Rounding.roundTo(1.0 / rank, 6) else 0.0
+      assert(r.getDouble(3) == expected)
+    }
+    // the harness must discriminate: some query retrieves its origin
+    assert(rows.exists(_.getBoolean(2)), "no query hit top-10 at all")
+  }
+
   test("q221 Neyman: zero-variance strata get zero allocation") {
     // source A token masses {1,3}: sigma = sqrt(2); B {2,2}: sigma 0
     // -> the whole 1000-doc budget lands on A
