@@ -1554,6 +1554,99 @@ object Evals {
        FROM rk WHERE doc_id = qid
        ORDER BY qid"""
 
+  // --------------------------------------------------------------- q236
+  /** Exact earth-mover (Wasserstein-1) drift — the drift family's
+    * third lens after q124's binned PSI and q158's sup-norm KS: per
+    * event type, how far the SECOND half of the month's daily-activity
+    * distribution sits from the first half's, as the integral of
+    * |CDF_a − CDF_b| over the day grid (W1 sees the magnitude of a
+    * shift where KS sees only its peak; PSI needs bins). EXACT
+    * integer algebra: per-(type, day) counts, calendar-bounded prefix
+    * windows, and the unit-gap integral Σ|cumA·nB − cumB·nA| in
+    * DECIMAL(38,0) divided once by nA·nB — no FP until the final
+    * division, engine-exact by construction. Days are mapped onto the
+    * SAME 15-day grid in both halves (day-of-month mod 15), making
+    * the two distributions genuinely comparable shapes.
+    */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .as("dd"))
+      .filter(col("dd") >= 0 && col("dd") < 30)
+      .select(col("event_type"), pmod(col("dd"), lit(15)).as("g"),
+        (col("dd") < 15).as("a"))
+    val spark = s
+    import spark.implicits._
+    val counts0 = ev.groupBy("event_type", "g")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      .persist(sl)
+    // densify: a grid point absent from the counts still contributes
+    // its gap's |CDF_a − CDF_b| — the CDFs are flat there, not zero
+    val grid = counts0.select("event_type").distinct()
+      .crossJoin(broadcast((0 until 15).toDF("g")))
+    val counts = grid.join(counts0, Seq("event_type", "g"), "left")
+      .select(col("event_type"), col("g"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts0.groupBy("event_type")
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val cum = counts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .join(broadcast(totals), "event_type")
+    val term = abs(col("cuma").cast(dec) * col("n_b").cast(dec) -
+      col("cumb").cast(dec) * col("n_a").cast(dec))
+    val result = cum.withColumn("t", term)
+      .groupBy("event_type")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("t")).as("num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 9)
+          .as("w1_days"))
+      .orderBy("event_type")
+    graft.operators.Exec.owned(result, Seq(counts0))
+  }
+
+  private val q236Sql =
+    """WITH ev AS (SELECT event_type,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd
+         FROM events),
+       f AS (SELECT event_type, dd % 15 AS g, (dd < 15) AS a
+             FROM ev WHERE dd >= 0 AND dd < 30),
+       c0 AS (SELECT event_type, g,
+               CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+             FROM f GROUP BY event_type, g),
+       grid AS (SELECT t.event_type, CAST(r.range AS INT) AS g
+                FROM (SELECT DISTINCT event_type FROM c0) t,
+                     range(0, 15) r),
+       cnt AS (SELECT grid.event_type, grid.g,
+                 coalesce(c0.ca, 0) AS ca, coalesce(c0.cb, 0) AS cb
+               FROM grid LEFT JOIN c0
+                 ON c0.event_type = grid.event_type AND c0.g = grid.g),
+       tot AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b
+               FROM c0 GROUP BY event_type),
+       cum AS (SELECT cnt.event_type, cnt.g, tot.n_a, tot.n_b,
+                 sum(ca) OVER (PARTITION BY cnt.event_type ORDER BY g
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cuma,
+                 sum(cb) OVER (PARTITION BY cnt.event_type ORDER BY g
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumb
+               FROM cnt JOIN tot USING (event_type))
+       SELECT event_type, first(n_a) AS n_a, first(n_b) AS n_b,
+         round(CAST(sum(abs(cuma::HUGEINT * n_b::HUGEINT
+             - cumb::HUGEINT * n_a::HUGEINT)) AS DOUBLE)
+           / (first(n_a)::DOUBLE * first(n_b)::DOUBLE), 9) AS w1_days
+       FROM cum GROUP BY event_type ORDER BY event_type"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1574,7 +1667,8 @@ object Evals {
     "q232_auc_folds" -> (q232 _),
     "q233_shapley_attribution" -> (q233 _),
     "q234_ht_estimate" -> (q234 _),
-    "q235_retrieval_eval" -> (q235 _))
+    "q235_retrieval_eval" -> (q235 _),
+    "q236_emd_drift" -> (q236 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1594,5 +1688,6 @@ object Evals {
     "q232_auc_folds" -> q232Sql,
     "q233_shapley_attribution" -> q233Sql,
     "q234_ht_estimate" -> q234Sql,
-    "q235_retrieval_eval" -> q235Sql)
+    "q235_retrieval_eval" -> q235Sql,
+    "q236_emd_drift" -> q236Sql)
 }

@@ -269,6 +269,23 @@ class EvalsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(2)), "no query hit top-10 at all")
   }
 
+  test("q236 EMD drift: a pure 14-day shift measures exactly 14; " +
+      "identical halves measure 0") {
+    // 'mv': all first-half mass on grid day 0, all second-half on
+    // grid day 14 -> W1 = 14. 'st': same grid day both halves -> 0.
+    val ev = (1L to 3L).flatMap(i => Seq(
+      (i, ts(0), i, "mv", 1.0, "{}"),          // dd=0  -> g=0, half A
+      (i + 10, ts(29), i, "mv", 1.0, "{}"),    // dd=29 -> g=14, half B
+      (i + 20, ts(3), i, "st", 1.0, "{}"),     // dd=3  -> g=3, half A
+      (i + 30, ts(18), i, "st", 1.0, "{}")))   // dd=18 -> g=3, half B
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("emd")("events" -> ev)
+    val rows = SparkEntry.queries("q236_emd_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows == Seq(("mv", 3L, 3L, 14.0), ("st", 3L, 3L, 0.0)))
+  }
+
   test("q221 Neyman: zero-variance strata get zero allocation") {
     // source A token masses {1,3}: sigma = sqrt(2); B {2,2}: sigma 0
     // -> the whole 1000-doc budget lands on A
