@@ -1647,6 +1647,98 @@ object Evals {
            / (first(n_a)::DOUBLE * first(n_b)::DOUBLE), 9) AS w1_days
        FROM cum GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q237
+  /** Lagged cross-correlation — the lead/lag discovery q172's
+    * contemporaneous rolling correlation can't see: corr(clicks_t,
+    * purchases_{t+ℓ}) for ℓ ∈ [−3, 3] over the gap-filled daily grid
+    * says whether clicks LEAD purchases (positive-lag peak) or just
+    * co-move. Counts are exact integers on the calendar-bounded grid;
+    * every lag's moments come from ONE grid self-join on shifted row
+    * number (grid × 7 rows — days, never events), sums in
+    * DECIMAL(38,0), and the correlation is fixed-shape IEEE on the
+    * exact moments (the q114/q172 discipline), 4-dp rounded.
+    */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val obs = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("k"), to_date(col("ts")).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("cnt"))
+    val span = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days
+      .join(obs.filter(col("k") === "click")
+        .select(col("day"), col("cnt").as("ca")), Seq("day"), "left")
+      .join(obs.filter(col("k") === "purchase")
+        .select(col("day"), col("cnt").as("cb")), Seq("day"), "left")
+      .select(col("day"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy("day")))
+      .persist(sl)
+    val lags = (-3 to 3).toDF("lag")
+    val pairs = grid.select(col("rn"), col("ca")).as("a")
+      .crossJoin(broadcast(lags))
+      .join(grid.select(col("rn").as("brn"), col("cb")).as("b"),
+        col("brn") === col("rn") + col("lag"))
+    val m = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("ca").cast(dec)).as("sx"),
+      sum(col("cb").cast(dec)).as("sy"),
+      sum((col("ca").cast(dec) * col("cb").cast(dec))).as("sxy"),
+      sum((col("ca").cast(dec) * col("ca").cast(dec))).as("sxx"),
+      sum((col("cb").cast(dec) * col("cb").cast(dec))).as("syy"))
+    val da = (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val db = (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val result = m.select(col("lag"), col("n").as("n_days"),
+        when(da > 0.0 && db > 0.0,
+          round((col("n").cast(dec) * col("sxy") -
+            col("sx") * col("sy")).cast("double") / sqrt(da * db), 4))
+          .as("xcorr"))
+      .orderBy("lag")
+    graft.operators.Exec.owned(result, Seq(grid))
+  }
+
+  private val q237Sql =
+    """WITH obs AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+           count(*)::BIGINT AS cnt
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY k, day),
+       span AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+       days AS (SELECT unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY))::DATE AS day FROM span),
+       grid AS (SELECT day,
+                 coalesce((SELECT cnt FROM obs
+                   WHERE k = 'click' AND obs.day = days.day), 0) AS ca,
+                 coalesce((SELECT cnt FROM obs
+                   WHERE k = 'purchase' AND obs.day = days.day), 0)
+                   AS cb,
+                 row_number() OVER (ORDER BY day) AS rn
+               FROM days),
+       lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+       pairs AS (SELECT l.lag, a.ca, b.cb
+                 FROM lags l
+                 JOIN grid a ON TRUE
+                 JOIN grid b ON b.rn = a.rn + l.lag),
+       m AS (SELECT lag, count(*)::BIGINT AS n,
+               sum(ca::HUGEINT) AS sx, sum(cb::HUGEINT) AS sy,
+               sum(ca::HUGEINT * cb::HUGEINT) AS sxy,
+               sum(ca::HUGEINT * ca::HUGEINT) AS sxx,
+               sum(cb::HUGEINT * cb::HUGEINT) AS syy
+             FROM pairs GROUP BY lag)
+       SELECT lag, n AS n_days,
+         CASE WHEN CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE) > 0.0
+               AND CAST(n::HUGEINT * syy - sy * sy AS DOUBLE) > 0.0
+           THEN round(CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE)
+                  * CAST(n::HUGEINT * syy - sy * sy AS DOUBLE)), 4)
+         END AS xcorr
+       FROM m ORDER BY lag"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1668,7 +1760,8 @@ object Evals {
     "q233_shapley_attribution" -> (q233 _),
     "q234_ht_estimate" -> (q234 _),
     "q235_retrieval_eval" -> (q235 _),
-    "q236_emd_drift" -> (q236 _))
+    "q236_emd_drift" -> (q236 _),
+    "q237_lagged_xcorr" -> (q237 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1689,5 +1782,6 @@ object Evals {
     "q233_shapley_attribution" -> q233Sql,
     "q234_ht_estimate" -> q234Sql,
     "q235_retrieval_eval" -> q235Sql,
-    "q236_emd_drift" -> q236Sql)
+    "q236_emd_drift" -> q236Sql,
+    "q237_lagged_xcorr" -> q237Sql)
 }

@@ -286,6 +286,27 @@ class EvalsSpec extends SparkSpec {
     assert(rows == Seq(("mv", 3L, 3L, 14.0), ("st", 3L, 3L, 0.0)))
   }
 
+  test("q237 lagged xcorr: a series shifted by one day peaks at " +
+      "lag 1 with corr exactly 1") {
+    // clicks (1,2,3) on days 0-2; purchases (1,2,3) on days 1-3:
+    // purchases ARE clicks shifted +1 -> lag-1 pairs are identical
+    // series (corr 1.0); lag 0 is the hand-computed -0.2
+    var id = 0L
+    def mk(day: Int, t: String, n: Int) = (1 to n).map { _ =>
+      id += 1; (id, ts(day), 1L, t, 1.0, "{}")
+    }
+    val ev = (mk(0, "click", 1) ++ mk(1, "click", 2) ++
+      mk(2, "click", 3) ++ mk(1, "purchase", 1) ++
+      mk(2, "purchase", 2) ++ mk(3, "purchase", 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("xcorr")("events" -> ev)
+    val rows = SparkEntry.queries("q237_lagged_xcorr")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(1) == Some(1.0), s"lag 1: ${rows(1)}")
+    assert(rows(0) == Some(-0.2), s"lag 0: ${rows(0)}")
+  }
+
   test("q221 Neyman: zero-variance strata get zero allocation") {
     // source A token masses {1,3}: sigma = sqrt(2); B {2,2}: sigma 0
     // -> the whole 1000-doc budget lands on A
