@@ -2278,7 +2278,10 @@ object Insights {
     * quantized-gradient training (shared CTE chain with q162) and then
     * the binning, so weights, sigmoid scores, bin edges and rates are
     * all engine-exact. */
-  private def q190(s: SparkSession, d: String): DataFrame = {
+  /** q190's reliability table, shared with q238's ECE/MCE summary:
+    * temperature-scaled GD-logistic scores binned into fixed 0.1-wide
+    * probability bins with micro-unit-summed mean predictions. */
+  private def calibrationBins(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.embeddings(s, d).select(
       col("embedding").getItem(0).cast("double").as("x1"),
       col("embedding").getItem(1).cast("double").as("x2"),
@@ -2297,8 +2300,60 @@ object Insights {
         round(col("p_micro_sum").cast("double") / col("n") / 1e6, 6)
           .as("mean_pred"),
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
-      .orderBy("bin")
   }
+
+  private def q190(s: SparkSession, d: String): DataFrame =
+    calibrationBins(s, d).orderBy("bin")
+
+  // --------------------------------------------------------------- q238
+  /** Expected / maximum calibration error — the one-number summary of
+    * q190's reliability diagram (the table a dashboard plots; ECE is
+    * the number an alert thresholds): ECE = Σ (n_b/N)·|mean_pred −
+    * frac_pos|, MCE = max gap. Per-bin gaps quantize to exact
+    * micro-units (both inputs are 1e-6-rounded, so the difference
+    * recovers an exact integer), the weighted sum is an exact LONG
+    * Σ n·gap over ≤10 bins, and the single division closes it —
+    * engine-independent by construction, oracle shares q190's full
+    * GD-replay CTE chain. */
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    val gu = floor(abs(col("mean_pred") - col("frac_pos")) * lit(1e6) +
+      lit(0.5)).cast("long")
+    calibrationBins(s, d)
+      .select(col("n"), gu.as("gu"))
+      .agg(sum(col("n")).as("n_points"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n") * col("gu")).as("wsum"),
+        max(col("gu")).as("maxgu"))
+      .select(col("n_points"), col("n_bins").cast("int").as("n_bins"),
+        round(col("wsum").cast("double") /
+          (col("n_points").cast("double") * lit(1e6)), 9).as("ece"),
+        round(col("maxgu").cast("double") / lit(1e6), 6).as("mce"))
+  }
+
+  private val q238Sql = logregCtes +
+    """,
+       scored AS (SELECT y,
+           1.0/(1.0+exp(-(200.0 * ((w0 + w1*x1) + w2*x2)))) AS p
+         FROM pts, w3),
+       binned AS (SELECT y, p,
+           least(CAST(floor(p * 10) AS INT), 9) AS bin
+         FROM scored),
+       bins AS (SELECT bin, count(*)::BIGINT AS n,
+           round(sum(CAST(round(p * 1000000) AS BIGINT))::DOUBLE
+             / count(*) / 1000000, 6) AS mean_pred,
+           round(CAST(sum(y) AS BIGINT)::DOUBLE / count(*), 6)
+             AS frac_pos
+         FROM binned GROUP BY bin),
+       g AS (SELECT n,
+           CAST(floor(abs(mean_pred - frac_pos) * 1e6 + 0.5) AS BIGINT)
+             AS gu
+         FROM bins)
+       SELECT CAST(sum(n) AS BIGINT) AS n_points,
+         CAST(count(*) AS INT) AS n_bins,
+         round(CAST(sum(n * gu) AS DOUBLE)
+           / (CAST(sum(n) AS DOUBLE) * 1e6), 9) AS ece,
+         round(max(gu)::DOUBLE / 1e6, 6) AS mce
+       FROM g"""
 
   private val q190Sql = logregCtes +
     """,
@@ -2540,6 +2595,7 @@ object Insights {
     "q179_attribution" -> (q179 _),
     "q180_hll_intersection" -> (q180 _),
     "q190_calibration" -> (q190 _),
+    "q238_calibration_error" -> (q238 _),
     "q162_logreg_gd" -> (q162 _),
     "q163_adamic_adar" -> (q163 _),
     "q164_decision_stump" -> (q164 _),
@@ -2596,6 +2652,7 @@ object Insights {
     "q179_attribution" -> q179Sql,
     "q180_hll_intersection" -> q180Sql,
     "q190_calibration" -> q190Sql,
+    "q238_calibration_error" -> q238Sql,
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,
     "q164_decision_stump" -> q164Sql,
