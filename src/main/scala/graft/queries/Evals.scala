@@ -1739,6 +1739,78 @@ object Evals {
          END AS xcorr
        FROM m ORDER BY lag"""
 
+  // --------------------------------------------------------------- q239
+  /** Quantile treatment effects — the distributional companion to
+    * q229's mean-uplift deciles: at each outcome quantile q ∈ {.25,
+    * .5, .75, .9}, the treated arm's EXACT order statistic minus the
+    * control arm's (does the treatment move the median, or only the
+    * tail?). Both arms' quantiles advance through ONE batched
+    * narrowing solve ([[graft.engine.OrderStat.multiQuantiles]] on
+    * null-split columns — the kernel counts non-nulls, so the two
+    * arms ride one cached frame); outcomes are integer cents; the
+    * only FP is the final cent→currency display division.
+    */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val arm = graft.operators.Sampling
+      .hashBucket(col("c_custkey"), "up", 2)
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("spend_cents"))
+    val joined = Tables.customer(s, d)
+      .select(col("c_custkey"), (arm === 0).as("treated"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("treated"),
+        coalesce(col("spend_cents"), lit(0L)).as("sp"))
+      .select(when(col("treated"), col("sp")).as("st"),
+        when(!col("treated"), col("sp")).as("sc"))
+      .persist(sl)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val ranks = graft.engine.OrderStat.quantileRanks(qs) _
+    val Seq((_, ts), (_, cs)) = graft.engine.OrderStat
+      .multiQuantiles(joined, Seq("st" -> ranks, "sc" -> ranks),
+        bins = 512)
+    joined.unpersist(false)
+    qs.zip(ts.zip(cs)).map { case (q, (t, c)) =>
+      (q, round(t / 100.0, 2), round(c / 100.0, 2),
+        round((t - c) / 100.0, 2))
+    }.toDF("quantile", "treated_spend", "control_spend", "qte")
+      .orderBy("quantile")
+  }
+
+  private val q239Sql =
+    """WITH cust AS (SELECT c_custkey,
+           (('0x' || substr(md5('up' || c_custkey::VARCHAR), 1, 15))
+             ::BIGINT % 2 = 0) AS treated
+         FROM customer),
+       spend AS (SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS sp
+         FROM orders GROUP BY o_custkey),
+       j AS (SELECT treated, coalesce(sp, 0) AS sp
+             FROM cust LEFT JOIN spend ON o_custkey = c_custkey),
+       qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q),
+       tn AS (SELECT count(*) AS c FROM j WHERE treated),
+       cn AS (SELECT count(*) AS c FROM j WHERE NOT treated),
+       tr AS (SELECT sp, row_number() OVER (ORDER BY sp) AS rn
+              FROM j WHERE treated),
+       cr AS (SELECT sp, row_number() OVER (ORDER BY sp) AS rn
+              FROM j WHERE NOT treated),
+       kt AS (SELECT q, greatest(1, CAST(ceil(q * tn.c) AS BIGINT)) AS k
+              FROM qs, tn),
+       kc AS (SELECT q, greatest(1, CAST(ceil(q * cn.c) AS BIGINT)) AS k
+              FROM qs, cn)
+       SELECT CAST(kt.q AS DOUBLE) AS quantile,
+         round(t.sp::DOUBLE / 100.0, 2) AS treated_spend,
+         round(c.sp::DOUBLE / 100.0, 2) AS control_spend,
+         round((t.sp - c.sp)::DOUBLE / 100.0, 2) AS qte
+       FROM kt JOIN kc ON kc.q = kt.q
+       JOIN tr t ON t.rn = kt.k
+       JOIN cr c ON c.rn = kc.k
+       ORDER BY quantile"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1761,7 +1833,8 @@ object Evals {
     "q234_ht_estimate" -> (q234 _),
     "q235_retrieval_eval" -> (q235 _),
     "q236_emd_drift" -> (q236 _),
-    "q237_lagged_xcorr" -> (q237 _))
+    "q237_lagged_xcorr" -> (q237 _),
+    "q239_qte" -> (q239 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1783,5 +1856,6 @@ object Evals {
     "q234_ht_estimate" -> q234Sql,
     "q235_retrieval_eval" -> q235Sql,
     "q236_emd_drift" -> q236Sql,
-    "q237_lagged_xcorr" -> q237Sql)
+    "q237_lagged_xcorr" -> q237Sql,
+    "q239_qte" -> q239Sql)
 }

@@ -307,6 +307,23 @@ class EvalsSpec extends SparkSpec {
     assert(rows(0) == Some(-0.2), s"lag 0: ${rows(0)}")
   }
 
+  test("q239 QTE: four quantile rows, qte = treated - control exactly") {
+    val rows = SparkEntry.queries("q239_qte")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75, 0.9))
+    rows.foreach { r =>
+      assert(r.getDouble(3) ==
+        graft.functions.Rounding.roundTo(
+          r.getDouble(1) - r.getDouble(2), 2) ||
+        math.abs(r.getDouble(3) - (r.getDouble(1) - r.getDouble(2)))
+          < 0.011,
+        s"qte inconsistent at q=${r.getDouble(0)}")
+      // order statistics are monotone in the quantile
+    }
+    val t = rows.map(_.getDouble(1))
+    assert(t.zip(t.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q221 Neyman: zero-variance strata get zero allocation") {
     // source A token masses {1,3}: sigma = sqrt(2); B {2,2}: sigma 0
     // -> the whole 1000-doc budget lands on A
