@@ -1811,6 +1811,119 @@ object Evals {
        JOIN cr c ON c.rn = kc.k
        ORDER BY quantile"""
 
+  // --------------------------------------------------------------- q240
+  /** Feature-drift sweep — q124's single-column PSI generalized to a
+    * training-serving-skew DASHBOARD: every numeric lineitem feature
+    * melts into (feature, value) rows in ONE scan (the q173 struct-
+    * explode shape), per-feature equi-depth boundaries come from the
+    * reference period's grouped percentiles (a features×(k−1) table
+    * broadcast back), and each feature reports its headline PSI.
+    * Per-bin Laplace-smoothed terms quantize to 1e-9-unit LONGs
+    * before the 8-bin sum (order-independent; the q216 contract);
+    * bins densify over the full 0..k−1 range so collapsed boundaries
+    * still expose drift. One melted pass, k-row-per-feature state.
+    */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val fracs = (1 until k).map(_.toDouble / k)
+    val spark = s
+    import spark.implicits._
+    val split = lit("1998-01-01").cast("date")
+    val melted = Tables.lineitem(s, d)
+      .select(explode(array(
+          struct(lit("l_quantity").as("f"),
+            col("l_quantity").cast("double").as("v")),
+          struct(lit("l_extendedprice").as("f"),
+            col("l_extendedprice").cast("double").as("v")),
+          struct(lit("l_discount").as("f"),
+            col("l_discount").cast("double").as("v")),
+          struct(lit("l_tax").as("f"),
+            col("l_tax").cast("double").as("v")))).as("e"),
+        (to_date(col("l_shipdate")) < split).as("isref"))
+      .select(col("e.f").as("f"), col("e.v").as("v"), col("isref"))
+      .filter(col("v").isNotNull)
+      .persist(sl)
+    val bounds = melted.filter(col("isref")).groupBy("f")
+      .agg(expr(s"percentile(v, array(${fracs.mkString(",")}))")
+        .as("bounds"))
+    val binned = melted.join(broadcast(bounds), "f")
+      .select(col("f"), col("isref"),
+        aggregate(col("bounds"), lit(0),
+          (acc, b) => acc + when(col("v") > b, 1).otherwise(0))
+          .as("bin"))
+      .groupBy("f", "bin")
+      .agg(sum(when(col("isref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("isref"), 1L).otherwise(0L)).as("n_cur"))
+    val grid = bounds.select("f")
+      .crossJoin(broadcast((0 until k).toDF("bin")))
+    val dense = grid.join(binned, Seq("f", "bin"), "left")
+      .select(col("f"), col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = dense.groupBy("f")
+      .agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val pr = (col("n_ref") + 0.5) / (col("tr") + lit(0.5 * k))
+    val pc = (col("n_cur") + 0.5) / (col("tc") + lit(0.5 * k))
+    val t = (pc - pr) * log(pc / pr)
+    val units = floor(abs(t) * lit(1e9) + lit(0.5)).cast("long") *
+      when(t < 0, -1L).otherwise(1L)
+    val result = dense.join(broadcast(totals), "f")
+      .select(col("f"), units.as("u"), col("tr"), col("tc"))
+      .groupBy("f")
+      .agg(first(col("tr")).as("n_ref"), first(col("tc")).as("n_cur"),
+        sum(col("u")).as("u"))
+      .select(col("f").as("feature"), col("n_ref"), col("n_cur"),
+        round(col("u").cast("double") / lit(1e9), 6).as("psi"))
+      .orderBy("feature")
+    graft.operators.Exec.owned(result, Seq(melted))
+  }
+
+  private val q240Sql = {
+    val k = 8
+    val fracs = (1 until k).map(_.toDouble / k)
+    s"""WITH melted AS (SELECT f, v,
+           (CAST(l_shipdate AS DATE) < DATE '1998-01-01') AS isref
+         FROM (SELECT unnest(['l_quantity', 'l_extendedprice',
+                 'l_discount', 'l_tax']) AS f,
+             unnest([l_quantity::DOUBLE, l_extendedprice::DOUBLE,
+                 l_discount::DOUBLE, l_tax::DOUBLE]) AS v,
+             l_shipdate
+           FROM lineitem)
+         WHERE v IS NOT NULL),
+       b AS (SELECT f, quantile_cont(v, [${fracs.mkString(", ")}])
+               AS bounds
+             FROM melted WHERE isref GROUP BY f),
+       binned AS (SELECT m.f,
+           CAST(len(list_filter(b.bounds, x -> m.v > x)) AS INT) AS bin,
+           CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ref,
+           CAST(sum(CASE WHEN NOT isref THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cur
+         FROM melted m JOIN b ON b.f = m.f
+         GROUP BY m.f, bin),
+       grid AS (SELECT b.f, CAST(r.range AS INT) AS bin
+                FROM b, range(0, $k) r),
+       dense AS (SELECT grid.f, grid.bin,
+                 coalesce(binned.n_ref, 0) AS n_ref,
+                 coalesce(binned.n_cur, 0) AS n_cur
+               FROM grid LEFT JOIN binned
+                 ON binned.f = grid.f AND binned.bin = grid.bin),
+       tot AS (SELECT f, CAST(sum(n_ref) AS BIGINT) AS tr,
+                 CAST(sum(n_cur) AS BIGINT) AS tc
+               FROM dense GROUP BY f),
+       terms AS (SELECT dense.f, tot.tr, tot.tc,
+           ((n_cur + 0.5) / (tc + ${0.5 * k})
+             - (n_ref + 0.5) / (tr + ${0.5 * k}))
+           * ln(((n_cur + 0.5) / (tc + ${0.5 * k}))
+               / ((n_ref + 0.5) / (tr + ${0.5 * k}))) AS t
+         FROM dense JOIN tot ON tot.f = dense.f)
+       SELECT f AS feature, first(tr) AS n_ref, first(tc) AS n_cur,
+         round(CAST(sum(CAST(floor(abs(t) * 1e9 + 0.5) AS BIGINT)
+             * (CASE WHEN t < 0 THEN -1 ELSE 1 END)) AS BIGINT)::DOUBLE
+           / 1e9, 6) AS psi
+       FROM terms GROUP BY f ORDER BY feature"""
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1834,7 +1947,8 @@ object Evals {
     "q235_retrieval_eval" -> (q235 _),
     "q236_emd_drift" -> (q236 _),
     "q237_lagged_xcorr" -> (q237 _),
-    "q239_qte" -> (q239 _))
+    "q239_qte" -> (q239 _),
+    "q240_feature_drift" -> (q240 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1857,5 +1971,6 @@ object Evals {
     "q235_retrieval_eval" -> q235Sql,
     "q236_emd_drift" -> q236Sql,
     "q237_lagged_xcorr" -> q237Sql,
-    "q239_qte" -> q239Sql)
+    "q239_qte" -> q239Sql,
+    "q240_feature_drift" -> q240Sql)
 }
