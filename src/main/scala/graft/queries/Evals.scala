@@ -1924,6 +1924,64 @@ object Evals {
        FROM terms GROUP BY f ORDER BY feature"""
   }
 
+  // --------------------------------------------------------------- q241
+  /** A/A negative control — the guardrail that validates the
+    * experimentation stack itself (q120 Welch, q126 SRM, q201 CUPED,
+    * q219 BH, q229/q239 uplift all assume the assignment and the test
+    * behave): a FRESH hash split (salt "aa") of the same population
+    * carries no true effect by construction, so per-type Welch z
+    * should sit near 0 and |z| > 1.96 should fire at ~5%. Each type
+    * reports its A/A z and flag, plus the family false-positive count
+    * (a windowed constant over the ≤5-row family) — a stack that
+    * flags most of its A/A readouts is broken upstream of any real
+    * experiment. Corpus work stays the ONE welchAb moment
+    * aggregation.
+    */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    val fam = graft.operators.Experiment
+      .welchAb(Tables.events(s, d), "user_id", "value", "event_type",
+        salt = "aa")
+      .filter(col("z").isNotNull)
+      .withColumn("false_positive", abs(col("z")) > 1.96)
+    val wAll = Window.partitionBy()
+    fam
+      .withColumn("family_fp",
+        sum(when(col("false_positive"), 1L).otherwise(0L)).over(wAll))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("z"),
+        col("false_positive"), col("family_fp"))
+      .orderBy("event_type")
+  }
+
+  private val q241Sql =
+    """WITH b AS (SELECT event_type, value::DOUBLE AS x,
+           ('0x' || substr(md5('aa' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 AS arm
+         FROM events WHERE value IS NOT NULL),
+       m AS (SELECT event_type,
+               CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               sum(x) FILTER (arm = 0) AS sa,
+               sum(x) FILTER (arm = 1) AS sb,
+               sum(x * x) FILTER (arm = 0) AS saa,
+               sum(x * x) FILTER (arm = 1) AS sbb
+             FROM b GROUP BY event_type
+             HAVING n_a >= 2 AND n_b >= 2),
+       t AS (SELECT event_type, n_a, n_b,
+               sa / n_a AS ma, sb / n_b AS mb,
+               greatest((saa / n_a - (sa / n_a) * (sa / n_a))
+                 * n_a / (n_a - 1.0), 0.0) AS va,
+               greatest((sbb / n_b - (sb / n_b) * (sb / n_b))
+                 * n_b / (n_b - 1.0), 0.0) AS vb
+             FROM m),
+       fam AS (SELECT event_type, n_a, n_b,
+               round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS z
+             FROM t WHERE va / n_a + vb / n_b > 0),
+       fp AS (SELECT *, (abs(z) > 1.96) AS false_positive FROM fam)
+       SELECT event_type, n_a, n_b, z, false_positive,
+         CAST(sum(CASE WHEN false_positive THEN 1 ELSE 0 END)
+           OVER () AS BIGINT) AS family_fp
+       FROM fp ORDER BY event_type"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1948,7 +2006,8 @@ object Evals {
     "q236_emd_drift" -> (q236 _),
     "q237_lagged_xcorr" -> (q237 _),
     "q239_qte" -> (q239 _),
-    "q240_feature_drift" -> (q240 _))
+    "q240_feature_drift" -> (q240 _),
+    "q241_aa_control" -> (q241 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -1972,5 +2031,6 @@ object Evals {
     "q236_emd_drift" -> q236Sql,
     "q237_lagged_xcorr" -> q237Sql,
     "q239_qte" -> q239Sql,
-    "q240_feature_drift" -> q240Sql)
+    "q240_feature_drift" -> q240Sql,
+    "q241_aa_control" -> q241Sql)
 }
