@@ -1815,21 +1815,36 @@ object Evals {
   /** Feature-drift sweep — q124's single-column PSI generalized to a
     * training-serving-skew DASHBOARD: every numeric lineitem feature
     * melts into (feature, value) rows in ONE scan (the q173 struct-
-    * explode shape), per-feature equi-depth boundaries come from the
-    * reference period's grouped percentiles (a features×(k−1) table
-    * broadcast back), and each feature reports its headline PSI.
-    * Per-bin Laplace-smoothed terms quantize to 1e-9-unit LONGs
-    * before the 8-bin sum (order-independent; the q216 contract);
-    * bins densify over the full 0..k−1 range so collapsed boundaries
-    * still expose drift. One melted pass, k-row-per-feature state.
+    * explode shape), per-feature equi-depth boundaries are EXACT
+    * order statistics at ranks `max(1, ceil(q·n))` (the q239 rank
+    * contract), all features×(k−1) = 28 boundary tasks advancing in
+    * LOCKSTEP through one batched [[graft.engine.OrderStat
+    * .multiQuantiles]] narrowing solve — no task ever holds more than
+    * `bins` counters, where a grouped exact `percentile` buffered an
+    * entire corpus column in one aggregation buffer (the 100 TB
+    * killer this query used to carry). The tiny features×(k−1)
+    * boundary table is broadcast back onto the melt. Per-bin
+    * Laplace-smoothed terms quantize to 1e-9-unit LONGs before the
+    * 8-bin sum (order-independent; the q216 contract); bins densify
+    * over the full 0..k−1 range so collapsed boundaries still expose
+    * drift. One melted pass, k-row-per-feature state.
     */
   private def q240(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val fracs = (1 until k).map(_.toDouble / k)
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
     val spark = s
     import spark.implicits._
     val split = lit("1998-01-01").cast("date")
-    val melted = Tables.lineitem(s, d)
+    val li = Tables.lineitem(s, d)
+    val ref = li.filter(to_date(col("l_shipdate")) < split)
+      .select(feats.map(f => col(f).cast("double").as(f)): _*)
+    val ranks = graft.engine.OrderStat.quantileRanks(fracs) _
+    val solved = graft.engine.OrderStat
+      .multiQuantiles(ref, feats.map(_ -> ranks), bins = 512)
+    val bounds = feats.zip(solved.map(_._2)).toDF("f", "bounds")
+    val melted = li
       .select(explode(array(
           struct(lit("l_quantity").as("f"),
             col("l_quantity").cast("double").as("v")),
@@ -1842,10 +1857,6 @@ object Evals {
         (to_date(col("l_shipdate")) < split).as("isref"))
       .select(col("e.f").as("f"), col("e.v").as("v"), col("isref"))
       .filter(col("v").isNotNull)
-      .persist(sl)
-    val bounds = melted.filter(col("isref")).groupBy("f")
-      .agg(expr(s"percentile(v, array(${fracs.mkString(",")}))")
-        .as("bounds"))
     val binned = melted.join(broadcast(bounds), "f")
       .select(col("f"), col("isref"),
         aggregate(col("bounds"), lit(0),
@@ -1875,7 +1886,7 @@ object Evals {
       .select(col("f").as("feature"), col("n_ref"), col("n_cur"),
         round(col("u").cast("double") / lit(1e9), 6).as("psi"))
       .orderBy("feature")
-    graft.operators.Exec.owned(result, Seq(melted))
+    result
   }
 
   private val q240Sql = {
@@ -1890,9 +1901,18 @@ object Evals {
              l_shipdate
            FROM lineitem)
          WHERE v IS NOT NULL),
-       b AS (SELECT f, quantile_cont(v, [${fracs.mkString(", ")}])
-               AS bounds
-             FROM melted WHERE isref GROUP BY f),
+       refn AS (SELECT f, count(*)::BIGINT AS n
+                FROM melted WHERE isref GROUP BY f),
+       ks AS (SELECT f,
+                greatest(1, CAST(ceil(frac * n) AS BIGINT)) AS kk
+              FROM refn, (SELECT unnest([${fracs.mkString(", ")}])
+                AS frac)),
+       rr AS (SELECT f, v,
+                row_number() OVER (PARTITION BY f ORDER BY v) AS rn
+              FROM melted WHERE isref),
+       b AS (SELECT ks.f, list(rr.v ORDER BY rr.v) AS bounds
+             FROM ks JOIN rr ON rr.f = ks.f AND rr.rn = ks.kk
+             GROUP BY ks.f),
        binned AS (SELECT m.f,
            CAST(len(list_filter(b.bounds, x -> m.v > x)) AS INT) AS bin,
            CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT)

@@ -2291,7 +2291,8 @@ object Insights {
       exp(-(lit(200.0) * Logistic.margin(w, Seq(col("x1"), col("x2"))))))
     pts
       .withColumn("p", p)
-      .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+      .withColumn("bin",
+        least(floor(col("p") * 10).cast("long"), lit(9L)))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(round(col("p") * 1e6, 0).cast("long")).as("p_micro_sum"),
@@ -2387,7 +2388,7 @@ object Insights {
     val scored = Graph.hits(edges, "cust", "part", iters = 2)
     val w = Window.partitionBy("side")
       .orderBy(col("score").desc, col("node"))
-    scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 15)
       .select("side", "rn", "node", "score")
       .orderBy("side", "rn")

@@ -88,7 +88,8 @@ object Lifecycle {
        f AS (SELECT t, n_risk, d,
                1.0 - d::DOUBLE / n_risk::DOUBLE AS factor
              FROM r WHERE d > 0)
-       SELECT t AS t_days, n_risk, CAST(d AS BIGINT) AS n_events,
+       SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+         CAST(d AS BIGINT) AS n_events,
          CASE WHEN min(factor) OVER w = 0.0 THEN 0.0
               ELSE round(exp(sum(ln(factor)) OVER w), 9) END AS survival
        FROM f
@@ -432,14 +433,15 @@ object Lifecycle {
               FROM b GROUP BY c_nationkey, c_mktsegment)
        SELECT '1_segment' AS qi_set, CAST(3 AS BIGINT) AS l,
          count(*) AS n_groups,
-         sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS n_low_div,
+         CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_div,
          CAST(sum(CASE WHEN div < 3 THEN n ELSE 0 END) AS BIGINT)
            AS n_rows_exposed,
          min(div) AS min_diversity
        FROM g1
        UNION ALL
        SELECT '2_nation_segment', CAST(3 AS BIGINT), count(*),
-         sum(CASE WHEN div < 3 THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT),
          CAST(sum(CASE WHEN div < 3 THEN n ELSE 0 END) AS BIGINT),
          min(div)
        FROM g2

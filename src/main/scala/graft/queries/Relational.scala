@@ -255,7 +255,7 @@ object Relational {
     val w = Window.partitionBy("l_orderkey")
       .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
     Tables.lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 2)
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
       .orderBy("l_orderkey", "rn")

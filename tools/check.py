@@ -2,6 +2,14 @@
 """Local replica of the driver's correctness gate: run Verify output
 against DuckDB oracles and diff. Usage:
     python3 tools/check.py <sfDir> <verifyOutDir>
+
+Type-aware since round 9: in addition to the value diff, the DuckDB
+logical type of every oracle column must EXACTLY equal the type DuckDB
+infers when reading the Spark parquet output. This is what the
+value-level compare cannot see — DuckDB `sum(BIGINT)` returns HUGEINT
+(int128) while Spark writes LONG/BIGINT, and the driver's hash of the
+two differs even when every value is equal (the q150/q205/q210 class).
+An oracle with an un-CAST `sum(...)` now fails HERE, not at the driver.
 """
 import json
 import math
@@ -30,12 +38,14 @@ def main(sf_dir, out_dir):
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.execute(
+            got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [c[0] for c in got_rel.description]
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
             got = got_rel.fetchall()
-            exp_rel = con.execute(sql)
-            exp_cols = [c[0] for c in exp_rel.description]
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t) for t in exp_rel.types]
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
@@ -45,6 +55,20 @@ def main(sf_dir, out_dir):
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            fail += 1
+            continue
+        # Type gate: oracle column type must byte-equal the type DuckDB
+        # reads back from the Spark parquet (sorted by column name, the
+        # driver's own ordering).
+        tdiff = [(got_cols[a], got_types[a], exp_types[b])
+                 for a, b in zip(gi, ei) if got_types[a] != exp_types[b]]
+        if tdiff:
+            print(f"FAIL {name}: column TYPE mismatch (spark vs oracle):")
+            for c, gt, et in tdiff:
+                print(f"    {c}: spark={gt} oracle={et}"
+                      + ("  <-- un-CAST DuckDB aggregate? wrap in "
+                         "CAST(... AS BIGINT/DOUBLE)"
+                         if et in ("HUGEINT", "INT128") else ""))
             fail += 1
             continue
         g = [tuple(canon(r[i]) for i in gi) for r in got]
