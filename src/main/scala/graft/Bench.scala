@@ -113,6 +113,25 @@ object Bench {
     // semantically free, so the total/errors/runs now always survive
     // into the captured tail even when the full line no longer parses
     println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","value":${fmt(total)}}""")
+    // The stdout tail keeps only ~2 kB — at 240+ queries most per-query
+    // medians never reach the captured record. Mirror the FULL result
+    // (long names, warm medians, errors) to a file so round-over-round
+    // grading can diff every query without re-running the bench.
+    // Committed at round close as BENCH_LOCAL_r{N}.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    if (outPath.nonEmpty) try {
+      val full = ok.map { case (k, v) => s"""  "${esc(k)}": ${fmt(v)}""" }
+        .mkString("{\n", ",\n", "\n}")
+      val fullErrs = errs.map { case (k, e) => s"""  "${esc(k)}": "${esc(e)}"""" }
+        .mkString("{\n", ",\n", "\n}")
+      val json =
+        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","value":${fmt(total)},
+           |"queries":$full,
+           |"errors":$fullErrs}""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench file mirror failed: ${e.getMessage}") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

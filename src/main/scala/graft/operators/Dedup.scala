@@ -293,14 +293,17 @@ object Dedup {
     // keys on xxhash64, so every downstream shuffle — the df
     // aggregation, the df join, the pair self-join — moves 8-byte
     // longs, never n-gram strings (at corpus scale the string index
-    // was the kernel's dominant shuffle). Correctness is unaffected:
-    // a hash collision can only ADD a candidate pair or push a
-    // shingle over the df cap (where the `hid` upper-bound term
-    // already accounts for it), and the exact verification that
-    // decides the output runs on the true string sets
-    // ([[candidateSets]]); losing a true pair would need a 64-bit
-    // collision on that pair's only shared indexed shingle (~2⁻⁶⁴
-    // per pair — far below the graded rounding grid).
+    // was the kernel's dominant shuffle). Correctness effects of a
+    // 64-bit collision, both vanishing: it can ADD a spurious
+    // candidate pair (harmless — the exact verification that decides
+    // the output runs on the true string sets, [[candidateSets]]),
+    // or it can merge two sub-cap shingles past the df cap and so
+    // SUPPRESS a candidate whose only shared shingle was legitimately
+    // indexable (the `hid` upper-bound term keeps the similarity
+    // bound sound, but the pair is never generated). Losing a true
+    // pair that way needs a 64-bit collision on that pair's only
+    // shared indexed shingle (~2⁻⁶⁴ per pair — far below the graded
+    // rounding grid), which is the whole argument.
     val inv = shingleSets(docs, idCol, textCol, shingleN)
       .select(col("id"), explode(col("sh")).as("sr"))
       .select(col("id"), xxhash64(col("sr")).as("s"))

@@ -377,6 +377,11 @@ object Evals {
     * approximation; the BH step-up itself is exact given them):
     * p = 2/(1+exp(1.702·|z|)) is monotone in |z|, an explicit closed
     * form both engines evaluate identically on the 4-dp-rounded z.
+    * Consequence of the approximation: rank ORDER matches exact-Φ BH
+    * (monotonicity), but a p-value within ~0.01 of its α·i/m boundary
+    * can flip reject/accept relative to exact-normal BH — the "FDR
+    * control" label is exact for THESE p-values, approximate for
+    * true normal tails.
     * The step-up (rank by (p, segment), reject rank ≤ max{i : p_i ≤
     * α·i/m}) runs on the m-row family table — corpus work is the ONE
     * conditional moment aggregation inside [[Experiment.welchAb]].
@@ -638,8 +643,21 @@ object Evals {
     import spark.implicits._
     val (trans, outTot) = journeyChain(s, d)
     // the four non-absorbing channels, fixed alphabetical index order
-    // (bit i of a scenario mask = channels(i) alive) — mirrored in SQL
+    // (bit i of a scenario mask = channels(i) alive) — mirrored in SQL.
+    // The mask arithmetic AND the oracle both pin this set, so a new
+    // event type in the corpus cannot be absorbed silently (it would
+    // be treated as always-alive and excluded from attribution, and
+    // the mirrored oracle would hide the drift): assert the discovered
+    // non-absorbing states are exactly the pinned ones.
     val channels = Seq("click", "error", "signup", "view")
+    val discovered = trans.iterator
+      .flatMap(t => Iterator(t._1, t._2))
+      .filterNot(st => st == "START" || st == "NULLS" || st == "purchase")
+      .toSet
+    require(discovered.subsetOf(channels.toSet),
+      s"q233: corpus has channels outside the pinned Shapley set: " +
+        s"${(discovered -- channels.toSet).toSeq.sorted.mkString(", ")} — " +
+        "extend `channels` (and the oracle's chan VALUES) to include them")
     def vOf(mask: Int): Long = {
       def alive(x: String): Boolean = {
         val i = channels.indexOf(x)

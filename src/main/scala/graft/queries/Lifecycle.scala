@@ -525,7 +525,11 @@ object Lifecycle {
     // the state-store shuffle width is read from the session conf at
     // query start: narrow it for the stream (per-batch fixed cost is
     // one state-store commit PER partition PER batch — 32 wide is all
-    // overhead at this key cardinality), restore for the batch rollup
+    // overhead at this key cardinality), restore for the batch rollup.
+    // NOTE: set/restore on the SHARED session conf is safe only under
+    // the serial Verify/Bench harness; concurrent query execution on
+    // one SparkSession would need a per-query `newSession()` clone
+    // instead (same caveat at the q226/q231/q204 sites).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {

@@ -100,7 +100,7 @@ class EvalsSpec extends SparkSpec {
     val r = SparkEntry.queries("q215_cohens_kappa")(spark, dir)
       .collect()(0)
     assert(r.getDouble(1) == 0.5)   // po
-    assert(r.getDouble(2) == 0.5)   // pe = (2·1 + 2·1)/4² = 0.25… recompute below
+    assert(r.getDouble(2) == 0.5)   // pe = (2·1 + 0·1)/2² = 0.5
     assert(r.getDouble(3) == 0.0)   // kappa
   }
 
@@ -454,5 +454,26 @@ class EvalsSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").collect()(0)
     assert(math.abs(c.getDouble(5)) < 0.5,
       s"rel_err=${c.getDouble(5)}")
+  }
+
+  test("q241 A/A control: the experimentation stack passes its own " +
+      "guardrail (family_fp <= 1)") {
+    // The A/A split carries no true effect by construction, so the
+    // Welch machinery (hash-arm assignment + moment aggregation +
+    // z computation — shared by q120/q126/q201/q219/q229/q239) must
+    // NOT flag more than ~5% of the family. Any future change that
+    // biases `Experiment.welchAb`'s assignment fails here at spec
+    // time, not at driver time. |z| should also sit near 0.
+    val rows = SparkEntry.queries("q241_aa_control")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val familyFp = rows.head.getLong(5)
+    assert(rows.forall(_.getLong(5) == familyFp),
+      "family_fp must be a family-wide constant")
+    assert(familyFp <= 1L,
+      s"A/A control flagged $familyFp of ${rows.length} event types — " +
+        "the assignment or test machinery is biased")
+    assert(rows.forall(r => math.abs(r.getDouble(3)) < 4.0),
+      "an A/A |z| beyond 4 sigma means broken arithmetic, not chance")
   }
 }

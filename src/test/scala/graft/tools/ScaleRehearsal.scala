@@ -56,7 +56,12 @@ object ScaleRehearsal {
     // clustering on the scaled corpus) and the two streaming replays
     // on scaled events (state-store + micro-batch cost must scale too)
     "q222_bcubed_eval", "q204_stream_stream_join",
-    "q226_streaming_dedup")
+    "q226_streaming_dedup",
+    // round-9 additions (VERDICT r8 item 4): the slowest bench entry
+    // (feature-drift sweep on scaled lineitem) and the two stateful
+    // streaming replays (eviction, transformWithState) on scaled
+    // events — the only expensive paths without a measured 10× ratio
+    "q240_feature_drift", "q211_streaming_sessions", "q231_streaming_tws")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
