@@ -1485,7 +1485,15 @@ object Evals {
     * queries × corpus. Scores round to 4 dp BEFORE ranking (the q97
     * total-order contract); reciprocal ranks quantize to 6 dp.
     */
-  private def q235(s: SparkSession, d: String): DataFrame = {
+  /** Shared engine kernel for q235/q248: multi-query BM25
+    * self-retrieval, every corpus doc sharing ≥1 query term scored
+    * and ranked per query (score 4-dp-rounded BEFORE the rank — the
+    * q97 total-order contract). Returns the ranked candidate frame
+    * `(qid, doc_id, score, rnk)` plus the persisted handles the
+    * caller must release via [[graft.operators.Exec.owned]].
+    */
+  private def bm25Ranked(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val k1 = 1.2
     val b = 0.75
     val toks = Tables.documents(s, d)
@@ -1523,8 +1531,13 @@ object Evals {
       .agg(round(sum(col("contrib")), 4).as("score"))
     val wr = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("doc_id").asc)
-    val result = scored
-      .withColumn("rnk", row_number().over(wr))
+    (scored.withColumn("rnk", row_number().over(wr)),
+      Seq(toks, qterms, tf))
+  }
+
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val (ranked, handles) = bm25Ranked(s, d)
+    val result = ranked
       .filter(col("doc_id") === col("qid"))
       .select(col("qid"), col("rnk").cast("int").as("origin_rank"),
         (col("rnk") <= 10).as("hit10"),
@@ -1532,7 +1545,7 @@ object Evals {
           lit(1.0) / col("rnk").cast("double")).otherwise(0.0), 6)
           .as("rr"))
       .orderBy("qid")
-    graft.operators.Exec.owned(result, Seq(toks, qterms, tf))
+    graft.operators.Exec.owned(result, handles)
   }
 
   private val q235Sql =
@@ -2020,6 +2033,379 @@ object Evals {
            OVER () AS BIGINT) AS family_fp
        FROM fp ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q244
+  /** Cochran–Mantel–Haenszel stratified 2×2 analysis — the pooled
+    * readout q120's per-segment Welch CANNOT give: one common odds
+    * ratio for "does the treated arm over-produce high-value events"
+    * ACROSS event-type strata, immune to Simpson reversal (a pooled
+    * 2×2 would confound arm imbalance with type mix). Per stratum the
+    * 2×2 cells (a,b,c,d) are exact LONG counts from ONE aggregation;
+    * the MH terms a·d/n, b·c/n, the null expectation E[a] and its
+    * hypergeometric variance quantize to 1e-6-unit LONGs BEFORE the
+    * cross-strata sum (5-row table, but Spark sums in partition order
+    * — quantized units make the fold order-independent), and the two
+    * final divisions close it: OR_MH = Σr/Σs, χ²_MH = (Σa − ΣE)²/ΣV.
+    */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    val arm = graft.operators.Sampling.hashBucket(col("user_id"), "ab", 2)
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (arm === 0).as("t"),
+        (col("value") > 50.0).as("y"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("t") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("t") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("t") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("t") && !col("y"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    def u6(x: org.apache.spark.sql.Column) =
+      floor(x * lit(1e6) + lit(0.5)).cast("long")
+    val terms = cells.select(
+      col("a"),
+      (col("a") + col("b") + col("c") + col("d")).as("nt"),
+      u6((col("a") * col("d")).cast("double") / n).as("r_u"),
+      u6((col("b") * col("c")).cast("double") / n).as("s_u"),
+      u6(((col("a") + col("b")) * (col("a") + col("c"))).cast("double") / n)
+        .as("e_u"),
+      u6(((col("a") + col("b")) * (col("c") + col("d"))).cast("double") /
+          (n * (n - lit(1.0))) *
+         (((col("a") + col("c")) * (col("b") + col("d"))).cast("double") / n))
+        .as("v_u"))
+    terms.agg(
+        count(lit(1)).as("n_strata"), sum(col("nt")).as("n_total"),
+        sum(col("a")).as("sa"), sum(col("r_u")).as("r"),
+        sum(col("s_u")).as("ss"), sum(col("e_u")).as("e"),
+        sum(col("v_u")).as("v"))
+      .select(col("n_strata"), col("n_total"),
+        round(col("r").cast("double") / col("ss").cast("double"), 6)
+          .as("or_mh"),
+        round((col("sa").cast("double") - col("e").cast("double") / 1e6) *
+              (col("sa").cast("double") - col("e").cast("double") / 1e6) /
+              (col("v").cast("double") / 1e6), 6).as("chi2_mh"))
+  }
+
+  private val q244Sql =
+    """WITH b AS (SELECT event_type,
+           (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 = 0) AS t,
+           (value > 50.0) AS y
+         FROM events WHERE value IS NOT NULL),
+       cells AS (SELECT event_type,
+           CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN t AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+           CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN NOT t AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+         FROM b GROUP BY event_type),
+       terms AS (SELECT a, (a + bb + c + d) AS nt,
+           CAST(floor((a * d)::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6 + 0.5)
+             AS BIGINT) AS r_u,
+           CAST(floor((bb * c)::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6 + 0.5)
+             AS BIGINT) AS s_u,
+           CAST(floor(((a+bb) * (a+c))::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6
+             + 0.5) AS BIGINT) AS e_u,
+           CAST(floor(((a+bb) * (c+d))::DOUBLE
+               / ((a+bb+c+d)::DOUBLE * ((a+bb+c+d)::DOUBLE - 1.0))
+               * (((a+c) * (bb+d))::DOUBLE / (a+bb+c+d)::DOUBLE) * 1e6
+             + 0.5) AS BIGINT) AS v_u
+         FROM cells)
+       SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(nt) AS BIGINT) AS n_total,
+         round(CAST(sum(r_u) AS DOUBLE) / CAST(sum(s_u) AS DOUBLE), 6)
+           AS or_mh,
+         round((CAST(sum(a) AS DOUBLE) - CAST(sum(e_u) AS DOUBLE) / 1e6)
+             * (CAST(sum(a) AS DOUBLE) - CAST(sum(e_u) AS DOUBLE) / 1e6)
+             / (CAST(sum(v_u) AS DOUBLE) / 1e6), 6) AS chi2_mh
+       FROM terms"""
+
+  // --------------------------------------------------------------- q245
+  /** Power analysis / minimum detectable effect — the question an
+    * experimenter asks BEFORE running q120: at the current traffic
+    * and variance, how small an effect could this stack even see?
+    * MDE (α=0.05 two-sided, 80% power) = (z₀.₉₇₅ + z₀.₈)·SE ≈
+    * 2.8016·SE on the Welch standard error — computed FROM
+    * [[graft.operators.Experiment.welchAb]]'s own 6-dp-rounded `se`
+    * and 4-dp means (deterministic inputs ⇒ deterministic readout;
+    * the oracle replays the identical moment algebra and roundings).
+    * Corpus cost: the ONE welchAb moment aggregation, nothing else.
+    */
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    val fam = graft.operators.Experiment
+      .welchAb(Tables.events(s, d), "user_id", "value", "event_type",
+        salt = "ab")
+    val pooled = (col("mean_a") * col("n_a").cast("double") +
+      col("mean_b") * col("n_b").cast("double")) /
+      (col("n_a") + col("n_b")).cast("double")
+    fam.select(col("event_type"), col("n_a"), col("n_b"), col("se"),
+        round(lit(2.8016) * col("se"), 6).as("mde_abs"),
+        round(lit(2.8016) * col("se") / pooled, 6).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
+  private val q245Sql =
+    """WITH b AS (SELECT event_type, value::DOUBLE AS x,
+           ('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 AS arm
+         FROM events WHERE value IS NOT NULL),
+       m AS (SELECT event_type,
+               CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               sum(x) FILTER (arm = 0) AS sa,
+               sum(x) FILTER (arm = 1) AS sb,
+               sum(x * x) FILTER (arm = 0) AS saa,
+               sum(x * x) FILTER (arm = 1) AS sbb
+             FROM b GROUP BY event_type
+             HAVING n_a >= 2 AND n_b >= 2),
+       t AS (SELECT event_type, n_a, n_b,
+               round(sa / n_a, 4) AS ma, round(sb / n_b, 4) AS mb,
+               round(sqrt(
+                 greatest((saa / n_a - (sa / n_a) * (sa / n_a))
+                   * n_a / (n_a - 1.0), 0.0) / n_a +
+                 greatest((sbb / n_b - (sb / n_b) * (sb / n_b))
+                   * n_b / (n_b - 1.0), 0.0) / n_b), 6) AS se
+             FROM m)
+       SELECT event_type, n_a, n_b, se,
+         round(2.8016 * se, 6) AS mde_abs,
+         round(2.8016 * se /
+           ((ma * n_a::DOUBLE + mb * n_b::DOUBLE) / (n_a + n_b)::DOUBLE),
+           6) AS mde_rel
+       FROM t ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q246
+  /** Chi-square test of independence + Cramér's V over a categorical
+    * pair — the contingency companion to q223's mutual information
+    * (MI ranks association in nats; χ²/V give the classical test
+    * statistic and a [0,1] effect size): is order STATUS independent
+    * of order PRIORITY? Exact r×c cell counts from ONE aggregation;
+    * expected counts row·col/n from exact LONG margins; each cell's
+    * (o−e)²/e quantizes to 1e-6-unit LONGs before the k-cell sum, so
+    * the fold is order-independent; V = sqrt(χ²/(n·(min(r,c)−1))).
+    */
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("rr"),
+        col("o_orderpriority").as("cc"))
+      .agg(count(lit(1)).as("o"))
+      .persist(sl)
+    val rowm = cells.groupBy("rr").agg(sum(col("o")).as("rm"))
+    val colm = cells.groupBy("cc").agg(sum(col("o")).as("cm"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("rr")).as("nr"), countDistinct(col("cc")).as("nc"))
+    val e = col("rm").cast("double") * col("cm").cast("double") /
+      col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    val result = cells
+      .join(broadcast(rowm), "rr").join(broadcast(colm), "cc")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("nr"), col("nc"),
+        floor(term * lit(1e6) + lit(0.5)).cast("long").as("t_u"))
+      .groupBy("n", "nr", "nc")
+      .agg(sum(col("t_u")).as("chi2_u"))
+      .select(col("n").as("n_orders"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round(col("chi2_u").cast("double") / 1e6, 6).as("chi2"),
+        round(sqrt(col("chi2_u").cast("double") / 1e6 /
+          (col("n").cast("double") *
+            (least(col("nr"), col("nc")) - lit(1)).cast("double"))), 6)
+          .as("cramers_v"))
+    graft.operators.Exec.owned(result, Seq(cells))
+  }
+
+  private val q246Sql =
+    """WITH cells AS (SELECT o_orderstatus AS rr, o_orderpriority AS cc,
+           count(*)::BIGINT AS o
+         FROM orders GROUP BY 1, 2),
+       rowm AS (SELECT rr, CAST(sum(o) AS BIGINT) AS rm FROM cells GROUP BY rr),
+       colm AS (SELECT cc, CAST(sum(o) AS BIGINT) AS cm FROM cells GROUP BY cc),
+       tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT rr) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT cc) AS BIGINT) AS nc
+               FROM cells),
+       terms AS (SELECT n, nr, nc,
+           CAST(floor((o::DOUBLE - rm::DOUBLE * cm::DOUBLE / n::DOUBLE)
+               * (o::DOUBLE - rm::DOUBLE * cm::DOUBLE / n::DOUBLE)
+               / (rm::DOUBLE * cm::DOUBLE / n::DOUBLE) * 1e6 + 0.5)
+             AS BIGINT) AS t_u
+         FROM cells JOIN rowm USING (rr) JOIN colm USING (cc), tot)
+       SELECT n AS n_orders,
+         CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+         round(CAST(sum(t_u) AS DOUBLE) / 1e6, 6) AS chi2,
+         round(sqrt(CAST(sum(t_u) AS DOUBLE) / 1e6
+           / (n::DOUBLE * (least(nr, nc) - 1)::DOUBLE)), 6) AS cramers_v
+       FROM terms GROUP BY n, nr, nc"""
+
+  // --------------------------------------------------------------- q247
+  /** Mann–Whitney rank-sum A/B test per event type — the
+    * nonparametric companion to q120's Welch readout on the SAME
+    * hash-arm assignment: does one arm stochastically dominate the
+    * other, visible even when heavy tails hide a mean shift? Exact
+    * rank algebra through [[graft.operators.MlEval.mannWhitney]]
+    * (per-value counts → two-level bucketed prefix sum; tie-corrected
+    * normal z) on micro-unit-quantized values — no pair enumeration,
+    * no global sort, U in DECIMAL(38,0).
+    */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val units = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val arm = graft.operators.Sampling.hashBucket(col("user_id"), "ab", 2)
+    val scored = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), units.as("u"), (arm === 0).as("y"))
+    graft.operators.MlEval
+      .mannWhitney(scored, "event_type", "u", "y")
+      .orderBy("event_type")
+  }
+
+  private val q247Sql =
+    """WITH b AS (SELECT event_type,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS u,
+           (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 = 0) AS y
+         FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type, u,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS bb
+             FROM b GROUP BY event_type, u),
+       w AS (SELECT event_type, a, bb,
+               coalesce(sum(bb) OVER (PARTITION BY event_type ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS bbelow
+             FROM c),
+       agg AS (SELECT event_type,
+               CAST(sum(a) AS BIGINT) AS n_a,
+               CAST(sum(bb) AS BIGINT) AS n_b,
+               sum(a::HUGEINT * (2 * bbelow + bb)) AS u2,
+               sum((a + bb)::HUGEINT * (a + bb) * (a + bb) - (a + bb))
+                 AS ties
+             FROM w GROUP BY event_type),
+       fin AS (SELECT event_type, n_a, n_b,
+               CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+               n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+               n_a::DOUBLE + n_b::DOUBLE AS nn,
+               CAST(ties AS DOUBLE) AS td
+             FROM agg)
+       SELECT event_type, n_a, n_b, u_a,
+         CASE WHEN n_a > 0 AND n_b > 0
+               AND na * nb / 12.0 * ((nn + 1.0) - td / (nn * (nn - 1.0))) > 0
+           THEN round((u_a - na * nb / 2.0) /
+             sqrt(na * nb / 12.0 * ((nn + 1.0) - td / (nn * (nn - 1.0)))), 4)
+         END AS z
+       FROM fin ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q248
+  /** NDCG@10 with GRADED relevance — the ranking-quality lens q235's
+    * binary MRR/hit@10 can't give: the origin document is the only
+    * perfect hit (rel 2), but any document from the origin's SOURCE
+    * is partially relevant (rel 1), so a retriever that surfaces
+    * near-misses scores above one that surfaces noise. Same shared
+    * BM25 kernel ([[bm25Ranked]] — engine and ranking contract cannot
+    * drift from q235); relevance joins touch only the 10-row-per-query
+    * head. Discounted gains (2^rel−1)/log₂(rank+1) quantize to
+    * 1e-9-unit LONGs before summation (libm log₂ differs across
+    * engines by ulps — far below the grid); the ideal DCG places the
+    * origin first and min(9, |source|−1) rel-1 docs behind it.
+    */
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val (ranked, handles) = bm25Ranked(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val qsrc = src.select(col("doc_id").as("qid"),
+      col("source").as("qsource"))
+    val srcCount = src.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val top = ranked.filter(col("rnk") <= 10)
+      .join(src, "doc_id")
+      .join(broadcast(qsrc), "qid")
+      .withColumn("gain",
+        when(col("doc_id") === col("qid"), 3L)
+          .when(col("source") === col("qsource"), 1L).otherwise(0L))
+      .withColumn("term_u",
+        floor(col("gain").cast("double") /
+          log2(col("rnk").cast("double") + lit(1.0)) * lit(1e9) + lit(0.5))
+          .cast("long"))
+    val dcg = top.groupBy("qid")
+      .agg(sum(when(col("gain") > 0, 1L).otherwise(0L)).as("rel_in_top10"),
+        sum(col("term_u")).as("dcg_u"))
+    val ideal = qsrc
+      .join(broadcast(srcCount), col("qsource") === col("source"))
+      .select(col("qid"), col("n_src"))
+      .withColumn("idcg_u", lit(3000000000L) +
+        aggregate(
+          filter(sequence(lit(2), lit(10)),
+            i => i <= least(lit(10), col("n_src"))),
+          lit(0L),
+          (acc, i) => acc + floor(lit(1.0) /
+            log2(i.cast("double") + lit(1.0)) * lit(1e9) + lit(0.5))
+            .cast("long")))
+    val result = dcg.join(broadcast(ideal), "qid")
+      .select(col("qid"), col("rel_in_top10"),
+        round(col("dcg_u").cast("double") / lit(1e9), 6).as("dcg10"),
+        round(col("dcg_u").cast("double") / col("idcg_u").cast("double"), 6)
+          .as("ndcg10"))
+      .orderBy("qid")
+    graft.operators.Exec.owned(result, handles)
+  }
+
+  private val q248Sql =
+    """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       dl AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM toks),
+       st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+       qterms AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+                  FROM toks WHERE doc_id % 40 = 0),
+       terms AS (SELECT DISTINCT tok FROM qterms),
+       tf AS (SELECT doc_id, t AS tok, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(w) AS t FROM toks) u
+              JOIN terms ON t = terms.tok
+              GROUP BY doc_id, t),
+       idf AS (SELECT tok,
+                 ln(1 + (st.n_docs - count(*)::DOUBLE + 0.5)
+                      / (count(*)::DOUBLE + 0.5)) AS idf
+               FROM tf, st GROUP BY tok, st.n_docs),
+       sc AS (SELECT q.qid, tf.doc_id,
+                round(sum(idf.idf * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+                  4) AS score
+              FROM qterms q
+              JOIN tf USING (tok) JOIN idf USING (tok)
+              JOIN dl ON dl.doc_id = tf.doc_id, st
+              GROUP BY q.qid, tf.doc_id),
+       rk AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM sc),
+       qsrc AS (SELECT doc_id AS qid, source AS qsource FROM documents),
+       scnt AS (SELECT source, count(*)::BIGINT AS n_src
+                FROM documents GROUP BY source),
+       top AS (SELECT rk.qid, rk.rnk,
+                 CASE WHEN rk.doc_id = rk.qid THEN 3
+                      WHEN s2.source = q.qsource THEN 1 ELSE 0 END AS gain
+               FROM rk
+               JOIN documents s2 ON s2.doc_id = rk.doc_id
+               JOIN qsrc q ON q.qid = rk.qid
+               WHERE rk.rnk <= 10),
+       dcg AS (SELECT qid,
+                 CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rel_in_top10,
+                 CAST(sum(CAST(floor(gain::DOUBLE
+                     / log2(rnk::DOUBLE + 1.0) * 1e9 + 0.5) AS BIGINT))
+                   AS BIGINT) AS dcg_u
+               FROM top GROUP BY qid),
+       ideal AS (SELECT q.qid,
+                 3000000000 + coalesce(CAST(sum(CAST(floor(1.0
+                     / log2(r.range::DOUBLE + 1.0) * 1e9 + 0.5) AS BIGINT))
+                   AS BIGINT), 0) AS idcg_u
+               FROM qsrc q JOIN scnt ON scnt.source = q.qsource
+               LEFT JOIN range(2, 11) r
+                 ON r.range <= least(10, scnt.n_src)
+               GROUP BY q.qid)
+       SELECT d.qid, d.rel_in_top10,
+         round(d.dcg_u::DOUBLE / 1e9, 6) AS dcg10,
+         round(d.dcg_u::DOUBLE / i.idcg_u::DOUBLE, 6) AS ndcg10
+       FROM dcg d JOIN ideal i USING (qid) ORDER BY qid"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2045,7 +2431,12 @@ object Evals {
     "q237_lagged_xcorr" -> (q237 _),
     "q239_qte" -> (q239 _),
     "q240_feature_drift" -> (q240 _),
-    "q241_aa_control" -> (q241 _))
+    "q241_aa_control" -> (q241 _),
+    "q244_cmh_stratified" -> (q244 _),
+    "q245_power_mde" -> (q245 _),
+    "q246_chisq_independence" -> (q246 _),
+    "q247_mann_whitney" -> (q247 _),
+    "q248_ndcg" -> (q248 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -2070,5 +2461,10 @@ object Evals {
     "q237_lagged_xcorr" -> q237Sql,
     "q239_qte" -> q239Sql,
     "q240_feature_drift" -> q240Sql,
-    "q241_aa_control" -> q241Sql)
+    "q241_aa_control" -> q241Sql,
+    "q244_cmh_stratified" -> q244Sql,
+    "q245_power_mde" -> q245Sql,
+    "q246_chisq_independence" -> q246Sql,
+    "q247_mann_whitney" -> q247Sql,
+    "q248_ndcg" -> q248Sql)
 }
