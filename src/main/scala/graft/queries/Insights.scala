@@ -2588,9 +2588,168 @@ object Insights {
        TRUE AS stream_eq_batch, TRUE AS within_bounds
        FROM events"""
 
+  // --------------------------------------------------------------- q243
+  /** Benford first-digit audit — the forensic data-quality lens next
+    * to q68's rule checks: synthetic or tampered monetary columns
+    * betray themselves by a first-significant-digit distribution far
+    * from log₁₀(1+1/d). Digit extraction is string-exact (first char
+    * of the integer part — no FP log near power-of-ten boundaries);
+    * expected frequencies quantize to 1e-9-unit LONGs, each digit's
+    * χ² contribution to 1e-6-unit LONGs, and the family statistic is
+    * a window sum over the 9-row digit table. ONE map-only corpus
+    * pass + a 9-group aggregation; the verdict on TPC-H's uniform
+    * price generator is honestly "not Benford" — the audit's point is
+    * the measurement, not a pass.
+    */
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(
+      floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    // exp_u: log10(1+1/d) in 1e-9 units — quantized BEFORE any
+    // arithmetic so cross-engine libm ulps die at the grid
+    val expU = floor(
+      log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * lit(1e9)
+        + lit(0.5)).cast("long")
+    val n = col("n").cast("double")
+    val tot = col("tot").cast("double")
+    val expF = col("exp_u").cast("double") / lit(1e9)
+    val termU = floor((n / tot - expF) * (n / tot - expF) / expF * tot *
+      lit(1e6) + lit(0.5)).cast("long")
+    counts
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("exp_u", expU)
+      .withColumn("t_u", termU)
+      .select(col("digit"), col("n"),
+        round(n / tot, 6).as("obs_freq"),
+        round(expF, 6).as("exp_freq"),
+        round(sum(col("t_u")).over(wAll).cast("double") / lit(1e6), 6)
+          .as("chi2_family"))
+      .orderBy("digit")
+  }
+
+  private val q243Sql =
+    """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+           count(*)::BIGINT AS n
+         FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+       e AS (SELECT digit, n,
+               CAST(sum(n) OVER () AS BIGINT) AS tot,
+               CAST(floor(log10(1.0 + 1.0 / digit::DOUBLE) * 1e9 + 0.5)
+                 AS BIGINT) AS exp_u
+             FROM c),
+       t AS (SELECT digit, n, tot, exp_u,
+               CAST(floor((n::DOUBLE / tot::DOUBLE - exp_u::DOUBLE / 1e9)
+                   * (n::DOUBLE / tot::DOUBLE - exp_u::DOUBLE / 1e9)
+                   / (exp_u::DOUBLE / 1e9) * tot::DOUBLE * 1e6 + 0.5)
+                 AS BIGINT) AS t_u
+             FROM e)
+       SELECT digit, n,
+         round(n::DOUBLE / tot::DOUBLE, 6) AS obs_freq,
+         round(exp_u::DOUBLE / 1e9, 6) AS exp_freq,
+         round(CAST(sum(t_u) OVER () AS DOUBLE) / 1e6, 6) AS chi2_family
+       FROM t ORDER BY digit"""
+
+  // --------------------------------------------------------------- q250
+  /** Theil–Sen robust trend — the median-based slope estimator that
+    * shrugs off the outlier days that wreck q06's least-squares
+    * forecast: over a 90-day revenue window, slope = lower median of
+    * all pairwise slopes, intercept = lower median of the per-day
+    * residual offsets at that slope. The pair table is
+    * calendar-bounded (days², ≤ ~4k rows — NEVER corpus²; the corpus
+    * collapses to integer-cent daily revenue in ONE aggregation), so
+    * the single-partition median windows run on bounded state.
+    * Slopes quantize to 1e-6-unit LONGs via fixed-shape IEEE division
+    * of exact cent/day integers (identical ops both engines);
+    * intercept units stay DECIMAL(38,0) exact.
+    */
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val day = datediff(col("l_shipdate").cast("date"),
+      lit("1996-01-01").cast("date")).cast("long")
+    val daily = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+        col("l_shipdate").cast("date") < lit("1996-04-01"))
+      .select(day.as("dd"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("dd").agg(sum(col("cents")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("dd").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("dd").as("d2"), col("c").as("c2"))
+    val slopes = a.join(b, col("d1") < col("d2"))
+      .select(floor((col("c2") - col("c1")).cast("double") * lit(1e6) /
+        (col("d2") - col("d1")).cast("double") + lit(0.5)).cast("long")
+        .as("s_u"))
+    val wAll = Window.partitionBy()
+    val wS = Window.orderBy(col("s_u"))
+    // lower median rank = (n+1) DIV 2 — Spark's `/` is FP division
+    // ((10+1)/2 = 5.5 matches no row_number), so floor it explicitly;
+    // DuckDB's `//` in the oracle is the same integer division
+    val slopeMed = slopes
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rn") === floor((col("np") + lit(1)) / lit(2)))
+      .select(col("s_u").as("slope_u"), col("np").as("n_pairs"))
+    val resid = daily.crossJoin(broadcast(slopeMed))
+      .select(col("slope_u"), col("n_pairs"),
+        (col("c").cast(dec) * lit(1000000L).cast(dec) -
+          col("slope_u").cast(dec) * col("dd").cast(dec)).as("b_u"))
+    val wB = Window.orderBy(col("b_u"))
+    val result = resid
+      .withColumn("rn", row_number().over(wB))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .filter(col("rn") === floor((col("nd") + lit(1)) / lit(2)))
+      .select(col("nd").as("n_days"), col("n_pairs"),
+        round(col("slope_u").cast("double") / lit(1e6), 6)
+          .as("slope_cents_per_day"),
+        round(col("b_u").cast("double") / lit(1e6), 4)
+          .as("intercept_cents"))
+    graft.operators.Exec.owned(result, Seq(daily))
+  }
+
+  private val q250Sql =
+    """WITH daily AS (SELECT
+           datediff('day', DATE '1996-01-01', CAST(l_shipdate AS DATE))
+             AS dd,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+             AS BIGINT)) AS BIGINT) AS c
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+         GROUP BY 1),
+       slopes AS (SELECT CAST(floor((b.c - a.c)::DOUBLE * 1e6
+             / (b.dd - a.dd)::DOUBLE + 0.5) AS BIGINT) AS s_u
+           FROM daily a JOIN daily b ON a.dd < b.dd),
+       sm AS (SELECT s_u AS slope_u, np AS n_pairs
+              FROM (SELECT s_u,
+                      row_number() OVER (ORDER BY s_u) AS rn,
+                      CAST(count(*) OVER () AS BIGINT) AS np
+                    FROM slopes)
+              WHERE rn = (np + 1) // 2),
+       resid AS (SELECT sm.slope_u, sm.n_pairs,
+               c::HUGEINT * 1000000 - sm.slope_u::HUGEINT * dd AS b_u
+             FROM daily, sm)
+       SELECT nd AS n_days, n_pairs,
+         round(slope_u::DOUBLE / 1e6, 6) AS slope_cents_per_day,
+         round(b_u::DOUBLE / 1e6, 4) AS intercept_cents
+       FROM (SELECT *,
+               row_number() OVER (ORDER BY b_u) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nd
+             FROM resid)
+       WHERE rn = (nd + 1) // 2"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q243_benford_audit" -> (q243 _),
+    "q250_theil_sen" -> (q250 _),
     "q177_streaming_hll" -> (q177 _),
     "q178_hits" -> (q178 _),
     "q179_attribution" -> (q179 _),
@@ -2648,6 +2807,8 @@ object Insights {
     "q141_source_report" -> (q141 _))
 
   val oracles: Map[String, String] = Map(
+    "q243_benford_audit" -> q243Sql,
+    "q250_theil_sen" -> q250Sql,
     "q177_streaming_hll" -> q177Sql,
     "q178_hits" -> q178Sql,
     "q179_attribution" -> q179Sql,

@@ -988,9 +988,74 @@ object Pipeline {
        GROUP BY doc_id
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q249
+  /** Readability scoring (Flesch reading ease) — the classic
+    * complexity lens next to the Gopher lexical gates (q74) and
+    * perplexity filter (q212): score = 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/word), with syllables approximated
+    * as vowel-group count (a vowelless token counts 1 — 'xkcd' is one
+    * spoken unit, not zero). The synthetic corpus carries no sentence
+    * punctuation, so sentences = max(1, terminator runs) makes each
+    * document one sentence — the words/sentence leg then measures
+    * document length, which is exactly what it should measure on this
+    * corpus (documented convention, not an accident). Per-doc scores
+    * quantize to 1e-4-unit LONGs before the per-source mean — ONE
+    * map-only corpus pass + a |sources|-row aggregation.
+    */
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val w = size(words(col("text")))
+    val vg = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    val nv = size(filter(words(lower(col("text"))),
+      x => !x.rlike("[aeiouy]")))
+    val sent = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val perDoc = Tables.documents(s, d)
+      .select(col("source"), w.cast("long").as("w"),
+        (vg + nv).cast("long").as("syl"), sent.cast("long").as("sent"))
+      .filter(col("w") > 0)
+      .withColumn("flesch_u",
+        floor((lit(206.835) -
+          lit(1.015) * col("w").cast("double") / col("sent").cast("double") -
+          lit(84.6) * col("syl").cast("double") / col("w").cast("double")) *
+          lit(1e4) + lit(0.5)).cast("long"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"), sum(col("syl")).as("n_syllables"),
+        sum(col("flesch_u")).as("fu"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        round(col("n_syllables").cast("double") /
+          col("n_words").cast("double"), 6).as("syll_per_word"),
+        round(col("fu").cast("double") /
+          col("n_docs").cast("double") / lit(1e4), 4).as("flesch_mean"))
+      .orderBy("source")
+  }
+
+  private val q249Sql =
+    """WITH perdoc AS (SELECT source,
+           len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS w,
+           (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            + len(list_filter(regexp_split_to_array(trim(lower(text))
+                , '\s+'),
+                x -> NOT regexp_matches(x, '[aeiouy]'))))::BIGINT AS syl,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+             AS sent
+         FROM documents),
+       scored AS (SELECT source, w, syl,
+           CAST(floor((206.835 - 1.015 * w::DOUBLE / sent::DOUBLE
+               - 84.6 * syl::DOUBLE / w::DOUBLE) * 1e4 + 0.5)
+             AS BIGINT) AS flesch_u
+         FROM perdoc WHERE w > 0)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         round(CAST(sum(syl) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+           AS syll_per_word,
+         round(CAST(sum(flesch_u) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 1e4, 4) AS flesch_mean
+       FROM scored GROUP BY source ORDER BY source"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q249_readability" -> (q249 _),
     "q30_text_stats" -> (q30 _),
     "q31_token_counts" -> (q31 _),
     "q32_quality_score" -> (q32 _),
@@ -1021,6 +1086,7 @@ object Pipeline {
     "q72_unigram_logprob" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
+    "q249_readability" -> q249Sql,
     "q30_text_stats" -> q30Sql,
     "q31_token_counts" -> q31Sql,
     "q32_quality_score" -> q32Sql,

@@ -1520,6 +1520,51 @@ object Relational {
        TRUE AS was_fragmented, TRUE AS files_ok, TRUE AS rows_ok
        FROM supplier"""
 
+  // --------------------------------------------------------------- q242
+  /** SIZED lake writes, oracle-graded — the write-side discipline
+    * q151 grades on the rewrite path, graded here on first write:
+    * [[graft.operators.Lake.sizedForWrite]] must land exactly
+    * ceil(rows/rowsPerFile) files (`files_exact`) with round-robin
+    * balance (`balanced`: per-file row spread bounded by the upstream
+    * partition count — each input partition contributes at most one
+    * row of imbalance per target). Row survival and content are
+    * VALUE-checked: the read-back count and doc_id sum must equal the
+    * origin table's, which is what the oracle computes. File-count /
+    * per-file-row stats are driver-side metadata reads (the q151
+    * pattern) — bounded by the file count, never data-sized.
+    */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    val path = "/tmp/graft_docs_sized"
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val upstream = math.max(1, src.rdd.getNumPartitions)
+    val rowsPerFile = 100L
+    val n = src.count()
+    graft.operators.Lake
+      .sizedForWrite(src, rowsPerFile, knownRows = Some(n))
+      .write.mode("overwrite").parquet(path)
+    val expectFiles = (n + rowsPerFile - 1) / rowsPerFile
+    val back = s.read.parquet(path)
+    val layout = back
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("nf"), min(col("c")).as("mn"),
+        max(col("c")).as("mx"))
+      .collect()(0)
+    val (nf, mn, mx) = (layout.getLong(0), layout.getLong(1),
+      layout.getLong(2))
+    back.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(col("n_rows"), col("id_sum"),
+        lit(nf == expectFiles).as("files_exact"),
+        lit(mx - mn <= upstream).as("balanced"))
+  }
+
+  private val q242Sql =
+    """SELECT count(*) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       TRUE AS files_exact, TRUE AS balanced
+       FROM documents"""
+
   // --------------------------------------------------------------- q153
   /** SCHEMA EVOLUTION as a first-class query: a lake table written in
     * two generations — v1 files carry `(o_orderkey, o_custkey)`, v2
@@ -1893,6 +1938,7 @@ object Relational {
     "q150_scd2" -> (q150 _),
     "q227_point_in_time" -> (q227 _),
     "q151_compaction" -> (q151 _),
+    "q242_sized_writes" -> (q242 _),
     "q153_schema_evolution" -> (q153 _),
     "q154_range_lookup" -> (q154 _),
     "q159_incremental_agg" -> (q159 _),
@@ -1911,6 +1957,7 @@ object Relational {
     "q150_scd2" -> q150Sql,
     "q227_point_in_time" -> q227Sql,
     "q151_compaction" -> q151Sql,
+    "q242_sized_writes" -> q242Sql,
     "q153_schema_evolution" -> q153Sql,
     "q154_range_lookup" -> q154Sql,
     "q159_incremental_agg" -> q159Sql,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.operators.MlEval
 
@@ -454,6 +454,91 @@ class EvalsSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").collect()(0)
     assert(math.abs(c.getDouble(5)) < 0.5,
       s"rel_err=${c.getDouble(5)}")
+  }
+
+  test("q244 CMH: independent outcome on random arms yields OR near 1, " +
+      "small chi2") {
+    // arm is a fresh hash split and the outcome threshold ignores the
+    // arm, so the common odds ratio must sit near 1 and the 1-dof CMH
+    // statistic far below the p=0.001 quantile (10.83) — a failure
+    // here means the 2x2 cell algebra or the arm hash is biased
+    val r = SparkEntry.queries("q244_cmh_stratified")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(r.getLong(0) == 5L, "five event-type strata expected")
+    val or = r.getDouble(2)
+    assert(or > 0.5 && or < 2.0, s"A/A-ish OR drifted to $or")
+    assert(r.getDouble(3) < 10.83, s"chi2_mh=${r.getDouble(3)}")
+  }
+
+  test("q246 chi-square: a proportional table is exactly independent " +
+      "(chi2 = 0, V = 0)") {
+    // F row = (10 H, 20 L), O row = (30 H, 60 L): every expected count
+    // equals the observed one, so the quantized statistic is EXACTLY 0
+    val orders = (Seq.fill(10)(("F", "H")) ++ Seq.fill(20)(("F", "L")) ++
+      Seq.fill(30)(("O", "H")) ++ Seq.fill(60)(("O", "L")))
+      .toDF("o_orderstatus", "o_orderpriority")
+    val dir = staged("chisq")("orders" -> orders)
+    val r = SparkEntry.queries("q246_chisq_independence")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 120L)
+    assert(r.getLong(1) == 1L)      // (2-1)*(2-1)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("mannWhitney: perfect separation and all-tied degenerate") {
+    import graft.operators.MlEval
+    // A = {1,2,3} all below B = {4,5,6}: U_A = 0, var = 9/12*7 = 5.25,
+    // z = (0 - 4.5)/sqrt(5.25) = -1.9640
+    val sep = Seq((1L, true), (2L, true), (3L, true),
+      (4L, false), (5L, false), (6L, false)).toDF("u", "y")
+      .withColumn("g", lit("s"))
+    val r = MlEval.mannWhitney(sep, "g", "u", "y").collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.0)                  // U_A
+    assert(r.getDouble(4) == -1.964)
+    // every observation tied: variance degenerates -> z NULL, U = mid
+    val tied = Seq((7L, true), (7L, true), (7L, false), (7L, false))
+      .toDF("u", "y").withColumn("g", lit("t"))
+    val t = MlEval.mannWhitney(tied, "g", "u", "y").collect()(0)
+    assert(t.getDouble(3) == 2.0)                  // n_a*n_b/2 midranks
+    assert(t.isNullAt(4), "all-tied variance must yield NULL z")
+  }
+
+  test("q248 NDCG: bounded by 1, consistent with q235's origin ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val ndcg = SparkEntry.queries("q248_ndcg")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val mrr = SparkEntry.queries("q235_retrieval_eval")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ndcg.keySet == mrr.keySet,
+      "both harnesses must grade the identical query set")
+    ndcg.values.foreach { r =>
+      assert(r.getDouble(3) <= 1.0 + 1e-6,
+        s"ndcg10=${r.getDouble(3)} for qid=${r.getLong(0)}")
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // an origin ranked first contributes exactly 3/log2(2) = 3 to DCG
+    mrr.collect { case (qid, 1) =>
+      assert(ndcg(qid).getDouble(2) >= 3.0,
+        s"qid=$qid ranks its origin 1 but dcg10=${ndcg(qid).getDouble(2)}")
+    }
+  }
+
+  test("q249 readability: hand-computed Flesch on a two-doc source") {
+    // 'go xkcd': w=2, syllables = 1 vowel group + 1 vowelless = 2
+    //   -> 206.835 - 1.015*2 - 84.6*1 = 120.205
+    // 'aa bee see': w=3, syl=3 -> 206.835 - 3.045 - 84.6 = 119.19
+    val docs = Seq(
+      (1L, "go xkcd", "en", "s0", 7L),
+      (2L, "aa bee see", "en", "s0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("flesch")("documents" -> docs)
+    val r = SparkEntry.queries("q249_readability")(spark, dir).collect()(0)
+    assert(r.getLong(1) == 2L)       // n_docs
+    assert(r.getLong(2) == 5L)       // n_words
+    assert(r.getDouble(3) == 1.0)    // syllables per word
+    assert(r.getDouble(4) == 119.6975, s"flesch=${r.getDouble(4)}")
   }
 
   test("q241 A/A control: the experimentation stack passes its own " +

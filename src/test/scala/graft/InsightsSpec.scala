@@ -14,6 +14,58 @@ import graft.operators.{Assoc, Chunks, Dedup, Experiment, Fuzzy, Graph,
 class InsightsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def staged(name: String)
+      (tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_insights_$name").toString
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  // ----------------------------------------------- benford / theil-sen
+  test("q243 Benford: hand-computed digit table and quantized chi2") {
+    // totals 1000 x3 and 2000 x1: digits {1: 3, 2: 1}, obs .75/.25
+    val orders = (Seq.fill(3)(1000.0) ++ Seq(2000.0)).toDF("o_totalprice")
+    val dir = staged("benford")("orders" -> orders)
+    val rows = SparkEntry.queries("q243_benford_audit")(spark, dir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    assert(rows(0).getDouble(2) == 0.75 && rows(1).getDouble(2) == 0.25)
+    assert(rows(0).getDouble(3) == 0.30103)   // log10(2) at the grid
+    assert(rows(1).getDouble(3) == 0.176091)  // log10(3/2)
+    // replicate the engine's quantized family chi2 exactly
+    def expU(dd: Int) = math.floor(math.log10(1.0 + 1.0 / dd) * 1e9 + 0.5)
+    def tU(n: Long, dd: Int) = {
+      val e = expU(dd) / 1e9
+      math.floor((n / 4.0 - e) * (n / 4.0 - e) / e * 4.0 * 1e6 + 0.5).toLong
+    }
+    val want = (tU(3, 1) + tU(1, 2)) / 1e6
+    val got = rows(0).getDouble(4)
+    assert(math.abs(got - want) < 1e-6, s"chi2 $got vs $want")
+    assert(rows.forall(_.getDouble(4) == got),
+      "chi2_family must be a family-wide constant")
+  }
+
+  test("q250 Theil-Sen: a perfect line survives one wild outlier day") {
+    // c(d) = 100 + 50d cents over 10 days; day 5 replaced by 1e6 cents.
+    // 36 of 45 pairwise slopes are exactly 50 -> median slope 50;
+    // 9 of 10 residuals are exactly 100 -> lower median intercept 100.
+    val rows = (0 until 10).map { dd =>
+      val cents = if (dd == 5) 1000000L else 100L + 50L * dd
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1996, 1, 1)
+        .plusDays(dd)), cents / 100.0)
+    }.toDF("l_shipdate", "l_extendedprice")
+    val dir = staged("theilsen")("lineitem" -> rows)
+    val r = SparkEntry.queries("q250_theil_sen")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 10L)   // n_days
+    assert(r.getLong(1) == 45L)   // n_pairs
+    assert(r.getDouble(2) == 50.0, s"slope=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 100.0, s"intercept=${r.getDouble(3)}")
+  }
+
   // ----------------------------------------------- sorted neighborhood
   test("snm pairs rank-adjacent near-duplicates and verifies distance") {
     val rows = Seq(
