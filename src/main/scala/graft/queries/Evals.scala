@@ -2406,6 +2406,264 @@ object Evals {
          round(d.dcg_u::DOUBLE / i.idcg_u::DOUBLE, 6) AS ndcg10
        FROM dcg d JOIN ideal i USING (qid) ORDER BY qid"""
 
+  // --------------------------------------------------------------- q251
+  /** Poisson-bootstrap confidence interval for the per-type mean —
+    * THE at-scale bootstrap: classical n-out-of-n resampling needs a
+    * global shuffle per replicate, but drawing each row's multiplicity
+    * w ~ Poisson(1) independently (inverse CDF on a deterministic
+    * per-(replicate, row) hash uniform) makes all B=32 replicates ONE
+    * map-side-combinable aggregation over a single corpus pass — 64
+    * extra sum columns, zero extra shuffles, at any corpus size. The
+    * replicate means sort into a 32-array per type; CI = [2nd
+    * smallest, 2nd largest] (≈94% coverage). Thresholds are shared
+    * decimal literals rendered into BOTH engines, values pre-quantized
+    * to micro-unit LONGs, so every replicate sum is exact integer
+    * arithmetic and the only FP is the B final divisions.
+    */
+  private val poissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726562", "0.9994058151824183",
+    "0.999916758850712")
+
+  private val bootB = 32
+
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val xu = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    def w(b: Int): org.apache.spark.sql.Column = {
+      val u = conv(substring(md5(concat(lit(s"boot$b:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1.152921504606847e18)
+      // when-chain folded from the deepest ELSE out (first match wins,
+      // thresholds ascending)
+      poissonCdf.zipWithIndex.reverse
+        .foldLeft(lit(7L)) { case (els, (t, k)) =>
+          when(u < lit(t.toDouble), lit(k.toLong)).otherwise(els)
+        }
+    }
+    val base = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), xu.as("xu"), col("event_id"))
+    val aggs =
+      Seq(count(lit(1)).as("n_events"), sum(col("xu")).as("sx")) ++
+      (0 until bootB).flatMap { b =>
+        Seq(sum(w(b)).as(s"nb$b"), sum(w(b) * col("xu")).as(s"s$b"))
+      }
+    val means = array((0 until bootB).map { b =>
+      col(s"s$b").cast("double") / col(s"nb$b").cast("double") / lit(1e6)
+    }: _*)
+    base.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ms", array_sort(means))
+      .select(col("event_type"), col("n_events"),
+        round(col("sx").cast("double") / col("n_events").cast("double") /
+          lit(1e6), 4).as("mean"),
+        round(element_at(col("ms"), 2), 4).as("ci_lo"),
+        round(element_at(col("ms"), bootB - 1), 4).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  private val q251Sql = {
+    def w(b: Int): String = {
+      val u = s"(('0x' || substr(md5('boot$b:' || event_id::VARCHAR), 1, 15))" +
+        s"::BIGINT::DOUBLE / 1.152921504606847e18)"
+      val chain = poissonCdf.zipWithIndex
+        .map { case (t, k) => s"WHEN $u < $t THEN $k" }.mkString(" ")
+      s"(CASE $chain ELSE 7 END)"
+    }
+    val aggCols = (0 until bootB).map { b =>
+      s"CAST(sum(${w(b)}) AS BIGINT) AS nb$b, " +
+        s"CAST(sum(${w(b)} * xu) AS BIGINT) AS s$b"
+    }.mkString(",\n             ")
+    val meanList = (0 until bootB)
+      .map(b => s"s$b::DOUBLE / nb$b::DOUBLE / 1e6").mkString(", ")
+    s"""WITH b AS (SELECT event_type, event_id,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS xu
+         FROM events WHERE value IS NOT NULL),
+       m AS (SELECT event_type, count(*)::BIGINT AS n_events,
+             CAST(sum(xu) AS BIGINT) AS sx,
+             $aggCols
+           FROM b GROUP BY event_type),
+       arr AS (SELECT event_type, n_events, sx,
+             list_sort([$meanList]) AS ms
+           FROM m)
+       SELECT event_type, n_events,
+         round(sx::DOUBLE / n_events::DOUBLE / 1e6, 4) AS mean,
+         round(ms[2], 4) AS ci_lo,
+         round(ms[${bootB - 1}], 4) AS ci_hi
+       FROM arr ORDER BY event_type"""
+  }
+
+  // --------------------------------------------------------------- q252
+  /** Delta-method CI for a RATIO metric (value per event, ratio of
+    * per-user sums) — the reason naive per-row t-tests are wrong for
+    * ratio metrics: both numerator and denominator vary per USER (the
+    * randomization unit), so Var(R) needs the delta expansion
+    * Var(Ȳ−R·X̄-ish) = (Var y − 2R·Cov(y,x) + R²·Var x)/(n·x̄²).
+    * Corpus work: ONE per-user aggregation, then per-type moments of
+    * the (y_i, x_i) pairs — y in exact micro-unit LONGs, x exact
+    * counts, cross-moments in DECIMAL(38,0); FP starts at the ≤5-row
+    * moment table. CI = R ± 1.96·se.
+    */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val xu = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val perUser = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"), xu.as("xu"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("xu")).as("y"), count(lit(1)).as("x"))
+    val m = perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("x").cast(dec)).as("sxy"))
+      .filter(col("n") >= 2 && col("sx") > 0)
+    val nd = col("n").cast("double")
+    val my = col("sy").cast("double") / nd
+    val mx = col("sx").cast("double") / nd
+    val vy = (col("syy").cast("double") / nd - my * my) * nd / (nd - 1.0)
+    val vx = (col("sxx").cast("double") / nd - mx * mx) * nd / (nd - 1.0)
+    val cxy = (col("sxy").cast("double") / nd - my * mx) * nd / (nd - 1.0)
+    val r = col("sy").cast("double") / col("sx").cast("double")
+    val se = sqrt(greatest(
+      (vy - lit(2.0) * r * cxy + r * r * vx) / (nd * mx * mx),
+      lit(0.0)))
+    m.select(col("event_type"), col("n").as("n_users"),
+        round(r / lit(1e6), 6).as("ratio"),
+        round(se / lit(1e6), 6).as("se"),
+        round((r - lit(1.96) * se) / lit(1e6), 6).as("ci_lo"),
+        round((r + lit(1.96) * se) / lit(1e6), 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  private val q252Sql =
+    """WITH b AS (SELECT event_type, user_id,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS xu
+         FROM events WHERE value IS NOT NULL),
+       pu AS (SELECT event_type, user_id,
+               CAST(sum(xu) AS BIGINT) AS y, count(*)::BIGINT AS x
+             FROM b GROUP BY event_type, user_id),
+       m AS (SELECT event_type, count(*)::BIGINT AS n,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+               sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * x) AS sxx,
+               sum(y::HUGEINT * x) AS sxy
+             FROM pu GROUP BY event_type
+             HAVING n >= 2 AND sx > 0),
+       t AS (SELECT event_type, n,
+               n::DOUBLE AS nd,
+               sy::DOUBLE / n::DOUBLE AS my, sx::DOUBLE / n::DOUBLE AS mx,
+               (syy::DOUBLE / n::DOUBLE - (sy::DOUBLE / n::DOUBLE)
+                 * (sy::DOUBLE / n::DOUBLE)) * n::DOUBLE
+                 / (n::DOUBLE - 1.0) AS vy,
+               (sxx::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE)
+                 * (sx::DOUBLE / n::DOUBLE)) * n::DOUBLE
+                 / (n::DOUBLE - 1.0) AS vx,
+               (sxy::DOUBLE / n::DOUBLE - (sy::DOUBLE / n::DOUBLE)
+                 * (sx::DOUBLE / n::DOUBLE)) * n::DOUBLE
+                 / (n::DOUBLE - 1.0) AS cxy,
+               sy::DOUBLE / sx::DOUBLE AS r
+             FROM m),
+       f AS (SELECT event_type, n, r,
+               sqrt(greatest(
+                 (vy - 2.0 * r * cxy + r * r * vx) / (nd * mx * mx),
+                 0.0)) AS se
+             FROM t)
+       SELECT event_type, n AS n_users,
+         round(r / 1e6, 6) AS ratio,
+         round(se / 1e6, 6) AS se,
+         round((r - 1.96 * se) / 1e6, 6) AS ci_lo,
+         round((r + 1.96 * se) / 1e6, 6) AS ci_hi
+       FROM f ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q253
+  /** Iterative proportional fitting (raking) — the survey-calibration
+    * primitive a data-mixing pipeline needs when per-cell weights must
+    * hit TWO marginal targets at once (q169 hits one): reweight the
+    * source×lang cell table so every source carries an equal share
+    * while every language keeps its observed share. Six alternating
+    * scaling rounds (rows then columns), each weight quantized to
+    * 1e-9-unit LONGs per round so both engines walk the identical
+    * lattice. The corpus collapses to the ≤(sources×langs)-cell count
+    * table in ONE aggregation; all iteration runs on that bounded
+    * frame (windows partitioned by the margin being scaled).
+    */
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .persist(sl)
+    val wAll = Window.partitionBy()
+    val wSrc = Window.partitionBy("source")
+    val wLang = Window.partitionBy("lang")
+    // targets: equal share per source; observed share per lang
+    val base = cells
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("nsrc",
+        size(collect_set(col("source")).over(wAll)))
+      .withColumn("tgt_src",
+        col("tot").cast("double") / col("nsrc").cast("double"))
+      .withColumn("tgt_lang",
+        sum(col("n")).over(wLang).cast("double"))
+      .withColumn("w", col("n").cast("double"))
+    def q9(c: org.apache.spark.sql.Column) =
+      (floor(c * lit(1e9) + lit(0.5))).cast("long").cast("double") / lit(1e9)
+    val raked = (1 to 3).foldLeft(base) { (df, _) =>
+      val afterRows = df
+        .withColumn("w", q9(col("w") * col("tgt_src") /
+          sum(col("w")).over(wSrc)))
+      afterRows
+        .withColumn("w", q9(col("w") * col("tgt_lang") /
+          sum(col("w")).over(wLang)))
+    }
+    val result = raked
+      .withColumn("src_err",
+        abs(sum(col("w")).over(wSrc) - col("tgt_src")))
+      .withColumn("max_src_err", max(col("src_err")).over(wAll))
+      .select(col("source"), col("lang"), col("n"),
+        round(col("w"), 6).as("weight"),
+        round(col("w") / col("n").cast("double"), 6).as("factor"),
+        (col("max_src_err") < lit(1.0)).as("row_margins_converged"))
+      .orderBy("source", "lang")
+    graft.operators.Exec.owned(result, Seq(cells))
+  }
+
+  private val q253Sql = {
+    val rounds = (1 to 3).map { k =>
+      s"""r${k}a AS (SELECT source, lang, n, tgt_src, tgt_lang,
+           floor(w * tgt_src / sum(w) OVER (PARTITION BY source)
+             * 1e9 + 0.5) / 1e9 AS w
+         FROM r${k - 1}b),
+       r${k}b AS (SELECT source, lang, n, tgt_src, tgt_lang,
+           floor(w * tgt_lang / sum(w) OVER (PARTITION BY lang)
+             * 1e9 + 0.5) / 1e9 AS w
+         FROM r${k}a)"""
+    }.mkString(",\n       ")
+    s"""WITH cells AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+       r0b AS (SELECT source, lang, n,
+               (sum(n) OVER ())::DOUBLE
+                 / (SELECT count(DISTINCT source) FROM cells)::DOUBLE
+                 AS tgt_src,
+               (sum(n) OVER (PARTITION BY lang))::DOUBLE AS tgt_lang,
+               n::DOUBLE AS w
+             FROM cells),
+       $rounds,
+       fin AS (SELECT source, lang, n, w, tgt_src,
+               abs(sum(w) OVER (PARTITION BY source) - tgt_src)
+                 AS src_err
+             FROM r3b)
+       SELECT source, lang, n,
+         round(w, 6) AS weight,
+         round(w / n::DOUBLE, 6) AS factor,
+         (max(src_err) OVER () < 1.0) AS row_margins_converged
+       FROM fin ORDER BY source, lang"""
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2436,7 +2694,10 @@ object Evals {
     "q245_power_mde" -> (q245 _),
     "q246_chisq_independence" -> (q246 _),
     "q247_mann_whitney" -> (q247 _),
-    "q248_ndcg" -> (q248 _))
+    "q248_ndcg" -> (q248 _),
+    "q251_bootstrap_ci" -> (q251 _),
+    "q252_ratio_metric_ci" -> (q252 _),
+    "q253_ipf_raking" -> (q253 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -2466,5 +2727,8 @@ object Evals {
     "q245_power_mde" -> q245Sql,
     "q246_chisq_independence" -> q246Sql,
     "q247_mann_whitney" -> q247Sql,
-    "q248_ndcg" -> q248Sql)
+    "q248_ndcg" -> q248Sql,
+    "q251_bootstrap_ci" -> q251Sql,
+    "q252_ratio_metric_ci" -> q252Sql,
+    "q253_ipf_raking" -> q253Sql)
 }

@@ -541,6 +541,56 @@ class EvalsSpec extends SparkSpec {
     assert(r.getDouble(4) == 119.6975, s"flesch=${r.getDouble(4)}")
   }
 
+  test("q251 bootstrap: every CI brackets its mean with positive width") {
+    val rows = SparkEntry.queries("q251_bootstrap_ci")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo < hi, s"degenerate CI [$lo,$hi] for ${r.getString(0)}")
+      assert(lo <= m && m <= hi,
+        s"CI [$lo,$hi] misses mean $m for ${r.getString(0)}")
+    }
+  }
+
+  test("q252 delta method: identical users collapse the CI to a point") {
+    // every user contributes the same (y, x) = (20, 2): Var terms all
+    // zero -> se exactly 0, ci_lo = ci_hi = ratio = 10
+    val ev = (1L to 6L).map { i =>
+      (i, ts(0), (i - 1) / 2 + 1, "click", 10.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("ratio")("events" -> ev)
+    val r = SparkEntry.queries("q252_ratio_metric_ci")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 10.0)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 10.0)
+  }
+
+  test("q253 IPF: raked weights hit both margins on a hand 2x2") {
+    // cells A=(en 30, fr 10), B=(en 10, fr 10): targets source 30/30,
+    // lang 40/20 — 3 alternating rounds converge far below the flag
+    val docs =
+      (Seq.fill(30)(("A", "en")) ++ Seq.fill(10)(("A", "fr")) ++
+       Seq.fill(10)(("B", "en")) ++ Seq.fill(10)(("B", "fr")))
+        .zipWithIndex.map { case ((s0, l), i) =>
+          (i.toLong, "w", l, s0, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("ipf")("documents" -> docs)
+    val rows = SparkEntry.queries("q253_ipf_raking")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val byLang = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(math.abs(bySrc("A") - 30.0) < 0.01, bySrc.toMap.toString)
+    assert(math.abs(bySrc("B") - 30.0) < 0.01)
+    assert(math.abs(byLang("en") - 40.0) < 0.01, byLang.toMap.toString)
+    assert(math.abs(byLang("fr") - 20.0) < 0.01)
+    val flag = SparkEntry.queries("q253_ipf_raking")(spark, dir)
+      .collect().forall(_.getBoolean(5))
+    assert(flag, "row_margins_converged must be TRUE on the hand case")
+  }
+
   test("q241 A/A control: the experimentation stack passes its own " +
       "guardrail (family_fp <= 1)") {
     // The A/A split carries no true effect by construction, so the
