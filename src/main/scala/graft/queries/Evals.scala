@@ -2431,31 +2431,52 @@ object Evals {
     val x = col("value").cast("double")
     val xu = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
       when(x < 0, -1L).otherwise(1L)
-    def w(b: Int): org.apache.spark.sql.Column = {
-      val u = conv(substring(md5(concat(lit(s"boot$b:"),
-        col("event_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long").cast("double") / lit(1.152921504606847e18)
-      // when-chain folded from the deepest ELSE out (first match wins,
-      // thresholds ascending)
-      poissonCdf.zipWithIndex.reverse
-        .foldLeft(lit(7L)) { case (els, (t, k)) =>
-          when(u < lit(t.toDouble), lit(k.toLong)).otherwise(els)
-        }
-    }
+    // hash budget: ONE md5 yields FOUR independent 32-bit uniforms
+    // (8-hex-char substrings of the 32-char digest), so 32 replicates
+    // cost 8 digests per row. Shape: LONG format — explode each row
+    // into 32 tiny (replicate, weight) pairs and aggregate by
+    // (type, replicate). A 66-column wide aggregate evaluated the
+    // digest per aggregate expression / fell out of codegen (9 s warm
+    // at sf0.1); the long shape keeps every expression small, codegens
+    // clean, and map-side combine collapses the 32× rows to
+    // types×replicates before the (only) shuffle.
     val base = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_type"), xu.as("xu"), col("event_id"))
-    val aggs =
-      Seq(count(lit(1)).as("n_events"), sum(col("xu")).as("sx")) ++
-      (0 until bootB).flatMap { b =>
-        Seq(sum(w(b)).as(s"nb$b"), sum(w(b) * col("xu")).as(s"s$b"))
+    val digests = base.select(col("event_type"), col("xu"),
+      explode(array((0 until bootB / 4).map { g =>
+        struct(lit(g).as("g"),
+          md5(concat(lit(s"boot$g:"), col("event_id").cast("string")))
+            .as("h"))
+      }: _*)).as("gh"))
+    val uniforms = digests.select(col("event_type"), col("xu"),
+      col("gh.g").as("g"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("i"),
+          conv(substring(col("gh.h"), 1 + i * 8, 8), 16, 10)
+            .cast("long").as("uv"))
+      }: _*)).as("iu"))
+    val u = col("iu.uv").cast("double") / lit(4294967296.0)
+    // when-chain folded from the deepest ELSE out (first match wins,
+    // thresholds ascending)
+    val w = poissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (els, (t, k)) =>
+        when(u < lit(t.toDouble), lit(k.toLong)).otherwise(els)
       }
-    val means = array((0 until bootB).map { b =>
-      col(s"s$b").cast("double") / col(s"nb$b").cast("double") / lit(1e6)
-    }: _*)
-    base.groupBy("event_type")
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("ms", array_sort(means))
+    val perRep = uniforms
+      .select(col("event_type"), col("xu"),
+        (col("g") * 4 + col("iu.i")).as("b"), w.as("w"))
+      .groupBy("event_type", "b")
+      .agg(sum(col("w")).as("nb"), sum(col("w") * col("xu")).as("sw"))
+      .select(col("event_type"),
+        (col("sw").cast("double") / col("nb").cast("double") / lit(1e6))
+          .as("mb"))
+    val totals = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("xu")).as("sx"))
+    totals.join(
+        perRep.groupBy("event_type")
+          .agg(array_sort(collect_list(col("mb"))).as("ms")),
+        "event_type")
       .select(col("event_type"), col("n_events"),
         round(col("sx").cast("double") / col("n_events").cast("double") /
           lit(1e6), 4).as("mean"),
@@ -2466,21 +2487,26 @@ object Evals {
 
   private val q251Sql = {
     def w(b: Int): String = {
-      val u = s"(('0x' || substr(md5('boot$b:' || event_id::VARCHAR), 1, 15))" +
-        s"::BIGINT::DOUBLE / 1.152921504606847e18)"
+      val grp = b / 4
+      val off = 1 + (b % 4) * 8
+      val u = s"(('0x' || substr(md5('boot$grp:' || event_id::VARCHAR), " +
+        s"$off, 8))::BIGINT::DOUBLE / 4294967296.0)"
       val chain = poissonCdf.zipWithIndex
         .map { case (t, k) => s"WHEN $u < $t THEN $k" }.mkString(" ")
       s"(CASE $chain ELSE 7 END)"
     }
+    val wCols = (0 until bootB).map(b => s"${w(b)} AS w$b")
+      .mkString(",\n             ")
     val aggCols = (0 until bootB).map { b =>
-      s"CAST(sum(${w(b)}) AS BIGINT) AS nb$b, " +
-        s"CAST(sum(${w(b)} * xu) AS BIGINT) AS s$b"
+      s"CAST(sum(w$b) AS BIGINT) AS nb$b, " +
+        s"CAST(sum(w$b * xu) AS BIGINT) AS s$b"
     }.mkString(",\n             ")
     val meanList = (0 until bootB)
       .map(b => s"s$b::DOUBLE / nb$b::DOUBLE / 1e6").mkString(", ")
-    s"""WITH b AS (SELECT event_type, event_id,
+    s"""WITH b AS (SELECT event_type,
            CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
-             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS xu
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS xu,
+             $wCols
          FROM events WHERE value IS NOT NULL),
        m AS (SELECT event_type, count(*)::BIGINT AS n_events,
              CAST(sum(xu) AS BIGINT) AS sx,
