@@ -431,4 +431,78 @@ object Quality {
         greatest(col("_qlo"), least(col("_qhi"), col(valCol).cast("double"))))
       .drop("_qlo", "_qhi")
   }
+
+  /** Exact WEIGHTED quantiles — the "typical value by mass, not by
+    * row" statistic (median price dollar-weighted, median doc length
+    * token-weighted): for each p/q fraction, the smallest value whose
+    * cumulative integer weight reaches ceil(p·W/q). Fractions are
+    * RATIONAL pairs so the target rank is exact integer arithmetic
+    * ((p·W + q − 1) DIV q) — an FP `ceil(0.9·W)` is off by one
+    * whenever the exact product is integral. Distribution shape is
+    * q158's: per-VALUE weight sums, two-level bucketed prefix
+    * (per-bucket windows + a `buckets`-row offset prefix — no global
+    * sort, no corpus-sized single-partition state), then each
+    * fraction picks its answer with one min-struct aggregation over
+    * the qualifying suffix. Weights must be non-negative integers;
+    * rows with null value or weight ≤ 0 are excluded.
+    *
+    * Returns one row per fraction: `(frac_label, target_rank, value)`.
+    */
+  def weightedQuantiles(df: DataFrame, valCol: String, wCol: String,
+                        fracs: Seq[(String, Int, Int)],
+                        buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "need at least one range bucket")
+    require(fracs.nonEmpty, "need at least one fraction")
+    fracs.foreach { case (_, p, q) =>
+      require(p >= 0 && q > 0 && p <= q, s"bad fraction $p/$q") }
+    val x = col(valCol).cast("long")
+    val vals = df
+      .filter(x.isNotNull && col(wCol).cast("long") > 0)
+      .select(x.as("v"), col(wCol).cast("long").as("w"))
+      .groupBy("v").agg(sum(col("w")).as("wv"))
+    // bucket bounds are PARALLELISM ONLY — any monotone bucketing gives
+    // identical prefix sums — so approx_percentile (fixed GK-sketch
+    // state) is the right tool: exact `percentile` here would buffer
+    // the whole distinct-value multiset in one task, the very shape
+    // the q240 de-buffering purged
+    val bFracs = (1 until buckets).map(_.toDouble / buckets)
+    val boundsDf =
+      if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
+      else vals.agg(expr(
+        s"cast(approx_percentile(v, array(${bFracs.mkString(",")}), 1000)" +
+          " as array<double>)").as("bounds"))
+    val bucketed = vals.crossJoin(broadcast(boundsDf))
+      .select(col("v"), col("wv"),
+        aggregate(col("bounds"), lit(0),
+          (acc, b) => acc + when(col("v").cast("double") > b, 1)
+            .otherwise(0)).as("bk"))
+    val inBucket = Window.partitionBy("bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bk").agg(sum("wv").as("tw"))
+      .withColumn("ow", coalesce(sum("tw").over(offW), lit(0L)))
+      .select("bk", "ow")
+    val totals = vals.agg(sum("wv").as("tw"))
+    val dec = "decimal(38,0)"
+    val cum = bucketed
+      .withColumn("lcw", sum("wv").over(inBucket))
+      .join(broadcast(offsets), "bk")
+      .select(col("v"), (col("lcw") + col("ow")).cast(dec).as("cw"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val fracsDf = fracs.map { case (l, p, q) => (l, p.toLong, q.toLong) }
+      .toDF("frac", "p", "q")
+    // floor-division target rank: Spark's decimal→decimal(38,0) CAST
+    // rounds half-up, so an explicit floor keeps DIV semantics
+    cum.crossJoin(broadcast(totals)).crossJoin(broadcast(fracsDf))
+      .withColumn("target",
+        floor((col("p").cast(dec) * col("tw").cast(dec) +
+          col("q").cast(dec) - lit(1).cast(dec)) / col("q").cast(dec)))
+      .filter(col("cw") >= col("target"))
+      .groupBy("frac")
+      .agg(min(col("target")).cast("long").as("target_rank"),
+        min(col("v")).as("value"))
+      .orderBy("frac")
+  }
 }

@@ -2745,11 +2745,254 @@ object Insights {
              FROM resid)
        WHERE rn = (nd + 1) // 2"""
 
+  // --------------------------------------------------------------- q254
+  /** Exact weighted quantiles — "the typical price a SOLD UNIT
+    * carries" (quantity-weighted), not the typical row: p50/p90/p99
+    * of line-item price in integer cents weighted by integer
+    * quantity, through [[graft.operators.Quality.weightedQuantiles]]
+    * (per-value weight sums → q158 two-level bucketed prefix — no
+    * global sort; rational-fraction target ranks so ceil(p·W/q) is
+    * exact integer arithmetic, never an FP ceil off-by-one).
+    */
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+      .cast("long")
+    val base = Tables.lineitem(s, d)
+      .select(cents.as("cents"), col("l_quantity").cast("long").as("w"))
+    graft.operators.Quality.weightedQuantiles(base, "cents", "w",
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+  }
+
+  private val q254Sql =
+    """WITH b AS (SELECT
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+           CAST(l_quantity AS BIGINT) AS w
+         FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+       vals AS (SELECT v, CAST(sum(w) AS BIGINT) AS wv
+                FROM b GROUP BY v),
+       cum AS (SELECT v, sum(wv) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+               FROM vals),
+       tot AS (SELECT sum(wv)::HUGEINT AS tw FROM vals),
+       fr AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                ('p99', 99, 100)) f(frac, p, q)),
+       t AS (SELECT frac, (p * tw + q - 1) // q AS target FROM fr, tot)
+       SELECT t.frac, CAST(t.target AS BIGINT) AS target_rank,
+         min(c.v) AS value
+       FROM t JOIN cum c ON c.cw >= t.target
+       GROUP BY t.frac, t.target ORDER BY t.frac"""
+
+  // --------------------------------------------------------------- q255
+  /** Durbin–Watson residual-autocorrelation diagnostic — the test
+    * that says whether q06-style least squares can be TRUSTED: a DW
+    * far from 2 means serially correlated residuals (momentum /
+    * seasonality the line didn't capture) and understated standard
+    * errors. OLS over 1996 daily revenue from exact integer moments
+    * (Σd, Σc, Σdc, Σd² in DECIMAL(38,0) — the kernel.cu:62-63
+    * closed form), residuals on the calendar-bounded day table,
+    * quantized to 1e-6-unit LONGs before the lag-difference sums so
+    * the fold is order-independent; DW = Σ(eₜ−eₜ₋₁)²/Σeₜ².
+    */
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val day = datediff(col("l_shipdate").cast("date"),
+      lit("1996-01-01").cast("date")).cast("long")
+    val daily = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+        col("l_shipdate").cast("date") < lit("1997-01-01"))
+      .select(day.as("dd"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("dd").agg(sum(col("cents")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("dd")).as("sd"), sum(col("c")).as("sc"),
+      sum(col("dd").cast(dec) * col("c").cast(dec)).as("sdc"),
+      sum(col("dd").cast(dec) * col("dd").cast(dec)).as("sdd"))
+    val nd = col("n").cast("double")
+    val slope = (nd * col("sdc").cast("double") -
+        col("sd").cast("double") * col("sc").cast("double")) /
+      (nd * col("sdd").cast("double") -
+        col("sd").cast("double") * col("sd").cast("double"))
+    val icept = (col("sc").cast("double") - slope *
+      col("sd").cast("double")) / nd
+    val fitted = daily.crossJoin(broadcast(
+      m.select(col("n"), slope.as("b"), icept.as("a"))))
+    val eU = floor((col("c").cast("double") -
+      (col("a") + col("b") * col("dd").cast("double"))) / lit(100.0) *
+      lit(1e6) + lit(0.5)).cast("long")
+    val wD = Window.orderBy("dd")
+    val resid = fitted.select(col("n"), col("b"), col("dd"), eU.as("eu"))
+      .withColumn("lagged", lag(col("eu"), 1).over(wD))
+    val result = resid.groupBy("n", "b")
+      .agg(
+        sum(when(col("lagged").isNotNull,
+          (col("eu") - col("lagged")).cast(dec) *
+            (col("eu") - col("lagged")).cast(dec))).as("num"),
+        sum(col("eu").cast(dec) * col("eu").cast(dec)).as("den"))
+      .select(col("n").as("n_days"),
+        round(col("b") / lit(100.0), 6).as("slope_dollars_per_day"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("dw"),
+        round(lit(1.0) - col("num").cast("double") /
+          col("den").cast("double") / lit(2.0), 6).as("rho_approx"))
+    graft.operators.Exec.owned(result, Seq(daily))
+  }
+
+  private val q255Sql =
+    """WITH daily AS (SELECT
+           datediff('day', DATE '1996-01-01', CAST(l_shipdate AS DATE))
+             AS dd,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+             AS BIGINT)) AS BIGINT) AS c
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+         GROUP BY 1),
+       m AS (SELECT count(*)::BIGINT AS n,
+               CAST(sum(dd) AS BIGINT) AS sd,
+               CAST(sum(c) AS BIGINT) AS sc,
+               sum(dd::HUGEINT * c) AS sdc,
+               sum(dd::HUGEINT * dd) AS sdd
+             FROM daily),
+       f AS (SELECT n,
+               (n::DOUBLE * sdc::DOUBLE - sd::DOUBLE * sc::DOUBLE)
+                 / (n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE)
+                 AS b
+             FROM m),
+       f2 AS (SELECT f.n, f.b,
+               (m.sc::DOUBLE - f.b * m.sd::DOUBLE) / m.n::DOUBLE AS a
+             FROM f, m),
+       resid AS (SELECT f2.n, f2.b, daily.dd,
+               CAST(floor((daily.c::DOUBLE
+                   - (f2.a + f2.b * daily.dd::DOUBLE)) / 100.0 * 1e6
+                 + 0.5) AS BIGINT) AS eu
+             FROM daily, f2),
+       lagd AS (SELECT n, b, eu,
+               lag(eu) OVER (ORDER BY dd) AS lagged
+             FROM resid)
+       SELECT n AS n_days,
+         round(b / 100.0, 6) AS slope_dollars_per_day,
+         round(CAST(sum(CASE WHEN lagged IS NOT NULL
+               THEN (eu - lagged)::HUGEINT * (eu - lagged) END) AS DOUBLE)
+             / CAST(sum(eu::HUGEINT * eu) AS DOUBLE), 6) AS dw,
+         round(1.0 - CAST(sum(CASE WHEN lagged IS NOT NULL
+               THEN (eu - lagged)::HUGEINT * (eu - lagged) END) AS DOUBLE)
+             / CAST(sum(eu::HUGEINT * eu) AS DOUBLE) / 2.0, 6)
+           AS rho_approx
+       FROM lagd GROUP BY n, b"""
+
+  // --------------------------------------------------------------- q256
+  /** Johnson–Lindenstrauss random-projection audit — the cheapest
+    * embedding compressor next to PQ (q156) and int8 (q79): project
+    * 64-dim vectors to k=8 with a DETERMINISTIC ±1 sign matrix
+    * (md5-parity, generated driver-side and rendered as literals into
+    * BOTH engines — the q41/q53 generated-oracle pattern) and grade
+    * how well scaled projected distances track true distances on the
+    * every-20th consecutive pair set. All arithmetic is exact:
+    * micro-unit LONG components, integer dot products and squared
+    * distances, per-pair ratios quantized to 1e-6 before the summary.
+    * Projection is map-only over the corpus; the pair join is an
+    * equi-join on vec_id+1.
+    */
+  private lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$i:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    val xu = transform(col("embedding"), e =>
+      floor(abs(e.cast("double")) * lit(1e6) + lit(0.5)).cast("long") *
+        when(e < 0, -1L).otherwise(1L))
+    val projected = Tables.embeddings(s, d)
+      .select(Seq(col("vec_id"), xu.as("xu")) ++
+        (0 until 8).map { j =>
+          aggregate(
+            zip_with(xu, typedLit(jlSigns(j)), (a, sg) => a * sg),
+            lit(0L), (acc, t) => acc + t).as(s"y$j")
+        }: _*)
+    val a = projected.select(
+      Seq(col("vec_id").as("ida"), col("xu").as("xa")) ++
+        (0 until 8).map(j => col(s"y$j").as(s"ya$j")): _*)
+      .filter(pmod(col("ida"), lit(20)) === 0)
+    val b = projected.select(
+      Seq(col("vec_id").as("idb"), col("xu").as("xb")) ++
+        (0 until 8).map(j => col(s"y$j").as(s"yb$j")): _*)
+    val dx2 = aggregate(zip_with(col("xa"), col("xb"),
+      (p, q) => (p - q) * (p - q)), lit(0L), (acc, t) => acc + t)
+    val dy2 = (0 until 8).map { j =>
+      (col(s"ya$j") - col(s"yb$j")) * (col(s"ya$j") - col(s"yb$j"))
+    }.reduce(_ + _)
+    val pairs = a.join(b, col("idb") === col("ida") + 1)
+      .select(dx2.as("dx2"), dy2.as("dy2"))
+      .filter(col("dx2") > 0)
+      .select(floor(col("dy2").cast("double") / lit(8.0) /
+        col("dx2").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+        .as("ru"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("ru")).as("sr"), min(col("ru")).as("mnr"),
+        max(col("ru")).as("mxr"),
+        sum(when(col("ru") >= 300000L && col("ru") <= 1700000L, 1L)
+          .otherwise(0L)).as("nin"))
+      .select(col("n_pairs"),
+        round(col("sr").cast("double") / col("n_pairs").cast("double") /
+          lit(1e6), 6).as("mean_ratio"),
+        round(col("mnr").cast("double") / lit(1e6), 6).as("min_ratio"),
+        round(col("mxr").cast("double") / lit(1e6), 6).as("max_ratio"),
+        round(col("nin").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("frac_within_70pct"))
+  }
+
+  private val q256Sql = {
+    val signRows = (0 until 8).flatMap { j =>
+      (0 until 64).map(i => s"($i, $j, ${jlSigns(j)(i)})")
+    }.mkString(", ")
+    s"""WITH signs AS (SELECT * FROM (VALUES $signRows) s(i, j, sg)),
+       xu AS (SELECT vec_id, CAST(r.range AS INT) AS i,
+               CAST(floor(abs(embedding[CAST(r.range AS INT) + 1]::DOUBLE)
+                   * 1e6 + 0.5) AS BIGINT)
+                 * (CASE WHEN embedding[CAST(r.range AS INT) + 1] < 0
+                     THEN -1 ELSE 1 END) AS u
+             FROM embeddings, range(0, 64) r),
+       y AS (SELECT vec_id, j, CAST(sum(u * sg) AS BIGINT) AS yv
+             FROM xu JOIN signs USING (i) GROUP BY vec_id, j),
+       dx AS (SELECT a.vec_id AS ida,
+               CAST(sum((a.u - b.u) * (a.u - b.u)) AS BIGINT) AS dx2
+             FROM xu a JOIN xu b
+               ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+             WHERE a.vec_id % 20 = 0 GROUP BY a.vec_id),
+       dy AS (SELECT a.vec_id AS ida,
+               CAST(sum((a.yv - b.yv) * (a.yv - b.yv)) AS BIGINT) AS dy2
+             FROM y a JOIN y b
+               ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+             WHERE a.vec_id % 20 = 0 GROUP BY a.vec_id),
+       r AS (SELECT CAST(floor(dy.dy2::DOUBLE / 8.0 / dx.dx2::DOUBLE
+               * 1e6 + 0.5) AS BIGINT) AS ru
+             FROM dx JOIN dy USING (ida) WHERE dx.dx2 > 0)
+       SELECT count(*)::BIGINT AS n_pairs,
+         round(CAST(sum(ru) AS DOUBLE) / count(*)::DOUBLE / 1e6, 6)
+           AS mean_ratio,
+         round(min(ru)::DOUBLE / 1e6, 6) AS min_ratio,
+         round(max(ru)::DOUBLE / 1e6, 6) AS max_ratio,
+         round(CAST(sum(CASE WHEN ru BETWEEN 300000 AND 1700000
+             THEN 1 ELSE 0 END) AS DOUBLE) / count(*)::DOUBLE, 6)
+           AS frac_within_70pct
+       FROM r"""
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q243_benford_audit" -> (q243 _),
     "q250_theil_sen" -> (q250 _),
+    "q254_weighted_quantiles" -> (q254 _),
+    "q255_durbin_watson" -> (q255 _),
+    "q256_jl_projection" -> (q256 _),
     "q177_streaming_hll" -> (q177 _),
     "q178_hits" -> (q178 _),
     "q179_attribution" -> (q179 _),
@@ -2809,6 +3052,9 @@ object Insights {
   val oracles: Map[String, String] = Map(
     "q243_benford_audit" -> q243Sql,
     "q250_theil_sen" -> q250Sql,
+    "q254_weighted_quantiles" -> q254Sql,
+    "q255_durbin_watson" -> q255Sql,
+    "q256_jl_projection" -> q256Sql,
     "q177_streaming_hll" -> q177Sql,
     "q178_hits" -> q178Sql,
     "q179_attribution" -> q179Sql,

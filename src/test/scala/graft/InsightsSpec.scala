@@ -66,6 +66,50 @@ class InsightsSpec extends SparkSpec {
     assert(r.getDouble(3) == 100.0, s"intercept=${r.getDouble(3)}")
   }
 
+  test("weightedQuantiles: mass-weighted median, exact rational ranks") {
+    // values 1 (w=1), 2 (w=1), 3 (w=8): W=10. p50 target ceil(10/2)=5
+    // -> value 3; p90 target exactly 9 (the FP-ceil trap: 0.9*10 must
+    // not round to 10) -> value 3; p10 target 1 -> value 1
+    val rows = Seq((1L, 1L), (2L, 1L), (3L, 8L)).toDF("v", "w")
+    val out = graft.operators.Quality.weightedQuantiles(rows, "v", "w",
+      Seq(("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("p10", 1L, 1L), ("p50", 5L, 3L),
+      ("p90", 9L, 3L)), out.toSeq.toString)
+  }
+
+  test("q255 Durbin-Watson: orthogonal alternating residuals give " +
+      "exactly dw = 2") {
+    // c = 10000 + 200d + 100*(+,-,-,+) cents: the noise block is
+    // orthogonal to [1, d], so OLS recovers slope 200 EXACTLY and the
+    // residuals are exactly the pattern; diffs (-2,0,2,...) give
+    // num = 16, den = 8 -> dw = 2.0, rho = 0
+    val pat = Seq(1L, -1L, -1L, 1L)
+    val rows = (0 until 8).map { dd =>
+      val cents = 10000L + 200L * dd + 100L * pat(dd % 4)
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1996, 1, 1)
+        .plusDays(dd)), cents / 100.0)
+    }.toDF("l_shipdate", "l_extendedprice")
+    val dir = staged("dw")("lineitem" -> rows)
+    val r = SparkEntry.queries("q255_durbin_watson")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == 2.0, s"slope=${r.getDouble(1)}")
+    assert(r.getDouble(2) == 2.0, s"dw=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("q256 JL audit: ratios land in a plausible k=8 band") {
+    val r = SparkEntry.queries("q256_jl_projection")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(r.getLong(0) > 0)
+    val mean = r.getDouble(1)
+    assert(mean > 0.2 && mean < 3.0, s"mean_ratio=$mean")
+    assert(r.getDouble(2) <= mean && mean <= r.getDouble(3))
+    val frac = r.getDouble(4)
+    assert(frac >= 0.0 && frac <= 1.0)
+  }
+
   // ----------------------------------------------- sorted neighborhood
   test("snm pairs rank-adjacent near-duplicates and verifies distance") {
     val rows = Seq(
