@@ -186,6 +186,53 @@ object Multimodal {
     }
   }
 
+  /** RESIZE inside the partition iterator — the preprocessing step of
+    * an image-training pipeline: nearest-neighbor downsample by
+    * `factor` (output pixel (x,y) = input pixel (factor·x, factor·y),
+    * ceil-divided dims so 1-pixel tails survive), then RE-ENCODE and
+    * RE-DECODE through the real PPM codec so the emitted features
+    * certify that the resized artifact is itself a valid image — not
+    * just an in-memory array. Full-size rasters never leave the
+    * iterator (the [[sampleVideoFrames]] discipline); corrupt
+    * payloads drop, never garbage-decode. `n_bytes` is the RESIZED
+    * file's size.
+    */
+  def resizeImageFeatures(files: Dataset[MediaFile], factor: Int = 2)
+      : Dataset[MediaFeatures] = {
+    require(factor >= 1, "resize factor must be >= 1")
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { m =>
+        MediaCodec.decodePpm(m.payload).toOption.flatMap { img =>
+          val nw = (img.width + factor - 1) / factor
+          val nh = (img.height + factor - 1) / factor
+          val out = new Array[Byte](nw * nh * 3)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              val src = 3 * (y * factor * img.width + x * factor)
+              val dst = 3 * (y * nw + x)
+              out(dst) = img.pixels(src)
+              out(dst + 1) = img.pixels(src + 1)
+              out(dst + 2) = img.pixels(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          val reenc = MediaCodec.encodePpm(nw, nh, out)
+          MediaCodec.decodePpm(reenc).toOption.map { r =>
+            var sum = 0L
+            r.pixels.foreach(b => sum += (b & 0xff))
+            MediaFeatures(m.media_id, m.mime, reenc.length,
+              r.width, r.height,
+              sum.toDouble / (r.pixels.length * 255.0))
+          }
+        }
+      }
+    }
+  }
+
   /** REAL-codec media table, COMPRESSED-AUDIO edition: each document's
     * UTF-8 bytes become a deterministic mono PCM signal — byte j maps
     * to target level `(b_j - 128) * 256`, and each byte contributes 16

@@ -526,6 +526,42 @@ object Pipeline {
              FROM documents) t
        ORDER BY media_id"""
 
+  // --------------------------------------------------------------- q257
+  /** Multimodal RESIZE — the fourth verb of the image-pipeline set
+    * (decode q59 / feature-extract q43 / frame-sample q42/q155):
+    * nearest-neighbor 2× downsample through
+    * [[graft.operators.Multimodal.resizeImageFeatures]], which
+    * decodes the real PPM, samples (2x, 2y), RE-ENCODES and
+    * RE-DECODES so the result certifies a valid resized artifact.
+    * The oracle reconstructs the sampled-byte arithmetic from the
+    * text (ASCII corpus, q59's convention): kept raster positions are
+    * those whose pixel has even x and even y; zero padding beyond the
+    * text contributes nothing.
+    */
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.resizeImageFeatures(
+        Multimodal.toPpmMedia(Tables.documents(s, d)), factor = 2).toDF()
+      .withColumn("brightness", round(col("brightness"), 4))
+      .orderBy("media_id")
+  }
+
+  private val q257Sql =
+    """SELECT media_id, mime,
+       CAST(length('P6' || chr(10) || '4 ' || nh || chr(10) ||
+              '255' || chr(10)) + 12 * nh AS INT) AS n_bytes,
+       CAST(4 AS INT) AS width, CAST(nh AS INT) AS height,
+       round(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+           i -> CASE WHEN ((i - 1) // 3) % 8 % 2 = 0
+                      AND (((i - 1) // 3) // 8) % 2 = 0
+                     THEN ascii(substr(text, i, 1)) ELSE 0 END)), 0)
+         / (12 * nh * 255.0), 4) AS brightness
+       FROM (SELECT doc_id AS media_id,
+               'image/x-portable-pixmap' AS mime, text,
+               (octet_length(CAST(text AS BLOB)) // 24 + 1 + 1) // 2 AS nh
+             FROM documents) t
+       ORDER BY media_id"""
+
   // --------------------------------------------------------------- q142
   /** COMPRESSED-codec multimodal path: documents encoded as genuine
     * PNG files ([[graft.operators.MediaCodec.encodePng]] — IHDR/IDAT/
@@ -1056,6 +1092,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "q249_readability" -> (q249 _),
+    "q257_multimodal_resize" -> (q257 _),
     "q30_text_stats" -> (q30 _),
     "q31_token_counts" -> (q31 _),
     "q32_quality_score" -> (q32 _),
@@ -1087,6 +1124,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q249_readability" -> q249Sql,
+    "q257_multimodal_resize" -> q257Sql,
     "q30_text_stats" -> q30Sql,
     "q31_token_counts" -> q31Sql,
     "q32_quality_score" -> q32Sql,

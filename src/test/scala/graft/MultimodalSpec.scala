@@ -21,6 +21,29 @@ class MultimodalSpec extends SparkSpec {
       == pixels.toSeq)
   }
 
+  test("resize: nearest-neighbor 2x picks the even-coordinate pixels " +
+      "and survives a real re-encode") {
+    // 4x4 raster, pixel (x,y) has all three channels = 16*y + x:
+    // the 2x2 output must hold exactly {(0,0),(2,0),(0,2),(2,2)}
+    // = {0, 2, 32, 34}; brightness = mean/255
+    val pixels = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      pixels(3 * (y * 4 + x) + c) = (16 * y + x).toByte
+    val media = Seq(MediaFile(1L, MediaCodec.encodePpm(4, 4, pixels),
+      "image/x-portable-pixmap")).toDS()
+    val f = Multimodal.resizeImageFeatures(media, factor = 2).collect()(0)
+    assert(f.width == 2 && f.height == 2)
+    val wantMean = (0 + 2 + 32 + 34) / 4.0 / 255.0
+    assert(math.abs(f.brightness - wantMean) < 1e-12,
+      s"brightness=${f.brightness} want=$wantMean")
+    // the emitted n_bytes is the RESIZED file: header 'P6\n2 2\n255\n'
+    // (11 bytes) + 12 raster bytes
+    assert(f.n_bytes == 23, s"n_bytes=${f.n_bytes}")
+    // corrupt payloads drop, never garbage-decode
+    val bad = Seq(MediaFile(2L, "not a ppm".getBytes, "x")).toDS()
+    assert(Multimodal.resizeImageFeatures(bad).isEmpty)
+  }
+
   test("PPM decode rejects corrupt payloads with a reason, never garbage") {
     val good = MediaCodec.encodePpm(2, 2, new Array[Byte](12))
     assert(MediaCodec.decodePpm("JFIF-not-ppm".getBytes).isLeft)
