@@ -2985,9 +2985,126 @@ object Insights {
        FROM r"""
   }
 
+  // --------------------------------------------------------------- q258
+  /** Rolling-origin forecast backtest — the harness that says whether
+    * q174/q181's Holt forecasts can be TRUSTED: for every origin day
+    * o in [8, 29], fit level+trend on days 1..o of the January daily
+    * series (the q174 α=β=0.5 exact-halving fold, SAME init
+    * convention: l=x₁, b=x₂−x₁, fold x₂..x_o) and grade the one-step
+    * forecast against day o+1, next to the naive carry-forward
+    * baseline. MAE and the skill ratio per type — a skill ≥ 1 means
+    * the model adds nothing over persistence. ALL origins evaluate
+    * inside ONE Catalyst expression (transform over the origin array,
+    * fold per origin — the corpus collapses to 5 series arrays first);
+    * errors quantize to 1e-4-unit LONGs; the oracle replays every
+    * (origin, step) pair through a recursive CTE.
+    */
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    val dd = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+    val obs = Tables.events(s, d)
+      .select(col("event_type").as("k"), dd.as("dd"))
+      .filter(col("dd") >= 0 && col("dd") < 30)
+      .groupBy("k", "dd").agg(count(lit(1)).as("cnt"))
+    val spark = s
+    import spark.implicits._
+    val grid = obs.select("k").distinct()
+      .crossJoin(broadcast((0 until 30).toDF("dd")))
+      .join(obs, Seq("k", "dd"), "left")
+      .select(col("k"), col("dd"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("x"))
+    val series = grid.groupBy("k")
+      .agg(transform(array_sort(collect_list(struct(col("dd"), col("x")))),
+        t => t.getField("x")).as("xs"))
+    val a = lit(0.5)
+    val b = lit(0.5)
+    def foldTo(xs: org.apache.spark.sql.Column,
+               o: org.apache.spark.sql.Column) =
+      aggregate(
+        slice(xs, lit(2), o - 1),
+        struct(element_at(xs, 1).as("l"),
+          (element_at(xs, 2) - element_at(xs, 1)).as("b")),
+        (acc, x) => {
+          val l2 = a * x + (lit(1.0) - a) *
+            (acc.getField("l") + acc.getField("b"))
+          struct(l2.as("l"),
+            (b * (l2 - acc.getField("l")) +
+              (lit(1.0) - b) * acc.getField("b")).as("b"))
+        })
+    val errs = series.select(col("k"),
+      transform(sequence(lit(8), lit(29)), o => {
+        val st = foldTo(col("xs"), o)
+        val pred = st.getField("l") + st.getField("b")
+        val actual = element_at(col("xs"), o + 1)
+        val naive = element_at(col("xs"), o)
+        struct(
+          floor(abs(pred - actual) * lit(1e4) + lit(0.5)).cast("long")
+            .as("he"),
+          floor(abs(naive - actual) * lit(1e4) + lit(0.5)).cast("long")
+            .as("ne"))
+      }).as("es"))
+    errs.select(col("k").as("event_type"),
+        size(col("es")).cast("long").as("n_origins"),
+        aggregate(col("es"), lit(0L), (s0, e) => s0 + e.getField("he"))
+          .as("sh"),
+        aggregate(col("es"), lit(0L), (s0, e) => s0 + e.getField("ne"))
+          .as("sn"))
+      .select(col("event_type"), col("n_origins"),
+        round(col("sh").cast("double") / col("n_origins").cast("double") /
+          lit(1e4), 4).as("mae_holt"),
+        round(col("sn").cast("double") / col("n_origins").cast("double") /
+          lit(1e4), 4).as("mae_naive"),
+        when(col("sn") > 0,
+          round(col("sh").cast("double") / col("sn").cast("double"), 6))
+          .as("skill"))
+      .orderBy("event_type")
+  }
+
+  private val q258Sql =
+    """WITH RECURSIVE obs AS (SELECT event_type AS k,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd,
+           count(*)::DOUBLE AS x
+         FROM events
+         WHERE datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 0
+           AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 30
+         GROUP BY 1, 2),
+       ks AS (SELECT DISTINCT k FROM obs),
+       xs AS (SELECT ks.k, CAST(r.range AS INT) + 1 AS t,
+               coalesce(obs.x, 0) AS x
+             FROM ks CROSS JOIN range(0, 30) r
+             LEFT JOIN obs ON obs.k = ks.k AND obs.dd = r.range),
+       og AS (SELECT CAST(range AS INT) AS o FROM range(8, 30)),
+       rec AS (
+         SELECT x1.k, og.o, 1 AS t, x1.x AS l, x2.x - x1.x AS b
+         FROM og, xs x1 JOIN xs x2 ON x2.k = x1.k AND x2.t = 2
+         WHERE x1.t = 1
+         UNION ALL
+         SELECT r.k, r.o, r.t + 1,
+           0.5 * x.x + 0.5 * (r.l + r.b),
+           0.5 * ((0.5 * x.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+         FROM rec r JOIN xs x ON x.k = r.k AND x.t = r.t + 1
+         WHERE r.t < r.o),
+       e AS (SELECT r.k,
+               CAST(floor(abs(r.l + r.b - xt.x) * 1e4 + 0.5) AS BIGINT)
+                 AS he,
+               CAST(floor(abs(xo.x - xt.x) * 1e4 + 0.5) AS BIGINT) AS ne
+             FROM rec r
+             JOIN xs xt ON xt.k = r.k AND xt.t = r.o + 1
+             JOIN xs xo ON xo.k = r.k AND xo.t = r.o
+             WHERE r.t = r.o)
+       SELECT k AS event_type, count(*)::BIGINT AS n_origins,
+         round(CAST(sum(he) AS DOUBLE) / count(*)::DOUBLE / 1e4, 4)
+           AS mae_holt,
+         round(CAST(sum(ne) AS DOUBLE) / count(*)::DOUBLE / 1e4, 4)
+           AS mae_naive,
+         CASE WHEN sum(ne) > 0 THEN
+           round(CAST(sum(he) AS DOUBLE) / CAST(sum(ne) AS DOUBLE), 6)
+         END AS skill
+       FROM e GROUP BY k ORDER BY k"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q258_forecast_backtest" -> (q258 _),
     "q243_benford_audit" -> (q243 _),
     "q250_theil_sen" -> (q250 _),
     "q254_weighted_quantiles" -> (q254 _),
@@ -3050,6 +3167,7 @@ object Insights {
     "q141_source_report" -> (q141 _))
 
   val oracles: Map[String, String] = Map(
+    "q258_forecast_backtest" -> q258Sql,
     "q243_benford_audit" -> q243Sql,
     "q250_theil_sen" -> q250Sql,
     "q254_weighted_quantiles" -> q254Sql,

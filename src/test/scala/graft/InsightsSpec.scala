@@ -110,6 +110,29 @@ class InsightsSpec extends SparkSpec {
     assert(frac >= 0.0 && frac <= 1.0)
   }
 
+  test("q258 backtest: a pure linear trend is forecast perfectly " +
+      "(skill exactly 0)") {
+    // daily count = 10 + 2*dd: with l=x1, b=x2-x1 init the alpha=.5
+    // fold keeps l=x_t, b=2 exactly, so every one-step forecast is
+    // exact -> mae_holt = 0; the naive carry-forward always misses by
+    // the slope -> mae_naive = 2, skill = 0
+    val rows = (0 until 30).flatMap { dd =>
+      (0 until 10 + 2 * dd).map { j =>
+        (dd.toLong * 1000 + j,
+          java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(dd).atStartOfDay().plusHours(1)),
+          j.toLong, "click", 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("backtest")("events" -> rows)
+    val r = SparkEntry.queries("q258_forecast_backtest")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(1) == 22L)
+    assert(r.getDouble(2) == 0.0, s"mae_holt=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 2.0, s"mae_naive=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.0)
+  }
+
   // ----------------------------------------------- sorted neighborhood
   test("snm pairs rank-adjacent near-duplicates and verifies distance") {
     val rows = Seq(
