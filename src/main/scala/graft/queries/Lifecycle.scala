@@ -944,9 +944,127 @@ object Lifecycle {
        FROM events WHERE value IS NOT NULL
        GROUP BY user_id ORDER BY user_id"""
 
+  // --------------------------------------------------------------- q259
+  /** STREAMING watermark / late-data audit, oracle-graded — the
+    * semantics q226/q231 don't exercise: what happens to rows that
+    * arrive LATE into a windowed aggregation. Every 5th event is
+    * re-sent TWO 6-day chunks later (6–12 days late against a 3-day
+    * watermark): a late row whose 1-day window is still open
+    * (window_end > watermark at its arrival batch) merges and
+    * inflates the count; one whose window has closed is dropped —
+    * both outcomes occur (the last ~3 days of each chunk survive,
+    * the first ~3 drop), which is the audit's point. The replay is
+    * the q226 chunk choreography, so the watermark sequence is
+    * DETERMINISTIC, with Spark's one-batch PROPAGATION DELAY pinned
+    * empirically: the wm in effect while batch k processes file k is
+    * (running max event time through file k−2) − 3d — a lag-1 model
+    * (through file k−1) mispredicts 130/130 cells, lag-2 matches all
+    * (and is why a chunk+1 re-send drops NOTHING: its windows are
+    * always still open under the delayed wm). The oracle recomputes
+    * the exact per-row keep/drop verdict from that closed form, plus
+    * append-mode's tail rule (windows past the final watermark never
+    * emit).
+    */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val chunkUs = 6L * 86400 * 1000000
+    val tmp = Files.createTempDirectory("graft_wm_split").toString
+    val ingest = Files.createTempDirectory("graft_wm_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_wm_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_wm_out").toString
+
+    val ev = Tables.events(s, d)
+      .select(col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
+    val lateCopies = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("chunk", col("chunk") + 2)
+    ev.unionByName(lateCopies)
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(s"$tmp/real")
+
+    val ordered = new java.io.File(s"$tmp/real").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+      .map(_.toString)
+    ordered.zipWithIndex.foreach { case (dir, k) =>
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type",
+        StringType)))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val counted = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "3 days")
+        .groupBy(col("event_type"), window(col("ts"), "1 day"))
+        .count()
+      val q = counted.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("event_type"),
+              (unix_micros(col("window.start")) / lit(86400000000L))
+                .cast("long").as("day"),
+              col("count").as("n_events"))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val result = s.read.parquet(outDir)
+      .orderBy("event_type", "day")
+    graft.operators.Exec.detachFromScratch(result,
+      Seq(tmp, ingest, ckpt, outDir))
+  }
+
+  /** The oracle replays the deterministic watermark model: running
+    * per-chunk max event time → wm at each late row's arrival batch
+    * (arrival = chunk+2; wm lags the running max by TWO files — the
+    * empirically pinned propagation delay) → exact keep/drop per late
+    * copy; the tail rule drops windows whose end exceeds the final
+    * watermark. */
+  private val q259Sql =
+    """WITH ev AS (SELECT event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+           event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 518400000000 AS chunk,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+         FROM events),
+       mx AS (SELECT chunk, max(tu) AS m FROM ev GROUP BY chunk),
+       cm AS (SELECT chunk, max(m) OVER (ORDER BY chunk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+              FROM mx),
+       keptlate AS (SELECT e.event_type, e.day
+             FROM ev e JOIN cm ON cm.chunk = e.chunk
+             WHERE e.event_id % 5 = 0
+               AND (e.day + 1) * 86400000000 > cm.cm - 259200000000),
+       allr AS (SELECT event_type, day FROM ev
+                UNION ALL SELECT event_type, day FROM keptlate),
+       fw AS (SELECT max(tu) - 259200000000 AS w FROM ev)
+       SELECT event_type, CAST(day AS BIGINT) AS day,
+         count(*)::BIGINT AS n_events
+       FROM allr, fw
+       WHERE (day + 1) * 86400000000 <= fw.w
+       GROUP BY event_type, day
+       ORDER BY event_type, day"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q259_late_data_audit" -> (q259 _),
     "q231_streaming_tws" -> (q231 _),
     "q226_streaming_dedup" -> (q226 _),
     "q211_streaming_sessions" -> (q211 _),
@@ -960,6 +1078,7 @@ object Lifecycle {
     "q210_l_diversity" -> (q210 _))
 
   val oracles: Map[String, String] = Map(
+    "q259_late_data_audit" -> q259Sql,
     "q231_streaming_tws" -> q231Sql,
     "q226_streaming_dedup" -> q226Sql,
     "q211_streaming_sessions" -> q211Sql,
