@@ -612,9 +612,82 @@ object Analytics {
              FROM orders) t
        ORDER BY zkey, o_orderkey LIMIT 50"""
 
+  // --------------------------------------------------------------- q260
+  /** Tokenizer fertility audit — the metric that drives mixture and
+    * budget decisions in a multilingual pipeline: tokens-per-word and
+    * chars-per-token per LANGUAGE under the corpus-trained BPE
+    * (q109's 4 merge rules, q110's one-pass encode). A language whose
+    * fertility runs high is under-served by the vocabulary and burns
+    * training budget; the per-lang aggregation makes that a graded
+    * number instead of folklore. Corpus work: the q110 projection +
+    * one |langs|-row aggregation; fertility ratios are divisions of
+    * exact LONG sums.
+    */
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val tc = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+    tc.join(docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("nc"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("nc").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  private val q260Sql =
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),'\\s+'))
+           AS w FROM documents),
+       wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+       r0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+                || ' ' AS s, freq FROM wf),
+       ${bpeRound("r0", "p1", "b1", "r1")},
+       ${bpeRound("r1", "p2", "b2", "r2")},
+       ${bpeRound("r2", "p3", "b3", "r3")},
+       ${bpeRound("r3", "p4", "b4", "r4")},
+       dw AS (SELECT DISTINCT w FROM toks),
+       e0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ')
+                || ' ' AS s FROM dw),
+       e1 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e0, b1),
+       e2 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e1, b2),
+       e3 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e2, b3),
+       e4 AS (SELECT w, replace(s, ' ' || x || '  ' || y || ' ',
+                ' ' || x || y || ' ') AS s FROM e3, b4),
+       wtok AS (SELECT w,
+                  CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt
+                FROM e4),
+       docw AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text),'\\s+')) AS w
+                FROM documents),
+       perdoc AS (SELECT doc_id, count(*) AS n_words,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM docw JOIN wtok USING (w) GROUP BY doc_id)
+       SELECT d.lang, count(*)::BIGINT AS n_docs,
+         CAST(sum(p.n_words) AS BIGINT) AS n_words,
+         CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+         round(CAST(sum(p.n_tokens) AS DOUBLE)
+           / CAST(sum(p.n_words) AS DOUBLE), 6) AS fertility,
+         round(CAST(sum(length(d.text)) AS DOUBLE)
+           / CAST(sum(p.n_tokens) AS DOUBLE), 6) AS chars_per_token
+       FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+       GROUP BY d.lang ORDER BY d.lang"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q260_tokenizer_fertility" -> (q260 _),
     "q97_bm25" -> (q97 _),
     "q98_char_entropy" -> (q98 _),
     "q99_weighted_sample" -> (q99 _),
@@ -633,6 +706,7 @@ object Analytics {
     "q111_zorder_key" -> (q111 _))
 
   val oracles: Map[String, String] = Map(
+    "q260_tokenizer_fertility" -> q260Sql,
     "q97_bm25" -> q97Sql,
     "q98_char_entropy" -> q98Sql,
     "q99_weighted_sample" -> q99Sql,
