@@ -167,9 +167,9 @@ object ScaleRehearsal {
         f"""    "$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
       }.mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/SCALE_r08.json"),
+        java.nio.file.Paths.get("/root/repo/SCALE_r09.json"),
         json.getBytes("UTF-8"))
-      println("wrote /root/repo/SCALE_r08.json")
+      println("wrote /root/repo/SCALE_r09.json")
     }
     spark.stop()
   }
