@@ -505,4 +505,67 @@ object Quality {
         min(col("v")).as("value"))
       .orderBy("frac")
   }
+
+  /** PER-GROUP exact rank quantiles — the equi-depth-boundary kernel
+    * for melted multi-feature frames: for each group g and rational
+    * fraction p/q, the smallest value whose within-group rank reaches
+    * max(1, ceil(p·n_g/q)) (exact integer target, (p·n+q−1) DIV q).
+    * Same distribution shape as [[graft.operators.MlEval.aucExactBy]]:
+    * per-(group, value) counts, per-(group, bucket) windows + a
+    * groups×buckets offset prefix windowed per group — ONE pass over
+    * the distinct-value table, no iterative re-scans, no corpus-sized
+    * single-partition state (this replaced q240's 28-task narrowing
+    * solve, which re-scanned the corpus with a tasks-wide explode per
+    * round: 17.8 → ~2 s warm at sf0.1). DOUBLE values (quantile of a
+    * measure column); returns `(g, qi, value)` with qi the 0-based
+    * fraction index.
+    */
+  def groupedRankQuantiles(df: DataFrame, gCol: String, vCol: String,
+                           fracs: Seq[(Int, Int)], buckets: Int = 32)
+      : DataFrame = {
+    require(buckets >= 1 && fracs.nonEmpty, "need buckets and fractions")
+    fracs.foreach { case (p, q) =>
+      require(p >= 0 && q > 0 && p <= q, s"bad fraction $p/$q") }
+    val vals = df
+      .filter(col(vCol).isNotNull)
+      .select(col(gCol).as("g"), col(vCol).cast("double").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("nv"))
+    val bFracs = (1 until buckets).map(_.toDouble / buckets)
+    val boundsDf =
+      if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
+      else vals.agg(expr(
+        s"cast(approx_percentile(v, array(${bFracs.mkString(",")}), 1000)" +
+          " as array<double>)").as("bounds"))
+    val bucketed = vals.crossJoin(broadcast(boundsDf))
+      .select(col("g"), col("v"), col("nv"),
+        aggregate(col("bounds"), lit(0),
+          (acc, b) => acc + when(col("v") > b, 1).otherwise(0)).as("bk"))
+    val inBucket = Window.partitionBy("g", "bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy("g").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("g", "bk").agg(sum("nv").as("tn"))
+      .withColumn("ob", coalesce(sum("tn").over(offW), lit(0L)))
+      .select("g", "bk", "ob")
+    val totals = vals.groupBy("g").agg(sum("nv").as("tw"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val fracsDf = fracs.zipWithIndex
+      .map { case ((p, q), i) => (i, p.toLong, q.toLong) }
+      .toDF("qi", "p", "q")
+    val dec = "decimal(38,0)"
+    bucketed
+      .withColumn("lcw", sum("nv").over(inBucket))
+      .join(offsets, Seq("g", "bk"))
+      .select(col("g"), col("v"), (col("lcw") + col("ob")).as("cw"))
+      .join(broadcast(totals), "g")
+      .crossJoin(broadcast(fracsDf))
+      .withColumn("target", greatest(lit(1L).cast(dec),
+        floor((col("p").cast(dec) * col("tw").cast(dec) +
+          col("q").cast(dec) - lit(1).cast(dec)) / col("q").cast(dec))
+          .cast(dec)))
+      .filter(col("cw").cast(dec) >= col("target"))
+      .groupBy("g", "qi")
+      .agg(min(col("v")).as("value"))
+  }
 }
