@@ -54,4 +54,37 @@ class EvalsPlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), s"no hash join found:\n$p")
   }
+
+  test("q240 feature drift: boundaries attach as a broadcast, never " +
+      "a cartesian") {
+    val p = plan("q240_feature_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
+  }
+
+  test("q248 NDCG: relevance joins broadcast the per-query frames") {
+    val p = plan("q248_ndcg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"qsrc/ideal must ride broadcast hash joins:\n$p")
+  }
+
+  test("q251 bootstrap: one shuffle family, no corpus-sized " +
+      "single-partition window") {
+    val p = plan("q251_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"), p)
+    // replicate means aggregate by (type, b): HashAggregate present,
+    // and no Window at all (the CI comes from array_sort, not a rank)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("q247 Mann-Whitney: prefix sums stay bucket-partitioned") {
+    val p = plan("q247_mann_whitney")
+    assert(!p.contains("CartesianProduct"), p)
+    // the in-bucket window partitions by (g, bk); the offset window
+    // by g — neither is a global single-partition pass over values
+    assert(p.contains("Window"), p)
+  }
 }
