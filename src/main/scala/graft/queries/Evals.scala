@@ -2698,6 +2698,173 @@ object Evals {
        FROM fin ORDER BY source, lang"""
   }
 
+  // --------------------------------------------------------------- q261
+  /** Two-proportion z-test — conversion RATES, the readout q120's
+    * mean test doesn't give: per event type, does the treated arm
+    * convert (value > 80, ~"high-value event") at a different rate?
+    * Pooled-variance z on exact LONG counts; the only FP is the final
+    * fixed-shape expression on those integers. Completes the testing
+    * family: means (Welch q120), medians/dominance (Mann–Whitney
+    * q247), rates (here), all on the SAME hash assignment.
+    */
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    val arm = graft.operators.Sampling.hashBucket(col("user_id"), "ab", 2)
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (arm === 0).as("t"),
+        (col("value") > 80.0).as("y"))
+      .groupBy("event_type")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("t") && col("y"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("t") && col("y"), 1L).otherwise(0L)).as("c_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("c_a").cast("double") / na
+    val pb = col("c_b").cast("double") / nb
+    val pp = (col("c_a") + col("c_b")).cast("double") / (na + nb)
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)
+    cells.select(col("event_type"), col("n_a"), col("n_b"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        when(se2 > 0.0, round((pa - pb) / sqrt(se2), 4)).as("z"))
+      .orderBy("event_type")
+  }
+
+  private val q261Sql =
+    """WITH b AS (SELECT event_type,
+           (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 = 0) AS t,
+           (value > 80.0) AS y
+         FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type,
+               CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_a,
+               CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b,
+               CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_b
+             FROM b GROUP BY event_type
+             HAVING n_a > 0 AND n_b > 0),
+       t2 AS (SELECT event_type, n_a, n_b,
+               c_a::DOUBLE / n_a::DOUBLE AS pa,
+               c_b::DOUBLE / n_b::DOUBLE AS pb,
+               (c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pp
+             FROM c)
+       SELECT event_type, n_a, n_b,
+         round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+         CASE WHEN pp * (1.0 - pp) * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)
+                > 0.0
+           THEN round((pa - pb) / sqrt(pp * (1.0 - pp)
+             * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 4)
+         END AS z
+       FROM t2 ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q262
+  /** Overdispersion audit (variance-to-mean dispersion index) — the
+    * count-data diagnostic that decides whether Poisson assumptions
+    * (rate CIs, anomaly thresholds like q114's z-scores) hold at all:
+    * per event type, the per-user event-count distribution's
+    * index D = s²/x̄ and the χ² statistic (n−1)·D. D ≈ 1 is
+    * Poisson-like, D ≫ 1 means heavy users dominate and every
+    * Poisson-based alarm fires on noise. Exact integer moments (Σc,
+    * Σc² in DECIMAL) from ONE per-user aggregation; flag at the
+    * conventional 2.0.
+    */
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+    val m = perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("scc"))
+      .filter(col("n") >= 2)
+    val nd = col("n").cast("double")
+    val mean = col("sc").cast("double") / nd
+    val variance = (col("scc").cast("double") / nd - mean * mean) *
+      nd / (nd - 1.0)
+    m.select(col("event_type"), col("n").as("n_users"),
+        round(mean, 6).as("mean_events"),
+        round(variance / mean, 6).as("dispersion"),
+        round((nd - 1.0) * variance / mean, 4).as("chi2"),
+        (variance / mean > 2.0).as("overdispersed"))
+      .orderBy("event_type")
+  }
+
+  private val q262Sql =
+    """WITH pu AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, count(*)::BIGINT AS n,
+               CAST(sum(c) AS BIGINT) AS sc,
+               sum(c::HUGEINT * c) AS scc
+             FROM pu GROUP BY event_type HAVING n >= 2),
+       t AS (SELECT event_type, n,
+               sc::DOUBLE / n::DOUBLE AS mean,
+               (scc::DOUBLE / n::DOUBLE
+                 - (sc::DOUBLE / n::DOUBLE) * (sc::DOUBLE / n::DOUBLE))
+                 * n::DOUBLE / (n::DOUBLE - 1.0) AS v
+             FROM m)
+       SELECT event_type, n AS n_users,
+         round(mean, 6) AS mean_events,
+         round(v / mean, 6) AS dispersion,
+         round((n::DOUBLE - 1.0) * v / mean, 4) AS chi2,
+         (v / mean > 2.0) AS overdispersed
+       FROM t ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q263
+  /** Label-balance audit — the check BEFORE labels train a classifier
+    * (q162) or seed IVF cells (q52): per-label mass, imbalance ratio
+    * (max/min), Shannon entropy in exact 1e-9-unit LONG terms, and
+    * the effective number of classes exp(H) — a 10-class corpus with
+    * effective 2.3 classes will starve 8 of them. One |labels|-row
+    * aggregation over the embedding corpus.
+    */
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.embeddings(s, d)
+      .filter(col("label").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    val p = col("n").cast("double") / col("tot").cast("double")
+    val termU = floor(-p * log(p) * lit(1e9) + lit(0.5)).cast("long")
+    counts
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("mx", max(col("n")).over(wAll))
+      .withColumn("mn", min(col("n")).over(wAll))
+      .withColumn("tu", termU)
+      .select(col("label"), col("n"),
+        round(p, 6).as("share"),
+        round(col("mx").cast("double") / col("mn").cast("double"), 6)
+          .as("imbalance_ratio"),
+        round(sum(col("tu")).over(wAll).cast("double") / lit(1e9), 6)
+          .as("entropy_nats"),
+        round(exp(sum(col("tu")).over(wAll).cast("double") / lit(1e9)), 4)
+          .as("effective_classes"))
+      .orderBy("label")
+  }
+
+  private val q263Sql =
+    """WITH c AS (SELECT label, count(*)::BIGINT AS n
+         FROM embeddings WHERE label IS NOT NULL GROUP BY label),
+       e AS (SELECT label, n,
+               CAST(sum(n) OVER () AS BIGINT) AS tot,
+               CAST(max(n) OVER () AS BIGINT) AS mx,
+               CAST(min(n) OVER () AS BIGINT) AS mn
+             FROM c),
+       t AS (SELECT label, n, tot, mx, mn,
+               CAST(floor(-(n::DOUBLE / tot::DOUBLE)
+                   * ln(n::DOUBLE / tot::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+                 AS tu
+             FROM e)
+       SELECT label, n,
+         round(n::DOUBLE / tot::DOUBLE, 6) AS share,
+         round(mx::DOUBLE / mn::DOUBLE, 6) AS imbalance_ratio,
+         round(CAST(sum(tu) OVER () AS DOUBLE) / 1e9, 6) AS entropy_nats,
+         round(exp(CAST(sum(tu) OVER () AS DOUBLE) / 1e9), 4)
+           AS effective_classes
+       FROM t ORDER BY label"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2731,7 +2898,10 @@ object Evals {
     "q248_ndcg" -> (q248 _),
     "q251_bootstrap_ci" -> (q251 _),
     "q252_ratio_metric_ci" -> (q252 _),
-    "q253_ipf_raking" -> (q253 _))
+    "q253_ipf_raking" -> (q253 _),
+    "q261_two_proportion_z" -> (q261 _),
+    "q262_overdispersion" -> (q262 _),
+    "q263_label_balance" -> (q263 _))
 
   val oracles: Map[String, String] = Map(
     "q214_auc_roc" -> q214Sql,
@@ -2764,5 +2934,8 @@ object Evals {
     "q248_ndcg" -> q248Sql,
     "q251_bootstrap_ci" -> q251Sql,
     "q252_ratio_metric_ci" -> q252Sql,
-    "q253_ipf_raking" -> q253Sql)
+    "q253_ipf_raking" -> q253Sql,
+    "q261_two_proportion_z" -> q261Sql,
+    "q262_overdispersion" -> q262Sql,
+    "q263_label_balance" -> q263Sql)
 }
