@@ -1881,7 +1881,10 @@ object Evals {
         (to_date(col("l_shipdate")) < split).as("isref"))
       .select(col("e.f").as("f"), col("e.v").as("v"), col("isref"))
       .filter(col("v").isNotNull)
-      .persist(sl)
+    // deliberately NOT persisted: the melt is a 0.3 s map-only
+    // projection, while caching its 4x-corpus string-keyed rows cost
+    // ~6 s per cache-cold run (cache write + InMemoryRelation re-scan
+    // ran slower than the parquet re-melt it saved)
     // per-feature equi-depth boundaries as exact rank-max(1,ceil(q·n))
     // order statistics of the REFERENCE period, all features in ONE
     // grouped prefix-sum pass (the earlier 28-task narrowing solve
@@ -1925,7 +1928,7 @@ object Evals {
       .select(col("f").as("feature"), col("n_ref"), col("n_cur"),
         round(col("u").cast("double") / lit(1e9), 6).as("psi"))
       .orderBy("feature")
-    graft.operators.Exec.owned(result, Seq(melted))
+    result
   }
 
   private val q240Sql = {
