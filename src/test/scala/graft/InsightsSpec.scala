@@ -78,6 +78,34 @@ class InsightsSpec extends SparkSpec {
       ("p90", 9L, 3L)), out.toSeq.toString)
   }
 
+  test("weightedQuantiles / groupedRankQuantiles: bucket count never " +
+      "changes the answer; empty input yields empty, not a crash") {
+    val rows = (1L to 100L).map(v => (v, v % 7 + 1)).toDF("v", "w")
+    val a = graft.operators.Quality.weightedQuantiles(rows, "v", "w",
+      Seq(("p50", 1, 2), ("p90", 9, 10)), buckets = 1).collect().toSeq
+    val b = graft.operators.Quality.weightedQuantiles(rows, "v", "w",
+      Seq(("p50", 1, 2), ("p90", 9, 10)), buckets = 16).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq),
+      s"bucketing must be parallelism-only:\n$a\n$b")
+    val g = (1L to 100L).map(v => ("g1", v.toDouble)) ++
+      (1L to 50L).map(v => ("g2", v.toDouble))
+    val gdf = g.toDF("g", "v")
+    val r1 = graft.operators.Quality.groupedRankQuantiles(gdf, "g", "v",
+      Seq((1, 2)), buckets = 1).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    val r16 = graft.operators.Quality.groupedRankQuantiles(gdf, "g", "v",
+      Seq((1, 2)), buckets = 16).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    // rank max(1, ceil(n/2)): g1 n=100 -> rank 50 -> 50.0; g2 -> 25.0
+    assert(r1 == Map("g1" -> 50.0, "g2" -> 25.0), r1.toString)
+    assert(r1 == r16)
+    val empty = rows.filter(col("v") < 0)
+    assert(graft.operators.Quality.weightedQuantiles(empty, "v", "w",
+      Seq(("p50", 1, 2))).isEmpty)
+    assert(graft.operators.Quality.groupedRankQuantiles(
+      gdf.filter(col("v") < 0), "g", "v", Seq((1, 2))).isEmpty)
+  }
+
   test("q255 Durbin-Watson: orthogonal alternating residuals give " +
       "exactly dw = 2") {
     // c = 10000 + 200d + 100*(+,-,-,+) cents: the noise block is
