@@ -988,6 +988,100 @@ object Pipeline {
        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
        ORDER BY id"""
 
+  // --------------------------------------------------------------- q264
+  /** CLUSTER-SAFE dataset split — the constructive counterpart to
+    * q213's leakage AUDIT: near-dup documents must land in the SAME
+    * train/val/test split or evaluation is contaminated by training
+    * twins. Every document splits by the hash of its near-dup CLUSTER
+    * representative (q36 banded pairs → q71 exact closure; singletons
+    * represent themselves), so cross-split near-dup pairs are ZERO by
+    * construction — emitted as a graded value next to the counterfeit
+    * baseline (`naive_cross_pairs`: the same pairs under a doc-level
+    * hash split, the number a cluster-blind pipeline would leak).
+    * Corpus work = the q36/q71 kernels + one stats aggregation; the
+    * pair table re-attaches by id join, never corpus².
+    */
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = Dedup.connectedComponents(pairs)
+    val rep = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .join(comp.select(col("id").as("doc_id"),
+        col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+    def bucket(c: Column, salt: String) =
+      Sampling.hashBucket(c, salt, 10)
+    def splitOf(b: Column) = when(b <= 7, "train")
+      .when(b === 8, "val").otherwise("test")
+    val assigned = rep
+      .withColumn("split", splitOf(bucket(col("rep"), "split")))
+      .withColumn("naive", splitOf(bucket(col("doc_id"), "split")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sides = assigned.select(col("doc_id"), col("split"), col("naive"))
+    val pairSplits = pairs
+      .join(sides.select(col("doc_id").as("doc_a"),
+        col("split").as("sa"), col("naive").as("na")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"),
+        col("split").as("sb"), col("naive").as("nb")), "doc_b")
+      .agg(
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("cross_split_pairs"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+          .as("naive_cross_pairs"))
+    val result = assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(pairSplits))
+      .orderBy("split")
+    graft.operators.Exec.owned(result, Seq(pairs, assigned))
+  }
+
+  private val q264Sql =
+    s"""WITH RECURSIVE p AS ($q36Core),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                 UNION ALL SELECT doc_b, doc_a FROM p),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach AS (SELECT id, id AS r FROM nodes
+                 UNION
+                 SELECT e.a, reach.r FROM edges e
+                 JOIN reach ON e.b = reach.id),
+       comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       rep AS (SELECT d.doc_id,
+               len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT
+                 AS n_tokens,
+               coalesce(c.cluster_id, d.doc_id) AS rep
+             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       asg AS (SELECT doc_id, n_tokens, rep,
+               CASE WHEN ('0x' || substr(md5('split' || rep::VARCHAR),
+                     1, 15))::BIGINT % 10 <= 7 THEN 'train'
+                    WHEN ('0x' || substr(md5('split' || rep::VARCHAR),
+                     1, 15))::BIGINT % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR),
+                     1, 15))::BIGINT % 10 <= 7 THEN 'train'
+                    WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR),
+                     1, 15))::BIGINT % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS naive
+             FROM rep),
+       px AS (SELECT
+               CAST(sum(CASE WHEN a1.split != a2.split THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cross_split_pairs,
+               CAST(sum(CASE WHEN a1.naive != a2.naive THEN 1 ELSE 0 END)
+                 AS BIGINT) AS naive_cross_pairs
+             FROM p JOIN asg a1 ON a1.doc_id = p.doc_a
+                    JOIN asg a2 ON a2.doc_id = p.doc_b)
+       SELECT split, count(*)::BIGINT AS n_docs,
+         CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         px.cross_split_pairs, px.naive_cross_pairs
+       FROM asg, px
+       GROUP BY split, px.cross_split_pairs, px.naive_cross_pairs
+       ORDER BY split"""
+
   // ---------------------------------------------------------------- q72
   /** Unigram log-probability quality score — the simplest language
     * model filter (a KenLM-lite): corpus-wide MLE unigram frequencies,
@@ -1093,6 +1187,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "q249_readability" -> (q249 _),
     "q257_multimodal_resize" -> (q257 _),
+    "q264_cluster_safe_split" -> (q264 _),
     "q30_text_stats" -> (q30 _),
     "q31_token_counts" -> (q31 _),
     "q32_quality_score" -> (q32 _),
@@ -1125,6 +1220,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "q249_readability" -> q249Sql,
     "q257_multimodal_resize" -> q257Sql,
+    "q264_cluster_safe_split" -> q264Sql,
     "q30_text_stats" -> q30Sql,
     "q31_token_counts" -> q31Sql,
     "q32_quality_score" -> q32Sql,
