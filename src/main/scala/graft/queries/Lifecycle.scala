@@ -447,6 +447,153 @@ object Lifecycle {
        FROM g2
        ORDER BY qi_set"""
 
+  // --------------------------------------------------------------- q265
+  /** t-closeness audit — the third leg of the privacy trio (q193
+    * k-anonymity: groups big enough; q210 l-diversity: sensitive
+    * values varied enough). A class can be k-anonymous AND l-diverse
+    * yet still leak if its sensitive DISTRIBUTION differs sharply
+    * from the table's (e.g. a class where 90% sit in the top balance
+    * bracket). For each quasi-identifier equivalence class, the
+    * earth-mover distance between the class's bracket distribution
+    * and the global one under the ordered-distance ground metric
+    * (Li/Li/Venkatasubramanian 2007):
+    * `EMD = Σ_i |cumP_i − cumQ_i| / (m−1)`.
+    *
+    * Engine-exact discipline: cum counts stay integers; the per-class
+    * distance is accumulated as the SCALED integer
+    * `Σ |N·cumP_i − n_c·cumQ_i|` in DECIMAL(38,0) (LONG would
+    * overflow at 10⁹-row scale: N·cumP alone reaches ~2×10¹⁸ and the
+    * m-term sum exceeds it), and the t = 0.2 violation test is the
+    * exact integer comparison `5·scaled > N·n_c·(m−1)` — no FP on the
+    * pass/fail path. Only the reported max_emd divides to DOUBLE.
+    *
+    * Scale: every shuffle is bounded by QI-class × bracket
+    * cardinality, never corpus rows — the per-class grid is a
+    * broadcast cross join of the class table with the ~dozens-row
+    * bracket table; N and m are two driver scalars (the reference's
+    * reduce-to-driver pattern).
+    */
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cust = Tables.customer(s, d)
+      .withColumn("bracket", floor(col("c_acctbal") / 1000).cast("long"))
+      .persist(sl)
+    val gb = cust.groupBy("bracket").agg(count(lit(1)).as("qc"))
+    val cumQ = gb.withColumn("cum_q",
+        sum("qc").over(Window.orderBy("bracket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("bracket", "cum_q")
+    val Array(nTotal, m) = {
+      val r = gb.agg(sum("qc"), count(lit(1))).head()
+      Array(r.getLong(0), r.getLong(1))
+    }
+    val denomTerms = nTotal * math.max(m - 1, 1L) // still needs ×n_c
+    def audit(name: String, qi: Seq[String]): DataFrame = {
+      val cls = cust.groupBy(qi.map(col): _*).agg(count(lit(1)).as("n_c"))
+      val cb = cust.groupBy((qi :+ "bracket").map(col): _*)
+        .agg(count(lit(1)).as("pc"))
+      val grid = cls.crossJoin(broadcast(cumQ))
+        .join(cb, qi :+ "bracket", "left")
+        .na.fill(0L, Seq("pc"))
+      val byClass = Window.partitionBy(qi.map(col): _*).orderBy("bracket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scaled = grid
+        .withColumn("cum_p", sum("pc").over(byClass))
+        .withColumn("term",
+          abs(lit(nTotal).cast(dec) * col("cum_p").cast(dec) -
+            col("n_c").cast(dec) * col("cum_q").cast(dec)))
+        .groupBy((qi :+ "n_c").map(col): _*)
+        .agg(sum(col("term")).cast(dec).as("es"))
+      // exact t = 1/5 test: emd > t  ⇔  5·es > N·n_c·(m−1)
+      val denom = lit(denomTerms).cast(dec) * col("n_c").cast(dec)
+      scaled
+        .withColumn("viol", lit(5).cast(dec) * col("es") > denom)
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("viol"), 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("viol"), col("n_c")).otherwise(0L))
+            .as("n_rows_exposed"),
+          round(max(col("es").cast("double") /
+            (col("n_c").cast("double") * lit(denomTerms.toDouble))), 6)
+            .as("max_emd"))
+        .select(lit(name).as("qi_set"), lit(0.2).as("t"),
+          col("n_classes"), col("n_violating"), col("n_rows_exposed"),
+          col("max_emd"))
+    }
+    // eager-checkpoint the 2-row report so the bracketed base can be
+    // unpersisted before the caller evaluates the returned frame
+    val out = audit("1_segment", Seq("c_mktsegment"))
+      .unionByName(audit("2_nation_segment",
+        Seq("c_nationkey", "c_mktsegment")))
+      .orderBy("qi_set")
+      .localCheckpoint(true)
+    cust.unpersist(blocking = false)
+    out
+  }
+
+  private val q265Sql =
+    """WITH b AS (SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bracket
+         FROM customer),
+       gb AS (SELECT bracket, count(*) AS qc FROM b GROUP BY bracket),
+       gq AS (SELECT bracket, sum(qc) OVER (ORDER BY bracket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q
+              FROM gb),
+       tot AS (SELECT (SELECT count(*) FROM b) AS n,
+                      (SELECT count(*) FROM gb) AS m),
+       c1 AS (SELECT c_mktsegment AS k1, count(*) AS n_c
+              FROM b GROUP BY 1),
+       pb1 AS (SELECT c_mktsegment AS k1, bracket, count(*) AS pc
+               FROM b GROUP BY 1, 2),
+       cum1 AS (SELECT c1.k1, c1.n_c, gq.bracket, gq.cum_q,
+                  sum(COALESCE(pb1.pc, 0)) OVER (PARTITION BY c1.k1
+                    ORDER BY gq.bracket ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum_p
+                FROM c1 CROSS JOIN gq
+                LEFT JOIN pb1 ON pb1.k1 = c1.k1 AND pb1.bracket = gq.bracket),
+       e1 AS (SELECT k1, n_c,
+                sum(abs(CAST(n AS HUGEINT) * cum_p -
+                        CAST(n_c AS HUGEINT) * cum_q)) AS es
+              FROM cum1, tot GROUP BY k1, n_c),
+       r1 AS (SELECT count(*) AS n_classes,
+                CAST(sum(CASE WHEN 5 * es > CAST(n AS HUGEINT) * n_c * (m - 1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                CAST(sum(CASE WHEN 5 * es > CAST(n AS HUGEINT) * n_c * (m - 1)
+                  THEN n_c ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+                round(max(CAST(es AS DOUBLE) /
+                  (CAST(n_c AS DOUBLE) * (CAST(n AS DOUBLE) * (m - 1)))), 6)
+                  AS max_emd
+              FROM e1, tot),
+       c2 AS (SELECT c_nationkey AS k1, c_mktsegment AS k2, count(*) AS n_c
+              FROM b GROUP BY 1, 2),
+       pb2 AS (SELECT c_nationkey AS k1, c_mktsegment AS k2, bracket,
+                 count(*) AS pc
+               FROM b GROUP BY 1, 2, 3),
+       cum2 AS (SELECT c2.k1, c2.k2, c2.n_c, gq.bracket, gq.cum_q,
+                  sum(COALESCE(pb2.pc, 0)) OVER (PARTITION BY c2.k1, c2.k2
+                    ORDER BY gq.bracket ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum_p
+                FROM c2 CROSS JOIN gq
+                LEFT JOIN pb2 ON pb2.k1 = c2.k1 AND pb2.k2 = c2.k2
+                  AND pb2.bracket = gq.bracket),
+       e2 AS (SELECT k1, k2, n_c,
+                sum(abs(CAST(n AS HUGEINT) * cum_p -
+                        CAST(n_c AS HUGEINT) * cum_q)) AS es
+              FROM cum2, tot GROUP BY k1, k2, n_c),
+       r2 AS (SELECT count(*) AS n_classes,
+                CAST(sum(CASE WHEN 5 * es > CAST(n AS HUGEINT) * n_c * (m - 1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                CAST(sum(CASE WHEN 5 * es > CAST(n AS HUGEINT) * n_c * (m - 1)
+                  THEN n_c ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+                round(max(CAST(es AS DOUBLE) /
+                  (CAST(n_c AS DOUBLE) * (CAST(n AS DOUBLE) * (m - 1)))), 6)
+                  AS max_emd
+              FROM e2, tot)
+       SELECT '1_segment' AS qi_set, CAST(0.2 AS DOUBLE) AS t, * FROM r1
+       UNION ALL
+       SELECT '2_nation_segment', CAST(0.2 AS DOUBLE), * FROM r2
+       ORDER BY qi_set"""
+
   // --------------------------------------------------------------- q211
   /** STREAMING stateful session EVICTION, oracle-graded — the last
     * §2.10 capability without a CORRECTNESS row (q177 proved the
@@ -1075,7 +1222,8 @@ object Lifecycle {
     "q207_kcore" -> (q207 _),
     "q208_dsir_weights" -> (q208 _),
     "q209_diff_in_diff" -> (q209 _),
-    "q210_l_diversity" -> (q210 _))
+    "q210_l_diversity" -> (q210 _),
+    "q265_t_closeness" -> (q265 _))
 
   val oracles: Map[String, String] = Map(
     "q259_late_data_audit" -> q259Sql,
@@ -1089,5 +1237,6 @@ object Lifecycle {
     "q207_kcore" -> q207Sql,
     "q208_dsir_weights" -> q208Sql,
     "q209_diff_in_diff" -> q209Sql,
-    "q210_l_diversity" -> q210Sql)
+    "q210_l_diversity" -> q210Sql,
+    "q265_t_closeness" -> q265Sql)
 }

@@ -195,6 +195,28 @@ class LifecycleSpec extends SparkSpec {
     assert(r1.getAs[Long]("min_diversity") == 1L)
   }
 
+  test("q265 t-closeness: skewed classes flag, global-matching class clears") {
+    // brackets via floor(acctbal/1000). Global: b1=12, b2=4 (N=16, m=2,
+    // cumQ = 12,16). Hand-computed scaled EMD (es = Σ|N·cumP − n_c·cumQ|):
+    //   AAA 4×b1          -> cumP 4,4 -> es |64−48|+0 = 16 -> emd 0.25 viol
+    //   BBB 2×b1,2×b2     -> cumP 2,4 -> es |32−48|+0 = 16 -> emd 0.25 viol
+    //   CCC 6×b1,2×b2 (the 3:1 global ratio) -> cumP 6,8 -> es 0 -> clears
+    val cust = (
+      (1 to 4).map(i => (i.toLong, 1, 1100.0 + i, "AAA")) ++
+      Seq((5L, 1, 1100.0, "BBB"), (6L, 1, 1200.0, "BBB"),
+        (7L, 1, 2100.0, "BBB"), (8L, 1, 2200.0, "BBB")) ++
+      (9 to 14).map(i => (i.toLong, 1, 1300.0, "CCC")) ++
+      Seq((15L, 1, 2300.0, "CCC"), (16L, 1, 2400.0, "CCC"))
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val dir = staged("tclose")("customer" -> cust)
+    val r1 = SparkEntry.queries("q265_t_closeness")(spark, dir)
+      .collect().find(_.getString(0) == "1_segment").get
+    assert(r1.getAs[Long]("n_classes") == 3L)
+    assert(r1.getAs[Long]("n_violating") == 2L)
+    assert(r1.getAs[Long]("n_rows_exposed") == 8L)
+    assert(r1.getAs[Double]("max_emd") == 0.25)
+  }
+
   test("q226 streaming dedup: cross-batch duplicates are suppressed") {
     // two events 7 days apart -> two chunk files -> two micro-batches;
     // the injected re-send of event 3 (id % 3 == 0) lands in the LATER
