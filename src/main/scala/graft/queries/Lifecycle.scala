@@ -447,6 +447,151 @@ object Lifecycle {
        FROM g2
        ORDER BY qi_set"""
 
+  // --------------------------------------------------------------- q266
+  /** Log-rank test — the inferential companion to q205's Kaplan-Meier
+    * curve: does survival DIFFER between two experiment arms?
+    * Customers split by the q120 deterministic hash-arm assignment
+    * (`Sampling.hashBucket`, salt "km"); lifetimes and 90-day
+    * censoring are exactly q205's. At every distinct event day t the
+    * hypergeometric expectation and variance of arm-0 deaths given
+    * the margins (n_t at risk, n1_t at risk in arm 0, d_t total
+    * deaths):
+    * `E1_t = d·n1/n`, `V_t = d·r·(1−r)·(n−d)/(n−1)` with `r = n1/n`,
+    * and the statistic χ² = (O1−E1)²/V, z = (O1−E1)/√V.
+    *
+    * Engine-exact discipline: O1 and all margins are exact LONG
+    * counts; E1_t and V_t are FIXED-SHAPE IEEE expressions of those
+    * integers (identical in both engines), quantized to 1e-9-unit
+    * LONGs per event day and summed exactly — the q240/q248 contract,
+    * so the cross-day sum is order-independent. FP reappears only in
+    * the final fixed-shape χ²/z from the two quantized sums.
+    *
+    * Scale: the corpus collapses to per-customer rows in ONE
+    * aggregation, then to a (day × 2 arms) grid; every window runs
+    * over that bounded grid, never corpus rows.
+    */
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    import spark.implicits._
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1990-01-01").cast("date")).cast("long")
+    val users = Tables.orders(s, d)
+      .select(col("o_custkey"), day.as("day"))
+      .groupBy("o_custkey")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val end = users.agg(max("d1").as("endday"))
+    val perArm = users.crossJoin(broadcast(end))
+      .select((col("d1") - col("d0")).as("t"),
+        (col("endday") - col("d1") >= 90).as("died"),
+        graft.operators.Sampling.hashBucket(col("o_custkey"), "km", 2)
+          .as("arm"))
+      .groupBy("t", "arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("died"), 1L).otherwise(0L)).as("d"))
+      .persist(sl)
+    // dense (t × arm) grid so the descending at-risk cumsum sees every
+    // day in both arms — bounded by day-cardinality × 2
+    val grid = perArm.select("t").distinct()
+      .crossJoin(Seq(0L, 1L).toDF("arm"))
+      .join(perArm, Seq("t", "arm"), "left")
+      .na.fill(0L, Seq("n_users", "d"))
+    val byArmDesc = Window.partitionBy("arm").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = grid
+      .withColumn("n_risk", sum(col("n_users")).over(byArmDesc))
+    val byT = atRisk.groupBy("t")
+      .agg(sum(when(col("arm") === 0L, col("n_risk")).otherwise(0L))
+             .as("n1"),
+        sum(when(col("arm") === 0L, col("d")).otherwise(0L)).as("d1"),
+        sum("n_risk").as("n"), sum("d").as("dt"))
+      .filter(col("dt") > 0)
+    val r = col("n1").cast("double") / col("n").cast("double")
+    val e1t = col("dt").cast("double") * r
+    val vt = when(col("n") > 1,
+      col("dt").cast("double") * r * (lit(1.0) - r) *
+        (col("n") - col("dt")).cast("double") /
+        (col("n") - 1L).cast("double")).otherwise(lit(0.0))
+    val sums = byT.agg(
+      count(lit(1)).as("n_times"),
+      sum(col("d1")).as("o1"),
+      sum(col("dt")).as("d_total"),
+      sum(floor(e1t * lit(1e9) + lit(0.5)).cast("long")).as("e1u"),
+      sum(floor(vt * lit(1e9) + lit(0.5)).cast("long")).as("vu"))
+    val e1 = col("e1u").cast("double") / lit(1e9)
+    val v = col("vu").cast("double") / lit(1e9)
+    val dev = col("o1").cast("double") - e1
+    val out = sums.select(
+      col("n_times"), col("o1"),
+      round(e1, 6).as("e1"),
+      (col("d_total") - col("o1")).as("o2"),
+      round(col("d_total").cast("double") - e1, 6).as("e2"),
+      round(dev * dev / v, 6).as("chi2"),
+      round(dev / sqrt(v), 6).as("z"))
+      .localCheckpoint(true)
+    perArm.unpersist(blocking = false)
+    out
+  }
+
+  private val q266Sql =
+    """WITH u AS (SELECT o_custkey,
+           min(datediff('day', DATE '1990-01-01', o_orderdate::DATE)) AS d0,
+           max(datediff('day', DATE '1990-01-01', o_orderdate::DATE)) AS d1
+         FROM orders GROUP BY o_custkey),
+       fin AS (SELECT max(d1) AS endday FROM u),
+       pa AS (SELECT d1 - d0 AS t,
+                CASE WHEN endday - d1 >= 90 THEN 1 ELSE 0 END AS died,
+                ('0x' || substr(md5('km' || o_custkey::VARCHAR), 1, 15))
+                  ::BIGINT % 2 AS arm
+              FROM u, fin),
+       ga AS (SELECT t, arm, count(*) AS n_users,
+                CAST(sum(died) AS BIGINT) AS d
+              FROM pa GROUP BY t, arm),
+       grid AS (SELECT ts.t, a.arm,
+                  COALESCE(ga.n_users, 0) AS n_users, COALESCE(ga.d, 0) AS d
+                FROM (SELECT DISTINCT t FROM ga) ts
+                CROSS JOIN (SELECT 0::BIGINT AS arm UNION ALL SELECT 1) a
+                LEFT JOIN ga ON ga.t = ts.t AND ga.arm = a.arm),
+       ar AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm
+                ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS BIGINT) AS n_risk
+              FROM grid),
+       byt AS (SELECT t,
+                 CAST(sum(CASE WHEN arm = 0 THEN n_risk ELSE 0 END)
+                   AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END)
+                   AS BIGINT) AS d1,
+                 CAST(sum(n_risk) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS dt
+               FROM ar GROUP BY t HAVING sum(d) > 0),
+       terms AS (SELECT *,
+                   dt::DOUBLE * (n1::DOUBLE / n::DOUBLE) AS e1t,
+                   CASE WHEN n > 1 THEN
+                     dt::DOUBLE * (n1::DOUBLE / n::DOUBLE) *
+                     (1.0 - n1::DOUBLE / n::DOUBLE) *
+                     (n - dt)::DOUBLE / (n - 1)::DOUBLE
+                   ELSE 0.0 END AS vt
+                 FROM byt),
+       s AS (SELECT count(*) AS n_times,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(dt) AS BIGINT) AS d_total,
+               CAST(sum(CAST(floor(e1t * 1e9 + 0.5) AS BIGINT))
+                 AS BIGINT) AS e1u,
+               CAST(sum(CAST(floor(vt * 1e9 + 0.5) AS BIGINT))
+                 AS BIGINT) AS vu
+             FROM terms)
+       SELECT n_times, o1,
+         floor((e1u::DOUBLE / 1e9) * 1e6 + 0.5) / 1e6 AS e1,
+         d_total - o1 AS o2,
+         floor((d_total::DOUBLE - e1u::DOUBLE / 1e9) * 1e6 + 0.5) / 1e6
+           AS e2,
+         floor(((o1::DOUBLE - e1u::DOUBLE / 1e9) *
+                (o1::DOUBLE - e1u::DOUBLE / 1e9) / (vu::DOUBLE / 1e9))
+               * 1e6 + 0.5) / 1e6 AS chi2,
+         floor(((o1::DOUBLE - e1u::DOUBLE / 1e9) /
+                sqrt(vu::DOUBLE / 1e9)) * 1e6 + 0.5) / 1e6 AS z
+       FROM s"""
+
   // --------------------------------------------------------------- q265
   /** t-closeness audit — the third leg of the privacy trio (q193
     * k-anonymity: groups big enough; q210 l-diversity: sensitive
@@ -1223,7 +1368,8 @@ object Lifecycle {
     "q208_dsir_weights" -> (q208 _),
     "q209_diff_in_diff" -> (q209 _),
     "q210_l_diversity" -> (q210 _),
-    "q265_t_closeness" -> (q265 _))
+    "q265_t_closeness" -> (q265 _),
+    "q266_logrank" -> (q266 _))
 
   val oracles: Map[String, String] = Map(
     "q259_late_data_audit" -> q259Sql,
@@ -1238,5 +1384,6 @@ object Lifecycle {
     "q208_dsir_weights" -> q208Sql,
     "q209_diff_in_diff" -> q209Sql,
     "q210_l_diversity" -> q210Sql,
-    "q265_t_closeness" -> q265Sql)
+    "q265_t_closeness" -> q265Sql,
+    "q266_logrank" -> q266Sql)
 }

@@ -217,6 +217,52 @@ class LifecycleSpec extends SparkSpec {
     assert(r1.getAs[Double]("max_emd") == 0.25)
   }
 
+  test("q266 log-rank: hypergeometric O/E/V on a hand-built cohort") {
+    // 8 customers, first order day 0, last order day t; endday = 200 so
+    // t <= 110 churns (200 - t >= 90), t >= 120 is censored. Event days
+    // 10 (d=2), 30, 50. Expected stats recomputed DIRECTLY (per-event
+    // loop over the formula), independent of the engine's grid/windows.
+    val ts = Seq(10L, 10L, 30L, 50L, 120L, 150L, 180L, 200L)
+    val base = java.time.LocalDate.parse("1990-01-01")
+    val orders = ts.zipWithIndex.flatMap { case (t, i) =>
+      Seq(((i + 1).toLong, base.toString),
+        ((i + 1).toLong, base.plusDays(t).toString))
+    }.toDF("o_custkey", "o_orderdate")
+    val dir = staged("logrank")("orders" -> orders)
+    val arm = spark.range(1, 9).select(
+      org.apache.spark.sql.functions.col("id"),
+      graft.operators.Sampling.hashBucket(
+        org.apache.spark.sql.functions.col("id"), "km", 2).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val life = (1 to 8).map(i => (i.toLong, ts(i - 1), ts(i - 1) <= 110L))
+    var (o1, dTot, e1u, vu) = (0L, 0L, 0L, 0L)
+    for (t <- life.filter(_._3).map(_._2).distinct.sorted) {
+      val risk = life.filter(_._2 >= t)
+      val (n, n1) = (risk.size.toLong,
+        risk.count(x => arm(x._1) == 0L).toLong)
+      val dying = life.filter(x => x._2 == t && x._3)
+      val (dt, d1) = (dying.size.toLong,
+        dying.count(x => arm(x._1) == 0L).toLong)
+      o1 += d1; dTot += dt
+      val r = n1.toDouble / n.toDouble
+      e1u += math.floor(dt.toDouble * r * 1e9 + 0.5).toLong
+      if (n > 1L)
+        vu += math.floor(dt.toDouble * r * (1.0 - r) *
+          (n - dt).toDouble / (n - 1L).toDouble * 1e9 + 0.5).toLong
+    }
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val (e1, v) = (e1u.toDouble / 1e9, vu.toDouble / 1e9)
+    val row = SparkEntry.queries("q266_logrank")(spark, dir).head()
+    assert(row.getAs[Long]("n_times") == 3L)
+    assert(row.getAs[Long]("o1") == o1)
+    assert(row.getAs[Long]("o2") == dTot - o1)
+    assert(row.getAs[Double]("e1") == q6(e1))
+    assert(row.getAs[Double]("e2") == q6(dTot.toDouble - e1))
+    val dev = o1.toDouble - e1
+    assert(row.getAs[Double]("chi2") == q6(dev * dev / v))
+    assert(row.getAs[Double]("z") == q6(dev / math.sqrt(v)))
+  }
+
   test("q226 streaming dedup: cross-batch duplicates are suppressed") {
     // two events 7 days apart -> two chunk files -> two micro-batches;
     // the injected re-send of event 3 (id % 3 == 0) lands in the LATER
