@@ -1578,6 +1578,108 @@ object Signals {
          count(DISTINCT c_id) AS n_clicks
        FROM j GROUP BY day ORDER BY day"""
 
+  // --------------------------------------------------------------- q267
+  /** STREAMING stream-static enrichment join, oracle-graded — the
+    * dimension-lookup shape the other §2.10 rows don't cover (q204 is
+    * stream×stream): purchase events replay as time-ordered 6-day
+    * chunk files (`maxFilesPerTrigger=1` → one micro-batch per chunk,
+    * the q211 choreography minus sentinels — the join is STATELESS so
+    * no watermark is needed), and every micro-batch LEFT-joins the
+    * static broadcast customer dimension to attach the market
+    * segment; unmatched users coalesce to 'unknown'. Enriched rows
+    * append to a parquet sink tagged with their micro-batch id; the
+    * final rollup (per-segment purchases / spend cents / distinct
+    * users) equals the batch left join — the oracle — because the
+    * stateless join makes per-batch outputs independent. `n_batches`
+    * (distinct sink batch ids) is graded too: it must equal the
+    * distinct 6-day chunk count, proving the dimension really served
+    * MULTIPLE micro-batches rather than one mega-batch. */
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val chunkUs = 6L * 86400 * 1000000
+    val tmp = Files.createTempDirectory("graft_enrich_split").toString
+    val ingest = Files.createTempDirectory("graft_enrich_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_enrich_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_enrich_out").toString
+
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+    // one file per 6-day chunk (all rows of a chunk in one task), then
+    // mtime-sequence them = the FileStreamSource replay order
+    ev.withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(s"$tmp/real")
+    new java.io.File(s"$tmp/real").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+      .zipWithIndex.foreach { case (dir, k) =>
+        val part = dir.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+        dst.toFile.setLastModified(1700000000000L + k * 10000L)
+      }
+
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("cents", LongType), StructField("ts_us", LongType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(ingest)
+    val dim = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = stream
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .select(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"),
+        col("user_id"), col("cents"))
+    // stateless plan — narrowing the shuffle width still trims the
+    // per-batch fixed cost of the sink write (same serial-harness
+    // caveat as the q204/q211 sites)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val sunk = s.read.parquet(outDir)
+    val result = sunk.groupBy("segment")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("cents").as("spend_cents"),
+        countDistinct("user_id").as("n_users"))
+      .crossJoin(broadcast(
+        sunk.agg(countDistinct("batch_id").as("n_batches"))))
+      .orderBy("segment")
+    graft.operators.Exec.detachFromScratch(result,
+      Seq(tmp, ingest, ckpt, outDir))
+  }
+
+  private val q267Sql =
+    """WITH p AS (SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_us(ts) AS ts_us
+         FROM events WHERE event_type = 'purchase'),
+       nb AS (SELECT count(DISTINCT ts_us // 518400000000::BIGINT)
+                AS n_batches FROM p),
+       e AS (SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+               p.user_id, p.cents
+             FROM p LEFT JOIN customer c ON c.c_custkey = p.user_id)
+       SELECT segment, count(*) AS n_purchases,
+         CAST(sum(cents) AS BIGINT) AS spend_cents,
+         count(DISTINCT user_id) AS n_users,
+         CAST(n_batches AS BIGINT) AS n_batches
+       FROM e, nb GROUP BY segment, n_batches ORDER BY segment"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1603,7 +1705,8 @@ object Signals {
     "q201_cuped" -> (q201 _),
     "q202_domain_census" -> (q202 _),
     "q203_burst_detection" -> (q203 _),
-    "q204_stream_stream_join" -> (q204 _))
+    "q204_stream_stream_join" -> (q204 _),
+    "q267_stream_static_join" -> (q267 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -1628,5 +1731,6 @@ object Signals {
     "q201_cuped" -> q201Sql,
     "q202_domain_census" -> q202Sql,
     "q203_burst_detection" -> q203Sql,
-    "q204_stream_stream_join" -> q204Sql)
+    "q204_stream_stream_join" -> q204Sql,
+    "q267_stream_static_join" -> q267Sql)
 }

@@ -61,6 +61,30 @@ class SignalsSpec extends SparkSpec {
     assert(kept.head().getLong(0) == 3L) // 0, 80, 200 kept; 50 dropped
   }
 
+  test("q267 stream-static join: unknown users coalesce, one batch per chunk") {
+    // two purchases 7 days apart -> two 6-day chunks -> n_batches = 2;
+    // user 99 is absent from the dimension -> 'unknown' segment
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(n).atStartOfDay())
+    val ev = Seq(
+      (1L, day(0), 5L, "purchase", 1.25, "{}"),
+      (2L, day(7), 5L, "purchase", 2.00, "{}"),
+      (3L, day(0), 99L, "purchase", 0.50, "{}"),
+      (4L, day(0), 5L, "click", 9.99, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cust = Seq((5L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_signals_ssj").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    cust.write.parquet(s"$dir/customer.parquet")
+    val rows = graft.SparkEntry.queries("q267_stream_static_join")(
+      spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == Seq(("BUILDING", 2L, 325L, 1L, 2L),
+      ("unknown", 1L, 50L, 1L, 2L)), rows.toString)
+  }
+
   test("Signals query registry is consistent") {
     assert(Signals.queries.keySet == Signals.oracles.keySet)
     assert(Signals.queries.keys.forall(_.matches("q\\d{3}_[a-z0-9_]+")))
