@@ -2870,7 +2870,137 @@ object Evals {
 
   // ----------------------------------------------------------------
 
+  // --------------------------------------------------------------- q268
+  /** Group-fairness audit — demographic parity and equalized odds of a
+    * decision rule across a protected attribute, the responsible-AI
+    * gate a classifier (q162's GD scores, a quality stump) must pass
+    * before it routes people or data. Decision = the acctbal credit
+    * stump (`c_acctbal > 5000`); outcome label = the customer placed
+    * ≥1 URGENT-priority order; group = market segment. Per group the
+    * selection rate, TPR and FPR, the demographic-parity gap
+    * `|sel_g − sel_all|`, and the equalized-odds gap
+    * `max(|tpr_g − tpr_all|, |fpr_g − fpr_all|)`; an `_overall` row
+    * carries the pooled rates (gaps exactly 0 by construction).
+    *
+    * Exactness: every count is LONG from ONE conditional aggregation
+    * over the joined frame; rates and gaps are fixed-shape IEEE
+    * divisions/differences of those integers (identical across
+    * engines), rounded at 6 dp only in the output. TPR/FPR are null
+    * (not 0) for a group with no positives/negatives — mirrored CASE
+    * in the oracle; eo_gap nulls with them.
+    *
+    * Scale: the label side is a distinct-custkey semi join (urgent
+    * orders collapse BEFORE the join); everything after is a
+    * |segments|-row frame crossed with one broadcast scalar row. */
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+      .withColumn("label", lit(true))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        (col("c_acctbal") > 5000.0).as("dec"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("segment"), col("dec"),
+        coalesce(col("label"), lit(false)).as("label"))
+    val g = base.groupBy("segment").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("dec"), 1L).otherwise(0L)).as("n_sel"),
+      sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("dec") && col("label"), 1L).otherwise(0L)).as("n_tp"),
+      sum(when(col("dec") && !col("label"), 1L).otherwise(0L)).as("n_fp"))
+    val tot = g.agg(sum("n").as("tn"), sum("n_sel").as("tsel"),
+      sum("n_pos").as("tpos"), sum("n_tp").as("ttp"),
+      sum("n_fp").as("tfp"))
+    def rate(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den > 0L, num.cast("double") / den.cast("double"))
+    val selAll = rate(col("tsel"), col("tn"))
+    val tprAll = rate(col("ttp"), col("tpos"))
+    val fprAll = rate(col("tfp"), col("tn") - col("tpos"))
+    val sel = rate(col("n_sel"), col("n"))
+    val tpr = rate(col("n_tp"), col("n_pos"))
+    val fpr = rate(col("n_fp"), col("n") - col("n_pos"))
+    val eoGap = when(tpr.isNull || tprAll.isNull ||
+        fpr.isNull || fprAll.isNull, lit(null).cast("double"))
+      .otherwise(greatest(abs(tpr - tprAll), abs(fpr - fprAll)))
+    val groups = g.crossJoin(broadcast(tot)).select(
+      col("segment"), col("n"),
+      round(sel, 6).as("sel_rate"),
+      round(abs(sel - selAll), 6).as("dp_gap"),
+      round(tpr, 6).as("tpr"), round(fpr, 6).as("fpr"),
+      round(eoGap, 6).as("eo_gap"))
+    val overall = tot.select(
+      lit("_overall").as("segment"), col("tn").as("n"),
+      round(selAll, 6).as("sel_rate"), lit(0.0).as("dp_gap"),
+      round(tprAll, 6).as("tpr"), round(fprAll, 6).as("fpr"),
+      lit(0.0).as("eo_gap"))
+    overall.unionByName(groups).orderBy("segment")
+  }
+
+  private val q268Sql =
+    """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+       b AS (SELECT c_mktsegment AS segment,
+               c_acctbal > 5000.0 AS dcsn,
+               u.o_custkey IS NOT NULL AS label
+             FROM customer LEFT JOIN u ON u.o_custkey = c_custkey),
+       g AS (SELECT segment, count(*) AS n,
+               CAST(sum(CASE WHEN dcsn THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sel,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(sum(CASE WHEN dcsn AND label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_tp,
+               CAST(sum(CASE WHEN dcsn AND NOT label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_fp
+             FROM b GROUP BY segment),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(n_sel) AS BIGINT) AS tsel,
+               CAST(sum(n_pos) AS BIGINT) AS tpos,
+               CAST(sum(n_tp) AS BIGINT) AS ttp,
+               CAST(sum(n_fp) AS BIGINT) AS tfp
+             FROM g),
+       r AS (SELECT g.*,
+               CASE WHEN n > 0 THEN n_sel::DOUBLE / n::DOUBLE END AS sel,
+               CASE WHEN n_pos > 0 THEN n_tp::DOUBLE / n_pos::DOUBLE
+                 END AS tpr,
+               CASE WHEN n - n_pos > 0 THEN
+                 n_fp::DOUBLE / (n - n_pos)::DOUBLE END AS fpr,
+               CASE WHEN tn > 0 THEN tsel::DOUBLE / tn::DOUBLE
+                 END AS sel_all,
+               CASE WHEN tpos > 0 THEN ttp::DOUBLE / tpos::DOUBLE
+                 END AS tpr_all,
+               CASE WHEN tn - tpos > 0 THEN
+                 tfp::DOUBLE / (tn - tpos)::DOUBLE END AS fpr_all
+             FROM g, t)
+       SELECT '_overall' AS segment, tn AS n,
+         CASE WHEN tn > 0 THEN
+           floor((tsel::DOUBLE / tn::DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS sel_rate,
+         0.0 AS dp_gap,
+         CASE WHEN tpos > 0 THEN
+           floor((ttp::DOUBLE / tpos::DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS tpr,
+         CASE WHEN tn - tpos > 0 THEN
+           floor((tfp::DOUBLE / (tn - tpos)::DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS fpr,
+         0.0 AS eo_gap
+       FROM t
+       UNION ALL
+       SELECT segment, n,
+         floor(sel * 1e6 + 0.5) / 1e6 AS sel_rate,
+         floor(abs(sel - sel_all) * 1e6 + 0.5) / 1e6 AS dp_gap,
+         floor(tpr * 1e6 + 0.5) / 1e6 AS tpr,
+         floor(fpr * 1e6 + 0.5) / 1e6 AS fpr,
+         CASE WHEN tpr IS NULL OR tpr_all IS NULL
+                OR fpr IS NULL OR fpr_all IS NULL THEN NULL
+           ELSE floor(greatest(abs(tpr - tpr_all), abs(fpr - fpr_all))
+                      * 1e6 + 0.5) / 1e6 END AS eo_gap
+       FROM r ORDER BY segment"""
+
   val queries: Map[String, Q] = Map(
+    "q268_fairness_audit" -> (q268 _),
     "q214_auc_roc" -> (q214 _),
     "q215_cohens_kappa" -> (q215 _),
     "q216_source_divergence" -> (q216 _),
@@ -2907,6 +3037,7 @@ object Evals {
     "q263_label_balance" -> (q263 _))
 
   val oracles: Map[String, String] = Map(
+    "q268_fairness_audit" -> q268Sql,
     "q214_auc_roc" -> q214Sql,
     "q215_cohens_kappa" -> q215Sql,
     "q216_source_divergence" -> q216Sql,

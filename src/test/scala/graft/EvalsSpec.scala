@@ -611,4 +611,27 @@ class EvalsSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(3)) < 4.0),
       "an A/A |z| beyond 4 sigma means broken arithmetic, not chance")
   }
+
+  test("q268 fairness audit: hand-computed parity and equalized-odds gaps") {
+    // A: sel 2/4, pos {1,3}, tp {1}, fp {2} -> tpr .5, fpr .5
+    // B: sel 1/2, pos {5}, tp {5} -> tpr 1, fpr 0
+    // overall: sel .5, tpr 2/3, fpr 1/3
+    // eo_gap(A) = max(|.5-2/3|, |.5-1/3|) = 1/6; eo_gap(B) = 1/3
+    val cust = Seq((1L, 6000.0, "A"), (2L, 6000.0, "A"),
+      (3L, 1000.0, "A"), (4L, 1000.0, "A"),
+      (5L, 6000.0, "B"), (6L, 1000.0, "B"))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((1L, "1-URGENT"), (3L, "1-URGENT"), (5L, "1-URGENT"),
+      (2L, "3-MEDIUM")).toDF("o_custkey", "o_orderpriority")
+    val dir = staged("fair")("customer" -> cust, "orders" -> orders)
+    val rows = SparkEntry.queries("q268_fairness_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toSeq
+    assert(rows == Seq(
+      ("A", 4L, 0.5, 0.0, 0.5, 0.5, 0.166667),
+      ("B", 2L, 0.5, 0.0, 1.0, 0.0, 0.333333),
+      ("_overall", 6L, 0.5, 0.0, 0.666667, 0.333333, 0.0)),
+      rows.toString)
+  }
 }
