@@ -300,6 +300,69 @@ object Pipeline {
        WHERE cosine >= 0.45
        ORDER BY vec_a, vec_b"""
 
+  // --------------------------------------------------------------- q269
+  /** Exact Local Outlier Factor over the embedding corpus for the
+    * q40 sampled query set ([[Similarity.lof]], k = 5) — the
+    * density-adaptive curation signal a global distance threshold
+    * can't give (a point in a sparse-but-uniform region scores ~1, a
+    * point whose neighbors are mutually tight scores ≫1). Three
+    * bounded-broadcast kNN rounds (queries → neighbors → their
+    * k-distances); every post-kNN step is integer arithmetic (see the
+    * operator Scaladoc), and the oracle replays the identical
+    * neighbor expansion in SQL. */
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lof(emb, "vec_id", "embedding", k = 5, col("vec_id") < 5)
+  }
+
+  private val q269Sql = {
+    def knn(src: String): String =
+      s"""SELECT * FROM (
+           SELECT p.pid, c.vec_id AS nid,
+             CAST(floor((list_dot_product(p.pv, p.pv)
+               + list_dot_product(c.v, c.v)
+               - 2 * list_dot_product(p.pv, c.v)) * 1e6 + 0.5)
+               AS BIGINT) AS du,
+             row_number() OVER (PARTITION BY p.pid ORDER BY
+               CAST(floor((list_dot_product(p.pv, p.pv)
+                 + list_dot_product(c.v, c.v)
+                 - 2 * list_dot_product(p.pv, c.v)) * 1e6 + 0.5)
+                 AS BIGINT) ASC, c.vec_id ASC) AS rn
+           FROM $src p JOIN e c ON c.vec_id != p.pid) t
+         WHERE rn <= 5"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q0 AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+       n1 AS (${knn("q0")}),
+       q1 AS (SELECT DISTINCT n1.nid AS pid, e.v AS pv
+              FROM n1 JOIN e ON e.vec_id = n1.nid),
+       n2 AS (${knn("q1")}),
+       q2 AS (SELECT DISTINCT n2.nid AS pid, e.v AS pv
+              FROM n2 JOIN e ON e.vec_id = n2.nid),
+       n3 AS (${knn("q2")}),
+       kd1 AS (SELECT pid AS nid, max(du) AS kd FROM n2 GROUP BY pid),
+       kd2 AS (SELECT pid AS nid, max(du) AS kd FROM n3 GROUP BY pid),
+       ilq AS (SELECT n1.pid,
+                 greatest(CAST(sum(greatest(n1.du, kd1.kd)) AS BIGINT), 1)
+                   AS ilrd
+               FROM n1 JOIN kd1 ON kd1.nid = n1.nid GROUP BY n1.pid),
+       ils AS (SELECT n2.pid,
+                 greatest(CAST(sum(greatest(n2.du, kd2.kd)) AS BIGINT), 1)
+                   AS ilrd
+               FROM n2 JOIN kd2 ON kd2.nid = n2.nid GROUP BY n2.pid),
+       ri AS (SELECT pid AS nid,
+                (2000000000000000000 + ilrd) // (2 * ilrd) AS rinv
+              FROM ils),
+       agg AS (SELECT n1.pid, CAST(sum(ri.rinv) AS BIGINT) AS rsum,
+                 max(n1.du) AS kdu
+               FROM n1 JOIN ri ON ri.nid = n1.nid GROUP BY n1.pid)
+       SELECT agg.pid AS query_id,
+         floor((kdu::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS kdist_sq,
+         floor(((ilq.ilrd::HUGEINT * agg.rsum::HUGEINT)::DOUBLE / 5e18)
+               * 1e6 + 0.5) / 1e6 AS lof
+       FROM agg JOIN ilq ON ilq.pid = agg.pid
+       ORDER BY query_id"""
+  }
+
   // ---------------------------------------------------------------- q40
   /** Exact cosine top-k (ANN brute-force baseline). */
   private def q40(s: SparkSession, d: String): DataFrame = {
@@ -1185,6 +1248,7 @@ object Pipeline {
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q269_lof_outliers" -> (q269 _),
     "q249_readability" -> (q249 _),
     "q257_multimodal_resize" -> (q257 _),
     "q264_cluster_safe_split" -> (q264 _),
@@ -1218,6 +1282,7 @@ object Pipeline {
     "q72_unigram_logprob" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
+    "q269_lof_outliers" -> q269Sql,
     "q249_readability" -> q249Sql,
     "q257_multimodal_resize" -> q257Sql,
     "q264_cluster_safe_split" -> q264Sql,

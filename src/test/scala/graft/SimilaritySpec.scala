@@ -99,4 +99,42 @@ class SimilaritySpec extends SparkSpec {
     // every vector lands in exactly one cell
     assert(got.agg(sum("n_members")).head().getLong(0) == 3L)
   }
+
+  test("lof: outlier scores >> 1, cluster member ~ 1; exact vs direct") {
+    // ids 0-5 a tight cluster, id 6 far away; k=5. Expected values
+    // recomputed DIRECTLY (plain loops over the same quantization
+    // contract), independent of the engine's join/window plan.
+    val vecs: Map[Long, Array[Double]] = Map(
+      0L -> Array(0.0, 0.0), 1L -> Array(0.1, 0.0), 2L -> Array(0.0, 0.1),
+      3L -> Array(0.1, 0.1), 4L -> Array(0.05, 0.05), 5L -> Array(0.2, 0.0),
+      6L -> Array(10.0, 10.0))
+    val emb = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val k = 5
+    def du(a: Array[Double], b: Array[Double]): Long = {
+      // the parquet column is float32: promote through float first,
+      // exactly as the engine's DotProduct sees the stored values
+      def dp(x: Array[Double], y: Array[Double]): Double =
+        x.indices.foldLeft(0.0)((s, i) =>
+          s + x(i).toFloat.toDouble * y(i).toFloat.toDouble)
+      math.floor((dp(a, a) + dp(b, b) - 2.0 * dp(a, b)) * 1e6 + 0.5).toLong
+    }
+    def knn(p: Long): Seq[(Long, Long)] = vecs.keys.toSeq.filter(_ != p)
+      .map(o => (o, du(vecs(p), vecs(o)))).sortBy(t => (t._2, t._1)).take(k)
+    def kdist(p: Long): Long = knn(p).map(_._2).max
+    def ilrd(p: Long): Long =
+      math.max(knn(p).map { case (o, d) => math.max(kdist(o), d) }.sum, 1L)
+    def rinv(o: Long): Long = (2000000000000000000L + ilrd(o)) / (2L * ilrd(o))
+    def lofD(q: Long): Double = math.floor(
+      (BigDecimal(ilrd(q)) * BigDecimal(knn(q).map(t => rinv(t._1)).sum))
+        .toDouble / (k * 1e18) * 1e6 + 0.5) / 1e6
+    val got = Similarity.lof(emb, "vec_id", "embedding", k,
+      col("vec_id") === 0L || col("vec_id") === 6L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) == lofD(0L), s"got ${got(0L)} expected ${lofD(0L)}")
+    assert(got(6L) == lofD(6L), s"got ${got(6L)} expected ${lofD(6L)}")
+    assert(got(6L) > 3.0, s"outlier LOF should be >> 1: ${got(6L)}")
+    assert(got(0L) < 1.5, s"cluster LOF should be ~ 1: ${got(0L)}")
+  }
 }
