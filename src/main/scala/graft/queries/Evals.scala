@@ -2870,6 +2870,141 @@ object Evals {
 
   // ----------------------------------------------------------------
 
+  // --------------------------------------------------------------- q270
+  /** Instrumental-variable (Wald) estimator with a weak-instrument
+    * guard — the encouragement-design readout next to q120 (ITT),
+    * q201 (CUPED) and q229 (uplift): when treatment UPTAKE is
+    * endogenous, the causal effect of x on y identified by a random
+    * instrument z is `β_IV = (ȳ₁−ȳ₀)/(x̄₁−x̄₀)`. Here z = the q120
+    * hash-arm assignment (salt "iv"), x = the user's click count,
+    * y = the user's purchase spend in cents. A weak first stage makes
+    * β_IV pure noise amplification, so the estimator REFUSES: β is
+    * NULL unless the first-stage Welch |t| ≥ 2 (mirrored CASE in the
+    * oracle) — on hash-split A/A-null data the graded row pins the
+    * refusal path, and the spec's strong-instrument fixture pins the
+    * estimate itself.
+    *
+    * Exactness: per-user x and y collapse in ONE corpus aggregation
+    * to LONGs (cents via the shared round(value·100) quantization);
+    * arm moments (n, Σx, Σx², Σy) are exact LONG sums; every mean,
+    * variance, t and β is a fixed-shape IEEE expression of those
+    * integers, rounded only in the output. Scale: corpus → users →
+    * ONE 2-row moment aggregation; nothing wider than the user table
+    * shuffles. */
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val users = ev.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"))
+    val z = graft.operators.Sampling.hashBucket(col("user_id"), "iv", 2)
+    val a = z === 0L
+    val m = users.agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+      sum(when(a, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(!a, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(a, col("x") * col("x")).otherwise(0L)).as("sxx_a"),
+      sum(when(!a, col("x") * col("x")).otherwise(0L)).as("sxx_b"),
+      sum(when(a, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(!a, col("y")).otherwise(0L)).as("sy_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    // every divisor is floored at 1 INSIDE the division (ANSI raises
+    // on double x/0 and subexpression elimination can hoist a division
+    // out of its `when` branch); the `when` decides null-ness only
+    val naSafe = greatest(na, lit(1.0))
+    val nbSafe = greatest(nb, lit(1.0))
+    val xa = when(col("n_a") > 0L, col("sx_a").cast("double") / naSafe)
+    val xb = when(col("n_b") > 0L, col("sx_b").cast("double") / nbSafe)
+    val ya = when(col("n_a") > 0L, col("sy_a").cast("double") / naSafe)
+    val yb = when(col("n_b") > 0L, col("sy_b").cast("double") / nbSafe)
+    val va = when(col("n_a") > 1L, greatest(
+      (col("sxx_a").cast("double") / naSafe - xa * xa)
+        * na / greatest(na - 1.0, lit(1.0)), lit(0.0)))
+    val vb = when(col("n_b") > 1L, greatest(
+      (col("sxx_b").cast("double") / nbSafe - xb * xb)
+        * nb / greatest(nb - 1.0, lit(1.0)), lit(0.0)))
+    val se2 = va / naSafe + vb / nbSafe
+    // guarded denominators: ANSI mode raises on double x/0, and
+    // common-subexpression elimination can hoist a division OUT of its
+    // `when` branch, so the guard must live in the divisor itself
+    val seSafe = when(se2 > 0.0, sqrt(se2)).otherwise(lit(1.0))
+    val fsT = when(se2 > 0.0, (xb - xa) / seSafe)
+    val dx = xb - xa
+    val dxSafe = when(dx =!= 0.0, dx).otherwise(lit(1.0))
+    val beta = when(abs(fsT) >= 2.0 && dx =!= 0.0,
+      round((yb - ya) / dxSafe, 6))
+    m.select(col("n_a"), col("n_b"),
+      round(xa, 6).as("xbar_a"), round(xb, 6).as("xbar_b"),
+      round(ya, 6).as("ybar_a"), round(yb, 6).as("ybar_b"),
+      round(fsT, 4).as("fs_t"), beta.as("beta_iv"),
+      (fsT.isNull || abs(fsT) < 2.0).as("weak_instrument"))
+  }
+
+  private val q270Sql =
+    """WITH u AS (SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS y,
+           ('0x' || substr(md5('iv' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 AS z
+         FROM events GROUP BY user_id),
+       m AS (SELECT
+           CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN z = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+           CAST(sum(CASE WHEN z = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+           CAST(sum(CASE WHEN z = 0 THEN x * x ELSE 0 END) AS BIGINT)
+             AS sxx_a,
+           CAST(sum(CASE WHEN z = 1 THEN x * x ELSE 0 END) AS BIGINT)
+             AS sxx_b,
+           CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+           CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         FROM u),
+       r AS (SELECT *,
+           CASE WHEN n_a > 0 THEN
+             sx_a::DOUBLE / greatest(n_a, 1)::DOUBLE END AS xa,
+           CASE WHEN n_b > 0 THEN
+             sx_b::DOUBLE / greatest(n_b, 1)::DOUBLE END AS xb,
+           CASE WHEN n_a > 0 THEN
+             sy_a::DOUBLE / greatest(n_a, 1)::DOUBLE END AS ya,
+           CASE WHEN n_b > 0 THEN
+             sy_b::DOUBLE / greatest(n_b, 1)::DOUBLE END AS yb,
+           CASE WHEN n_a > 1 THEN greatest(
+             (sxx_a::DOUBLE / greatest(n_a, 1)::DOUBLE
+               - (sx_a::DOUBLE / greatest(n_a, 1)::DOUBLE)
+                 * (sx_a::DOUBLE / greatest(n_a, 1)::DOUBLE))
+             * n_a::DOUBLE / greatest(n_a::DOUBLE - 1.0, 1.0), 0.0)
+             END AS va,
+           CASE WHEN n_b > 1 THEN greatest(
+             (sxx_b::DOUBLE / greatest(n_b, 1)::DOUBLE
+               - (sx_b::DOUBLE / greatest(n_b, 1)::DOUBLE)
+                 * (sx_b::DOUBLE / greatest(n_b, 1)::DOUBLE))
+             * n_b::DOUBLE / greatest(n_b::DOUBLE - 1.0, 1.0), 0.0)
+             END AS vb
+         FROM m),
+       t AS (SELECT *,
+           CASE WHEN va / greatest(n_a, 1)::DOUBLE
+                    + vb / greatest(n_b, 1)::DOUBLE > 0.0
+             THEN (xb - xa) / sqrt(va / greatest(n_a, 1)::DOUBLE
+                    + vb / greatest(n_b, 1)::DOUBLE)
+             END AS fst
+         FROM r)
+       SELECT n_a, n_b,
+         floor(xa * 1e6 + 0.5) / 1e6 AS xbar_a,
+         floor(xb * 1e6 + 0.5) / 1e6 AS xbar_b,
+         floor(ya * 1e6 + 0.5) / 1e6 AS ybar_a,
+         floor(yb * 1e6 + 0.5) / 1e6 AS ybar_b,
+         floor(fst * 1e4 + 0.5) / 1e4 AS fs_t,
+         CASE WHEN abs(fst) >= 2.0
+           THEN floor(((yb - ya) / (xb - xa)) * 1e6 + 0.5) / 1e6
+           END AS beta_iv,
+         (fst IS NULL OR abs(fst) < 2.0) AS weak_instrument
+       FROM t"""
+
   // --------------------------------------------------------------- q268
   /** Group-fairness audit — demographic parity and equalized odds of a
     * decision rule across a protected attribute, the responsible-AI
@@ -2912,9 +3047,12 @@ object Evals {
     val tot = g.agg(sum("n").as("tn"), sum("n_sel").as("tsel"),
       sum("n_pos").as("tpos"), sum("n_tp").as("ttp"),
       sum("n_fp").as("tfp"))
+    // guard inside the divisor too: ANSI double division raises on 0
+    // and subexpression elimination can hoist it out of the branch
     def rate(num: org.apache.spark.sql.Column,
              den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(den > 0L, num.cast("double") / den.cast("double"))
+      when(den > 0L, num.cast("double") /
+        when(den > 0L, den).otherwise(lit(1L)).cast("double"))
     val selAll = rate(col("tsel"), col("tn"))
     val tprAll = rate(col("ttp"), col("tpos"))
     val fprAll = rate(col("tfp"), col("tn") - col("tpos"))
@@ -3001,6 +3139,7 @@ object Evals {
 
   val queries: Map[String, Q] = Map(
     "q268_fairness_audit" -> (q268 _),
+    "q270_iv_wald" -> (q270 _),
     "q214_auc_roc" -> (q214 _),
     "q215_cohens_kappa" -> (q215 _),
     "q216_source_divergence" -> (q216 _),
@@ -3038,6 +3177,7 @@ object Evals {
 
   val oracles: Map[String, String] = Map(
     "q268_fairness_audit" -> q268Sql,
+    "q270_iv_wald" -> q270Sql,
     "q214_auc_roc" -> q214Sql,
     "q215_cohens_kappa" -> q215Sql,
     "q216_source_divergence" -> q216Sql,

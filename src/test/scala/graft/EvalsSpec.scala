@@ -612,6 +612,57 @@ class EvalsSpec extends SparkSpec {
       "an A/A |z| beyond 4 sigma means broken arithmetic, not chance")
   }
 
+  test("q270 IV Wald: strong instrument estimates, zero-variance refuses") {
+    // pick 3 users per hash arm (salt "iv"), give arm-0 users clicks
+    // {1,1,2} + a 1.00 purchase and arm-1 users {5,5,6} + 3.00 -> the
+    // first stage is strong (t ~ 8.5) and beta ~ 200 cents / 4 clicks
+    val arms = spark.range(1, 41).select(
+      org.apache.spark.sql.functions.col("id"),
+      graft.operators.Sampling.hashBucket(
+        org.apache.spark.sql.functions.col("id"), "iv", 2).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val a0 = arms.filter(_._2 == 0L).map(_._1).take(3)
+    val a1 = arms.filter(_._2 == 1L).map(_._1).take(3)
+    val clicks0 = Seq(1, 1, 2); val clicks1 = Seq(5, 5, 6)
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(n).atStartOfDay())
+    var eid = 0L
+    val rows = (a0.zip(clicks0).map(t => (t, 1.00)) ++
+      a1.zip(clicks1).map(t => (t, 3.00))).flatMap {
+      case ((u, nc), pv) =>
+        val cs = (1 to nc).map { i =>
+          eid += 1; (eid, day(i), u, "click", 0.1, "{}")
+        }
+        eid += 1
+        cs :+ ((eid, day(20), u, "purchase", pv, "{}"))
+    }.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("iv")("events" -> rows)
+    val r = SparkEntry.queries("q270_iv_wald")(spark, dir).head()
+    // expected via the same fixed shapes from the exact moments
+    val (sxA, sxxA, sxB, sxxB) = (4.0, 6.0, 16.0, 86.0)
+    val (xa, xb, ya, yb) = (sxA / 3.0, sxB / 3.0, 100.0, 300.0)
+    val va = (sxxA / 3.0 - xa * xa) * 3.0 / 2.0
+    val vb = (sxxB / 3.0 - xb * xb) * 3.0 / 2.0
+    val t = (xb - xa) / math.sqrt(va / 3.0 + vb / 3.0)
+    def q(x: Double, n: Double): Double = math.floor(x * n + 0.5) / n
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("fs_t") == q(t, 1e4), r.toString)
+    assert(!r.getAs[Boolean]("weak_instrument"))
+    assert(r.getAs[Double]("beta_iv") == q((yb - ya) / (xb - xa), 1e6),
+      r.toString)
+
+    // zero x-variance -> se2 = 0 -> fs_t null -> refusal, not a crash
+    val flat = (1L to 4L).flatMap { u =>
+      Seq((u * 10, day(1), u, "click", 0.1, "{}"),
+        (u * 10 + 1, day(2), u, "purchase", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir2 = staged("iv0")("events" -> flat)
+    val r2 = SparkEntry.queries("q270_iv_wald")(spark, dir2).head()
+    assert(r2.isNullAt(r2.fieldIndex("fs_t")))
+    assert(r2.isNullAt(r2.fieldIndex("beta_iv")))
+    assert(r2.getAs[Boolean]("weak_instrument"))
+  }
+
   test("q268 fairness audit: hand-computed parity and equalized-odds gaps") {
     // A: sel 2/4, pos {1,3}, tp {1}, fp {2} -> tpr .5, fpr .5
     // B: sel 1/2, pos {5}, tp {5} -> tpr 1, fpr 0
