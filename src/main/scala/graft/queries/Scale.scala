@@ -364,6 +364,105 @@ object Scale {
        FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
        ORDER BY i, j"""
 
+  // --------------------------------------------------------------- q271
+  /** PCA top component, ORACLE-GRADED END TO END — q93 grades the
+    * covariance moments and [[graft.operators.Linalg.topEigen]] is
+    * spec-tested, but the eigensolve itself had no driver-checked row.
+    * This one does: 12 rounds of power iteration run ENTIRELY in
+    * integer arithmetic on the 1e-6-unit quantized covariance (the
+    * iterate lives on a 1e-12 grid, each round renormalizes by
+    * max|w| with integer round-half-up `(2·|w|·10¹² + mw) DIV (2·mw)`
+    * times the sign — floor-vs-truncate division never sees a
+    * negative), so the DuckDB oracle can UNROLL the identical 12
+    * rounds over the same quantized matrix and every loading matches
+    * exactly. λ₁ is the Rayleigh quotient of the final iterate and
+    * evr = λ₁/trace — both ONE fixed-shape FP division of exact
+    * integer sums. We grade the 12-round ITERATE (deterministic), not
+    * the limit; at this eigengap it agrees with convergence to ~1e-4.
+    *
+    * Scale: the corpus feeds ONE moment aggregation (q93's kernel,
+    * d(d+1)/2 partials); the iteration is driver-side O(d²·12) on the
+    * collected 64×64 matrix — the reference's reduce-to-driver
+    * pattern, never corpus-sized. */
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val rows = graft.operators.Linalg
+      .covariance(Tables.embeddings(s, d), "embedding")
+      .collect() // d(d+1)/2 rows — the sanctioned d² collect
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val covu = Array.ofDim[Long](dim, dim)
+    rows.foreach { r =>
+      val u = math.floor(r.getDouble(2) * 1e6 + 0.5).toLong
+      covu(r.getInt(0))(r.getInt(1)) = u
+      covu(r.getInt(1))(r.getInt(0)) = u
+    }
+    val unit = BigInt(1000000000000L)
+    var v = Array.fill(dim)(unit)
+    for (_ <- 1 to 12) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => BigInt(covu(i)(j)) * v(j)).sum)
+      val mw = w.map(_.abs).max
+      if (mw.signum > 0) // zero matrix: iterate stays at the ones start
+        v = w.map(x => (x.abs * unit * 2 + mw) / (mw * 2) * x.signum)
+    }
+    val top = (0 until dim).maxBy(i => (v(i).abs, BigInt(-i)))
+    if (v(top).signum < 0) v = v.map(x => -x)
+    val vCv = (for (i <- 0 until dim; j <- 0 until dim)
+      yield v(i) * BigInt(covu(i)(j)) * v(j)).sum
+    val vv = v.map(x => x * x).sum
+    val trace = (0 until dim).map(i => covu(i)(i)).sum
+    val lam = (vCv.toDouble / vv.toDouble) / 1e6
+    val evr = lam / (trace.toDouble / 1e6)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    (0 until dim).map(i => (i, q6(v(i).toDouble / 1e12), q6(lam), q6(evr)))
+      .toDF("i", "loading", "lambda1", "evr")
+  }
+
+  private val q271Sql = {
+    val iters = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT f.i, sum(f.cu * v.vu) AS w
+           FROM fm f JOIN v${k - 1} v ON v.i = f.j GROUP BY f.i),
+       m$k AS MATERIALIZED (SELECT max(abs(w)) AS mw FROM w$k),
+       v$k AS MATERIALIZED (SELECT w.i,
+             (CASE WHEN w.w < 0 THEN -1 ELSE 1 END) *
+             ((2 * abs(w.w) * 1000000000000::HUGEINT + m.mw)
+              // (2 * m.mw)) AS vu
+           FROM w$k w, m$k m)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       el AS (SELECT v, unnest(range(0, len(v))) AS i FROM e),
+       mm AS (SELECT i, avg(v[i+1]) AS m FROM el GROUP BY i),
+       p AS (SELECT i, j, sum(v[i+1] * v[j+1]) AS sp, count(*) AS cnt
+             FROM (SELECT v, i, unnest(range(i, len(v))) AS j FROM el) t
+             GROUP BY i, j),
+       cq AS MATERIALIZED (SELECT p.i, p.j,
+           CAST(floor((sp / cnt - mi.m * mj.m) * 1e6 + 0.5) AS BIGINT)
+             AS cu
+         FROM p JOIN mm mi ON p.i = mi.i JOIN mm mj ON p.j = mj.i),
+       fm AS MATERIALIZED (SELECT i, j, cu FROM cq
+              UNION ALL SELECT j, i, cu FROM cq WHERE i != j),
+       v0 AS MATERIALIZED (SELECT DISTINCT i, 1000000000000::HUGEINT
+              AS vu FROM cq),
+       $iters,
+       sgn AS (SELECT CASE WHEN (SELECT vu FROM v12
+                 ORDER BY abs(vu) DESC, i ASC LIMIT 1) < 0
+               THEN -1 ELSE 1 END AS sg),
+       vf AS (SELECT i, vu * sg AS vu FROM v12, sgn),
+       num AS (SELECT sum(a.vu * f.cu * b.vu) AS vcv
+               FROM fm f JOIN vf a ON a.i = f.i JOIN vf b ON b.i = f.j),
+       den AS (SELECT sum(vu * vu) AS vv FROM vf),
+       tr AS (SELECT CAST(sum(cu) AS BIGINT) AS trace FROM cq
+              WHERE i = j)
+       SELECT CAST(vf.i AS INT) AS i,
+         floor((vf.vu::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS loading,
+         floor(((num.vcv::DOUBLE / den.vv::DOUBLE) / 1e6) * 1e6 + 0.5)
+           / 1e6 AS lambda1,
+         floor((((num.vcv::DOUBLE / den.vv::DOUBLE) / 1e6)
+                / (tr.trace::DOUBLE / 1e6)) * 1e6 + 0.5) / 1e6 AS evr
+       FROM vf, num, den, tr ORDER BY i"""
+  }
+
   // ---------------------------------------------------------------- q94
   /** Per-group top-k via the bounded-heap aggregator
     * ([[TopK.topKPerGroup]]): top 3 orders per customer by value. Same
@@ -450,6 +549,7 @@ object Scale {
     "q91_bloom_decontam" -> (q91 _),
     "q92_pagerank" -> (q92 _),
     "q93_embedding_cov" -> (q93 _),
+    "q271_pca_power" -> (q271 _),
     "q94_topk_agg" -> (q94 _),
     "q95_winsorize" -> (q95 _),
     "q96_embedding_clusters" -> (q96 _))
@@ -463,6 +563,7 @@ object Scale {
     "q91_bloom_decontam" -> q91Sql,
     "q92_pagerank" -> q92Sql,
     "q93_embedding_cov" -> q93Sql,
+    "q271_pca_power" -> q271Sql,
     "q94_topk_agg" -> q94Sql,
     "q95_winsorize" -> q95Sql,
     "q96_embedding_clusters" -> q96Sql)

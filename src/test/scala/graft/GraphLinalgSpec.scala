@@ -71,6 +71,25 @@ class GraphLinalgSpec extends SparkSpec {
     assert(v(0) > 0) // sign convention: first nonzero component positive
   }
 
+  test("q271 integer power iteration recovers a known dominant axis exactly") {
+    // cov = diag(2.5, 0.01, 0, 0): loading e0 = 1, the rest decay to
+    // the 1e-12 grid's zero; lambda = 2.5, evr = 2.5/2.51
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f, 0f, 0f)), (2L, Array(2.0f, -0.1f, 0f, 0f)),
+      (3L, Array(-1.0f, 0.1f, 0f, 0f)), (4L, Array(-2.0f, -0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pca_fixture").toString
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q271_pca_power")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(0)._1 == 1.0, rows.toString)
+    assert(rows(1)._1 == 0.0 && rows(2)._1 == 0.0 && rows(3)._1 == 0.0)
+    assert(rows(0)._2 == 2.5, s"lambda ${rows(0)._2}")
+    assert(rows(0)._3 == math.floor(2.5 / 2.51 * 1e6 + 0.5) / 1e6)
+  }
+
   test("distributed moments + driver eigensolve = consistent PCA on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cov = Linalg.collectCov(Linalg.covariance(emb, "embedding"), 64)
