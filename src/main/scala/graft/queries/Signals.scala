@@ -1680,6 +1680,106 @@ object Signals {
          CAST(n_batches AS BIGINT) AS n_batches
        FROM e, nb GROUP BY segment, n_batches ORDER BY segment"""
 
+  // --------------------------------------------------------------- q272
+  /** STREAMING stream-stream LEFT OUTER interval join, oracle-graded —
+    * the null-emission semantic q204's inner join doesn't exercise: a
+    * purchase with no click in its trailing 1-day window must be
+    * emitted exactly once WITH NULLS, and only after the watermark
+    * proves no match can still arrive. Events replay as 6-day chunk
+    * micro-batches ([[graft.streaming.ChunkReplay]]); two far-future
+    * sentinel chunks (a dedicated user, +10d/+20d, one purchase + one
+    * click each so BOTH sides' watermarks advance) drag the
+    * one-batch-lagging watermark past every real purchase, so by
+    * end-of-stream every unmatched purchase has its null row. The
+    * final sunk set then equals the batch LEFT join over the same
+    * rows — the oracle; graded per purchase-day: outer rows, matched
+    * pairs, unmatched purchases, distinct purchases. */
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.Files
+    val chunkUs = 6L * 86400 * 1000000
+    val ingest = Files.createTempDirectory("graft_soj_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_soj_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_soj_out").toString
+
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+    def sentinel(offsetDays: Long): DataFrame = {
+      val t = maxTs + offsetDays * 86400L * 1000000
+      Seq((-1L, -1L, "purchase", t), (-2L, -1L, "click", t))
+        .toDF("event_id", "user_id", "event_type", "ts_us")
+    }
+    graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs, ingest,
+      Seq(sentinel(10), sentinel(20)))
+
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts_us", LongType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(ingest)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"),
+      "leftOuter")
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("c_id"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val result = s.read.parquet(outDir)
+      .filter(col("p_user") >= 0L)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy("day")
+    graft.operators.Exec.detachFromScratch(result,
+      Seq(ingest, ckpt, outDir))
+  }
+
+  private val q272Sql =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+           FROM events WHERE event_type = 'click'),
+       j AS (SELECT p.p_id, p.p_ts, c.c_id
+             FROM p LEFT JOIN c ON p.user_id = c.user_id
+               AND c.c_ts <= p.p_ts
+               AND c.c_ts >= p.p_ts - INTERVAL 1 DAY)
+       SELECT CAST(p_ts AS DATE) AS day, count(*) AS n_rows,
+         CAST(sum(CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         CAST(sum(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unmatched,
+         count(DISTINCT p_id) AS n_purchases
+       FROM j GROUP BY day ORDER BY day"""
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1706,7 +1806,8 @@ object Signals {
     "q202_domain_census" -> (q202 _),
     "q203_burst_detection" -> (q203 _),
     "q204_stream_stream_join" -> (q204 _),
-    "q267_stream_static_join" -> (q267 _))
+    "q267_stream_static_join" -> (q267 _),
+    "q272_stream_outer_join" -> (q272 _))
 
   val oracles: Map[String, String] = Map(
     "q181_holt_winters" -> q181Sql,
@@ -1732,5 +1833,6 @@ object Signals {
     "q202_domain_census" -> q202Sql,
     "q203_burst_detection" -> q203Sql,
     "q204_stream_stream_join" -> q204Sql,
-    "q267_stream_static_join" -> q267Sql)
+    "q267_stream_static_join" -> q267Sql,
+    "q272_stream_outer_join" -> q272Sql)
 }

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared choreography for the file-stream replay harness (the q177
+  * pattern that puts streaming operators under the DuckDB gate): a
+  * batch frame is re-written as time-ordered chunk files whose mtimes
+  * sequence the `FileStreamSource` replay, so `maxFilesPerTrigger=1`
+  * turns each chunk into its own micro-batch in event-time order (no
+  * late data by construction — late-data semantics get their own
+  * injection, q259).
+  *
+  * Used by the streaming rows that need multi-batch behavior: q211
+  * (stateful eviction, its own inline copy predates this helper), q267
+  * (stream-static join), q272 (outer stream-stream join).
+  */
+object ChunkReplay {
+
+  /** Write `df` (which must carry a LONG event-time column `tsUsCol`)
+    * into one parquet file per `chunkUs`-wide event-time chunk under
+    * `ingestDir`, mtime-ordered; `sentinels` frames (same schema) are
+    * appended as the LAST chunks — far-future rows that drag the
+    * one-batch-lagging watermark past every real key so stateful /
+    * outer-join results are fully emitted by end-of-stream.
+    * Returns the number of chunk files written. */
+  def writeChunks(df: DataFrame, tsUsCol: String, chunkUs: Long,
+                  ingestDir: String, sentinels: Seq[DataFrame] = Nil): Int = {
+    val tmp = Files.createTempDirectory("graft_chunk_split").toString
+    // all rows of a chunk land in ONE task so partitionBy emits a
+    // single part file per chunk directory
+    df.withColumn("chunk", (col(tsUsCol) / lit(chunkUs)).cast("long"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(s"$tmp/real")
+    sentinels.zipWithIndex.foreach { case (sd, i) =>
+      sd.coalesce(1).write.parquet(s"$tmp/sentinel_$i")
+    }
+    val real = new java.io.File(s"$tmp/real").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+      .map(_.toString)
+    val ordered = real ++ sentinels.indices.map(i => s"$tmp/sentinel_$i")
+    ordered.zipWithIndex.foreach { case (dir, k) =>
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(f"$ingestDir/chunk_$k%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+    graft.operators.Exec.deleteRecursively(tmp)
+    ordered.length
+  }
+}

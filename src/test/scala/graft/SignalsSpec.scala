@@ -85,6 +85,29 @@ class SignalsSpec extends SparkSpec {
       ("unknown", 1L, 50L, 1L, 2L)), rows.toString)
   }
 
+  test("q272 outer stream-stream join: unmatched purchase null-emits once") {
+    // u5: click 6h before purchase -> matched pair; u6: purchase with
+    // its only click 2 days earlier (outside the 1-day window) -> one
+    // null-emitted outer row, which only exists if the watermark
+    // (dragged by the sentinels) expired the join state correctly
+    def ts(day: Int, hour: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 10).plusDays(day)
+        .atStartOfDay().plusHours(hour))
+    val ev = Seq(
+      (1L, ts(0, 0), 5L, "click", 1.0, "{}"),
+      (2L, ts(0, 6), 5L, "purchase", 2.0, "{}"),
+      (3L, ts(-2, 0), 6L, "click", 1.0, "{}"),
+      (4L, ts(0, 6), 6L, "purchase", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_signals_soj").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val rows = graft.SparkEntry.queries("q272_stream_outer_join")(
+      spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((2L, 1L, 1L, 2L)), rows.toSeq.toString)
+  }
+
   test("Signals query registry is consistent") {
     assert(Signals.queries.keySet == Signals.oracles.keySet)
     assert(Signals.queries.keys.forall(_.matches("q\\d{3}_[a-z0-9_]+")))
