@@ -26,6 +26,15 @@ object TextFunctions {
     call_function(expressions.GraftFunctions.jaroWinklerName, a, b)
   }
 
+  /** Unicode NFC canonical composition — backed by the native
+    * codegen'd [[expressions.NfcNormalize]]; semantics match DuckDB's
+    * `nfc_normalize` (both UAX#15). */
+  def nfc(a: Column): Column = {
+    expressions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(expressions.GraftFunctions.nfcName, a)
+  }
+
   /** Regex-based corpus cleanup (the standard LLM pre-training text
     * normalization): strip URLs and e-mail addresses, remove control
     * characters, collapse whitespace, trim. Every step is a builtin

@@ -142,6 +142,12 @@ object GraftFunctions {
   val simhashName = "graft_simhash60"
   val quantStatsName = "graft_quant_stats"
   val jaroWinklerName = "graft_jaro_winkler"
+  val nfcName = "graft_nfc"
+
+  val nfcBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$nfcName takes exactly 1 argument")
+    NfcNormalize(exprs.head)
+  }
 
   val jaroWinklerBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$jaroWinklerName takes exactly 2 arguments")
@@ -173,7 +179,8 @@ object GraftFunctions {
     wordShinglesName -> wordShinglesBuilder,
     simhashName -> simhashBuilder,
     quantStatsName -> quantStatsBuilder,
-    jaroWinklerName -> jaroWinklerBuilder)
+    jaroWinklerName -> jaroWinklerBuilder,
+    nfcName -> nfcBuilder)
 
   /** Idempotent per-session registration (used by the Column API so
     * the library works without spark.sql.extensions configuration).
@@ -224,5 +231,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[JaroWinkler].getName,
         GraftFunctions.jaroWinklerName),
       GraftFunctions.jaroWinklerBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.nfcName),
+      new ExpressionInfo(classOf[NfcNormalize].getName,
+        GraftFunctions.nfcName),
+      GraftFunctions.nfcBuilder))
   }
 }

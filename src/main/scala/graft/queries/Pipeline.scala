@@ -300,6 +300,53 @@ object Pipeline {
        WHERE cosine >= 0.45
        ORDER BY vec_a, vec_b"""
 
+  // --------------------------------------------------------------- q273
+  /** Unicode-normalization audit — the canonicalization pre-flight the
+    * dedup/fingerprint family assumes: decomposed sequences ("e" +
+    * U+0301) are byte-different from their precomposed forms ("é"), so
+    * un-normalized text silently defeats exact-dup, MinHash and
+    * fingerprint kernels. Per language: documents whose text is not
+    * NFC and how many combining marks composition removes. The
+    * synthetic corpus is pure ASCII, so (q77/q88 convention) the query
+    * deterministically APPENDS two decomposed sequences to every 5th
+    * document — injection keeps the oracle non-vacuous. Engine side is
+    * the native codegen'd [[graft.functions.expressions.NfcNormalize]]
+    * (Spark has no NFC builtin); DuckDB mirrors with `nfc_normalize`
+    * (both UAX#15). Map-only over the corpus + one |langs|-row
+    * aggregation. */
+  private def q273(s: SparkSession, d: String): DataFrame = {
+    val inj = "cafe\u0301 nai\u0308ve" // decomposed: e+U+0301, i+U+0308
+    val docs = Tables.documents(s, d)
+      .select(col("lang"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" " + inj)))
+          .otherwise(col("text")).as("text"))
+    val norm = graft.functions.TextFunctions.nfc(col("text"))
+    docs.select(col("lang"),
+        (col("text") =!= norm).as("denorm"),
+        (length(col("text")) - length(norm)).cast("long").as("delta"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("denorm"), 1L).otherwise(0L)).as("n_denormalized"),
+        sum("delta").as("marks_composed"))
+      .orderBy("lang")
+  }
+
+  private val q273Sql = {
+    val inj = "cafe\u0301 nai\u0308ve"
+    s"""WITH inj AS (SELECT lang,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' $inj'
+                ELSE text END AS text
+         FROM documents),
+       n AS (SELECT lang, text, nfc_normalize(text) AS nt FROM inj)
+       SELECT lang, count(*) AS n_docs,
+         CAST(sum(CASE WHEN text != nt THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_denormalized,
+         CAST(sum(length(text) - length(nt)) AS BIGINT)
+           AS marks_composed
+       FROM n GROUP BY lang ORDER BY lang"""
+  }
+
   // --------------------------------------------------------------- q269
   /** Exact Local Outlier Factor over the embedding corpus for the
     * q40 sampled query set ([[Similarity.lof]], k = 5) — the
@@ -1249,6 +1296,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "q269_lof_outliers" -> (q269 _),
+    "q273_nfc_audit" -> (q273 _),
     "q249_readability" -> (q249 _),
     "q257_multimodal_resize" -> (q257 _),
     "q264_cluster_safe_split" -> (q264 _),
@@ -1283,6 +1331,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q269_lof_outliers" -> q269Sql,
+    "q273_nfc_audit" -> q273Sql,
     "q249_readability" -> q249Sql,
     "q257_multimodal_resize" -> q257Sql,
     "q264_cluster_safe_split" -> q264Sql,

@@ -249,4 +249,26 @@ class ExpressionSpec extends SparkSpec {
       "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS j").head()
     assert(math.abs(viaSql.getDouble(0) - 0.9611111111) < 1e-9)
   }
+
+  test("graft_nfc composes decomposed sequences, keeps NFC text intact") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "cafe\u0301"),  // e + combining acute -> precomposed
+      (2L, "caf\u00e9"),   // already NFC
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextFunctions.nfc(col("t")).as("n"),
+        length(TextFunctions.nfc(col("t"))).as("len"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "caf\u00e9") // composed to one code point
+    assert(out(2L) == "caf\u00e9")
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == null)
+    // registered for SQL text too
+    val viaSql = spark.sql("SELECT length(graft_nfc('nai\u0308ve')) AS l")
+      .head().getInt(0)
+    assert(viaSql == 5) // i + U+0308 composed into ï
+  }
 }
