@@ -347,6 +347,70 @@ object Pipeline {
        FROM n GROUP BY lang ORDER BY lang"""
   }
 
+  // --------------------------------------------------------------- q274
+  /** Reciprocal best match (mutual nearest neighbor) between two
+    * embedding sets — the alignment primitive under bilingual-lexicon
+    * induction / dataset linking / SemDeDup variants: a pair (a, b)
+    * aligns only if b is a's top-1 in set B AND a is b's top-1 back in
+    * set A (one-directional best matches are notoriously hub-polluted;
+    * the round-trip test is the standard filter). Sets = the even /
+    * odd vec_id halves; graded for the q40-convention sampled query
+    * set. Scale shape: the sampled A queries broadcast against one B
+    * scan, then ONLY their ≤\|sample\| best matches broadcast back
+    * against one A scan — never half×half. Ranking is the
+    * [[Similarity.knnBruteForce]] kernel (4-dp-rounded cosine, id
+    * tie-break), so the oracle replays both directions exactly. */
+  private def q274(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val fwd = Similarity.knnBruteForce(b, a.filter(col("vec_id") < 32),
+        "vec_id", "embedding", k = 1)
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("cosine"))
+    val backQ = fwd.select(col("b_id").as("vec_id")).distinct()
+      .join(emb, "vec_id")
+    val back = Similarity.knnBruteForce(a, backQ, "vec_id", "embedding",
+        k = 1)
+      .select(col("query_id").as("b_id"),
+        col("neighbor_id").as("back_id"))
+    fwd.join(back, "b_id")
+      .select(col("a_id"), col("b_id"), col("cosine"),
+        (col("back_id") === col("a_id")).as("mutual"))
+      .orderBy("a_id")
+  }
+
+  private val q274Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       fwd AS (SELECT * FROM (
+           SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+             round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 4) DESC,
+               c.vec_id ASC) AS rn
+           FROM a q JOIN b c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 32) t WHERE rn = 1),
+       bq AS (SELECT DISTINCT b_id FROM fwd),
+       back AS (SELECT * FROM (
+           SELECT q.vec_id AS b_id, c.vec_id AS back_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 4) DESC,
+               c.vec_id ASC) AS rn
+           FROM (SELECT e.* FROM bq JOIN e ON e.vec_id = bq.b_id) q
+           JOIN a c ON q.vec_id != c.vec_id) t WHERE rn = 1)
+       SELECT fwd.a_id, fwd.b_id, fwd.cosine,
+         back.back_id = fwd.a_id AS mutual
+       FROM fwd JOIN back ON back.b_id = fwd.b_id
+       ORDER BY a_id"""
+
   // --------------------------------------------------------------- q269
   /** Exact Local Outlier Factor over the embedding corpus for the
     * q40 sampled query set ([[Similarity.lof]], k = 5) — the
@@ -1297,6 +1361,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "q269_lof_outliers" -> (q269 _),
     "q273_nfc_audit" -> (q273 _),
+    "q274_mutual_nn" -> (q274 _),
     "q249_readability" -> (q249 _),
     "q257_multimodal_resize" -> (q257 _),
     "q264_cluster_safe_split" -> (q264 _),
@@ -1332,6 +1397,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "q269_lof_outliers" -> q269Sql,
     "q273_nfc_audit" -> q273Sql,
+    "q274_mutual_nn" -> q274Sql,
     "q249_readability" -> q249Sql,
     "q257_multimodal_resize" -> q257Sql,
     "q264_cluster_safe_split" -> q264Sql,

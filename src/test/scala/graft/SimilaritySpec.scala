@@ -100,6 +100,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.agg(sum("n_members")).head().getLong(0) == 3L)
   }
 
+  test("q274 mutual NN: round-trip pairs flag mutual, hub capture does not") {
+    // a0<->b1 and a2<->b3 are reciprocal; a4's best is b1 but b1's
+    // best is a0, so a4 is one-directional (mutual = false)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 1.0f)),
+      (1L, Array(0.99f, 0.2f)), (3L, Array(0.1f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mnn_fixture").toString
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    val rows = graft.SparkEntry.queries("q274_mutual_nn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(rows.toSeq == Seq((0L, 1L, true), (2L, 3L, true),
+      (4L, 1L, false)), rows.toSeq.toString)
+  }
+
   test("lof: outlier scores >> 1, cluster member ~ 1; exact vs direct") {
     // ids 0-5 a tight cluster, id 6 far away; k=5. Expected values
     // recomputed DIRECTLY (plain loops over the same quantization
