@@ -347,6 +347,80 @@ object Pipeline {
        FROM n GROUP BY lang ORDER BY lang"""
   }
 
+  // --------------------------------------------------------------- q275
+  /** Embargoed temporal split (purged walk-forward, de Prado) — the
+    * time-series counterpart of q69's hash split and q264's
+    * cluster-safe split: train = days before the 80%-of-range cut,
+    * test = days from cut + 3 on, and the 3-day embargo band between
+    * them is PURGED, so a 3-day forward label window computed on any
+    * train row can never overlap test. Graded next to the counterfeit
+    * no-embargo baseline (the q264 convention): under a plain cut the
+    * same horizon leaks from the last 2 train days — the row shows
+    * exactly what the embargo prevents. All day arithmetic is exact
+    * integers; min/max day are two driver scalars (the reference's
+    * reduce-to-driver pattern); ONE conditional aggregation pass. */
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    val horizon = 3L // forward label window: days t .. t+2
+    val embargo = 3L
+    val day = datediff(to_date(col("ts")),
+      lit("1990-01-01").cast("date")).cast("long")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), day.as("day"))
+    val r = ev.agg(min("day"), max("day")).head()
+    val (d0, d1) = (r.getLong(0), r.getLong(1))
+    val cut = d0 + (d1 - d0) * 8L / 10L
+    def split(name: String, pred: org.apache.spark.sql.Column,
+              leakPred: org.apache.spark.sql.Column): DataFrame =
+      ev.filter(pred).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("day").as("d_min"), max("day").as("d_max"),
+        coalesce(sum(when(leakPred, 1L).otherwise(0L)), lit(0L))
+          .as("horizon_leaks"))
+        .select(lit(name).as("split"), col("n_events"), col("n_users"),
+          col("d_min"), col("d_max"), col("horizon_leaks"))
+    // embargoed: test starts at cut+3, so train day + 2 < cut + 3 ⇒ 0
+    val train = split("1_train", col("day") < cut,
+      col("day") + (horizon - 1L) >= cut + embargo)
+    val purged = split("2_purged",
+      col("day") >= cut && col("day") < cut + embargo, lit(false))
+    val test = split("3_test", col("day") >= cut + embargo, lit(false))
+    // counterfeit: plain cut (no embargo) — the same horizon leaks
+    val counterfeit = split("0_counterfeit_no_embargo", col("day") < cut,
+      col("day") + (horizon - 1L) >= cut)
+    counterfeit.unionByName(train).unionByName(purged).unionByName(test)
+      .orderBy("split")
+  }
+
+  private val q275Sql =
+    """WITH ev AS (SELECT user_id,
+           datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day
+         FROM events),
+       b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+       c AS (SELECT d0 + (d1 - d0) * 8 // 10 AS cut FROM b)
+       SELECT * FROM (
+         SELECT '0_counterfeit_no_embargo' AS split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(day) AS d_min, max(day) AS d_max,
+           CAST(sum(CASE WHEN day + 2 >= cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS horizon_leaks
+         FROM ev, c WHERE day < cut
+         UNION ALL
+         SELECT '1_train', count(*), count(DISTINCT user_id),
+           min(day), max(day),
+           CAST(sum(CASE WHEN day + 2 >= cut + 3 THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM ev, c WHERE day < cut
+         UNION ALL
+         SELECT '2_purged', count(*), count(DISTINCT user_id),
+           min(day), max(day), 0::BIGINT
+         FROM ev, c WHERE day >= cut AND day < cut + 3
+         UNION ALL
+         SELECT '3_test', count(*), count(DISTINCT user_id),
+           min(day), max(day), 0::BIGINT
+         FROM ev, c WHERE day >= cut + 3)
+       ORDER BY split"""
+
   // --------------------------------------------------------------- q274
   /** Reciprocal best match (mutual nearest neighbor) between two
     * embedding sets — the alignment primitive under bilingual-lexicon
@@ -1362,6 +1436,7 @@ object Pipeline {
     "q269_lof_outliers" -> (q269 _),
     "q273_nfc_audit" -> (q273 _),
     "q274_mutual_nn" -> (q274 _),
+    "q275_embargo_split" -> (q275 _),
     "q249_readability" -> (q249 _),
     "q257_multimodal_resize" -> (q257 _),
     "q264_cluster_safe_split" -> (q264 _),
@@ -1398,6 +1473,7 @@ object Pipeline {
     "q269_lof_outliers" -> q269Sql,
     "q273_nfc_audit" -> q273Sql,
     "q274_mutual_nn" -> q274Sql,
+    "q275_embargo_split" -> q275Sql,
     "q249_readability" -> q249Sql,
     "q257_multimodal_resize" -> q257Sql,
     "q264_cluster_safe_split" -> q264Sql,

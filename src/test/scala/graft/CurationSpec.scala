@@ -244,4 +244,29 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)   // single source takes all weight
     assert(r.getLong(4) == 400L && r.getDouble(5) == 100.0)
   }
+
+  test("q275 embargo split: purged band zeroes the horizon leak the " +
+      "counterfeit shows") {
+    // days 0..20 -> cut = 16; embargo purges [16,19); horizon 3.
+    // counterfeit leak = train days with day+2 >= 16: {14,15,15} = 3
+    def ts(dayN: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1990, 1, 1).plusDays(dayN).atStartOfDay())
+    val ev = Seq(
+      (1L, ts(0), 1L), (2L, ts(15), 1L), (3L, ts(16), 1L),
+      (4L, ts(19), 1L), (5L, ts(14), 2L), (6L, ts(15), 2L),
+      (7L, ts(20), 2L)
+    ).map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_embargo_fixture").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val rows = graft.SparkEntry.queries("q275_embargo_split")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("0_counterfeit_no_embargo", 4L, 2L, 0L, 15L, 3L),
+      ("1_train", 4L, 2L, 0L, 15L, 0L),
+      ("2_purged", 1L, 1L, 16L, 16L, 0L),
+      ("3_test", 2L, 2L, 19L, 20L, 0L)), rows.toSeq.toString)
+  }
 }
