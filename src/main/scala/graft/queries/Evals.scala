@@ -2870,6 +2870,104 @@ object Evals {
 
   // ----------------------------------------------------------------
 
+  // --------------------------------------------------------------- q276
+  /** Krippendorff's alpha (nominal, 3 raters, complete data) — the
+    * agreement coefficient that generalizes q215's two-rater kappa to
+    * ANY number of raters and chance-corrects via the pooled category
+    * distribution; the standard gate for multi-annotator label sets.
+    * Raters = three cheap heuristics over documents (char-count,
+    * token-count, and chars-per-token buckets into the shared
+    * {short, medium, long} categories).
+    *
+    * Exact rational algebra: with m = 3 raters, per-unit ordered
+    * disagreeing pairs are 2·(mismatching unordered pairs), so with
+    * A′ = Σ_u mismatches, n_tot = 3n and B = n_tot² − Σ_c n_c²:
+    * `Do = A′/n_tot`, `De = B/(n_tot·(n_tot−1))`, and
+    * `alpha = 1 − A′·(n_tot−1)/B` — every term an exact integer
+    * (DECIMAL(38,0): A′·n_tot passes LONG at ~10⁹ docs), FP only in
+    * the three final fixed-shape divisions, 9 dp. ONE corpus
+    * aggregation; chars-per-token thresholds compare `10·n_chars`
+    * against `50·nt`/`56·nt` so the rater itself is integer-exact. */
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    val nt = size(words(col("text"))).cast("long")
+    val nc = col("n_chars").cast("long")
+    val rated = Tables.documents(s, d).select(
+      when(nc < 150L, "short").when(nc < 300L, "medium")
+        .otherwise("long").as("ra"),
+      when(nt < 27L, "short").when(nt < 50L, "medium")
+        .otherwise("long").as("rb"),
+      when(nc * 10L < nt * 50L, "short")
+        .when(nc * 10L < nt * 56L, "medium").otherwise("long").as("rc"))
+    def cat(c: String): org.apache.spark.sql.Column =
+      (when(col("ra") === c, 1L).otherwise(0L) +
+        when(col("rb") === c, 1L).otherwise(0L) +
+        when(col("rc") === c, 1L).otherwise(0L))
+    val m = rated.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ra") =!= col("rb"), 1L).otherwise(0L) +
+        when(col("ra") =!= col("rc"), 1L).otherwise(0L) +
+        when(col("rb") =!= col("rc"), 1L).otherwise(0L)).as("ap"),
+      sum(cat("short")).as("ns"), sum(cat("medium")).as("nm"),
+      sum(cat("long")).as("nl"))
+    val nTot = col("n").cast(dec) * lit(3).cast(dec)
+    val b = nTot * nTot -
+      (col("ns").cast(dec) * col("ns").cast(dec) +
+        col("nm").cast(dec) * col("nm").cast(dec) +
+        col("nl").cast(dec) * col("nl").cast(dec))
+    m.select(
+      col("n").as("n_docs"),
+      round(col("ap").cast("double") / nTot.cast("double"), 9).as("d_o"),
+      round(b.cast("double") /
+        (nTot * (nTot - lit(1).cast(dec))).cast("double"), 9).as("d_e"),
+      round(lit(1.0) -
+        (col("ap").cast(dec) * (nTot - lit(1).cast(dec))).cast("double") /
+          b.cast("double"), 9).as("alpha"))
+  }
+
+  private val q276Sql =
+    """WITH r AS (SELECT
+           CASE WHEN n_chars < 150 THEN 'short'
+                WHEN n_chars < 300 THEN 'medium' ELSE 'long' END AS ra,
+           CASE WHEN nt < 27 THEN 'short'
+                WHEN nt < 50 THEN 'medium' ELSE 'long' END AS rb,
+           CASE WHEN n_chars * 10 < nt * 50 THEN 'short'
+                WHEN n_chars * 10 < nt * 56 THEN 'medium'
+                ELSE 'long' END AS rc
+         FROM (SELECT n_chars,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS nt
+               FROM documents)),
+       m AS (SELECT count(*) AS n,
+           CAST(sum((CASE WHEN ra != rb THEN 1 ELSE 0 END) +
+                    (CASE WHEN ra != rc THEN 1 ELSE 0 END) +
+                    (CASE WHEN rb != rc THEN 1 ELSE 0 END)) AS BIGINT)
+             AS ap,
+           CAST(sum((CASE WHEN ra = 'short' THEN 1 ELSE 0 END) +
+                    (CASE WHEN rb = 'short' THEN 1 ELSE 0 END) +
+                    (CASE WHEN rc = 'short' THEN 1 ELSE 0 END))
+             AS BIGINT) AS ns,
+           CAST(sum((CASE WHEN ra = 'medium' THEN 1 ELSE 0 END) +
+                    (CASE WHEN rb = 'medium' THEN 1 ELSE 0 END) +
+                    (CASE WHEN rc = 'medium' THEN 1 ELSE 0 END))
+             AS BIGINT) AS nm,
+           CAST(sum((CASE WHEN ra = 'long' THEN 1 ELSE 0 END) +
+                    (CASE WHEN rb = 'long' THEN 1 ELSE 0 END) +
+                    (CASE WHEN rc = 'long' THEN 1 ELSE 0 END))
+             AS BIGINT) AS nl
+         FROM r),
+       x AS (SELECT n, ap,
+           3::HUGEINT * n AS ntot,
+           (3::HUGEINT * n) * (3::HUGEINT * n)
+             - (ns::HUGEINT * ns + nm::HUGEINT * nm + nl::HUGEINT * nl)
+             AS b
+         FROM m)
+       SELECT n AS n_docs,
+         floor((ap::DOUBLE / ntot::DOUBLE) * 1e9 + 0.5) / 1e9 AS d_o,
+         floor((b::DOUBLE / (ntot * (ntot - 1))::DOUBLE) * 1e9 + 0.5)
+           / 1e9 AS d_e,
+         floor((1.0 - (ap::HUGEINT * (ntot - 1))::DOUBLE / b::DOUBLE)
+               * 1e9 + 0.5) / 1e9 AS alpha
+       FROM x"""
+
   // --------------------------------------------------------------- q270
   /** Instrumental-variable (Wald) estimator with a weak-instrument
     * guard — the encouragement-design readout next to q120 (ITT),
@@ -3140,6 +3238,7 @@ object Evals {
   val queries: Map[String, Q] = Map(
     "q268_fairness_audit" -> (q268 _),
     "q270_iv_wald" -> (q270 _),
+    "q276_krippendorff" -> (q276 _),
     "q214_auc_roc" -> (q214 _),
     "q215_cohens_kappa" -> (q215 _),
     "q216_source_divergence" -> (q216 _),
@@ -3178,6 +3277,7 @@ object Evals {
   val oracles: Map[String, String] = Map(
     "q268_fairness_audit" -> q268Sql,
     "q270_iv_wald" -> q270Sql,
+    "q276_krippendorff" -> q276Sql,
     "q214_auc_roc" -> q214Sql,
     "q215_cohens_kappa" -> q215Sql,
     "q216_source_divergence" -> q216Sql,

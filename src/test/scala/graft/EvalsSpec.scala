@@ -663,6 +663,23 @@ class EvalsSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("weak_instrument"))
   }
 
+  test("q276 Krippendorff alpha: hand-computed coincidence on 3 units") {
+    // ratings by construction: u1 (s,s,s), u2 (l,s,l), u3 (m,m,m)
+    // A' = 2; n_tot = 9; category counts s=4, m=3, l=2 -> B = 81-29 = 52
+    // Do = 2/9, De = 52/72, alpha = 1 - 16/52 = 9/13
+    def doc(id: Long, nWords: Int, nChars: Long) =
+      (id, Seq.fill(nWords)("w").mkString(" "), "en", nChars)
+    val docs = Seq(doc(1, 25, 100), doc(2, 20, 400), doc(3, 38, 200))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = staged("kripp")("documents" -> docs)
+    val r = SparkEntry.queries("q276_krippendorff")(spark, dir).head()
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Double]("d_o") == q9(2.0 / 9.0), r.toString)
+    assert(r.getAs[Double]("d_e") == q9(52.0 / 72.0), r.toString)
+    assert(r.getAs[Double]("alpha") == q9(1.0 - 16.0 / 52.0), r.toString)
+  }
+
   test("q268 fairness audit: hand-computed parity and equalized-odds gaps") {
     // A: sel 2/4, pos {1,3}, tp {1}, fp {2} -> tpr .5, fpr .5
     // B: sel 1/2, pos {5}, tp {5} -> tpr 1, fpr 0
