@@ -1236,6 +1236,93 @@ object Lifecycle {
        FROM events WHERE value IS NOT NULL
        GROUP BY user_id ORDER BY user_id"""
 
+  // --------------------------------------------------------------- q277
+  /** STREAMING checkpoint RECOVERY, oracle-graded — the fault-
+    * tolerance semantic none of the other §2.10 rows exercise: a
+    * stateful streaming aggregation is STOPPED mid-corpus and a brand
+    * new query resumes from the same checkpoint; the final per-user
+    * totals equal the batch aggregation ONLY if (a) the source
+    * offsets recovered (no chunk re-ingested or skipped) and (b) the
+    * aggregation state store reloaded (otherwise the resumed counts
+    * restart from zero and the `max(struct)` reconstruction
+    * undercounts — the gate catches both failure modes). Choreography:
+    * purchase/click events chunk into ~4 span-scaled files; the first
+    * half is visible to query #1 (update-mode groupBy running
+    * count/spend, per-batch append sink), which is stopped; the
+    * remaining files then land in the ingest dir and query #2 starts
+    * from the SAME checkpoint and drains them. Update-mode counts
+    * strictly grow, so `max(struct(n_events, spend_units))` per user
+    * selects the final emission regardless of batch timing — equal to
+    * the batch aggregation, the oracle. */
+  private def q277(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Files.createTempDirectory("graft_rec_staging").toString
+    val ingest = Files.createTempDirectory("graft_rec_ingest").toString
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_rec_out").toString
+
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id").cast("long").as("user_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+          .as("units"),
+        unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min("ts_us"), max("ts_us")).head()
+    val chunkUs = math.max((mm.getLong(1) - mm.getLong(0)) / 4L + 1L, 1L)
+    graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs, staging)
+    val staged = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val firstHalf = (staged.length + 1) / 2
+
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("units", LongType), StructField("ts_us", LongType)))
+    def drain(): Unit = {
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("units").as("spend_units"))
+      val q = counts.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      staged.take(firstHalf).foreach { f =>
+        Files.move(f.toPath, Paths.get(s"$ingest/${f.getName}"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      drain() // query #1: first half, then STOP
+      staged.drop(firstHalf).foreach { f =>
+        Files.move(f.toPath, Paths.get(s"$ingest/${f.getName}"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      drain() // query #2: SAME checkpoint, must recover state+offsets
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val result = s.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("spend_units"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.spend_units").as("spend_units"))
+      .orderBy("user_id")
+    graft.operators.Exec.detachFromScratch(result,
+      Seq(staging, ingest, ckpt, outDir))
+  }
+
+  /** Recovered-stream totals == the batch aggregation. */
+  private val q277Sql =
+    """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_units
+       FROM events WHERE event_type IN ('purchase', 'click')
+       GROUP BY user_id ORDER BY user_id"""
+
   // --------------------------------------------------------------- q259
   /** STREAMING watermark / late-data audit, oracle-graded — the
     * semantics q226/q231 don't exercise: what happens to rows that
@@ -1369,7 +1456,8 @@ object Lifecycle {
     "q209_diff_in_diff" -> (q209 _),
     "q210_l_diversity" -> (q210 _),
     "q265_t_closeness" -> (q265 _),
-    "q266_logrank" -> (q266 _))
+    "q266_logrank" -> (q266 _),
+    "q277_checkpoint_recovery" -> (q277 _))
 
   val oracles: Map[String, String] = Map(
     "q259_late_data_audit" -> q259Sql,
@@ -1385,5 +1473,6 @@ object Lifecycle {
     "q209_diff_in_diff" -> q209Sql,
     "q210_l_diversity" -> q210Sql,
     "q265_t_closeness" -> q265Sql,
-    "q266_logrank" -> q266Sql)
+    "q266_logrank" -> q266Sql,
+    "q277_checkpoint_recovery" -> q277Sql)
 }

@@ -263,6 +263,25 @@ class LifecycleSpec extends SparkSpec {
     assert(row.getAs[Double]("z") == q6(dev / math.sqrt(v)))
   }
 
+  test("q277 checkpoint recovery: totals span the query restart") {
+    // user 7 has one event in the pre-stop half and one 30 days later
+    // in the post-restart half: n_events = 2 requires the aggregation
+    // state to survive the restart (a reset would leave max(struct)
+    // at the larger of two partial counts, both 1)
+    val ev = Seq(
+      (1L, day(0), 7L, "purchase", 1.0, "{}"),
+      (2L, day(30), 7L, "click", 2.5, "{}"),
+      (3L, day(0), 8L, "purchase", 4.0, "{}")
+    ).map { case (id, ts, u, t, v, p) =>
+      (id, java.sql.Timestamp.from(ts.toInstant), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("rec")("events" -> ev)
+    val rows = SparkEntry.queries("q277_checkpoint_recovery")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((7L, 2L, 3500000L), (8L, 1L, 4000000L)),
+      rows.toSeq.toString)
+  }
+
   test("q226 streaming dedup: cross-batch duplicates are suppressed") {
     // two events 7 days apart -> two chunk files -> two micro-batches;
     // the injected re-send of event 3 (id % 3 == 0) lands in the LATER
