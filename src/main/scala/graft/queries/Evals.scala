@@ -2870,6 +2870,95 @@ object Evals {
 
   // ----------------------------------------------------------------
 
+  // --------------------------------------------------------------- q278
+  /** Split-conformal prediction — the distribution-free uncertainty
+    * wrapper an eval stack needs around point predictions: fit any
+    * model on a train split, take the ⌈(n+1)(1−α)⌉-th smallest
+    * nonconformity score on a CALIBRATION split as q̂, and the
+    * interval ŷ ± q̂ covers ≥ 1−α of fresh data with no distribution
+    * assumptions. Model = per-priority integer-mean order totalprice
+    * (cents, `sum DIV n`) on the 60% train split; scores = \|y − ŷ\|
+    * on the 20% calibration split; empirical coverage graded on the
+    * held-out 20%. The rank is the EXACT integer
+    * `k = ((n+1)·9 + 9) DIV 10` (memory-pitfall #3: FP ceil(0.9·n)
+    * is off-by-one when the product is integral) and q̂ comes from
+    * the `OrderStat` narrowing kernel — never a corpus-multiset
+    * percentile buffer. All counts/cents are exact LONGs; coverage is
+    * one fixed-shape division. */
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val bucket = graft.operators.Sampling.hashBucket(
+      col("o_orderkey"), "conf", 10)
+    val base = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"), cents.as("y"),
+      when(bucket < 6L, "train").when(bucket < 8L, "cal")
+        .otherwise("eval").as("split"))
+      .persist(sl)
+    val model = base.filter(col("split") === "train")
+      .groupBy("prio")
+      .agg(sum("y").as("sy"), count(lit(1)).as("cnt"))
+      // integer floor division: double-divide-then-truncate drifts a
+      // ulp across engines once n is large enough that 1/n < ulp(q)
+      .select(col("prio"), expr("sy DIV cnt").as("yhat"))
+    val scored = base.filter(col("split") =!= "train")
+      .join(broadcast(model), "prio")
+      .select(col("split"), abs(col("y") - col("yhat")).as("score"))
+      .persist(sl)
+    val (nCal, qhatSeq) = graft.engine.OrderStat.kthSmallests(
+      scored.filter(col("split") === "cal"), "score",
+      n => Seq(((n + 1L) * 9L + 9L) / 10L))
+    val qhat = qhatSeq.head.toLong
+    val out = scored.filter(col("split") === "eval")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("score") <= qhat, 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(lit(nCal).as("n_cal"),
+        lit(((nCal + 1L) * 9L + 9L) / 10L).as("k"),
+        lit(qhat).as("qhat_cents"), col("n_eval"), col("n_covered"),
+        round(col("n_covered").cast("double") /
+          greatest(col("n_eval"), lit(1L)).cast("double"), 6)
+          .as("coverage"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    scored.unpersist(blocking = false)
+    out
+  }
+
+  private val q278Sql =
+    """WITH b AS (SELECT o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+           ('0x' || substr(md5('conf' || o_orderkey::VARCHAR), 1, 15))
+             ::BIGINT % 10 AS bk
+         FROM orders),
+       sp AS (SELECT prio, y,
+                CASE WHEN bk < 6 THEN 'train'
+                     WHEN bk < 8 THEN 'cal' ELSE 'eval' END AS split
+              FROM b),
+       m AS (SELECT prio, CAST(sum(y) // count(*) AS BIGINT) AS yhat
+             FROM sp WHERE split = 'train' GROUP BY prio),
+       sc AS (SELECT sp.split, abs(sp.y - m.yhat) AS score
+              FROM sp JOIN m ON m.prio = sp.prio
+              WHERE sp.split != 'train'),
+       kc AS (SELECT count(*) AS n_cal,
+                ((count(*) + 1) * 9 + 9) // 10 AS k
+              FROM sc WHERE split = 'cal'),
+       qh AS (SELECT score AS qhat FROM (
+                SELECT score, row_number() OVER (ORDER BY score) AS rn
+                FROM sc WHERE split = 'cal') t, kc
+              WHERE t.rn = kc.k),
+       ev AS (SELECT count(*) AS n_eval,
+                CAST(sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+              FROM sc, qh WHERE split = 'eval')
+       SELECT CAST(kc.n_cal AS BIGINT) AS n_cal,
+         CAST(kc.k AS BIGINT) AS k,
+         CAST(qh.qhat AS BIGINT) AS qhat_cents,
+         ev.n_eval, ev.n_covered,
+         floor((ev.n_covered::DOUBLE /
+                greatest(ev.n_eval, 1)::DOUBLE) * 1e6 + 0.5) / 1e6
+           AS coverage
+       FROM kc, qh, ev"""
+
   // --------------------------------------------------------------- q276
   /** Krippendorff's alpha (nominal, 3 raters, complete data) — the
     * agreement coefficient that generalizes q215's two-rater kappa to
@@ -3239,6 +3328,7 @@ object Evals {
     "q268_fairness_audit" -> (q268 _),
     "q270_iv_wald" -> (q270 _),
     "q276_krippendorff" -> (q276 _),
+    "q278_conformal" -> (q278 _),
     "q214_auc_roc" -> (q214 _),
     "q215_cohens_kappa" -> (q215 _),
     "q216_source_divergence" -> (q216 _),
@@ -3278,6 +3368,7 @@ object Evals {
     "q268_fairness_audit" -> q268Sql,
     "q270_iv_wald" -> q270Sql,
     "q276_krippendorff" -> q276Sql,
+    "q278_conformal" -> q278Sql,
     "q214_auc_roc" -> q214Sql,
     "q215_cohens_kappa" -> q215Sql,
     "q216_source_divergence" -> q216Sql,

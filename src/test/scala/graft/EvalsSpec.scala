@@ -663,6 +663,33 @@ class EvalsSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("weak_instrument"))
   }
 
+  test("q278 split conformal: exact rank, qhat, and coverage by hand") {
+    // discover the hash splits, then construct: train mean = 150,
+    // cal scores {10..90} -> n=9, k = ceil(10*0.9) = 9, qhat = 90,
+    // eval scores {90, 95} -> covered {90} -> coverage 0.5
+    val buckets = spark.range(1, 301).select(
+      org.apache.spark.sql.functions.col("id"),
+      graft.operators.Sampling.hashBucket(
+        org.apache.spark.sql.functions.col("id"), "conf", 10).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val trainK = buckets.filter(_._2 < 6).map(_._1).take(2)
+    val calK = buckets.filter(t => t._2 >= 6 && t._2 < 8).map(_._1).take(9)
+    val evalK = buckets.filter(_._2 >= 8).map(_._1).take(2)
+    assert(trainK.length == 2 && calK.length == 9 && evalK.length == 2)
+    val rows =
+      trainK.zip(Seq(1.00, 2.00)).map { case (k, y) => (k, "P", y) } ++
+        calK.zipWithIndex.map { case (k, i) =>
+          (k, "P", 1.50 + (i + 1) * 0.10) } ++
+        Seq((evalK(0), "P", 1.50 + 0.90), (evalK(1), "P", 1.50 + 0.95))
+    val orders = rows.toSeq
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val dir = staged("conf")("orders" -> orders)
+    val r = SparkEntry.queries("q278_conformal")(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((9L, 9L, 90L, 2L, 1L, 0.5)),
+      r.toString)
+  }
+
   test("q276 Krippendorff alpha: hand-computed coincidence on 3 units") {
     // ratings by construction: u1 (s,s,s), u2 (l,s,l), u3 (m,m,m)
     // A' = 2; n_tot = 9; category counts s=4, m=3, l=2 -> B = 81-29 = 52
