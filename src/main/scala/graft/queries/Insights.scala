@@ -2101,6 +2101,117 @@ object Insights {
            / t.true_distinct::DOUBLE, 4) AS rel_err
        FROM f JOIN t USING (wk) ORDER BY wk"""
 
+  // --------------------------------------------------------------- q279
+  /** Gradient-boosted regression stumps, 2 rounds, EXACT — extends
+    * q164's single classification stump to the boosting loop: round 1
+    * fits the SSE-optimal `day ≤ t` stump to daily revenue (split
+    * maximizing `S_L²/n_L + S_R²/n_R`, the exact argmax of SSE
+    * reduction), round 2 fits the same stump kernel to the RESIDUALS.
+    * Exactness discipline: y is milli-cent LONGs, so leaf predictions
+    * are the integer round-half-away mean `sign·(2·|S|+n) DIV (2·n)`
+    * (computed driver-side in BigInt from the 1-row argmax — never a
+    * DECIMAL division whose scale-6 rounding could cross the floor)
+    * and round-2 residual sums derive EXACTLY per day as
+    * `s₂ = s₁ − c·pred(day)` — no row-level recompute, no FP
+    * residuals. The split score is one fixed-shape FP expression of
+    * the exact cumulative DECIMAL sums (ties → smaller day). Scale:
+    * ONE corpus aggregation to the bounded per-day table; both rounds'
+    * windows and argmaxes run on that table only. */
+  private def q279(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1990-01-01").cast("date")).cast("long")
+    val per = Tables.orders(s, d)
+      .select(day.as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("yc"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("c"), (sum("yc") * 1000L).as("sm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rha(sl: BigInt, n: BigInt): Long = // round-half-away mean
+      ((sl.abs * 2 + n) / (n * 2) * sl.signum).toLong
+    // fit the SSE-optimal stump on a (day, c, sm) frame; returns
+    // (t, nL, nR, predL, predR) with preds exact via driver BigInt
+    def fit(frame: DataFrame): (Long, Long, Long, Long, Long) = {
+      val tot = frame.agg(sum("c"), sum(col("sm").cast(dec))).head()
+      val (n, st) = (tot.getLong(0), BigInt(tot.getDecimal(1).toBigInteger))
+      val cand = frame
+        .withColumn("nl", sum("c").over(w))
+        .withColumn("sl", sum(col("sm").cast(dec)).over(w))
+        .filter(col("nl") < n)
+      val slD = col("sl").cast("double")
+      val srD = (lit(st.toString).cast(dec) - col("sl")).cast("double")
+      val nlD = col("nl").cast("double")
+      val nrD = (lit(n) - col("nl")).cast("double")
+      val best = cand
+        .withColumn("score", slD * slD / nlD + srD * srD / nrD)
+        .orderBy(col("score").desc, col("day").asc)
+        .select("day", "nl", "sl").limit(1).head()
+      val (t, nl) = (best.getLong(0), best.getLong(1))
+      val slB = BigInt(best.getDecimal(2).toBigInteger)
+      (t, nl, n - nl, rha(slB, nl), rha(st - slB, n - nl))
+    }
+    val (t1, nl1, nr1, pl1, pr1) = fit(per)
+    val per2 = per.select(col("day"), col("c"),
+      (col("sm") - col("c") *
+        when(col("day") <= t1, pl1).otherwise(pr1)).as("sm"))
+    val (t2, nl2, nr2, pl2, pr2) = fit(per2)
+    per.unpersist(blocking = false)
+    Seq((1, t1, nl1, nr1, pl1, pr1), (2, t2, nl2, nr2, pl2, pr2))
+      .toDF("round", "threshold_day", "n_left", "n_right",
+        "pred_left_mc", "pred_right_mc")
+      .orderBy("round")
+  }
+
+  private val q279Sql = {
+    def fitSql(src: String, out: String): String =
+      s"""${out}tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(sm) AS HUGEINT) AS st FROM $src),
+       ${out}cand AS (SELECT day, nl, sl,
+             (sl::DOUBLE * sl::DOUBLE) / nl::DOUBLE
+               + ((st - sl)::DOUBLE * (st - sl)::DOUBLE)
+                 / (n - nl)::DOUBLE AS score
+           FROM (SELECT day,
+                   CAST(sum(c) OVER win AS BIGINT) AS nl,
+                   CAST(sum(sm) OVER win AS HUGEINT) AS sl
+                 FROM $src WINDOW win AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t,
+                ${out}tot
+           WHERE nl < n),
+       ${out}best AS (SELECT day AS t, nl, sl FROM ${out}cand
+           ORDER BY score DESC, day ASC LIMIT 1),
+       ${out}fit AS (SELECT t, nl, n - nl AS nr,
+             CAST((CASE WHEN sl < 0 THEN -1 ELSE 1 END) *
+               ((2 * abs(sl) + nl) // (2 * nl)) AS BIGINT) AS pl,
+             CAST((CASE WHEN st - sl < 0 THEN -1 ELSE 1 END) *
+               ((2 * abs(st - sl) + (n - nl)) // (2 * (n - nl)))
+               AS BIGINT) AS pr
+           FROM ${out}best, ${out}tot)"""
+    s"""WITH per AS MATERIALIZED (SELECT
+           datediff('day', DATE '1990-01-01', o_orderdate::DATE) AS day,
+           count(*) AS c,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+             * 1000 AS sm
+         FROM orders GROUP BY day),
+       ${fitSql("per", "a")},
+       per2 AS MATERIALIZED (SELECT per.day, per.c,
+           per.sm - per.c * (CASE WHEN per.day <= afit.t THEN afit.pl
+                                  ELSE afit.pr END) AS sm
+         FROM per, afit),
+       ${fitSql("per2", "b")}
+       SELECT 1 AS round, t AS threshold_day,
+         CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+         pl AS pred_left_mc, pr AS pred_right_mc FROM afit
+       UNION ALL
+       SELECT 2, t, CAST(nl AS BIGINT), CAST(nr AS BIGINT), pl, pr
+       FROM bfit
+       ORDER BY round"""
+  }
+
   // --------------------------------------------------------------- q164
   /** Exact decision stump ([[graft.engine.Stump.bestSplits]]): the 5
     * best `value <= t` splits separating purchase events from the
@@ -3104,6 +3215,7 @@ object Insights {
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q279_boosted_stumps" -> (q279 _),
     "q258_forecast_backtest" -> (q258 _),
     "q243_benford_audit" -> (q243 _),
     "q250_theil_sen" -> (q250 _),
@@ -3182,6 +3294,7 @@ object Insights {
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,
     "q164_decision_stump" -> q164Sql,
+    "q279_boosted_stumps" -> q279Sql,
     "q165_hll_rollup" -> q165Sql,
     "q166_golden_record" -> q166Sql,
     "q167_semdedup" -> q167Sql,

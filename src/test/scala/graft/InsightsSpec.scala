@@ -839,4 +839,23 @@ class InsightsSpec extends SparkSpec {
     val many = Quality.ksDrift(ref, cur, "x", buckets = 8).head()
     assert(one == many)
   }
+
+  test("q279 boosted stumps: exact SSE argmax, zero residuals round 2") {
+    // days 1-4 with step revenue: split at day 2 (score 7.8e11 beats
+    // 6.6e11 at days 1/3); leaves fit exactly -> round-2 residual sums
+    // are all zero -> every score ties at 0 -> smallest day wins
+    def date(d: Int) = java.time.LocalDate.of(1990, 1, 1).plusDays(d)
+      .toString
+    val orders = Seq(
+      (date(1), 1.00), (date(1), 1.00), (date(2), 1.00),
+      (date(3), 5.00), (date(4), 5.00), (date(4), 5.00))
+      .toDF("o_orderdate", "o_totalprice")
+    val dir = staged("boost")("orders" -> orders)
+    val rows = SparkEntry.queries("q279_boosted_stumps")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (1, 2L, 3L, 3L, 100000L, 500000L),
+      (2, 1L, 2L, 4L, 0L, 0L)), rows.toSeq.toString)
+  }
 }

@@ -61,7 +61,13 @@ object ScaleRehearsal {
     // (feature-drift sweep on scaled lineitem) and the two stateful
     // streaming replays (eviction, transformWithState) on scaled
     // events — the only expensive paths without a measured 10× ratio
-    "q240_feature_drift", "q211_streaming_sessions", "q231_streaming_tws")
+    "q240_feature_drift", "q211_streaming_sessions", "q231_streaming_tws",
+    // round-9 session-2 additions: the new streaming choreographies
+    // (outer join, checkpoint recovery) on scaled events, the LOF
+    // 3-round kNN expansion, and the q36-kernel-powered cluster-safe
+    // split on the scaled corpus
+    "q272_stream_outer_join", "q277_checkpoint_recovery",
+    "q269_lof_outliers", "q264_cluster_safe_split")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
