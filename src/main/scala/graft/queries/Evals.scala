@@ -2870,6 +2870,91 @@ object Evals {
 
   // ----------------------------------------------------------------
 
+  // --------------------------------------------------------------- q280
+  /** Next-event prediction accuracy — the held-out EVAL of the q107
+    * Markov transition model (q107/q220 build chains; nothing graded
+    * whether they PREDICT): per-user event streams become (prev →
+    * next) bigrams via one lag window, users hash-split 80/20, the
+    * train split's argmax next-event per prev state (count desc, then
+    * lexicographic — deterministic) becomes the model, and accuracy
+    * is graded per prev state on the held-out 20% next to the
+    * majority-class baseline (predicting the GLOBAL argmax
+    * everywhere) — a model that can't beat majority is noise.
+    * All counts exact LONGs; the two accuracies are fixed-shape
+    * divisions. Scale: bigrams from one lag window partitioned by
+    * user; model = \|states\|² count table; eval join broadcasts the
+    * \|states\|-row model. */
+  private def q280(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bigrams = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("nxt"))
+      .withColumn("prev", lag("nxt", 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"), col("nxt"))
+      .withColumn("split",
+        when(graft.operators.Sampling.hashBucket(
+          col("user_id"), "markov", 10) < 8L, "train").otherwise("eval"))
+      .persist(sl)
+    val byCount = Window.partitionBy("prev")
+      .orderBy(col("n").desc, col("nxt").asc)
+    val model = bigrams.filter(col("split") === "train")
+      .groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byCount))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("nxt").as("pred"))
+    val globalTop = bigrams.filter(col("split") === "train")
+      .groupBy("nxt").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("nxt").asc)
+      .limit(1).head().getString(0)
+    val out = bigrams.filter(col("split") === "eval")
+      .join(broadcast(model), "prev")
+      .groupBy("prev")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nxt") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("nxt") === globalTop, 1L).otherwise(0L))
+          .as("n_majority"))
+      .select(col("prev"), col("n_eval"),
+        round(col("n_correct").cast("double") /
+          col("n_eval").cast("double"), 6).as("accuracy"),
+        round(col("n_majority").cast("double") /
+          col("n_eval").cast("double"), 6).as("majority_baseline"))
+      .orderBy("prev")
+      .localCheckpoint(true)
+    bigrams.unpersist(blocking = false)
+    out
+  }
+
+  private val q280Sql =
+    """WITH bg AS (SELECT user_id, prev, nxt,
+           CASE WHEN ('0x' || substr(md5('markov' || user_id::VARCHAR),
+             1, 15))::BIGINT % 10 < 8 THEN 'train' ELSE 'eval' END
+             AS split
+         FROM (SELECT user_id, event_type AS nxt,
+                 lag(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events) t
+         WHERE prev IS NOT NULL),
+       m AS (SELECT prev, nxt AS pred FROM (
+           SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+             ORDER BY count(*) DESC, nxt ASC) AS rn
+           FROM bg WHERE split = 'train' GROUP BY prev, nxt) t
+         WHERE rn = 1),
+       g AS (SELECT nxt AS gtop FROM bg WHERE split = 'train'
+             GROUP BY nxt ORDER BY count(*) DESC, nxt ASC LIMIT 1)
+       SELECT bg.prev, count(*) AS n_eval,
+         floor((CAST(sum(CASE WHEN bg.nxt = m.pred THEN 1 ELSE 0 END)
+             AS BIGINT)::DOUBLE / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6
+           AS accuracy,
+         floor((CAST(sum(CASE WHEN bg.nxt = g.gtop THEN 1 ELSE 0 END)
+             AS BIGINT)::DOUBLE / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6
+           AS majority_baseline
+       FROM bg JOIN m ON m.prev = bg.prev, g
+       WHERE bg.split = 'eval'
+       GROUP BY bg.prev ORDER BY bg.prev"""
+
   // --------------------------------------------------------------- q278
   /** Split-conformal prediction — the distribution-free uncertainty
     * wrapper an eval stack needs around point predictions: fit any
@@ -3329,6 +3414,7 @@ object Evals {
     "q270_iv_wald" -> (q270 _),
     "q276_krippendorff" -> (q276 _),
     "q278_conformal" -> (q278 _),
+    "q280_markov_accuracy" -> (q280 _),
     "q214_auc_roc" -> (q214 _),
     "q215_cohens_kappa" -> (q215 _),
     "q216_source_divergence" -> (q216 _),
@@ -3369,6 +3455,7 @@ object Evals {
     "q270_iv_wald" -> q270Sql,
     "q276_krippendorff" -> q276Sql,
     "q278_conformal" -> q278Sql,
+    "q280_markov_accuracy" -> q280Sql,
     "q214_auc_roc" -> q214Sql,
     "q215_cohens_kappa" -> q215Sql,
     "q216_source_divergence" -> q216Sql,

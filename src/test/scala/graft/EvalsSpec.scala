@@ -690,6 +690,35 @@ class EvalsSpec extends SparkSpec {
       r.toString)
   }
 
+  test("q280 Markov accuracy: learned transitions beat majority on eval") {
+    // all users emit view,click,view,click; the model learns
+    // view->click AND click->view, the majority baseline (global top =
+    // click) only gets the view rows right
+    val arms = spark.range(1, 61).select(
+      org.apache.spark.sql.functions.col("id"),
+      graft.operators.Sampling.hashBucket(
+        org.apache.spark.sql.functions.col("id"), "markov", 10).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val trainU = arms.filter(_._2 < 8).map(_._1).take(2)
+    val evalU = arms.filter(_._2 >= 8).map(_._1).take(1)
+    assert(trainU.length == 2 && evalU.length == 1)
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(n).atStartOfDay())
+    var eid = 0L
+    val ev = (trainU ++ evalU).flatMap { u =>
+      Seq("view", "click", "view", "click").zipWithIndex.map {
+        case (t, i) => eid += 1; (eid, day(i), u, t, 1.0, "{}")
+      }
+    }.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val dir = staged("markov")("events" -> ev)
+    val rows = SparkEntry.queries("q280_markov_accuracy")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.toSeq == Seq(("click", 1L, 1.0, 0.0),
+      ("view", 2L, 1.0, 1.0)), rows.toSeq.toString)
+  }
+
   test("q276 Krippendorff alpha: hand-computed coincidence on 3 units") {
     // ratings by construction: u1 (s,s,s), u2 (l,s,l), u3 (m,m,m)
     // A' = 2; n_tot = 9; category counts s=4, m=3, l=2 -> B = 81-29 = 52
