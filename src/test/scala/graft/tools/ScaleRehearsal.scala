@@ -158,9 +158,15 @@ object ScaleRehearsal {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
+    // `--merge q1 q2 …` times only that subset and MERGES the rows
+    // into the existing SCALE JSON (keeps the full-run entries) — for
+    // adding newly-listed queries late in a round without re-timing
+    // the whole set on a busy box.
+    val mergeMode = args.headOption.contains("--merge")
+    val qArgs = if (mergeMode) args.drop(1) else args
     val selected =
-      if (args.isEmpty) TopQueries
-      else TopQueries.filter(q => args.exists(q.startsWith))
+      if (qArgs.isEmpty) TopQueries
+      else TopQueries.filter(q => qArgs.exists(q.startsWith))
     val rows = selected.map { q =>
       val small = time(q, SrcDir)
       val big = time(q, DstDir)
@@ -168,14 +174,25 @@ object ScaleRehearsal {
       println(f"SCALE $q%-24s sf0.1 ${small}%7.2f s   sf1 ${big}%8.2f s   ratio ${ratio}%6.2f")
       (q, small, big, ratio)
     }
-    if (args.isEmpty) {
-      val json = rows.map { case (q, s, b, r) =>
-        f"""    "$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
-      }.mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/SCALE_r09.json"),
-        json.getBytes("UTF-8"))
-      println("wrote /root/repo/SCALE_r09.json")
+    val outPath = java.nio.file.Paths.get("/root/repo/SCALE_r09.json")
+    def entry(q: String, s: Double, b: Double, r: Double): (String, String) =
+      q -> f""""$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
+    if (args.isEmpty || mergeMode) {
+      val fresh = rows.map { case (q, s, b, r) => entry(q, s, b, r) }
+      val existing: Seq[(String, String)] =
+        if (mergeMode && java.nio.file.Files.exists(outPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(outPath),
+            "UTF-8")
+          """"(q\w+)": \{[^}]*\}""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.matched).toSeq
+        } else Nil
+      val merged = (existing.filterNot(e => fresh.exists(_._1 == e._1))
+        ++ fresh).sortBy(_._1)
+      val json = merged.map("    " + _._2)
+        .mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n",
+          ",\n", "\n  }\n}\n")
+      java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+      println(s"wrote $outPath (${merged.length} queries)")
     }
     spark.stop()
   }
