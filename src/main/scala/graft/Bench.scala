@@ -48,7 +48,12 @@ object Bench {
         ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    val results: Seq[(String, Either[String, Double])] =
+    // per query: (median of runs, min of runs). The MIN is the
+    // box-load canary (VERDICT r9): a loaded box inflates the median
+    // while the min stays near the true warm cost, so median ≫ min in
+    // the artifact itself flags a noise-contaminated round without
+    // re-running anything.
+    val results: Seq[(String, Either[String, (Double, Double)])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         // query construction is INSIDE the timed region: eager
         // operators (dedup/ANN) do their work in fn itself
@@ -70,7 +75,7 @@ object Bench {
           val median =
             if (times.length % 2 == 1) times(times.length / 2)
             else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-          Right(median)
+          Right((median, times.head))
         } catch {
           case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
@@ -87,7 +92,8 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val ok = results.collect { case (k, Right((med, _))) => k -> med }
+    val mins = results.collect { case (k, Right((_, mn))) => k -> mn }
     val errs = results.collect { case (k, Left(e)) => k -> e }
     // The harness captures only the TAIL of stdout (~2 kB): the JSON
     // line must fit there complete or it records parsed=null. Short
@@ -107,12 +113,16 @@ object Bench {
     val es = errs.map { case (k, e) => s"\"${esc(shortKey(k))}\":\"${esc(e.take(80))}\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val totalMin = mins.map(_._2).sum
     // field order puts the headline LAST: the harness keeps only the
     // final ~2 kB of stdout, and at 230+ queries the line front (where
     // "value" used to sit) is what gets truncated — JSON field order is
     // semantically free, so the total/errors/runs now always survive
-    // into the captured tail even when the full line no longer parses
-    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","value":${fmt(total)}}""")
+    // into the captured tail even when the full line no longer parses.
+    // value_min = sum of per-query min-of-runs: value ≫ value_min means
+    // the box was loaded during this bench (see per-query mins in the
+    // file mirror).
+    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
     // The stdout tail keeps only ~2 kB — at 240+ queries most per-query
     // medians never reach the captured record. Mirror the FULL result
     // (long names, warm medians, errors) to a file so round-over-round
@@ -122,11 +132,14 @@ object Bench {
     if (outPath.nonEmpty) try {
       val full = ok.map { case (k, v) => s"""  "${esc(k)}": ${fmt(v)}""" }
         .mkString("{\n", ",\n", "\n}")
+      val fullMins = mins.map { case (k, v) => s"""  "${esc(k)}": ${fmt(v)}""" }
+        .mkString("{\n", ",\n", "\n}")
       val fullErrs = errs.map { case (k, e) => s"""  "${esc(k)}": "${esc(e)}"""" }
         .mkString("{\n", ",\n", "\n}")
       val json =
-        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","value":${fmt(total)},
+        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","value_min":${fmt(totalMin)},"value":${fmt(total)},
            |"queries":$full,
+           |"query_mins":$fullMins,
            |"errors":$fullErrs}""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

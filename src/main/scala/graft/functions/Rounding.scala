@@ -37,4 +37,16 @@ object Rounding {
     val p = math.pow(10, scale)
     math.signum(x) * (math.floor(math.abs(x) * p + 0.5) / p)
   }
+
+  /** Bare floor rounding `floor(x·10ⁿ + 0.5)/10ⁿ` — for engine sites
+    * whose ORACLE spells exactly this form on a NEGATIVE-capable
+    * quantity. Unlike [[roundTo]] it rounds negative exact halves
+    * toward +inf (floor semantics), which is what the bare SQL form
+    * does; using roundTo against such an oracle diverges whenever the
+    * scaled value lands on a negative half-grid tie. For non-negative
+    * values the two are bit-identical. */
+  def floorRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
 }

@@ -76,7 +76,12 @@ object MlEval {
     val boundsDf =
       if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
       else vals.agg(expr(
-        s"percentile(u, array(${fracs.mkString(",")}))").as("bounds"))
+        // approximate on purpose: bounds are parallelism-only (any
+        // monotone bucketing yields the same exact prefix sums), and
+        // exact percentile() buffers the whole distinct-(g,u) multiset
+        // in ONE task — corpus-sized state for near-unique score cols
+        s"cast(approx_percentile(u, array(${fracs.mkString(",")}), 1000)" +
+          " as array<double>)").as("bounds"))
     val bucketed = vals.crossJoin(broadcast(boundsDf))
       .select(col("g"), col("u"), col("p"), col("n"),
         aggregate(col("bounds"), lit(0),
@@ -144,7 +149,12 @@ object MlEval {
     val boundsDf =
       if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
       else vals.agg(expr(
-        s"percentile(u, array(${fracs.mkString(",")}))").as("bounds"))
+        // approximate on purpose: bounds are parallelism-only (any
+        // monotone bucketing yields the same exact prefix sums), and
+        // exact percentile() buffers the whole distinct-(g,u) multiset
+        // in ONE task — corpus-sized state for near-unique score cols
+        s"cast(approx_percentile(u, array(${fracs.mkString(",")}), 1000)" +
+          " as array<double>)").as("bounds"))
     val bucketed = vals.crossJoin(broadcast(boundsDf))
       .select(col("g"), col("u"), col("a"), col("b"),
         aggregate(col("bounds"), lit(0),

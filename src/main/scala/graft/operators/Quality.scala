@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 // cross-engine deterministic rounding shadows functions.round
 import graft.functions.Rounding.{roundTo => round}
@@ -523,13 +524,28 @@ object Quality {
   def groupedRankQuantiles(df: DataFrame, gCol: String, vCol: String,
                            fracs: Seq[(Int, Int)], buckets: Int = 32)
       : DataFrame = {
-    require(buckets >= 1 && fracs.nonEmpty, "need buckets and fractions")
-    fracs.foreach { case (p, q) =>
-      require(p >= 0 && q > 0 && p <= q, s"bad fraction $p/$q") }
     val vals = df
       .filter(col(vCol).isNotNull)
       .select(col(gCol).as("g"), col(vCol).cast("double").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("nv"))
+    groupedRankQuantilesFromCounts(vals, fracs, buckets)
+  }
+
+  /** Counts-table entry point for [[groupedRankQuantiles]]: `valsIn`
+    * carries one row per (group `g`, DOUBLE value `v`) with its
+    * multiplicity `nv` — callers that already hold a per-value count
+    * table (q240 bins from the same table) skip the corpus pass. The
+    * count table feeds bounds, bucketing, offsets AND totals, so it
+    * is persisted here (value-cardinality-sized — the safe side of
+    * the persist-vs-recompute line; the 4×-corpus melt is not).
+    */
+  def groupedRankQuantilesFromCounts(valsIn: DataFrame,
+                                     fracs: Seq[(Int, Int)],
+                                     buckets: Int = 32): DataFrame = {
+    require(buckets >= 1 && fracs.nonEmpty, "need buckets and fractions")
+    fracs.foreach { case (p, q) =>
+      require(p >= 0 && q > 0 && p <= q, s"bad fraction $p/$q") }
+    val vals = valsIn.persist(StorageLevel.MEMORY_AND_DISK)
     val bFracs = (1 until buckets).map(_.toDouble / buckets)
     val boundsDf =
       if (buckets == 1) vals.agg(array().cast("array<double>").as("bounds"))
@@ -548,23 +564,26 @@ object Quality {
       .withColumn("ob", coalesce(sum("tn").over(offW), lit(0L)))
       .select("g", "bk", "ob")
     val totals = vals.groupBy("g").agg(sum("nv").as("tw"))
-    val sp = df.sparkSession
+    val sp = valsIn.sparkSession
     import sp.implicits._
     val fracsDf = fracs.zipWithIndex
       .map { case ((p, q), i) => (i, p.toLong, q.toLong) }
       .toDF("qi", "p", "q")
-    val dec = "decimal(38,0)"
+    // target ranks resolve on the groups×fracs table FIRST (tiny), in
+    // exact LONG `(p·tw + q − 1) DIV q` — counts are LONGs so p·tw
+    // fits far past any corpus (p ≤ q ≤ fracs denominator; the
+    // DECIMAL(38,0) path lives in weightedQuantiles where weights are
+    // unbounded); the corpus-sized stage below then runs pure LONG
+    // codegen instead of per-row decimal math
+    val targets = totals.crossJoin(broadcast(fracsDf))
+      .select(col("g"), col("qi"), greatest(lit(1L),
+        expr("(p * tw + q - 1) div q")).as("target"))
     bucketed
       .withColumn("lcw", sum("nv").over(inBucket))
       .join(offsets, Seq("g", "bk"))
       .select(col("g"), col("v"), (col("lcw") + col("ob")).as("cw"))
-      .join(broadcast(totals), "g")
-      .crossJoin(broadcast(fracsDf))
-      .withColumn("target", greatest(lit(1L).cast(dec),
-        floor((col("p").cast(dec) * col("tw").cast(dec) +
-          col("q").cast(dec) - lit(1).cast(dec)) / col("q").cast(dec))
-          .cast(dec)))
-      .filter(col("cw").cast(dec) >= col("target"))
+      .join(broadcast(targets), Seq("g"))
+      .filter(col("cw") >= col("target"))
       .groupBy("g", "qi")
       .agg(min(col("v")).as("value"))
   }

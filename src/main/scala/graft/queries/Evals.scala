@@ -1881,32 +1881,42 @@ object Evals {
         (to_date(col("l_shipdate")) < split).as("isref"))
       .select(col("e.f").as("f"), col("e.v").as("v"), col("isref"))
       .filter(col("v").isNotNull)
-    // deliberately NOT persisted: the melt is a 0.3 s map-only
-    // projection, while caching its 4x-corpus string-keyed rows cost
-    // ~6 s per cache-cold run (cache write + InMemoryRelation re-scan
-    // ran slower than the parquet re-melt it saved)
+    // ONE corpus pass: collapse the melt to a per-(f, v, period)
+    // count table and persist THAT (value-cardinality-sized — the
+    // safe side of the persist-vs-recompute line; caching the
+    // 4x-corpus melt itself measured ~6 s/run, slower than the 0.3 s
+    // re-melt it saved). Both the boundary solve and the binning read
+    // from this table, so the corpus is scanned exactly once.
+    val counts = melted
+      .groupBy("f", "v", "isref").agg(count(lit(1)).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-feature equi-depth boundaries as exact rank-max(1,ceil(q·n))
     // order statistics of the REFERENCE period, all features in ONE
-    // grouped prefix-sum pass (the earlier 28-task narrowing solve
-    // re-scanned the corpus with a tasks-wide explode per round:
-    // 17.8 → ~2 s warm at sf0.1); the 4-row bounds table stays
-    // distributed and re-attaches as a broadcast
-    val solvedB = graft.operators.Quality.groupedRankQuantiles(
-      melted.filter(col("isref")), "f", "v",
+    // grouped prefix-sum pass over the count table (the earlier
+    // 28-task narrowing solve re-scanned the corpus with a tasks-wide
+    // explode per round: 17.8 → ~2 s warm at sf0.1); the 4-row bounds
+    // table stays distributed and re-attaches as a broadcast
+    val solvedB = graft.operators.Quality.groupedRankQuantilesFromCounts(
+      counts.filter(col("isref"))
+        .select(col("f").as("g"), col("v"), col("nv")),
       (1 until k).map(i => (i, k)))
+    // 4-row table referenced TWICE below (the binning broadcast and
+    // the dense grid): localCheckpoint pins it so the boundary solve
+    // runs once, not per consumer
     val bounds = solvedB.groupBy("g")
       .agg(transform(
         array_sort(collect_list(struct(col("qi"), col("value")))),
         e => e.getField("value")).as("bounds"))
       .select(col("g").as("f"), col("bounds"))
-    val binned = melted.join(broadcast(bounds), "f")
-      .select(col("f"), col("isref"),
+      .localCheckpoint(true)
+    val binned = counts.join(broadcast(bounds), "f")
+      .select(col("f"), col("isref"), col("nv"),
         aggregate(col("bounds"), lit(0),
           (acc, b) => acc + when(col("v") > b, 1).otherwise(0))
           .as("bin"))
       .groupBy("f", "bin")
-      .agg(sum(when(col("isref"), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(!col("isref"), 1L).otherwise(0L)).as("n_cur"))
+      .agg(sum(when(col("isref"), col("nv")).otherwise(0L)).as("n_ref"),
+        sum(when(!col("isref"), col("nv")).otherwise(0L)).as("n_cur"))
     val grid = bounds.select("f")
       .crossJoin(broadcast((0 until k).toDF("bin")))
     val dense = grid.join(binned, Seq("f", "bin"), "left")
@@ -2072,16 +2082,21 @@ object Evals {
     val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
     def u6(x: org.apache.spark.sql.Column) =
       floor(x * lit(1e6) + lit(0.5)).cast("long")
+    // products of per-stratum cell counts are formed in DOUBLE, not
+    // LONG: a LONG a*d silently wraps past ~3e9-per-cell at full
+    // scale (and the BIGINT oracle side would raise instead); double
+    // factors are exact below 2^53 and IEEE-identical across engines
+    def dbl(x: org.apache.spark.sql.Column) = x.cast("double")
     val terms = cells.select(
       col("a"),
       (col("a") + col("b") + col("c") + col("d")).as("nt"),
-      u6((col("a") * col("d")).cast("double") / n).as("r_u"),
-      u6((col("b") * col("c")).cast("double") / n).as("s_u"),
-      u6(((col("a") + col("b")) * (col("a") + col("c"))).cast("double") / n)
+      u6(dbl(col("a")) * dbl(col("d")) / n).as("r_u"),
+      u6(dbl(col("b")) * dbl(col("c")) / n).as("s_u"),
+      u6(dbl(col("a") + col("b")) * dbl(col("a") + col("c")) / n)
         .as("e_u"),
-      u6(((col("a") + col("b")) * (col("c") + col("d"))).cast("double") /
+      u6(dbl(col("a") + col("b")) * dbl(col("c") + col("d")) /
           (n * (n - lit(1.0))) *
-         (((col("a") + col("c")) * (col("b") + col("d"))).cast("double") / n))
+         (dbl(col("a") + col("c")) * dbl(col("b") + col("d")) / n))
         .as("v_u"))
     terms.agg(
         count(lit(1)).as("n_strata"), sum(col("nt")).as("n_total"),
@@ -2109,15 +2124,15 @@ object Evals {
            CAST(sum(CASE WHEN NOT t AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
          FROM b GROUP BY event_type),
        terms AS (SELECT a, (a + bb + c + d) AS nt,
-           CAST(floor((a * d)::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6 + 0.5)
-             AS BIGINT) AS r_u,
-           CAST(floor((bb * c)::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6 + 0.5)
-             AS BIGINT) AS s_u,
-           CAST(floor(((a+bb) * (a+c))::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6
-             + 0.5) AS BIGINT) AS e_u,
-           CAST(floor(((a+bb) * (c+d))::DOUBLE
+           CAST(floor(a::DOUBLE * d::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6
+             + 0.5) AS BIGINT) AS r_u,
+           CAST(floor(bb::DOUBLE * c::DOUBLE / (a+bb+c+d)::DOUBLE * 1e6
+             + 0.5) AS BIGINT) AS s_u,
+           CAST(floor((a+bb)::DOUBLE * (a+c)::DOUBLE / (a+bb+c+d)::DOUBLE
+             * 1e6 + 0.5) AS BIGINT) AS e_u,
+           CAST(floor((a+bb)::DOUBLE * (c+d)::DOUBLE
                / ((a+bb+c+d)::DOUBLE * ((a+bb+c+d)::DOUBLE - 1.0))
-               * (((a+c) * (bb+d))::DOUBLE / (a+bb+c+d)::DOUBLE) * 1e6
+               * ((a+c)::DOUBLE * (bb+d)::DOUBLE / (a+bb+c+d)::DOUBLE) * 1e6
              + 0.5) AS BIGINT) AS v_u
          FROM cells)
        SELECT CAST(count(*) AS BIGINT) AS n_strata,
@@ -2904,25 +2919,35 @@ object Evals {
       .withColumn("rn", row_number().over(byCount))
       .filter(col("rn") === 1)
       .select(col("prev"), col("nxt").as("pred"))
-    val globalTop = bigrams.filter(col("split") === "train")
+    // headOption: an empty or single-event-per-user corpus yields no
+    // train bigrams — return the (empty) result frame instead of
+    // throwing NoSuchElementException on head()
+    val globalTopOpt = bigrams.filter(col("split") === "train")
       .groupBy("nxt").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("nxt").asc)
-      .limit(1).head().getString(0)
-    val out = bigrams.filter(col("split") === "eval")
-      .join(broadcast(model), "prev")
-      .groupBy("prev")
-      .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("nxt") === col("pred"), 1L).otherwise(0L))
-          .as("n_correct"),
-        sum(when(col("nxt") === globalTop, 1L).otherwise(0L))
-          .as("n_majority"))
-      .select(col("prev"), col("n_eval"),
-        round(col("n_correct").cast("double") /
-          col("n_eval").cast("double"), 6).as("accuracy"),
-        round(col("n_majority").cast("double") /
-          col("n_eval").cast("double"), 6).as("majority_baseline"))
-      .orderBy("prev")
-      .localCheckpoint(true)
+      .limit(1).collect().headOption.map(_.getString(0))
+    val out = globalTopOpt match {
+      case None =>
+        bigrams.select(lit("").as("prev"), lit(0L).as("n_eval"),
+          lit(0.0).as("accuracy"), lit(0.0).as("majority_baseline"))
+          .limit(0)
+      case Some(globalTop) =>
+        bigrams.filter(col("split") === "eval")
+          .join(broadcast(model), "prev")
+          .groupBy("prev")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("nxt") === col("pred"), 1L).otherwise(0L))
+              .as("n_correct"),
+            sum(when(col("nxt") === globalTop, 1L).otherwise(0L))
+              .as("n_majority"))
+          .select(col("prev"), col("n_eval"),
+            round(col("n_correct").cast("double") /
+              col("n_eval").cast("double"), 6).as("accuracy"),
+            round(col("n_majority").cast("double") /
+              col("n_eval").cast("double"), 6).as("majority_baseline"))
+          .orderBy("prev")
+          .localCheckpoint(true)
+    }
     bigrams.unpersist(blocking = false)
     out
   }
@@ -3205,12 +3230,17 @@ object Evals {
     val fsT = when(se2 > 0.0, (xb - xa) / seSafe)
     val dx = xb - xa
     val dxSafe = when(dx =!= 0.0, dx).otherwise(lit(1.0))
+    // fs_t and beta_iv are negative-capable and the oracle rounds
+    // them with the bare floor form — mirror it exactly (signum-aware
+    // roundTo diverges on negative half-grid ties); the non-negative
+    // means keep roundTo (bit-identical for x ≥ 0)
+    import graft.functions.Rounding.floorRound
     val beta = when(abs(fsT) >= 2.0 && dx =!= 0.0,
-      round((yb - ya) / dxSafe, 6))
+      floorRound((yb - ya) / dxSafe, 6))
     m.select(col("n_a"), col("n_b"),
       round(xa, 6).as("xbar_a"), round(xb, 6).as("xbar_b"),
       round(ya, 6).as("ybar_a"), round(yb, 6).as("ybar_b"),
-      round(fsT, 4).as("fs_t"), beta.as("beta_iv"),
+      floorRound(fsT, 4).as("fs_t"), beta.as("beta_iv"),
       (fsT.isNull || abs(fsT) < 2.0).as("weak_instrument"))
   }
 

@@ -521,13 +521,17 @@ object Lifecycle {
     val e1 = col("e1u").cast("double") / lit(1e9)
     val v = col("vu").cast("double") / lit(1e9)
     val dev = col("o1").cast("double") - e1
+    // bare floor form to mirror the oracle EXACTLY: z (and in theory
+    // e2) can be negative, where signum-aware roundTo diverges from
+    // the oracle's floor(x*1e6+0.5)/1e6 on negative half-grid ties
+    import graft.functions.Rounding.floorRound
     val out = sums.select(
       col("n_times"), col("o1"),
-      round(e1, 6).as("e1"),
+      floorRound(e1, 6).as("e1"),
       (col("d_total") - col("o1")).as("o2"),
-      round(col("d_total").cast("double") - e1, 6).as("e2"),
-      round(dev * dev / v, 6).as("chi2"),
-      round(dev / sqrt(v), 6).as("z"))
+      floorRound(col("d_total").cast("double") - e1, 6).as("e2"),
+      floorRound(dev * dev / v, 6).as("chi2"),
+      floorRound(dev / sqrt(v), 6).as("z"))
       .localCheckpoint(true)
     perArm.unpersist(blocking = false)
     out

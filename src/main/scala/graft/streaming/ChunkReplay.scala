@@ -30,14 +30,21 @@ object ChunkReplay {
                   ingestDir: String, sentinels: Seq[DataFrame] = Nil): Int = {
     val tmp = Files.createTempDirectory("graft_chunk_split").toString
     // all rows of a chunk land in ONE task so partitionBy emits a
-    // single part file per chunk directory
-    df.withColumn("chunk", (col(tsUsCol) / lit(chunkUs)).cast("long"))
+    // single part file per chunk directory. Chunk id is integer FLOOR
+    // division (`div`), matching the oracles' exact `//`: the FP form
+    // `(ts/chunkUs).cast("long")` truncates toward zero (wrong chunk
+    // for negative event times) and can misassign a boundary row once
+    // ts/chunkUs rounds across an integer in FP
+    df.withColumn("chunk", expr(s"$tsUsCol div $chunkUs"))
       .repartition(col("chunk"))
       .write.partitionBy("chunk").parquet(s"$tmp/real")
     sentinels.zipWithIndex.foreach { case (sd, i) =>
       sd.coalesce(1).write.parquet(s"$tmp/sentinel_$i")
     }
-    val real = new java.io.File(s"$tmp/real").listFiles()
+    // listFiles() is null when the input frame was empty and
+    // partitionBy wrote no chunk directories — replay zero real chunks
+    val real = Option(new java.io.File(s"$tmp/real").listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
       .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
       .map(_.toString)

@@ -230,6 +230,22 @@ class EvalsSpec extends SparkSpec {
       ("signup", 0.0, 0.0), ("view", 0.0, 0.0)))
   }
 
+  test("q233 Shapley: an event type outside the pinned channel set " +
+      "fails loudly instead of silently becoming an always-alive " +
+      "channel") {
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1), 1L, "share", 1.0, "{}"), // 5th, un-pinned channel
+      (3L, ts(2), 1L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("shap5")("events" -> ev)
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q233_shapley_attribution")(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("share"),
+      s"error must name the offending channel: ${e.getMessage}")
+  }
+
   test("q234 HT estimate: the mix agrees with q76 and the expansion " +
       "is exact arithmetic") {
     val sf = "/root/testdata/sf0.001"

