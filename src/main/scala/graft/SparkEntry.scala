@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, Curation, Evals, Insights, Lifecycle,
-  Pipeline, Relational, Scale, Signals}
+  Methods, Pipeline, Relational, Scale, Signals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Pipeline.queries ++ Curation.queries ++
       Scale.queries ++ Analytics.queries ++ Insights.queries ++
-      Signals.queries ++ Lifecycle.queries ++ Evals.queries
+      Signals.queries ++ Lifecycle.queries ++ Evals.queries ++
+      Methods.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Pipeline.oracles ++ Curation.oracles ++
       Scale.oracles ++ Analytics.oracles ++ Insights.oracles ++
-      Signals.oracles ++ Lifecycle.oracles ++ Evals.oracles
+      Signals.oracles ++ Lifecycle.oracles ++ Evals.oracles ++
+      Methods.oracles
 }

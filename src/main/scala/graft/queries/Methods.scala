@@ -1,0 +1,1168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+import graft.operators.{Quality, Sampling}
+
+/** Round-10 measurement-method surface: paired-classifier comparison
+  * (McNemar), whiteness / autocorrelation diagnostics (Ljung-Box),
+  * structural-break regression (segmented trend), rank association
+  * (Kendall tau-b), categorical effect sizes (Cramér's V), always-valid
+  * sequential testing (mSPRT), clustering quality (centroid
+  * silhouette), variance homogeneity (Brown-Forsythe), partial
+  * correlation, and classical seasonal decomposition.
+  *
+  * Oracle discipline matches [[Lifecycle]]/[[Evals]]: shared rounding
+  * kernel, exact LONG/cents integer cores with FP only in fixed-shape
+  * closing expressions, `CAST(... AS BIGINT)` on every oracle
+  * aggregate, ANSI-safe divisions (divisor floored INSIDE the
+  * division — Spark 4 CSE hoists divisions out of `when` guards), and
+  * total-order ranks on every selection. Scale posture: every operator
+  * collapses the corpus to a bounded table (days, groups, clusters,
+  * label×dim) in ONE scan before any window/self-join runs.
+  */
+object Methods {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Floor a divisor away from zero INSIDE the division (ANSI + CSE
+    * hazard — see the object Scaladoc); mirrored as
+    * `greatest(x, 1e-12)` on the oracle side. */
+  private def safe(c: Column): Column = greatest(c, lit(1e-12))
+
+  // ------------------------------------------------------------ shared
+  /** Dense daily revenue series over the orders span: one corpus
+    * aggregation to (day, cents LONG), then a `sequence()` grid join —
+    * the q103 gap-fill shape. Revenue is scaled to $10k units
+    * (cents/1e6) so downstream squared sums stay well inside double
+    * precision at any SF. Columns: `t` (0-based day index, LONG),
+    * `dt` DATE, `r` DOUBLE. */
+  private def dailyRevenue(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(sum("c").as("cents"))
+    val span = daily.agg(min("dt").as("d0"), max("dt").as("d1"))
+    val grid = span.select(col("d0"),
+      explode(sequence(col("d0"), col("d1"))).as("dt"))
+    grid.join(daily, Seq("dt"), "left")
+      .select(datediff(col("dt"), col("d0")).cast("long").as("t"),
+        col("dt"),
+        (coalesce(col("cents"), lit(0L)).cast("double") / 1e6).as("r"))
+  }
+
+  /** Oracle twin of [[dailyRevenue]] — CTEs `daily`, `span`, `grid`,
+    * `series(t, dt, r)`. */
+  private val dailyRevenueSql =
+    """daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders GROUP BY 1),
+       span AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM daily),
+       grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS dt, d0 FROM span),
+       series AS (SELECT CAST(datediff('day', g.d0, g.dt) AS BIGINT)
+                    AS t, g.dt,
+                  coalesce(daily.cents, 0)::DOUBLE / 1e6 AS r
+                FROM grid g LEFT JOIN daily ON g.dt = daily.dt)"""
+
+  // --------------------------------------------------------------- q281
+  /** McNemar paired-classifier test — the eval-harness readout model
+    * comparisons actually need: two detectors scored on the SAME
+    * examples, so the information is in the DISAGREEMENT cells (b =
+    * only A correct, c = only B correct), not the marginal accuracies
+    * (a shared hard subset inflates both equally). Detectors: A =
+    * sign of the first embedding component, B = sign of the full
+    * component sum (left-fold in DOUBLE — mirrored as a
+    * `list_sum(list_transform(..))` sequential sum); truth = even
+    * label. Continuity-corrected chi² `(max(|b−c|−1,0))²/(b+c)` on
+    * exact LONG counts. One map-side-combinable aggregation; no
+    * shuffle beyond the single-row agg.
+    */
+  private def q281(s: SparkSession, d: String): DataFrame = {
+    val sumB = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x)
+    val b = Tables.embeddings(s, d).select(
+      (pmod(col("label"), lit(2)) === 0).as("y"),
+      (col("embedding").getItem(0).cast("double") > 0.0).as("pa"),
+      (sumB > 0.0).as("pb"))
+    val cells = b.select(
+        (col("pa") === col("y")).as("ca"),
+        (col("pb") === col("y")).as("cb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("cb"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("b_only"),
+        sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("c_only"))
+    val bc = (col("b_only") + col("c_only")).cast("double")
+    val diff = greatest(abs(col("b_only") - col("c_only"))
+      .cast("double") - 1.0, lit(0.0))
+    cells.select(col("n"),
+      round(col("na").cast("double") / col("n").cast("double"), 6)
+        .as("acc_a"),
+      round(col("nb").cast("double") / col("n").cast("double"), 6)
+        .as("acc_b"),
+      col("b_only"), col("c_only"),
+      when(bc > 0.0, round(diff * diff / bc, 4)).as("mcnemar_chi2"))
+  }
+
+  private val q281Sql =
+    """WITH b AS (SELECT (label % 2 = 0) AS y,
+           (embedding[1]::DOUBLE > 0.0) AS pa,
+           (list_sum(list_transform(embedding, z -> z::DOUBLE)) > 0.0)
+             AS pb
+         FROM embeddings),
+       cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_only,
+           CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_only
+         FROM b)
+       SELECT n,
+         round(na::DOUBLE / n::DOUBLE, 6) AS acc_a,
+         round(nb::DOUBLE / n::DOUBLE, 6) AS acc_b,
+         b_only, c_only,
+         CASE WHEN (b_only + c_only) > 0 THEN
+           round(greatest(abs(b_only - c_only)::DOUBLE - 1.0, 0.0)
+               * greatest(abs(b_only - c_only)::DOUBLE - 1.0, 0.0)
+               / (b_only + c_only)::DOUBLE, 4)
+         END AS mcnemar_chi2
+       FROM cells"""
+
+  // --------------------------------------------------------------- q282
+  /** Ljung-Box whiteness test on the daily-revenue series — the
+    * diagnostic that decides whether i.i.d.-based monitors (q114
+    * z-scores, q251 bootstrap CIs) are even applicable to the metric
+    * stream: sample autocorrelations ρ₁..ρ₇ from ONE pass over the
+    * dense day grid (7 `lag` windows on the bounded series), and the
+    * cumulative Q(k) = n(n+2)·Σ_{j≤k} ρⱼ²/(n−j). The corpus collapses
+    * to the day table before any window runs; the 7-row output is a
+    * window cumsum over an exploded lag array.
+    */
+  private def q282(s: SparkSession, d: String): DataFrame = {
+    val series = dailyRevenue(s, d)
+    val stats = series.agg(count(lit(1)).as("n"), avg("r").as("m"))
+    val wOrd = Window.orderBy("t")
+    val lagCols = (1 to 7).map(k => lag(col("r"), k).over(wOrd).as(s"l$k"))
+    val lagged = series.crossJoin(broadcast(stats))
+      .select(Seq(col("n"), col("m"), col("r")) ++ lagCols: _*)
+    val dev = col("r") - col("m")
+    val sums = lagged.agg(
+      first("n").as("n"),
+      sum(dev * dev).as("c0") +:
+        (1 to 7).map(k =>
+          sum(dev * (col(s"l$k") - col("m"))).as(s"c$k")): _*)
+    val rows = sums.select(col("n"), col("c0"),
+        explode(array((1 to 7).map(k =>
+          struct(lit(k.toLong).as("k"), col(s"c$k").as("ck"))): _*))
+          .as("e"))
+      .select(col("n"), col("c0"), col("e.k").as("k"),
+        col("e.ck").as("ck"))
+    val rho = col("ck") / safe(col("c0"))
+    val nD = col("n").cast("double")
+    val wK = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("term", (rho * rho) / (nD - col("k").cast("double")))
+      .select(col("k"), round(rho, 6).as("rho"),
+        round(nD * (nD + 2.0) * sum(col("term")).over(wK), 4)
+          .as("lb_q"))
+      .orderBy("k")
+  }
+
+  private val q282Sql =
+    s"""WITH $dailyRevenueSql,
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(r) AS m
+              FROM series),
+       c0t AS (SELECT sum((r - m) * (r - m)) AS c0 FROM series, st),
+       ck AS (SELECT kk.k AS k,
+               sum((a.r - st.m) * (b.r - st.m)) AS ck
+             FROM series a CROSS JOIN st
+               CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k)
+                 kk
+               JOIN series b ON b.t = a.t - kk.k
+             GROUP BY kk.k)
+       SELECT CAST(ck.k AS BIGINT) AS k,
+         round(ck.ck / greatest(c0t.c0, 1e-12), 6) AS rho,
+         round(st.n::DOUBLE * (st.n::DOUBLE + 2.0) * sum(
+             (ck.ck / greatest(c0t.c0, 1e-12))
+               * (ck.ck / greatest(c0t.c0, 1e-12))
+               / (st.n::DOUBLE - ck.k::DOUBLE))
+           OVER (ORDER BY ck.k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS lb_q
+       FROM ck, c0t, st ORDER BY k"""
+
+  // --------------------------------------------------------------- q283
+  /** Segmented-trend fit (single structural break) — the trend
+    * companion to q168's CUSUM mean-shift detector: every interior day
+    * is a candidate breakpoint, and both sides' OLS fits come from ONE
+    * ordered prefix-sum pass (left sums = the running window, right
+    * sums = grand totals minus the prefix — no per-candidate re-scan,
+    * the same trick as q205's descending risk sets). The winner is the
+    * 1e-6-quantized-SSE argmin with an earliest-day tie-break, so the
+    * selection is a total order immune to cross-engine FP dust. SSEs
+    * are `greatest(0, ·)`-clamped on both engines. Corpus work: one
+    * aggregation to the day table.
+    */
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    val series = dailyRevenue(s, d)
+    val base = series.select(col("t"), col("dt"),
+      col("t").cast("double").as("x"), col("r").as("y"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base.select(col("t"), col("dt"),
+      (col("t") + 1L).as("nl"),
+      sum("x").over(w).as("sx"), sum("y").over(w).as("sy"),
+      sum(col("x") * col("x")).over(w).as("sxx"),
+      sum(col("x") * col("y")).over(w).as("sxy"),
+      sum(col("y") * col("y")).over(w).as("syy"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum("x").as("tx"), sum("y").as("ty"),
+      sum(col("x") * col("x")).as("txx"),
+      sum(col("x") * col("y")).as("txy"),
+      sum(col("y") * col("y")).as("tyy"))
+    def fit(n: Column, sx: Column, sy: Column, sxx: Column,
+            sxy: Column, syy: Column): (Column, Column) = {
+      val vx = sxx - sx * sx / n
+      val cxy = sxy - sx * sy / n
+      val slope = cxy / safe(vx)
+      val sse = greatest(syy - sy * sy / n - cxy * cxy / safe(vx),
+        lit(0.0))
+      (slope, sse)
+    }
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter(col("nl") >= 3 && col("n") - col("nl") >= 3)
+    val nlD = col("nl").cast("double")
+    val nrD = (col("n") - col("nl")).cast("double")
+    val (slL, sseL) = fit(nlD, col("sx"), col("sy"), col("sxx"),
+      col("sxy"), col("syy"))
+    val (slR, sseR) = fit(nrD, col("tx") - col("sx"),
+      col("ty") - col("sy"), col("txx") - col("sxx"),
+      col("txy") - col("sxy"), col("tyy") - col("syy"))
+    val (_, sse1) = fit(col("n").cast("double"), col("tx"), col("ty"),
+      col("txx"), col("txy"), col("tyy"))
+    val scored = cand.select(col("dt"), col("t"), col("n"), col("nl"),
+      slL.as("slope_left"), slR.as("slope_right"),
+      (sseL + sseR).as("sse_two"), sse1.as("sse_one"),
+      floor((sseL + sseR) * 1e6 + 0.5).cast("long").as("sseq"))
+    val byQ = Window.orderBy(col("sseq").asc, col("t").asc)
+    scored.withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") === 1)
+      .select(col("dt").as("break_dt"), col("n").as("n_days"),
+        col("nl").as("n_left"),
+        round(col("slope_left"), 6).as("slope_left"),
+        round(col("slope_right"), 6).as("slope_right"),
+        round(col("sse_one"), 4).as("sse_one"),
+        round(col("sse_two"), 4).as("sse_two"),
+        round((col("sse_one") - col("sse_two")) / safe(col("sse_one")),
+          6).as("improvement"))
+  }
+
+  private val q283Sql =
+    s"""WITH $dailyRevenueSql,
+       base AS (SELECT t, dt, t::DOUBLE AS x, r AS y FROM series),
+       pre AS (SELECT t, dt, t + 1 AS nl,
+           sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+           sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy,
+           sum(y * y) OVER w AS syy
+         FROM base
+         WINDOW w AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS tx, sum(y) AS ty, sum(x * x) AS txx,
+           sum(x * y) AS txy, sum(y * y) AS tyy
+         FROM base),
+       cand AS (SELECT dt, t, n, nl,
+           (sxy - sx * sy / nl::DOUBLE)
+             / greatest(sxx - sx * sx / nl::DOUBLE, 1e-12)
+             AS slope_left,
+           ((txy - sxy) - (tx - sx) * (ty - sy) / (n - nl)::DOUBLE)
+             / greatest((txx - sxx) - (tx - sx) * (tx - sx)
+                 / (n - nl)::DOUBLE, 1e-12) AS slope_right,
+           greatest(syy - sy * sy / nl::DOUBLE
+               - (sxy - sx * sy / nl::DOUBLE)
+                 * (sxy - sx * sy / nl::DOUBLE)
+                 / greatest(sxx - sx * sx / nl::DOUBLE, 1e-12), 0.0)
+             + greatest((tyy - syy) - (ty - sy) * (ty - sy)
+                 / (n - nl)::DOUBLE
+               - ((txy - sxy) - (tx - sx) * (ty - sy) / (n - nl)::DOUBLE)
+                 * ((txy - sxy) - (tx - sx) * (ty - sy)
+                     / (n - nl)::DOUBLE)
+                 / greatest((txx - sxx) - (tx - sx) * (tx - sx)
+                     / (n - nl)::DOUBLE, 1e-12), 0.0) AS sse_two,
+           greatest(tyy - ty * ty / n::DOUBLE
+               - (txy - tx * ty / n::DOUBLE)
+                 * (txy - tx * ty / n::DOUBLE)
+                 / greatest(txx - tx * tx / n::DOUBLE, 1e-12), 0.0)
+             AS sse_one
+         FROM pre CROSS JOIN tot
+         WHERE nl >= 3 AND n - nl >= 3),
+       scored AS (SELECT *,
+           CAST(floor(sse_two * 1e6 + 0.5) AS BIGINT) AS sseq,
+           row_number() OVER (ORDER BY
+             CAST(floor(sse_two * 1e6 + 0.5) AS BIGINT) ASC, t ASC)
+             AS rk
+         FROM cand)
+       SELECT dt AS break_dt, n AS n_days, CAST(nl AS BIGINT) AS n_left,
+         round(slope_left, 6) AS slope_left,
+         round(slope_right, 6) AS slope_right,
+         round(sse_one, 4) AS sse_one, round(sse_two, 4) AS sse_two,
+         round((sse_one - sse_two) / greatest(sse_one, 1e-12), 6)
+           AS improvement
+       FROM scored WHERE rk = 1"""
+
+  // --------------------------------------------------------------- q284
+  /** Kendall tau-b between daily order volume and daily revenue — the
+    * rank-association companion to q225's Spearman: concordant /
+    * discordant / tied pair counts as exact LONG integers from the
+    * day-level self-join (the corpus collapses to the bounded day
+    * table FIRST — the pair square is days², never orders²), tau-b's
+    * tie correction from the pure pair-count form
+    * (C−D)/√((C+D+Tx)(C+D+Ty)) with each factor cast to double BEFORE
+    * multiplying (the q244 overflow lesson).
+    */
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("xn"), sum("c").as("yc"))
+    val a = daily.select(col("dt").as("da"), col("xn").as("xa"),
+      col("yc").as("ya"))
+    val b = daily.select(col("dt").as("db"), col("xn").as("xb"),
+      col("yc").as("yb"))
+    val pairs = a.join(b, col("da") < col("db"))
+    val agg = pairs.agg(
+      sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+               (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+        .otherwise(0L)).as("concordant"),
+      sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+               (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+        .otherwise(0L)).as("discordant"),
+      sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1L)
+        .otherwise(0L)).as("ties_x"),
+      sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1L)
+        .otherwise(0L)).as("ties_y"),
+      sum(when(col("xa") === col("xb") && col("ya") === col("yb"), 1L)
+        .otherwise(0L)).as("ties_both"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val cd = (col("concordant") - col("discordant")).cast("double")
+    val fx = (col("concordant") + col("discordant") + col("ties_x"))
+      .cast("double")
+    val fy = (col("concordant") + col("discordant") + col("ties_y"))
+      .cast("double")
+    agg.crossJoin(broadcast(nd)).select(col("n_days"),
+      col("concordant"), col("discordant"), col("ties_x"),
+      col("ties_y"), col("ties_both"),
+      round(cd / safe(sqrt(fx * fy)), 6).as("tau_b"))
+  }
+
+  private val q284Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(count(*) AS BIGINT) AS xn,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS yc
+         FROM orders GROUP BY 1),
+       pairs AS (SELECT a.xn AS xa, a.yc AS ya, b.xn AS xb, b.yc AS yb
+         FROM daily a JOIN daily b ON a.dt < b.dt),
+       agg AS (SELECT
+           CAST(sum(CASE WHEN (xa < xb AND ya < yb)
+             OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(sum(CASE WHEN (xa < xb AND ya > yb)
+             OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           CAST(sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_x,
+           CAST(sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_y,
+           CAST(sum(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_both
+         FROM pairs),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+       SELECT n_days, concordant, discordant, ties_x, ties_y, ties_both,
+         round((concordant - discordant)::DOUBLE
+           / greatest(sqrt(
+               (concordant + discordant + ties_x)::DOUBLE
+             * (concordant + discordant + ties_y)::DOUBLE), 1e-12), 6)
+           AS tau_b
+       FROM agg, nd"""
+
+  // --------------------------------------------------------------- q285
+  /** Cramér's V effect sizes — the MAGNITUDE readout q246's χ²
+    * independence test doesn't give (χ² grows with n, so at corpus
+    * scale everything is "significant"; V = √(χ²/(n·(min(r,c)−1))) is
+    * scale-free): status×priority and priority×order-year contingency
+    * audits, each collapsing the corpus to its cell table in one
+    * aggregation, margins re-attached by group-join (cells ≪ corpus).
+    */
+  private def q285(s: SparkSession, d: String): DataFrame = {
+    def pairV(name: String, df: DataFrame): DataFrame = {
+      val cells = df.groupBy("a", "b").agg(count(lit(1)).as("nn"))
+      val ra = cells.groupBy("a").agg(sum("nn").as("ra"))
+      val cb = cells.groupBy("b").agg(sum("nn").as("cb"))
+      val tot = cells.agg(sum("nn").as("nt"),
+        countDistinct("a").as("nr"), countDistinct("b").as("nc"))
+      val e = col("ra").cast("double") * col("cb").cast("double") /
+        col("nt").cast("double")
+      val term = (col("nn").cast("double") - e) *
+        (col("nn").cast("double") - e) / safe(e)
+      cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+        .agg(first("nt").as("n"), first("nr").as("nr"),
+          first("nc").as("nc"), sum(term).as("chi2"))
+        .select(lit(name).as("pair"), col("n"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") / safe(col("n").cast("double") *
+            (least(col("nr"), col("nc")) - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }
+    val o = Tables.orders(s, d)
+    val p1 = pairV("status_x_priority",
+      o.select(col("o_orderstatus").as("a"),
+        col("o_orderpriority").as("b")))
+    val p2 = pairV("priority_x_year",
+      o.select(col("o_orderpriority").as("a"),
+        year(col("o_orderdate")).cast("string").as("b")))
+    p1.unionByName(p2).orderBy("pair")
+  }
+
+  private val q285Sql = {
+    // one shared body per pair; `sel` is the "<a-expr> AS a, <b-expr>
+    // AS b" projection
+    def block(name: String, sel: String): String =
+      s"""SELECT '$name' AS pair, t.n, (t.nr - 1) * (t.nc - 1) AS df,
+             round(t.chi2, 4) AS chi2,
+             round(sqrt(t.chi2 / greatest(t.n::DOUBLE
+               * (least(t.nr, t.nc) - 1)::DOUBLE, 1e-12)), 6)
+               AS cramers_v
+           FROM (
+             WITH cells AS (SELECT $sel, count(*) AS nn
+                 FROM orders GROUP BY 1, 2),
+               ra AS (SELECT a, CAST(sum(nn) AS BIGINT) AS ra
+                      FROM cells GROUP BY a),
+               cb AS (SELECT b, CAST(sum(nn) AS BIGINT) AS cb
+                      FROM cells GROUP BY b),
+               tot AS (SELECT CAST(sum(nn) AS BIGINT) AS nt,
+                   CAST(count(DISTINCT a) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT b) AS BIGINT) AS nc
+                 FROM cells)
+             SELECT sum((nn::DOUBLE - ra::DOUBLE * cb::DOUBLE
+                   / nt::DOUBLE)
+                 * (nn::DOUBLE - ra::DOUBLE * cb::DOUBLE / nt::DOUBLE)
+                 / greatest(ra::DOUBLE * cb::DOUBLE / nt::DOUBLE,
+                     1e-12)) AS chi2,
+               any_value(nt) AS n, any_value(nr) AS nr,
+               any_value(nc) AS nc
+             FROM cells JOIN ra USING (a) JOIN cb USING (b)
+               CROSS JOIN tot) t"""
+    block("status_x_priority",
+      "o_orderstatus AS a, o_orderpriority AS b") +
+      "\n       UNION ALL\n       " +
+      block("priority_x_year",
+        "o_orderpriority AS a, CAST(year(o_orderdate) AS VARCHAR) AS b") +
+      "\n       ORDER BY pair"
+  }
+
+  // --------------------------------------------------------------- q286
+  /** mSPRT always-valid p-value sequence (mixture sequential
+    * probability ratio test) — the sequential-monitoring readout that
+    * makes q120/q261's fixed-horizon tests safe to peek at daily: per
+    * day, cumulative per-arm means feed the normal-mixture likelihood
+    * ratio Λₜ (τ² pinned at σ̂²/10, σ̂² pooled once over the corpus),
+    * and the always-valid p is the running min of 1/Λ clamped at 1 —
+    * monotone by construction, valid at EVERY stopping time. The
+    * corpus collapses to the day×arm table in one aggregation;
+    * cumulatives are windows on the bounded day table.
+    */
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    val arm = Sampling.hashBucket(col("user_id"), "ab", 2)
+    val base = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("dt"), (arm === 0).as("t"),
+        col("value").as("v"))
+    val pooled = base.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val nD = col("n").cast("double")
+    val s2c = (col("svv") - col("sv") * col("sv") / nD) / (nD - 1.0)
+    val daily = base.groupBy("dt").agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("na_d"),
+      sum(when(col("t"), col("v")).otherwise(0.0)).as("sa_d"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("nb_d"),
+      sum(when(!col("t"), col("v")).otherwise(0.0)).as("sb_d"))
+    val w = Window.orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("dt"),
+        sum("na_d").over(w).as("na"), sum("sa_d").over(w).as("sa"),
+        sum("nb_d").over(w).as("nb"), sum("sb_d").over(w).as("sb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .crossJoin(broadcast(pooled.select(s2c.as("s2"))))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val delta = col("sa") / naD - col("sb") / nbD
+    val vt = col("s2") * (lit(1.0) / naD + lit(1.0) / nbD)
+    val tau2 = col("s2") / 10.0
+    val ll = lit(0.5) * log(vt / safe(vt + tau2)) +
+      delta * delta * tau2 / safe(lit(2.0) * vt * (vt + tau2))
+    val pCand = least(lit(1.0), exp(-ll))
+    cum.select(col("dt"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(delta, 6).as("delta"),
+        round(ll, 4).as("log_lambda"),
+        pCand.as("pc"))
+      .withColumn("p_always_valid", round(min("pc").over(w), 6))
+      .select(col("dt"), col("n_a"), col("n_b"), col("delta"),
+        col("log_lambda"), col("p_always_valid"),
+        (col("p_always_valid") <= 0.05).as("reject"))
+      .orderBy("dt")
+  }
+
+  private val q286Sql =
+    """WITH b AS (SELECT CAST(ts AS DATE) AS dt,
+           (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 = 0) AS t,
+           value AS v
+         FROM events WHERE value IS NOT NULL),
+       pooled AS (SELECT
+           (sum(v * v) - sum(v) * sum(v) / count(*)::DOUBLE)
+             / (count(*)::DOUBLE - 1.0) AS s2
+         FROM b),
+       daily AS (SELECT dt,
+           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+           sum(CASE WHEN t THEN v ELSE 0.0 END) AS sa_d,
+           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             AS nb_d,
+           sum(CASE WHEN NOT t THEN v ELSE 0.0 END) AS sb_d
+         FROM b GROUP BY dt),
+       cum AS (SELECT dt,
+           CAST(sum(na_d) OVER w AS BIGINT) AS na,
+           sum(sa_d) OVER w AS sa,
+           CAST(sum(nb_d) OVER w AS BIGINT) AS nb,
+           sum(sb_d) OVER w AS sb
+         FROM daily
+         WINDOW w AS (ORDER BY dt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       terms AS (SELECT dt, na, nb,
+           sa / na::DOUBLE - sb / nb::DOUBLE AS delta,
+           s2 * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE) AS vt,
+           s2 / 10.0 AS tau2
+         FROM cum, pooled WHERE na > 0 AND nb > 0),
+       lam AS (SELECT dt, na, nb, delta,
+           0.5 * ln(vt / greatest(vt + tau2, 1e-12))
+             + delta * delta * tau2
+               / greatest(2.0 * vt * (vt + tau2), 1e-12) AS ll
+         FROM terms)
+       SELECT dt, na AS n_a, nb AS n_b,
+         round(delta, 6) AS delta,
+         round(ll, 4) AS log_lambda,
+         round(min(least(1.0, exp(-ll))) OVER (ORDER BY dt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS p_always_valid,
+         (round(min(least(1.0, exp(-ll))) OVER (ORDER BY dt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           <= 0.05) AS reject
+       FROM lam ORDER BY dt"""
+
+  // --------------------------------------------------------------- q287
+  /** Centroid silhouette per label cluster — the clustering-quality
+    * readout for the embedding space (companion to q90's k-means and
+    * q167's SemDeDup cells): a(i) = distance to own centroid, b(i) =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b).
+    * Everything runs in long format — posexplode to (label, dim, x),
+    * centroids as one grouped mean, distances as ONE broadcast join
+    * on dim + grouped sum — so the work is points×k, never points²,
+    * and a singleton cluster degrades to s = 1, not a crash.
+    */
+  private def q287(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"),
+        col("col").cast("double").as("x"))
+    val cents = pts.groupBy(col("label").as("cl"), col("dim"))
+      .agg(avg("x").as("c"))
+    val dists = pts.join(broadcast(cents), Seq("dim"))
+      .groupBy("vec_id", "label", "cl")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val ab = dists.groupBy("vec_id", "label")
+      .agg(min(when(col("cl") === col("label"), col("d2"))).as("a2"),
+        min(when(col("cl") =!= col("label"), col("d2"))).as("b2"))
+    val sil = ab.select(col("label"),
+      sqrt(col("a2")).as("da"), sqrt(col("b2")).as("db"))
+      .select(col("label"), col("da"), col("db"),
+        ((col("db") - col("da")) / safe(greatest(col("da"), col("db"))))
+          .as("sil"))
+    sil.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg("sil"), 4).as("mean_silhouette"),
+        round(avg("da"), 4).as("mean_intra"),
+        round(avg("db"), 4).as("mean_inter"))
+      .orderBy("label")
+  }
+
+  private val q287Sql =
+    """WITH dims AS (SELECT unnest(generate_series(0,
+           (SELECT max(len(embedding)) FROM embeddings) - 1)) AS i),
+       pts AS (SELECT vec_id, label, dims.i AS dim,
+           embedding[CAST(dims.i AS INTEGER) + 1]::DOUBLE AS x
+         FROM embeddings CROSS JOIN dims
+         WHERE dims.i < len(embedding)),
+       cents AS (SELECT label AS cl, dim, avg(x) AS c
+                 FROM pts GROUP BY 1, 2),
+       dists AS (SELECT p.vec_id, p.label, c.cl,
+           sum((p.x - c.c) * (p.x - c.c)) AS d2
+         FROM pts p JOIN cents c ON p.dim = c.dim
+         GROUP BY 1, 2, 3),
+       ab AS (SELECT vec_id, label,
+           min(CASE WHEN cl = label THEN d2 END) AS a2,
+           min(CASE WHEN cl <> label THEN d2 END) AS b2
+         FROM dists GROUP BY 1, 2),
+       sil AS (SELECT label, sqrt(a2) AS da, sqrt(b2) AS db,
+           (sqrt(b2) - sqrt(a2))
+             / greatest(greatest(sqrt(a2), sqrt(b2)), 1e-12) AS sil
+         FROM ab)
+       SELECT label, CAST(count(*) AS BIGINT) AS n,
+         round(avg(sil), 4) AS mean_silhouette,
+         round(avg(da), 4) AS mean_intra,
+         round(avg(db), 4) AS mean_inter
+       FROM sil GROUP BY label ORDER BY label"""
+
+  // --------------------------------------------------------------- q288
+  /** Brown-Forsythe variance-homogeneity test — the precondition audit
+    * for every pooled-variance readout in the testing family (q120
+    * Welch sidesteps it; q244/q261 pool): per event type, absolute
+    * deviations from the GROUP MEDIAN (the robust Brown-Forsythe
+    * variant of Levene's test), medians solved exactly through the
+    * [[Quality.groupedRankQuantilesFromCounts]] prefix-sum kernel
+    * (rank (n+1) DIV 2 — the house lower-median convention), then a
+    * one-way ANOVA F on the deviations from exact group sums. Corpus
+    * work: the (g,v) count aggregation + one deviation pass.
+    */
+  private def q288(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        col("value").cast("double").as("v"))
+    val counts = ev.groupBy("g", "v").agg(count(lit(1)).as("nv"))
+    val med = Quality.groupedRankQuantilesFromCounts(counts, Seq((1, 2)))
+      .select(col("g"), col("value").as("med"))
+    val z = ev.join(broadcast(med), Seq("g"))
+      .select(col("g"), col("med"), abs(col("v") - col("med")).as("z"))
+    val gstats = z.groupBy("g")
+      .agg(count(lit(1)).as("n"), first("med").as("med"),
+        sum("z").as("sz"), sum(col("z") * col("z")).as("szz"))
+    val sg2n = col("sz") * col("sz") / col("n").cast("double")
+    val glob = gstats
+      .select(col("n"), col("sz"), col("szz"), sg2n.as("sg2n"))
+      .agg(sum("n").as("nt"), count(lit(1)).as("k"),
+        sum("sz").as("szt"), sum("szz").as("szzt"),
+        sum("sg2n").as("sg2nt"))
+    val ntD = col("nt").cast("double")
+    val kD = col("k").cast("double")
+    val between = col("sg2nt") - col("szt") * col("szt") / ntD
+    val within = col("szzt") - col("sg2nt")
+    val f = ((ntD - kD) / safe(kD - 1.0)) * between / safe(within)
+    val gRow = glob.select(col("nt"), col("k"), f.as("f_stat"))
+    gstats.crossJoin(broadcast(gRow))
+      .select(col("g").as("event_type"), col("n"),
+        round(col("med"), 6).as("median"),
+        round(col("sz") / col("n").cast("double"), 6).as("mean_absdev"),
+        round(col("f_stat"), 4).as("f_stat"),
+        (col("k") - 1).as("df1"), (col("nt") - col("k")).as("df2"))
+      .orderBy("event_type")
+  }
+
+  private val q288Sql =
+    """WITH counts AS (SELECT event_type AS g, value AS v,
+           CAST(count(*) AS BIGINT) AS nv
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n FROM counts
+               GROUP BY g),
+       cum AS (SELECT g, v, sum(nv) OVER (PARTITION BY g ORDER BY v)
+                 AS cw FROM counts),
+       med AS (SELECT c.g, min(c.v) AS med
+         FROM cum c JOIN tot ON c.g = tot.g
+         WHERE c.cw >= (tot.n + 1) // 2 GROUP BY c.g),
+       z AS (SELECT e.event_type AS g, m.med,
+           abs(e.value - m.med) AS z
+         FROM events e JOIN med m ON e.event_type = m.g
+         WHERE e.value IS NOT NULL),
+       gstats AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           any_value(med) AS med, sum(z) AS sz, sum(z * z) AS szz
+         FROM z GROUP BY g),
+       gtot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+           CAST(count(*) AS BIGINT) AS k,
+           sum(sz) AS szt, sum(szz) AS szzt,
+           sum(sz * sz / n::DOUBLE) AS sg2nt
+         FROM gstats)
+       SELECT g AS event_type, n, round(med, 6) AS median,
+         round(sz / n::DOUBLE, 6) AS mean_absdev,
+         round(((nt::DOUBLE - k::DOUBLE)
+             / greatest(k::DOUBLE - 1.0, 1e-12))
+           * (sg2nt - szt * szt / nt::DOUBLE)
+           / greatest(szzt - sg2nt, 1e-12), 4) AS f_stat,
+         k - 1 AS df1, nt - k AS df2
+       FROM gstats, gtot ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q289
+  /** Partial correlation (3-variable closed form) — the confound
+    * control q194's raw correlation matrix can't express: daily order
+    * volume vs daily revenue with daily shipped quantity partialled
+    * out, r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). All
+    * three Pearson r's come from exact per-day sums (counts and cents
+    * as LONGs, quantity integral-exact in double); the corpus
+    * collapses to two day tables joined once.
+    */
+  private def q289(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(count(lit(1)).as("xn"), sum("c").as("yc"))
+    val ld = Tables.lineitem(s, d)
+      .select(to_date(col("l_shipdate")).as("dt"), col("l_quantity"))
+      .groupBy("dt").agg(sum("l_quantity").as("zq"))
+    val j = od.join(ld, Seq("dt"))
+      .select(col("xn").cast("double").as("x"),
+        (col("yc").cast("double") / 1e6).as("y"), col("zq").as("z"))
+    val m = j.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    val nD = col("n").cast("double")
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+          sbb: Column): Column =
+      (nD * sab - sa * sb) /
+        safe(sqrt((nD * saa - sa * sa) * (nD * sbb - sb * sb)))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    m.select(col("n").as("n_days"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round((rxy - rxz * ryz) /
+        safe(sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))), 6)
+        .as("partial_r_xy_z"))
+  }
+
+  private val q289Sql =
+    """WITH od AS (SELECT o_orderdate::DATE AS dt,
+           CAST(count(*) AS BIGINT) AS xn,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS yc
+         FROM orders GROUP BY 1),
+       ld AS (SELECT l_shipdate::DATE AS dt, sum(l_quantity) AS zq
+         FROM lineitem GROUP BY 1),
+       j AS (SELECT xn::DOUBLE AS x, yc::DOUBLE / 1e6 AS y, zq AS z
+         FROM od JOIN ld USING (dt)),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+           sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+         FROM j),
+       rr AS (SELECT n,
+           (n::DOUBLE * sxy - sx * sy) / greatest(sqrt(
+             (n::DOUBLE * sxx - sx * sx) * (n::DOUBLE * syy - sy * sy)),
+             1e-12) AS rxy,
+           (n::DOUBLE * sxz - sx * sz) / greatest(sqrt(
+             (n::DOUBLE * sxx - sx * sx) * (n::DOUBLE * szz - sz * sz)),
+             1e-12) AS rxz,
+           (n::DOUBLE * syz - sy * sz) / greatest(sqrt(
+             (n::DOUBLE * syy - sy * sy) * (n::DOUBLE * szz - sz * sz)),
+             1e-12) AS ryz
+         FROM m)
+       SELECT n AS n_days, round(rxy, 6) AS r_xy,
+         round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+         round((rxy - rxz * ryz) / greatest(sqrt(
+           (1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 1e-12), 6)
+           AS partial_r_xy_z
+       FROM rr"""
+
+  // --------------------------------------------------------------- q290
+  /** Classical seasonal decomposition (trend + day-of-week seasonal +
+    * residual) with a top-10 residual-anomaly readout — the
+    * model-free companion to q181's Holt-Winters (which FITS a
+    * recursive model; this one just subtracts structure): trend =
+    * centered 7-day moving average (full windows only), seasonal =
+    * per-weekday mean of the detrended series re-centered to sum
+    * zero, residual = what neither explains. Ranked by |residual|
+    * with a date tie-break (total order). Corpus work: one
+    * aggregation to the dense day grid; every window runs on it.
+    */
+  private def q290(s: SparkSession, d: String): DataFrame = {
+    val series = dailyRevenue(s, d)
+    val w7 = Window.orderBy("t").rowsBetween(-3, 3)
+    val tr = series
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .withColumn("trend", avg("r").over(w7))
+      .filter(col("win_n") === 7)
+      .withColumn("detr", col("r") - col("trend"))
+      .withColumn("dow", pmod(col("t"), lit(7L)))
+    val sdow = tr.groupBy("dow").agg(avg("detr").as("sraw"))
+    val sc = sdow.crossJoin(broadcast(
+        sdow.agg(avg("sraw").as("smean"))))
+      .select(col("dow"), (col("sraw") - col("smean")).as("seasonal"))
+    val dec = tr.join(broadcast(sc), Seq("dow"))
+      .withColumn("resid", col("detr") - col("seasonal"))
+    val byAbs = Window.orderBy(
+      floor(abs(col("resid")) * 1e6 + 0.5).cast("long").desc,
+      col("dt").asc)
+    dec.withColumn("rk", row_number().over(byAbs))
+      .filter(col("rk") <= 10)
+      .select(col("rk").cast("long").as("rk"), col("dt"),
+        round(col("r"), 4).as("revenue"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("resid"), 4).as("residual"))
+      .orderBy("rk")
+  }
+
+  private val q290Sql =
+    s"""WITH $dailyRevenueSql,
+       tr AS (SELECT t, dt, r,
+           count(*) OVER w7 AS win_n, avg(r) OVER w7 AS trend
+         FROM series
+         WINDOW w7 AS (ORDER BY t
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       full7 AS (SELECT t, dt, r, trend, r - trend AS detr, t % 7 AS dow
+         FROM tr WHERE win_n = 7),
+       sdow AS (SELECT dow, avg(detr) AS sraw FROM full7 GROUP BY dow),
+       sc AS (SELECT dow, sraw - (SELECT avg(sraw) FROM sdow)
+                AS seasonal FROM sdow),
+       dec AS (SELECT f.t, f.dt, f.r, f.trend, sc.seasonal,
+           f.detr - sc.seasonal AS resid
+         FROM full7 f JOIN sc ON f.dow = sc.dow),
+       ranked AS (SELECT *,
+           row_number() OVER (ORDER BY
+             CAST(floor(abs(resid) * 1e6 + 0.5) AS BIGINT) DESC,
+             dt ASC) AS rk
+         FROM dec)
+       SELECT CAST(rk AS BIGINT) AS rk, dt,
+         round(r, 4) AS revenue, round(trend, 4) AS trend,
+         round(seasonal, 4) AS seasonal, round(resid, 4) AS residual
+       FROM ranked WHERE rk <= 10 ORDER BY rk"""
+
+  // --------------------------------------------------------------- q292
+  /** Token-budget fill — the curation primitive that turns a quality
+    * ordering into a dataset: keep the best-scoring documents (score =
+    * distinct-token ratio in exact 1e-6-unit LONGs) until a token
+    * budget (half the corpus) is spent, greedy-prefix semantics. The
+    * scale design is the point: NO global sort — the corpus collapses
+    * to the bounded per-score-class table, the class prefix sums
+    * resolve "tokens strictly above my class" there, and the only
+    * per-document window is PARTITIONED by score class (doc_id order
+    * within the boundary class only). Equivalent to the global
+    * (score desc, doc_id asc) running-sum cutoff, exactly.
+    */
+  private def q292(s: SparkSession, d: String): DataFrame = {
+    val arr = graft.functions.TextFunctions.words(col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(arr).cast("long").as("tok"),
+        floor(size(array_distinct(arr)).cast("double") * 1e6 /
+          size(arr).cast("double")).cast("long").as("su"))
+    val perScore = docs.groupBy("su").agg(sum("tok").as("stok"))
+    val wDesc = Window.orderBy(col("su").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val above = perScore
+      .withColumn("cum", sum("stok").over(wDesc))
+      .select(col("su"), (col("cum") - col("stok")).as("before"))
+    val bud = docs.agg(sum("tok").as("tt"))
+      .select(expr("tt div 2").as("budget"))
+    val wIn = Window.partitionBy("su").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = docs.join(broadcast(above), Seq("su"))
+      .withColumn("cumin", sum("tok").over(wIn))
+      .crossJoin(broadcast(bud))
+      .withColumn("keep", col("before") + col("cumin") <= col("budget"))
+    marked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("tok")).otherwise(0L))
+          .as("tokens_kept"),
+        first("budget").as("budget"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_kept"),
+        round(col("tokens_kept").cast("double") /
+          safe(col("budget").cast("double")), 6).as("budget_share"))
+      .orderBy("source")
+  }
+
+  private val q292Sql =
+    """WITH b AS (SELECT doc_id, source,
+           CAST(len(arr) AS BIGINT) AS tok,
+           CAST(floor(len(list_distinct(arr))::DOUBLE * 1e6
+             / len(arr)::DOUBLE) AS BIGINT) AS su
+         FROM (SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\s+') AS arr
+               FROM documents)),
+       bud AS (SELECT CAST(sum(tok) // 2 AS BIGINT) AS budget FROM b),
+       cum AS (SELECT doc_id, source, tok, su,
+           sum(tok) OVER (ORDER BY su DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+         FROM b)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN cw <= budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN cw <= budget THEN tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+         round(sum(CASE WHEN cw <= budget THEN tok ELSE 0 END)::DOUBLE
+           / greatest(any_value(budget)::DOUBLE, 1e-12), 6)
+           AS budget_share
+       FROM cum, bud GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- q293
+  /** Largest-remainder (Hamilton) quota allocation — the exact
+    * apportionment step sampling plans need after q221's Neyman math:
+    * 1000 sample slots across (lang, source) strata proportional to
+    * token mass, base = ⌊N·w/W⌋ with the leftover slots going to the
+    * largest integer remainders (N·w mod W — PURE LONG arithmetic, no
+    * FP fractions), ties broken lexicographically. Σalloc = N by
+    * construction. Corpus work: one token aggregation to the strata
+    * grid; the ranking window runs on the bounded grid.
+    */
+  private def q293(s: SparkSession, d: String): DataFrame = {
+    val slots = 1000L
+    val arr = graft.functions.TextFunctions.words(col("text"))
+    val strata = Tables.documents(s, d)
+      .select(col("lang"), col("source"), size(arr).cast("long").as("tok"))
+      .groupBy("lang", "source").agg(sum("tok").as("w"))
+    val tot = strata.agg(sum("w").as("bigw"))
+    // exact LONG floor division + modulus (Spark's Column `/` is
+    // ALWAYS FP division — the q250 pitfall)
+    val based = strata.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("w"),
+        expr(s"(w * $slots) div bigw").as("base"),
+        pmod(col("w") * slots, col("bigw")).as("rem"))
+    val leftover = based.agg((lit(slots) - sum("base")).as("leftover"))
+    val byRem = Window.orderBy(col("rem").desc, col("lang").asc,
+      col("source").asc)
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col("lang"), col("source"), col("w").as("tokens"),
+        col("base"),
+        when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("base") + col("extra"))
+      .orderBy("lang", "source")
+  }
+
+  private val q293Sql =
+    """WITH strata AS (SELECT lang, source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             AS BIGINT) AS w
+         FROM documents GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM strata),
+       based AS (SELECT lang, source, w,
+           CAST((w * 1000) // bigw AS BIGINT) AS base,
+           CAST((w * 1000) % bigw AS BIGINT) AS rem
+         FROM strata, tot),
+       lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover
+              FROM based)
+       SELECT lang, source, w AS tokens, base,
+         CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC,
+             source ASC) <= leftover THEN 1 ELSE 0 END::BIGINT AS extra,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+             lang ASC, source ASC) <= leftover THEN 1 ELSE 0 END
+           AS alloc
+       FROM based, lo ORDER BY lang, source"""
+
+  // --------------------------------------------------------------- q294
+  /** Maximum drawdown of the daily-revenue series — the
+    * peak-to-trough stress readout next to q168's mean-shift and
+    * q283's trend break: running peak over OBSERVED days (a zero-fill
+    * grid would fabricate 100% drawdowns on gap days), drawdown
+    * quantized to 1e-6-unit LONGs for a total-order argmax (earliest
+    * trough on ties), then the peak day (earliest day attaining the
+    * peak) and recovery day (earliest later day at or above the peak,
+    * NULL if never) re-derived by exact integer-cent comparisons.
+    */
+  private def q294(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(sum("c").as("c"))
+    val wUp = Window.orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPeak = daily.withColumn("peak", max("c").over(wUp))
+    val ddu = floor((col("peak") - col("c")).cast("double") /
+      col("peak").cast("double") * 1e6 + 0.5).cast("long")
+    val byDd = Window.orderBy(col("ddu").desc, col("dt").asc)
+    val trough = withPeak.withColumn("ddu", ddu)
+      .withColumn("rk", row_number().over(byDd))
+      .filter(col("rk") === 1)
+      .select(col("dt").as("trough_dt"), col("c").as("trough_cents"),
+        col("peak").as("peak_cents"), col("ddu"))
+    // fresh aliases for the re-joins: trough derives from daily, so
+    // joining the ORIGINAL daily back would hit ambiguous-attribute
+    // resolution
+    val d2 = daily.select(col("dt").as("d_dt"), col("c").as("d_c"))
+    val peakDay = trough.join(d2,
+        col("d_c") === col("peak_cents") &&
+          col("d_dt") <= col("trough_dt"))
+      .groupBy("trough_dt", "trough_cents", "peak_cents", "ddu")
+      .agg(min(col("d_dt")).as("peak_dt"))
+    val d3 = daily.select(col("dt").as("r_dt"), col("c").as("r_c"))
+    val recovery = peakDay.join(d3,
+        col("r_c") >= col("peak_cents") &&
+          col("r_dt") > col("trough_dt"), "left")
+      .groupBy("trough_dt", "trough_cents", "peak_cents", "ddu",
+        "peak_dt")
+      .agg(min(col("r_dt")).as("recovery_dt"))
+    recovery.select(col("peak_dt"), col("trough_dt"), col("recovery_dt"),
+      col("peak_cents"), col("trough_cents"),
+      (col("ddu").cast("double") / 1e6).as("max_drawdown"),
+      datediff(col("recovery_dt"), col("peak_dt")).cast("long")
+        .as("days_underwater"))
+  }
+
+  private val q294Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS c
+         FROM orders GROUP BY 1),
+       wp AS (SELECT dt, c,
+           CAST(max(c) OVER (ORDER BY dt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS peak
+         FROM daily),
+       dd AS (SELECT dt, c, peak,
+           CAST(floor((peak - c)::DOUBLE / peak::DOUBLE * 1e6 + 0.5)
+             AS BIGINT) AS ddu
+         FROM wp),
+       trough AS (SELECT dt AS trough_dt, c AS trough_cents,
+           peak AS peak_cents, ddu
+         FROM dd QUALIFY row_number() OVER (ORDER BY ddu DESC, dt ASC)
+           = 1),
+       pk AS (SELECT t.trough_dt, t.trough_cents, t.peak_cents, t.ddu,
+           min(d.dt) AS peak_dt
+         FROM trough t JOIN daily d
+           ON d.c = t.peak_cents AND d.dt <= t.trough_dt
+         GROUP BY 1, 2, 3, 4),
+       rec AS (SELECT p.*, min(d.dt) AS recovery_dt
+         FROM pk p LEFT JOIN daily d
+           ON d.c >= p.peak_cents AND d.dt > p.trough_dt
+         GROUP BY 1, 2, 3, 4, 5)
+       SELECT peak_dt, trough_dt, recovery_dt, peak_cents, trough_cents,
+         ddu::DOUBLE / 1e6 AS max_drawdown,
+         CAST(datediff('day', peak_dt, recovery_dt) AS BIGINT)
+           AS days_underwater
+       FROM rec"""
+
+  // --------------------------------------------------------------- q295
+  /** Cohen's d / Hedges' g effect sizes — the MAGNITUDE companion to
+    * q120's Welch significance (at corpus n everything is
+    * "significant"; d says whether it matters): per event type, the
+    * hash-arm mean difference over the pooled standard deviation,
+    * with Hedges' small-sample correction g = d·(1 − 3/(4n−9)). Same
+    * hash assignment as the q120/q247/q261 testing family; exact
+    * count/sum/sumsq sufficient statistics in ONE aggregation.
+    */
+  private def q295(s: SparkSession, d: String): DataFrame = {
+    val arm = Sampling.hashBucket(col("user_id"), "ab", 2)
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (arm === 0).as("t"),
+        col("value").as("v"))
+      .groupBy("event_type")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("t"), col("v")).otherwise(0.0)).as("sa"),
+        sum(when(col("t"), col("v") * col("v")).otherwise(0.0))
+          .as("saa"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("t"), col("v")).otherwise(0.0)).as("sb"),
+        sum(when(!col("t"), col("v") * col("v")).otherwise(0.0))
+          .as("sbb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val va = (col("saa") - col("sa") * col("sa") / na) / (na - 1.0)
+    val vb = (col("sbb") - col("sb") * col("sb") / nb) / (nb - 1.0)
+    val sp = sqrt(((na - 1.0) * va + (nb - 1.0) * vb) /
+      safe(na + nb - 2.0))
+    val dEff = (col("sa") / na - col("sb") / nb) / safe(sp)
+    val g = dEff * (lit(1.0) - lit(3.0) /
+      safe(lit(4.0) * (na + nb) - 9.0))
+    cells.select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("sa") / na - col("sb") / nb, 6).as("mean_diff"),
+        round(sp, 6).as("pooled_sd"),
+        round(dEff, 4).as("cohens_d"),
+        round(g, 4).as("hedges_g"))
+      .orderBy("event_type")
+  }
+
+  private val q295Sql =
+    """WITH b AS (SELECT event_type,
+           (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 = 0) AS t,
+           value AS v
+         FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type,
+           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           sum(CASE WHEN t THEN v ELSE 0.0 END) AS sa,
+           sum(CASE WHEN t THEN v * v ELSE 0.0 END) AS saa,
+           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+           sum(CASE WHEN NOT t THEN v ELSE 0.0 END) AS sb,
+           sum(CASE WHEN NOT t THEN v * v ELSE 0.0 END) AS sbb
+         FROM b GROUP BY event_type
+         HAVING n_a >= 2 AND n_b >= 2),
+       t2 AS (SELECT event_type, n_a, n_b,
+           sa / n_a::DOUBLE - sb / n_b::DOUBLE AS md,
+           sqrt(((n_a::DOUBLE - 1.0)
+               * ((saa - sa * sa / n_a::DOUBLE) / (n_a::DOUBLE - 1.0))
+             + (n_b::DOUBLE - 1.0)
+               * ((sbb - sb * sb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0)))
+             / greatest(n_a::DOUBLE + n_b::DOUBLE - 2.0, 1e-12)) AS sp,
+           n_a::DOUBLE + n_b::DOUBLE AS nt
+         FROM c)
+       SELECT event_type, n_a, n_b,
+         round(md, 6) AS mean_diff,
+         round(sp, 6) AS pooled_sd,
+         round(md / greatest(sp, 1e-12), 4) AS cohens_d,
+         round((md / greatest(sp, 1e-12))
+           * (1.0 - 3.0 / greatest(4.0 * nt - 9.0, 1e-12)), 4)
+           AS hedges_g
+       FROM t2 ORDER BY event_type"""
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "q281_mcnemar" -> (q281 _),
+    "q282_ljung_box" -> (q282 _),
+    "q283_segmented_trend" -> (q283 _),
+    "q284_kendall_tau" -> (q284 _),
+    "q285_cramers_v" -> (q285 _),
+    "q286_msprt" -> (q286 _),
+    "q287_silhouette" -> (q287 _),
+    "q288_brown_forsythe" -> (q288 _),
+    "q289_partial_corr" -> (q289 _),
+    "q290_seasonal_decompose" -> (q290 _),
+    "q292_token_budget_fill" -> (q292 _),
+    "q293_largest_remainder" -> (q293 _),
+    "q294_drawdown" -> (q294 _),
+    "q295_cohens_d" -> (q295 _))
+
+  val oracles: Map[String, String] = Map(
+    "q281_mcnemar" -> q281Sql,
+    "q282_ljung_box" -> q282Sql,
+    "q283_segmented_trend" -> q283Sql,
+    "q284_kendall_tau" -> q284Sql,
+    "q285_cramers_v" -> q285Sql,
+    "q286_msprt" -> q286Sql,
+    "q287_silhouette" -> q287Sql,
+    "q288_brown_forsythe" -> q288Sql,
+    "q289_partial_corr" -> q289Sql,
+    "q290_seasonal_decompose" -> q290Sql,
+    "q292_token_budget_fill" -> q292Sql,
+    "q293_largest_remainder" -> q293Sql,
+    "q294_drawdown" -> q294Sql,
+    "q295_cohens_d" -> q295Sql)
+}

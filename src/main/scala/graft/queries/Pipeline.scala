@@ -1330,6 +1330,80 @@ object Pipeline {
        GROUP BY split, px.cross_split_pairs, px.naive_cross_pairs
        ORDER BY split"""
 
+  // --------------------------------------------------------------- q291
+  /** Dedup-discounted source mixing — the mixture-weight correction
+    * that stops duplicated content from voting twice: each document
+    * weighs 1/|near-dup cluster| (q36 banded pairs → q71 exact
+    * closure; singletons weigh 1), so a source whose volume is
+    * copy-paste inflation loses share while unique content keeps it.
+    * Per source: raw vs effective (discounted) token counts and the
+    * mixture shares both ways — the delta IS the duplication subsidy.
+    * Corpus work = the shared q36/q71 kernels + one token-count scan;
+    * the cluster-size table re-attaches by a rep-key join (cluster
+    * cardinality ≤ docs, never corpus²).
+    */
+  private def q291(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.8)
+    val comp = Dedup.connectedComponents(pairs)
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("tok"))
+      .join(comp.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+    val csize = base.groupBy("rep").agg(count(lit(1)).as("csz"))
+    val perSource = base.join(csize, Seq("rep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum("tok").as("raw_tokens"),
+        sum(col("tok").cast("double") / col("csz").cast("double"))
+          .as("eff"))
+    val tot = perSource.agg(sum("raw_tokens").as("tr"),
+      sum("eff").as("te"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_clustered"),
+        col("raw_tokens"),
+        round(col("raw_tokens").cast("double") /
+          col("tr").cast("double"), 6).as("raw_share"),
+        round(col("eff"), 4).as("eff_tokens"),
+        round(col("eff") / col("te"), 6).as("eff_share"))
+      .orderBy("source")
+  }
+
+  private val q291Sql =
+    s"""WITH RECURSIVE p AS ($q36Core),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                 UNION ALL SELECT doc_b, doc_a FROM p),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach AS (SELECT id, id AS r FROM nodes
+                 UNION
+                 SELECT e.a, reach.r FROM edges e
+                 JOIN reach ON e.b = reach.id),
+       comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       base AS (SELECT d.doc_id, d.source,
+               len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT
+                 AS tok,
+               coalesce(c.cluster_id, d.doc_id) AS rep
+             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       csize AS (SELECT rep, CAST(count(*) AS BIGINT) AS csz
+                 FROM base GROUP BY rep),
+       src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clustered,
+               CAST(sum(tok) AS BIGINT) AS raw_tokens,
+               sum(tok::DOUBLE / csz::DOUBLE) AS eff
+             FROM base JOIN csize USING (rep) GROUP BY source),
+       tot AS (SELECT CAST(sum(raw_tokens) AS BIGINT) AS tr,
+               sum(eff) AS te FROM src)
+       SELECT source, n_docs, n_clustered, raw_tokens,
+         round(raw_tokens::DOUBLE / tr::DOUBLE, 6) AS raw_share,
+         round(eff, 4) AS eff_tokens,
+         round(eff / te, 6) AS eff_share
+       FROM src, tot ORDER BY source"""
+
   // ---------------------------------------------------------------- q72
   /** Unigram log-probability quality score — the simplest language
     * model filter (a KenLM-lite): corpus-wide MLE unigram frequencies,
@@ -1440,6 +1514,7 @@ object Pipeline {
     "q249_readability" -> (q249 _),
     "q257_multimodal_resize" -> (q257 _),
     "q264_cluster_safe_split" -> (q264 _),
+    "q291_dedup_discounted_mix" -> (q291 _),
     "q30_text_stats" -> (q30 _),
     "q31_token_counts" -> (q31 _),
     "q32_quality_score" -> (q32 _),
@@ -1477,6 +1552,7 @@ object Pipeline {
     "q249_readability" -> q249Sql,
     "q257_multimodal_resize" -> q257Sql,
     "q264_cluster_safe_split" -> q264Sql,
+    "q291_dedup_discounted_mix" -> q291Sql,
     "q30_text_stats" -> q30Sql,
     "q31_token_counts" -> q31Sql,
     "q32_quality_score" -> q32Sql,

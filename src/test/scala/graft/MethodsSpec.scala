@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Hand-computable fixtures for the round-10 measurement-method
+  * operators (the DuckDB gate covers the corpus path; these pin the
+  * estimator semantics on inputs where the right answer is knowable
+  * by hand).
+  */
+class MethodsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staged(name: String)(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_methods_$name").toString
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def day(n: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(n.toLong).atStartOfDay())
+
+  test("q281 McNemar: disagreement cells and zero-diff continuity " +
+      "correction are exact") {
+    // r1: y=T, A right / B wrong (b cell); r2: y=F, both wrong;
+    // r3: y=T, A wrong / B right (c cell); r4: y=F, both right.
+    val emb = Seq(
+      (1L, 0, Array(1.0f, -5.0f)),
+      (2L, 1, Array(1.0f, 1.0f)),
+      (3L, 2, Array(-1.0f, 3.0f)),
+      (4L, 3, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val dir = staged("mcnemar")("embeddings" -> emb)
+    val r = SparkEntry.queries("q281_mcnemar")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("acc_a") === 0.5)
+    assert(r.getAs[Double]("acc_b") === 0.5)
+    assert(r.getAs[Long]("b_only") === 1L)
+    assert(r.getAs[Long]("c_only") === 1L)
+    // |b-c| = 0 -> corrected numerator max(0, -1)^2 = 0
+    assert(r.getAs[Double]("mcnemar_chi2") === 0.0)
+  }
+
+  test("q283 segmented trend: a clean two-regime series recovers the " +
+      "exact breakpoint and both slopes") {
+    // days 0..9 flat at $1M/day; days 10..19 a steep exact line
+    // ($2M + $500k*(t-10)): SSE is zero only when the break sits at
+    // day 9, so the quantized argmin must land there.
+    val orders = (0 to 9).map(t => (t.toLong, 1L, "O",
+        1000000.0, day(t), "1-URGENT")) ++
+      (10 to 19).map(t => (t.toLong, 1L, "O",
+        2000000.0 + 500000.0 * (t - 10), day(t), "1-URGENT"))
+    val dir = staged("segtrend")("orders" ->
+      orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val r = SparkEntry.queries("q283_segmented_trend")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[java.sql.Date]("break_dt").toString === "2024-01-10")
+    assert(r.getAs[Long]("n_days") === 20L)
+    assert(r.getAs[Long]("n_left") === 10L)
+    // revenue is in $10k units: left slope 0, right slope 50/day
+    assert(math.abs(r.getAs[Double]("slope_left")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("slope_right") - 50.0) < 1e-6)
+    assert(r.getAs[Double]("sse_two") === 0.0)
+    assert(r.getAs[Double]("improvement") === 1.0)
+  }
+
+  test("q284 Kendall tau-b: hand-counted pair classes with an x tie") {
+    // daily (x=orders, y=revenue): (1,10), (2,20), (3,15), (3,25)
+    // pairs: C=4, D=1, ties_x=1, ties_y=0 -> tau_b = 3/sqrt(30)
+    def o(id: Long, d: Int, price: Double) =
+      (id, 1L, "O", price, day(d), "1-URGENT")
+    val orders = Seq(
+      o(1, 0, 10.0),
+      o(2, 1, 12.0), o(3, 1, 8.0),
+      o(4, 2, 5.0), o(5, 2, 5.0), o(6, 2, 5.0),
+      o(7, 3, 10.0), o(8, 3, 10.0), o(9, 3, 5.0))
+    val dir = staged("kendall")("orders" ->
+      orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val r = SparkEntry.queries("q284_kendall_tau")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("concordant") === 4L)
+    assert(r.getAs[Long]("discordant") === 1L)
+    assert(r.getAs[Long]("ties_x") === 1L)
+    assert(r.getAs[Long]("ties_y") === 0L)
+    assert(r.getAs[Long]("ties_both") === 0L)
+    assert(math.abs(r.getAs[Double]("tau_b") - 3.0 / math.sqrt(30.0))
+      < 1e-6)
+  }
+
+  test("q287 silhouette: a singleton cluster scores exactly 1 under " +
+      "the centroid variant") {
+    val emb = Seq(
+      (1L, 0, Array(0.0f, 0.0f)),
+      (2L, 1, Array(3.0f, 0.0f)),
+      (3L, 1, Array(5.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val dir = staged("sil")("embeddings" -> emb)
+    val out = SparkEntry.queries("q287_silhouette")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") ->
+        r.getAs[Double]("mean_silhouette")).toMap
+    // label 0: a=0 (point IS its centroid), b=4 -> s=1
+    assert(out(0) === 1.0)
+    // label 1: centroid (4,0); s = (3-1)/3 and (5-1)/5 -> mean 0.7333
+    assert(math.abs(out(1) - 0.7333) <= 1e-4)
+  }
+
+  test("q288 Brown-Forsythe: lower-median rank convention on even " +
+      "counts, exact mean absolute deviations") {
+    val ev = Seq(
+      (1L, day(0), 1L, "a", 1.0, "{}"),
+      (2L, day(0), 1L, "a", 2.0, "{}"),
+      (3L, day(0), 1L, "a", 3.0, "{}"),
+      (4L, day(0), 1L, "a", 4.0, "{}"),
+      (5L, day(0), 1L, "b", 10.0, "{}"),
+      (6L, day(0), 1L, "b", 20.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = staged("bf")("events" -> ev)
+    val out = SparkEntry.queries("q288_brown_forsythe")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    // group a: n=4 -> target rank (4+1) DIV 2 = 2 -> lower median 2
+    assert(out("a").getAs[Double]("median") === 2.0)
+    // |1-2|,|2-2|,|3-2|,|4-2| -> mean 1.0
+    assert(out("a").getAs[Double]("mean_absdev") === 1.0)
+    // group b: n=2 -> target 1 -> median 10; |0|,|10| -> mean 5
+    assert(out("b").getAs[Double]("median") === 10.0)
+    assert(out("b").getAs[Double]("mean_absdev") === 5.0)
+    assert(out("a").getAs[Long]("df1") === 1L)
+    assert(out("a").getAs[Long]("df2") === 4L)
+  }
+
+  test("q291 dedup-discounted mix: a duplicated pair weighs as one " +
+      "document in the effective shares") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa" +
+      " lambda mu"
+    val t2 = "one two three four five six seven eight nine ten eleven" +
+      " twelve"
+    val docs = Seq(
+      (1L, t1, "en", "srcA", t1.length.toLong),
+      (2L, t2, "en", "srcB", t2.length.toLong),
+      (3L, t2, "en", "srcB", t2.length.toLong) // exact twin of doc 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("ddmix")("documents" -> docs)
+    val out = SparkEntry.queries("q291_dedup_discounted_mix")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // raw: A=12 tokens, B=24; effective: the B twins weigh 12/2 each
+    assert(out("srcA").getAs[Long]("raw_tokens") === 12L)
+    assert(out("srcB").getAs[Long]("raw_tokens") === 24L)
+    assert(out("srcA").getAs[Long]("n_clustered") === 0L)
+    assert(out("srcB").getAs[Long]("n_clustered") === 2L)
+    assert(out("srcA").getAs[Double]("eff_tokens") === 12.0)
+    assert(out("srcB").getAs[Double]("eff_tokens") === 12.0)
+    assert(out("srcA").getAs[Double]("raw_share") === 0.333333)
+    assert(out("srcA").getAs[Double]("eff_share") === 0.5)
+  }
+
+  test("q286 mSPRT: the always-valid p sequence is monotone " +
+      "non-increasing and within [0, 1]") {
+    val rows = SparkEntry.queries("q286_msprt")(
+      spark, "/root/testdata/sf0.001").orderBy("dt").collect()
+    assert(rows.length > 5)
+    val ps = rows.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    ps.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12) }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("reject") ===
+        (r.getAs[Double]("p_always_valid") <= 0.05))
+    }
+  }
+
+  test("q290 seasonal decomposition: additive identity holds on the " +
+      "rounded output and exactly 10 anomalies emit") {
+    val rows = SparkEntry.queries("q290_seasonal_decompose")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val lhs = r.getAs[Double]("revenue") - r.getAs[Double]("trend") -
+        r.getAs[Double]("seasonal")
+      // each term is rounded independently (revenue at 6 dp, the rest
+      // at 4 dp) -> identity holds to ~2 quanta
+      assert(math.abs(lhs - r.getAs[Double]("residual")) <= 3e-4)
+    }
+  }
+}
