@@ -24,7 +24,9 @@ object Analytics {
     * 5-term keyword query, top 50. Term matching is a codegen'd isin
     * in the scan projection; df/idf tables are term-count-sized
     * broadcasts; corpus shuffles are the two doc-id aggregations. */
-  private val bmTerms = Seq("spark", "vector", "stream", "window", "hash")
+  // shared with q304's ranking-agreement readout (Methods.scala)
+  private[queries] val bmTerms =
+    Seq("spark", "vector", "stream", "window", "hash")
 
   private def q97(s: SparkSession, d: String): DataFrame =
     Rank.bm25(Tables.documents(s, d), "doc_id", "text", bmTerms,

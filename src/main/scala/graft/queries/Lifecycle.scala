@@ -470,7 +470,17 @@ object Lifecycle {
     * aggregation, then to a (day × 2 arms) grid; every window runs
     * over that bounded grid, never corpus rows.
     */
-  private def q266(s: SparkSession, d: String): DataFrame = {
+  /** Shared survival kernel for q266/q302: per-event-day margins of
+    * the two hash arms (salt "km", q205's lifetimes + 90-day
+    * censoring) — `(t, n1, d1, n, dt)` with `n1`/`d1` = arm-0 at-risk/
+    * deaths, `n`/`dt` = totals, filtered to days with ≥1 death. The
+    * corpus collapses to per-customer rows in ONE aggregation, then to
+    * a (day × 2 arms) grid; all windows run on that bounded grid.
+    * Returns the margins frame plus the persisted handle the caller
+    * must release.
+    */
+  private def eventTimeMargins(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = s
     import spark.implicits._
@@ -506,6 +516,12 @@ object Lifecycle {
         sum(when(col("arm") === 0L, col("d")).otherwise(0L)).as("d1"),
         sum("n_risk").as("n"), sum("d").as("dt"))
       .filter(col("dt") > 0)
+    (byT, perArm)
+  }
+
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (byT, perArm) = eventTimeMargins(s, d)
     val r = col("n1").cast("double") / col("n").cast("double")
     val e1t = col("dt").cast("double") * r
     val vt = when(col("n") > 1,
@@ -537,8 +553,11 @@ object Lifecycle {
     out
   }
 
-  private val q266Sql =
-    """WITH u AS (SELECT o_custkey,
+  /** Oracle twin of [[eventTimeMargins]] — the CTE chain ending in
+    * `byt(t, n1, d1, n, dt)`, shared verbatim by q266 and q302 so the
+    * two survival tests cannot drift apart. */
+  private val survivalMarginsCte =
+    """u AS (SELECT o_custkey,
            min(datediff('day', DATE '1990-01-01', o_orderdate::DATE)) AS d0,
            max(datediff('day', DATE '1990-01-01', o_orderdate::DATE)) AS d1
          FROM orders GROUP BY o_custkey),
@@ -567,7 +586,10 @@ object Lifecycle {
                    AS BIGINT) AS d1,
                  CAST(sum(n_risk) AS BIGINT) AS n,
                  CAST(sum(d) AS BIGINT) AS dt
-               FROM ar GROUP BY t HAVING sum(d) > 0),
+               FROM ar GROUP BY t HAVING sum(d) > 0)"""
+
+  private val q266Sql =
+    s"""WITH $survivalMarginsCte,
        terms AS (SELECT *,
                    dt::DOUBLE * (n1::DOUBLE / n::DOUBLE) AS e1t,
                    CASE WHEN n > 1 THEN
@@ -595,6 +617,115 @@ object Lifecycle {
          floor(((o1::DOUBLE - e1u::DOUBLE / 1e9) /
                 sqrt(vu::DOUBLE / 1e9)) * 1e6 + 0.5) / 1e6 AS z
        FROM s"""
+
+  // --------------------------------------------------------------- q302
+  /** Cox proportional-hazards fit (binary covariate, Breslow ties,
+    * 3 Newton steps) — the EFFECT-SIZE companion to q266's log-rank
+    * (which is exactly this model's score test at β=0, a consistency
+    * the spec asserts): how much does arm-1 membership multiply the
+    * churn hazard? Shares [[eventTimeMargins]] verbatim with q266.
+    * Per Newton step, the score U(β) = Σ_t [dx − dt·w] and information
+    * I(β) = Σ_t dt·w·(1−w) (w = nx·e^β/(n0+nx·e^β)) are per-event-day
+    * FIXED-SHAPE FP terms of exact LONG margins, quantized to
+    * 1e-9-unit LONGs and summed exactly (order-independent — the q266
+    * contract; exp ulp noise sits ~1e-13 below the grid); β updates
+    * are scalar divisions of those quantized sums, bit-identical in
+    * both engines. Three 1-row collects of a day-cardinality table =
+    * bounded driver state, the reference's own loop shape
+    * (kernel.cu:175-188).
+    */
+  private def q302(s: SparkSession, d: String): DataFrame = {
+    val (byT, perArm) = eventTimeMargins(s, d)
+    // covariate x = 1{arm 1}: at-risk nx = n − n1, deaths dx = dt − d1
+    val ev = byT.select(col("t"), col("n1").as("n0"),
+        (col("n") - col("n1")).as("nx"),
+        (col("dt") - col("d1")).as("dx"), col("dt"))
+      .localCheckpoint(true)
+    perArm.unpersist(blocking = false)
+    // one Newton evaluation: quantized (U, I) at the given beta
+    def step(beta: Double): (Double, Double) = {
+      val e = math.exp(beta)
+      val w = col("nx").cast("double") * lit(e) /
+        (col("n0").cast("double") + col("nx").cast("double") * lit(e))
+      val uT = col("dx").cast("double") - col("dt").cast("double") * w
+      val iT = col("dt").cast("double") * w * (lit(1.0) - w)
+      val row = ev.agg(
+        sum(floor(uT * lit(1e9) + lit(0.5)).cast("long")).as("uu"),
+        sum(floor(iT * lit(1e9) + lit(0.5)).cast("long")).as("iu"))
+        .head()
+      (row.getLong(0) / 1e9, row.getLong(1) / 1e9)
+    }
+    def g(x: Double): Double = math.max(x, 1e-12)
+    val (u0, i0) = step(0.0)
+    val z0 = u0 / math.sqrt(g(i0))
+    val b1 = u0 / g(i0)
+    val (u1, i1) = step(b1)
+    val b2 = b1 + u1 / g(i1)
+    val (u2, i2) = step(b2)
+    val b3 = b2 + u2 / g(i2)
+    val (_, i3) = step(b3)
+    val se = 1.0 / math.sqrt(g(i3))
+    def fr(x: Double, n: Int): Double = {
+      val p = math.pow(10, n)
+      math.floor(x * p + 0.5) / p
+    }
+    ev.agg(count(lit(1)).as("n_times"),
+        sum("dt").as("d_total"), sum("dx").as("dx_total"))
+      .select(col("n_times"), col("d_total"), col("dx_total"),
+        lit(fr(z0, 6)).as("score_z"),
+        lit(fr(b3, 6)).as("beta"),
+        lit(fr(math.exp(b3), 6)).as("hazard_ratio"),
+        lit(fr(se, 6)).as("se"),
+        lit(fr(b3 / se, 6)).as("wald_z"))
+  }
+
+  private val q302Sql = {
+    // one Newton evaluation at scalar beta expression `b` (a CTE
+    // column): quantized (uu, iu) LONG unit sums over ev
+    def itCte(bExpr: String, from: String) =
+      s"""(SELECT
+           CAST(sum(CAST(floor((dx::DOUBLE - dt::DOUBLE *
+               (nx::DOUBLE * exp($bExpr)
+                / (n0::DOUBLE + nx::DOUBLE * exp($bExpr)))) * 1e9 + 0.5)
+             AS BIGINT)) AS BIGINT) AS uu,
+           CAST(sum(CAST(floor((dt::DOUBLE *
+               (nx::DOUBLE * exp($bExpr)
+                / (n0::DOUBLE + nx::DOUBLE * exp($bExpr))) *
+               (1.0 - (nx::DOUBLE * exp($bExpr)
+                / (n0::DOUBLE + nx::DOUBLE * exp($bExpr))))) * 1e9 + 0.5)
+             AS BIGINT)) AS BIGINT) AS iu
+         FROM ev$from)"""
+    s"""WITH $survivalMarginsCte,
+       ev AS (SELECT t, n1 AS n0, n - n1 AS nx, dt - d1 AS dx, dt
+              FROM byt),
+       it0 AS ${itCte("0.0", "")},
+       s1 AS (SELECT (uu::DOUBLE / 1e9)
+                / greatest(iu::DOUBLE / 1e9, 1e-12) AS b FROM it0),
+       it1 AS ${itCte("s1.b", ", s1")},
+       s2 AS (SELECT s1.b + (it1.uu::DOUBLE / 1e9)
+                / greatest(it1.iu::DOUBLE / 1e9, 1e-12) AS b
+              FROM it1, s1),
+       it2 AS ${itCte("s2.b", ", s2")},
+       s3 AS (SELECT s2.b + (it2.uu::DOUBLE / 1e9)
+                / greatest(it2.iu::DOUBLE / 1e9, 1e-12) AS b
+              FROM it2, s2),
+       it3 AS ${itCte("s3.b", ", s3")},
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+                 CAST(sum(dt) AS BIGINT) AS d_total,
+                 CAST(sum(dx) AS BIGINT) AS dx_total
+               FROM ev)
+       SELECT n_times, d_total, dx_total,
+         floor(((it0.uu::DOUBLE / 1e9)
+           / sqrt(greatest(it0.iu::DOUBLE / 1e9, 1e-12))) * 1e6 + 0.5)
+           / 1e6 AS score_z,
+         floor(s3.b * 1e6 + 0.5) / 1e6 AS beta,
+         floor(exp(s3.b) * 1e6 + 0.5) / 1e6 AS hazard_ratio,
+         floor((1.0 / sqrt(greatest(it3.iu::DOUBLE / 1e9, 1e-12)))
+           * 1e6 + 0.5) / 1e6 AS se,
+         floor((s3.b / (1.0 / sqrt(greatest(it3.iu::DOUBLE / 1e9,
+           1e-12)))) * 1e6 + 0.5) / 1e6 AS wald_z
+       FROM tot, it0, s3, it3"""
+  }
 
   // --------------------------------------------------------------- q265
   /** t-closeness audit — the third leg of the privacy trio (q193
@@ -1461,7 +1592,8 @@ object Lifecycle {
     "q210_l_diversity" -> (q210 _),
     "q265_t_closeness" -> (q265 _),
     "q266_logrank" -> (q266 _),
-    "q277_checkpoint_recovery" -> (q277 _))
+    "q277_checkpoint_recovery" -> (q277 _),
+    "q302_cox_ph" -> (q302 _))
 
   val oracles: Map[String, String] = Map(
     "q259_late_data_audit" -> q259Sql,
@@ -1478,5 +1610,6 @@ object Lifecycle {
     "q210_l_diversity" -> q210Sql,
     "q265_t_closeness" -> q265Sql,
     "q266_logrank" -> q266Sql,
-    "q277_checkpoint_recovery" -> q277Sql)
+    "q277_checkpoint_recovery" -> q277Sql,
+    "q302_cox_ph" -> q302Sql)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.{roundTo => round}
 
 import graft.Tables
-import graft.operators.{Quality, Sampling}
+import graft.operators.{Quality, Rank, Sampling}
 
 /** Round-10 measurement-method surface: paired-classifier comparison
   * (McNemar), whiteness / autocorrelation diagnostics (Ljung-Box),
@@ -1133,6 +1133,691 @@ object Methods {
            AS hedges_g
        FROM t2 ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q296
+  /** Cochran–Armitage trend test — is there a MONOTONE trend in a
+    * binary rate across ORDERED groups? (The χ² independence test
+    * q246 ignores the ordering and wastes power on it.) Groups are
+    * the five order priorities with their numeric prefix as the dose
+    * score t∈{1..5}; outcome = order finished (`o_orderstatus='F'`).
+    * The statistic reduces to a FIXED-SHAPE expression of five exact
+    * LONG sufficient statistics (N, R=Σr, A=Σt·r, B=Σt·n, C=Σt²·n):
+    * T = A − (R/N)·B, Var = (R/N)(1−R/N)(C − B²/N) — so no per-group
+    * FP accumulates and no quantization is needed. B² forms in DOUBLE
+    * (the q244 overflow lesson: B ≤ 5N overflows LONG when squared at
+    * corpus scale). One corpus aggregation to 5 groups; everything
+    * after runs on one row.
+    */
+  private def q296(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.orders(s, d)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("t"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("y").as("r"))
+    val suff = g.agg(
+      sum("n").as("n_total"), sum("r").as("r_total"),
+      sum(col("t") * col("r")).as("a"),
+      sum(col("t") * col("n")).as("b"),
+      sum(col("t") * col("t") * col("n")).as("c"))
+    val nD = col("n_total").cast("double")
+    val p = col("r_total").cast("double") / nD
+    val tstat = col("a").cast("double") - p * col("b").cast("double")
+    val varT = p * (lit(1.0) - p) *
+      (col("c").cast("double") -
+        col("b").cast("double") * col("b").cast("double") / nD)
+    val z = tstat / sqrt(safe(varT))
+    import graft.functions.Rounding.floorRound
+    suff.select(col("n_total"), col("r_total"),
+      round(p, 6).as("pbar"),
+      floorRound(tstat, 4).as("t_stat"),
+      floorRound(z, 6).as("z"),
+      round(z * z, 6).as("chi2"))
+  }
+
+  private val q296Sql =
+    """WITH g AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+             AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         FROM orders),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(y) AS BIGINT) AS r_total,
+           CAST(sum(t * y) AS BIGINT) AS a,
+           CAST(sum(t) AS BIGINT) AS b,
+           CAST(sum(t * t) AS BIGINT) AS c
+         FROM g),
+       f AS (SELECT n_total, r_total,
+           r_total::DOUBLE / n_total::DOUBLE AS p,
+           a::DOUBLE - (r_total::DOUBLE / n_total::DOUBLE) * b::DOUBLE
+             AS tstat,
+           (r_total::DOUBLE / n_total::DOUBLE)
+             * (1.0 - r_total::DOUBLE / n_total::DOUBLE)
+             * (c::DOUBLE - b::DOUBLE * b::DOUBLE / n_total::DOUBLE)
+             AS v
+         FROM s)
+       SELECT n_total, r_total, round(p, 6) AS pbar,
+         floor(tstat * 1e4 + 0.5) / 1e4 AS t_stat,
+         floor(tstat / greatest(sqrt(v), 1e-12) * 1e6 + 0.5) / 1e6 AS z,
+         round((tstat / greatest(sqrt(v), 1e-12))
+           * (tstat / greatest(sqrt(v), 1e-12)), 6) AS chi2
+       FROM f"""
+
+  // --------------------------------------------------------------- q297
+  /** Mann–Kendall trend test — the NONPARAMETRIC significance
+    * companion to q250's Theil–Sen slope (which gives magnitude, not
+    * evidence): S = Σ_{i<j} sign(c_j − c_i) over the observed daily
+    * revenue series in EXACT integer cents (sign of a LONG
+    * difference — no FP enters until the closing z), tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18
+    * from the cents-value tie groups, continuity-corrected z.
+    * Scale: the corpus collapses to observed days (calendar-bounded
+    * at ANY SF — zero-fill would fabricate ties), the pair table is
+    * days² of a broadcast-sized frame, and the n³-ish variance terms
+    * form in DOUBLE (n³ overflows nothing at days-cardinality but the
+    * discipline is free).
+    */
+  private def q297(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(sum("c").as("c"))
+    val a = daily.select(col("dt").as("dt1"), col("c").as("c1"))
+    val b = daily.select(col("dt").as("dt2"), col("c").as("c2"))
+    val pairs = a.join(broadcast(b), col("dt1") < col("dt2"))
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"))
+    val nDf = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy("c").agg(count(lit(1)).as("tg"))
+      .filter(col("tg") > 1)
+      .agg(coalesce(sum(col("tg").cast("double") *
+          (col("tg") - 1L).cast("double") *
+          (lit(2.0) * col("tg").cast("double") + lit(5.0))), lit(0.0))
+        .as("tie_term"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("tie_term")) / lit(18.0)
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0, (sD - 1.0) / sqrt(safe(varS)))
+      .when(col("s_stat") < 0, (sD + 1.0) / sqrt(safe(varS)))
+      .otherwise(lit(0.0))
+    import graft.functions.Rounding.floorRound
+    pairs.crossJoin(nDf).crossJoin(ties)
+      .select(col("n"), col("s_stat"),
+        round(varS, 4).as("var_s"),
+        floorRound(z, 6).as("z"),
+        floorRound(sD / (nD * (nD - 1.0) / 2.0), 6).as("kendall_tau"))
+  }
+
+  private val q297Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS c
+         FROM orders GROUP BY 1),
+       p AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                        WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+             FROM daily a JOIN daily b ON a.dt < b.dt),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+       tt AS (SELECT coalesce(sum(tg::DOUBLE * (tg - 1)::DOUBLE
+                * (2.0 * tg::DOUBLE + 5.0)), 0.0) AS tie_term
+              FROM (SELECT c, count(*) AS tg FROM daily
+                    GROUP BY c HAVING count(*) > 1)),
+       f AS (SELECT n, s_stat, tie_term,
+           (n::DOUBLE * (n::DOUBLE - 1.0) * (2.0 * n::DOUBLE + 5.0)
+             - tie_term) / 18.0 AS var_s
+         FROM p, nn, tt)
+       SELECT n, s_stat, round(var_s, 4) AS var_s,
+         floor((CASE WHEN s_stat > 0
+                  THEN (s_stat::DOUBLE - 1.0)
+                    / greatest(sqrt(var_s), 1e-12)
+                WHEN s_stat < 0
+                  THEN (s_stat::DOUBLE + 1.0)
+                    / greatest(sqrt(var_s), 1e-12)
+                ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z,
+         floor(s_stat::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0)
+           * 1e6 + 0.5) / 1e6 AS kendall_tau
+       FROM f"""
+
+  // --------------------------------------------------------------- q298
+  /** Unseen-mass estimators — how much vocabulary has a source NOT
+    * shown yet? The question every data-acquisition decision hides:
+    * per source, Chao1 richness V + F1(F1−1)/(2(F2+1)) (bias-corrected
+    * form — defined even when no word occurs exactly twice) estimates
+    * the TOTAL vocabulary including unseen words, and the Good–Turing
+    * mass F1/N estimates the probability the NEXT token is novel.
+    * Everything derives from the (source, word) count table in exact
+    * LONGs: V, N, F1 = #singletons, F2 = #doubletons — one token
+    * aggregation, one source rollup, no vocab×source grid.
+    */
+  private def q298(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val per = cs.groupBy("source").agg(
+      count(lit(1)).as("vocab"),
+      sum("c").as("n_tokens"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+    per.select(col("source"), col("vocab"), col("n_tokens"),
+        col("f1"), col("f2"),
+        round(col("vocab").cast("double") +
+          col("f1").cast("double") * (col("f1") - 1L).cast("double") /
+            (lit(2.0) * (col("f2") + 1L).cast("double")), 4)
+          .as("chao1"),
+        round(col("f1").cast("double") /
+          safe(col("n_tokens").cast("double")), 6).as("gt_unseen"))
+      .orderBy("source")
+  }
+
+  private val q298Sql =
+    """WITH cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+               FROM documents)
+         GROUP BY source, w),
+       per AS (SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         FROM cs GROUP BY source)
+       SELECT source, vocab, n_tokens, f1, f2,
+         round(vocab::DOUBLE + f1::DOUBLE * (f1 - 1)::DOUBLE
+           / (2.0 * (f2 + 1)::DOUBLE), 4) AS chao1,
+         round(f1::DOUBLE / greatest(n_tokens::DOUBLE, 1e-12), 6)
+           AS gt_unseen
+       FROM per ORDER BY source"""
+
+  // --------------------------------------------------------------- q299
+  /** Heaps'-law vocabulary-growth fit — V(N) ≈ K·N^β: how fast does
+    * new vocabulary arrive as the corpus grows? (The planning curve
+    * behind q298's point estimates: β near 1 means vocab still
+    * exploding, β near 0 means saturation.) Checkpoints are ten
+    * VALUE-RANGE doc_id thresholds t_k = min + (max−min)·k div 10 —
+    * pure LONG arithmetic, no global sort or row_number, identical at
+    * any scale. Each word's FIRST appearance is one min-aggregation;
+    * V_k / N_k come from a 10-row broadcast fan-out of the bounded
+    * per-word / per-doc tables (map-side, constant factor 10). The
+    * log-log OLS closes over ten points driver-free.
+    */
+  private def q299(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("tok"))
+    val firstW = toks.groupBy("w").agg(min("doc_id").as("fid"))
+    val bounds = perDoc.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val ks = bounds.select(explode(sequence(lit(1L), lit(10L))).as("k"),
+        col("lo"), col("hi"))
+      .select(col("k"),
+        expr("lo + ((hi - lo) * k) div 10").as("t_k"))
+    val nK = perDoc.crossJoin(broadcast(ks))
+      .filter(col("doc_id") <= col("t_k"))
+      .groupBy("k").agg(sum("tok").as("n_tokens"))
+    val vK = firstW.crossJoin(broadcast(ks))
+      .filter(col("fid") <= col("t_k"))
+      .groupBy("k").agg(count(lit(1)).as("vocab"))
+    val pts = nK.join(vK, Seq("k"))
+      .select(col("k"), col("n_tokens"), col("vocab"),
+        log(col("n_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+    val fit = pts.agg(count(lit(1)).cast("double").as("m"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        ((col("sxy") - col("sx") * col("sy") / col("m")) /
+          safe(col("sxx") - col("sx") * col("sx") / col("m")))
+          .as("beta_raw"),
+        col("sx"), col("sy"), col("m"))
+      .select(col("beta_raw"),
+        exp(col("sy") / col("m") -
+          col("beta_raw") * col("sx") / col("m")).as("k_raw"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("k"), col("n_tokens"), col("vocab"),
+        round(col("beta_raw"), 6).as("beta"),
+        round(col("k_raw"), 4).as("k_coef"))
+      .orderBy("k")
+  }
+
+  private val q299Sql =
+    """WITH toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+         FROM documents),
+       perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tok
+                  FROM toks GROUP BY doc_id),
+       firstw AS (SELECT w, min(doc_id) AS fid FROM toks GROUP BY w),
+       b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM perdoc),
+       ks AS (SELECT k, lo + ((hi - lo) * k) // 10 AS t_k
+              FROM b, (SELECT unnest(generate_series(1, 10))::BIGINT
+                         AS k)),
+       nk AS (SELECT k, CAST(sum(tok) AS BIGINT) AS n_tokens
+              FROM perdoc, ks WHERE doc_id <= t_k GROUP BY k),
+       vk AS (SELECT k, CAST(count(*) AS BIGINT) AS vocab
+              FROM firstw, ks WHERE fid <= t_k GROUP BY k),
+       pts AS (SELECT nk.k, n_tokens, vocab,
+                 ln(n_tokens::DOUBLE) AS x, ln(vocab::DOUBLE) AS y
+               FROM nk JOIN vk ON nk.k = vk.k),
+       fit AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+               FROM pts),
+       co AS (SELECT (sxy - sx * sy / m)
+                  / greatest(sxx - sx * sx / m, 1e-12) AS beta_raw,
+                 sx, sy, m FROM fit)
+       SELECT k, n_tokens, vocab,
+         round(beta_raw, 6) AS beta,
+         round(exp(sy / m - beta_raw * sx / m), 4) AS k_coef
+       FROM pts, co ORDER BY k"""
+
+  // --------------------------------------------------------------- q300
+  /** Isotonic calibration (pool-adjacent-violators) — the monotone
+    * companion to q190's binned reliability: fit the best
+    * NON-DECREASING return rate as a function of discount level,
+    * via the minimax closed form iso(i) = max_{a≤i} min_{b≥a}
+    * mean(y[a..b]) — an exact, loop-free PAV. All pooling means are
+    * fixed-shape divisions of exact LONG prefix sums; the a≤b pair
+    * grid and both window passes run on the BOUNDED discount-level
+    * table (11 rows — the corpus collapses in one aggregation), so
+    * the construction is scale-free. Spec asserts the output is
+    * monotone and matches a hand-pooled fixture.
+    */
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(round(col("l_discount") * 100, 0).cast("long").as("x"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("x").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val wAsc = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = li
+      .withColumn("cn", sum("n").over(wAsc))
+      .withColumn("cs", sum("sy").over(wAsc))
+    val a = pre.select(col("x").as("xa"),
+      (col("cn") - col("n")).as("na0"), (col("cs") - col("sy")).as("sa0"))
+    val b = pre.select(col("x").as("xb"), col("cn").as("nb"),
+      col("cs").as("sb"))
+    val minOverB = a.join(b, col("xa") <= col("xb"))
+      .select(col("xa"),
+        ((col("sb") - col("sa0")).cast("double") /
+          (col("nb") - col("na0")).cast("double")).as("mab"))
+      .groupBy("xa").agg(min("mab").as("ma"))
+    val wRun = Window.orderBy("xa")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = minOverB.withColumn("iso_raw", max("ma").over(wRun))
+    li.join(iso.select(col("xa").as("x"), col("iso_raw")), Seq("x"))
+      .select(col("x").as("discount_pct"), col("n"),
+        round(col("sy").cast("double") / col("n").cast("double"), 6)
+          .as("emp_rate"),
+        round(col("iso_raw"), 6).as("iso_rate"))
+      .orderBy("discount_pct")
+  }
+
+  private val q300Sql =
+    """WITH li AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem),
+       g AS (SELECT x, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy
+             FROM li GROUP BY x),
+       pre AS (SELECT x, n, sy,
+           sum(n) OVER w AS cn, sum(sy) OVER w AS cs
+         FROM g
+         WINDOW w AS (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       pair AS (SELECT a.x AS xa,
+                  (b.cs - (a.cs - a.sy))::DOUBLE
+                    / (b.cn - (a.cn - a.n))::DOUBLE AS mab
+                FROM pre a JOIN pre b ON a.x <= b.x),
+       ma AS (SELECT xa, min(mab) AS ma FROM pair GROUP BY xa),
+       iso AS (SELECT xa, max(ma) OVER (ORDER BY xa
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS iso_raw
+               FROM ma)
+       SELECT g.x AS discount_pct, g.n,
+         round(g.sy::DOUBLE / g.n::DOUBLE, 6) AS emp_rate,
+         round(iso.iso_raw, 6) AS iso_rate
+       FROM g JOIN iso ON g.x = iso.xa
+       ORDER BY discount_pct"""
+
+  // --------------------------------------------------------------- q301
+  /** Pareto-frontier curation (2-D skyline) — the documents no other
+    * document dominates on (distinct-token ratio, length): the
+    * multi-criteria "keep set" single-score ranking like q292 can't
+    * express (a long slightly-repetitive doc and a short pristine one
+    * are INCOMPARABLE). A doc survives iff its length is the max of
+    * its exact ratio class AND strictly exceeds every higher class's
+    * max — so dominance resolves on the BOUNDED (ratio-class → max
+    * length) table (≤1e6 rows by construction of the 1e-6 ratio grid,
+    * corpus-independent), never doc×doc; the corpus is touched by one
+    * aggregation and one semi-join-shaped re-attach.
+    */
+  private def q301(s: SparkSession, d: String): DataFrame = {
+    val arr = graft.functions.TextFunctions.words(col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(arr).cast("long").as("tok"),
+        floor(size(array_distinct(arr)).cast("double") * 1e6 /
+          size(arr).cast("double")).cast("long").as("su"))
+    val classes = docs.groupBy("su").agg(max("tok").as("mx"))
+    val cls = classes
+      .withColumn("hmx", max("mx").over(
+        Window.orderBy(col("su").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    docs.join(broadcast(cls), Seq("su"))
+      .filter(col("tok") === col("mx") &&
+        (col("hmx").isNull || col("tok") > col("hmx")))
+      .select(col("doc_id"), col("source"),
+        col("su").as("ratio_units"), col("tok").as("n_tokens"))
+      .orderBy(col("ratio_units").desc, col("doc_id"))
+  }
+
+  private val q301Sql =
+    """WITH docs AS (SELECT doc_id, source,
+           CAST(len(arr) AS BIGINT) AS tok,
+           CAST(floor(len(list_distinct(arr))::DOUBLE * 1e6
+             / len(arr)::DOUBLE) AS BIGINT) AS su
+         FROM (SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\s+') AS arr
+               FROM documents)),
+       classes AS (SELECT su, max(tok) AS mx FROM docs GROUP BY su),
+       cls AS (SELECT su, mx,
+           max(mx) OVER (ORDER BY su DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hmx
+         FROM classes)
+       SELECT d.doc_id, d.source, d.su AS ratio_units,
+         d.tok AS n_tokens
+       FROM docs d JOIN cls ON d.su = cls.su
+       WHERE d.tok = cls.mx AND (cls.hmx IS NULL OR d.tok > cls.hmx)
+       ORDER BY ratio_units DESC, doc_id"""
+
+  // --------------------------------------------------------------- q303
+  /** Bradley–Terry pairwise ratings — the arena-style readout for
+    * comparing content SOURCES from pairwise outcomes (the model
+    * behind every LLM leaderboard): within each language, every doc
+    * pair from two different sources is a "match" won by the higher
+    * distinct-token ratio. Exact win counts come WITHOUT a doc×doc
+    * join: per-(lang, ratio-class, source) counts × the dense grid's
+    * strictly-below cumulative counts — candidate volume is the
+    * bounded class grid (≤1e6 ratio classes × sources), never corpus².
+    * Products/sums form in DECIMAL (pair counts overflow LONG at
+    * corpus scale); the 4 MM iterations r←W/Σn/(r_i+r_j) run on the
+    * sources² matrix with per-pair terms quantized to 1e-12-unit
+    * LONGs (order-independent sums, the q266 contract), on
+    * NORMALIZED win fractions so term magnitudes are scale-free.
+    */
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    val arr = graft.functions.TextFunctions.words(col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        floor(size(array_distinct(arr)).cast("double") * 1e6 /
+          size(arr).cast("double")).cast("long").as("su"))
+    val cnt = docs.groupBy("lang", "su", "source")
+      .agg(count(lit(1)).as("c"))
+    val classes = cnt.select("lang", "su").distinct()
+    val srcs = cnt.select("lang", "source").distinct()
+    val g = classes.join(srcs, Seq("lang"))
+      .join(cnt, Seq("lang", "su", "source"), "left")
+      .na.fill(0L, Seq("c"))
+    val wBelow = Window.partitionBy("lang", "source").orderBy("su")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = g.withColumn("below",
+      coalesce(sum("c").over(wBelow), lit(0L)))
+    val dec = "decimal(18,0)"
+    val wins = cnt.as("a")
+      .join(below.as("b"),
+        col("a.lang") === col("b.lang") && col("a.su") === col("b.su") &&
+          col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("i"), col("b.source").as("j"))
+      .agg(sum(col("a.c").cast(dec) * col("b.below").cast(dec)).as("w"))
+      .localCheckpoint(true)
+    val m = wins
+      .join(wins.select(col("i").as("j"), col("j").as("i"),
+        col("w").as("wt")), Seq("i", "j"), "full_outer")
+      .select(col("i"), col("j"),
+        coalesce(col("w"), lit(0).cast(dec)).as("w"),
+        (coalesce(col("w"), lit(0).cast(dec)) +
+          coalesce(col("wt"), lit(0).cast(dec))).as("n"))
+    val tot = m.agg(sum("w").as("wtot"))
+    val base = m.crossJoin(broadcast(tot))
+      .select(col("i"), col("j"),
+        (col("n").cast("double") / col("wtot").cast("double")).as("nf"))
+      .localCheckpoint(true)
+    val wi = m.groupBy("i").agg(sum("w").as("wins"))
+      .crossJoin(broadcast(tot))
+      .select(col("i"), col("wins"),
+        (col("wins").cast("double") / col("wtot").cast("double"))
+          .as("wf"))
+      .localCheckpoint(true)
+    // 4 MM iterations on the tiny sources² matrix
+    var r = wi.select(col("i").as("source"), lit(1.0).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val terms = base
+        .join(r.select(col("source").as("i"), col("r").as("ri")), "i")
+        .join(r.select(col("source").as("j"), col("r").as("rj")), "j")
+        .select(col("i"),
+          floor(col("nf") / safe(col("ri") + col("rj")) * lit(1e12) +
+            lit(0.5)).cast("long").as("tu"))
+      r = terms.groupBy("i").agg(sum("tu").as("du"))
+        .join(wi.select("i", "wf"), "i")
+        .select(col("i").as("source"),
+          (col("wf") / safe(col("du").cast("double") / lit(1e12)))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    val losses = m.groupBy("j").agg(sum("w").as("losses"))
+    val ru = r.withColumn("ru",
+      floor(col("r") * lit(1e9) + lit(0.5)).cast("long"))
+    val norm = ru.agg(sum("ru").as("rtot"),
+      count(lit(1)).cast("double").as("ns"))
+    ru.crossJoin(broadcast(norm))
+      .join(wi.select(col("i").as("source"), col("wins")), "source")
+      .join(losses.select(col("j").as("source"), col("losses")), "source")
+      .select(col("source"),
+        col("wins").cast("decimal(38,0)").as("wins"),
+        col("losses").cast("decimal(38,0)").as("losses"),
+        round(col("r") * col("ns") /
+          safe(col("rtot").cast("double") / lit(1e9)), 6).as("rating"))
+      .orderBy(col("rating").desc, col("source"))
+  }
+
+  private val q303Sql =
+    """WITH docs AS (SELECT lang, source,
+           CAST(floor(len(list_distinct(arr))::DOUBLE * 1e6
+             / len(arr)::DOUBLE) AS BIGINT) AS su
+         FROM (SELECT lang, source,
+                 regexp_split_to_array(trim(text), '\s+') AS arr
+               FROM documents)),
+       cnt AS (SELECT lang, su, source, CAST(count(*) AS BIGINT) AS c
+               FROM docs GROUP BY lang, su, source),
+       g AS (SELECT cl.lang, cl.su, sr.source,
+               coalesce(cnt.c, 0) AS c
+             FROM (SELECT DISTINCT lang, su FROM cnt) cl
+             JOIN (SELECT DISTINCT lang, source FROM cnt) sr
+               ON cl.lang = sr.lang
+             LEFT JOIN cnt ON cnt.lang = cl.lang AND cnt.su = cl.su
+               AND cnt.source = sr.source),
+       bel AS (SELECT lang, su, source,
+               coalesce(sum(c) OVER (PARTITION BY lang, source
+                 ORDER BY su
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+             FROM g),
+       wins AS (SELECT a.source AS i, b.source AS j,
+               sum(a.c::HUGEINT * b.below::HUGEINT) AS w
+             FROM cnt a JOIN bel b
+               ON a.lang = b.lang AND a.su = b.su
+               AND a.source <> b.source
+             GROUP BY a.source, b.source),
+       m AS (SELECT coalesce(a.i, b.j2) AS i, coalesce(a.j, b.i2) AS j,
+               coalesce(a.w, 0::HUGEINT) AS w,
+               coalesce(a.w, 0::HUGEINT) + coalesce(b.w2, 0::HUGEINT)
+                 AS n
+             FROM wins a
+             FULL OUTER JOIN (SELECT i AS i2, j AS j2, w AS w2
+                              FROM wins) b
+               ON a.i = b.j2 AND a.j = b.i2),
+       tot AS (SELECT sum(w) AS wtot FROM m),
+       base AS (SELECT i, j, n::DOUBLE / wtot::DOUBLE AS nf
+                FROM m, tot),
+       wi AS (SELECT i, sum(w) AS wins,
+                sum(w)::DOUBLE / any_value(wtot)::DOUBLE AS wf
+              FROM m, tot GROUP BY i, wtot),
+       r0 AS (SELECT i AS source, 1.0 AS r FROM wi),
+       t1 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
+                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+              FROM base
+              JOIN r0 ri ON ri.source = base.i
+              JOIN r0 rj ON rj.source = base.j),
+       r1 AS (SELECT t1.i AS source, wf / greatest(
+                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
+              FROM t1 JOIN wi ON wi.i = t1.i GROUP BY t1.i, wf),
+       t2 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
+                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+              FROM base
+              JOIN r1 ri ON ri.source = base.i
+              JOIN r1 rj ON rj.source = base.j),
+       r2 AS (SELECT t2.i AS source, wf / greatest(
+                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
+              FROM t2 JOIN wi ON wi.i = t2.i GROUP BY t2.i, wf),
+       t3 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
+                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+              FROM base
+              JOIN r2 ri ON ri.source = base.i
+              JOIN r2 rj ON rj.source = base.j),
+       r3 AS (SELECT t3.i AS source, wf / greatest(
+                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
+              FROM t3 JOIN wi ON wi.i = t3.i GROUP BY t3.i, wf),
+       t4 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
+                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+              FROM base
+              JOIN r3 ri ON ri.source = base.i
+              JOIN r3 rj ON rj.source = base.j),
+       r4 AS (SELECT t4.i AS source, wf / greatest(
+                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
+              FROM t4 JOIN wi ON wi.i = t4.i GROUP BY t4.i, wf),
+       lo AS (SELECT j, sum(w) AS losses FROM m GROUP BY j),
+       rut AS (SELECT source, r,
+                 CAST(floor(r * 1e9 + 0.5) AS BIGINT) AS ru FROM r4),
+       nm AS (SELECT CAST(sum(ru) AS BIGINT) AS rtot,
+                count(*)::DOUBLE AS ns FROM rut)
+       SELECT rut.source,
+         CAST(wi.wins AS DECIMAL(38,0)) AS wins,
+         CAST(lo.losses AS DECIMAL(38,0)) AS losses,
+         round(rut.r * nm.ns
+           / greatest(nm.rtot::DOUBLE / 1e9, 1e-12), 6) AS rating
+       FROM rut CROSS JOIN nm
+       JOIN wi ON wi.i = rut.source
+       JOIN lo ON lo.j = rut.source
+       ORDER BY rating DESC, source"""
+
+  // --------------------------------------------------------------- q304
+  /** Rank-biased overlap (truncated, p=0.9, k=20) between the BM25
+    * and TF-IDF top-20 rankings for the shared q97 query terms — the
+    * retrieval-agreement readout that says whether swapping scorers
+    * would change what users SEE (top-weighted, unlike q225's
+    * Spearman over the whole list): RBO@k = (1−p)·Σ_d p^(d−1)·|A_d ∩
+    * B_d|/d. Both rankings quantize scores to 4 dp BEFORE ranking
+    * with doc_id tie-break (the q97 total-order contract), take
+    * top-20 via TakeOrdered (no global window over candidates), and
+    * the per-depth overlaps come from the 20×20 rank pair join ×
+    * 20-depth grid — all bounded; per-depth terms quantize to
+    * 1e-12-unit LONGs before summing.
+    */
+  private def q304(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val p = 0.9
+    val docs = Tables.documents(s, d)
+    val bmTop = Rank.bm25(docs, "doc_id", "text", Analytics.bmTerms)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.words(col("text"))).as("tok"))
+      .filter(col("tok").isin(Analytics.bmTerms: _*))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), log(col("n_docs") / col("df")).as("idf"))
+    val tfTop = tf.join(broadcast(idf), "tok")
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * col("idf")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    val wA = Window.orderBy(col("score").desc, col("doc_id"))
+    val a = bmTop.select(col("doc_id"),
+      row_number().over(wA).as("ra"))
+    val b = tfTop.select(col("doc_id"),
+      row_number().over(wA).as("rb"))
+    val both = a.join(b, "doc_id")
+    val depths = s.range(1, k + 1).select(col("id").as("dep"))
+    val ov = broadcast(depths).join(both,
+        col("ra") <= col("dep") && col("rb") <= col("dep"), "left")
+      .groupBy("dep")
+      .agg(sum(when(col("doc_id").isNotNull, 1L).otherwise(0L))
+        .as("ov"))
+    val term = pow(lit(p), col("dep").cast("double") - 1.0) *
+      col("ov").cast("double") / col("dep").cast("double")
+    val agg = ov.agg(
+      sum(floor(term * lit(1e12) + lit(0.5)).cast("long")).as("tu"),
+      max(when(col("dep") === k, col("ov"))).as("ov_k"))
+    agg.select(lit(k).cast("long").as("k"), col("ov_k").as("overlap_k"),
+      round(col("ov_k").cast("double") /
+        (lit(2.0 * k) - col("ov_k").cast("double")), 6).as("jaccard_k"),
+      // 0.1 as a literal, not 1.0−p: the FP value of (1.0 − 0.9)
+      // differs from the oracle's spelled-out 0.1 by one ulp
+      round(lit(0.1) * col("tu").cast("double") / lit(1e12), 6)
+        .as("rbo"))
+  }
+
+  private val q304Sql = {
+    val terms = Analytics.bmTerms.map(t => s"'$t'").mkString(",")
+    s"""WITH toksw AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS w
+         FROM documents),
+       dl AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM toksw),
+       st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+       tf AS (SELECT doc_id, t AS tok, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(w) AS t FROM toksw) u
+              WHERE t IN ($terms)
+              GROUP BY doc_id, t),
+       idf AS (SELECT tok,
+                 ln(1 + (st.n_docs - count(*)::DOUBLE + 0.5)
+                      / (count(*)::DOUBLE + 0.5)) AS idf
+               FROM tf, st GROUP BY tok, st.n_docs),
+       bm AS (SELECT tf.doc_id,
+                round(sum(idf.idf * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+                  AS score
+              FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), st
+              GROUP BY tf.doc_id),
+       atop AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY score DESC, doc_id) AS ra
+                FROM bm QUALIFY ra <= 20),
+       idf2 AS (SELECT tok, ln(st.n_docs / count(*)::DOUBLE) AS idf
+                FROM tf, st GROUP BY tok, st.n_docs),
+       ti AS (SELECT tf.doc_id, round(sum(tf.tf * idf2.idf), 4) AS score
+              FROM tf JOIN idf2 USING (tok) GROUP BY tf.doc_id),
+       btop AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY score DESC, doc_id) AS rb
+                FROM ti QUALIFY rb <= 20),
+       ab AS (SELECT atop.doc_id, ra, rb
+                FROM atop JOIN btop USING (doc_id)),
+       dep AS (SELECT unnest(generate_series(1, 20))::BIGINT AS dep),
+       ov AS (SELECT dep.dep,
+                CAST(sum(CASE WHEN ab.doc_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ov
+              FROM dep LEFT JOIN ab
+                ON ab.ra <= dep.dep AND ab.rb <= dep.dep
+              GROUP BY dep.dep),
+       agg AS (SELECT CAST(sum(CAST(floor(pow(0.9, dep::DOUBLE - 1.0)
+                  * ov::DOUBLE / dep::DOUBLE * 1e12 + 0.5) AS BIGINT))
+                  AS BIGINT) AS tu,
+                 max(CASE WHEN dep = 20 THEN ov END) AS ov_k
+               FROM ov)
+       SELECT 20::BIGINT AS k, ov_k AS overlap_k,
+         round(ov_k::DOUBLE / (40.0 - ov_k::DOUBLE), 6) AS jaccard_k,
+         round(0.1 * tu::DOUBLE / 1e12, 6) AS rbo
+       FROM agg"""
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q281_mcnemar" -> (q281 _),
@@ -1148,7 +1833,15 @@ object Methods {
     "q292_token_budget_fill" -> (q292 _),
     "q293_largest_remainder" -> (q293 _),
     "q294_drawdown" -> (q294 _),
-    "q295_cohens_d" -> (q295 _))
+    "q295_cohens_d" -> (q295 _),
+    "q296_cochran_armitage" -> (q296 _),
+    "q297_mann_kendall" -> (q297 _),
+    "q298_unseen_mass" -> (q298 _),
+    "q299_heaps_law" -> (q299 _),
+    "q300_isotonic_calibration" -> (q300 _),
+    "q301_pareto_frontier" -> (q301 _),
+    "q303_bradley_terry" -> (q303 _),
+    "q304_rbo_overlap" -> (q304 _))
 
   val oracles: Map[String, String] = Map(
     "q281_mcnemar" -> q281Sql,
@@ -1164,5 +1857,13 @@ object Methods {
     "q292_token_budget_fill" -> q292Sql,
     "q293_largest_remainder" -> q293Sql,
     "q294_drawdown" -> q294Sql,
-    "q295_cohens_d" -> q295Sql)
+    "q295_cohens_d" -> q295Sql,
+    "q296_cochran_armitage" -> q296Sql,
+    "q297_mann_kendall" -> q297Sql,
+    "q298_unseen_mass" -> q298Sql,
+    "q299_heaps_law" -> q299Sql,
+    "q300_isotonic_calibration" -> q300Sql,
+    "q301_pareto_frontier" -> q301Sql,
+    "q303_bradley_terry" -> q303Sql,
+    "q304_rbo_overlap" -> q304Sql)
 }

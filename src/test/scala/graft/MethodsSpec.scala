@@ -174,6 +174,156 @@ class MethodsSpec extends SparkSpec {
     }
   }
 
+  test("q296 Cochran-Armitage: a perfect dose-response trend gives " +
+      "z = 2 exactly on the hand-computed sufficient statistics") {
+    // t=1: 0/2 finished, t=2: 1/2, t=3: 2/2
+    // N=6 R=3 A=8 B=12 C=28 -> T = 8-0.5*12 = 2, Var = .25*(28-24) = 1
+    def o(id: Long, pri: String, st: String) =
+      (id, 1L, st, 100.0, day(id.toInt), pri)
+    val orders = Seq(
+      o(1, "1-URGENT", "O"), o(2, "1-URGENT", "O"),
+      o(3, "2-HIGH", "F"), o(4, "2-HIGH", "O"),
+      o(5, "3-MEDIUM", "F"), o(6, "3-MEDIUM", "F"))
+    val dir = staged("ca")("orders" ->
+      orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val r = SparkEntry.queries("q296_cochran_armitage")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_total") === 6L)
+    assert(r.getAs[Long]("r_total") === 3L)
+    assert(r.getAs[Double]("t_stat") === 2.0)
+    assert(r.getAs[Double]("z") === 2.0)
+    assert(r.getAs[Double]("chi2") === 4.0)
+  }
+
+  test("q297 Mann-Kendall: a strictly increasing series has S = " +
+      "n(n-1)/2 and tau = 1") {
+    val orders = (0 to 3).map(t => ((t + 1).toLong, 1L, "O",
+      1000.0 * (t + 1), day(t), "1-URGENT"))
+    val dir = staged("mk")("orders" ->
+      orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val r = SparkEntry.queries("q297_mann_kendall")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("s_stat") === 6L)
+    assert(r.getAs[Double]("kendall_tau") === 1.0)
+    // no ties: Var = 4*3*13/18
+    assert(math.abs(r.getAs[Double]("var_s") - 26.0 / 3.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("z") - 5.0 / math.sqrt(26.0 / 3.0))
+      < 1e-5)
+  }
+
+  test("q298 unseen mass: Chao1 and Good-Turing from hand counts") {
+    // tokens "a a b c": V=3 N=4 F1=2 F2=1
+    // chao1 = 3 + 2*1/(2*2) = 3.5; gt = 2/4 = 0.5
+    val docs = Seq((1L, "a a b c", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("chao")("documents" -> docs)
+    val r = SparkEntry.queries("q298_unseen_mass")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("vocab") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("f1") === 2L)
+    assert(r.getAs[Long]("f2") === 1L)
+    assert(r.getAs[Double]("chao1") === 3.5)
+    assert(r.getAs[Double]("gt_unseen") === 0.5)
+  }
+
+  test("q299 Heaps fit: checkpoints are cumulative and the exponent " +
+      "is a plausible growth rate") {
+    val rows = SparkEntry.queries("q299_heaps_law")(
+      spark, "/root/testdata/sf0.001").orderBy("k").collect()
+    assert(rows.length === 10)
+    val nt = rows.map(_.getAs[Long]("n_tokens"))
+    val vb = rows.map(_.getAs[Long]("vocab"))
+    nt.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    vb.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    // the synthetic corpus draws from a ~31-word vocabulary, so the
+    // growth exponent legitimately saturates to 0 at every SF
+    val beta = rows.head.getAs[Double]("beta")
+    assert(beta >= 0.0 && beta <= 1.5)
+    assert(rows.map(_.getAs[Double]("beta")).distinct.length === 1)
+  }
+
+  test("q300 isotonic calibration: PAV pools a violator and " +
+      "preserves the weighted mean") {
+    // rates by discount level: 0.5, 0.0, 1.0 -> iso 0.25, 0.25, 1.0
+    def l(disc: Double, rf: String) = (disc, rf)
+    val li = Seq(l(0.00, "R"), l(0.00, "N"),
+      l(0.01, "N"), l(0.01, "N"),
+      l(0.02, "R"), l(0.02, "R")).toDF("l_discount", "l_returnflag")
+    val dir = staged("pav")("lineitem" -> li)
+    val out = SparkEntry.queries("q300_isotonic_calibration")(spark, dir)
+      .orderBy("discount_pct").collect()
+    assert(out.map(_.getAs[Double]("iso_rate")).toSeq ===
+      Seq(0.25, 0.25, 1.0))
+    assert(out.map(_.getAs[Double]("emp_rate")).toSeq ===
+      Seq(0.5, 0.0, 1.0))
+    // monotone + mass-preserving (both PAV invariants)
+    val iso = out.map(r =>
+      r.getAs[Double]("iso_rate") * r.getAs[Long]("n"))
+    assert(math.abs(iso.sum - 3.0) < 1e-9)
+  }
+
+  test("q301 Pareto frontier: dominated docs drop, incomparable docs " +
+      "both survive") {
+    val docs = Seq(
+      (1L, "x y", "en", "s1", 3L), // (1.0, 2) dominated by doc 4
+      (2L, "x x x y y z", "en", "s1", 11L), // (0.5, 6) survives
+      (3L, "p p", "en", "s1", 3L), // (0.5, 2) dominated by doc 2
+      (4L, "a b c", "en", "s1", 5L) // (1.0, 3) survives
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("sky")("documents" -> docs)
+    val ids = SparkEntry.queries("q301_pareto_frontier")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === Set(2L, 4L))
+  }
+
+  test("q302 Cox PH: Wald and score agree in sign and the hazard " +
+      "ratio is exp(beta)") {
+    val r = SparkEntry.queries("q302_cox_ph")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val beta = r.getAs[Double]("beta")
+    val hr = r.getAs[Double]("hazard_ratio")
+    assert(math.abs(hr - math.exp(beta)) < 1e-4)
+    assert(r.getAs[Double]("score_z").sign === beta.sign)
+    assert(r.getAs[Double]("wald_z").sign === beta.sign)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(r.getAs[Long]("dx_total") <= r.getAs[Long]("d_total"))
+  }
+
+  test("q303 Bradley-Terry: a source that wins every comparison " +
+      "takes all the rating mass") {
+    val docs = Seq(
+      (1L, "u v", "en", "srcA", 3L), (2L, "c d", "en", "srcA", 3L),
+      (3L, "w w", "en", "srcB", 3L), (4L, "z z", "en", "srcB", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("bt")("documents" -> docs)
+    val out = SparkEntry.queries("q303_bradley_terry")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[java.math.BigDecimal]("wins")
+      .longValueExact === 4L)
+    assert(out("srcA").getAs[java.math.BigDecimal]("losses")
+      .longValueExact === 0L)
+    assert(out("srcB").getAs[java.math.BigDecimal]("wins")
+      .longValueExact === 0L)
+    assert(out("srcA").getAs[Double]("rating") === 2.0)
+    assert(out("srcB").getAs[Double]("rating") === 0.0)
+  }
+
+  test("q304 RBO: bounded in [0,1] and jaccard consistent with the " +
+      "depth-20 overlap") {
+    val r = SparkEntry.queries("q304_rbo_overlap")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val ov = r.getAs[Long]("overlap_k")
+    assert(ov >= 0L && ov <= 20L)
+    val rbo = r.getAs[Double]("rbo")
+    assert(rbo >= 0.0 && rbo <= 1.0)
+    val j = ov.toDouble / (40.0 - ov.toDouble)
+    assert(math.abs(r.getAs[Double]("jaccard_k") - j) < 1e-5)
+  }
+
   test("q290 seasonal decomposition: additive identity holds on the " +
       "rounded output and exactly 10 anomalies emit") {
     val rows = SparkEntry.queries("q290_seasonal_decompose")(
