@@ -727,6 +727,106 @@ object Lifecycle {
        FROM tot, it0, s3, it3"""
   }
 
+  // --------------------------------------------------------------- q305
+  /** Restricted mean survival time (RMST, τ = 365 days) per
+    * experiment arm — the survival effect size clinicians actually
+    * report when q302's proportional-hazards assumption is in doubt:
+    * the area under each arm's Kaplan-Meier curve up to τ, i.e. the
+    * expected days survived in the first year. Shares
+    * [[eventTimeMargins]] with q266/q302; each arm's curve uses
+    * arm-local margins (days where only the OTHER arm has deaths
+    * contribute factor 1 — the divisor is floored inside the division
+    * per the ANSI/CSE rule). Survival snaps to the 9-dp grid (the
+    * q205 contract) before the interval terms, which quantize to
+    * 1e-6-unit LONGs so the cross-day sum is order-independent.
+    */
+  private def q305(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = 365L
+    val (byT, perArm) = eventTimeMargins(s, d)
+    val arms = byT.select(col("t"), lit(0L).as("arm"),
+        col("n1").as("n_r"), col("d1").as("dd"))
+      .unionByName(byT.select(col("t"), lit(1L).as("arm"),
+        (col("n") - col("n1")).as("n_r"),
+        (col("dt") - col("d1")).as("dd")))
+    val factor = lit(1.0) -
+      col("dd").cast("double") / greatest(col("n_r"), lit(1L))
+        .cast("double")
+    val wAsc = Window.partitionBy("arm").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val surv = arms.withColumn("f", factor)
+      .withColumn("s_after",
+        when(min(col("f")).over(wAsc) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("f"))).over(wAsc)), 9)))
+    val wLag = Window.partitionBy("arm").orderBy("t")
+    val terms = surv
+      .withColumn("t_prev", coalesce(lag(col("t"), 1).over(wLag),
+        lit(0L)))
+      .withColumn("s_prev", coalesce(lag(col("s_after"), 1).over(wLag),
+        lit(1.0)))
+      .withColumn("seg", col("s_prev") *
+        (least(col("t"), lit(tau)) - least(col("t_prev"), lit(tau)))
+          .cast("double"))
+    val tail = terms.groupBy("arm").agg(
+      max(col("t")).as("t_max"),
+      // s_after at t_max: t is unique per arm, so max_by is exact
+      max_by(col("s_after"), col("t")).as("s_last"))
+      .select(col("arm"), (col("s_last") *
+        (lit(tau) - least(col("t_max"), lit(tau))).cast("double"))
+        .as("tail_seg"))
+    val out = terms.groupBy("arm")
+      .agg(sum("dd").as("d_total"),
+        sum(floor(col("seg") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("su"))
+      .join(tail, Seq("arm"))
+      .select(col("arm"), col("d_total"),
+        round((col("su").cast("double") / lit(1e6)) +
+          floor(col("tail_seg") * lit(1e6) + lit(0.5)).cast("long")
+            .cast("double") / lit(1e6), 4).as("rmst_365"))
+      .orderBy("arm")
+      .localCheckpoint(true)
+    perArm.unpersist(blocking = false)
+    out
+  }
+
+  private val q305Sql =
+    s"""WITH $survivalMarginsCte,
+       arms AS (SELECT t, 0::BIGINT AS arm, n1 AS n_r, d1 AS dd
+                FROM byt
+                UNION ALL
+                SELECT t, 1::BIGINT, n - n1, dt - d1 FROM byt),
+       f AS (SELECT t, arm, dd,
+               1.0 - dd::DOUBLE / greatest(n_r, 1)::DOUBLE AS f
+             FROM arms),
+       surv AS (SELECT t, arm, dd,
+           CASE WHEN min(f) OVER w = 0.0 THEN 0.0
+                ELSE round(exp(sum(ln(f)) OVER w), 9) END AS s_after
+         FROM f
+         WINDOW w AS (PARTITION BY arm ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       terms AS (SELECT t, arm, dd,
+           coalesce(lag(t) OVER wl, 0) AS t_prev,
+           coalesce(lag(s_after) OVER wl, 1.0) AS s_prev,
+           s_after
+         FROM surv
+         WINDOW wl AS (PARTITION BY arm ORDER BY t)),
+       seg AS (SELECT arm, dd,
+           s_prev * (least(t, 365) - least(t_prev, 365))::DOUBLE AS seg,
+           t, s_after
+         FROM terms),
+       tl AS (SELECT arm,
+           max_by(s_after, t) * (365 - least(max(t), 365))::DOUBLE
+             AS tail_seg
+         FROM seg GROUP BY arm)
+       SELECT seg.arm, CAST(sum(dd) AS BIGINT) AS d_total,
+         round(CAST(sum(CAST(floor(seg * 1e6 + 0.5) AS BIGINT))
+             AS BIGINT)::DOUBLE / 1e6
+           + CAST(floor(any_value(tail_seg) * 1e6 + 0.5) AS BIGINT)
+             ::DOUBLE / 1e6, 4) AS rmst_365
+       FROM seg JOIN tl ON seg.arm = tl.arm
+       GROUP BY seg.arm
+       ORDER BY seg.arm"""
+
   // --------------------------------------------------------------- q265
   /** t-closeness audit — the third leg of the privacy trio (q193
     * k-anonymity: groups big enough; q210 l-diversity: sensitive
@@ -1593,7 +1693,8 @@ object Lifecycle {
     "q265_t_closeness" -> (q265 _),
     "q266_logrank" -> (q266 _),
     "q277_checkpoint_recovery" -> (q277 _),
-    "q302_cox_ph" -> (q302 _))
+    "q302_cox_ph" -> (q302 _),
+    "q305_rmst" -> (q305 _))
 
   val oracles: Map[String, String] = Map(
     "q259_late_data_audit" -> q259Sql,
@@ -1611,5 +1712,6 @@ object Lifecycle {
     "q265_t_closeness" -> q265Sql,
     "q266_logrank" -> q266Sql,
     "q277_checkpoint_recovery" -> q277Sql,
-    "q302_cox_ph" -> q302Sql)
+    "q302_cox_ph" -> q302Sql,
+    "q305_rmst" -> q305Sql)
 }

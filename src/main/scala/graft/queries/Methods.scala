@@ -1818,6 +1818,303 @@ object Methods {
        FROM agg"""
   }
 
+  // --------------------------------------------------------------- q306
+  /** Kneser–Ney bigram perplexity on a held-out split — the smoothing
+    * q138's interpolated trigram can't do: absolute discounting plus
+    * a CONTINUATION unigram (how many contexts a word completes, not
+    * how often it occurs — the fix for "Francisco" scoring high after
+    * anything). Fixed D = 0.75; docs hash-split 80/20 (salt "kn");
+    * P(w|v) = max(c(vw)−D,0)/c(v·) + λ(v)·P_cont(w) with λ(v) =
+    * D·N1+(v·)/c(v·), unseen contexts backing off to P_cont alone,
+    * and a 1e-10 floor for unseen continuations. All model tables
+    * are bigram-TYPE-bounded (vocab², never corpus); test log-probs
+    * quantize to 1e-9-unit LONGs before the one exact sum perplexity
+    * closes over.
+    */
+  private def q306(s: SparkSession, d: String): DataFrame = {
+    val dD = 0.75
+    val docs = Tables.documents(s, d)
+      .filter(size(graft.functions.TextFunctions.words(col("text"))) >= 2)
+      .withColumn("bkt", Sampling.hashBucket(col("doc_id"), "kn", 5))
+    val bt = graft.operators.Dedup.shingleRowsRaw(
+      docs.filter(col("bkt") < 4), "doc_id", "text", 2)
+    val bq = graft.operators.Dedup.shingleRowsRaw(
+      docs.filter(col("bkt") === 4), "doc_id", "text", 2)
+    val bc = bt.groupBy("s").agg(count(lit(1)).as("cb"))
+      .withColumn("v", substring_index(col("s"), " ", 1))
+      .withColumn("w", substring_index(col("s"), " ", -1))
+      .localCheckpoint(true)
+    val vm = bc.groupBy("v")
+      .agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
+    val wm = bc.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val btot = bc.agg(count(lit(1)).as("btypes"))
+    val te = bq
+      .withColumn("v", substring_index(col("s"), " ", 1))
+      .withColumn("w", substring_index(col("s"), " ", -1))
+      .join(bc.select("s", "cb"), Seq("s"), "left")
+      .join(vm, Seq("v"), "left")
+      .join(wm, Seq("w"), "left")
+      .crossJoin(broadcast(btot))
+    val pcw = coalesce(col("n1w").cast("double") /
+      col("btypes").cast("double"), lit(0.0))
+    val lam = when(col("cv").isNotNull,
+      lit(dD) * col("n1v").cast("double") / col("cv").cast("double"))
+      .otherwise(lit(1.0))
+    val pmax = coalesce(
+      greatest(col("cb").cast("double") - lit(dD), lit(0.0)) /
+        col("cv").cast("double"), lit(0.0))
+    val p = greatest(pmax + lam * pcw, lit(1e-10))
+    val agg = te.agg(
+      count(lit(1)).as("n_test"),
+      sum(when(col("cv").isNull, 1L).otherwise(0L)).as("oov_contexts"),
+      sum(when(col("cb").isNull, 1L).otherwise(0L)).as("unseen_bigrams"),
+      sum(floor(log(p) * lit(1e9) + lit(0.5)).cast("long")).as("lu"))
+      .crossJoin(broadcast(btot))
+    import graft.functions.Rounding.floorRound
+    val avgLp = (col("lu").cast("double") / lit(1e9)) /
+      safe(col("n_test").cast("double"))
+    agg.select(col("btypes"), col("n_test"), col("oov_contexts"),
+      col("unseen_bigrams"),
+      floorRound(avgLp, 6).as("avg_logprob"),
+      round(exp(-avgLp), 4).as("perplexity"))
+  }
+
+  private val q306Sql =
+    """WITH wa AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           ('0x' || substr(md5('kn' || doc_id::VARCHAR), 1, 15))
+             ::BIGINT % 5 AS bkt
+         FROM documents),
+       bt AS (SELECT unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS s
+              FROM wa WHERE len(w) >= 2 AND bkt < 4),
+       bq AS (SELECT unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS s
+              FROM wa WHERE len(w) >= 2 AND bkt = 4),
+       bc AS (SELECT s, CAST(count(*) AS BIGINT) AS cb,
+                split_part(s, ' ', 1) AS v, split_part(s, ' ', 2) AS w
+              FROM bt GROUP BY s),
+       vm AS (SELECT v, CAST(sum(cb) AS BIGINT) AS cv,
+                CAST(count(*) AS BIGINT) AS n1v
+              FROM bc GROUP BY v),
+       wm AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w
+              FROM bc GROUP BY w),
+       btot AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bc),
+       te AS (SELECT q.s, split_part(q.s, ' ', 1) AS v,
+                split_part(q.s, ' ', 2) AS w,
+                bc.cb, vm.cv, vm.n1v, wm.n1w, btot.btypes
+              FROM bq q
+              LEFT JOIN bc ON bc.s = q.s
+              LEFT JOIN vm ON vm.v = split_part(q.s, ' ', 1)
+              LEFT JOIN wm ON wm.w = split_part(q.s, ' ', 2)
+              CROSS JOIN btot),
+       pr AS (SELECT *,
+                greatest(
+                  coalesce(greatest(cb::DOUBLE - 0.75, 0.0)
+                    / cv::DOUBLE, 0.0)
+                  + (CASE WHEN cv IS NOT NULL
+                       THEN 0.75 * n1v::DOUBLE / cv::DOUBLE
+                       ELSE 1.0 END)
+                    * coalesce(n1w::DOUBLE / btypes::DOUBLE, 0.0),
+                  1e-10) AS p
+              FROM te),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                 CAST(sum(CASE WHEN cv IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS oov_contexts,
+                 CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS unseen_bigrams,
+                 CAST(sum(CAST(floor(ln(p) * 1e9 + 0.5) AS BIGINT))
+                   AS BIGINT) AS lu,
+                 any_value(btypes) AS btypes
+               FROM pr)
+       SELECT btypes, n_test, oov_contexts, unseen_bigrams,
+         floor(((lu::DOUBLE / 1e9)
+           / greatest(n_test::DOUBLE, 1e-12)) * 1e6 + 0.5) / 1e6
+           AS avg_logprob,
+         round(exp(-((lu::DOUBLE / 1e9)
+           / greatest(n_test::DOUBLE, 1e-12))), 4) AS perplexity
+       FROM agg"""
+
+  // --------------------------------------------------------------- q307
+  /** Leave-one-source-out influence — which source MOVES the corpus
+    * quality metric? For each source: the corpus mean distinct-token
+    * ratio with that source removed, computed from the grand totals
+    * minus the source totals (N−1 "jackknife over sources" — no
+    * N-fold recompute, ONE corpus aggregation). Influence = overall −
+    * without, in 1e-6 ratio units: positive means the source props
+    * the metric UP. The per-source table is sources-bounded; every
+    * division is fixed-shape over exact LONG sums.
+    */
+  private def q307(s: SparkSession, d: String): DataFrame = {
+    val arr = graft.functions.TextFunctions.words(col("text"))
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        floor(size(array_distinct(arr)).cast("double") * 1e6 /
+          size(arr).cast("double")).cast("long").as("su"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("su").as("tsu"))
+    val tot = per.agg(sum("n_docs").as("n"), sum("tsu").as("t"))
+    import graft.functions.Rounding.floorRound
+    val overall = col("t").cast("double") / col("n").cast("double")
+    val loso = (col("t") - col("tsu")).cast("double") /
+      safe((col("n") - col("n_docs")).cast("double"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("tsu").cast("double") /
+          col("n_docs").cast("double") / lit(1e6), 6).as("src_mean"),
+        round(overall / lit(1e6), 6).as("overall_mean"),
+        round(loso / lit(1e6), 6).as("loso_mean"),
+        floorRound((overall - loso) / lit(1e6), 6).as("influence"))
+      .orderBy(col("influence").desc, col("source"))
+  }
+
+  private val q307Sql =
+    """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor(len(list_distinct(arr))::DOUBLE * 1e6
+             / len(arr)::DOUBLE) AS BIGINT)) AS BIGINT) AS tsu
+         FROM (SELECT source,
+                 regexp_split_to_array(trim(text), '\s+') AS arr
+               FROM documents)
+         GROUP BY source),
+       tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+                 CAST(sum(tsu) AS BIGINT) AS t FROM per)
+       SELECT source, n_docs,
+         round(tsu::DOUBLE / n_docs::DOUBLE / 1e6, 6) AS src_mean,
+         round(t::DOUBLE / n::DOUBLE / 1e6, 6) AS overall_mean,
+         round((t - tsu)::DOUBLE
+           / greatest((n - n_docs)::DOUBLE, 1e-12) / 1e6, 6)
+           AS loso_mean,
+         floor((t::DOUBLE / n::DOUBLE
+             - (t - tsu)::DOUBLE
+               / greatest((n - n_docs)::DOUBLE, 1e-12)) / 1e6
+           * 1e6 + 0.5) / 1e6 AS influence
+       FROM per, tot
+       ORDER BY influence DESC, source"""
+
+  // --------------------------------------------------------------- q308
+  /** Linear CKA between the embedding space and its 1-bit sign
+    * quantization — the representation-similarity readout that says
+    * how much geometry binarization keeps (q79 measures storage,
+    * q218 measures retrieval recall; CKA measures the SPACE):
+    * CKA = ‖C_xy‖²_F / (‖C_xx‖_F·‖C_yy‖_F) over the d×d cross-
+    * covariance matrices. The feature-space form needs only d² moment
+    * sums — ONE corpus pass with a d² per-row fan-out (two chained
+    * posexplodes over the zipped arrays, no self-join, no n×n Gram
+    * matrix ever materializes), so the cost is rows·d², linear in the
+    * corpus. Per-row product terms quantize to 1e-6-unit LONGs and
+    * the per-cell squared deviations to 1e-12 — all sums exact and
+    * order-independent.
+    */
+  private def q308(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(
+      arrays_zip(
+        col("embedding").cast("array<double>").as("x"),
+        transform(col("embedding"),
+          v => signum(v.cast("double"))).as("y")).as("xy"))
+    val f = base.select(col("xy"), posexplode(col("xy")))
+      .select(col("xy"), col("pos").as("i"),
+        col("col.x").as("xi"), col("col.y").as("yi"))
+    val pr = f.select(col("i"), col("xi"), col("yi"),
+        posexplode(col("xy")))
+      .select(col("i"), col("xi"), col("yi"), col("pos").as("j"),
+        col("col.x").as("xj"), col("col.y").as("yj"))
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val pm = pr.groupBy("i", "j").agg(
+      sum(q6(col("xi") * col("xj"))).as("sxxu"),
+      sum(q6(col("xi") * col("yj"))).as("sxyu"),
+      sum(q6(col("yi") * col("yj"))).as("syyu"))
+    val marg = f.groupBy("i").agg(
+      sum(q6(col("xi"))).as("sxu"), sum(q6(col("yi"))).as("syu"))
+    val nn = base.agg(count(lit(1)).as("n"),
+      max(size(col("xy"))).as("dim"))
+    val nD = col("n").cast("double")
+    def u(c: Column) = c.cast("double") / lit(1e6)
+    val joined = pm
+      .join(broadcast(marg.select(col("i"), col("sxu").as("sxi"),
+        col("syu").as("syi"))), Seq("i"))
+      .join(broadcast(marg.select(col("i").as("j"),
+        col("sxu").as("sxj"), col("syu").as("syj"))), Seq("j"))
+      .crossJoin(broadcast(nn))
+    val cxx = u(col("sxxu")) / nD -
+      (u(col("sxi")) / nD) * (u(col("sxj")) / nD)
+    val cxy = u(col("sxyu")) / nD -
+      (u(col("sxi")) / nD) * (u(col("syj")) / nD)
+    val cyy = u(col("syyu")) / nD -
+      (u(col("syi")) / nD) * (u(col("syj")) / nD)
+    def q12(c: Column) = floor(c * lit(1e12) + lit(0.5)).cast("long")
+    val norms = joined.agg(
+      first(col("n")).as("n"), first(col("dim")).as("dim"),
+      sum(q12(cxx * cxx)).as("nxx"),
+      sum(q12(cxy * cxy)).as("nxy"),
+      sum(q12(cyy * cyy)).as("nyy"))
+    def root(c: Column) = sqrt(c.cast("double") / lit(1e12))
+    norms.select(col("n"), col("dim").cast("long").as("dim"),
+      round(root(col("nxx")), 6).as("fro_xx"),
+      round(root(col("nyy")), 6).as("fro_yy"),
+      round(root(col("nxy")), 6).as("fro_xy"),
+      round((col("nxy").cast("double") / lit(1e12)) /
+        safe(root(col("nxx")) * root(col("nyy"))), 6).as("cka_linear"))
+  }
+
+  private val q308Sql =
+    """WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+       f0 AS (SELECT vec_id, unnest(range(0, len(x))) AS i, x FROM e),
+       f AS (SELECT vec_id, i, x[i + 1]::DOUBLE AS xi,
+               sign(x[i + 1]::DOUBLE) AS yi, x
+             FROM f0),
+       p0 AS (SELECT i, xi, yi, unnest(range(0, len(x))) AS j, x
+              FROM f),
+       pr AS (SELECT i, j, xi, yi, x[j + 1]::DOUBLE AS xj,
+                sign(x[j + 1]::DOUBLE) AS yj
+              FROM p0),
+       pm AS (SELECT i, j,
+           CAST(sum(CAST(floor(xi * xj * 1e6 + 0.5) AS BIGINT))
+             AS BIGINT) AS sxxu,
+           CAST(sum(CAST(floor(xi * yj * 1e6 + 0.5) AS BIGINT))
+             AS BIGINT) AS sxyu,
+           CAST(sum(CAST(floor(yi * yj * 1e6 + 0.5) AS BIGINT))
+             AS BIGINT) AS syyu
+         FROM pr GROUP BY i, j),
+       marg AS (SELECT i,
+           CAST(sum(CAST(floor(xi * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sxu,
+           CAST(sum(CAST(floor(yi * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS syu
+         FROM f GROUP BY i),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(max(len(x)) AS BIGINT) AS dim FROM e),
+       c AS (SELECT
+           (pm.sxxu::DOUBLE / 1e6) / n::DOUBLE
+             - ((mi.sxu::DOUBLE / 1e6) / n::DOUBLE)
+               * ((mj.sxu::DOUBLE / 1e6) / n::DOUBLE) AS cxx,
+           (pm.sxyu::DOUBLE / 1e6) / n::DOUBLE
+             - ((mi.sxu::DOUBLE / 1e6) / n::DOUBLE)
+               * ((mj.syu::DOUBLE / 1e6) / n::DOUBLE) AS cxy,
+           (pm.syyu::DOUBLE / 1e6) / n::DOUBLE
+             - ((mi.syu::DOUBLE / 1e6) / n::DOUBLE)
+               * ((mj.syu::DOUBLE / 1e6) / n::DOUBLE) AS cyy,
+           n, dim
+         FROM pm
+         JOIN marg mi ON mi.i = pm.i
+         JOIN marg mj ON mj.i = pm.j
+         CROSS JOIN nn),
+       nrm AS (SELECT any_value(n) AS n, any_value(dim) AS dim,
+           CAST(sum(CAST(floor(cxx * cxx * 1e12 + 0.5) AS BIGINT))
+             AS BIGINT) AS nxx,
+           CAST(sum(CAST(floor(cxy * cxy * 1e12 + 0.5) AS BIGINT))
+             AS BIGINT) AS nxy,
+           CAST(sum(CAST(floor(cyy * cyy * 1e12 + 0.5) AS BIGINT))
+             AS BIGINT) AS nyy
+         FROM c)
+       SELECT n, dim,
+         round(sqrt(nxx::DOUBLE / 1e12), 6) AS fro_xx,
+         round(sqrt(nyy::DOUBLE / 1e12), 6) AS fro_yy,
+         round(sqrt(nxy::DOUBLE / 1e12), 6) AS fro_xy,
+         round((nxy::DOUBLE / 1e12)
+           / greatest(sqrt(nxx::DOUBLE / 1e12)
+               * sqrt(nyy::DOUBLE / 1e12), 1e-12), 6) AS cka_linear
+       FROM nrm"""
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q281_mcnemar" -> (q281 _),
@@ -1841,7 +2138,10 @@ object Methods {
     "q300_isotonic_calibration" -> (q300 _),
     "q301_pareto_frontier" -> (q301 _),
     "q303_bradley_terry" -> (q303 _),
-    "q304_rbo_overlap" -> (q304 _))
+    "q304_rbo_overlap" -> (q304 _),
+    "q306_kneser_ney" -> (q306 _),
+    "q307_loso_influence" -> (q307 _),
+    "q308_cka_quantization" -> (q308 _))
 
   val oracles: Map[String, String] = Map(
     "q281_mcnemar" -> q281Sql,
@@ -1865,5 +2165,8 @@ object Methods {
     "q300_isotonic_calibration" -> q300Sql,
     "q301_pareto_frontier" -> q301Sql,
     "q303_bradley_terry" -> q303Sql,
-    "q304_rbo_overlap" -> q304Sql)
+    "q304_rbo_overlap" -> q304Sql,
+    "q306_kneser_ney" -> q306Sql,
+    "q307_loso_influence" -> q307Sql,
+    "q308_cka_quantization" -> q308Sql)
 }

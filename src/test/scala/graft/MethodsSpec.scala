@@ -324,6 +324,67 @@ class MethodsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("jaccard_k") - j) < 1e-5)
   }
 
+  test("q305 RMST: bounded by tau, and total deaths reconcile with " +
+      "the log-rank margins") {
+    val rows = SparkEntry.queries("q305_rmst")(
+      spark, "/root/testdata/sf0.001").orderBy("arm").collect()
+    assert(rows.map(_.getAs[Long]("arm")).toSeq === Seq(0L, 1L))
+    rows.foreach { r =>
+      val rmst = r.getAs[Double]("rmst_365")
+      assert(rmst > 0.0 && rmst <= 365.0)
+    }
+    val lr = SparkEntry.queries("q266_logrank")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(rows.map(_.getAs[Long]("d_total")).sum ===
+      lr.getAs[Long]("o1") + lr.getAs[Long]("o2"))
+  }
+
+  test("q306 Kneser-Ney: perplexity closes over avg_logprob and " +
+      "OOV contexts are a subset of unseen bigrams") {
+    val r = SparkEntry.queries("q306_kneser_ney")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(r.getAs[Long]("btypes") > 0L)
+    assert(r.getAs[Long]("n_test") > 0L)
+    assert(r.getAs[Long]("oov_contexts") <=
+      r.getAs[Long]("unseen_bigrams"))
+    val avg = r.getAs[Double]("avg_logprob")
+    assert(avg < 0.0)
+    assert(math.abs(r.getAs[Double]("perplexity") - math.exp(-avg))
+      < 1e-2)
+  }
+
+  test("q307 LOSO influence: a two-source corpus splits influence " +
+      "antisymmetrically around the overall mean") {
+    val docs = Seq(
+      (1L, "a b", "en", "srcA", 3L), // ratio 1.0
+      (2L, "c c", "en", "srcB", 3L) // ratio 0.5
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("loso")("documents" -> docs)
+    val out = SparkEntry.queries("q307_loso_influence")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Double]("overall_mean") === 0.75)
+    assert(out("srcA").getAs[Double]("loso_mean") === 0.5)
+    assert(out("srcA").getAs[Double]("influence") === 0.25)
+    assert(out("srcB").getAs[Double]("loso_mean") === 1.0)
+    assert(out("srcB").getAs[Double]("influence") === -0.25)
+  }
+
+  test("q308 CKA: a +-1-valued embedding equals its own sign " +
+      "quantization, so CKA is exactly 1") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 1.0f)),
+      (2L, 0, Array(1.0f, -1.0f)),
+      (3L, 0, Array(-1.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val dir = staged("cka")("embeddings" -> emb)
+    val r = SparkEntry.queries("q308_cka_quantization")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("dim") === 2L)
+    assert(r.getAs[Double]("cka_linear") === 1.0)
+    assert(r.getAs[Double]("fro_xx") === r.getAs[Double]("fro_yy"))
+  }
+
   test("q290 seasonal decomposition: additive identity holds on the " +
       "rounded output and exactly 10 anomalies emit") {
     val rows = SparkEntry.queries("q290_seasonal_decompose")(
