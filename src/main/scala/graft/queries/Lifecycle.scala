@@ -743,7 +743,12 @@ object Lifecycle {
   private def q305(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = 365L
-    val (byT, perArm) = eventTimeMargins(s, d)
+    val (byT0, perArm) = eventTimeMargins(s, d)
+    // the margins table is day-cardinality but feeds FOUR plan branches
+    // (two union arms × the terms/tail split) — checkpoint it once so
+    // the corpus collapse runs once, not four times
+    val byT = byT0.localCheckpoint(true)
+    perArm.unpersist(blocking = false)
     val arms = byT.select(col("t"), lit(0L).as("arm"),
         col("n1").as("n_r"), col("d1").as("dd"))
       .unionByName(byT.select(col("t"), lit(1L).as("arm"),
@@ -767,6 +772,7 @@ object Lifecycle {
       .withColumn("seg", col("s_prev") *
         (least(col("t"), lit(tau)) - least(col("t_prev"), lit(tau)))
           .cast("double"))
+      .localCheckpoint(true)
     val tail = terms.groupBy("arm").agg(
       max(col("t")).as("t_max"),
       // s_after at t_max: t is unique per arm, so max_by is exact
@@ -784,8 +790,6 @@ object Lifecycle {
           floor(col("tail_seg") * lit(1e6) + lit(0.5)).cast("long")
             .cast("double") / lit(1e6), 4).as("rmst_365"))
       .orderBy("arm")
-      .localCheckpoint(true)
-    perArm.unpersist(blocking = false)
     out
   }
 

@@ -72,7 +72,12 @@ object ScaleRehearsal {
     // family with no measured 10× ratio — NDCG (BM25 kernel re-run),
     // weighted quantiles, BPE fertility, t-closeness, log-rank
     "q248_ndcg", "q254_weighted_quantiles", "q260_tokenizer_fertility",
-    "q265_t_closeness", "q266_logrank")
+    "q265_t_closeness", "q266_logrank",
+    // round-10 session additions: the q36-kernel dedup-discounted mix,
+    // the class-grid Bradley-Terry, the Kneser-Ney bigram model, the
+    // Heaps two-pass token aggregations, and the d² CKA fan-out
+    "q291_dedup_discounted_mix", "q303_bradley_terry",
+    "q306_kneser_ney", "q299_heaps_law", "q308_cka_quantization")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
