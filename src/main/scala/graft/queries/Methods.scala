@@ -2115,6 +2115,183 @@ object Methods {
                * sqrt(nyy::DOUBLE / 1e12), 1e-12), 6) AS cka_linear
        FROM nrm"""
 
+  // --------------------------------------------------------------- q309
+  /** Greedy coverage selection (facility-location-lite) — the
+    * submodular data-selection step behind "pick the K docs that
+    * teach the most": each round takes the document covering the most
+    * NOT-YET-COVERED vocabulary (count desc, doc_id asc ties), the
+    * classic 1−1/e-approximate maximizer. Per round: one anti-join
+    * against the covered set + one argmax (a 1-row collect — the
+    * reference's own loop shape); the (doc, word) pair table persists
+    * across rounds and the covered set localCheckpoints so plan depth
+    * stays constant. Rounds stop early once coverage is total — the
+    * oracle's empty-pick CTEs agree.
+    */
+  private def q309(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text")))
+          .as("w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vtot = dw.select("w").distinct().count()
+    var covered = dw.select("w").filter(lit(false)).localCheckpoint(true)
+    val picks = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Long, Long)]
+    var k = 1
+    var done = false
+    while (k <= 10 && !done) {
+      val top = dw.join(covered, Seq("w"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("doc_id")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val doc = top(0).getLong(0)
+        val g = top(0).getLong(1)
+        covered = covered
+          .unionByName(dw.filter(col("doc_id") === doc).select("w"))
+          .distinct().localCheckpoint(true)
+        picks += ((k.toLong, doc, g, covered.count()))
+        k += 1
+      }
+    }
+    dw.unpersist(blocking = false)
+    picks.toSeq.toDF("round", "doc_id", "gain", "covered_words")
+      .withColumn("coverage",
+        round(col("covered_words").cast("double") /
+          lit(vtot.toDouble), 6))
+      .orderBy("round")
+  }
+
+  private val q309Sql = {
+    // one greedy round: pick the max-marginal-gain doc given the
+    // covered-words CTE, then extend coverage INCREMENTALLY. Every
+    // CTE is MATERIALIZED — the c_k chain is referenced twice per
+    // round, so an inlining planner would expand it 2^k times (and
+    // run out of parquet file handles re-scanning dw)
+    def pick(k: Int) = {
+      val uncovered =
+        if (k == 1) ""
+        else s" WHERE w NOT IN (SELECT w FROM c${k - 1})"
+      val newWords =
+        s"""SELECT DISTINCT w FROM dw
+            WHERE doc_id IN (SELECT doc_id FROM p$k)"""
+      val cover =
+        if (k == 1) newWords
+        else s"SELECT w FROM c${k - 1} UNION $newWords"
+      s"""p$k AS MATERIALIZED (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS g
+             FROM dw$uncovered
+             GROUP BY doc_id ORDER BY g DESC, doc_id LIMIT 1),
+         c$k AS MATERIALIZED ($cover)"""
+    }
+    val rounds = (1 to 10).map(pick).mkString(",\n       ")
+    val sel = (1 to 10).map { k =>
+      s"""SELECT $k::BIGINT AS round, doc_id, g AS gain,
+           (SELECT CAST(count(*) AS BIGINT) FROM c$k) AS covered_words,
+           round((SELECT count(*) FROM c$k)::DOUBLE
+             / (SELECT v FROM vt)::DOUBLE, 6) AS coverage
+         FROM p$k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH dw AS MATERIALIZED (SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents),
+       vt AS MATERIALIZED (SELECT count(DISTINCT w)::DOUBLE AS v
+         FROM dw),
+       $rounds
+       SELECT * FROM ($sel) ORDER BY round"""
+  }
+
+  // --------------------------------------------------------------- q310
+  /** Self-normalized inverse-propensity off-policy evaluation (SNIPS)
+    * — "what WOULD the reward have been under a different policy",
+    * answered from logged data alone (the question behind every
+    * recommender/agent change that can't A/B): per user segment
+    * (user_id mod 4), the target policy plays the action with the
+    * highest TRAIN total reward; test events are importance-weighted
+    * by K·1{action = π(s)} under the uniform-logging assumption
+    * (documented synthetic propensity — the data has no logged one).
+    * Rewards are exact value-cents LONGs; IPS/SNIPS close over exact
+    * matched sums in fixed shape. Events hash-split 80/20 (salt
+    * "ips"); the policy table is segments×actions-bounded.
+    */
+  private def q310(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(pmod(col("user_id"), lit(4L)).as("seg"),
+        col("event_type").as("a"),
+        round(coalesce(col("value"), lit(0.0)) * 100, 0).cast("long")
+          .as("rc"),
+        (Sampling.hashBucket(col("event_id"), "ips", 5) < 4)
+          .as("is_train"))
+    val pol = ev.filter(col("is_train"))
+      .groupBy("seg", "a").agg(sum("rc").as("tr"))
+    val wPick = Window.partitionBy("seg")
+      .orderBy(col("tr").desc, col("a").asc)
+    val pi = pol.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("seg"), col("a").as("pi_a"))
+    val kDf = ev.filter(col("is_train")).agg(
+      countDistinct(col("a")).as("k"))
+    val test = ev.filter(!col("is_train"))
+      .join(broadcast(pi), Seq("seg"))
+      .crossJoin(broadcast(kDf))
+    val agg = test.groupBy("seg")
+      .agg(count(lit(1)).as("n_test"),
+        sum("rc").as("r_all"),
+        sum(when(col("a") === col("pi_a"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("a") === col("pi_a"), col("rc")).otherwise(0L))
+          .as("r_matched"),
+        first(col("k")).as("k"),
+        first(col("pi_a")).as("pi_a"))
+    val nD = col("n_test").cast("double")
+    val kD = col("k").cast("double")
+    agg.select(col("seg"), col("pi_a"), col("n_test"),
+        col("n_matched"),
+        round(col("r_all").cast("double") / lit(100.0) / nD, 6)
+          .as("behavior_value"),
+        round(col("r_matched").cast("double") / lit(100.0) * kD / nD, 6)
+          .as("ips_value"),
+        round(col("r_matched").cast("double") / lit(100.0) /
+          safe(col("n_matched").cast("double")), 6).as("snips_value"))
+      .orderBy("seg")
+  }
+
+  private val q310Sql =
+    """WITH ev AS (SELECT user_id % 4 AS seg, event_type AS a,
+           CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS rc,
+           (('0x' || substr(md5('ips' || event_id::VARCHAR), 1, 15))
+             ::BIGINT % 5 < 4) AS is_train
+         FROM events),
+       pol AS (SELECT seg, a, CAST(sum(rc) AS BIGINT) AS tr
+               FROM ev WHERE is_train GROUP BY seg, a),
+       pi AS (SELECT seg, a AS pi_a FROM (
+                SELECT seg, a, row_number() OVER (PARTITION BY seg
+                  ORDER BY tr DESC, a ASC) AS rk
+                FROM pol) WHERE rk = 1),
+       kk AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS k
+              FROM ev WHERE is_train),
+       agg AS (SELECT seg, any_value(pi_a) AS pi_a,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(rc) AS BIGINT) AS r_all,
+           CAST(sum(CASE WHEN a = pi_a THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(sum(CASE WHEN a = pi_a THEN rc ELSE 0 END) AS BIGINT)
+             AS r_matched,
+           any_value(k) AS k
+         FROM ev JOIN pi USING (seg) CROSS JOIN kk
+         WHERE NOT is_train GROUP BY seg)
+       SELECT seg, pi_a, n_test, n_matched,
+         round(r_all::DOUBLE / 100.0 / n_test::DOUBLE, 6)
+           AS behavior_value,
+         round(r_matched::DOUBLE / 100.0 * k::DOUBLE / n_test::DOUBLE,
+           6) AS ips_value,
+         round(r_matched::DOUBLE / 100.0
+           / greatest(n_matched::DOUBLE, 1e-12), 6) AS snips_value
+       FROM agg ORDER BY seg"""
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q281_mcnemar" -> (q281 _),
@@ -2141,7 +2318,9 @@ object Methods {
     "q304_rbo_overlap" -> (q304 _),
     "q306_kneser_ney" -> (q306 _),
     "q307_loso_influence" -> (q307 _),
-    "q308_cka_quantization" -> (q308 _))
+    "q308_cka_quantization" -> (q308 _),
+    "q309_greedy_coverage" -> (q309 _),
+    "q310_snips_offpolicy" -> (q310 _))
 
   val oracles: Map[String, String] = Map(
     "q281_mcnemar" -> q281Sql,
@@ -2168,5 +2347,7 @@ object Methods {
     "q304_rbo_overlap" -> q304Sql,
     "q306_kneser_ney" -> q306Sql,
     "q307_loso_influence" -> q307Sql,
-    "q308_cka_quantization" -> q308Sql)
+    "q308_cka_quantization" -> q308Sql,
+    "q309_greedy_coverage" -> q309Sql,
+    "q310_snips_offpolicy" -> q310Sql)
 }

@@ -385,6 +385,49 @@ class MethodsSpec extends SparkSpec {
     assert(r.getAs[Double]("fro_xx") === r.getAs[Double]("fro_yy"))
   }
 
+  test("q309 greedy coverage: marginal gains, early stop, and the " +
+      "doc_id tie-break on a hand corpus") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1", 7L),
+      (2L, "c d e", "en", "s1", 5L),
+      (3L, "e f", "en", "s1", 3L),
+      (4L, "a b", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("greedy")("documents" -> docs)
+    val out = SparkEntry.queries("q309_greedy_coverage")(spark, dir)
+      .orderBy("round").collect()
+    // round 1: doc 1 covers 4 of 6; round 2: doc 3 adds {e, f};
+    // round 3: every remaining doc has gain 0 -> stop at 2 rows
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("doc_id") === 1L)
+    assert(out(0).getAs[Long]("gain") === 4L)
+    assert(out(1).getAs[Long]("doc_id") === 3L)
+    assert(out(1).getAs[Long]("gain") === 2L)
+    assert(out(1).getAs[Long]("covered_words") === 6L)
+    assert(out(1).getAs[Double]("coverage") === 1.0)
+  }
+
+  test("q310 SNIPS: IPS and SNIPS reconcile through the matched " +
+      "count and the uniform-propensity K") {
+    val rows = SparkEntry.queries("q310_snips_offpolicy")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nT = r.getAs[Long]("n_test").toDouble
+      val nM = r.getAs[Long]("n_matched").toDouble
+      assert(nM <= nT)
+      val ips = r.getAs[Double]("ips_value")
+      val snips = r.getAs[Double]("snips_value")
+      assert(snips >= 0.0)
+      // ips = snips * n_matched * K / n_test (K = distinct train
+      // actions; recover K from the identity, must be a near-integer)
+      if (nM > 0 && snips > 0) {
+        val k = ips * nT / (snips * nM)
+        assert(math.abs(k - math.round(k)) < 0.01)
+      }
+    }
+  }
+
   test("q290 seasonal decomposition: additive identity holds on the " +
       "rounded output and exactly 10 anomalies emit") {
     val rows = SparkEntry.queries("q290_seasonal_decompose")(
