@@ -2292,6 +2292,119 @@ object Methods {
            / greatest(n_matched::DOUBLE, 1e-12), 6) AS snips_value
        FROM agg ORDER BY seg"""
 
+  // --------------------------------------------------------------- q311
+  /** Covariate-matched treatment effect (1-NN caliper matching) — the
+    * causal estimate q120's raw arm difference can't give when arms
+    * differ on a confounder: each treated customer matches its
+    * nearest control by account balance within a ±$100 caliper
+    * (with replacement), ATT = mean matched outcome gap. The match is
+    * a BUCKETED candidate join, not a sort or an all-pairs: controls
+    * replicate to their caliper-width bucket ±1 (3× the control rows,
+    * fixed), so every in-caliper candidate co-locates with its
+    * treated bucket and the argmin runs per treated key — total order
+    * (|Δbal|, control bal, control key). Worst case is a covariate
+    * concentrated in one caliper width (degenerates toward n² like
+    * any range join — the q50 caveat); outcomes are exact revenue
+    * cents. The naive unmatched difference is reported next to the
+    * ATT — the gap IS the confounding.
+    */
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    val cal = 10000L // caliper in balance cents
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"),
+        (Sampling.hashBucket(col("c_custkey"), "att", 2) === 0)
+          .as("treated"))
+    val rev = Tables.orders(s, d)
+      .select(col("o_custkey").as("key"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("rc"))
+      .groupBy("key").agg(sum("rc").as("yc"))
+    val base = cust.join(rev, Seq("key"), "left")
+      .na.fill(0L, Seq("yc"))
+      .withColumn("b", floor(col("bal").cast("double") /
+        lit(cal.toDouble)).cast("long"))
+      .localCheckpoint(true)
+    val treatedDf = base.filter(col("treated"))
+      .select(col("key").as("tk"), col("bal").as("tb"),
+        col("yc").as("ty"), col("b"))
+    val ctl = base.filter(!col("treated"))
+      .select(col("key").as("ck"), col("bal").as("cb"),
+        col("yc").as("cy"), col("b"))
+    val ctlRep = ctl.select(col("ck"), col("cb"), col("cy"),
+        explode(array(col("b") - 1L, col("b"), col("b") + 1L)).as("b"))
+    val cand = treatedDf.join(ctlRep, Seq("b"))
+      .withColumn("dist", abs(col("cb") - col("tb")))
+      .filter(col("dist") <= cal)
+    val wBest = Window.partitionBy("tk")
+      .orderBy(col("dist").asc, col("cb").asc, col("ck").asc)
+    val matched = cand.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+    val naive = base.agg(
+      sum(when(col("treated"), col("yc")).otherwise(0L)).as("syt"),
+      sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("treated"), col("yc")).otherwise(0L)).as("syc"),
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"))
+    val att = matched.agg(count(lit(1)).as("n_matched"),
+      sum(col("ty") - col("cy")).as("gap"))
+    import graft.functions.Rounding.floorRound
+    att.crossJoin(broadcast(naive))
+      .select(col("nt").as("n_treated"), col("nc").as("n_control"),
+        col("n_matched"),
+        floorRound(col("syt").cast("double") /
+            safe(col("nt").cast("double")) / lit(100.0) -
+          col("syc").cast("double") /
+            safe(col("nc").cast("double")) / lit(100.0), 6)
+          .as("naive_diff"),
+        floorRound(col("gap").cast("double") /
+          safe(col("n_matched").cast("double")) / lit(100.0), 6)
+          .as("att"))
+  }
+
+  private val q311Sql =
+    """WITH cust AS (SELECT c_custkey AS key,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+           (('0x' || substr(md5('att' || c_custkey::VARCHAR), 1, 15))
+             ::BIGINT % 2 = 0) AS treated
+         FROM customer),
+       rev AS (SELECT o_custkey AS key,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS yc
+         FROM orders GROUP BY o_custkey),
+       base AS (SELECT cust.key, bal, treated, coalesce(rev.yc, 0)
+                  AS yc
+                FROM cust LEFT JOIN rev ON cust.key = rev.key),
+       t AS (SELECT key AS tk, bal AS tb, yc AS ty FROM base
+             WHERE treated),
+       c AS (SELECT key AS ck, bal AS cb, yc AS cy FROM base
+             WHERE NOT treated),
+       cand AS (SELECT tk, ty, ck, cb, cy, abs(cb - tb) AS dist
+                FROM t JOIN c ON abs(c.cb - t.tb) <= 10000),
+       best AS (SELECT * FROM (
+                  SELECT tk, ty, cy, row_number() OVER (
+                    PARTITION BY tk
+                    ORDER BY dist ASC, cb ASC, ck ASC) AS rk
+                  FROM cand) WHERE rk = 1),
+       naive AS (SELECT
+           CAST(sum(CASE WHEN treated THEN yc ELSE 0 END) AS BIGINT)
+             AS syt,
+           CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+             AS nt,
+           CAST(sum(CASE WHEN NOT treated THEN yc ELSE 0 END)
+             AS BIGINT) AS syc,
+           CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+             AS BIGINT) AS nc
+         FROM base),
+       att AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                 CAST(sum(ty - cy) AS BIGINT) AS gap
+               FROM best)
+       SELECT nt AS n_treated, nc AS n_control, n_matched,
+         floor((syt::DOUBLE / greatest(nt::DOUBLE, 1e-12) / 100.0
+             - syc::DOUBLE / greatest(nc::DOUBLE, 1e-12) / 100.0)
+           * 1e6 + 0.5) / 1e6 AS naive_diff,
+         floor((gap::DOUBLE / greatest(n_matched::DOUBLE, 1e-12)
+             / 100.0) * 1e6 + 0.5) / 1e6 AS att
+       FROM att, naive"""
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q281_mcnemar" -> (q281 _),
@@ -2320,7 +2433,8 @@ object Methods {
     "q307_loso_influence" -> (q307 _),
     "q308_cka_quantization" -> (q308 _),
     "q309_greedy_coverage" -> (q309 _),
-    "q310_snips_offpolicy" -> (q310 _))
+    "q310_snips_offpolicy" -> (q310 _),
+    "q311_caliper_matching" -> (q311 _))
 
   val oracles: Map[String, String] = Map(
     "q281_mcnemar" -> q281Sql,
@@ -2349,5 +2463,6 @@ object Methods {
     "q307_loso_influence" -> q307Sql,
     "q308_cka_quantization" -> q308Sql,
     "q309_greedy_coverage" -> q309Sql,
-    "q310_snips_offpolicy" -> q310Sql)
+    "q310_snips_offpolicy" -> q310Sql,
+    "q311_caliper_matching" -> q311Sql)
 }

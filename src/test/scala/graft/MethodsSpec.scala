@@ -428,6 +428,42 @@ class MethodsSpec extends SparkSpec {
     }
   }
 
+  test("q311 caliper matching: nearest control wins, out-of-caliper " +
+      "treated stay unmatched") {
+    import org.apache.spark.sql.functions.{col => c}
+    // discover arm assignments from the engine's own hash so the
+    // fixture can place one treated between two controls
+    val arms = spark.range(1, 40)
+      .select(c("id"), (graft.operators.Sampling
+        .hashBucket(c("id"), "att", 2) === 0).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val tKey = arms.collect { case (k, true) => k }.min
+    val ctls = arms.collect { case (k, false) => k }.toSeq.sorted.take(2)
+    val (c1, c2) = (ctls(0), ctls(1))
+    // T at $100.00; C1 at $100.50 (50 cents away), C2 at $95.00
+    val cust = Seq(
+      (tKey, "t", 0, 100.00, "A"),
+      (c1, "c1", 0, 100.50, "A"),
+      (c2, "c2", 0, 95.00, "A")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val orders = Seq(
+      (1L, tKey, "O", 300.0, day(0), "1-URGENT"),
+      (2L, c1, "O", 100.0, day(1), "1-URGENT"),
+      (3L, c2, "O", 999.0, day(2), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("att")("customer" -> cust, "orders" -> orders)
+    val r = SparkEntry.queries("q311_caliper_matching")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_treated") === 1L)
+    assert(r.getAs[Long]("n_control") === 2L)
+    assert(r.getAs[Long]("n_matched") === 1L)
+    // nearest control is C1 (50 cents vs 500): ATT = 300 - 100
+    assert(r.getAs[Double]("att") === 200.0)
+    assert(r.getAs[Double]("naive_diff") === 300.0 - (100.0 + 999.0) / 2)
+  }
+
   test("q290 seasonal decomposition: additive identity holds on the " +
       "rounded output and exactly 10 anomalies emit") {
     val rows = SparkEntry.queries("q290_seasonal_decompose")(
