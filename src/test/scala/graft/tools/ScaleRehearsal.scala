@@ -131,8 +131,20 @@ object ScaleRehearsal {
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$DstDir/customer.parquet")
 
-    for (t <- Seq("region", "nation", "supplier", "part",
-        "embeddings")) {
+    // embeddings ×10: vec_id shifted per copy, vectors verbatim —
+    // the CKA/ANN moment passes are per-row, so identical vectors
+    // still scale the WORK ×10 (a symlink here made q308's first
+    // rehearsal ratio vacuous)
+    val emb = spark.read.parquet(s"$SrcDir/embeddings.parquet")
+    val embLink = java.nio.file.Paths.get(s"$DstDir/embeddings.parquet")
+    if (java.nio.file.Files.isSymbolicLink(embLink))
+      java.nio.file.Files.delete(embLink)
+    copies.map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * stride))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$DstDir/embeddings.parquet")
+
+    for (t <- Seq("region", "nation", "supplier", "part")) {
       val link = java.nio.file.Paths.get(s"$DstDir/$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
