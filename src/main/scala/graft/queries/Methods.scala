@@ -2405,6 +2405,272 @@ object Methods {
              / 100.0) * 1e6 + 0.5) / 1e6 AS att
        FROM att, naive"""
 
+  // --------------------------------------------------------------- q312
+  /** Doubly-robust off-policy estimate — the OPE standard that fixes
+    * BOTH of q310's failure modes at once: the direct-method model
+    * q̂(s, a) (train mean reward per segment×action — bounded table)
+    * is wrong when the model is biased, plain IPS is noisy when
+    * matches are rare; DR = q̂(s, π(s)) + K·1{a=π(s)}·(r − q̂(s, a))
+    * is unbiased if EITHER is right. Same policy/split/propensity
+    * construction as q310 (salt "ips", uniform-logging K); model
+    * means are fixed-shape divisions of exact cent LONGs; per-event
+    * DR terms quantize to 1e-6-unit LONGs before the one exact sum.
+    */
+  private def q312(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(pmod(col("user_id"), lit(4L)).as("seg"),
+        col("event_type").as("a"),
+        round(coalesce(col("value"), lit(0.0)) * 100, 0).cast("long")
+          .as("rc"),
+        (Sampling.hashBucket(col("event_id"), "ips", 5) < 4)
+          .as("is_train"))
+    val model = ev.filter(col("is_train"))
+      .groupBy("seg", "a")
+      .agg(sum("rc").as("tr"), count(lit(1)).as("n"))
+      .withColumn("qhat",
+        col("tr").cast("double") / col("n").cast("double") / 100.0)
+      .localCheckpoint(true)
+    val wPick = Window.partitionBy("seg")
+      .orderBy(col("tr").desc, col("a").asc)
+    val pi = model.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("seg"), col("a").as("pi_a"),
+        col("qhat").as("q_pi"))
+    val kDf = ev.filter(col("is_train"))
+      .agg(countDistinct(col("a")).as("k"))
+    val test = ev.filter(!col("is_train"))
+      .join(broadcast(pi), Seq("seg"))
+      .join(broadcast(model.select(col("seg"), col("a"),
+        col("qhat"))), Seq("seg", "a"), "left")
+      .crossJoin(broadcast(kDf))
+    val kD = col("k").cast("double")
+    val corr = when(col("a") === col("pi_a"),
+      kD * (col("rc").cast("double") / 100.0 -
+        coalesce(col("qhat"), lit(0.0)))).otherwise(lit(0.0))
+    val dr = col("q_pi") + corr
+    val agg = test.groupBy("seg")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("a") === col("pi_a"), 1L).otherwise(0L))
+          .as("n_matched"),
+        first(col("pi_a")).as("pi_a"),
+        first(round(col("q_pi"), 6)).as("dm_value"),
+        sum(floor(dr * lit(1e6) + lit(0.5)).cast("long")).as("du"))
+    import graft.functions.Rounding.floorRound
+    agg.select(col("seg"), col("pi_a"), col("n_test"),
+        col("n_matched"), col("dm_value"),
+        floorRound((col("du").cast("double") / lit(1e6)) /
+          safe(col("n_test").cast("double")), 6).as("dr_value"))
+      .orderBy("seg")
+  }
+
+  private val q312Sql =
+    """WITH ev AS (SELECT user_id % 4 AS seg, event_type AS a,
+           CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS rc,
+           (('0x' || substr(md5('ips' || event_id::VARCHAR), 1, 15))
+             ::BIGINT % 5 < 4) AS is_train
+         FROM events),
+       model AS (SELECT seg, a, CAST(sum(rc) AS BIGINT) AS tr,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(rc)::DOUBLE / count(*)::DOUBLE / 100.0 AS qhat
+                 FROM ev WHERE is_train GROUP BY seg, a),
+       pi AS (SELECT seg, a AS pi_a, qhat AS q_pi FROM (
+                SELECT seg, a, qhat, row_number() OVER (
+                  PARTITION BY seg ORDER BY tr DESC, a ASC) AS rk
+                FROM model) WHERE rk = 1),
+       kk AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS k
+              FROM ev WHERE is_train),
+       te AS (SELECT ev.seg, ev.a, ev.rc, pi.pi_a, pi.q_pi,
+                model.qhat, kk.k
+              FROM ev
+              JOIN pi USING (seg)
+              LEFT JOIN model ON model.seg = ev.seg AND model.a = ev.a
+              CROSS JOIN kk
+              WHERE NOT is_train),
+       dr AS (SELECT seg, pi_a, q_pi,
+                q_pi + (CASE WHEN a = pi_a
+                  THEN k::DOUBLE * (rc::DOUBLE / 100.0
+                    - coalesce(qhat, 0.0))
+                  ELSE 0.0 END) AS v,
+                a
+              FROM te),
+       agg AS (SELECT seg, any_value(pi_a) AS pi_a,
+                 CAST(count(*) AS BIGINT) AS n_test,
+                 CAST(sum(CASE WHEN a = pi_a THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+                 round(any_value(q_pi), 6) AS dm_value,
+                 CAST(sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT))
+                   AS BIGINT) AS du
+               FROM dr GROUP BY seg)
+       SELECT seg, pi_a, n_test, n_matched, dm_value,
+         floor(((du::DOUBLE / 1e6)
+           / greatest(n_test::DOUBLE, 1e-12)) * 1e6 + 0.5) / 1e6
+           AS dr_value
+       FROM agg ORDER BY seg"""
+
+  // --------------------------------------------------------------- q313
+  /** Nelson–Aalen cumulative hazard — the estimator reported when
+    * q205's Kaplan-Meier product is unstable at small risk sets:
+    * Ĥ(t) = Σ_{t'≤t} d/n_risk, with the Breslow survival exp(−Ĥ) next
+    * to KM for comparison. Same lifetimes/censoring as q205; hazard
+    * increments are fixed-shape divisions of exact LONG margins
+    * quantized to 1e-9-unit LONGs, so the running sum is exact and
+    * order-independent; all windows run on the bounded day table.
+    */
+  private def q313(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1990-01-01").cast("date")).cast("long")
+    val users = Tables.orders(s, d)
+      .select(col("o_custkey"), day.as("day"))
+      .groupBy("o_custkey")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val end = users.agg(max("d1").as("endday"))
+    val lifetimes = users.crossJoin(broadcast(end))
+      .select((col("d1") - col("d0")).as("t"),
+        (col("endday") - col("d1") >= 90).as("died"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("died"), 1L).otherwise(0L)).as("d"))
+    val byTDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byTAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inc = floor(col("d").cast("double") /
+      col("n_risk").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+    lifetimes
+      .withColumn("n_risk", sum(col("n_users")).over(byTDesc))
+      .filter(col("d") > 0)
+      .withColumn("hu", inc)
+      .withColumn("cum", sum(col("hu")).over(byTAsc))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("n_events"),
+        round(col("cum").cast("double") / lit(1e9), 6)
+          .as("cum_hazard"),
+        round(exp(-(col("cum").cast("double") / lit(1e9))), 6)
+          .as("breslow_survival"))
+      .orderBy("t_days")
+  }
+
+  private val q313Sql =
+    """WITH u AS (SELECT o_custkey,
+           min(datediff('day', DATE '1990-01-01', o_orderdate::DATE))
+             AS d0,
+           max(datediff('day', DATE '1990-01-01', o_orderdate::DATE))
+             AS d1
+         FROM orders GROUP BY o_custkey),
+       e AS (SELECT max(d1) AS endday FROM u),
+       lt AS (SELECT CAST(u.d1 - u.d0 AS BIGINT) AS t,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(CASE WHEN e.endday - u.d1 >= 90
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+              FROM u, e GROUP BY 1),
+       r AS (SELECT t, n_users, d,
+               CAST(sum(n_users) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_risk
+             FROM lt),
+       h AS (SELECT t, n_risk, d,
+               CAST(floor(d::DOUBLE / n_risk::DOUBLE * 1e9 + 0.5)
+                 AS BIGINT) AS hu
+             FROM r WHERE d > 0),
+       c AS (SELECT t, n_risk, d,
+               CAST(sum(hu) OVER (ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM h)
+       SELECT t AS t_days, n_risk, d AS n_events,
+         round(cum::DOUBLE / 1e9, 6) AS cum_hazard,
+         round(exp(-(cum::DOUBLE / 1e9)), 6) AS breslow_survival
+       FROM c ORDER BY t_days"""
+
+  // --------------------------------------------------------------- q314
+  /** Embedding effective rank (participation ratio) — how many
+    * dimensions does the space REALLY use? PR = tr(C)²/‖C‖²_F =
+    * (Σλ)²/Σλ² of the covariance spectrum, computed WITHOUT an
+    * eigensolve: tr(C) needs only the d diagonal moments, ‖C‖²_F the
+    * d² matrix — both from the q308 one-pass moment kernel (chained
+    * posexplodes, 1e-6-quantized terms). An isotropic space scores d;
+    * a collapsed one scores ≈1 — the q271 PCA eigensolve gives the
+    * top direction, this gives the whole spectrum's shape in closed
+    * form.
+    */
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("x"))
+    val f = base.select(col("x"), posexplode(col("x")))
+      .select(col("x"), col("pos").as("i"), col("col").as("xi"))
+    val pr = f.select(col("i"), col("xi"), posexplode(col("x")))
+      .select(col("i"), col("xi"), col("pos").as("j"),
+        col("col").as("xj"))
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val pm = pr.groupBy("i", "j")
+      .agg(sum(q6(col("xi") * col("xj"))).as("sxxu"))
+    val marg = f.groupBy("i").agg(sum(q6(col("xi"))).as("sxu"))
+    val nn = base.agg(count(lit(1)).as("n"),
+      max(size(col("x"))).as("dim"))
+    val nD = col("n").cast("double")
+    val cxx = (col("sxxu").cast("double") / lit(1e6)) / nD -
+      ((col("sxi").cast("double") / lit(1e6)) / nD) *
+        ((col("sxj").cast("double") / lit(1e6)) / nD)
+    def q12(c: Column) = floor(c * lit(1e12) + lit(0.5)).cast("long")
+    val cells = pm
+      .join(broadcast(marg.select(col("i"), col("sxu").as("sxi"))),
+        Seq("i"))
+      .join(broadcast(marg.select(col("i").as("j"),
+        col("sxu").as("sxj"))), Seq("j"))
+      .crossJoin(broadcast(nn))
+    val norms = cells.agg(
+      first(col("n")).as("n"), first(col("dim")).as("dim"),
+      sum(q12(cxx * cxx)).as("fro2"),
+      sum(when(col("i") === col("j"), q12(cxx)).otherwise(0L))
+        .as("tru"))
+    val tr = col("tru").cast("double") / lit(1e12)
+    val fro2 = col("fro2").cast("double") / lit(1e12)
+    norms.select(col("n"), col("dim").cast("long").as("dim"),
+      round(tr, 6).as("trace"),
+      round(sqrt(fro2), 6).as("fro_norm"),
+      round(tr * tr / safe(fro2), 4).as("effective_rank"))
+  }
+
+  private val q314Sql =
+    """WITH e AS (SELECT embedding AS x FROM embeddings),
+       f0 AS (SELECT unnest(range(0, len(x))) AS i, x FROM e),
+       f AS (SELECT i, x[i + 1]::DOUBLE AS xi, x FROM f0),
+       p0 AS (SELECT i, xi, unnest(range(0, len(x))) AS j, x FROM f),
+       pr AS (SELECT i, j, xi, x[j + 1]::DOUBLE AS xj FROM p0),
+       pm AS (SELECT i, j,
+           CAST(sum(CAST(floor(xi * xj * 1e6 + 0.5) AS BIGINT))
+             AS BIGINT) AS sxxu
+         FROM pr GROUP BY i, j),
+       marg AS (SELECT i,
+           CAST(sum(CAST(floor(xi * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sxu
+         FROM f GROUP BY i),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(max(len(x)) AS BIGINT) AS dim FROM e),
+       cells AS (SELECT pm.i, pm.j,
+           (pm.sxxu::DOUBLE / 1e6) / n::DOUBLE
+             - ((mi.sxu::DOUBLE / 1e6) / n::DOUBLE)
+               * ((mj.sxu::DOUBLE / 1e6) / n::DOUBLE) AS cxx,
+           n, dim
+         FROM pm
+         JOIN marg mi ON mi.i = pm.i
+         JOIN marg mj ON mj.i = pm.j
+         CROSS JOIN nn),
+       nrm AS (SELECT any_value(n) AS n, any_value(dim) AS dim,
+           CAST(sum(CAST(floor(cxx * cxx * 1e12 + 0.5) AS BIGINT))
+             AS BIGINT) AS fro2,
+           CAST(sum(CASE WHEN i = j
+             THEN CAST(floor(cxx * 1e12 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS tru
+         FROM cells)
+       SELECT n, dim,
+         round(tru::DOUBLE / 1e12, 6) AS trace,
+         round(sqrt(fro2::DOUBLE / 1e12), 6) AS fro_norm,
+         round((tru::DOUBLE / 1e12) * (tru::DOUBLE / 1e12)
+           / greatest(fro2::DOUBLE / 1e12, 1e-12), 4)
+           AS effective_rank
+       FROM nrm"""
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, Q] = Map(
     "q281_mcnemar" -> (q281 _),
@@ -2434,7 +2700,10 @@ object Methods {
     "q308_cka_quantization" -> (q308 _),
     "q309_greedy_coverage" -> (q309 _),
     "q310_snips_offpolicy" -> (q310 _),
-    "q311_caliper_matching" -> (q311 _))
+    "q311_caliper_matching" -> (q311 _),
+    "q312_doubly_robust" -> (q312 _),
+    "q313_nelson_aalen" -> (q313 _),
+    "q314_effective_rank" -> (q314 _))
 
   val oracles: Map[String, String] = Map(
     "q281_mcnemar" -> q281Sql,
@@ -2464,5 +2733,8 @@ object Methods {
     "q308_cka_quantization" -> q308Sql,
     "q309_greedy_coverage" -> q309Sql,
     "q310_snips_offpolicy" -> q310Sql,
-    "q311_caliper_matching" -> q311Sql)
+    "q311_caliper_matching" -> q311Sql,
+    "q312_doubly_robust" -> q312Sql,
+    "q313_nelson_aalen" -> q313Sql,
+    "q314_effective_rank" -> q314Sql)
 }

@@ -464,6 +464,63 @@ class MethodsSpec extends SparkSpec {
     assert(r.getAs[Double]("naive_diff") === 300.0 - (100.0 + 999.0) / 2)
   }
 
+  test("q312 doubly-robust: shares q310's target policy exactly, " +
+      "and DM is the train-mean model") {
+    val dr = SparkEntry.queries("q312_doubly_robust")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("seg") -> r).toMap
+    val ips = SparkEntry.queries("q310_snips_offpolicy")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("seg") -> r).toMap
+    assert(dr.keySet === ips.keySet)
+    dr.foreach { case (seg, r) =>
+      assert(r.getAs[String]("pi_a") === ips(seg).getAs[String]("pi_a"))
+      assert(r.getAs[Long]("n_test") === ips(seg).getAs[Long]("n_test"))
+      assert(r.getAs[Double]("dm_value") > 0.0)
+    }
+  }
+
+  test("q313 Nelson-Aalen: cumulative hazard is non-decreasing and " +
+      "Breslow survival dominates Kaplan-Meier (1-x <= e^-x)") {
+    val na = SparkEntry.queries("q313_nelson_aalen")(
+      spark, "/root/testdata/sf0.001").orderBy("t_days").collect()
+    val km = SparkEntry.queries("q205_kaplan_meier")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("t_days") -> r.getAs[Double]("survival"))
+      .toMap
+    assert(na.length > 10)
+    var prev = 0.0
+    na.foreach { r =>
+      val h = r.getAs[Double]("cum_hazard")
+      assert(h >= prev - 1e-9)
+      prev = h
+      val b = r.getAs[Double]("breslow_survival")
+      val k = km(r.getAs[Long]("t_days"))
+      assert(b >= k - 1e-6)
+    }
+  }
+
+  test("q314 effective rank: a 1-D subspace scores 1, an isotropic " +
+      "square scores the full dimension") {
+    val oneD = Seq(
+      (1L, 0, Array(2.0f, 0.0f)),
+      (2L, 0, Array(-2.0f, 0.0f)),
+      (3L, 0, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val d1 = staged("erank1")("embeddings" -> oneD)
+    val r1 = SparkEntry.queries("q314_effective_rank")(spark, d1)
+      .collect()(0)
+    assert(r1.getAs[Double]("effective_rank") === 1.0)
+    val iso = Seq(
+      (1L, 0, Array(1.0f, 1.0f)), (2L, 0, Array(1.0f, -1.0f)),
+      (3L, 0, Array(-1.0f, 1.0f)), (4L, 0, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val d2 = staged("erank2")("embeddings" -> iso)
+    val r2 = SparkEntry.queries("q314_effective_rank")(spark, d2)
+      .collect()(0)
+    assert(r2.getAs[Double]("effective_rank") === 2.0)
+  }
+
   test("q290 seasonal decomposition: additive identity holds on the " +
       "rounded output and exactly 10 anomalies emit") {
     val rows = SparkEntry.queries("q290_seasonal_decompose")(
