@@ -1868,7 +1868,11 @@ object Methods {
       count(lit(1)).as("n_test"),
       sum(when(col("cv").isNull, 1L).otherwise(0L)).as("oov_contexts"),
       sum(when(col("cb").isNull, 1L).otherwise(0L)).as("unseen_bigrams"),
-      sum(floor(log(p) * lit(1e9) + lit(0.5)).cast("long")).as("lu"))
+      // DECIMAL sum: a log-prob term reaches −23e9 units (the 1e-10
+      // floor), so a corpus-scale LONG unit sum wraps past ~4e8 test
+      // bigrams — the q244 overflow class
+      sum(floor(log(p) * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+        .as("lu"))
       .crossJoin(broadcast(btot))
     import graft.functions.Rounding.floorRound
     val avgLp = (col("lu").cast("double") / lit(1e9)) /
@@ -1923,8 +1927,8 @@ object Methods {
                    AS BIGINT) AS oov_contexts,
                  CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END)
                    AS BIGINT) AS unseen_bigrams,
-                 CAST(sum(CAST(floor(ln(p) * 1e9 + 0.5) AS BIGINT))
-                   AS BIGINT) AS lu,
+                 sum(CAST(floor(ln(p) * 1e9 + 0.5) AS HUGEINT))
+                   AS lu,
                  any_value(btypes) AS btypes
                FROM pr)
        SELECT btypes, n_test, oov_contexts, unseen_bigrams,
@@ -2018,6 +2022,10 @@ object Methods {
         posexplode(col("xy")))
       .select(col("i"), col("xi"), col("yi"), col("pos").as("j"),
         col("col.x").as("xj"), col("col.y").as("yj"))
+    // LONG unit sums on the d^2 hot path: DECIMAL aggregation leaves
+    // whole-stage codegen (measured 9x slower); per-term units are
+    // bounded by |x|^2*1e6, so LONG holds ~1e12 rows of |x|<=3
+    // embeddings - beyond that, drop the term scale to 1e4
     def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
     val pm = pr.groupBy("i", "j").agg(
       sum(q6(col("xi") * col("xj"))).as("sxxu"),
@@ -2339,13 +2347,18 @@ object Methods {
       .orderBy(col("dist").asc, col("cb").asc, col("ck").asc)
     val matched = cand.withColumn("rk", row_number().over(wBest))
       .filter(col("rk") === 1)
+    // DECIMAL sums: corpus-scale cent totals brush the LONG range at
+    // extreme row counts (the q244 overflow class)
+    val dec38 = "decimal(38,0)"
     val naive = base.agg(
-      sum(when(col("treated"), col("yc")).otherwise(0L)).as("syt"),
+      sum(when(col("treated"), col("yc")).otherwise(0L).cast(dec38))
+        .as("syt"),
       sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
-      sum(when(!col("treated"), col("yc")).otherwise(0L)).as("syc"),
+      sum(when(!col("treated"), col("yc")).otherwise(0L).cast(dec38))
+        .as("syc"),
       sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"))
     val att = matched.agg(count(lit(1)).as("n_matched"),
-      sum(col("ty") - col("cy")).as("gap"))
+      sum((col("ty") - col("cy")).cast(dec38)).as("gap"))
     import graft.functions.Rounding.floorRound
     att.crossJoin(broadcast(naive))
       .select(col("nt").as("n_treated"), col("nc").as("n_control"),
@@ -2385,17 +2398,17 @@ object Methods {
                     ORDER BY dist ASC, cb ASC, ck ASC) AS rk
                   FROM cand) WHERE rk = 1),
        naive AS (SELECT
-           CAST(sum(CASE WHEN treated THEN yc ELSE 0 END) AS BIGINT)
+           sum(CAST(CASE WHEN treated THEN yc ELSE 0 END AS HUGEINT))
              AS syt,
            CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
              AS nt,
-           CAST(sum(CASE WHEN NOT treated THEN yc ELSE 0 END)
-             AS BIGINT) AS syc,
+           sum(CAST(CASE WHEN NOT treated THEN yc ELSE 0 END
+             AS HUGEINT)) AS syc,
            CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)
              AS BIGINT) AS nc
          FROM base),
        att AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
-                 CAST(sum(ty - cy) AS BIGINT) AS gap
+                 sum(CAST(ty - cy AS HUGEINT)) AS gap
                FROM best)
        SELECT nt AS n_treated, nc AS n_control, n_matched,
          floor((syt::DOUBLE / greatest(nt::DOUBLE, 1e-12) / 100.0
@@ -2454,7 +2467,10 @@ object Methods {
           .as("n_matched"),
         first(col("pi_a")).as("pi_a"),
         first(round(col("q_pi"), 6)).as("dm_value"),
-        sum(floor(dr * lit(1e6) + lit(0.5)).cast("long")).as("du"))
+        // DECIMAL sum: a DR term reaches ~K·max(r)·1e6 units, so the
+        // corpus-scale unit sum overflows LONG (the q244 class)
+        sum(floor(dr * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+          .as("du"))
     import graft.functions.Rounding.floorRound
     agg.select(col("seg"), col("pi_a"), col("n_test"),
         col("n_matched"), col("dm_value"),
@@ -2498,8 +2514,7 @@ object Methods {
                  CAST(sum(CASE WHEN a = pi_a THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_matched,
                  round(any_value(q_pi), 6) AS dm_value,
-                 CAST(sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT))
-                   AS BIGINT) AS du
+                 sum(CAST(floor(v * 1e6 + 0.5) AS HUGEINT)) AS du
                FROM dr GROUP BY seg)
        SELECT seg, pi_a, n_test, n_matched, dm_value,
          floor(((du::DOUBLE / 1e6)
@@ -2601,6 +2616,7 @@ object Methods {
     val pr = f.select(col("i"), col("xi"), posexplode(col("x")))
       .select(col("i"), col("xi"), col("pos").as("j"),
         col("col").as("xj"))
+    // LONG unit sums on the d^2 hot path - the q308 codegen rationale
     def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
     val pm = pr.groupBy("i", "j")
       .agg(sum(q6(col("xi") * col("xj"))).as("sxxu"))
