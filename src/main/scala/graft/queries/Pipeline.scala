@@ -201,9 +201,11 @@ object Pipeline {
 
   // the q36 pipeline WITHOUT the final ORDER BY — reused verbatim as
   // the pair source of the clustering oracle (q71), so the two queries
-  // can never drift apart
-  private[queries] val q36Core = minhashBandCtes +
-    """,
+  // can never drift apart; threshold-parameterized since round 10 so
+  // q315's planner can read the SAME kernel at a wider net (0.5)
+  private[queries] def q36CoreAt(threshold: Double): String =
+    minhashBandCtes +
+    s""",
        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                 FROM bands a JOIN bands b
                   ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
@@ -213,7 +215,10 @@ object Pipeline {
            AS jaccard
        FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
        WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) >= 0.8"""
+           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+         >= $threshold"""
+
+  private[queries] val q36Core = q36CoreAt(0.8)
 
   private val q36Sql = q36Core + "\n       ORDER BY doc_a, doc_b"
 
@@ -1404,6 +1409,75 @@ object Pipeline {
          round(eff / te, 6) AS eff_share
        FROM src, tot ORDER BY source"""
 
+  // --------------------------------------------------------------- q315
+  /** LSH parameter planner — turns MinHash tuning into a query: for
+    * each (bands, rows) factorization of the k=12 signature, the
+    * S-curve threshold s* = (1/b)^(1/r) and the EXPECTED candidate
+    * catch probability 1−(1−s^r)^b averaged over the corpus's OWN
+    * observed pair-similarity distribution (the q36 kernel verified
+    * at a wider 0.5 net, so the curve is evaluated where this
+    * corpus's near-dups actually live, not on a synthetic prior).
+    * `exp_recall_08` — the same expectation restricted to pairs at
+    * the production 0.8 threshold — is the number that says what
+    * recall each cheaper banding would trade away. Per-pair terms
+    * quantize to 1e-9-unit LONGs summed in DECIMAL (pair counts are
+    * corpus-scale); the grid is 6 broadcast rows.
+    */
+  private def q315(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(Tables.documents(s, d),
+      "doc_id", "text", threshold = 0.5)
+    val grid = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+      .toDF("b", "r")
+    val bD = col("b").cast("double")
+    val rD = col("r").cast("double")
+    val catchP = lit(1.0) -
+      pow(lit(1.0) - pow(col("jaccard"), rD), bD)
+    val tu = floor(catchP * lit(1e9) + lit(0.5))
+      .cast("decimal(38,0)")
+    val agg = pairs.crossJoin(broadcast(grid))
+      .groupBy("b", "r")
+      .agg(count(lit(1)).as("n_pairs"), sum(tu).as("cu"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n08"),
+        sum(when(col("jaccard") >= 0.8, tu)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("cu08"))
+    val safe8 = greatest(col("n08").cast("double"), lit(1e-12))
+    agg.select(col("b").cast("long").as("b"),
+        col("r").cast("long").as("r"),
+        round(pow(lit(1.0) / bD, lit(1.0) / rD), 4).as("s_star"),
+        col("n_pairs"), col("n08").as("n_pairs_08"),
+        round((col("cu").cast("double") / lit(1e9)) /
+          col("n_pairs").cast("double"), 6).as("exp_catch_all"),
+        round((col("cu08").cast("double") / lit(1e9)) / safe8, 6)
+          .as("exp_recall_08"))
+      .orderBy(col("b").desc)
+  }
+
+  private val q315Sql =
+    s"""WITH p0 AS (${q36CoreAt(0.5)}),
+       grid AS (SELECT * FROM (VALUES (12, 1), (6, 2), (4, 3), (3, 4),
+                  (2, 6), (1, 12)) g(b, r)),
+       terms AS (SELECT grid.b, grid.r, jaccard,
+           CAST(floor((1.0 - pow(1.0 - pow(jaccard, r::DOUBLE),
+             b::DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS tu
+         FROM p0 CROSS JOIN grid),
+       agg AS (SELECT b, r, CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(tu) AS cu,
+           CAST(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n08,
+           sum(CASE WHEN jaccard >= 0.8 THEN tu
+               ELSE 0::HUGEINT END) AS cu08
+         FROM terms GROUP BY b, r)
+       SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+         round(pow(1.0 / b::DOUBLE, 1.0 / r::DOUBLE), 4) AS s_star,
+         n_pairs, n08 AS n_pairs_08,
+         round((cu::DOUBLE / 1e9) / n_pairs::DOUBLE, 6)
+           AS exp_catch_all,
+         round((cu08::DOUBLE / 1e9)
+           / greatest(n08::DOUBLE, 1e-12), 6) AS exp_recall_08
+       FROM agg ORDER BY b DESC"""
+
   // ---------------------------------------------------------------- q72
   /** Unigram log-probability quality score — the simplest language
     * model filter (a KenLM-lite): corpus-wide MLE unigram frequencies,
@@ -1515,6 +1589,7 @@ object Pipeline {
     "q257_multimodal_resize" -> (q257 _),
     "q264_cluster_safe_split" -> (q264 _),
     "q291_dedup_discounted_mix" -> (q291 _),
+    "q315_lsh_planner" -> (q315 _),
     "q30_text_stats" -> (q30 _),
     "q31_token_counts" -> (q31 _),
     "q32_quality_score" -> (q32 _),
@@ -1553,6 +1628,7 @@ object Pipeline {
     "q257_multimodal_resize" -> q257Sql,
     "q264_cluster_safe_split" -> q264Sql,
     "q291_dedup_discounted_mix" -> q291Sql,
+    "q315_lsh_planner" -> q315Sql,
     "q30_text_stats" -> q30Sql,
     "q31_token_counts" -> q31Sql,
     "q32_quality_score" -> q32Sql,

@@ -521,6 +521,23 @@ class MethodsSpec extends SparkSpec {
     assert(r2.getAs[Double]("effective_rank") === 2.0)
   }
 
+  test("q315 LSH planner: the S-curve threshold rises and expected " +
+      "catch falls monotonically as banding gets stricter") {
+    val rows = SparkEntry.queries("q315_lsh_planner")(
+      spark, "/root/testdata/sf0.001").orderBy(col("b").desc).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("b") * r.getAs[Long]("r") === 12L)
+      val c = r.getAs[Double]("exp_catch_all")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    val sstars = rows.map(_.getAs[Double]("s_star"))
+    sstars.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    val catches = rows.map(_.getAs[Double]("exp_catch_all"))
+    catches.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9) }
+  }
+
   test("q290 seasonal decomposition: additive identity holds on the " +
       "rounded output and exactly 10 anomalies emit") {
     val rows = SparkEntry.queries("q290_seasonal_decompose")(
