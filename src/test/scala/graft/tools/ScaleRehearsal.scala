@@ -77,7 +77,9 @@ object ScaleRehearsal {
     // the class-grid Bradley-Terry, the Kneser-Ney bigram model, the
     // Heaps two-pass token aggregations, and the d² CKA fan-out
     "q291_dedup_discounted_mix", "q303_bradley_terry",
-    "q306_kneser_ney", "q299_heaps_law", "q308_cka_quantization")
+    "q306_kneser_ney", "q299_heaps_law", "q308_cka_quantization",
+    // the q36 kernel at the wider 0.5 verification net
+    "q315_lsh_planner")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
