@@ -1538,9 +1538,13 @@ object Methods {
     * bounded class grid (≤1e6 ratio classes × sources), never corpus².
     * Products/sums form in DECIMAL (pair counts overflow LONG at
     * corpus scale); the 4 MM iterations r←W/Σn/(r_i+r_j) run on the
-    * sources² matrix with per-pair terms quantized to 1e-12-unit
-    * LONGs (order-independent sums, the q266 contract), on
-    * NORMALIZED win fractions so term magnitudes are scale-free.
+    * sources² matrix ENTIRELY on the integer grid (the q271 power-
+    * iteration discipline): win fractions nf/wf are quantized ONCE to
+    * 1e-12-unit LONGs by exact integer division, ratings are carried
+    * as 1e-9-unit LONGs, and every round is integer joins + one
+    * truncating integer division — so the DuckDB oracle replay is
+    * arithmetic-identical on any build (no raw-double trajectory).
+    * The final rating is a 6-dp integer-grid value divided by 1e6.
     */
   private def q303(s: SparkSession, d: String): DataFrame = {
     val arr = graft.functions.TextFunctions.words(col("text"))
@@ -1577,44 +1581,44 @@ object Methods {
     val tot = m.agg(sum("w").as("wtot"))
     val base = m.crossJoin(broadcast(tot))
       .select(col("i"), col("j"),
-        (col("n").cast("double") / col("wtot").cast("double")).as("nf"))
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000000000) div " +
+          "greatest(CAST(wtot AS DECIMAL(38,0)), 1)").as("nfu"))
       .localCheckpoint(true)
     val wi = m.groupBy("i").agg(sum("w").as("wins"))
       .crossJoin(broadcast(tot))
       .select(col("i"), col("wins"),
-        (col("wins").cast("double") / col("wtot").cast("double"))
-          .as("wf"))
+        expr("(CAST(wins AS DECIMAL(38,0)) * 1000000000000) div " +
+          "greatest(CAST(wtot AS DECIMAL(38,0)), 1)").as("wfu"))
       .localCheckpoint(true)
-    // 4 MM iterations on the tiny sources² matrix
-    var r = wi.select(col("i").as("source"), lit(1.0).as("r"))
+    // 4 MM iterations on the tiny sources² matrix — all-integer:
+    // ratings in 1e-9 units, terms tu = nfu·1e9 div (riu+rju)
+    var r = wi.select(col("i").as("source"),
+        lit(1000000000L).as("ru"))
       .localCheckpoint(true)
     for (_ <- 1 to 4) {
       val terms = base
-        .join(r.select(col("source").as("i"), col("r").as("ri")), "i")
-        .join(r.select(col("source").as("j"), col("r").as("rj")), "j")
+        .join(r.select(col("source").as("i"), col("ru").as("riu")), "i")
+        .join(r.select(col("source").as("j"), col("ru").as("rju")), "j")
         .select(col("i"),
-          floor(col("nf") / safe(col("ri") + col("rj")) * lit(1e12) +
-            lit(0.5)).cast("long").as("tu"))
+          expr("(CAST(nfu AS DECIMAL(38,0)) * 1000000000) div " +
+            "greatest(riu + rju, 1)").as("tu"))
       r = terms.groupBy("i").agg(sum("tu").as("du"))
-        .join(wi.select("i", "wf"), "i")
+        .join(wi.select("i", "wfu"), "i")
         .select(col("i").as("source"),
-          (col("wf") / safe(col("du").cast("double") / lit(1e12)))
-            .as("r"))
+          expr("(CAST(wfu AS DECIMAL(38,0)) * 1000000000) div " +
+            "greatest(du, 1)").as("ru"))
         .localCheckpoint(true)
     }
     val losses = m.groupBy("j").agg(sum("w").as("losses"))
-    val ru = r.withColumn("ru",
-      floor(col("r") * lit(1e9) + lit(0.5)).cast("long"))
-    val norm = ru.agg(sum("ru").as("rtot"),
-      count(lit(1)).cast("double").as("ns"))
-    ru.crossJoin(broadcast(norm))
+    val norm = r.agg(sum("ru").as("rtot"), count(lit(1)).as("ns"))
+    r.crossJoin(broadcast(norm))
       .join(wi.select(col("i").as("source"), col("wins")), "source")
       .join(losses.select(col("j").as("source"), col("losses")), "source")
       .select(col("source"),
         col("wins").cast("decimal(38,0)").as("wins"),
         col("losses").cast("decimal(38,0)").as("losses"),
-        round(col("r") * col("ns") /
-          safe(col("rtot").cast("double") / lit(1e9)), 6).as("rating"))
+        (expr("(CAST(ru AS DECIMAL(38,0)) * ns * 1000000) div " +
+          "greatest(rtot, 1)").cast("double") / lit(1e6)).as("rating"))
       .orderBy(col("rating").desc, col("source"))
   }
 
@@ -1655,57 +1659,62 @@ object Methods {
                               FROM wins) b
                ON a.i = b.j2 AND a.j = b.i2),
        tot AS (SELECT sum(w) AS wtot FROM m),
-       base AS (SELECT i, j, n::DOUBLE / wtot::DOUBLE AS nf
+       base AS (SELECT i, j, CAST((n::HUGEINT * 1000000000000)
+                  // greatest(wtot::HUGEINT, 1) AS BIGINT) AS nfu
                 FROM m, tot),
        wi AS (SELECT i, sum(w) AS wins,
-                sum(w)::DOUBLE / any_value(wtot)::DOUBLE AS wf
+                CAST((sum(w)::HUGEINT * 1000000000000)
+                  // greatest(any_value(wtot)::HUGEINT, 1) AS BIGINT)
+                  AS wfu
               FROM m, tot GROUP BY i, wtot),
-       r0 AS (SELECT i AS source, 1.0 AS r FROM wi),
-       t1 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
-                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+       r0 AS (SELECT i AS source, 1000000000::BIGINT AS ru FROM wi),
+       t1 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+                  // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
+                  AS tu
               FROM base
               JOIN r0 ri ON ri.source = base.i
               JOIN r0 rj ON rj.source = base.j),
-       r1 AS (SELECT t1.i AS source, wf / greatest(
-                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
-              FROM t1 JOIN wi ON wi.i = t1.i GROUP BY t1.i, wf),
-       t2 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
-                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+       r1 AS (SELECT t1.i AS source, CAST((wfu::HUGEINT * 1000000000)
+                // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
+              FROM t1 JOIN wi ON wi.i = t1.i GROUP BY t1.i, wfu),
+       t2 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+                  // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
+                  AS tu
               FROM base
               JOIN r1 ri ON ri.source = base.i
               JOIN r1 rj ON rj.source = base.j),
-       r2 AS (SELECT t2.i AS source, wf / greatest(
-                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
-              FROM t2 JOIN wi ON wi.i = t2.i GROUP BY t2.i, wf),
-       t3 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
-                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+       r2 AS (SELECT t2.i AS source, CAST((wfu::HUGEINT * 1000000000)
+                // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
+              FROM t2 JOIN wi ON wi.i = t2.i GROUP BY t2.i, wfu),
+       t3 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+                  // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
+                  AS tu
               FROM base
               JOIN r2 ri ON ri.source = base.i
               JOIN r2 rj ON rj.source = base.j),
-       r3 AS (SELECT t3.i AS source, wf / greatest(
-                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
-              FROM t3 JOIN wi ON wi.i = t3.i GROUP BY t3.i, wf),
-       t4 AS (SELECT base.i, CAST(floor(nf / greatest(ri.r + rj.r,
-                  1e-12) * 1e12 + 0.5) AS BIGINT) AS tu
+       r3 AS (SELECT t3.i AS source, CAST((wfu::HUGEINT * 1000000000)
+                // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
+              FROM t3 JOIN wi ON wi.i = t3.i GROUP BY t3.i, wfu),
+       t4 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+                  // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
+                  AS tu
               FROM base
               JOIN r3 ri ON ri.source = base.i
               JOIN r3 rj ON rj.source = base.j),
-       r4 AS (SELECT t4.i AS source, wf / greatest(
-                sum(tu)::DOUBLE / 1e12, 1e-12) AS r
-              FROM t4 JOIN wi ON wi.i = t4.i GROUP BY t4.i, wf),
+       r4 AS (SELECT t4.i AS source, CAST((wfu::HUGEINT * 1000000000)
+                // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
+              FROM t4 JOIN wi ON wi.i = t4.i GROUP BY t4.i, wfu),
        lo AS (SELECT j, sum(w) AS losses FROM m GROUP BY j),
-       rut AS (SELECT source, r,
-                 CAST(floor(r * 1e9 + 0.5) AS BIGINT) AS ru FROM r4),
-       nm AS (SELECT CAST(sum(ru) AS BIGINT) AS rtot,
-                count(*)::DOUBLE AS ns FROM rut)
-       SELECT rut.source,
+       nm AS (SELECT sum(ru)::HUGEINT AS rtot,
+                CAST(count(*) AS BIGINT) AS ns FROM r4)
+       SELECT r4.source,
          CAST(wi.wins AS DECIMAL(38,0)) AS wins,
          CAST(lo.losses AS DECIMAL(38,0)) AS losses,
-         round(rut.r * nm.ns
-           / greatest(nm.rtot::DOUBLE / 1e9, 1e-12), 6) AS rating
-       FROM rut CROSS JOIN nm
-       JOIN wi ON wi.i = rut.source
-       JOIN lo ON lo.j = rut.source
+         CAST((r4.ru::HUGEINT * nm.ns * 1000000)
+           // greatest(nm.rtot, 1) AS DOUBLE) / 1e6 AS rating
+       FROM r4 CROSS JOIN nm
+       JOIN wi ON wi.i = r4.source
+       JOIN lo ON lo.j = r4.source
        ORDER BY rating DESC, source"""
 
   // --------------------------------------------------------------- q304

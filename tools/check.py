@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run Verify output
 against DuckDB oracles and diff. Usage:
-    python3 tools/check.py <sfDir> <verifyOutDir>
+    python3 tools/check.py <sfDir> <verifyOutDir> [--threads N]
+
+Driver-divergence tripwire (round 11): the DuckDB version is printed
+on every run, and `--threads 1` re-runs the oracles single-threaded —
+so a red cell that only appears in ANOTHER DuckDB build/config is
+diagnosable from round-log artifacts (version line + a threads-1
+replay) instead of a judge re-run.
 
 Type-aware since round 9: in addition to the value diff, the DuckDB
 logical type of every oracle column must EXACTLY equal the type DuckDB
@@ -29,8 +35,13 @@ def canon(v):
     return repr(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, threads=None):
     con = duckdb.connect()
+    print(f"duckdb version: {duckdb.__version__} "
+          f"(library {con.sql('PRAGMA version').fetchone()[0]})"
+          + (f", threads={threads}" if threads else ""))
+    if threads:
+        con.execute(f"PRAGMA threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -90,4 +101,10 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    thr = None
+    if "--threads" in argv:
+        i = argv.index("--threads")
+        thr = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], thr))
