@@ -537,7 +537,11 @@ object Quality {
     * table (q240 bins from the same table) skip the corpus pass. The
     * count table feeds bounds, bucketing, offsets AND totals, so it
     * is persisted here (value-cardinality-sized — the safe side of
-    * the persist-vs-recompute line; the 4×-corpus melt is not).
+    * the persist-vs-recompute line; the 4×-corpus melt is not) and
+    * UNPERSISTED before returning: the groups×fracs result is
+    * localCheckpoint-pinned eagerly, so no cached partitions outlive
+    * the call (library callers don't all run under Bench's
+    * clearCache-between-queries regime).
     */
   def groupedRankQuantilesFromCounts(valsIn: DataFrame,
                                      fracs: Seq[(Int, Int)],
@@ -578,7 +582,7 @@ object Quality {
     val targets = totals.crossJoin(broadcast(fracsDf))
       .select(col("g"), col("qi"), greatest(lit(1L),
         expr("(p * tw + q - 1) div q")).as("target"))
-    bucketed
+    val out = bucketed
       .withColumn("lcw", sum("nv").over(inBucket))
       .join(offsets, Seq("g", "bk"))
       .select(col("g"), col("v"), (col("lcw") + col("ob")).as("cw"))
@@ -586,5 +590,8 @@ object Quality {
       .filter(col("cw") >= col("target"))
       .groupBy("g", "qi")
       .agg(min(col("v")).as("value"))
+      .localCheckpoint(true)
+    vals.unpersist(blocking = false)
+    out
   }
 }

@@ -1909,6 +1909,9 @@ object Evals {
         e => e.getField("value")).as("bounds"))
       .select(col("g").as("f"), col("bounds"))
       .localCheckpoint(true)
+    // binned is f×bin-row tiny: checkpoint it eagerly so the counts
+    // cache can be dropped HERE — the returned plan must not lean on
+    // cached partitions that only Bench's clearCache would reap
     val binned = counts.join(broadcast(bounds), "f")
       .select(col("f"), col("isref"), col("nv"),
         aggregate(col("bounds"), lit(0),
@@ -1917,6 +1920,8 @@ object Evals {
       .groupBy("f", "bin")
       .agg(sum(when(col("isref"), col("nv")).otherwise(0L)).as("n_ref"),
         sum(when(!col("isref"), col("nv")).otherwise(0L)).as("n_cur"))
+      .localCheckpoint(true)
+    counts.unpersist(blocking = false)
     val grid = bounds.select("f")
       .crossJoin(broadcast((0 until k).toDF("bin")))
     val dense = grid.join(binned, Seq("f", "bin"), "left")

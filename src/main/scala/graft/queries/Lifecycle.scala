@@ -555,7 +555,10 @@ object Lifecycle {
 
   /** Oracle twin of [[eventTimeMargins]] — the CTE chain ending in
     * `byt(t, n1, d1, n, dt)`, shared verbatim by q266 and q302 so the
-    * two survival tests cannot drift apart. */
+    * two survival tests cannot drift apart. `byt` is MATERIALIZED:
+    * DuckDB inlines plain CTEs (the q309 lesson), and q302's unrolled
+    * Newton chain references the margins ~17 times — without the hint
+    * the oracle would scan orders once per reference. */
   private val survivalMarginsCte =
     """u AS (SELECT o_custkey,
            min(datediff('day', DATE '1990-01-01', o_orderdate::DATE)) AS d0,
@@ -579,7 +582,7 @@ object Lifecycle {
                 ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
                 CURRENT ROW) AS BIGINT) AS n_risk
               FROM grid),
-       byt AS (SELECT t,
+       byt AS MATERIALIZED (SELECT t,
                  CAST(sum(CASE WHEN arm = 0 THEN n_risk ELSE 0 END)
                    AS BIGINT) AS n1,
                  CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END)
@@ -696,7 +699,8 @@ object Lifecycle {
              AS BIGINT)) AS BIGINT) AS iu
          FROM ev$from)"""
     s"""WITH $survivalMarginsCte,
-       ev AS (SELECT t, n1 AS n0, n - n1 AS nx, dt - d1 AS dx, dt
+       ev AS MATERIALIZED (SELECT t, n1 AS n0, n - n1 AS nx,
+                dt - d1 AS dx, dt
               FROM byt),
        it0 AS ${itCte("0.0", "")},
        s1 AS (SELECT (uu::DOUBLE / 1e9)

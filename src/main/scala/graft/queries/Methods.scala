@@ -1195,9 +1195,9 @@ object Methods {
          FROM s)
        SELECT n_total, r_total, round(p, 6) AS pbar,
          floor(tstat * 1e4 + 0.5) / 1e4 AS t_stat,
-         floor(tstat / greatest(sqrt(v), 1e-12) * 1e6 + 0.5) / 1e6 AS z,
-         round((tstat / greatest(sqrt(v), 1e-12))
-           * (tstat / greatest(sqrt(v), 1e-12)), 6) AS chi2
+         floor(tstat / sqrt(greatest(v, 1e-12)) * 1e6 + 0.5) / 1e6 AS z,
+         round((tstat / sqrt(greatest(v, 1e-12)))
+           * (tstat / sqrt(greatest(v, 1e-12))), 6) AS chi2
        FROM f"""
 
   // --------------------------------------------------------------- q297
@@ -1266,10 +1266,10 @@ object Methods {
        SELECT n, s_stat, round(var_s, 4) AS var_s,
          floor((CASE WHEN s_stat > 0
                   THEN (s_stat::DOUBLE - 1.0)
-                    / greatest(sqrt(var_s), 1e-12)
+                    / sqrt(greatest(var_s, 1e-12))
                 WHEN s_stat < 0
                   THEN (s_stat::DOUBLE + 1.0)
-                    / greatest(sqrt(var_s), 1e-12)
+                    / sqrt(greatest(var_s, 1e-12))
                 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z,
          floor(s_stat::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0)
            * 1e6 + 0.5) / 1e6 AS kendall_tau

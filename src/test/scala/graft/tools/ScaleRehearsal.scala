@@ -79,7 +79,20 @@ object ScaleRehearsal {
     "q291_dedup_discounted_mix", "q303_bradley_terry",
     "q306_kneser_ney", "q299_heaps_law", "q308_cka_quantization",
     // the q36 kernel at the wider 0.5 verification net
-    "q315_lsh_planner")
+    "q315_lsh_planner",
+    // round-11 additions (VERDICT r10 item 3): every remaining bench
+    // entry with min > 2 s and no measured 10× ratio — the streaming
+    // late-data/HLL/stream-static replays on scaled events, the
+    // k-core / PPR / label-propagation graph rounds, the media
+    // decoders, and the mid-weight dedup/eval/statistics family
+    "q259_late_data_audit", "q96_embedding_clusters",
+    "q147_multimodal_adpcm", "q177_streaming_hll", "q207_kcore",
+    "q267_stream_static_join", "q197_fanout_profile",
+    "q176_personalized_pagerank", "q146_multimodal_jpeg",
+    "q206_assoc_rules", "q84_incremental_dedup", "q213_split_leakage",
+    "q212_perplexity_filter", "q251_bootstrap_ci",
+    "q123_label_propagation", "q288_brown_forsythe",
+    "q235_retrieval_eval")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
@@ -198,7 +211,7 @@ object ScaleRehearsal {
       println(f"SCALE $q%-24s sf0.1 ${small}%7.2f s   sf1 ${big}%8.2f s   ratio ${ratio}%6.2f")
       (q, small, big, ratio)
     }
-    val outPath = java.nio.file.Paths.get("/root/repo/SCALE_r10.json")
+    val outPath = java.nio.file.Paths.get("/root/repo/SCALE_r11.json")
     def entry(q: String, s: Double, b: Double, r: Double): (String, String) =
       q -> f""""$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
     if (args.isEmpty || mergeMode) {
