@@ -1,0 +1,606 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+
+/** Round-11 measurement-method surface: k-group nonparametrics
+  * (Kruskal–Wallis, Friedman), multi-rater agreement (Fleiss' kappa),
+  * competing-risks survival (Aalen–Johansen cumulative incidence),
+  * study pooling (DerSimonian–Laird random-effects meta-analysis),
+  * a multinomial Naive-Bayes language classifier, distance
+  * correlation, jackknife ratio-metric inference, UMass topic
+  * coherence, and Dirichlet-smoothed query-likelihood retrieval.
+  *
+  * Oracle discipline matches [[Methods]]: every iterative or
+  * accumulated quantity lives on an integer grid (2× rank units so
+  * average ranks stay integral; 1e-9-unit LONG log terms; exact
+  * LONG/DECIMAL sufficient statistics), FP appears only in fixed-shape
+  * closing expressions, divisors are floored INSIDE the division
+  * (ANSI + CSE hazard), and every oracle aggregate is CAST. Scale
+  * posture: each operator collapses the corpus to a bounded table
+  * (distinct quantized values, days, groups, items, top-k word sets)
+  * in one scan before any window or self-join runs.
+  */
+object Studies {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Floor a divisor away from zero INSIDE the division; mirrored as
+    * `greatest(x, 1e-12)` on the oracle side. */
+  private def safe(c: Column): Column = greatest(c, lit(1e-12))
+
+  // --------------------------------------------------------------- q316
+  /** Kruskal–Wallis H — "does ANY event type's value distribution
+    * differ?", the k-group extension of q247's two-arm Mann–Whitney on
+    * the same micro-unit value quantization. Global average ranks stay
+    * EXACT on the 2× integer grid (ar2 = 2·below + t + 1); per-group
+    * rank sums form in DECIMAL; the prefix over distinct values runs
+    * two-level (approx-percentile buckets → within-bucket window +
+    * bucket-offset window, the [[graft.operators.Quality]] shape) so
+    * no corpus-sized single-partition sort exists at any SF. H and the
+    * tie correction close in fixed-shape FP from exact integers, with
+    * each group's R²/n term quantized to 1e-6-unit LONGs before the
+    * k-row sum (order-independence, the q246 contract).
+    */
+  private def q316(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val units = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val b = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"), units.as("u"))
+    val cg = b.groupBy("u", "g").agg(count(lit(1)).as("nv"))
+    val cu = cg.groupBy("u").agg(sum("nv").as("t"))
+    // two-level global prefix: strictly-below count per distinct value
+    val boundsDf = cu.agg(expr(
+      "cast(approx_percentile(u, array(" +
+        (1 until 32).map(_ / 32.0).mkString(",") + "), 1000)" +
+        " as array<double>)").as("bounds"))
+    val bucketed = cu.crossJoin(broadcast(boundsDf))
+      .select(col("u"), col("t"),
+        aggregate(col("bounds"), lit(0),
+          (acc, bo) => acc + when(col("u").cast("double") > bo, 1)
+            .otherwise(0)).as("bk"))
+    val inB = Window.partitionBy("bk").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bk").agg(sum("t").as("tn"))
+      .withColumn("ob", coalesce(sum("tn").over(offW), lit(0L)))
+      .select("bk", "ob")
+    val below = bucketed
+      .withColumn("lb", coalesce(sum("t").over(inB), lit(0L)))
+      .join(broadcast(offsets), Seq("bk"))
+      .select(col("u"), col("t"), (col("lb") + col("ob")).as("below"))
+    val dec = "decimal(38,0)"
+    val grp = cg.join(below, Seq("u"))
+      .groupBy("g")
+      .agg(sum("nv").as("n_g"),
+        sum(col("nv").cast(dec) *
+          (lit(2L) * col("below") + col("t") + lit(1L)).cast(dec))
+          .as("r2"))
+    val ties = below.agg(
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("tie3"),
+      sum("t").as("n"))
+    val nD = col("n").cast("double")
+    // s_g = (R2/2)² / (n_g · N · (N+1)): ≤ n_g, so the 1e-6 grid holds
+    val sg = (col("r2").cast("double") / 2.0) *
+      (col("r2").cast("double") / 2.0) /
+      safe(col("n_g").cast("double") * nD * (nD + 1.0))
+    val terms = grp.crossJoin(broadcast(ties))
+      .select(col("g"), col("n_g"), col("n"), col("tie3"),
+        floor(sg * lit(1e6) + lit(0.5)).cast("long").as("su"))
+    val agg = terms.groupBy("n", "tie3")
+      .agg(count(lit(1)).as("k"), sum("su").as("sus"))
+    val h = lit(12.0) * (col("sus").cast("double") / 1e6) -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("tie3").cast("double") /
+      safe(nD * nD * nD - nD)
+    agg.select(col("n"), col("k"), (col("k") - 1L).as("dof"),
+      round(h, 6).as("h"),
+      round(h / safe(corr), 6).as("h_tie_corrected"),
+      round((h / safe(corr) - col("k").cast("double") + 1.0) /
+        safe(nD - col("k").cast("double")), 6).as("epsilon_sq"))
+  }
+
+  private val q316Sql =
+    """WITH b AS (SELECT event_type AS g,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS u
+         FROM events WHERE value IS NOT NULL),
+       cg AS (SELECT u, g, CAST(count(*) AS BIGINT) AS nv
+              FROM b GROUP BY u, g),
+       cu AS (SELECT u, CAST(sum(nv) AS BIGINT) AS t
+              FROM cg GROUP BY u),
+       bel AS (SELECT u, t,
+               coalesce(sum(t) OVER (ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+             FROM cu),
+       grp AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n_g,
+               sum(nv::HUGEINT * (2 * below + t + 1)::HUGEINT) AS r2
+             FROM cg JOIN bel USING (u) GROUP BY g),
+       ties AS (SELECT sum(t::HUGEINT * t * t - t) AS tie3,
+                CAST(sum(t) AS BIGINT) AS n FROM bel),
+       terms AS (SELECT g, n_g, n, tie3,
+           CAST(floor((r2::DOUBLE / 2.0) * (r2::DOUBLE / 2.0)
+               / greatest(n_g::DOUBLE * n::DOUBLE * (n::DOUBLE + 1.0),
+                 1e-12) * 1e6 + 0.5) AS BIGINT) AS su
+         FROM grp, ties),
+       agg AS (SELECT n, tie3, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(su) AS BIGINT) AS sus
+             FROM terms GROUP BY n, tie3),
+       f AS (SELECT n, k, k - 1 AS dof,
+           12.0 * (sus::DOUBLE / 1e6) - 3.0 * (n::DOUBLE + 1.0) AS h,
+           1.0 - tie3::DOUBLE
+             / greatest(n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE,
+               1e-12) AS corr
+         FROM agg)
+       SELECT n, k, dof, round(h, 6) AS h,
+         round(h / greatest(corr, 1e-12), 6) AS h_tie_corrected,
+         round((h / greatest(corr, 1e-12) - k::DOUBLE + 1.0)
+           / greatest(n::DOUBLE - k::DOUBLE, 1e-12), 6) AS epsilon_sq
+       FROM f"""
+
+  // --------------------------------------------------------------- q317
+  /** Friedman test — "do event types keep the same activity ORDER
+    * across days?", the repeated-measures companion to q316 (which
+    * pools all observations; this one blocks by day so day-level
+    * volume shifts cancel). Blocks = days, treatments = event types,
+    * response = the zero-filled daily count grid; within-day average
+    * ranks live on the 2× integer grid, so the tie-corrected statistic
+    * is an EXACT integer ratio — (k−1)·Σ(R2_j − n(k+1))² over
+    * Σr2² − nk(k+1)² — closed with ONE FP division (no quantization
+    * anywhere). Day-partitioned windows over a days×k grid; the corpus
+    * collapses in one aggregation.
+    */
+  private def q317(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("dt"), col("event_type").as("g"))
+      .groupBy("dt", "g").agg(count(lit(1)).as("c"))
+    val days = obs.select("dt").distinct()
+    val types = obs.select("g").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(obs, Seq("dt", "g"), "left")
+      .na.fill(0L, Seq("c"))
+    val tiesInDay = grid.groupBy("dt", "c").agg(count(lit(1)).as("m"))
+    val wDay = Window.partitionBy("dt").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ar = tiesInDay
+      .withColumn("bl", coalesce(sum("m").over(wDay), lit(0L)))
+      .select(col("dt"), col("c"),
+        (lit(2L) * col("bl") + col("m") + lit(1L)).as("r2"))
+    val ranked = grid.join(ar, Seq("dt", "c"))
+    val perType = ranked.groupBy("g").agg(sum("r2").as("r2j"))
+    val tot = ranked.agg(sum(col("r2") * col("r2")).as("s2"),
+      countDistinct(col("dt")).as("n"))
+    val kDf = perType.agg(count(lit(1)).as("k"))
+    val num = perType.crossJoin(broadcast(tot)).crossJoin(broadcast(kDf))
+      .select(col("n"), col("k"), col("s2"),
+        (col("r2j") - col("n") * (col("k") + 1L)).as("a"))
+      .groupBy("n", "k", "s2")
+      .agg(sum(col("a") * col("a")).as("ssq"))
+    val den = col("s2") - col("n") * col("k") *
+      (col("k") + 1L) * (col("k") + 1L)
+    val chi2 = (col("k") - 1L).cast("double") *
+      col("ssq").cast("double") / safe(den.cast("double"))
+    num.select(col("n").as("n_days"), col("k"), (col("k") - 1L).as("dof"),
+      round(chi2, 6).as("chi2"),
+      round(chi2 / safe(col("n").cast("double") *
+        (col("k") - 1L).cast("double")), 6).as("kendall_w"))
+  }
+
+  private val q317Sql =
+    """WITH obs AS (SELECT ts::DATE AS dt, event_type AS g,
+           CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       grid AS (SELECT dd.dt, tt.g, coalesce(obs.c, 0) AS c
+             FROM (SELECT DISTINCT dt FROM obs) dd
+             CROSS JOIN (SELECT DISTINCT g FROM obs) tt
+             LEFT JOIN obs ON obs.dt = dd.dt AND obs.g = tt.g),
+       tid AS (SELECT dt, c, CAST(count(*) AS BIGINT) AS m
+               FROM grid GROUP BY dt, c),
+       ar AS (SELECT dt, c,
+               2 * coalesce(sum(m) OVER (PARTITION BY dt ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + m + 1 AS r2
+             FROM tid),
+       ranked AS (SELECT g.g, g.dt, ar.r2
+                  FROM grid g JOIN ar ON ar.dt = g.dt AND ar.c = g.c),
+       pt AS (SELECT g, CAST(sum(r2) AS BIGINT) AS r2j
+              FROM ranked GROUP BY g),
+       tot AS (SELECT CAST(sum(r2 * r2) AS BIGINT) AS s2,
+               CAST(count(DISTINCT dt) AS BIGINT) AS n FROM ranked),
+       kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM pt),
+       num AS (SELECT n, k, s2,
+               CAST(sum((r2j - n * (k + 1)) * (r2j - n * (k + 1)))
+                 AS BIGINT) AS ssq
+             FROM pt, tot, kk GROUP BY n, k, s2),
+       f AS (SELECT n, k, s2, ssq,
+           (k - 1)::DOUBLE * ssq::DOUBLE
+             / greatest((s2 - n * k * (k + 1) * (k + 1))::DOUBLE,
+               1e-12) AS chi2
+         FROM num)
+       SELECT n AS n_days, k, k - 1 AS dof,
+         round(chi2, 6) AS chi2,
+         round(chi2 / greatest(n::DOUBLE * (k - 1)::DOUBLE, 1e-12), 6)
+           AS kendall_w
+       FROM f"""
+
+  // --------------------------------------------------------------- q318
+  /** Fleiss' kappa — chance-corrected agreement for MANY raters
+    * (q215's Cohen kappa handles exactly two, q276's Krippendorff
+    * weights by distance): items = orders with ≥2 lineitems, raters =
+    * the first two lines by linenumber, categories = return flags.
+    * With n=2 ratings per item the whole statistic is an exact
+    * integer ratio of DECIMAL sufficient statistics — S2 = ΣΣn_ij²
+    * and the category totals' square sum E2 — closing as
+    * κ = (2N(S2−2N) − E2)/(4N² − E2) in ONE FP division. One
+    * order-partitioned top-2 window + two bounded aggregations.
+    */
+  private def q318(s: SparkSession, d: String): DataFrame = {
+    // (linenumber, partkey) is NOT unique in the corpus — the rating
+    // category joins the sort so the top-2 pick is outcome-total
+    // (rows still tied agree on cat, so the choice cannot matter)
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("cat"))
+    val first2 = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_returnflag").as("cat"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val withBoth = first2.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nr"))
+      .filter(col("nr") === 2)
+      .select("l_orderkey")
+    val cells = first2.join(withBoth, Seq("l_orderkey"))
+      .groupBy("l_orderkey", "cat").agg(count(lit(1)).as("nij"))
+    val dec = "decimal(38,0)"
+    val s2n = cells.agg(
+      sum(col("nij").cast(dec) * col("nij").cast(dec)).as("s2"),
+      (sum("nij") / 2L).cast("long").as("n_items"))
+    val e2 = cells.groupBy("cat").agg(sum("nij").as("cj"))
+      .agg(sum(col("cj").cast(dec) * col("cj").cast(dec)).as("e2"))
+    val nD = col("n_items").cast("double")
+    val s2D = col("s2").cast("double")
+    val e2D = col("e2").cast("double")
+    s2n.crossJoin(broadcast(e2))
+      .select(col("n_items"),
+        round((s2D - lit(2.0) * nD) / safe(lit(2.0) * nD), 6).as("p_bar"),
+        round(e2D / safe(lit(4.0) * nD * nD), 6).as("p_e"),
+        round((lit(2.0) * nD * (s2D - lit(2.0) * nD) - e2D) /
+          safe(lit(4.0) * nD * nD - e2D), 6).as("kappa"))
+  }
+
+  private val q318Sql =
+    """WITH f2 AS (SELECT l_orderkey, l_returnflag AS cat,
+           row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_returnflag) AS rn
+         FROM lineitem),
+       keep AS (SELECT l_orderkey FROM f2 WHERE rn <= 2
+                GROUP BY l_orderkey HAVING count(*) = 2),
+       cells AS (SELECT f2.l_orderkey, cat,
+               CAST(count(*) AS BIGINT) AS nij
+             FROM f2 JOIN keep USING (l_orderkey)
+             WHERE rn <= 2 GROUP BY f2.l_orderkey, cat),
+       s2n AS (SELECT sum(nij::HUGEINT * nij::HUGEINT) AS s2,
+               CAST(sum(nij) // 2 AS BIGINT) AS n_items FROM cells),
+       e2t AS (SELECT sum(cj::HUGEINT * cj::HUGEINT) AS e2
+             FROM (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
+                   FROM cells GROUP BY cat))
+       SELECT n_items,
+         round((s2::DOUBLE - 2.0 * n_items::DOUBLE)
+           / greatest(2.0 * n_items::DOUBLE, 1e-12), 6) AS p_bar,
+         round(e2::DOUBLE
+           / greatest(4.0 * n_items::DOUBLE * n_items::DOUBLE, 1e-12), 6)
+           AS p_e,
+         round((2.0 * n_items::DOUBLE * (s2::DOUBLE
+             - 2.0 * n_items::DOUBLE) - e2::DOUBLE)
+           / greatest(4.0 * n_items::DOUBLE * n_items::DOUBLE
+             - e2::DOUBLE, 1e-12), 6) AS kappa
+       FROM s2n, e2t"""
+
+  // --------------------------------------------------------------- q319
+  /** Aalen–Johansen cumulative incidence — competing-risks survival,
+    * the readout q205's Kaplan–Meier CANNOT give when subjects exit
+    * for different reasons (1−KM per cause overstates every cause):
+    * customers "die" by churn (90-day inactivity before the corpus
+    * end, the q205/q302 scaffold), competing causes = ever-urgent
+    * customers (cause 1) vs never-urgent (cause 2). CIF_k(t) =
+    * Σ_{s≤t} S(s−)·d_k(s)/n(s) with the ALL-cause KM S on the 9-dp
+    * grid (the q305 discipline) and each increment quantized to
+    * 1e-9-unit LONGs, so the horizon sums are order-independent
+    * integer folds. Corpus collapses to per-customer rows, then to
+    * event days; both causes close in one aggregation.
+    */
+  private def q319(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1990-01-01").cast("date"))
+    val u = Tables.orders(s, d)
+      .select(col("o_custkey"), day.as("dd"),
+        when(substring(col("o_orderpriority"), 1, 1).cast("int") <= 2,
+          1L).otherwise(0L).as("urg"))
+      .groupBy("o_custkey")
+      .agg(min("dd").as("d0"), max("dd").as("d1"),
+        max("urg").as("ever_urgent"))
+    val fin = u.agg(max("d1").as("endday"))
+    val pa = u.crossJoin(broadcast(fin))
+      .select((col("d1") - col("d0")).as("t"),
+        when(col("endday") - col("d1") >= 90, 1L).otherwise(0L)
+          .as("died"),
+        when(col("ever_urgent") === 1L, 1L).otherwise(2L).as("cause"))
+    val ga = pa.groupBy("t")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("died") === 1L && col("cause") === 1L, 1L)
+          .otherwise(0L)).as("d1c"),
+        sum(when(col("died") === 1L && col("cause") === 2L, 1L)
+          .otherwise(0L)).as("d2c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = ga.withColumn("n_risk", sum("n_at").over(wDesc))
+      .withColumn("dt", col("d1c") + col("d2c"))
+      .filter(col("dt") > 0)
+    val wAsc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val surv = risk.withColumn("f",
+        lit(1.0) - col("dt").cast("double") /
+          greatest(col("n_risk"), lit(1L)).cast("double"))
+      .withColumn("s_after",
+        when(min(col("f")).over(wAsc) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("f"))).over(wAsc)), 9)))
+    val wLag = Window.orderBy("t")
+    val inc = surv
+      .withColumn("s_prev",
+        coalesce(lag(col("s_after"), 1).over(wLag), lit(1.0)))
+      .select(col("t"), col("d1c"), col("d2c"),
+        floor(col("s_prev") * col("d1c").cast("double") /
+          greatest(col("n_risk"), lit(1L)).cast("double") * lit(1e9) +
+          lit(0.5)).cast("long").as("i1u"),
+        floor(col("s_prev") * col("d2c").cast("double") /
+          greatest(col("n_risk"), lit(1L)).cast("double") * lit(1e9) +
+          lit(0.5)).cast("long").as("i2u"))
+    val agg = inc.agg(
+      sum("d1c").as("ev1"), sum("d2c").as("ev2"),
+      sum(when(col("t") <= 365L, col("i1u")).otherwise(0L)).as("c1_365"),
+      sum(when(col("t") <= 365L, col("i2u")).otherwise(0L)).as("c2_365"),
+      sum("i1u").as("c1f"), sum("i2u").as("c2f"))
+    agg.select(lit(1L).as("cause"), col("ev1").as("events"),
+        round(col("c1_365").cast("double") / 1e9, 6).as("cif_365"),
+        round(col("c1f").cast("double") / 1e9, 6).as("cif_final"))
+      .unionByName(agg.select(lit(2L).as("cause"),
+        col("ev2").as("events"),
+        round(col("c2_365").cast("double") / 1e9, 6).as("cif_365"),
+        round(col("c2f").cast("double") / 1e9, 6).as("cif_final")))
+      .orderBy("cause")
+  }
+
+  private val q319Sql =
+    """WITH u AS (SELECT o_custkey,
+           min(datediff('day', DATE '1990-01-01', o_orderdate::DATE))
+             AS d0,
+           max(datediff('day', DATE '1990-01-01', o_orderdate::DATE))
+             AS d1,
+           max(CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+             <= 2 THEN 1 ELSE 0 END) AS ever_urgent
+         FROM orders GROUP BY o_custkey),
+       fin AS (SELECT max(d1) AS endday FROM u),
+       pa AS (SELECT d1 - d0 AS t,
+                CASE WHEN endday - d1 >= 90 THEN 1 ELSE 0 END AS died,
+                CASE WHEN ever_urgent = 1 THEN 1 ELSE 2 END AS cause
+              FROM u, fin),
+       ga AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+                CAST(sum(CASE WHEN died = 1 AND cause = 1 THEN 1
+                  ELSE 0 END) AS BIGINT) AS d1c,
+                CAST(sum(CASE WHEN died = 1 AND cause = 2 THEN 1
+                  ELSE 0 END) AS BIGINT) AS d2c
+              FROM pa GROUP BY t),
+       risk AS (SELECT *, CAST(sum(n_at) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk,
+                d1c + d2c AS dt
+              FROM ga),
+       dd AS (SELECT * FROM risk WHERE dt > 0),
+       surv AS (SELECT *,
+           1.0 - dt::DOUBLE / greatest(n_risk, 1)::DOUBLE AS f
+         FROM dd),
+       sv AS (SELECT *,
+           CASE WHEN min(f) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  = 0.0 THEN 0.0
+                ELSE round(exp(sum(ln(f)) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+           END AS s_after
+         FROM surv),
+       inc AS (SELECT t, d1c, d2c,
+           CAST(floor(coalesce(lag(s_after) OVER (ORDER BY t), 1.0)
+               * d1c::DOUBLE / greatest(n_risk, 1)::DOUBLE * 1e9 + 0.5)
+             AS BIGINT) AS i1u,
+           CAST(floor(coalesce(lag(s_after) OVER (ORDER BY t), 1.0)
+               * d2c::DOUBLE / greatest(n_risk, 1)::DOUBLE * 1e9 + 0.5)
+             AS BIGINT) AS i2u
+         FROM sv),
+       agg AS (SELECT CAST(sum(d1c) AS BIGINT) AS ev1,
+               CAST(sum(d2c) AS BIGINT) AS ev2,
+               CAST(sum(CASE WHEN t <= 365 THEN i1u ELSE 0 END)
+                 AS BIGINT) AS c1_365,
+               CAST(sum(CASE WHEN t <= 365 THEN i2u ELSE 0 END)
+                 AS BIGINT) AS c2_365,
+               CAST(sum(i1u) AS BIGINT) AS c1f,
+               CAST(sum(i2u) AS BIGINT) AS c2f
+             FROM inc)
+       SELECT 1::BIGINT AS cause, ev1 AS events,
+         round(c1_365::DOUBLE / 1e9, 6) AS cif_365,
+         round(c1f::DOUBLE / 1e9, 6) AS cif_final FROM agg
+       UNION ALL
+       SELECT 2::BIGINT AS cause, ev2 AS events,
+         round(c2_365::DOUBLE / 1e9, 6) AS cif_365,
+         round(c2f::DOUBLE / 1e9, 6) AS cif_final FROM agg
+       ORDER BY cause"""
+
+  // --------------------------------------------------------------- q320
+  /** DerSimonian–Laird random-effects meta-analysis — pooling the
+    * per-event-type hash-arm effects (the q295 scaffold) into ONE
+    * estimate with between-study heterogeneity: fixed-effect
+    * inverse-variance pooling, Cochran's Q, the DL moment estimate
+    * τ² = max(0, (Q−(k−1))/c), and the re-weighted random-effects
+    * mean. Per-study d_i/v_i are fixed-shape FP from exact
+    * sufficient statistics; every k-row sum (Σw, Σwd, Σw², Q terms,
+    * Σw*, Σw*d) quantizes its addends to 1e-6-unit LONGs first
+    * (order-independence) — two bounded passes over a k-row table
+    * with broadcast stage scalars, no corpus re-scan.
+    */
+  private def q320(s: SparkSession, d: String): DataFrame = {
+    val arm = graft.operators.Sampling.hashBucket(col("user_id"), "ab", 2)
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (arm === 0).as("t"),
+        col("value").as("v"))
+      .groupBy("event_type")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("t"), col("v")).otherwise(0.0)).as("sa"),
+        sum(when(col("t"), col("v") * col("v")).otherwise(0.0)).as("saa"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("t"), col("v")).otherwise(0.0)).as("sb"),
+        sum(when(!col("t"), col("v") * col("v")).otherwise(0.0)).as("sbb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val dEff = col("sa") / na - col("sb") / nb
+    val vEff = ((col("saa") - col("sa") * col("sa") / na) / (na - 1.0)) /
+      na + ((col("sbb") - col("sb") * col("sb") / nb) / (nb - 1.0)) / nb
+    val studies = cells.select(col("event_type"), dEff.as("di"),
+      vEff.as("vi"))
+    // stage 1: fixed-effect sums on the 1e-6 grid
+    val st1 = studies.select(
+        floor(lit(1.0) / safe(col("vi")) * lit(1e6) + lit(0.5))
+          .cast("long").as("wu"),
+        floor(col("di") / safe(col("vi")) * lit(1e6) + lit(0.5))
+          .cast("long").as("wdu"),
+        floor(lit(1.0) / safe(col("vi")) / safe(col("vi")) * lit(1e6) +
+          lit(0.5)).cast("long").as("w2u"))
+      .agg(count(lit(1)).as("k"), sum("wu").as("sw"),
+        sum("wdu").as("swd"), sum("w2u").as("sw2"))
+    val muF = col("swd").cast("double") / safe(col("sw").cast("double"))
+    // stage 2: Q against the broadcast fixed-effect mean
+    val st2 = studies.crossJoin(broadcast(st1))
+      .select(col("k"), col("sw"), col("swd"), col("sw2"),
+        floor((col("di") - muF) * (col("di") - muF) / safe(col("vi")) *
+          lit(1e6) + lit(0.5)).cast("long").as("qu"))
+      .groupBy("k", "sw", "swd", "sw2")
+      .agg(sum("qu").as("squ"))
+    val q = col("squ").cast("double") / 1e6
+    val c = col("sw").cast("double") / 1e6 -
+      (col("sw2").cast("double") / 1e6) /
+        safe(col("sw").cast("double") / 1e6)
+    val tau2 = greatest(
+      (q - (col("k") - 1L).cast("double")) / safe(c), lit(0.0))
+    val head = st2.select(col("k"), col("sw"), col("swd"), col("squ"),
+      tau2.as("tau2"))
+    // stage 3: random-effects re-weighting with the broadcast tau²
+    val st3 = studies.crossJoin(broadcast(head))
+      .select(col("k"), col("sw"), col("swd"), col("squ"), col("tau2"),
+        floor(lit(1.0) / safe(col("vi") + col("tau2")) * lit(1e6) +
+          lit(0.5)).cast("long").as("wsu"),
+        floor(col("di") / safe(col("vi") + col("tau2")) * lit(1e6) +
+          lit(0.5)).cast("long").as("wsdu"))
+      .groupBy("k", "sw", "swd", "squ", "tau2")
+      .agg(sum("wsu").as("sws"), sum("wsdu").as("swsd"))
+    val qD = col("squ").cast("double") / 1e6
+    st3.select(col("k"),
+      round(col("swd").cast("double") / safe(col("sw").cast("double")),
+        6).as("mu_fixed"),
+      round(lit(1.0) / sqrt(safe(col("sw").cast("double") / 1e6)), 6)
+        .as("se_fixed"),
+      round(qD, 6).as("q_stat"),
+      round(col("tau2"), 6).as("tau2"),
+      round(greatest((qD - (col("k") - 1L).cast("double")) / safe(qD),
+        lit(0.0)), 6).as("i2"),
+      round(col("swsd").cast("double") / safe(col("sws").cast("double")),
+        6).as("mu_random"),
+      round(lit(1.0) / sqrt(safe(col("sws").cast("double") / 1e6)), 6)
+        .as("se_random"))
+  }
+
+  private val q320Sql =
+    """WITH b AS (SELECT event_type,
+           (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 = 0) AS t,
+           value AS v
+         FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type,
+           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           sum(CASE WHEN t THEN v ELSE 0.0 END) AS sa,
+           sum(CASE WHEN t THEN v * v ELSE 0.0 END) AS saa,
+           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           sum(CASE WHEN NOT t THEN v ELSE 0.0 END) AS sb,
+           sum(CASE WHEN NOT t THEN v * v ELSE 0.0 END) AS sbb
+         FROM b GROUP BY event_type
+         HAVING n_a >= 2 AND n_b >= 2),
+       st AS (SELECT event_type,
+           sa / n_a::DOUBLE - sb / n_b::DOUBLE AS di,
+           ((saa - sa * sa / n_a::DOUBLE) / (n_a::DOUBLE - 1.0))
+             / n_a::DOUBLE
+           + ((sbb - sb * sb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0))
+             / n_b::DOUBLE AS vi
+         FROM c),
+       s1 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CAST(floor(1.0 / greatest(vi, 1e-12) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS sw,
+           CAST(sum(CAST(floor(di / greatest(vi, 1e-12) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS swd,
+           CAST(sum(CAST(floor(1.0 / greatest(vi, 1e-12)
+               / greatest(vi, 1e-12) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS sw2
+         FROM st),
+       s2 AS (SELECT k, sw, swd, sw2,
+           CAST(sum(CAST(floor((di - swd::DOUBLE
+                 / greatest(sw::DOUBLE, 1e-12))
+               * (di - swd::DOUBLE / greatest(sw::DOUBLE, 1e-12))
+               / greatest(vi, 1e-12) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS squ
+         FROM st, s1 GROUP BY k, sw, swd, sw2),
+       h AS (SELECT k, sw, swd, squ,
+           greatest((squ::DOUBLE / 1e6 - (k - 1)::DOUBLE)
+             / greatest(sw::DOUBLE / 1e6
+               - (sw2::DOUBLE / 1e6) / greatest(sw::DOUBLE / 1e6, 1e-12),
+               1e-12), 0.0) AS tau2
+         FROM s2),
+       s3 AS (SELECT k, sw, swd, squ, tau2,
+           CAST(sum(CAST(floor(1.0 / greatest(vi + tau2, 1e-12) * 1e6
+             + 0.5) AS BIGINT)) AS BIGINT) AS sws,
+           CAST(sum(CAST(floor(di / greatest(vi + tau2, 1e-12) * 1e6
+             + 0.5) AS BIGINT)) AS BIGINT) AS swsd
+         FROM st, h GROUP BY k, sw, swd, squ, tau2)
+       SELECT k,
+         round(swd::DOUBLE / greatest(sw::DOUBLE, 1e-12), 6) AS mu_fixed,
+         round(1.0 / sqrt(greatest(sw::DOUBLE / 1e6, 1e-12)), 6)
+           AS se_fixed,
+         round(squ::DOUBLE / 1e6, 6) AS q_stat,
+         round(tau2, 6) AS tau2,
+         round(greatest((squ::DOUBLE / 1e6 - (k - 1)::DOUBLE)
+           / greatest(squ::DOUBLE / 1e6, 1e-12), 0.0), 6) AS i2,
+         round(swsd::DOUBLE / greatest(sws::DOUBLE, 1e-12), 6)
+           AS mu_random,
+         round(1.0 / sqrt(greatest(sws::DOUBLE / 1e6, 1e-12)), 6)
+           AS se_random
+       FROM s3"""
+
+  val queries: Map[String, Q] = Map(
+    "q316_kruskal_wallis" -> (q316 _),
+    "q317_friedman" -> (q317 _),
+    "q318_fleiss_kappa" -> (q318 _),
+    "q319_competing_risks" -> (q319 _),
+    "q320_meta_analysis" -> (q320 _))
+
+  val oracles: Map[String, String] = Map(
+    "q316_kruskal_wallis" -> q316Sql,
+    "q317_friedman" -> q317Sql,
+    "q318_fleiss_kappa" -> q318Sql,
+    "q319_competing_risks" -> q319Sql,
+    "q320_meta_analysis" -> q320Sql)
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computable fixtures for the round-11 measurement-method
+  * operators (the DuckDB gate covers the corpus path; these pin the
+  * estimator semantics on inputs where the right answer is knowable
+  * by hand).
+  */
+class StudiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staged(name: String)(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_studies_$name").toString
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def day(n: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(n.toLong).atStartOfDay())
+
+  test("q316 Kruskal-Wallis: two cleanly separated groups recover the " +
+      "textbook H") {
+    // values 1,2,3 vs 4,5,6: ranks 1-6, R_a=6, R_b=15,
+    // H = 12/(6*7)*(36/3+225/3) - 3*7 = 3.857142... (1e-6 grid)
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0))
+      .zipWithIndex.map { case ((g, v), i) => (day(i), g, v) }
+      .toDF("ts", "event_type", "value")
+    val dir = staged("kw")("events" -> ev)
+    val r = SparkEntry.queries("q316_kruskal_wallis")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(math.abs(r.getAs[Double]("h") - 3.857143) < 1e-4)
+    // no ties: corrected H equals H
+    assert(r.getAs[Double]("h_tie_corrected") === r.getAs[Double]("h"))
+    assert(math.abs(r.getAs[Double]("epsilon_sq") -
+      (r.getAs[Double]("h") - 1.0) / 4.0) < 1e-6)
+  }
+
+  test("q317 Friedman: a perfectly consistent day ranking gives " +
+      "W = 1 and chi2 = n(k-1)") {
+    // 3 days, type b always busier than type a: per-day ranks (1,2)
+    // every day -> chi2 = 3, Kendall's W = 1
+    val rows = (0 until 3).flatMap { dn =>
+      Seq((day(dn), "a"), (day(dn), "b"), (day(dn), "b"))
+    }
+    val ev = rows.toDF("ts", "event_type")
+    val dir = staged("friedman")("events" -> ev)
+    val r = SparkEntry.queries("q317_friedman")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Double]("chi2") === 3.0)
+    assert(r.getAs[Double]("kendall_w") === 1.0)
+  }
+
+  test("q318 Fleiss kappa: the 4-item two-rater textbook grid") {
+    // items: (R,R), (R,A), (A,A), (N,N): S2=14, N=4, c=(3,3,2),
+    // P-bar = 0.75, P_e = 22/64, kappa = 26/42 = 0.619048
+    val li = Seq(
+      (1L, 1, 10L, "R"), (1L, 2, 11L, "R"),
+      (2L, 1, 12L, "R"), (2L, 2, 13L, "A"),
+      (3L, 1, 14L, "A"), (3L, 2, 15L, "A"),
+      (4L, 1, 16L, "N"), (4L, 2, 17L, "N"),
+      // a 1-line order must be EXCLUDED, not rated
+      (5L, 1, 18L, "R")
+    ).toDF("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
+    val dir = staged("fleiss")("lineitem" -> li)
+    val r = SparkEntry.queries("q318_fleiss_kappa")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Double]("p_bar") === 0.75)
+    assert(math.abs(r.getAs[Double]("p_e") - 22.0 / 64.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kappa") - 26.0 / 42.0) < 1e-6)
+  }
+
+  test("q319 Aalen-Johansen: two competing deaths split the incidence " +
+      "mass exactly") {
+    // endday=200; cust 1 dies t=10 (urgent cause 1), cust 2 dies t=20
+    // (cause 2), cust 3 censored: CIF1 = 1/3, CIF2 = (2/3)*(1/2) = 1/3
+    val orders = Seq(
+      (1L, 1L, 100.0, day(0), "1-URGENT"),
+      (2L, 1L, 100.0, day(10), "1-URGENT"),
+      (3L, 2L, 100.0, day(0), "3-MEDIUM"),
+      (4L, 2L, 100.0, day(20), "3-MEDIUM"),
+      (5L, 3L, 100.0, day(0), "5-LOW"),
+      (6L, 3L, 100.0, day(200), "5-LOW")
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val dir = staged("aj")("orders" -> orders)
+    val out = SparkEntry.queries("q319_competing_risks")(spark, dir)
+      .collect().map(r => r.getAs[Long]("cause") -> r).toMap
+    assert(out(1L).getAs[Long]("events") === 1L)
+    assert(out(2L).getAs[Long]("events") === 1L)
+    assert(math.abs(out(1L).getAs[Double]("cif_final") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(out(2L).getAs[Double]("cif_final") - 1.0 / 3.0) < 1e-6)
+    // both deaths are inside the first year
+    assert(out(1L).getAs[Double]("cif_365") ===
+      out(1L).getAs[Double]("cif_final"))
+    // an all-cause KM would give 1-S(20) = 2/3 = CIF1 + CIF2 exactly
+    assert(math.abs(out(1L).getAs[Double]("cif_final") +
+      out(2L).getAs[Double]("cif_final") - 2.0 / 3.0) < 1e-5)
+  }
+
+  test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
+      "the random-effects SE dominates the fixed one") {
+    val r = SparkEntry.queries("q320_meta_analysis")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(r.getAs[Long]("k") >= 2L)
+    assert(r.getAs[Double]("q_stat") >= 0.0)
+    assert(r.getAs[Double]("tau2") >= 0.0)
+    val i2 = r.getAs[Double]("i2")
+    assert(i2 >= 0.0 && i2 <= 1.0)
+    // sum of 1/(v+tau2) <= sum of 1/v, so se_random >= se_fixed
+    assert(r.getAs[Double]("se_random") >= r.getAs[Double]("se_fixed")
+      - 1e-9)
+    assert(r.getAs[Double]("se_fixed") > 0.0)
+  }
+}
