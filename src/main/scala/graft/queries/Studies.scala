@@ -590,17 +590,497 @@ object Studies {
            AS se_random
        FROM s3"""
 
+  // --------------------------------------------------------------- q321
+  /** Multinomial Naive Bayes language classifier — train/eval as ONE
+    * query, the baseline every lang-id pipeline (q33's n-gram
+    * heuristic) should beat before shipping: an 80/20 doc-id hash
+    * split, add-1-smoothed per-language word likelihoods from the
+    * train side, argmax posterior on the test side, per-language
+    * accuracy readout. Per-(doc, lang, word) log terms quantize to
+    * 1e-9-unit LONGs (floor form — libm ln of exact integer ratios,
+    * the q248 caveat regime) so document scores are integer sums and
+    * the argmax is a total order (score desc, lang asc). Work is
+    * test-tokens × k languages — the lang table broadcasts; no
+    * corpus² anywhere.
+    */
+  private def q321(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.words(col("text")))
+          .as("w"),
+        (graft.operators.Sampling.hashBucket(col("doc_id"), "nb", 5)
+          === 0).as("is_test"))
+    val train = docs.filter(!col("is_test"))
+    val test = docs.filter(col("is_test"))
+    val cw = train.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val tl = cw.groupBy("lang").agg(sum("c").as("tl"))
+    val vocab = cw.select("w").distinct().agg(count(lit(1)).as("v"))
+    val priors = Tables.documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id"), "nb", 5)
+        =!= 0)
+      .groupBy("lang").agg(count(lit(1)).as("nl"))
+    val nt = priors.agg(sum("nl").as("nt"))
+    val langs = tl.join(priors, Seq("lang"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nt))
+      .select(col("lang").as("l"), col("tl"), col("v"),
+        floor(log(col("nl").cast("double") / col("nt").cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long").as("prior_u"))
+    val tt = test.groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("n_dw"))
+    val terms = tt.join(broadcast(langs))
+      .join(cw.select(col("lang").as("l"), col("w"), col("c")),
+        Seq("l", "w"), "left")
+      .select(col("doc_id"), col("lang"), col("l"), col("prior_u"),
+        (col("n_dw").cast("double") *
+          log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tl") + col("v")).cast("double"))).as("t"))
+      .select(col("doc_id"), col("lang"), col("l"), col("prior_u"),
+        floor(col("t") * lit(1e9) + lit(0.5)).cast("long").as("tu"))
+    val scored = terms.groupBy("doc_id", "lang", "l", "prior_u")
+      .agg(sum("tu").as("su"))
+      .select(col("doc_id"), col("lang"), col("l"),
+        (col("prior_u") + col("su")).as("score_u"))
+    val wPick = Window.partitionBy("doc_id")
+      .orderBy(col("score_u").desc, col("l"))
+    val pred = scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+    pred.groupBy("lang")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("l") === col("lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("lang"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          safe(col("n_test").cast("double")), 6).as("accuracy"))
+      .orderBy("lang")
+  }
+
+  private val q321Sql =
+    """WITH dt AS (SELECT doc_id, lang, unnest(
+           regexp_split_to_array(trim(text), '\s+')) AS w,
+           (('0x' || substr(md5('nb' || doc_id::VARCHAR), 1, 15))::BIGINT
+             % 5 = 0) AS is_test
+         FROM documents),
+       cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+              FROM dt WHERE NOT is_test GROUP BY lang, w),
+       tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl
+              FROM cw GROUP BY lang),
+       vc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+              FROM cw),
+       pr AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+              FROM documents
+              WHERE ('0x' || substr(md5('nb' || doc_id::VARCHAR), 1, 15))
+                ::BIGINT % 5 <> 0
+              GROUP BY lang),
+       nt AS (SELECT CAST(sum(nl) AS BIGINT) AS nt FROM pr),
+       langs AS (SELECT tl.lang AS l, tl.tl, vc.v,
+           CAST(floor(ln(nl::DOUBLE / nt::DOUBLE) * 1e9 + 0.5)
+             AS BIGINT) AS prior_u
+         FROM tl JOIN pr ON pr.lang = tl.lang, vc, nt),
+       tt AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS n_dw
+              FROM dt WHERE is_test GROUP BY doc_id, lang, w),
+       terms AS (SELECT tt.doc_id, tt.lang, langs.l, langs.prior_u,
+           CAST(floor(n_dw::DOUBLE
+               * ln((coalesce(cw.c, 0) + 1)::DOUBLE
+                 / (langs.tl + langs.v)::DOUBLE) * 1e9 + 0.5)
+             AS BIGINT) AS tu
+         FROM tt CROSS JOIN langs
+         LEFT JOIN cw ON cw.lang = langs.l AND cw.w = tt.w),
+       sc AS (SELECT doc_id, lang, l,
+               prior_u + CAST(sum(tu) AS BIGINT) AS score_u
+             FROM terms GROUP BY doc_id, lang, l, prior_u),
+       pick AS (SELECT doc_id, lang, l,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_u DESC, l) AS rn
+             FROM sc)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN l = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         round(sum(CASE WHEN l = lang THEN 1 ELSE 0 END)::DOUBLE
+           / greatest(count(*)::DOUBLE, 1e-12), 6) AS accuracy
+       FROM pick WHERE rn = 1
+       GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------------------------- q322
+  /** Distance correlation — the dependence detector q194's Pearson
+    * matrix cannot be: dCor = 0 iff the variables are INDEPENDENT
+    * (Pearson 0 only rules out linearity), here between daily order
+    * volume and daily revenue. The double-centered distance-matrix
+    * moments reduce to the closed form dCov² = Σab/n² − 2Σ(a_j·b_j)/n³
+    * + (Σa)(Σb)/n⁴ over EXACT integer distances (counts, cents), so
+    * every sum is an order-independent DECIMAL fold and FP appears
+    * once per closing moment. The pair table is calendar-bounded
+    * (days², never corpus²) — the q250/q284 posture.
+    */
+  private def q322(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("xn"), sum("c").as("yc"))
+    val dec = "decimal(38,0)"
+    val pairs = daily.select(col("dt").as("dt1"), col("xn").as("xa"),
+        col("yc").as("ya"))
+      .join(broadcast(daily.select(col("dt").as("dt2"),
+        col("xn").as("xb"), col("yc").as("yb"))))
+      .select(col("dt1"), abs(col("xa") - col("xb")).as("a"),
+        abs(col("ya") - col("yb")).as("b"))
+    val rows = pairs.groupBy("dt1")
+      .agg(sum(col("a").cast(dec) * col("b").cast(dec)).as("sab"),
+        sum(col("a").cast(dec) * col("a").cast(dec)).as("saa"),
+        sum(col("b").cast(dec) * col("b").cast(dec)).as("sbb"),
+        sum(col("a").cast(dec)).as("ar"),
+        sum(col("b").cast(dec)).as("br"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum("sab").as("sab"), sum("saa").as("saa"), sum("sbb").as("sbb"),
+      sum(col("ar") * col("br")).as("sarbr"),
+      sum(col("ar") * col("ar")).as("sar2"),
+      sum(col("br") * col("br")).as("sbr2"),
+      sum("ar").as("sa"), sum("br").as("sb"))
+    val nD = col("n").cast("double")
+    def mom(s2: Column, srow: Column, stot: Column): Column =
+      s2.cast("double") / (nD * nD) -
+        lit(2.0) * srow.cast("double") / (nD * nD * nD) +
+        stot.cast("double") * stot.cast("double") / (nD * nD * nD * nD)
+    val dcov2 = col("sab").cast("double") / (nD * nD) -
+      lit(2.0) * col("sarbr").cast("double") / (nD * nD * nD) +
+      col("sa").cast("double") * col("sb").cast("double") /
+        (nD * nD * nD * nD)
+    val dvx = mom(col("saa"), col("sar2"), col("sa"))
+    val dvy = mom(col("sbb"), col("sbr2"), col("sb"))
+    m.select(col("n").as("n_days"),
+      round(sqrt(greatest(dcov2, lit(0.0))), 6).as("dcov"),
+      round(sqrt(greatest(dvx, lit(0.0))), 6).as("dvar_x"),
+      round(sqrt(greatest(dvy, lit(0.0))), 6).as("dvar_y"),
+      round(sqrt(greatest(dcov2, lit(0.0)) / safe(sqrt(dvx * dvy))), 6)
+        .as("dcor"))
+  }
+
+  private val q322Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(count(*) AS BIGINT) AS xn,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS yc
+         FROM orders GROUP BY 1),
+       pairs AS (SELECT a.dt AS dt1, abs(a.xn - b.xn) AS da,
+               abs(a.yc - b.yc) AS db
+             FROM daily a CROSS JOIN daily b),
+       rows_ AS (SELECT dt1,
+               sum(da::HUGEINT * db::HUGEINT) AS sab,
+               sum(da::HUGEINT * da::HUGEINT) AS saa,
+               sum(db::HUGEINT * db::HUGEINT) AS sbb,
+               sum(da::HUGEINT) AS ar, sum(db::HUGEINT) AS br
+             FROM pairs GROUP BY dt1),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(sab) AS sab, sum(saa) AS saa, sum(sbb) AS sbb,
+               sum(ar * br) AS sarbr,
+               sum(ar * ar) AS sar2, sum(br * br) AS sbr2,
+               sum(ar) AS sa, sum(br) AS sb
+             FROM rows_),
+       f AS (SELECT n,
+           sab::DOUBLE / (n::DOUBLE * n::DOUBLE)
+             - 2.0 * sarbr::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE)
+             + sa::DOUBLE * sb::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE * n::DOUBLE)
+             AS dcov2,
+           saa::DOUBLE / (n::DOUBLE * n::DOUBLE)
+             - 2.0 * sar2::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE)
+             + sa::DOUBLE * sa::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE * n::DOUBLE)
+             AS dvx,
+           sbb::DOUBLE / (n::DOUBLE * n::DOUBLE)
+             - 2.0 * sbr2::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE)
+             + sb::DOUBLE * sb::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE * n::DOUBLE)
+             AS dvy
+         FROM m)
+       SELECT n AS n_days,
+         round(sqrt(greatest(dcov2, 0.0)), 6) AS dcov,
+         round(sqrt(greatest(dvx, 0.0)), 6) AS dvar_x,
+         round(sqrt(greatest(dvy, 0.0)), 6) AS dvar_y,
+         round(sqrt(greatest(dcov2, 0.0)
+           / greatest(sqrt(dvx * dvy), 1e-12)), 6) AS dcor
+       FROM f"""
+
+  // --------------------------------------------------------------- q323
+  /** Jackknife ratio-metric inference — the deterministic companion to
+    * q251's bootstrap (which resamples) and q252's delta method (which
+    * linearizes): leave-one-DAY-out pseudo-ratios of revenue per order
+    * give an exact closed-form SE and a bias-corrected estimate with
+    * NO resampling randomness. Totals-minus-day pseudo-values are
+    * fixed-shape FP over exact cents/counts, quantized to 1e-6-unit
+    * LONGs before both folds (Σp and Σ(p−p̄)² — the second pass reads
+    * the broadcast mean); the corpus collapses to days once.
+    */
+  private def q323(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("xn"), sum("c").as("yc"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("xn").as("sx"),
+      sum("yc").as("sy"))
+    // pseudo-values in DOLLARS (cents would push the squared
+    // deviations past the LONG grid): p ~ avg order value, dev² fits
+    // the 1e-6 grid at any SF because it is an average, not a total
+    val pseudo = daily.crossJoin(broadcast(tot))
+      .select(col("n"), col("sx"), col("sy"),
+        floor((col("sy") - col("yc")).cast("double") / lit(100.0) /
+          greatest(col("sx") - col("xn"), lit(1L)).cast("double") *
+          lit(1e6) + lit(0.5)).cast("long").as("pu"))
+    val st1 = pseudo.groupBy("n", "sx", "sy").agg(sum("pu").as("spu"))
+    val st2 = pseudo.crossJoin(broadcast(st1.select(
+        col("n").as("n2"), col("spu"))))
+      .select(col("n"), col("sx"), col("sy"), col("spu"),
+        floor((col("pu").cast("double") / 1e6 -
+          col("spu").cast("double") / 1e6 /
+            safe(col("n2").cast("double"))) *
+          (col("pu").cast("double") / 1e6 -
+            col("spu").cast("double") / 1e6 /
+              safe(col("n2").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("du"))
+      .groupBy("n", "sx", "sy", "spu").agg(sum("du").as("sdu"))
+    val nD = col("n").cast("double")
+    val r = col("sy").cast("double") / 100.0 /
+      safe(col("sx").cast("double"))
+    st2.select(col("n").as("n_days"),
+      round(r, 6).as("ratio"),
+      round(sqrt((nD - 1.0) / safe(nD) *
+        (col("sdu").cast("double") / 1e6)), 6).as("jack_se"),
+      round(nD * r - (nD - 1.0) *
+        (col("spu").cast("double") / 1e6 / safe(nD)), 6)
+        .as("bias_corrected"))
+  }
+
+  private val q323Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(count(*) AS BIGINT) AS xn,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS yc
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xn) AS BIGINT) AS sx,
+               CAST(sum(yc) AS BIGINT) AS sy FROM daily),
+       ps AS (SELECT n, sx, sy,
+           CAST(floor((sy - yc)::DOUBLE / 100.0
+               / greatest(sx - xn, 1)::DOUBLE * 1e6 + 0.5) AS BIGINT)
+             AS pu
+         FROM daily, tot),
+       s1 AS (SELECT n, sx, sy, CAST(sum(pu) AS BIGINT) AS spu
+              FROM ps GROUP BY n, sx, sy),
+       s2 AS (SELECT ps.n, ps.sx, ps.sy, s1.spu,
+           CAST(sum(CAST(floor((pu::DOUBLE / 1e6 - s1.spu::DOUBLE / 1e6
+                 / greatest(ps.n::DOUBLE, 1e-12))
+               * (pu::DOUBLE / 1e6 - s1.spu::DOUBLE / 1e6
+                 / greatest(ps.n::DOUBLE, 1e-12)) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS sdu
+         FROM ps, s1 GROUP BY ps.n, ps.sx, ps.sy, s1.spu)
+       SELECT n AS n_days,
+         round(sy::DOUBLE / 100.0 / greatest(sx::DOUBLE, 1e-12), 6)
+           AS ratio,
+         round(sqrt((n::DOUBLE - 1.0) / greatest(n::DOUBLE, 1e-12)
+           * (sdu::DOUBLE / 1e6)), 6) AS jack_se,
+         round(n::DOUBLE * (sy::DOUBLE / 100.0
+             / greatest(sx::DOUBLE, 1e-12))
+           - (n::DOUBLE - 1.0) * (spu::DOUBLE / 1e6
+             / greatest(n::DOUBLE, 1e-12)), 6)
+           AS bias_corrected
+       FROM s2"""
+
+  // --------------------------------------------------------------- q324
+  /** UMass topic coherence — does a source's top vocabulary CO-OCCUR,
+    * or is it a bag of unrelated frequent words? (The readout topic
+    * models are graded by, here applied to each source's top-10
+    * non-stopword document-frequency words.) C = Σ_{i>j}
+    * ln((D(wi,wj)+1)/D(wj)) over CORPUS-wide document frequencies on
+    * the rank order; terms quantize to 1e-9-unit LONGs so the ≤45-term
+    * sums are integer folds. Candidate volume is bounded by the top
+    * word set (≤10·|sources|): postings are semi-joined to it before
+    * the per-document pair expansion — never a vocabulary self-join.
+    */
+  private def q324(s: SparkSession, d: String): DataFrame = {
+    val stop = graft.functions.TextFunctions.stopwords
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextFunctions.words(col("text")))
+          .as("w"))
+      .filter(length(col("w")) > 0 && !col("w").isInCollection(stop))
+      .select("doc_id", "source", "w").distinct()
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("dfs").desc, col("w"))
+    val top = dw.groupBy("source", "w")
+      .agg(count(lit(1)).as("dfs"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 10)
+    val topset = top.select("w").distinct()
+    val posts = dw.join(broadcast(topset), Seq("w"))
+      .select("doc_id", "w").distinct()
+    val dfc = posts.groupBy("w").agg(count(lit(1)).as("dfc"))
+    val co = posts.as("p1")
+      .join(posts.as("p2"), col("p1.doc_id") === col("p2.doc_id") &&
+        col("p1.w") < col("p2.w"))
+      .groupBy(col("p1.w").as("wa"), col("p2.w").as("wb"))
+      .agg(count(lit(1)).as("co"))
+    val sp = top.select(col("source"), col("w").as("wi"),
+        col("rank").as("ri"))
+      .join(top.select(col("source"), col("w").as("wj"),
+        col("rank").as("rj")), Seq("source"))
+      .filter(col("ri") > col("rj"))
+    val terms = sp
+      .join(broadcast(co),
+        least(col("wi"), col("wj")) === col("wa") &&
+          greatest(col("wi"), col("wj")) === col("wb"), "left")
+      .join(broadcast(dfc.select(col("w").as("wj"), col("dfc"))),
+        Seq("wj"))
+      .select(col("source"),
+        floor(log((coalesce(col("co"), lit(0L)) + lit(1L))
+            .cast("double") / col("dfc").cast("double")) * lit(1e9) +
+          lit(0.5)).cast("long").as("tu"))
+    terms.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("tu").cast("double") / 1e9, 6).as("coherence"))
+      .orderBy("source")
+  }
+
+  private val q324Sql =
+    """WITH dw AS (SELECT DISTINCT doc_id, source, w
+         FROM (SELECT doc_id, source, unnest(
+                 regexp_split_to_array(trim(text), '\s+')) AS w
+               FROM documents)
+         WHERE length(w) > 0
+           AND w NOT IN ('the', 'a', 'of', 'and', 'to', 'in')),
+       top AS (SELECT source, w, rank FROM (
+           SELECT source, w, count(*) AS dfs,
+             row_number() OVER (PARTITION BY source
+               ORDER BY count(*) DESC, w) AS rank
+           FROM dw GROUP BY source, w)
+         WHERE rank <= 10),
+       ts AS (SELECT DISTINCT w FROM top),
+       posts AS (SELECT DISTINCT doc_id, dw.w
+                 FROM dw JOIN ts ON ts.w = dw.w),
+       dfc AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc
+               FROM posts GROUP BY w),
+       co AS (SELECT p1.w AS wa, p2.w AS wb,
+               CAST(count(*) AS BIGINT) AS co
+             FROM posts p1 JOIN posts p2
+               ON p1.doc_id = p2.doc_id AND p1.w < p2.w
+             GROUP BY p1.w, p2.w),
+       sp AS (SELECT a.source, a.w AS wi, b.w AS wj
+              FROM top a JOIN top b ON a.source = b.source
+                AND a.rank > b.rank),
+       terms AS (SELECT sp.source,
+           CAST(floor(ln((coalesce(co.co, 0) + 1)::DOUBLE
+               / dfc.dfc::DOUBLE) * 1e9 + 0.5) AS BIGINT) AS tu
+         FROM sp
+         LEFT JOIN co ON co.wa = least(sp.wi, sp.wj)
+           AND co.wb = greatest(sp.wi, sp.wj)
+         JOIN dfc ON dfc.w = sp.wj)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(CAST(sum(tu) AS DOUBLE) / 1e9, 6) AS coherence
+       FROM terms GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- q325
+  /** Dirichlet-smoothed query-likelihood retrieval (μ = 2000) — the
+    * probabilistic ranking family next to q97's BM25 (and the second
+    * scorer q304's RBO can arbitrate): score(q,d) = Σ_t ln((tf_dt +
+    * μ·cf_t/|C|)/(len_d + μ)) over the SAME five query terms, zero-tf
+    * smoothing terms included for candidates. Per-(doc, term) log
+    * terms quantize to 1e-9-unit LONGs so document scores are integer
+    * sums and top-20 is a total order (score desc, doc_id) planning as
+    * TakeOrdered. Candidates = docs matching ≥1 term; the 5-term grid
+    * is candidates×5; corpus stats are one token aggregation.
+    */
+  private def q325(s: SparkSession, d: String): DataFrame = {
+    val mu = 2000.0
+    val termsSeq = Analytics.bmTerms
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("ws"))
+    val dl = toks.select(col("doc_id"), size(col("ws")).as("dl"))
+    val ctot = dl.agg(sum(col("dl").cast("long")).as("ctot"))
+    val tok = toks.select(col("doc_id"), explode(col("ws")).as("t"))
+      .filter(col("t").isInCollection(termsSeq))
+    val cf = tok.groupBy("t").agg(count(lit(1)).as("cf"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val cands = tf.select("doc_id").distinct()
+    val nMatched = tf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    val grid = cands
+      .crossJoin(broadcast(cf.crossJoin(broadcast(ctot))))
+      .join(tf, Seq("doc_id", "t"), "left")
+      .join(dl, Seq("doc_id"))
+    val termU = floor(log(
+        (coalesce(col("tf"), lit(0L)).cast("double") +
+          lit(mu) * col("cf").cast("double") /
+            col("ctot").cast("double")) /
+          (col("dl").cast("double") + lit(mu))) * lit(1e9) + lit(0.5))
+      .cast("long")
+    grid.select(col("doc_id"), termU.as("tu"))
+      .groupBy("doc_id").agg(sum("tu").as("su"))
+      .join(nMatched, Seq("doc_id"))
+      .select(col("doc_id"), col("n_matched"),
+        round(col("su").cast("double") / 1e9, 6).as("score"))
+      .orderBy(col("su").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q325Sql = {
+    val terms = Analytics.bmTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS ws
+         FROM documents),
+       dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+       ct AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+       tok AS (SELECT doc_id, t
+               FROM (SELECT doc_id, unnest(ws) AS t FROM toks)
+               WHERE t IN ($terms)),
+       cf AS (SELECT t, CAST(count(*) AS BIGINT) AS cf
+              FROM tok GROUP BY t),
+       tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, t),
+       cands AS (SELECT DISTINCT doc_id FROM tf),
+       nm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+              FROM tf GROUP BY doc_id),
+       grid AS (SELECT c.doc_id, cf.t, cf.cf, ct.ctot, dl.dl,
+               coalesce(tf.tf, 0) AS tf
+             FROM cands c CROSS JOIN cf CROSS JOIN ct
+             LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.t = cf.t
+             JOIN dl ON dl.doc_id = c.doc_id),
+       sc AS (SELECT doc_id,
+               CAST(sum(CAST(floor(ln((tf::DOUBLE
+                   + 2000.0 * cf::DOUBLE / ctot::DOUBLE)
+                   / (dl::DOUBLE + 2000.0)) * 1e9 + 0.5) AS BIGINT))
+                 AS BIGINT) AS su
+             FROM grid GROUP BY doc_id)
+       SELECT sc.doc_id, nm.n_matched,
+         round(su::DOUBLE / 1e9, 6) AS score
+       FROM sc JOIN nm ON nm.doc_id = sc.doc_id
+       ORDER BY su DESC, sc.doc_id LIMIT 20"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
     "q318_fleiss_kappa" -> (q318 _),
     "q319_competing_risks" -> (q319 _),
-    "q320_meta_analysis" -> (q320 _))
+    "q320_meta_analysis" -> (q320 _),
+    "q321_naive_bayes" -> (q321 _),
+    "q322_distance_corr" -> (q322 _),
+    "q323_jackknife_ratio" -> (q323 _),
+    "q324_topic_coherence" -> (q324 _),
+    "q325_dirichlet_lm" -> (q325 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
     "q317_friedman" -> q317Sql,
     "q318_fleiss_kappa" -> q318Sql,
     "q319_competing_risks" -> q319Sql,
-    "q320_meta_analysis" -> q320Sql)
+    "q320_meta_analysis" -> q320Sql,
+    "q321_naive_bayes" -> q321Sql,
+    "q322_distance_corr" -> q322Sql,
+    "q323_jackknife_ratio" -> q323Sql,
+    "q324_topic_coherence" -> q324Sql,
+    "q325_dirichlet_lm" -> q325Sql)
 }

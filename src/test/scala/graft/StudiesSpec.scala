@@ -108,6 +108,100 @@ class StudiesSpec extends SparkSpec {
       out(2L).getAs[Double]("cif_final") - 2.0 / 3.0) < 1e-5)
   }
 
+  test("q321 Naive Bayes: perfectly separable vocabularies classify " +
+      "every test doc") {
+    // every en doc says only 'zzq', every fr doc only 'qqz' — any
+    // hash-split leaves the likelihoods separable, so whichever docs
+    // land in the 20% test fold must all be classified correctly
+    val docs = (1L to 40L).map { i =>
+      if (i <= 20L) (i, "zzq zzq zzq", "en", "s", 11L)
+      else (i, "qqz qqz qqz", "fr", "s", 11L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("nb")("documents" -> docs)
+    val rows = SparkEntry.queries("q321_naive_bayes")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") === r.getAs[Long]("n_test"))
+      assert(r.getAs[Double]("accuracy") === 1.0)
+    }
+  }
+
+  test("q322 distance correlation: an exact linear relation gives " +
+      "dCor = 1") {
+    // day n carries n+1 one-dollar orders: daily revenue = 100*count
+    // exactly, so every distance is proportional and dCor = 1
+    var key = 0L
+    val orders = (0 until 5).flatMap { dn =>
+      (0 to dn).map { _ => key += 1; (key, key, 1.0, day(dn)) }
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("dcor")("orders" -> orders)
+    val r = SparkEntry.queries("q322_distance_corr")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(math.abs(r.getAs[Double]("dcor") - 1.0) < 1e-6)
+    // dvar_y = 100 * dvar_x exactly (cents vs counts)
+    assert(math.abs(r.getAs[Double]("dvar_y") -
+      100.0 * r.getAs[Double]("dvar_x")) < 1e-3)
+  }
+
+  test("q323 jackknife: the two-day closed form is exact") {
+    // $100 and $200 single-order days: ratio 150, pseudo-values
+    // {200, 100}, SE = sqrt((1/2)(50^2+50^2)) = 50, bias-corrected 150
+    val orders = Seq(
+      (1L, 1L, 100.0, day(0)), (2L, 2L, 200.0, day(1))
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("jack")("orders" -> orders)
+    val r = SparkEntry.queries("q323_jackknife_ratio")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 2L)
+    assert(r.getAs[Double]("ratio") === 150.0)
+    assert(math.abs(r.getAs[Double]("jack_se") - 50.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("bias_corrected") - 150.0) < 1e-5)
+  }
+
+  test("q324 UMass coherence: the 3-doc hand fixture sums the exact " +
+      "log terms") {
+    // df: alpha 3, beta 2, gamma 1 (ranks 1,2,3); pairs on rank order:
+    // (beta|alpha) ln(3/3)=0, (gamma|alpha) ln(2/3), (gamma|beta) ln(1/2)
+    val docs = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "alpha beta", "en", "s1", 10L),
+      (3L, "alpha gamma", "en", "s1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("umass")("documents" -> docs)
+    val r = SparkEntry.queries("q324_topic_coherence")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[String]("source") === "s1")
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    val want = math.log(2.0 / 3.0) + math.log(0.5)
+    assert(math.abs(r.getAs[Double]("coherence") - want) < 1e-5)
+  }
+
+  test("q325 Dirichlet QL: smoothing ranks the broader match above " +
+      "the single repeated term") {
+    val docs = Seq(
+      (1L, "spark spark", "en", "s", 11L),
+      (2L, "spark vector", "en", "s", 12L),
+      (3L, "other words", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("dirlm")("documents" -> docs)
+    val rows = SparkEntry.queries("q325_dirichlet_lm")(spark, dir)
+      .collect()
+    assert(rows.length === 2) // doc 3 matches no query term
+    // hand score: C=6 tokens, cf(spark)=3, cf(vector)=1, mu=2000
+    def sc(tfS: Double, tfV: Double, dl: Double): Double =
+      math.log((tfS + 2000.0 * 3.0 / 6.0) / (dl + 2000.0)) +
+        math.log((tfV + 2000.0 * 1.0 / 6.0) / (dl + 2000.0))
+    val want2 = sc(1.0, 1.0, 2.0)
+    val want1 = sc(2.0, 0.0, 2.0)
+    assert(want2 > want1) // the two-term match wins under smoothing
+    assert(rows(0).getAs[Long]("doc_id") === 2L)
+    assert(rows(0).getAs[Long]("n_matched") === 2L)
+    assert(math.abs(rows(0).getAs[Double]("score") - want2) < 1e-5)
+    assert(math.abs(rows(1).getAs[Double]("score") - want1) < 1e-5)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
