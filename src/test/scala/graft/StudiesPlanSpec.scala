@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan assertions for the round-11 operators whose 100 TB
+  * posture depends on a specific join/partitioning shape — a regression
+  * that silently degrades one of these fails HERE, not in production.
+  * (q322's days×days distance grid is the one DELIBERATE product in
+  * this family: both sides are calendar-bounded, one side broadcast.)
+  */
+class StudiesPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q316 Kruskal-Wallis: the rank join stays keyed on the " +
+      "quantized value, bucket offsets attach by broadcast") {
+    val p = plan("q316_kruskal_wallis")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q321 Naive Bayes: the language table fans out by broadcast " +
+      "and the train-count join stays keyed on (lang, word)") {
+    val p = plan("q321_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q324 topic coherence: postings semi-join the top set by " +
+      "broadcast before any pair expansion; co-occ joins stay keyed") {
+    val p = plan("q324_topic_coherence")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q325 Dirichlet QL: top-20 plans as TakeOrdered, not a global " +
+      "sort") {
+    val p = plan("q325_dirichlet_lm")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q319 competing risks never grows past keyed joins") {
+    val p = plan("q319_competing_risks")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
