@@ -2657,11 +2657,17 @@ object Insights {
       .createTempDirectory("graft_stream_hll").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_hll_ckpt").toString
-    // FileStreamSource requires a DIRECTORY: stream the sf dir with a
-    // glob filter so only the events file is picked up
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    // the events table ships in two layouts (the q204 branch): a
+    // single events.parquet FILE (driver testdata — stream the parent
+    // dir with a glob, FileStreamSource's basePath must be a
+    // directory) or an events.parquet DIRECTORY of part files
+    // (synthesized scale dirs — stream it directly; the glob-on-parent
+    // would match no leaf file and the sink would stay empty)
+    val evPath = s"$d/events.parquet"
+    val reader = s.readStream.schema(rawSchema)
+    val stream =
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(d)
     val regs = Sketch.hllRegisters(
       stream.select(col("user_id").cast("string").as("k")), "k", p)
     val q = regs.writeStream.outputMode("complete")

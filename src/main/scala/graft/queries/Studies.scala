@@ -1060,6 +1060,454 @@ object Studies {
        ORDER BY su DESC, sc.doc_id LIMIT 20"""
   }
 
+  // --------------------------------------------------------------- q326
+  /** Platt-style logistic calibration — the PARAMETRIC companion to
+    * q300's isotonic fit (which is free-form monotone; this one is the
+    * two-parameter sigmoid a production scorer actually ships):
+    * P(return | discount) = σ(a·x + b) by three Newton steps on the
+    * bounded (discount-class, n, positives) grid. The corpus collapses
+    * to ≤101 rows in ONE aggregation; the Newton loop runs on that
+    * collected grid driver-side (bounded state — the reference's own
+    * loop shape, the q302 precedent) with every per-class
+    * gradient/Hessian term quantized to 1e-9-unit LONGs and parameters
+    * carried on the 1e-9 grid, so the unrolled oracle CTE chain replays
+    * the identical arithmetic.
+    */
+  private def q326(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.lineitem(s, d)
+      .select(round(col("l_discount") * 100, 0).cast("long").as("x"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("x").agg(count(lit(1)).as("m"), sum("y").as("sy"))
+      .localCheckpoint(true)
+    val rows = grid.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def fl(v: Double, p: Double): Double =
+      math.floor(v * p + 0.5) / p
+    def g(x: Double): Double = math.max(x, 1e-12)
+    def newton(a0: Double, b0: Double): (Double, Double) = {
+      var ga, gb, haa, hab, hbb = 0L
+      // every term spells the ORACLE's left-associative product order
+      // (FP multiplication is not associative; a regrouping can flip
+      // a floor at the 1e-9 boundary)
+      rows.foreach { case (x, m, sy) =>
+        val xd = x.toDouble / 10.0
+        val p = 1.0 / (1.0 + math.exp(-(a0 * xd + b0)))
+        val md = m.toDouble
+        ga += math.floor(xd * (sy.toDouble - md * p) * 1e9 + 0.5).toLong
+        gb += math.floor((sy.toDouble - md * p) * 1e9 + 0.5).toLong
+        haa += math.floor(
+          xd * xd * md * p * (1.0 - p) * 1e9 + 0.5).toLong
+        hab += math.floor(xd * md * p * (1.0 - p) * 1e9 + 0.5).toLong
+        hbb += math.floor(md * p * (1.0 - p) * 1e9 + 0.5).toLong
+      }
+      val (gaD, gbD) = (ga / 1e9, gb / 1e9)
+      val (haaD, habD, hbbD) = (haa / 1e9, hab / 1e9, hbb / 1e9)
+      val det = haaD * hbbD - habD * habD
+      val da = (gaD * hbbD - gbD * habD) / g(det)
+      val db = (gbD * haaD - gaD * habD) / g(det)
+      (fl(a0 + da, 1e9), fl(b0 + db, 1e9))
+    }
+    val (a1, b1) = newton(0.0, 0.0)
+    val (a2, b2) = newton(a1, b1)
+    val (a3, b3) = newton(a2, b2)
+    def sig(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+    grid.agg(sum("m").as("n"), sum("sy").as("positives"),
+        sum(when(col("x") === 0L, col("sy")).otherwise(0L)).as("s0"),
+        sum(when(col("x") === 0L, col("m")).otherwise(0L)).as("m0"),
+        sum(when(col("x") === 10L, col("sy")).otherwise(0L)).as("s10"),
+        sum(when(col("x") === 10L, col("m")).otherwise(0L)).as("m10"))
+      .select(col("n"), col("positives"),
+        lit(fl(a3, 1e6)).as("a"), lit(fl(b3, 1e6)).as("b"),
+        lit(fl(sig(b3), 1e6)).as("pred_rate_low"),
+        lit(fl(sig(a3 + b3), 1e6)).as("pred_rate_high"),
+        round(col("s0").cast("double") /
+          safe(col("m0").cast("double")), 6).as("emp_rate_low"),
+        round(col("s10").cast("double") /
+          safe(col("m10").cast("double")), 6).as("emp_rate_high"))
+  }
+
+  private val q326Sql = {
+    // one Newton evaluation from stage CTE `$st(a, b)` over the grid
+    def it(st: String) =
+      s"""(SELECT
+           CAST(sum(CAST(floor((x::DOUBLE / 10.0) * (sy::DOUBLE
+               - m::DOUBLE * (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE
+                 / 10.0) + $st.b))))) * 1e9 + 0.5) AS BIGINT))
+             AS BIGINT) AS ga,
+           CAST(sum(CAST(floor((sy::DOUBLE
+               - m::DOUBLE * (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE
+                 / 10.0) + $st.b))))) * 1e9 + 0.5) AS BIGINT))
+             AS BIGINT) AS gb,
+           CAST(sum(CAST(floor((x::DOUBLE / 10.0) * (x::DOUBLE / 10.0)
+               * m::DOUBLE * (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE
+                 / 10.0) + $st.b))))
+               * (1.0 - (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE / 10.0)
+                 + $st.b))))) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+             AS haa,
+           CAST(sum(CAST(floor((x::DOUBLE / 10.0)
+               * m::DOUBLE * (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE
+                 / 10.0) + $st.b))))
+               * (1.0 - (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE / 10.0)
+                 + $st.b))))) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+             AS hab,
+           CAST(sum(CAST(floor(
+               m::DOUBLE * (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE
+                 / 10.0) + $st.b))))
+               * (1.0 - (1.0 / (1.0 + exp(-($st.a * (x::DOUBLE / 10.0)
+                 + $st.b))))) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+             AS hbb
+         FROM grid, $st)"""
+    def upd(st: String, itn: String) =
+      s"""(SELECT
+           floor(($st.a + ((ga::DOUBLE / 1e9) * (hbb::DOUBLE / 1e9)
+               - (gb::DOUBLE / 1e9) * (hab::DOUBLE / 1e9))
+             / greatest((haa::DOUBLE / 1e9) * (hbb::DOUBLE / 1e9)
+               - (hab::DOUBLE / 1e9) * (hab::DOUBLE / 1e9), 1e-12))
+             * 1e9 + 0.5) / 1e9 AS a,
+           floor(($st.b + ((gb::DOUBLE / 1e9) * (haa::DOUBLE / 1e9)
+               - (ga::DOUBLE / 1e9) * (hab::DOUBLE / 1e9))
+             / greatest((haa::DOUBLE / 1e9) * (hbb::DOUBLE / 1e9)
+               - (hab::DOUBLE / 1e9) * (hab::DOUBLE / 1e9), 1e-12))
+             * 1e9 + 0.5) / 1e9 AS b
+         FROM $itn, $st)"""
+    s"""WITH grid AS MATERIALIZED (SELECT
+           CAST(round(l_discount * 100) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS sy
+         FROM lineitem GROUP BY 1),
+       s0 AS (SELECT 0.0 AS a, 0.0 AS b),
+       it1 AS MATERIALIZED ${it("s0")},
+       s1 AS MATERIALIZED ${upd("s0", "it1")},
+       it2 AS MATERIALIZED ${it("s1")},
+       s2 AS MATERIALIZED ${upd("s1", "it2")},
+       it3 AS MATERIALIZED ${it("s2")},
+       s3 AS MATERIALIZED ${upd("s2", "it3")},
+       tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(sy) AS BIGINT) AS positives,
+               CAST(sum(CASE WHEN x = 0 THEN sy ELSE 0 END) AS BIGINT)
+                 AS sl,
+               CAST(sum(CASE WHEN x = 0 THEN m ELSE 0 END) AS BIGINT)
+                 AS ml,
+               CAST(sum(CASE WHEN x = 10 THEN sy ELSE 0 END) AS BIGINT)
+                 AS sh,
+               CAST(sum(CASE WHEN x = 10 THEN m ELSE 0 END) AS BIGINT)
+                 AS mh
+             FROM grid)
+       SELECT n, positives,
+         floor(s3.a * 1e6 + 0.5) / 1e6 AS a,
+         floor(s3.b * 1e6 + 0.5) / 1e6 AS b,
+         floor((1.0 / (1.0 + exp(-s3.b))) * 1e6 + 0.5) / 1e6
+           AS pred_rate_low,
+         floor((1.0 / (1.0 + exp(-(s3.a + s3.b)))) * 1e6 + 0.5) / 1e6
+           AS pred_rate_high,
+         round(sl::DOUBLE / greatest(ml::DOUBLE, 1e-12), 6)
+           AS emp_rate_low,
+         round(sh::DOUBLE / greatest(mh::DOUBLE, 1e-12), 6)
+           AS emp_rate_high
+       FROM tot, s3"""
+  }
+
+  // --------------------------------------------------------------- q327
+  /** Markov entropy rate — how PREDICTABLE is the event stream?
+    * (q107 gives the transition matrix, q280 its accuracy as a
+    * predictor; this is the information-theoretic ceiling for ANY
+    * predictor.) H_rate = −Σ_ab (n_ab/N)·ln(n_ab/n_a) from exact
+    * transition counts, next to the marginal entropy H1 = −Σ π ln π,
+    * the ln(k) ceiling, and predictability 1 − H_rate/H1. Per-cell log
+    * terms quantize to 1e-9-unit LONGs (the ≤k² cell table is the only
+    * post-collapse state); one sessionized lead pass over the corpus.
+    */
+  private def q327(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val rowS = pairs.groupBy("a").agg(sum("nab").as("na"))
+    val tot = rowS.agg(sum("na").as("nn"), count(lit(1)).as("k"))
+    val cells = pairs.join(rowS, Seq("a")).crossJoin(broadcast(tot))
+      .select(floor(col("nab").cast("double") /
+          col("nn").cast("double") *
+          log(col("nab").cast("double") / col("na").cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long").as("tu"))
+      .agg(sum("tu").as("su"))
+    val marg = rowS.crossJoin(broadcast(tot))
+      .select(floor(col("na").cast("double") / col("nn").cast("double") *
+          log(col("na").cast("double") / col("nn").cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long").as("mu"))
+      .agg(sum("mu").as("smu"))
+    val hRate = -col("su").cast("double") / 1e9
+    val h1 = -col("smu").cast("double") / 1e9
+    tot.crossJoin(broadcast(cells)).crossJoin(broadcast(marg))
+      .select(col("nn").as("n_transitions"), col("k"),
+        round(hRate, 6).as("entropy_rate"),
+        round(h1, 6).as("marginal_entropy"),
+        round(log(col("k").cast("double")), 6).as("max_entropy"),
+        round(lit(1.0) - hRate / safe(h1), 6).as("predictability"))
+  }
+
+  private val q327Sql =
+    """WITH seq AS (SELECT event_type AS a,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS b
+         FROM events),
+       pairs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nab
+                 FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+       rs AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na
+              FROM pairs GROUP BY a),
+       tot AS (SELECT CAST(sum(na) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS k FROM rs),
+       cells AS (SELECT CAST(sum(CAST(floor(nab::DOUBLE / nn::DOUBLE
+               * ln(nab::DOUBLE / na::DOUBLE) * 1e9 + 0.5) AS BIGINT))
+             AS BIGINT) AS su
+         FROM pairs JOIN rs USING (a), tot),
+       marg AS (SELECT CAST(sum(CAST(floor(na::DOUBLE / nn::DOUBLE
+               * ln(na::DOUBLE / nn::DOUBLE) * 1e9 + 0.5) AS BIGINT))
+             AS BIGINT) AS smu
+         FROM rs, tot)
+       SELECT nn AS n_transitions, k,
+         round(-su::DOUBLE / 1e9, 6) AS entropy_rate,
+         round(-smu::DOUBLE / 1e9, 6) AS marginal_entropy,
+         round(ln(k::DOUBLE), 6) AS max_entropy,
+         round(1.0 - (-su::DOUBLE / 1e9)
+           / greatest(-smu::DOUBLE / 1e9, 1e-12), 6) AS predictability
+       FROM tot, cells, marg"""
+
+  // --------------------------------------------------------------- q328
+  /** Dunn post-hoc pairwise tests — WHICH event types differ, the
+    * follow-up q316's omnibus H cannot answer: z_ij = (R̄_i − R̄_j) /
+    * √(σ²(1/n_i + 1/n_j)) with σ² = [N(N+1) − Σ(t³−t)/(N−1)]/12 on
+    * the SAME 2×-grid global ranks (shared construction, so the two
+    * queries cannot drift). Rank sums and tie terms are exact
+    * integers; each pairwise z closes in fixed-shape FP on the k²
+    * pair table. Readout ordered (type_a, type_b).
+    */
+  private def q328(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val units = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val b = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"), units.as("u"))
+    val cg = b.groupBy("u", "g").agg(count(lit(1)).as("nv"))
+    val cu = cg.groupBy("u").agg(sum("nv").as("t"))
+    val wAsc = Window.orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = cu.withColumn("below",
+      coalesce(sum("t").over(wAsc), lit(0L)))
+    val dec = "decimal(38,0)"
+    val grp = cg.join(below, Seq("u"))
+      .groupBy("g")
+      .agg(sum("nv").as("n_g"),
+        sum(col("nv").cast(dec) *
+          (lit(2L) * col("below") + col("t") + lit(1L)).cast(dec))
+          .as("r2"))
+    val ties = below.agg(
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("tie3"),
+      sum("t").as("n"))
+    val withTies = grp.crossJoin(broadcast(ties))
+    val a2 = withTies.select(col("g").as("ga"), col("n_g").as("na"),
+      col("r2").as("r2a"), col("tie3"), col("n"))
+    val b2 = withTies.select(col("g").as("gb"), col("n_g").as("nb"),
+      col("r2").as("r2b"))
+    val nD = col("n").cast("double")
+    val sig2 = (nD * (nD + 1.0) -
+      col("tie3").cast("double") / safe(nD - 1.0)) / 12.0
+    val ra = col("r2a").cast("double") / 2.0 /
+      safe(col("na").cast("double"))
+    val rb = col("r2b").cast("double") / 2.0 /
+      safe(col("nb").cast("double"))
+    import graft.functions.Rounding.floorRound
+    a2.join(b2, col("ga") < col("gb"))
+      .select(col("ga").as("type_a"), col("gb").as("type_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(ra, 6).as("mean_rank_a"),
+        round(rb, 6).as("mean_rank_b"),
+        floorRound((ra - rb) / safe(sqrt(sig2 *
+          (lit(1.0) / col("na").cast("double") +
+            lit(1.0) / col("nb").cast("double")))), 6).as("z"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val q328Sql =
+    """WITH b AS (SELECT event_type AS g,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS u
+         FROM events WHERE value IS NOT NULL),
+       cg AS (SELECT u, g, CAST(count(*) AS BIGINT) AS nv
+              FROM b GROUP BY u, g),
+       cu AS (SELECT u, CAST(sum(nv) AS BIGINT) AS t
+              FROM cg GROUP BY u),
+       bel AS (SELECT u, t,
+               coalesce(sum(t) OVER (ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+             FROM cu),
+       grp AS (SELECT g, CAST(sum(nv) AS BIGINT) AS n_g,
+               sum(nv::HUGEINT * (2 * below + t + 1)::HUGEINT) AS r2
+             FROM cg JOIN bel USING (u) GROUP BY g),
+       ties AS (SELECT sum(t::HUGEINT * t * t - t) AS tie3,
+                CAST(sum(t) AS BIGINT) AS n FROM bel),
+       f AS (SELECT a.g AS type_a, bb.g AS type_b,
+           a.n_g AS n_a, bb.n_g AS n_b,
+           a.r2::DOUBLE / 2.0 / greatest(a.n_g::DOUBLE, 1e-12) AS ra,
+           bb.r2::DOUBLE / 2.0 / greatest(bb.n_g::DOUBLE, 1e-12) AS rb,
+           (n::DOUBLE * (n::DOUBLE + 1.0) - tie3::DOUBLE
+             / greatest(n::DOUBLE - 1.0, 1e-12)) / 12.0 AS sig2
+         FROM grp a JOIN grp bb ON a.g < bb.g, ties)
+       SELECT type_a, type_b, n_a, n_b,
+         round(ra, 6) AS mean_rank_a,
+         round(rb, 6) AS mean_rank_b,
+         floor((ra - rb) / greatest(sqrt(sig2
+           * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 1e-12)
+           * 1e6 + 0.5) / 1e6 AS z
+       FROM f ORDER BY type_a, type_b"""
+
+  // --------------------------------------------------------------- q329
+  /** Capture–recapture corpus-size estimate (Chapman) — "how many
+    * distinct documents exist in the wild, given what two sources
+    * independently captured?": the two largest sources are the two
+    * "capture occasions" over normalized content hashes (the q35
+    * kernel), N̂ = (n1+1)(n2+1)/(m+1) − 1 with its closed-form SE.
+    * The acquisition-planning readout dedup counts alone can't give —
+    * it extrapolates to documents NEITHER source has. Distinct-hash
+    * sets are per-source aggregations; the overlap is one equi-join
+    * on hash; everything closes from four exact LONGs.
+    */
+  private def q329(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("source"),
+        graft.operators.Dedup.contentHash(col("text")).as("h"))
+      .distinct()
+    val wTop = Window.orderBy(col("n_docs").desc, col("source"))
+    val top2 = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 2)
+    val sa = hashed.join(broadcast(top2.filter(col("rk") === 1)
+      .select("source")), Seq("source")).select(col("h"))
+    val sb = hashed.join(broadcast(top2.filter(col("rk") === 2)
+      .select("source")), Seq("source")).select(col("h").as("h2"))
+    val n1 = sa.agg(count(lit(1)).as("n1"))
+    val n2 = sb.agg(count(lit(1)).as("n2"))
+    val m = sa.join(sb, col("h") === col("h2"))
+      .agg(count(lit(1)).as("m"))
+    val names = top2.groupBy()
+      .agg(min(when(col("rk") === 1, col("source"))).as("source_a"),
+        min(when(col("rk") === 2, col("source"))).as("source_b"))
+    val n1d = (col("n1") + 1L).cast("double")
+    val n2d = (col("n2") + 1L).cast("double")
+    val md = (col("m") + 1L).cast("double")
+    names.crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .select(col("source_a"), col("source_b"),
+        col("n1").as("n1_distinct"), col("n2").as("n2_distinct"),
+        col("m").as("overlap"),
+        round(n1d * n2d / md - 1.0, 4).as("chapman_total"),
+        round(sqrt(n1d * n2d *
+          (col("n1") - col("m")).cast("double") *
+          (col("n2") - col("m")).cast("double") /
+          (md * md * (md + 1.0))), 4).as("se"))
+  }
+
+  private val q329Sql =
+    """WITH hashed AS (SELECT DISTINCT source,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+         FROM documents),
+       top2 AS (SELECT source, rk FROM (
+           SELECT source, count(*) AS n_docs,
+             row_number() OVER (ORDER BY count(*) DESC, source) AS rk
+           FROM documents GROUP BY source)
+         WHERE rk <= 2),
+       sa AS (SELECT h FROM hashed
+              JOIN top2 ON top2.source = hashed.source AND rk = 1),
+       sb AS (SELECT h FROM hashed
+              JOIN top2 ON top2.source = hashed.source AND rk = 2),
+       c1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM sa),
+       c2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM sb),
+       cm AS (SELECT CAST(count(*) AS BIGINT) AS m
+              FROM sa JOIN sb ON sa.h = sb.h),
+       nm AS (SELECT min(CASE WHEN rk = 1 THEN source END) AS source_a,
+               min(CASE WHEN rk = 2 THEN source END) AS source_b
+             FROM top2)
+       SELECT source_a, source_b, n1 AS n1_distinct, n2 AS n2_distinct,
+         m AS overlap,
+         round((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE
+           - 1.0, 4) AS chapman_total,
+         round(sqrt((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE
+           * (n1 - m)::DOUBLE * (n2 - m)::DOUBLE
+           / ((m + 1)::DOUBLE * (m + 1)::DOUBLE * (m + 2)::DOUBLE)), 4)
+           AS se
+       FROM nm, c1, c2, cm"""
+
+  // --------------------------------------------------------------- q330
+  /** Confusion-matrix effect sizes (precision/recall/F1/MCC) for the
+    * q281 embedding-sign classifier — the THRESHOLDED readout next to
+    * q214's threshold-free AUC: Matthews correlation
+    * (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) is the one
+    * single-number summary that survives class imbalance. Four exact
+    * LONG cells from ONE map-side-combinable aggregation; every
+    * readout is fixed-shape FP of those integers.
+    */
+  private def q330(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.embeddings(s, d).select(
+      (pmod(col("label"), lit(2)) === 0).as("y"),
+      (col("embedding").getItem(0).cast("double") > 0.0).as("p"))
+    val cells = b.agg(
+      sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("p") && col("y"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).as("tn"))
+    val (tp, fp, fn, tn) = (col("tp").cast("double"),
+      col("fp").cast("double"), col("fn").cast("double"),
+      col("tn").cast("double"))
+    val prec = tp / safe(tp + fp)
+    val rec = tp / safe(tp + fn)
+    cells.select(
+      (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      round(prec, 6).as("precision"),
+      round(rec, 6).as("recall"),
+      round(lit(2.0) * prec * rec / safe(prec + rec), 6).as("f1"),
+      round((tp * tn - fp * fn) /
+        safe(sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))), 6)
+        .as("mcc"))
+  }
+
+  private val q330Sql =
+    """WITH b AS (SELECT (label % 2 = 0) AS y,
+           (embedding[1]::DOUBLE > 0.0) AS p
+         FROM embeddings),
+       c AS (SELECT
+           CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT)
+             AS tp,
+           CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp,
+           CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT)
+             AS fn,
+           CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+         FROM b),
+       f AS (SELECT *,
+           tp::DOUBLE / greatest(tp::DOUBLE + fp::DOUBLE, 1e-12)
+             AS prec,
+           tp::DOUBLE / greatest(tp::DOUBLE + fn::DOUBLE, 1e-12)
+             AS rec
+         FROM c)
+       SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+         round(prec, 6) AS precision,
+         round(rec, 6) AS recall,
+         round(2.0 * prec * rec / greatest(prec + rec, 1e-12), 6) AS f1,
+         round((tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+           / greatest(sqrt((tp::DOUBLE + fp::DOUBLE)
+             * (tp::DOUBLE + fn::DOUBLE) * (tn::DOUBLE + fp::DOUBLE)
+             * (tn::DOUBLE + fn::DOUBLE)), 1e-12), 6) AS mcc
+       FROM f"""
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -1070,7 +1518,12 @@ object Studies {
     "q322_distance_corr" -> (q322 _),
     "q323_jackknife_ratio" -> (q323 _),
     "q324_topic_coherence" -> (q324 _),
-    "q325_dirichlet_lm" -> (q325 _))
+    "q325_dirichlet_lm" -> (q325 _),
+    "q326_platt_scaling" -> (q326 _),
+    "q327_entropy_rate" -> (q327 _),
+    "q328_dunn_posthoc" -> (q328 _),
+    "q329_capture_recapture" -> (q329 _),
+    "q330_mcc_f1" -> (q330 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -1082,5 +1535,10 @@ object Studies {
     "q322_distance_corr" -> q322Sql,
     "q323_jackknife_ratio" -> q323Sql,
     "q324_topic_coherence" -> q324Sql,
-    "q325_dirichlet_lm" -> q325Sql)
+    "q325_dirichlet_lm" -> q325Sql,
+    "q326_platt_scaling" -> q326Sql,
+    "q327_entropy_rate" -> q327Sql,
+    "q328_dunn_posthoc" -> q328Sql,
+    "q329_capture_recapture" -> q329Sql,
+    "q330_mcc_f1" -> q330Sql)
 }

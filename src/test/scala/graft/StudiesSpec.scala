@@ -202,6 +202,98 @@ class StudiesSpec extends SparkSpec {
     assert(math.abs(rows(1).getAs[Double]("score") - want1) < 1e-5)
   }
 
+  test("q326 Platt scaling: a steep empirical gradient fits a " +
+      "positive slope bracketed by the class rates") {
+    // x=0: 10% returns; x=10: 90% returns over 100 lines each
+    val li = (1 to 100).flatMap { i =>
+      Seq((i.toLong, 1, i.toLong, 0.00,
+          if (i <= 10) "R" else "N"),
+        (i.toLong + 100L, 1, i.toLong, 0.10,
+          if (i <= 90) "R" else "N"))
+    }.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_discount",
+      "l_returnflag")
+    val dir = staged("platt")("lineitem" -> li)
+    val r = SparkEntry.queries("q326_platt_scaling")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 200L)
+    assert(r.getAs[Double]("emp_rate_low") === 0.1)
+    assert(r.getAs[Double]("emp_rate_high") === 0.9)
+    assert(r.getAs[Double]("a") > 0.0)
+    val lo = r.getAs[Double]("pred_rate_low")
+    val hi = r.getAs[Double]("pred_rate_high")
+    assert(lo > 0.0 && lo < 0.5)
+    assert(hi > 0.5 && hi < 1.0)
+  }
+
+  test("q327 entropy rate: a deterministic alternating chain is " +
+      "perfectly predictable") {
+    // a->b->a->b: every observed row has ONE successor, H_rate = 0
+    val ev = Seq((1L, day(0), 1L, "a"), (2L, day(1), 1L, "b"),
+      (3L, day(2), 1L, "a"), (4L, day(3), 1L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val dir = staged("entropy")("events" -> ev)
+    val r = SparkEntry.queries("q327_entropy_rate")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_transitions") === 3L)
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Double]("entropy_rate") === 0.0)
+    assert(r.getAs[Double]("predictability") === 1.0)
+    assert(math.abs(r.getAs[Double]("max_entropy") - math.log(2.0))
+      < 1e-6)
+  }
+
+  test("q328 Dunn post-hoc: the separated two-group fixture gives the " +
+      "textbook z") {
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0))
+      .zipWithIndex.map { case ((g, v), i) => (day(i), g, v) }
+      .toDF("ts", "event_type", "value")
+    val dir = staged("dunn")("events" -> ev)
+    val r = SparkEntry.queries("q328_dunn_posthoc")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[String]("type_a") === "a")
+    assert(r.getAs[Double]("mean_rank_a") === 2.0)
+    assert(r.getAs[Double]("mean_rank_b") === 5.0)
+    // z = (2-5)/sqrt((6*7/12)*(1/3+1/3)) = -1.963961...
+    assert(math.abs(r.getAs[Double]("z") + 1.963961) < 1e-4)
+  }
+
+  test("q329 capture-recapture: the 3x4 overlap-2 grid recovers " +
+      "Chapman's closed form") {
+    val docs = Seq(
+      (1L, "t1", "en", "s1", 2L), (2L, "t2", "en", "s1", 2L),
+      (3L, "t3", "en", "s1", 2L),
+      (4L, "t2", "en", "s2", 2L), (5L, "t3", "en", "s2", 2L),
+      (6L, "t4", "en", "s2", 2L), (7L, "t5", "en", "s2", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("capture")("documents" -> docs)
+    val r = SparkEntry.queries("q329_capture_recapture")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[String]("source_a") === "s2") // 4 docs > 3 docs
+    assert(r.getAs[Long]("overlap") === 2L)
+    // (4+1)(3+1)/(2+1) - 1 = 17/3
+    assert(math.abs(r.getAs[Double]("chapman_total") -
+      (5.0 * 4.0 / 3.0 - 1.0)) < 1e-3)
+    assert(r.getAs[Double]("se") > 0.0)
+  }
+
+  test("q330 MCC/F1: a hand confusion matrix closes exactly") {
+    // tp=2 fp=1 fn=1 tn=2: precision=recall=f1=2/3, mcc=3/9
+    val emb = Seq(
+      (1L, 0, Array(1.0f)), (2L, 2, Array(2.0f)),   // tp, tp
+      (3L, 1, Array(3.0f)),                          // fp
+      (4L, 0, Array(-1.0f)),                         // fn
+      (5L, 1, Array(-2.0f)), (6L, 3, Array(-3.0f))   // tn, tn
+    ).toDF("vec_id", "label", "embedding")
+    val dir = staged("mcc")("embeddings" -> emb)
+    val r = SparkEntry.queries("q330_mcc_f1")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("tn") === 2L)
+    assert(r.getAs[Long]("fp") === 1L && r.getAs[Long]("fn") === 1L)
+    assert(math.abs(r.getAs[Double]("f1") - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mcc") - 1.0 / 3.0) < 1e-6)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
