@@ -606,7 +606,8 @@ object Pipeline {
   private def planeLit(p: Seq[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
-  private def lshBucketSql(numPlanes: Int, dim: Int): (String, String) = {
+  private[queries] def lshBucketSql(numPlanes: Int,
+                                    dim: Int): (String, String) = {
     val planes = graft.functions.VectorFunctions.randomPlanes(numPlanes, dim)
     // Spark's lshBucket folds acc*2 + sign, so plane i lands at bit
     // (numPlanes-1-i)

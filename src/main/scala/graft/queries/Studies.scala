@@ -33,6 +33,43 @@ object Studies {
     * `greatest(x, 1e-12)` on the oracle side. */
   private def safe(c: Column): Column = greatest(c, lit(1e-12))
 
+  /** Two-level GLOBAL strictly-below prefix sums over a distinct-key
+    * table (approx-percentile buckets → within-bucket window +
+    * broadcast bucket offsets, the [[graft.operators.Quality]] shape):
+    * adds `below_<m>` for each LONG measure column — exact integers,
+    * so the oracle may use a plain window and still hash-match. No
+    * corpus-sized single-partition sort exists at any SF. Shared by
+    * q316/q328/q335. */
+  private def bucketedBelow(df: DataFrame, u: String,
+                            ms: Seq[String]): DataFrame = {
+    val boundsDf = df.agg(expr(
+      s"cast(approx_percentile($u, array(" +
+        (1 until 32).map(_ / 32.0).mkString(",") +
+        "), 1000) as array<double>)").as("bounds"))
+    val bucketed = df.crossJoin(broadcast(boundsDf))
+      .withColumn("bk", aggregate(col("bounds"), lit(0),
+        (acc, bo) => acc + when(col(u).cast("double") > bo, 1)
+          .otherwise(0)))
+      .drop("bounds")
+    val aggs = ms.map(m => sum(m).as(s"tn_$m"))
+    var offsets = bucketed.groupBy("bk").agg(aggs.head, aggs.tail: _*)
+    val offW = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ms.foreach { m =>
+      offsets = offsets.withColumn(s"ob_$m",
+        coalesce(sum(s"tn_$m").over(offW), lit(0L)))
+    }
+    val inB = Window.partitionBy("bk").orderBy(u)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var out = bucketed.join(broadcast(offsets.select(
+      col("bk") +: ms.map(m => col(s"ob_$m")): _*)), Seq("bk"))
+    ms.foreach { m =>
+      out = out.withColumn(s"below_$m",
+        coalesce(sum(m).over(inB), lit(0L)) + col(s"ob_$m"))
+    }
+    out.drop("bk" +: ms.map(m => s"ob_$m"): _*)
+  }
+
   // --------------------------------------------------------------- q316
   /** Kruskal–Wallis H — "does ANY event type's value distribution
     * differ?", the k-group extension of q247's two-arm Mann–Whitney on
@@ -56,26 +93,8 @@ object Studies {
     val cg = b.groupBy("u", "g").agg(count(lit(1)).as("nv"))
     val cu = cg.groupBy("u").agg(sum("nv").as("t"))
     // two-level global prefix: strictly-below count per distinct value
-    val boundsDf = cu.agg(expr(
-      "cast(approx_percentile(u, array(" +
-        (1 until 32).map(_ / 32.0).mkString(",") + "), 1000)" +
-        " as array<double>)").as("bounds"))
-    val bucketed = cu.crossJoin(broadcast(boundsDf))
-      .select(col("u"), col("t"),
-        aggregate(col("bounds"), lit(0),
-          (acc, bo) => acc + when(col("u").cast("double") > bo, 1)
-            .otherwise(0)).as("bk"))
-    val inB = Window.partitionBy("bk").orderBy("u")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offW = Window.orderBy("bk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bk").agg(sum("t").as("tn"))
-      .withColumn("ob", coalesce(sum("tn").over(offW), lit(0L)))
-      .select("bk", "ob")
-    val below = bucketed
-      .withColumn("lb", coalesce(sum("t").over(inB), lit(0L)))
-      .join(broadcast(offsets), Seq("bk"))
-      .select(col("u"), col("t"), (col("lb") + col("ob")).as("below"))
+    val below = bucketedBelow(cu, "u", Seq("t"))
+      .select(col("u"), col("t"), col("below_t").as("below"))
     val dec = "decimal(38,0)"
     val grp = cg.join(below, Seq("u"))
       .groupBy("g")
@@ -1294,10 +1313,8 @@ object Studies {
       .select(col("event_type").as("g"), units.as("u"))
     val cg = b.groupBy("u", "g").agg(count(lit(1)).as("nv"))
     val cu = cg.groupBy("u").agg(sum("nv").as("t"))
-    val wAsc = Window.orderBy("u")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val below = cu.withColumn("below",
-      coalesce(sum("t").over(wAsc), lit(0L)))
+    val below = bucketedBelow(cu, "u", Seq("t"))
+      .select(col("u"), col("t"), col("below_t").as("below"))
     val dec = "decimal(38,0)"
     val grp = cg.join(below, Seq("u"))
       .groupBy("g")
@@ -1508,6 +1525,365 @@ object Studies {
              * (tn::DOUBLE + fn::DOUBLE)), 1e-12), 6) AS mcc
        FROM f"""
 
+  // --------------------------------------------------------------- q331
+  /** Hill tail-index estimator — HOW heavy is the document-length
+    * tail? (q78's Zipf fit grades the vocabulary; this grades the
+    * documents themselves — α < 2 means infinite variance, and every
+    * packing/budget heuristic that assumes a mean + a few σ breaks.)
+    * α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k = 100 largest token
+    * counts: a TakeOrdered top-101 (total order: length desc, doc_id
+    * asc), per-term logs on the 1e-9 grid, one 101-row window. The
+    * corpus contributes one projection-only scan.
+    */
+  private def q331(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.words(col("text")))
+          .cast("long").as("x"))
+      .orderBy(col("x").desc, col("doc_id"))
+      .limit(k + 1)
+    val w = Window.orderBy(col("x").desc, col("doc_id"))
+    val rn = top.withColumn("rn", row_number().over(w))
+      .localCheckpoint(true) // 101 rows, read by km/xk/terms
+    val km = rn.agg(max("rn").as("kmax"))
+    val kmax = rn.crossJoin(broadcast(km))
+      .filter(col("rn") === col("kmax"))
+      .select(col("kmax"), col("x").as("xk"))
+    val terms = rn.crossJoin(broadcast(kmax))
+      .filter(col("rn") < col("kmax"))
+      .select(col("kmax"), col("xk"),
+        floor(log(col("x").cast("double") / col("xk").cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long").as("tu"))
+    terms.groupBy("kmax", "xk")
+      .agg(count(lit(1)).as("k_used"), sum("tu").as("su"))
+      .select(col("k_used"), col("xk").as("x_kplus1"),
+        round(col("k_used").cast("double") /
+          safe(col("su").cast("double") / 1e9), 6).as("alpha"),
+        (round(col("k_used").cast("double") /
+          safe(col("su").cast("double") / 1e9), 6) < 2.0)
+          .as("infinite_variance"))
+  }
+
+  private val q331Sql =
+    """WITH lens AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS x
+         FROM documents),
+       top AS (SELECT doc_id, x,
+               row_number() OVER (ORDER BY x DESC, doc_id) AS rn
+             FROM lens ORDER BY x DESC, doc_id LIMIT 101),
+       km AS (SELECT max(rn) AS kmax FROM top),
+       xk AS (SELECT x AS xk FROM top, km WHERE rn = kmax),
+       terms AS (SELECT CAST(floor(ln(top.x::DOUBLE / xk::DOUBLE) * 1e9
+                 + 0.5) AS BIGINT) AS tu
+             FROM top, km, xk WHERE rn < kmax),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+               CAST(sum(tu) AS BIGINT) AS su FROM terms)
+       SELECT k_used, xk AS x_kplus1,
+         round(k_used::DOUBLE / greatest(su::DOUBLE / 1e9, 1e-12), 6)
+           AS alpha,
+         (round(k_used::DOUBLE / greatest(su::DOUBLE / 1e9, 1e-12), 6)
+           < 2.0) AS infinite_variance
+       FROM agg, xk"""
+
+  // --------------------------------------------------------------- q332
+  /** Propensity common-support audit — the POSITIVITY check every
+    * causal readout in the family (q311 matching, q312 DR, q209 DiD)
+    * silently assumes: across $300-wide order-value strata, do both
+    * hash arms actually appear? Reports per-stratum arm counts, the
+    * treated share, and the support flag; plus the off-support row
+    * count a matching estimator would drop. One corpus aggregation to
+    * ≤20 strata.
+    */
+  private def q332(s: SparkSession, d: String): DataFrame = {
+    val arm = graft.operators.Sampling
+      .hashBucket(col("o_custkey"), "att", 2)
+    val b = Tables.orders(s, d)
+      .select(least(lit(19L), floor(col("o_totalprice") / 30000.0)
+        .cast("long")).as("stratum"), (arm === 0).as("t"))
+    val cells = b.groupBy("stratum")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_treated"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_control"))
+    cells.select(col("stratum"), col("n_treated"), col("n_control"),
+        round(col("n_treated").cast("double") /
+          safe((col("n_treated") + col("n_control")).cast("double")), 6)
+          .as("treated_share"),
+        (col("n_treated") > 0L && col("n_control") > 0L)
+          .as("in_support"))
+      .orderBy("stratum")
+  }
+
+  private val q332Sql =
+    """WITH b AS (SELECT least(19, CAST(floor(o_totalprice / 30000.0)
+             AS BIGINT)) AS stratum,
+           (('0x' || substr(md5('att' || o_custkey::VARCHAR), 1, 15))
+             ::BIGINT % 2 = 0) AS t
+         FROM orders),
+       cells AS (SELECT stratum,
+           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_treated,
+           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control
+         FROM b GROUP BY stratum)
+       SELECT stratum, n_treated, n_control,
+         round(n_treated::DOUBLE
+           / greatest((n_treated + n_control)::DOUBLE, 1e-12), 6)
+           AS treated_share,
+         (n_treated > 0 AND n_control > 0) AS in_support
+       FROM cells ORDER BY stratum"""
+
+  // --------------------------------------------------------------- q333
+  /** N-gram novelty (memorization audit) — how much of a held-out
+    * document is VERBATIM in the training split? The readout behind
+    * every "did the model memorize its eval set" question (q73/q91
+    * decontaminate against an EXTERNAL benchmark; this measures
+    * internal train→test leakage). 80/20 doc-id hash split; per
+    * language: distinct test trigrams, the share NOT present in the
+    * train trigram set (one semi-join against the train side — never
+    * a trigram self-join), and the doc-weighted mean novelty. Trigram
+    * tables come from the native shingle expression.
+    */
+  private def q333(s: SparkSession, d: String): DataFrame = {
+    val words = graft.functions.TextFunctions.words(col("text"))
+    val tri = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.wordShingles(words, 3))
+          .as("g"),
+        (graft.operators.Sampling.hashBucket(col("doc_id"), "nv", 5)
+          === 0).as("is_test"))
+    val train = tri.filter(!col("is_test")).select("g").distinct()
+    val test = tri.filter(col("is_test"))
+      .select("doc_id", "lang", "g").distinct()
+    val marked = test.join(train.withColumn("seen", lit(1L)),
+        Seq("g"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("seen"), lit(0L)).as("seen"))
+    val perDoc = marked.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(lit(1L) - col("seen")).as("n_novel"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum("n_tri").as("test_trigrams"),
+        sum("n_novel").as("novel_trigrams"),
+        round(avg(col("n_novel").cast("double") /
+          greatest(col("n_tri"), lit(1L)).cast("double")), 6)
+          .as("mean_doc_novelty"))
+      .select(col("lang"), col("n_test_docs"), col("test_trigrams"),
+        col("novel_trigrams"),
+        round(col("novel_trigrams").cast("double") /
+          safe(col("test_trigrams").cast("double")), 6)
+          .as("novelty_rate"),
+        col("mean_doc_novelty"))
+      .orderBy("lang")
+  }
+
+  private val q333Sql =
+    """WITH wa AS (SELECT doc_id, lang,
+           regexp_split_to_array(trim(text), '\s+') AS w,
+           (('0x' || substr(md5('nv' || doc_id::VARCHAR), 1, 15))::BIGINT
+             % 5 = 0) AS is_test
+         FROM documents),
+       tri AS (SELECT doc_id, lang, is_test,
+               w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+             FROM (SELECT doc_id, lang, is_test, w,
+                     unnest(range(0, greatest(len(w) - 2, 0))) AS i
+                   FROM wa)),
+       train AS (SELECT DISTINCT g FROM tri WHERE NOT is_test),
+       test AS (SELECT DISTINCT doc_id, lang, g FROM tri
+                WHERE is_test),
+       marked AS (SELECT test.doc_id, test.lang,
+               CASE WHEN train.g IS NULL THEN 0 ELSE 1 END AS seen
+             FROM test LEFT JOIN train ON train.g = test.g),
+       pd AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tri,
+               CAST(sum(1 - seen) AS BIGINT) AS n_novel
+             FROM marked GROUP BY doc_id, lang)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_test_docs,
+         CAST(sum(n_tri) AS BIGINT) AS test_trigrams,
+         CAST(sum(n_novel) AS BIGINT) AS novel_trigrams,
+         round(CAST(sum(n_novel) AS DOUBLE)
+           / greatest(CAST(sum(n_tri) AS DOUBLE), 1e-12), 6)
+           AS novelty_rate,
+         round(avg(n_novel::DOUBLE / greatest(n_tri, 1)::DOUBLE), 6)
+           AS mean_doc_novelty
+       FROM pd GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------------------------- q334
+  /** Embedding-space Jensen–Shannon divergence between label parities
+    * — DISTRIBUTION drift in the representation space, where q216's
+    * token KL sees only vocabulary: both groups histogram over the
+    * SAME deterministic 64-cell sign-LSH grid (the q41/q53 plane
+    * kernel, seed-stable across engines), then JS = ½KL(P‖M) +
+    * ½KL(Q‖M) over cells. Per-cell terms quantize to 1e-9-unit LONGs;
+    * the corpus collapses to ≤64 cells in ONE aggregation, zero-count
+    * sides contribute their defined 0 limit.
+    */
+  private def q334(s: SparkSession, d: String): DataFrame = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(6, 64)
+    val cells = Tables.embeddings(s, d)
+      .select(graft.functions.VectorFunctions
+          .lshBucket(col("embedding"), planes).as("cell"),
+        (pmod(col("label"), lit(2)) === 0).as("pa"))
+      .groupBy("cell")
+      .agg(sum(when(col("pa"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("pa"), 1L).otherwise(0L)).as("nb"))
+    val tot = cells.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val t = cells.crossJoin(broadcast(tot))
+    val pa = col("na").cast("double") / safe(col("ta").cast("double"))
+    val pb = col("nb").cast("double") / safe(col("tb").cast("double"))
+    val terms = t.select(
+      when(col("na") > 0L,
+        floor(pa * log(lit(2.0) * pa / (pa + pb)) * lit(1e9) +
+          lit(0.5)).cast("long")).otherwise(0L).as("tpa"),
+      when(col("nb") > 0L,
+        floor(pb * log(lit(2.0) * pb / (pa + pb)) * lit(1e9) +
+          lit(0.5)).cast("long")).otherwise(0L).as("tpb"))
+    val agg = terms.agg(sum("tpa").as("sa"), sum("tpb").as("sb"))
+    val used = cells.filter(col("na") + col("nb") > 0L)
+      .agg(count(lit(1)).as("n_cells"))
+    val js = (col("sa") + col("sb")).cast("double") / 1e9 / 2.0
+    used.crossJoin(broadcast(tot)).crossJoin(broadcast(agg))
+      .select(col("n_cells"), col("ta").as("n_even"),
+        col("tb").as("n_odd"),
+        round(js, 6).as("js_nats"),
+        round(js / math.log(2.0), 6).as("js_bits"))
+  }
+
+  private val q334Sql = {
+    val (bucketExpr, _) = Pipeline.lshBucketSql(6, 64)
+    s"""WITH cells AS (SELECT $bucketExpr AS cell,
+           CAST(sum(CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+           CAST(sum(CASE WHEN label % 2 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb
+         FROM embeddings GROUP BY 1),
+       tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+               CAST(sum(nb) AS BIGINT) AS tb FROM cells),
+       terms AS (SELECT
+           CASE WHEN na > 0 THEN CAST(floor(
+               (na::DOUBLE / greatest(ta::DOUBLE, 1e-12))
+               * ln(2.0 * (na::DOUBLE / greatest(ta::DOUBLE, 1e-12))
+                 / ((na::DOUBLE / greatest(ta::DOUBLE, 1e-12))
+                   + (nb::DOUBLE / greatest(tb::DOUBLE, 1e-12))))
+               * 1e9 + 0.5) AS BIGINT) ELSE 0 END AS tpa,
+           CASE WHEN nb > 0 THEN CAST(floor(
+               (nb::DOUBLE / greatest(tb::DOUBLE, 1e-12))
+               * ln(2.0 * (nb::DOUBLE / greatest(tb::DOUBLE, 1e-12))
+                 / ((na::DOUBLE / greatest(ta::DOUBLE, 1e-12))
+                   + (nb::DOUBLE / greatest(tb::DOUBLE, 1e-12))))
+               * 1e9 + 0.5) AS BIGINT) ELSE 0 END AS tpb
+         FROM cells, tot),
+       agg AS (SELECT CAST(sum(tpa) AS BIGINT) AS sa,
+               CAST(sum(tpb) AS BIGINT) AS sb FROM terms),
+       used AS (SELECT CAST(count(*) AS BIGINT) AS n_cells
+                FROM cells WHERE na + nb > 0)
+       SELECT n_cells, ta AS n_even, tb AS n_odd,
+         round((sa + sb)::DOUBLE / 1e9 / 2.0, 6) AS js_nats,
+         round((sa + sb)::DOUBLE / 1e9 / 2.0 / ln(2.0), 6) AS js_bits
+       FROM used, tot, agg"""
+  }
+
+  // --------------------------------------------------------------- q335
+  /** Optimal decision threshold — WHERE to cut the q281/q330 score:
+    * sweep every distinct micro-quantized score as a "predict positive
+    * if score ≥ t" threshold via the shared [[bucketedBelow]] prefix
+    * kernel (tp/fp at every cut from two suffix sums — one pass, no
+    * per-threshold rescan), then pick the Youden-J argmax and the
+    * F1 argmax on a total order (criterion desc, threshold asc).
+    * Criteria quantize to 1e-9-unit LONGs so both argmaxes are integer
+    * comparisons.
+    */
+  private def q335(s: SparkSession, d: String): DataFrame = {
+    val sc = col("embedding").getItem(0).cast("double")
+    val units = (floor(abs(sc) * lit(1e6) + lit(0.5))).cast("long") *
+      when(sc < 0, -1L).otherwise(1L)
+    val b = Tables.embeddings(s, d)
+      .select(units.as("u"),
+        when(pmod(col("label"), lit(2)) === 0, 1L).otherwise(0L)
+          .as("y"))
+    val cu = b.groupBy("u")
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val tot = cu.agg(sum("pos").as("tp_all"), sum("neg").as("tn_all"))
+    val roc = bucketedBelow(cu, "u", Seq("pos", "neg"))
+      .crossJoin(broadcast(tot))
+      .select(col("u"),
+        (col("tp_all") - col("below_pos")).as("tp"),
+        (col("tn_all") - col("below_neg")).as("fp"),
+        col("below_pos").as("fn"), col("tp_all"), col("tn_all"))
+    val tpr = col("tp").cast("double") /
+      safe(col("tp_all").cast("double"))
+    val fpr = col("fp").cast("double") /
+      safe(col("tn_all").cast("double"))
+    val ju = floor((tpr - fpr) * lit(1e9) + lit(0.5)).cast("long")
+    val f1u = floor(lit(2.0) * col("tp").cast("double") /
+      safe((lit(2L) * col("tp") + col("fp") + col("fn"))
+        .cast("double")) * lit(1e9) + lit(0.5)).cast("long")
+    val scoredRoc = roc.select(col("u"), col("tp"), col("fp"),
+      col("tp_all"), col("tn_all"), ju.as("ju"), f1u.as("f1u"))
+    val bestJ = scoredRoc.agg(max(struct(col("ju"), (-col("u")).as("nu"),
+      col("u"), col("tp"), col("fp"))).as("s")).select(col("s.*"))
+    val bestF = scoredRoc.agg(max(struct(col("f1u"),
+      (-col("u")).as("nu"), col("u").as("uf"))).as("s"))
+      .select(col("s.*"))
+    bestJ.crossJoin(broadcast(bestF)).crossJoin(broadcast(tot))
+      .select(col("tp_all").as("n_pos"), col("tn_all").as("n_neg"),
+        round(col("u").cast("double") / 1e6, 6).as("youden_threshold"),
+        round(col("ju").cast("double") / 1e9, 6).as("youden_j"),
+        round(col("tp").cast("double") /
+          safe(col("tp_all").cast("double")), 6).as("tpr_at_j"),
+        round(col("fp").cast("double") /
+          safe(col("tn_all").cast("double")), 6).as("fpr_at_j"),
+        round(col("uf").cast("double") / 1e6, 6).as("f1_threshold"),
+        round(col("f1u").cast("double") / 1e9, 6).as("f1_best"))
+  }
+
+  private val q335Sql =
+    """WITH b AS (SELECT
+           CAST(floor(abs(embedding[1]::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN embedding[1]::DOUBLE < 0 THEN -1 ELSE 1 END)
+             AS u,
+           CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+         FROM embeddings),
+       cu AS (SELECT u, CAST(sum(y) AS BIGINT) AS pos,
+               CAST(sum(1 - y) AS BIGINT) AS neg
+             FROM b GROUP BY u),
+       tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp_all,
+               CAST(sum(neg) AS BIGINT) AS tn_all FROM cu),
+       roc AS (SELECT u,
+           tp_all - coalesce(CAST(sum(pos) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS tp,
+           tn_all - coalesce(CAST(sum(neg) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS fp,
+           coalesce(CAST(sum(pos) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS fn,
+           tp_all, tn_all
+         FROM cu, tot),
+       sc AS (SELECT *,
+           CAST(floor((tp::DOUBLE / greatest(tp_all::DOUBLE, 1e-12)
+               - fp::DOUBLE / greatest(tn_all::DOUBLE, 1e-12)) * 1e9
+               + 0.5) AS BIGINT) AS ju,
+           CAST(floor(2.0 * tp::DOUBLE
+               / greatest((2 * tp + fp + fn)::DOUBLE, 1e-12) * 1e9
+               + 0.5) AS BIGINT) AS f1u
+         FROM roc),
+       bj AS (SELECT u, tp, fp, ju, tp_all, tn_all FROM sc
+              ORDER BY ju DESC, u ASC LIMIT 1),
+       bf AS (SELECT u AS uf, f1u FROM sc
+              ORDER BY f1u DESC, u ASC LIMIT 1)
+       SELECT bj.tp_all AS n_pos, bj.tn_all AS n_neg,
+         round(bj.u::DOUBLE / 1e6, 6) AS youden_threshold,
+         round(bj.ju::DOUBLE / 1e9, 6) AS youden_j,
+         round(bj.tp::DOUBLE / greatest(bj.tp_all::DOUBLE, 1e-12), 6)
+           AS tpr_at_j,
+         round(bj.fp::DOUBLE / greatest(bj.tn_all::DOUBLE, 1e-12), 6)
+           AS fpr_at_j,
+         round(bf.uf::DOUBLE / 1e6, 6) AS f1_threshold,
+         round(bf.f1u::DOUBLE / 1e9, 6) AS f1_best
+       FROM bj, bf"""
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -1523,7 +1899,12 @@ object Studies {
     "q327_entropy_rate" -> (q327 _),
     "q328_dunn_posthoc" -> (q328 _),
     "q329_capture_recapture" -> (q329 _),
-    "q330_mcc_f1" -> (q330 _))
+    "q330_mcc_f1" -> (q330 _),
+    "q331_hill_tail" -> (q331 _),
+    "q332_propensity_overlap" -> (q332 _),
+    "q333_ngram_novelty" -> (q333 _),
+    "q334_embedding_js" -> (q334 _),
+    "q335_optimal_threshold" -> (q335 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -1540,5 +1921,10 @@ object Studies {
     "q327_entropy_rate" -> q327Sql,
     "q328_dunn_posthoc" -> q328Sql,
     "q329_capture_recapture" -> q329Sql,
-    "q330_mcc_f1" -> q330Sql)
+    "q330_mcc_f1" -> q330Sql,
+    "q331_hill_tail" -> q331Sql,
+    "q332_propensity_overlap" -> q332Sql,
+    "q333_ngram_novelty" -> q333Sql,
+    "q334_embedding_js" -> q334Sql,
+    "q335_optimal_threshold" -> q335Sql)
 }

@@ -44,4 +44,22 @@ class StudiesPlanSpec extends SparkSpec {
     val p = plan("q319_competing_risks")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q331 Hill estimator plans its top-101 as TakeOrdered") {
+    val p = plan("q331_hill_tail")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q333 novelty joins the train trigram set by hash, never a " +
+      "cartesian") {
+    val p = plan("q333_ngram_novelty")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q335 threshold sweep attaches bucket offsets and totals by " +
+      "broadcast") {
+    val p = plan("q335_optimal_threshold")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -294,6 +294,98 @@ class StudiesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mcc") - 1.0 / 3.0) < 1e-6)
   }
 
+  test("q331 Hill estimator: one 20x outlier over a flat tail gives " +
+      "alpha = k/ln(20)") {
+    // 1 doc of 400 words, 100 docs of 20, fillers of 1: top-101 =
+    // outlier + the 20s, x_(k+1)=20, S = ln(400/20), alpha = 100/ln 20
+    val docs = (Seq((0L, ("w " * 400).trim)) ++
+      (1L to 100L).map(i => (i, ("w " * 20).trim)) ++
+      (101L to 120L).map(i => (i, "w")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("hill")("documents" -> docs)
+    val r = SparkEntry.queries("q331_hill_tail")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("k_used") === 100L)
+    assert(r.getAs[Long]("x_kplus1") === 20L)
+    assert(math.abs(r.getAs[Double]("alpha") - 100.0 / math.log(20.0))
+      < 1e-3)
+    assert(!r.getAs[Boolean]("infinite_variance"))
+  }
+
+  test("q332 propensity overlap: strata partition the corpus and the " +
+      "support flag matches the counts") {
+    val rows = SparkEntry.queries("q332_propensity_overlap")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_treated")
+      val c = r.getAs[Long]("n_control")
+      assert(t + c > 0L)
+      val share = r.getAs[Double]("treated_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Boolean]("in_support") === (t > 0L && c > 0L))
+    }
+  }
+
+  test("q333 n-gram novelty: an all-identical corpus has zero " +
+      "novelty in every language") {
+    val docs = (1L to 40L).map(i =>
+      (i, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("novel")("documents" -> docs)
+    val rows = SparkEntry.queries("q333_ngram_novelty")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("novel_trigrams") === 0L)
+      assert(r.getAs[Double]("novelty_rate") === 0.0)
+      assert(r.getAs[Double]("mean_doc_novelty") === 0.0)
+    }
+  }
+
+  test("q334 embedding JS: identical parity distributions give 0, " +
+      "disjoint ones give 1 bit") {
+    // each vector appears once under each parity -> identical
+    // per-parity cell histograms by construction
+    val same = (1L to 20L).map(i =>
+        (i, (i % 2).toInt,
+          Array.fill(64)((((i + 1) / 2 % 3)).toFloat - 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val dSame = staged("js0")("embeddings" -> same)
+    val r0 = SparkEntry.queries("q334_embedding_js")(spark, dSame)
+      .collect()(0)
+    assert(r0.getAs[Double]("js_nats") === 0.0)
+    val apart = (1L to 20L).map { i =>
+      val v = if (i % 2 == 0) Array.fill(64)(1.0f)
+      else Array.fill(64)(-1.0f)
+      (i, (i % 2).toInt, v)
+    }.toDF("vec_id", "label", "embedding")
+    val dApart = staged("js1")("embeddings" -> apart)
+    val r1 = SparkEntry.queries("q334_embedding_js")(spark, dApart)
+      .collect()(0)
+    assert(math.abs(r1.getAs[Double]("js_bits") - 1.0) < 1e-6)
+  }
+
+  test("q335 optimal threshold: a perfectly separable score finds " +
+      "the exact cut") {
+    // scores 1,2 negative; 3,4 positive: threshold >= 3 gives J=F1=1
+    val emb = Seq(
+      (1L, 1, Array(1.0f)), (2L, 3, Array(2.0f)),
+      (3L, 0, Array(3.0f)), (4L, 2, Array(4.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val dir = staged("thresh")("embeddings" -> emb)
+    val r = SparkEntry.queries("q335_optimal_threshold")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Double]("youden_threshold") === 3.0)
+    assert(r.getAs[Double]("youden_j") === 1.0)
+    assert(r.getAs[Double]("tpr_at_j") === 1.0)
+    assert(r.getAs[Double]("fpr_at_j") === 0.0)
+    assert(r.getAs[Double]("f1_threshold") === 3.0)
+    assert(r.getAs[Double]("f1_best") === 1.0)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
