@@ -45,9 +45,15 @@ class StudiesPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q331 Hill estimator plans its top-101 as TakeOrdered") {
+  test("q331 Hill estimator: the top-101 is checkpoint-pinned (the " +
+      "TakeOrdered runs once at materialization) and the closing " +
+      "stage carries no cartesian") {
+    // the final plan reads the 101-row localCheckpoint, so the
+    // TakeOrderedAndProject is inside the materialized subplan, not
+    // the printed one — assert the cheap invariants that CAN regress
     val p = plan("q331_hill_tail")
-    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"))
   }
 
   test("q333 novelty joins the train trigram set by hash, never a " +
