@@ -2408,7 +2408,7 @@ object Insights {
       .agg(count(lit(1)).as("n"),
         sum(round(col("p") * 1e6, 0).cast("long")).as("p_micro_sum"),
         sum(col("y")).cast("long").as("n_pos"))
-      .select(col("bin"), col("n"), col("p_micro_sum"),
+      .select(col("bin"), col("n"), col("p_micro_sum"), col("n_pos"),
         round(col("p_micro_sum").cast("double") / col("n") / 1e6, 6)
           .as("mean_pred"),
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
@@ -2416,6 +2416,83 @@ object Insights {
 
   private def q190(s: SparkSession, d: String): DataFrame =
     calibrationBins(s, d).orderBy("bin")
+
+  // --------------------------------------------------------------- q338
+  /** Murphy decomposition of the (binned) Brier score — WHY is the
+    * scorer miscalibrated? q238's ECE gives one gap number; Murphy
+    * splits the binned Brier into reliability (calibration error,
+    * lower better), resolution (discrimination, higher better) and
+    * the irreducible base-rate uncertainty, with the identity
+    * Brier_binned = REL − RES + UNC. Shares [[calibrationBins]]
+    * verbatim with q190/q238 (the three readouts cannot drift);
+    * per-bin terms quantize to 1e-9-unit LONGs over the ≤10-bin
+    * table, the base rate is an exact integer ratio.
+    */
+  private def q338(s: SparkSession, d: String): DataFrame = {
+    val bins = calibrationBins(s, d)
+    val tot = bins.agg(sum("n").as("nn"), sum("n_pos").as("np"))
+    val t = bins.crossJoin(broadcast(tot))
+    val obar = col("np").cast("double") / col("nn").cast("double")
+    val relU = floor(col("n").cast("double") *
+      (col("mean_pred") - col("frac_pos")) *
+      (col("mean_pred") - col("frac_pos")) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val resU = floor(col("n").cast("double") *
+      (col("frac_pos") - obar) * (col("frac_pos") - obar) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val agg = t.groupBy("nn", "np")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(relU).as("su_rel"), sum(resU).as("su_res"))
+    val nnD = col("nn").cast("double")
+    val ob = col("np").cast("double") / nnD
+    val rel = col("su_rel").cast("double") / 1e9 / nnD
+    val res = col("su_res").cast("double") / 1e9 / nnD
+    val unc = ob * (lit(1.0) - ob)
+    agg.select(col("nn").as("n_points"), col("n_bins"),
+      round(ob, 6).as("base_rate"),
+      round(rel, 9).as("reliability"),
+      round(res, 9).as("resolution"),
+      round(unc, 9).as("uncertainty"),
+      round(rel - res + unc, 9).as("brier_binned"))
+  }
+
+  private val q338Sql = logregCtes +
+    """,
+       scored AS (SELECT y,
+           1.0/(1.0+exp(-(200.0 * ((w0 + w1*x1) + w2*x2)))) AS p
+         FROM pts, w3),
+       binned AS (SELECT y, p,
+           least(CAST(floor(p * 10) AS INT), 9) AS bin
+         FROM scored),
+       bins AS (SELECT bin, count(*)::BIGINT AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(sum(CAST(round(p * 1000000) AS BIGINT))::DOUBLE
+             / count(*) / 1000000, 6) AS mean_pred,
+           round(CAST(sum(y) AS BIGINT)::DOUBLE / count(*), 6)
+             AS frac_pos
+         FROM binned GROUP BY bin),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(n_pos) AS BIGINT) AS np FROM bins),
+       agg AS (SELECT nn, np, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CAST(floor(n::DOUBLE
+               * (mean_pred - frac_pos) * (mean_pred - frac_pos)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS su_rel,
+           CAST(sum(CAST(floor(n::DOUBLE
+               * (frac_pos - np::DOUBLE / nn::DOUBLE)
+               * (frac_pos - np::DOUBLE / nn::DOUBLE)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS su_res
+         FROM bins, tot GROUP BY nn, np)
+       SELECT nn AS n_points, n_bins,
+         round(np::DOUBLE / nn::DOUBLE, 6) AS base_rate,
+         round(su_rel::DOUBLE / 1e9 / nn::DOUBLE, 9) AS reliability,
+         round(su_res::DOUBLE / 1e9 / nn::DOUBLE, 9) AS resolution,
+         round((np::DOUBLE / nn::DOUBLE)
+           * (1.0 - np::DOUBLE / nn::DOUBLE), 9) AS uncertainty,
+         round(su_rel::DOUBLE / 1e9 / nn::DOUBLE
+           - su_res::DOUBLE / 1e9 / nn::DOUBLE
+           + (np::DOUBLE / nn::DOUBLE)
+             * (1.0 - np::DOUBLE / nn::DOUBLE), 9) AS brier_binned
+       FROM agg"""
 
   // --------------------------------------------------------------- q238
   /** Expected / maximum calibration error — the one-number summary of
@@ -2478,6 +2555,7 @@ object Insights {
        SELECT bin, count(*) AS n,
          CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT)
            AS p_micro_sum,
+         CAST(sum(y) AS BIGINT) AS n_pos,
          round(sum(CAST(round(p * 1000000) AS BIGINT))::DOUBLE
            / count(*) / 1000000, 6) AS mean_pred,
          round(CAST(sum(y) AS BIGINT)::DOUBLE / count(*), 6) AS frac_pos
@@ -3233,6 +3311,7 @@ object Insights {
     "q179_attribution" -> (q179 _),
     "q180_hll_intersection" -> (q180 _),
     "q190_calibration" -> (q190 _),
+    "q338_brier_decomposition" -> (q338 _),
     "q238_calibration_error" -> (q238 _),
     "q162_logreg_gd" -> (q162 _),
     "q163_adamic_adar" -> (q163 _),
@@ -3296,6 +3375,7 @@ object Insights {
     "q179_attribution" -> q179Sql,
     "q180_hll_intersection" -> q180Sql,
     "q190_calibration" -> q190Sql,
+    "q338_brier_decomposition" -> q338Sql,
     "q238_calibration_error" -> q238Sql,
     "q162_logreg_gd" -> q162Sql,
     "q163_adamic_adar" -> q163Sql,

@@ -1884,6 +1884,272 @@ object Studies {
          round(bf.f1u::DOUBLE / 1e9, 6) AS f1_best
        FROM bj, bf"""
 
+  // --------------------------------------------------------------- q336
+  /** Sequential pattern support (GSP depth 2) — which event FOLLOWS
+    * which, graded by USER support: q107's transition matrix counts
+    * every adjacent occurrence (a chatty user dominates), q206's
+    * association rules ignore order; here a pattern a→b counts each
+    * user once, with lift against independent containment. One lead
+    * pass, one (user, a, b) distinct collapse; the pattern table is
+    * ≤k² rows with broadcast marginals. Top 15 by (support desc,
+    * pair) — a total order.
+    */
+  private def q336(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq0 = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .select("user_id", "a", "b").distinct()
+      .localCheckpoint(true) // read by support + both marginals
+    val sup = seq0.groupBy("a", "b").agg(count(lit(1)).as("support"))
+    val ua = seq0.select("user_id", "a").distinct()
+      .groupBy("a").agg(count(lit(1)).as("ua"))
+    val ub = seq0.select("user_id", "b").distinct()
+      .groupBy("b").agg(count(lit(1)).as("ub"))
+    val users = Tables.events(s, d).agg(
+      countDistinct(col("user_id")).as("u"))
+    sup.join(broadcast(ua), Seq("a")).join(broadcast(ub), Seq("b"))
+      .crossJoin(broadcast(users))
+      .select(col("a").as("first_type"), col("b").as("next_type"),
+        col("support"),
+        round(col("support").cast("double") /
+          safe(col("u").cast("double")), 6).as("user_share"),
+        round((col("support").cast("double") * col("u").cast("double"))
+          / safe(col("ua").cast("double") * col("ub").cast("double")),
+          4).as("lift"))
+      .orderBy(col("support").desc, col("first_type"), col("next_type"))
+      .limit(15)
+  }
+
+  private val q336Sql =
+    """WITH seq AS (SELECT DISTINCT user_id, a, b FROM (
+           SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b
+           FROM events) WHERE b IS NOT NULL),
+       sup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+               FROM seq GROUP BY a, b),
+       ua AS (SELECT a, CAST(count(*) AS BIGINT) AS ua
+              FROM (SELECT DISTINCT user_id, a FROM seq) GROUP BY a),
+       ub AS (SELECT b, CAST(count(*) AS BIGINT) AS ub
+              FROM (SELECT DISTINCT user_id, b FROM seq) GROUP BY b),
+       uu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
+              FROM events)
+       SELECT a AS first_type, b AS next_type, support,
+         round(support::DOUBLE / greatest(u::DOUBLE, 1e-12), 6)
+           AS user_share,
+         round((support::DOUBLE * u::DOUBLE)
+           / greatest(ua::DOUBLE * ub::DOUBLE, 1e-12), 4) AS lift
+       FROM sup JOIN ua USING (a) JOIN ub USING (b), uu
+       ORDER BY support DESC, first_type, next_type LIMIT 15"""
+
+  // --------------------------------------------------------------- q337
+  /** Poisson log-linear trend — is daily order volume GROWING, on the
+    * right likelihood? (q06's least squares assumes Gaussian noise;
+    * counts are Poisson, and at low volume the difference is the
+    * verdict.) log μ_t = a + b·(t/T) fit by three Newton steps: the
+    * corpus collapses to the zero-filled day grid ONCE, each step is
+    * one aggregation of 1e-6-quantized gradient/Hessian terms over
+    * that checkpointed frame with (a, b) carried on the 1e-9 grid
+    * driver-side (the q302/q326 bounded-loop shape), so the unrolled
+    * oracle CTE chain replays identical arithmetic.
+    */
+  private def q337(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"))
+      .groupBy("dt").agg(count(lit(1)).as("y"))
+    val span = daily.agg(min("dt").as("d0"), max("dt").as("d1"))
+    val grid = span.select(col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("dt"))
+      .join(daily, Seq("dt"), "left")
+      .select(datediff(col("dt"), col("d0")).cast("long").as("t"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val tm = grid.agg(max("t").as("tmax"))
+    val days = grid.crossJoin(broadcast(tm))
+      .select(col("t"), col("y"),
+        (col("t").cast("double") /
+          greatest(col("tmax"), lit(1L)).cast("double")).as("x"))
+      .localCheckpoint(true)
+    def fl(v: Double, p: Double): Double = math.floor(v * p + 0.5) / p
+    def g(x: Double): Double = math.max(x, 1e-12)
+    val head = days.agg(count(lit(1)).as("n"), sum("y").as("sy")).head()
+    val (nDays, sy) = (head.getLong(0), head.getLong(1))
+    val a0 = fl(math.log(sy.toDouble / g(nDays.toDouble)), 1e9)
+    def newton(a: Double, b: Double): (Double, Double) = {
+      val mu = exp(lit(a) + lit(b) * col("x"))
+      val row = days.agg(
+        sum(floor((col("y").cast("double") - mu) * lit(1e6) + lit(0.5))
+          .cast("long")).as("ga"),
+        sum(floor(col("x") * (col("y").cast("double") - mu) * lit(1e6) +
+          lit(0.5)).cast("long")).as("gb"),
+        sum(floor(mu * lit(1e6) + lit(0.5)).cast("long")).as("haa"),
+        sum(floor(col("x") * mu * lit(1e6) + lit(0.5)).cast("long"))
+          .as("hab"),
+        sum(floor(col("x") * col("x") * mu * lit(1e6) + lit(0.5))
+          .cast("long")).as("hbb")).head()
+      val (gaD, gbD) = (row.getLong(0) / 1e6, row.getLong(1) / 1e6)
+      val (haaD, habD, hbbD) =
+        (row.getLong(2) / 1e6, row.getLong(3) / 1e6, row.getLong(4) / 1e6)
+      val det = haaD * hbbD - habD * habD
+      (fl(a + (gaD * hbbD - gbD * habD) / g(det), 1e9),
+        fl(b + (gbD * haaD - gaD * habD) / g(det), 1e9))
+    }
+    val (a1, b1) = newton(a0, 0.0)
+    val (a2, b2) = newton(a1, b1)
+    val (a3, b3) = newton(a2, b2)
+    days.agg(count(lit(1)).as("n_days"), sum("y").as("n_orders"))
+      .select(col("n_days"), col("n_orders"),
+        lit(fl(a3, 1e6)).as("a"), lit(fl(b3, 1e6)).as("b"),
+        lit(fl(math.exp(b3), 1e6)).as("rate_ratio"),
+        round(col("n_orders").cast("double") /
+          safe(col("n_days").cast("double")), 6).as("mean_daily"))
+  }
+
+  private val q337Sql = {
+    def it(st: String) =
+      s"""(SELECT
+           CAST(sum(CAST(floor((y::DOUBLE - exp($st.a + $st.b * x))
+             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ga,
+           CAST(sum(CAST(floor(x * (y::DOUBLE - exp($st.a + $st.b * x))
+             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS gb,
+           CAST(sum(CAST(floor(exp($st.a + $st.b * x) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS haa,
+           CAST(sum(CAST(floor(x * exp($st.a + $st.b * x) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS hab,
+           CAST(sum(CAST(floor(x * x * exp($st.a + $st.b * x) * 1e6
+             + 0.5) AS BIGINT)) AS BIGINT) AS hbb
+         FROM days, $st)"""
+    def upd(st: String, itn: String) =
+      s"""(SELECT
+           floor(($st.a + ((ga::DOUBLE / 1e6) * (hbb::DOUBLE / 1e6)
+               - (gb::DOUBLE / 1e6) * (hab::DOUBLE / 1e6))
+             / greatest((haa::DOUBLE / 1e6) * (hbb::DOUBLE / 1e6)
+               - (hab::DOUBLE / 1e6) * (hab::DOUBLE / 1e6), 1e-12))
+             * 1e9 + 0.5) / 1e9 AS a,
+           floor(($st.b + ((gb::DOUBLE / 1e6) * (haa::DOUBLE / 1e6)
+               - (ga::DOUBLE / 1e6) * (hab::DOUBLE / 1e6))
+             / greatest((haa::DOUBLE / 1e6) * (hbb::DOUBLE / 1e6)
+               - (hab::DOUBLE / 1e6) * (hab::DOUBLE / 1e6), 1e-12))
+             * 1e9 + 0.5) / 1e9 AS b
+         FROM $itn, $st)"""
+    s"""WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(count(*) AS BIGINT) AS y
+         FROM orders GROUP BY 1),
+       span AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM daily),
+       grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS dt, d0 FROM span),
+       g2 AS (SELECT CAST(datediff('day', g.d0, g.dt) AS BIGINT) AS t,
+                coalesce(daily.y, 0) AS y
+              FROM grid g LEFT JOIN daily ON g.dt = daily.dt),
+       tm AS (SELECT max(t) AS tmax FROM g2),
+       days AS MATERIALIZED (SELECT t, y,
+               t::DOUBLE / greatest(tmax, 1)::DOUBLE AS x
+             FROM g2, tm),
+       hd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy FROM days),
+       s0 AS (SELECT floor(ln(sy::DOUBLE
+                / greatest(n::DOUBLE, 1e-12)) * 1e9 + 0.5) / 1e9 AS a,
+               0.0 AS b FROM hd),
+       it1 AS MATERIALIZED ${it("s0")},
+       s1 AS MATERIALIZED ${upd("s0", "it1")},
+       it2 AS MATERIALIZED ${it("s1")},
+       s2 AS MATERIALIZED ${upd("s1", "it2")},
+       it3 AS MATERIALIZED ${it("s2")},
+       s3 AS MATERIALIZED ${upd("s2", "it3")}
+       SELECT hd.n AS n_days, hd.sy AS n_orders,
+         floor(s3.a * 1e6 + 0.5) / 1e6 AS a,
+         floor(s3.b * 1e6 + 0.5) / 1e6 AS b,
+         floor(exp(s3.b) * 1e6 + 0.5) / 1e6 AS rate_ratio,
+         round(hd.sy::DOUBLE / greatest(hd.n::DOUBLE, 1e-12), 6)
+           AS mean_daily
+       FROM hd, s3"""
+  }
+
+  // --------------------------------------------------------------- q339
+  /** Wilcoxon signed-rank — the PAIRED nonparametric test the family
+    * lacks (q247 compares independent arms; revenue seven days apart
+    * is anything but independent): week-over-week daily revenue
+    * differences in exact cents, zero differences dropped (the
+    * standard convention), |d| ranked on the shared 2× integer grid
+    * via [[bucketedBelow]], W⁺ and the tie-corrected normal z. One
+    * corpus collapse to the day grid; everything after is
+    * days-bounded.
+    */
+  private def q339(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(sum("c").as("c"))
+    val span = daily.agg(min("dt").as("d0"), max("dt").as("d1"))
+    val grid = span.select(col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("dt"))
+      .join(daily, Seq("dt"), "left")
+      .select(datediff(col("dt"), col("d0")).cast("long").as("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wLag = Window.orderBy("t")
+    val diffs = grid
+      .withColumn("prev", lag(col("c"), 7).over(wLag))
+      .filter(col("prev").isNotNull)
+      .select((col("c") - col("prev")).as("dd"))
+      .filter(col("dd") =!= 0L)
+    val cu = diffs.select(abs(col("dd")).as("u"),
+        when(col("dd") > 0L, 1L).otherwise(0L).as("pos"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("t"), sum("pos").as("np"))
+    val ranked = bucketedBelow(cu, "u", Seq("t"))
+      .select(col("u"), col("t"), col("np"),
+        (lit(2L) * col("below_t") + col("t") + lit(1L)).as("ar2"))
+    val dec = "decimal(38,0)"
+    val agg = ranked.agg(sum("t").as("n"),
+      sum(col("np").cast(dec) * col("ar2").cast(dec)).as("w2"),
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("tie3"))
+    val nD = col("n").cast("double")
+    val varW = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("tie3").cast("double") / 48.0
+    import graft.functions.Rounding.floorRound
+    agg.select(col("n").as("n_pairs"),
+      round(col("w2").cast("double") / 2.0, 1).as("w_plus"),
+      floorRound((col("w2").cast("double") / 2.0 -
+        nD * (nD + 1.0) / 4.0) / safe(sqrt(varW)), 6).as("z"))
+  }
+
+  private val q339Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS c
+         FROM orders GROUP BY 1),
+       span AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM daily),
+       grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS dt, d0 FROM span),
+       g2 AS (SELECT CAST(datediff('day', g.d0, g.dt) AS BIGINT) AS t,
+                coalesce(daily.c, 0) AS c
+              FROM grid g LEFT JOIN daily ON g.dt = daily.dt),
+       dif AS (SELECT c - lag(c, 7) OVER (ORDER BY t) AS dd FROM g2),
+       dnz AS (SELECT dd FROM dif WHERE dd IS NOT NULL AND dd <> 0),
+       cu AS (SELECT abs(dd) AS u, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS np
+             FROM dnz GROUP BY abs(dd)),
+       bel AS (SELECT u, t, np,
+               2 * coalesce(sum(t) OVER (ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + t + 1 AS ar2
+             FROM cu),
+       agg AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+               sum(np::HUGEINT * ar2::HUGEINT) AS w2,
+               sum(t::HUGEINT * t * t - t) AS tie3
+             FROM bel)
+       SELECT n AS n_pairs,
+         round(w2::DOUBLE / 2.0, 1) AS w_plus,
+         floor((w2::DOUBLE / 2.0 - n::DOUBLE * (n::DOUBLE + 1.0) / 4.0)
+           / greatest(sqrt(n::DOUBLE * (n::DOUBLE + 1.0)
+               * (2.0 * n::DOUBLE + 1.0) / 24.0
+             - tie3::DOUBLE / 48.0), 1e-12) * 1e6 + 0.5) / 1e6 AS z
+       FROM agg"""
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -1904,7 +2170,10 @@ object Studies {
     "q332_propensity_overlap" -> (q332 _),
     "q333_ngram_novelty" -> (q333 _),
     "q334_embedding_js" -> (q334 _),
-    "q335_optimal_threshold" -> (q335 _))
+    "q335_optimal_threshold" -> (q335 _),
+    "q336_sequential_patterns" -> (q336 _),
+    "q337_poisson_trend" -> (q337 _),
+    "q339_wilcoxon_signed_rank" -> (q339 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -1926,5 +2195,8 @@ object Studies {
     "q332_propensity_overlap" -> q332Sql,
     "q333_ngram_novelty" -> q333Sql,
     "q334_embedding_js" -> q334Sql,
-    "q335_optimal_threshold" -> q335Sql)
+    "q335_optimal_threshold" -> q335Sql,
+    "q336_sequential_patterns" -> q336Sql,
+    "q337_poisson_trend" -> q337Sql,
+    "q339_wilcoxon_signed_rank" -> q339Sql)
 }

@@ -386,6 +386,71 @@ class StudiesSpec extends SparkSpec {
     assert(r.getAs[Double]("f1_best") === 1.0)
   }
 
+  test("q336 sequential patterns: user support counts each user once " +
+      "and an independent pair has lift 1") {
+    val ev = Seq(
+      (1L, day(0), 1L, "a"), (2L, day(1), 1L, "b"),
+      (3L, day(0), 2L, "a"), (4L, day(1), 2L, "b"),
+      (5L, day(0), 3L, "a"), (6L, day(1), 3L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dir = staged("gsp")("events" -> ev)
+    val rows = SparkEntry.queries("q336_sequential_patterns")(spark, dir)
+      .collect()
+    val top = rows(0)
+    assert(top.getAs[String]("first_type") === "a")
+    assert(top.getAs[String]("next_type") === "b")
+    assert(top.getAs[Long]("support") === 2L)
+    assert(math.abs(top.getAs[Double]("user_share") - 2.0 / 3.0) < 1e-6)
+    // ua(a)=3, ub(b)=2, u=3: lift = 2*3/(3*2) = 1
+    assert(top.getAs[Double]("lift") === 1.0)
+  }
+
+  test("q337 Poisson trend: a constant series fits zero slope and " +
+      "rate ratio 1") {
+    val orders = (0 until 10).flatMap { t =>
+      (1 to 5).map(j => ((t * 10 + j).toLong, 1L, 100.0, day(t)))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("poisson")("orders" -> orders)
+    val r = SparkEntry.queries("q337_poisson_trend")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Double]("mean_daily") === 5.0)
+    assert(math.abs(r.getAs[Double]("b")) < 1e-3)
+    assert(math.abs(r.getAs[Double]("rate_ratio") - 1.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("a") - math.log(5.0)) < 1e-3)
+  }
+
+  test("q339 Wilcoxon signed-rank: a uniform +$100 week shift gives " +
+      "the closed-form z") {
+    // week 2 = week 1 + $100/day: 7 equal positive diffs, W+ = 28,
+    // var = 7*8*15/24 - (7^3-7)/48 = 28, z = 14/sqrt(28)
+    val orders = (0 until 14).map { t =>
+      (t.toLong, 1L, if (t < 7) 100.0 else 200.0, day(t))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("wilcoxon")("orders" -> orders)
+    val r = SparkEntry.queries("q339_wilcoxon_signed_rank")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 7L)
+    assert(r.getAs[Double]("w_plus") === 28.0)
+    assert(math.abs(r.getAs[Double]("z") - 14.0 / math.sqrt(28.0))
+      < 1e-5)
+  }
+
+  test("q338 Brier decomposition: the Murphy identity holds and every " +
+      "component is in range") {
+    val r = SparkEntry.queries("q338_brier_decomposition")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val rel = r.getAs[Double]("reliability")
+    val res = r.getAs[Double]("resolution")
+    val unc = r.getAs[Double]("uncertainty")
+    val ob = r.getAs[Double]("base_rate")
+    assert(rel >= 0.0 && res >= 0.0)
+    assert(ob >= 0.0 && ob <= 1.0)
+    assert(unc >= 0.0 && unc <= 0.25 + 1e-9)
+    assert(math.abs(r.getAs[Double]("brier_binned") - (rel - res + unc))
+      < 3e-9) // three independently-rounded 9-dp components
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
