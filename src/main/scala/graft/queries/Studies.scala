@@ -2150,6 +2150,314 @@ object Studies {
              - tie3::DOUBLE / 48.0), 1e-12) * 1e6 + 0.5) / 1e6 AS z
        FROM agg"""
 
+  // --------------------------------------------------------------- q340
+  /** DeLong test for correlated AUCs — "is classifier A's AUC really
+    * higher than B's, on the SAME examples?" (q214 grades one AUC;
+    * comparing two on shared data needs the covariance a naive z
+    * ignores.) Per-sample structural components V10/V01 come from the
+    * shared [[bucketedBelow]] placement kernel on the 2× tie grid —
+    * EXACT integers per sample — so both AUCs are exact rationals;
+    * the component covariances quantize per-sample products to
+    * 1e-9-unit LONGs around broadcast exact means. Work: two
+    * distinct-value placements + two keyed sample joins; no pair
+    * enumeration anywhere.
+    */
+  private def q340(s: SparkSession, d: String): DataFrame = {
+    val sumB = aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x)
+    val sa = col("embedding").getItem(0).cast("double")
+    def units(c: Column): Column =
+      (floor(abs(c) * lit(1e6) + lit(0.5))).cast("long") *
+        when(c < 0, -1L).otherwise(1L)
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        (pmod(col("label"), lit(2)) === 0).as("y"),
+        units(sa).as("ua"), units(sumB).as("ub"))
+      .localCheckpoint(true)
+    val tot = base.agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("q"))
+    // per-sample placement on the 2x tie grid for one score column
+    def placed(u: String, pre: String): DataFrame = {
+      val cu = base.groupBy(u)
+        .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pp"),
+          sum(when(!col("y"), 1L).otherwise(0L)).as("qq"))
+      val bel = bucketedBelow(cu, u, Seq("pp", "qq"))
+      base.select(col("vec_id"), col(u))
+        .join(bel, Seq(u)).crossJoin(broadcast(tot))
+        .select(col("vec_id"),
+          (lit(2L) * col("below_qq") + col("qq")).as(s"${pre}10"),
+          (lit(2L) * (col("p") - col("below_pp") - col("pp")) +
+            col("pp")).as(s"${pre}01"))
+    }
+    val samples = base.select(col("vec_id"), col("y"))
+      .join(placed("ua", "a"), Seq("vec_id"))
+      .join(placed("ub", "b"), Seq("vec_id"))
+      .localCheckpoint(true)
+    val dec = "decimal(38,0)"
+    val st1 = samples.crossJoin(broadcast(tot)).groupBy("p", "q")
+      .agg(sum(when(col("y"), col("a10").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("sa10"),
+        sum(when(col("y"), col("b10").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("sb10"))
+    val thetaA = col("sa10").cast("double") /
+      (lit(2.0) * col("p").cast("double") * col("q").cast("double"))
+    val thetaB = col("sb10").cast("double") /
+      (lit(2.0) * col("p").cast("double") * col("q").cast("double"))
+    val head = st1.select(col("p"), col("q"),
+      thetaA.as("ta"), thetaB.as("tb"))
+    val st2in = samples.crossJoin(broadcast(head))
+    val devA10 = col("a10").cast("double") /
+      (lit(2.0) * col("q").cast("double")) - col("ta")
+    val devB10 = col("b10").cast("double") /
+      (lit(2.0) * col("q").cast("double")) - col("tb")
+    val devA01 = col("a01").cast("double") /
+      (lit(2.0) * col("p").cast("double")) - col("ta")
+    val devB01 = col("b01").cast("double") /
+      (lit(2.0) * col("p").cast("double")) - col("tb")
+    def qz(c: Column): Column =
+      floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val st2 = st2in.groupBy("p", "q", "ta", "tb")
+      .agg(sum(when(col("y"), qz(devA10 * devA10)).otherwise(0L))
+          .as("saa10"),
+        sum(when(col("y"), qz(devB10 * devB10)).otherwise(0L))
+          .as("sbb10"),
+        sum(when(col("y"), qz(devA10 * devB10)).otherwise(0L))
+          .as("sab10"),
+        sum(when(!col("y"), qz(devA01 * devA01)).otherwise(0L))
+          .as("saa01"),
+        sum(when(!col("y"), qz(devB01 * devB01)).otherwise(0L))
+          .as("sbb01"),
+        sum(when(!col("y"), qz(devA01 * devB01)).otherwise(0L))
+          .as("sab01"))
+    val pD = col("p").cast("double")
+    val qD = col("q").cast("double")
+    def cmp(c: Column, n: Column): Column =
+      c.cast("double") / 1e9 / safe(n - 1.0)
+    val varD =
+      (cmp(col("saa10"), pD) + cmp(col("sbb10"), pD) -
+        lit(2.0) * cmp(col("sab10"), pD)) / safe(pD) +
+      (cmp(col("saa01"), qD) + cmp(col("sbb01"), qD) -
+        lit(2.0) * cmp(col("sab01"), qD)) / safe(qD)
+    import graft.functions.Rounding.floorRound
+    st2.select(col("p").as("n_pos"), col("q").as("n_neg"),
+      round(col("ta"), 6).as("auc_a"),
+      round(col("tb"), 6).as("auc_b"),
+      floorRound(col("ta") - col("tb"), 6).as("auc_diff"),
+      floorRound((col("ta") - col("tb")) / safe(sqrt(varD)), 6).as("z"))
+  }
+
+  private val q340Sql =
+    """WITH base AS (SELECT vec_id, (label % 2 = 0) AS y,
+           CAST(floor(abs(embedding[1]::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN embedding[1]::DOUBLE < 0 THEN -1 ELSE 1 END)
+             AS ua,
+           CAST(floor(abs(list_sum(list_transform(embedding,
+               x -> x::DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN list_sum(list_transform(embedding,
+               x -> x::DOUBLE)) < 0 THEN -1 ELSE 1 END) AS ub
+         FROM embeddings),
+       tot AS (SELECT
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+           CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS q
+         FROM base),
+       cua AS (SELECT ua AS u,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+           CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS qq
+         FROM base GROUP BY ua),
+       bela AS (SELECT u, pp, qq,
+           coalesce(sum(pp) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS below_pp,
+           coalesce(sum(qq) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS below_qq
+         FROM cua),
+       pla AS (SELECT vec_id, 2 * below_qq + qq AS a10,
+               2 * (p - below_pp - pp) + pp AS a01
+             FROM base JOIN bela ON bela.u = base.ua, tot),
+       cub AS (SELECT ub AS u,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+           CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS qq
+         FROM base GROUP BY ub),
+       belb AS (SELECT u, pp, qq,
+           coalesce(sum(pp) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS below_pp,
+           coalesce(sum(qq) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS below_qq
+         FROM cub),
+       plb AS (SELECT vec_id, 2 * below_qq + qq AS b10,
+               2 * (p - below_pp - pp) + pp AS b01
+             FROM base JOIN belb ON belb.u = base.ub, tot),
+       samples AS MATERIALIZED (SELECT base.vec_id, y, a10, a01,
+               b10, b01
+             FROM base JOIN pla ON pla.vec_id = base.vec_id
+             JOIN plb ON plb.vec_id = base.vec_id),
+       s1 AS (SELECT p, q,
+           sum(CASE WHEN y THEN a10::HUGEINT ELSE 0::HUGEINT END)
+             AS sa10,
+           sum(CASE WHEN y THEN b10::HUGEINT ELSE 0::HUGEINT END)
+             AS sb10
+         FROM samples, tot GROUP BY p, q),
+       hd AS (SELECT p, q,
+           sa10::DOUBLE / (2.0 * p::DOUBLE * q::DOUBLE) AS ta,
+           sb10::DOUBLE / (2.0 * p::DOUBLE * q::DOUBLE) AS tb
+         FROM s1),
+       s2 AS (SELECT p, q, ta, tb,
+           CAST(sum(CASE WHEN y THEN CAST(floor(
+               (a10::DOUBLE / (2.0 * q::DOUBLE) - ta)
+               * (a10::DOUBLE / (2.0 * q::DOUBLE) - ta) * 1e9 + 0.5)
+             AS BIGINT) ELSE 0 END) AS BIGINT) AS saa10,
+           CAST(sum(CASE WHEN y THEN CAST(floor(
+               (b10::DOUBLE / (2.0 * q::DOUBLE) - tb)
+               * (b10::DOUBLE / (2.0 * q::DOUBLE) - tb) * 1e9 + 0.5)
+             AS BIGINT) ELSE 0 END) AS BIGINT) AS sbb10,
+           CAST(sum(CASE WHEN y THEN CAST(floor(
+               (a10::DOUBLE / (2.0 * q::DOUBLE) - ta)
+               * (b10::DOUBLE / (2.0 * q::DOUBLE) - tb) * 1e9 + 0.5)
+             AS BIGINT) ELSE 0 END) AS BIGINT) AS sab10,
+           CAST(sum(CASE WHEN NOT y THEN CAST(floor(
+               (a01::DOUBLE / (2.0 * p::DOUBLE) - ta)
+               * (a01::DOUBLE / (2.0 * p::DOUBLE) - ta) * 1e9 + 0.5)
+             AS BIGINT) ELSE 0 END) AS BIGINT) AS saa01,
+           CAST(sum(CASE WHEN NOT y THEN CAST(floor(
+               (b01::DOUBLE / (2.0 * p::DOUBLE) - tb)
+               * (b01::DOUBLE / (2.0 * p::DOUBLE) - tb) * 1e9 + 0.5)
+             AS BIGINT) ELSE 0 END) AS BIGINT) AS sbb01,
+           CAST(sum(CASE WHEN NOT y THEN CAST(floor(
+               (a01::DOUBLE / (2.0 * p::DOUBLE) - ta)
+               * (b01::DOUBLE / (2.0 * p::DOUBLE) - tb) * 1e9 + 0.5)
+             AS BIGINT) ELSE 0 END) AS BIGINT) AS sab01
+         FROM samples, hd GROUP BY p, q, ta, tb),
+       f AS (SELECT p, q, ta, tb,
+           ((saa10::DOUBLE / 1e9 / greatest(p::DOUBLE - 1.0, 1e-12)
+             + sbb10::DOUBLE / 1e9 / greatest(p::DOUBLE - 1.0, 1e-12)
+             - 2.0 * sab10::DOUBLE / 1e9
+               / greatest(p::DOUBLE - 1.0, 1e-12))
+             / greatest(p::DOUBLE, 1e-12))
+           + ((saa01::DOUBLE / 1e9 / greatest(q::DOUBLE - 1.0, 1e-12)
+             + sbb01::DOUBLE / 1e9 / greatest(q::DOUBLE - 1.0, 1e-12)
+             - 2.0 * sab01::DOUBLE / 1e9
+               / greatest(q::DOUBLE - 1.0, 1e-12))
+             / greatest(q::DOUBLE, 1e-12)) AS vd
+         FROM s2)
+       SELECT p AS n_pos, q AS n_neg,
+         round(ta, 6) AS auc_a, round(tb, 6) AS auc_b,
+         floor((ta - tb) * 1e6 + 0.5) / 1e6 AS auc_diff,
+         floor((ta - tb) / greatest(sqrt(vd), 1e-12) * 1e6 + 0.5) / 1e6
+           AS z
+       FROM f"""
+
+  // --------------------------------------------------------------- q341
+  /** Harrell's concordance index — does the q302 hazard model actually
+    * ORDER the churn times? (The Cox β says direction and size; the
+    * C-index says ranking skill — the metric survival models are
+    * leaderboarded on.) Risk = the q302 hash arm; comparable pairs =
+    * (death at t) × (still at risk AFTER t), counted per event day
+    * from margins that include same-day censor exits — so concordant /
+    * discordant / risk-tied pair totals are EXACT DECIMAL products of
+    * day-level integers (never a subject×subject join). C closes in
+    * one FP division; Somers' D = 2C − 1.
+    */
+  private def q341(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1990-01-01").cast("date"))
+    val u = Tables.orders(s, d)
+      .select(col("o_custkey"), day.as("dd"))
+      .groupBy("o_custkey")
+      .agg(min("dd").as("d0"), max("dd").as("d1"))
+      .select(col("o_custkey"), (col("d1") - col("d0")).as("t"),
+        col("d1"),
+        graft.operators.Sampling.hashBucket(col("o_custkey"), "km", 2)
+          .as("arm"))
+    val fin = u.agg(max("d1").as("endday"))
+    val pa = u.crossJoin(broadcast(fin))
+      .select(col("t"), col("arm"),
+        when(col("endday") - col("d1") >= 90, 1L).otherwise(0L)
+          .as("died"))
+    val ga = pa.groupBy("t").agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("e1"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("e0"),
+      sum(when(col("arm") === 1L && col("died") === 1L, 1L)
+        .otherwise(0L)).as("d1c"),
+      sum(when(col("arm") === 0L && col("died") === 1L, 1L)
+        .otherwise(0L)).as("d0c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = ga
+      .withColumn("r1", sum("e1").over(wDesc))
+      .withColumn("r0", sum("e0").over(wDesc))
+      .select(col("t"), col("d1c"), col("d0c"),
+        (col("r1") - col("e1")).as("a1"), // arm-1 at risk AFTER t
+        (col("r0") - col("e0")).as("a0"))
+    val dec = "decimal(38,0)"
+    val agg = m.agg(
+      sum(col("d1c").cast(dec) * col("a0").cast(dec)).as("conc"),
+      sum(col("d0c").cast(dec) * col("a1").cast(dec)).as("disc"),
+      sum(col("d1c").cast(dec) * col("a1").cast(dec) +
+        col("d0c").cast(dec) * col("a0").cast(dec)).as("tied"))
+    val tot = (col("conc") + col("disc") + col("tied")).cast("double")
+    agg.select(col("conc").cast(dec).as("concordant"),
+      col("disc").cast(dec).as("discordant"),
+      col("tied").cast(dec).as("risk_tied"),
+      round((col("conc").cast("double") +
+        lit(0.5) * col("tied").cast("double")) / safe(tot), 6)
+        .as("c_index"),
+      round((lit(2.0) * (col("conc").cast("double") +
+        lit(0.5) * col("tied").cast("double")) / safe(tot)) - 1.0, 6)
+        .as("somers_d"))
+  }
+
+  private val q341Sql =
+    """WITH u AS (SELECT o_custkey,
+           max(datediff('day', DATE '1990-01-01', o_orderdate::DATE))
+             - min(datediff('day', DATE '1990-01-01',
+               o_orderdate::DATE)) AS t,
+           max(datediff('day', DATE '1990-01-01', o_orderdate::DATE))
+             AS d1,
+           ('0x' || substr(md5('km' || o_custkey::VARCHAR), 1, 15))
+             ::BIGINT % 2 AS arm
+         FROM orders GROUP BY o_custkey),
+       fin AS (SELECT max(d1) AS endday FROM u),
+       pa AS (SELECT t, arm,
+                CASE WHEN endday - d1 >= 90 THEN 1 ELSE 0 END AS died
+              FROM u, fin),
+       ga AS (SELECT t,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS e1,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS e0,
+           CAST(sum(CASE WHEN arm = 1 AND died = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d1c,
+           CAST(sum(CASE WHEN arm = 0 AND died = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d0c
+         FROM pa GROUP BY t),
+       m AS (SELECT t, d1c, d0c,
+           CAST(sum(e1) OVER (ORDER BY t DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - e1 AS a1,
+           CAST(sum(e0) OVER (ORDER BY t DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - e0 AS a0
+         FROM ga),
+       agg AS (SELECT
+           sum(d1c::HUGEINT * a0::HUGEINT) AS conc,
+           sum(d0c::HUGEINT * a1::HUGEINT) AS disc,
+           sum(d1c::HUGEINT * a1::HUGEINT
+             + d0c::HUGEINT * a0::HUGEINT) AS tied
+         FROM m)
+       SELECT CAST(conc AS DECIMAL(38,0)) AS concordant,
+         CAST(disc AS DECIMAL(38,0)) AS discordant,
+         CAST(tied AS DECIMAL(38,0)) AS risk_tied,
+         round((conc::DOUBLE + 0.5 * tied::DOUBLE)
+           / greatest((conc + disc + tied)::DOUBLE, 1e-12), 6)
+           AS c_index,
+         round((2.0 * (conc::DOUBLE + 0.5 * tied::DOUBLE)
+           / greatest((conc + disc + tied)::DOUBLE, 1e-12)) - 1.0, 6)
+           AS somers_d
+       FROM agg"""
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -2173,7 +2481,9 @@ object Studies {
     "q335_optimal_threshold" -> (q335 _),
     "q336_sequential_patterns" -> (q336 _),
     "q337_poisson_trend" -> (q337 _),
-    "q339_wilcoxon_signed_rank" -> (q339 _))
+    "q339_wilcoxon_signed_rank" -> (q339 _),
+    "q340_delong_auc" -> (q340 _),
+    "q341_c_index" -> (q341 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -2198,5 +2508,7 @@ object Studies {
     "q335_optimal_threshold" -> q335Sql,
     "q336_sequential_patterns" -> q336Sql,
     "q337_poisson_trend" -> q337Sql,
-    "q339_wilcoxon_signed_rank" -> q339Sql)
+    "q339_wilcoxon_signed_rank" -> q339Sql,
+    "q340_delong_auc" -> q340Sql,
+    "q341_c_index" -> q341Sql)
 }

@@ -451,6 +451,42 @@ class StudiesSpec extends SparkSpec {
       < 3e-9) // three independently-rounded 9-dp components
   }
 
+  test("q340 DeLong: a perfect scorer vs an all-tied scorer reads " +
+      "AUC 1.0 vs 0.5 with a decisive z") {
+    // A = first component (separates perfectly), B = component sum
+    // (constant 10 for every row -> all-tied AUC 0.5)
+    val emb = (0 until 8).map { i =>
+      val s = if (i % 2 == 0) (4 + i / 2).toFloat else (i / 2).toFloat
+      (i.toLong, i % 2, Array(s, 10.0f - s))
+    }.toDF("vec_id", "label", "embedding")
+    val dir = staged("delong")("embeddings" -> emb)
+    val r = SparkEntry.queries("q340_delong_auc")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pos") === 4L && r.getAs[Long]("n_neg") === 4L)
+    assert(r.getAs[Double]("auc_a") === 1.0)
+    assert(r.getAs[Double]("auc_b") === 0.5)
+    assert(r.getAs[Double]("auc_diff") === 0.5)
+    // both component variances are exactly 0 -> z runs into the guard
+    assert(r.getAs[Double]("z") > 1000.0)
+  }
+
+  test("q341 C-index: pair accounting closes and Somers' D is its " +
+      "affine image") {
+    val r = SparkEntry.queries("q341_c_index")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val conc = r.getAs[java.math.BigDecimal]("concordant").longValueExact
+    val disc = r.getAs[java.math.BigDecimal]("discordant").longValueExact
+    val tied = r.getAs[java.math.BigDecimal]("risk_tied").longValueExact
+    assert(conc + disc + tied > 0L)
+    val c = r.getAs[Double]("c_index")
+    assert(c >= 0.0 && c <= 1.0)
+    assert(math.abs(r.getAs[Double]("somers_d") - (2.0 * c - 1.0))
+      < 1e-5)
+    // hand identity on the margins: C = (conc + tied/2) / total
+    val want = (conc + 0.5 * tied) / (conc + disc + tied).toDouble
+    assert(math.abs(c - want) < 1e-5)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
