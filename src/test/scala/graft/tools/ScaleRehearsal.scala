@@ -92,7 +92,12 @@ object ScaleRehearsal {
     "q206_assoc_rules", "q84_incremental_dedup", "q213_split_leakage",
     "q212_perplexity_filter", "q251_bootstrap_ci",
     "q123_label_propagation", "q288_brown_forsythe",
-    "q235_retrieval_eval")
+    "q235_retrieval_eval",
+    // round-11 session additions: the two new >2s-min entries — the
+    // days²-pair distance correlation (expected ratio ≈ 1: the pair
+    // table is calendar-bounded, so the cost is SF-invariant decimal
+    // math) and the trigram-novelty semi-join (corpus-proportional)
+    "q322_distance_corr", "q333_ngram_novelty")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
