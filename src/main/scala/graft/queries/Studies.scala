@@ -2458,6 +2458,224 @@ object Studies {
            AS somers_d
        FROM agg"""
 
+  // --------------------------------------------------------------- q342
+  /** Storey q-values — the FDR readout per hypothesis that q219's BH
+    * step-up can't give (BH answers "which ranks clear α"; the
+    * q-value is each test's OWN minimal FDR, and Storey's π̂0 =
+    * #{p>λ}/((1−λ)m) recovers the power BH forfeits by assuming every
+    * null is true). Shares q219's exact family construction verbatim
+    * (same segments, same hash arms, same logistic-tail p-values), so
+    * the two multiplicity readouts cannot drift. q_i = min_{j≥i}
+    * π̂0·m·p_(j)/j via a reverse running min over the m-row family
+    * table — every windowed value 9-dp-rounded first so the min
+    * compares identical grids.
+    */
+  private def q342(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("segment",
+      concat(col("event_type"), lit("_d"),
+        pmod(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+          lit(7))))
+    val fam = graft.operators.Experiment
+      .welchAb(ev, "user_id", "value", "segment", salt = "ab")
+      .filter(col("z").isNotNull)
+      .withColumn("p_value",
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))), 9))
+    val whole = Window.partitionBy()
+    val byP = Window.orderBy(col("p_value"), col("segment"))
+    val ranked = fam
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("gt",
+        sum(when(col("p_value") > 0.5, 1L).otherwise(0L)).over(whole))
+      .withColumn("rank", row_number().over(byP))
+    val pi0 = least(lit(1.0), greatest(
+      col("gt").cast("double") / (lit(0.5) * col("m").cast("double")),
+      lit(1.0) / col("m").cast("double")))
+    val raw = ranked.withColumn("pi0", round(pi0, 6))
+      .withColumn("q_raw", round(col("pi0") * col("m").cast("double") *
+        col("p_value") / col("rank").cast("double"), 9))
+    val revMin = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    raw.withColumn("q_value", min(col("q_raw")).over(revMin))
+      .select(col("segment"), col("z"), col("p_value"),
+        col("rank").cast("int").as("rank"), col("pi0"),
+        col("q_value"), (col("q_value") <= 0.1).as("significant"))
+      .orderBy("rank")
+  }
+
+  private val q342Sql =
+    """WITH b AS (SELECT
+           event_type || '_d' ||
+             (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+               ::VARCHAR AS segment,
+           value::DOUBLE AS x,
+           ('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 AS arm
+         FROM events WHERE value IS NOT NULL),
+       mo AS (SELECT segment,
+               CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               sum(x) FILTER (arm = 0) AS sa,
+               sum(x) FILTER (arm = 1) AS sb,
+               sum(x * x) FILTER (arm = 0) AS saa,
+               sum(x * x) FILTER (arm = 1) AS sbb
+             FROM b GROUP BY segment
+             HAVING n_a >= 2 AND n_b >= 2),
+       t AS (SELECT segment, n_a, n_b,
+               sa / n_a AS ma, sb / n_b AS mb,
+               greatest((saa / n_a - (sa / n_a) * (sa / n_a))
+                 * n_a / (n_a - 1.0), 0.0) AS va,
+               greatest((sbb / n_b - (sb / n_b) * (sb / n_b))
+                 * n_b / (n_b - 1.0), 0.0) AS vb
+             FROM mo),
+       fam AS (SELECT segment,
+               round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS z
+             FROM t WHERE va / n_a + vb / n_b > 0),
+       pv AS (SELECT segment, z,
+               round(2.0 / (1.0 + exp(1.702 * abs(z))), 9) AS p_value
+             FROM fam),
+       rk AS (SELECT *, count(*) OVER () AS m,
+               CAST(sum(CASE WHEN p_value > 0.5 THEN 1 ELSE 0 END)
+                 OVER () AS BIGINT) AS gt,
+               row_number() OVER (ORDER BY p_value, segment) AS rank
+             FROM pv),
+       qr AS (SELECT *,
+               round(least(1.0, greatest(gt::DOUBLE / (0.5 * m::DOUBLE),
+                 1.0 / m::DOUBLE)), 6) AS pi0
+             FROM rk),
+       q2 AS (SELECT *,
+               round(pi0 * m::DOUBLE * p_value / rank::DOUBLE, 9)
+                 AS q_raw
+             FROM qr),
+       qv AS (SELECT *,
+               min(q_raw) OVER (ORDER BY rank DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS q_value
+             FROM q2)
+       SELECT segment, z, p_value, CAST(rank AS INT) AS rank, pi0,
+         q_value, (q_value <= 0.1) AS significant
+       FROM qv ORDER BY rank"""
+
+  // --------------------------------------------------------------- q343
+  /** Linear-time MMD two-sample test (RBF kernel) — do the two label
+    * parities come from the SAME embedding distribution, sensitive to
+    * shape differences q334's 64-cell histogram smooths away? Gretton's
+    * linear estimator: deterministic vec-id-ordered pairs inside each
+    * parity (indices from the shared [[bucketedBelow]] placement — no
+    * global sort), quadruples joined on pair index, h = k(x,x′) +
+    * k(y,y′) − k(x,y′) − k(x′,y) at fixed σ² = 32 (d/2). Work is
+    * LINEAR in samples (never the corpus² Gram matrix); per-quadruple
+    * h quantizes to 1e-9-unit LONGs for the mean and (around the
+    * broadcast exact mean) the variance, closing in a one-sample z.
+    */
+  private def q343(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        (pmod(col("label"), lit(2)) === 0).as("pa"), col("embedding"))
+      .localCheckpoint(true)
+    def pairsOf(pa: Boolean, v0: String, v1: String): DataFrame = {
+      val g = base.filter(col("pa") === lit(pa))
+        .select(col("vec_id").as("u"), col("embedding"))
+      val idx = bucketedBelow(g.select(col("u"))
+          .withColumn("one", lit(1L)), "u", Seq("one"))
+        .select(col("u"), col("below_one").as("idx"))
+      g.join(idx, Seq("u"))
+        .select(expr("idx div 2").as("i"), pmod(col("idx"), lit(2L))
+          .as("side"), col("embedding"))
+        .groupBy("i")
+        .agg(min_by(col("embedding"), col("side")).as(v0),
+          max_by(col("embedding"), col("side")).as(v1),
+          count(lit(1)).as("np"))
+        .filter(col("np") === 2L)
+        .select("i", v0, v1)
+    }
+    val quads = pairsOf(pa = true, "a0", "a1")
+      .join(pairsOf(pa = false, "b0", "b1"), Seq("i"))
+    import graft.functions.VectorFunctions.dot
+    def k(x: Column, y: Column): Column =
+      exp(-(dot(x, x) - lit(2.0) * dot(x, y) + dot(y, y)) / lit(64.0))
+    val h = k(col("a0"), col("a1")) + k(col("b0"), col("b1")) -
+      k(col("a0"), col("b1")) - k(col("a1"), col("b0"))
+    val hq = quads.select(col("i"), h.as("h")).localCheckpoint(true)
+    val st1 = hq.agg(count(lit(1)).as("n"),
+      sum(floor(col("h") * lit(1e9) + lit(0.5)).cast("long")).as("shu"))
+    val mean = col("shu").cast("double") / 1e9 /
+      safe(col("n").cast("double"))
+    val st2 = hq.crossJoin(broadcast(st1))
+      .select(col("n"), col("shu"),
+        floor((col("h") - col("shu").cast("double") / 1e9 /
+            greatest(col("n"), lit(1L)).cast("double")) *
+          (col("h") - col("shu").cast("double") / 1e9 /
+            greatest(col("n"), lit(1L)).cast("double")) * lit(1e9) +
+          lit(0.5)).cast("long").as("du"))
+      .groupBy("n", "shu").agg(sum("du").as("sdu"))
+    val nD = col("n").cast("double")
+    val mmd = col("shu").cast("double") / 1e9 / safe(nD)
+    val se = sqrt(col("sdu").cast("double") / 1e9 /
+      safe(nD - 1.0) / safe(nD))
+    import graft.functions.Rounding.floorRound
+    st2.select(col("n").as("n_quads"),
+      floorRound(mmd, 6).as("mmd_linear"),
+      round(se, 6).as("se"),
+      floorRound(mmd / safe(se), 6).as("z"))
+  }
+
+  private val q343Sql =
+    """WITH base AS (SELECT vec_id, (label % 2 = 0) AS pa,
+           CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       ia AS (SELECT vec_id, v,
+               row_number() OVER (ORDER BY vec_id) - 1 AS idx
+             FROM base WHERE pa),
+       pa2 AS (SELECT idx // 2 AS i,
+               arg_min(v, idx % 2) AS a0, arg_max(v, idx % 2) AS a1,
+               count(*) AS np
+             FROM ia GROUP BY idx // 2 HAVING count(*) = 2),
+       ib AS (SELECT vec_id, v,
+               row_number() OVER (ORDER BY vec_id) - 1 AS idx
+             FROM base WHERE NOT pa),
+       pb2 AS (SELECT idx // 2 AS i,
+               arg_min(v, idx % 2) AS b0, arg_max(v, idx % 2) AS b1,
+               count(*) AS np
+             FROM ib GROUP BY idx // 2 HAVING count(*) = 2),
+       quads AS (SELECT pa2.i, a0, a1, b0, b1
+                 FROM pa2 JOIN pb2 ON pa2.i = pb2.i),
+       hs AS (SELECT i,
+           exp(-(list_dot_product(a0, a0)
+               - 2.0 * list_dot_product(a0, a1)
+               + list_dot_product(a1, a1)) / 64.0)
+           + exp(-(list_dot_product(b0, b0)
+               - 2.0 * list_dot_product(b0, b1)
+               + list_dot_product(b1, b1)) / 64.0)
+           - exp(-(list_dot_product(a0, a0)
+               - 2.0 * list_dot_product(a0, b1)
+               + list_dot_product(b1, b1)) / 64.0)
+           - exp(-(list_dot_product(a1, a1)
+               - 2.0 * list_dot_product(a1, b0)
+               + list_dot_product(b0, b0)) / 64.0) AS h
+         FROM quads),
+       s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(h * 1e9 + 0.5) AS BIGINT))
+                 AS BIGINT) AS shu
+             FROM hs),
+       s2 AS (SELECT n, shu,
+           CAST(sum(CAST(floor((h - shu::DOUBLE / 1e9
+                 / greatest(n, 1)::DOUBLE)
+               * (h - shu::DOUBLE / 1e9 / greatest(n, 1)::DOUBLE)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sdu
+         FROM hs, s1 GROUP BY n, shu)
+       SELECT n AS n_quads,
+         floor(shu::DOUBLE / 1e9 / greatest(n::DOUBLE, 1e-12) * 1e6
+           + 0.5) / 1e6 AS mmd_linear,
+         round(sqrt(sdu::DOUBLE / 1e9
+           / greatest(n::DOUBLE - 1.0, 1e-12)
+           / greatest(n::DOUBLE, 1e-12)), 6) AS se,
+         floor((shu::DOUBLE / 1e9 / greatest(n::DOUBLE, 1e-12))
+           / greatest(sqrt(sdu::DOUBLE / 1e9
+             / greatest(n::DOUBLE - 1.0, 1e-12)
+             / greatest(n::DOUBLE, 1e-12)), 1e-12) * 1e6 + 0.5) / 1e6
+           AS z
+       FROM s2"""
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -2483,7 +2701,9 @@ object Studies {
     "q337_poisson_trend" -> (q337 _),
     "q339_wilcoxon_signed_rank" -> (q339 _),
     "q340_delong_auc" -> (q340 _),
-    "q341_c_index" -> (q341 _))
+    "q341_c_index" -> (q341 _),
+    "q342_storey_qvalues" -> (q342 _),
+    "q343_mmd_linear" -> (q343 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -2510,5 +2730,7 @@ object Studies {
     "q337_poisson_trend" -> q337Sql,
     "q339_wilcoxon_signed_rank" -> q339Sql,
     "q340_delong_auc" -> q340Sql,
-    "q341_c_index" -> q341Sql)
+    "q341_c_index" -> q341Sql,
+    "q342_storey_qvalues" -> q342Sql,
+    "q343_mmd_linear" -> q343Sql)
 }

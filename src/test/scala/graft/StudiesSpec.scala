@@ -487,6 +487,43 @@ class StudiesSpec extends SparkSpec {
     assert(math.abs(c - want) < 1e-5)
   }
 
+  test("q342 Storey q-values: monotone in rank, bounded by the raw " +
+      "step values, pi0 in range") {
+    val rows = SparkEntry.queries("q342_storey_qvalues")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var prev = -1.0
+    rows.foreach { r => // already ordered by rank
+      val q = r.getAs[Double]("q_value")
+      val p = r.getAs[Double]("p_value")
+      val pi0 = r.getAs[Double]("pi0")
+      val m = rows.length
+      val rank = r.getAs[Int]("rank")
+      assert(pi0 > 0.0 && pi0 <= 1.0)
+      assert(q >= prev - 1e-12, "q-values must be monotone in rank")
+      assert(q <= pi0 * m * p / rank + 1e-9,
+        "q is a running min of the raw step values")
+      assert(r.getAs[Boolean]("significant") === (q <= 0.1))
+      prev = q
+    }
+  }
+
+  test("q343 linear MMD: identical parity samples give exactly zero") {
+    // parity pairs carry the SAME vectors in the same index order, so
+    // every quadruple's h telescopes to 0
+    val vecs = (0 until 10).map(i =>
+      Array.tabulate(64)(j => (i + 1).toFloat * (j % 3 - 1)))
+    val emb = vecs.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, 0, v), ((100 + i).toLong, 1, v))
+    }.toDF("vec_id", "label", "embedding")
+    val dir = staged("mmd")("embeddings" -> emb)
+    val r = SparkEntry.queries("q343_mmd_linear")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_quads") === 5L)
+    assert(r.getAs[Double]("mmd_linear") === 0.0)
+    assert(r.getAs[Double]("se") === 0.0)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
