@@ -2676,6 +2676,172 @@ object Studies {
            AS z
        FROM s2"""
 
+  // --------------------------------------------------------------- q344
+  /** Two-component Gaussian-mixture EM on log document length — is
+    * the corpus ONE population or a blend (e.g. snippets + articles)?
+    * The unsupervised companion to q331's tail index: a bimodal
+    * length mix breaks every single-threshold length filter. The
+    * corpus collapses ONCE to the (length-value, count) table; four
+    * EM rounds run as one aggregation each of 1e-6-quantized
+    * responsibility-weighted sums over that checkpointed frame, with
+    * the five mixture scalars carried on the 1e-9 grid driver-side
+    * (the q302/q326/q337 bounded-loop shape) — the unrolled oracle
+    * CTE chain replays identical arithmetic. Deterministic moment
+    * init (m ± sd); separation closes as a Cohen-d-style readout.
+    */
+  private def q344(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.documents(s, d)
+      .select(size(graft.functions.TextFunctions.words(col("text")))
+        .cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .select(col("v"), col("c"),
+        log(greatest(col("v"), lit(1L)).cast("double")).as("x"))
+      .localCheckpoint(true)
+    def fl(v: Double, p: Double): Double = math.floor(v * p + 0.5) / p
+    def g(x: Double): Double = math.max(x, 1e-12)
+    // moment init from exact quantized sums
+    val h = vc.agg(sum("c").as("n"),
+      sum(floor(col("c").cast("double") * col("x") * lit(1e6) +
+        lit(0.5)).cast("long")).as("su"),
+      sum(floor(col("c").cast("double") * col("x") * col("x") *
+        lit(1e6) + lit(0.5)).cast("long")).as("qu")).head()
+    val (n, su, qu) = (h.getLong(0), h.getLong(1), h.getLong(2))
+    val m0 = fl(su / 1e6 / g(n.toDouble), 1e9)
+    val v0 = fl(math.max(qu / 1e6 / g(n.toDouble) - m0 * m0, 1e-6), 1e9)
+    val sd0 = fl(math.sqrt(v0), 1e9)
+    var (w, mu1, mu2, va1, va2) =
+      (0.5, fl(m0 - sd0, 1e9), fl(m0 + sd0, 1e9), v0, v0)
+    for (_ <- 1 to 4) {
+      val p1 = exp(-(col("x") - lit(mu1)) * (col("x") - lit(mu1)) /
+        (lit(2.0) * lit(va1))) / lit(math.sqrt(va1))
+      val p2 = exp(-(col("x") - lit(mu2)) * (col("x") - lit(mu2)) /
+        (lit(2.0) * lit(va2))) / lit(math.sqrt(va2))
+      val r = lit(w) * p1 /
+        greatest(lit(w) * p1 + (lit(1.0) - lit(w)) * p2, lit(1e-300))
+      def qs(e: Column): Column =
+        sum(floor(e * lit(1e6) + lit(0.5)).cast("long"))
+      val cD = col("c").cast("double")
+      val row = vc.agg(
+        qs(cD * r).as("n1"), qs(cD * r * col("x")).as("s1"),
+        qs(cD * r * col("x") * col("x")).as("q1"),
+        qs(cD * (lit(1.0) - r)).as("n2"),
+        qs(cD * (lit(1.0) - r) * col("x")).as("s2"),
+        qs(cD * (lit(1.0) - r) * col("x") * col("x")).as("q2")).head()
+      val (n1, s1, q1) = (row.getLong(0) / 1e6, row.getLong(1) / 1e6,
+        row.getLong(2) / 1e6)
+      val (n2, s2, q2) = (row.getLong(3) / 1e6, row.getLong(4) / 1e6,
+        row.getLong(5) / 1e6)
+      w = fl(n1 / g(n1 + n2), 1e9)
+      mu1 = fl(s1 / g(n1), 1e9)
+      va1 = fl(math.max(q1 / g(n1) - (s1 / g(n1)) * (s1 / g(n1)),
+        1e-6), 1e9)
+      mu2 = fl(s2 / g(n2), 1e9)
+      va2 = fl(math.max(q2 / g(n2) - (s2 / g(n2)) * (s2 / g(n2)),
+        1e-6), 1e9)
+    }
+    val sep = (mu2 - mu1) / math.sqrt((va1 + va2) / 2.0)
+    vc.agg(sum("c").as("n_docs"))
+      .select(col("n_docs"),
+        lit(fl(w, 1e6)).as("weight_low"),
+        lit(fl(mu1, 1e6)).as("mu_log_low"),
+        lit(fl(mu2, 1e6)).as("mu_log_high"),
+        lit(fl(math.sqrt(va1), 1e6)).as("sigma_low"),
+        lit(fl(math.sqrt(va2), 1e6)).as("sigma_high"),
+        lit(fl(sep, 1e4)).as("separation"))
+  }
+
+  private val q344Sql = {
+    // one EM round from stage CTE `$st(w, mu1, mu2, va1, va2)`
+    def r(st: String) =
+      s"""($st.w * (exp(-(x - $st.mu1) * (x - $st.mu1)
+           / (2.0 * $st.va1)) / sqrt($st.va1))
+         / greatest($st.w * (exp(-(x - $st.mu1) * (x - $st.mu1)
+             / (2.0 * $st.va1)) / sqrt($st.va1))
+           + (1.0 - $st.w) * (exp(-(x - $st.mu2) * (x - $st.mu2)
+             / (2.0 * $st.va2)) / sqrt($st.va2)), 1e-300))"""
+    def it(st: String) =
+      s"""(SELECT
+           CAST(sum(CAST(floor(c::DOUBLE * ${r(st)} * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS n1,
+           CAST(sum(CAST(floor(c::DOUBLE * ${r(st)} * x * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS s1,
+           CAST(sum(CAST(floor(c::DOUBLE * ${r(st)} * x * x * 1e6
+             + 0.5) AS BIGINT)) AS BIGINT) AS q1,
+           CAST(sum(CAST(floor(c::DOUBLE * (1.0 - ${r(st)}) * 1e6
+             + 0.5) AS BIGINT)) AS BIGINT) AS n2,
+           CAST(sum(CAST(floor(c::DOUBLE * (1.0 - ${r(st)}) * x * 1e6
+             + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+           CAST(sum(CAST(floor(c::DOUBLE * (1.0 - ${r(st)}) * x * x
+             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS q2
+         FROM vc, $st)"""
+    def upd(itn: String) =
+      s"""(SELECT
+           floor((n1::DOUBLE / 1e6) / greatest(n1::DOUBLE / 1e6
+             + n2::DOUBLE / 1e6, 1e-12) * 1e9 + 0.5) / 1e9 AS w,
+           floor((s1::DOUBLE / 1e6) / greatest(n1::DOUBLE / 1e6, 1e-12)
+             * 1e9 + 0.5) / 1e9 AS mu1,
+           floor((s2::DOUBLE / 1e6) / greatest(n2::DOUBLE / 1e6, 1e-12)
+             * 1e9 + 0.5) / 1e9 AS mu2,
+           floor(greatest(q1::DOUBLE / 1e6
+               / greatest(n1::DOUBLE / 1e6, 1e-12)
+             - ((s1::DOUBLE / 1e6) / greatest(n1::DOUBLE / 1e6, 1e-12))
+               * ((s1::DOUBLE / 1e6)
+                 / greatest(n1::DOUBLE / 1e6, 1e-12)), 1e-6)
+             * 1e9 + 0.5) / 1e9 AS va1,
+           floor(greatest(q2::DOUBLE / 1e6
+               / greatest(n2::DOUBLE / 1e6, 1e-12)
+             - ((s2::DOUBLE / 1e6) / greatest(n2::DOUBLE / 1e6, 1e-12))
+               * ((s2::DOUBLE / 1e6)
+                 / greatest(n2::DOUBLE / 1e6, 1e-12)), 1e-6)
+             * 1e9 + 0.5) / 1e9 AS va2
+         FROM $itn)"""
+    s"""WITH vc AS MATERIALIZED (SELECT v, c,
+           ln(greatest(v, 1)::DOUBLE) AS x
+         FROM (SELECT CAST(len(regexp_split_to_array(trim(text),
+                 '\\s+')) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1)),
+       hd AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c::DOUBLE * x * 1e6 + 0.5) AS BIGINT))
+             AS BIGINT) AS su,
+           CAST(sum(CAST(floor(c::DOUBLE * x * x * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS qu
+         FROM vc),
+       ini AS (SELECT
+           floor(su::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) * 1e9
+             + 0.5) / 1e9 AS m0,
+           floor(greatest(qu::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12)
+             - (floor(su::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12)
+                 * 1e9 + 0.5) / 1e9)
+               * (floor(su::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12)
+                 * 1e9 + 0.5) / 1e9), 1e-6) * 1e9 + 0.5) / 1e9 AS v0
+         FROM hd),
+       s0 AS (SELECT 0.5 AS w,
+           floor((m0 - floor(sqrt(v0) * 1e9 + 0.5) / 1e9) * 1e9 + 0.5)
+             / 1e9 AS mu1,
+           floor((m0 + floor(sqrt(v0) * 1e9 + 0.5) / 1e9) * 1e9 + 0.5)
+             / 1e9 AS mu2,
+           v0 AS va1, v0 AS va2
+         FROM ini),
+       it1 AS MATERIALIZED ${it("s0")},
+       s1 AS MATERIALIZED ${upd("it1")},
+       it2 AS MATERIALIZED ${it("s1")},
+       s2 AS MATERIALIZED ${upd("it2")},
+       it3 AS MATERIALIZED ${it("s2")},
+       s3 AS MATERIALIZED ${upd("it3")},
+       it4 AS MATERIALIZED ${it("s3")},
+       s4 AS MATERIALIZED ${upd("it4")}
+       SELECT hd.n AS n_docs,
+         floor(s4.w * 1e6 + 0.5) / 1e6 AS weight_low,
+         floor(s4.mu1 * 1e6 + 0.5) / 1e6 AS mu_log_low,
+         floor(s4.mu2 * 1e6 + 0.5) / 1e6 AS mu_log_high,
+         floor(sqrt(s4.va1) * 1e6 + 0.5) / 1e6 AS sigma_low,
+         floor(sqrt(s4.va2) * 1e6 + 0.5) / 1e6 AS sigma_high,
+         floor((s4.mu2 - s4.mu1) / sqrt((s4.va1 + s4.va2) / 2.0) * 1e4
+           + 0.5) / 1e4 AS separation
+       FROM hd, s4"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -2703,7 +2869,8 @@ object Studies {
     "q340_delong_auc" -> (q340 _),
     "q341_c_index" -> (q341 _),
     "q342_storey_qvalues" -> (q342 _),
-    "q343_mmd_linear" -> (q343 _))
+    "q343_mmd_linear" -> (q343 _),
+    "q344_gmm_em" -> (q344 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -2732,5 +2899,6 @@ object Studies {
     "q340_delong_auc" -> q340Sql,
     "q341_c_index" -> q341Sql,
     "q342_storey_qvalues" -> q342Sql,
-    "q343_mmd_linear" -> q343Sql)
+    "q343_mmd_linear" -> q343Sql,
+    "q344_gmm_em" -> q344Sql)
 }

@@ -524,6 +524,24 @@ class StudiesSpec extends SparkSpec {
     assert(r.getAs[Double]("se") === 0.0)
   }
 
+  test("q344 GMM-EM: a clean bimodal length mix recovers both modes " +
+      "and the 50/50 weight") {
+    val docs = ((1L to 30L).map(i => (i, ("w " * 10).trim)) ++
+      (31L to 60L).map(i => (i, ("w " * 1000).trim)))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("gmm")("documents" -> docs)
+    val r = SparkEntry.queries("q344_gmm_em")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 60L)
+    assert(math.abs(r.getAs[Double]("mu_log_low") - math.log(10.0))
+      < 0.05)
+    assert(math.abs(r.getAs[Double]("mu_log_high") - math.log(1000.0))
+      < 0.05)
+    val w = r.getAs[Double]("weight_low")
+    assert(w > 0.45 && w < 0.55)
+    assert(r.getAs[Double]("separation") > 50.0)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
