@@ -2842,6 +2842,377 @@ object Studies {
        FROM hd, s4"""
   }
 
+  // --------------------------------------------------------------- q345
+  /** Wald–Wolfowitz runs test — is the daily revenue direction
+    * RANDOM, or does it streak/alternate? (q255's Durbin–Watson sees
+    * linear autocorrelation; runs sees any directional persistence.)
+    * Up/down signs from exact cent differences (ties dropped, the
+    * standard convention), the run count from one lag pass over the
+    * calendar-bounded sign series, closed-form normal z from exact
+    * LONG counts. One corpus collapse to the day grid.
+    */
+  private def q345(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(sum("c").as("c"))
+    val span = daily.agg(min("dt").as("d0"), max("dt").as("d1"))
+    val grid = span.select(col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("dt"))
+      .join(daily, Seq("dt"), "left")
+      .select(datediff(col("dt"), col("d0")).cast("long").as("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wLag = Window.orderBy("t")
+    val signs = grid
+      .withColumn("dd", col("c") - lag(col("c"), 1).over(wLag))
+      .filter(col("dd").isNotNull && col("dd") =!= 0L)
+      .select(col("t"), when(col("dd") > 0L, 1L).otherwise(0L).as("s"))
+    val runs = signs
+      .withColumn("prev", lag(col("s"), 1).over(wLag))
+      .select(col("s"),
+        when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L).as("newrun"))
+      .agg(count(lit(1)).as("n"),
+        sum("s").as("n_up"), sum("newrun").as("r"))
+    val n1 = col("n_up").cast("double")
+    val n2 = (col("n") - col("n_up")).cast("double")
+    val nD = col("n").cast("double")
+    val eR = lit(1.0) + lit(2.0) * n1 * n2 / safe(nD)
+    val vR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nD) /
+      safe(nD * nD * (nD - 1.0))
+    import graft.functions.Rounding.floorRound
+    runs.select(col("n").as("n_moves"), col("n_up"),
+      (col("n") - col("n_up")).as("n_down"), col("r").as("n_runs"),
+      round(eR, 6).as("expected_runs"),
+      floorRound((col("r").cast("double") - eR) /
+        safe(sqrt(greatest(vR, lit(0.0)))), 6).as("z"))
+  }
+
+  private val q345Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS c
+         FROM orders GROUP BY 1),
+       span AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM daily),
+       grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS dt, d0 FROM span),
+       g2 AS (SELECT CAST(datediff('day', g.d0, g.dt) AS BIGINT) AS t,
+                coalesce(daily.c, 0) AS c
+              FROM grid g LEFT JOIN daily ON g.dt = daily.dt),
+       dif AS (SELECT t, c - lag(c, 1) OVER (ORDER BY t) AS dd FROM g2),
+       sg AS (SELECT t, CASE WHEN dd > 0 THEN 1 ELSE 0 END AS s
+              FROM dif WHERE dd IS NOT NULL AND dd <> 0),
+       rr AS (SELECT s, CASE WHEN lag(s, 1) OVER (ORDER BY t) IS NULL
+                OR lag(s, 1) OVER (ORDER BY t) <> s THEN 1 ELSE 0 END
+                AS newrun
+             FROM sg),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS n_up,
+               CAST(sum(newrun) AS BIGINT) AS r FROM rr),
+       f AS (SELECT n, n_up, n - n_up AS n_down, r,
+           1.0 + 2.0 * n_up::DOUBLE * (n - n_up)::DOUBLE
+             / greatest(n::DOUBLE, 1e-12) AS er,
+           2.0 * n_up::DOUBLE * (n - n_up)::DOUBLE
+             * (2.0 * n_up::DOUBLE * (n - n_up)::DOUBLE - n::DOUBLE)
+             / greatest(n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0),
+               1e-12) AS vr
+         FROM agg)
+       SELECT n AS n_moves, n_up, n_down, r AS n_runs,
+         round(er, 6) AS expected_runs,
+         floor((r::DOUBLE - er)
+           / greatest(sqrt(greatest(vr, 0.0)), 1e-12) * 1e6 + 0.5)
+           / 1e6 AS z
+       FROM f"""
+
+  // --------------------------------------------------------------- q346
+  /** Jarque–Bera normality test on daily log-scale revenue — the
+    * assumption check every z/t readout in the family leans on:
+    * skewness and excess kurtosis from central moments around the
+    * EXACT integer-cent mean, each per-day deviation power quantized
+    * to 1e-6-unit LONGs ($10k units keep fourth powers inside
+    * double precision at any SF), JB = n/6·(S² + (K−3)²/4). Two
+    * bounded passes over the day table with the broadcast exact mean.
+    */
+  private def q346(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(sum("c").as("c"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("sy"))
+    val dev = (col("c").cast("double") -
+      col("sy").cast("double") / safe(col("n").cast("double"))) / 1e6
+    def qz(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val st = daily.crossJoin(broadcast(tot))
+      .select(col("n"),
+        qz(dev * dev).as("d2"), qz(dev * dev * dev).as("d3"),
+        qz(dev * dev * dev * dev).as("d4"))
+      .groupBy("n")
+      .agg(sum("d2").as("m2u"), sum("d3").as("m3u"), sum("d4").as("m4u"))
+    val nD = col("n").cast("double")
+    val m2 = col("m2u").cast("double") / 1e6 / safe(nD)
+    val m3 = col("m3u").cast("double") / 1e6 / safe(nD)
+    val m4 = col("m4u").cast("double") / 1e6 / safe(nD)
+    val skew = m3 / safe(sqrt(m2 * m2 * m2))
+    val kurt = m4 / safe(m2 * m2)
+    import graft.functions.Rounding.floorRound
+    st.select(col("n").as("n_days"),
+      floorRound(skew, 6).as("skewness"),
+      floorRound(kurt, 6).as("kurtosis"),
+      round(nD / 6.0 * (skew * skew +
+        (kurt - 3.0) * (kurt - 3.0) / 4.0), 4).as("jb_stat"))
+  }
+
+  private val q346Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS c
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sy FROM daily),
+       st AS (SELECT n,
+           CAST(sum(CAST(floor(((c::DOUBLE - sy::DOUBLE
+               / greatest(n::DOUBLE, 1e-12)) / 1e6)
+             * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               / 1e6) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m2u,
+           CAST(sum(CAST(floor(((c::DOUBLE - sy::DOUBLE
+               / greatest(n::DOUBLE, 1e-12)) / 1e6)
+             * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               / 1e6)
+             * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               / 1e6) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m3u,
+           CAST(sum(CAST(floor(((c::DOUBLE - sy::DOUBLE
+               / greatest(n::DOUBLE, 1e-12)) / 1e6)
+             * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               / 1e6)
+             * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               / 1e6)
+             * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               / 1e6) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m4u
+         FROM daily, tot GROUP BY n),
+       f AS (SELECT n,
+           m2u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) AS m2,
+           m3u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) AS m3,
+           m4u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) AS m4
+         FROM st)
+       SELECT n AS n_days,
+         floor(m3 / greatest(sqrt(m2 * m2 * m2), 1e-12) * 1e6 + 0.5)
+           / 1e6 AS skewness,
+         floor(m4 / greatest(m2 * m2, 1e-12) * 1e6 + 0.5) / 1e6
+           AS kurtosis,
+         round(n::DOUBLE / 6.0
+           * ((m3 / greatest(sqrt(m2 * m2 * m2), 1e-12))
+               * (m3 / greatest(sqrt(m2 * m2 * m2), 1e-12))
+             + (m4 / greatest(m2 * m2, 1e-12) - 3.0)
+               * (m4 / greatest(m2 * m2, 1e-12) - 3.0) / 4.0), 4)
+           AS jb_stat
+       FROM f"""
+
+  // --------------------------------------------------------------- q347
+  /** Page's trend test — the ORDERED alternative q317's Friedman
+    * omnibus throws away: if event types are hypothesized to rank in
+    * a FIXED order (here: alphabetical, the documented convention),
+    * L = Σ j·R_j concentrates power on that monotone ordering. Shares
+    * q317's exact 2×-grid within-day ranks verbatim; L, E[L] and
+    * Var[L] all close from integers (ties left uncorrected — the
+    * classical statistic), one FP division for z.
+    */
+  private def q347(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("dt"), col("event_type").as("g"))
+      .groupBy("dt", "g").agg(count(lit(1)).as("c"))
+    val days = obs.select("dt").distinct()
+    val wOrd = Window.orderBy("g")
+    val types = obs.select("g").distinct()
+      .withColumn("j", row_number().over(wOrd).cast("long"))
+    val grid = days.crossJoin(broadcast(types))
+      .join(obs, Seq("dt", "g"), "left")
+      .na.fill(0L, Seq("c"))
+    val tiesInDay = grid.groupBy("dt", "c").agg(count(lit(1)).as("m"))
+    val wDay = Window.partitionBy("dt").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ar = tiesInDay
+      .withColumn("bl", coalesce(sum("m").over(wDay), lit(0L)))
+      .select(col("dt"), col("c"),
+        (lit(2L) * col("bl") + col("m") + lit(1L)).as("r2"))
+    val perType = grid.join(ar, Seq("dt", "c"))
+      .groupBy("g", "j").agg(sum("r2").as("r2j"))
+    val tot = perType.agg(sum(col("j") * col("r2j")).as("l2"),
+      count(lit(1)).as("k"))
+    val nDf = days.agg(count(lit(1)).as("n"))
+    val f = tot.crossJoin(broadcast(nDf))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    // L = L2/2; E[L] = n·k(k+1)²/4; Var[L] = n·k²(k+1)(k²−1)/144
+    val lD = col("l2").cast("double") / 2.0
+    val eL = nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val vL = nD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 144.0
+    import graft.functions.Rounding.floorRound
+    f.select(col("n").as("n_days"), col("k"),
+      lD.cast("long").as("l_stat"),
+      round(eL, 2).as("expected_l"),
+      floorRound((lD - eL) / safe(sqrt(vL)), 6).as("z"))
+  }
+
+  private val q347Sql =
+    """WITH obs AS (SELECT ts::DATE AS dt, event_type AS g,
+           CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       types AS (SELECT g, CAST(row_number() OVER (ORDER BY g)
+                 AS BIGINT) AS j
+               FROM (SELECT DISTINCT g FROM obs)),
+       grid AS (SELECT dd.dt, tt.g, tt.j, coalesce(obs.c, 0) AS c
+             FROM (SELECT DISTINCT dt FROM obs) dd
+             CROSS JOIN types tt
+             LEFT JOIN obs ON obs.dt = dd.dt AND obs.g = tt.g),
+       tid AS (SELECT dt, c, CAST(count(*) AS BIGINT) AS m
+               FROM grid GROUP BY dt, c),
+       ar AS (SELECT dt, c,
+               2 * coalesce(sum(m) OVER (PARTITION BY dt ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + m + 1 AS r2
+             FROM tid),
+       pt AS (SELECT g.j, CAST(sum(ar.r2) AS BIGINT) AS r2j
+              FROM grid g JOIN ar ON ar.dt = g.dt AND ar.c = g.c
+              GROUP BY g.j),
+       tot AS (SELECT CAST(sum(j * r2j) AS BIGINT) AS l2,
+               CAST(count(*) AS BIGINT) AS k FROM pt),
+       nn AS (SELECT CAST(count(DISTINCT dt) AS BIGINT) AS n FROM obs),
+       f AS (SELECT n, k, l2,
+           l2::DOUBLE / 2.0 AS ld,
+           n::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
+             * (k::DOUBLE + 1.0) / 4.0 AS el,
+           n::DOUBLE * k::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
+             * (k::DOUBLE * k::DOUBLE - 1.0) / 144.0 AS vl
+         FROM tot, nn)
+       SELECT n AS n_days, k, CAST(ld AS BIGINT) AS l_stat,
+         round(el, 2) AS expected_l,
+         floor((ld - el) / greatest(sqrt(vl), 1e-12) * 1e6 + 0.5) / 1e6
+           AS z
+       FROM f"""
+
+  // --------------------------------------------------------------- q348
+  /** Breusch–Pagan heteroscedasticity test — does the daily-revenue
+    * trend's ERROR VARIANCE drift with time? (q255's Durbin–Watson
+    * checks error correlation; every OLS interval in the family
+    * assumes homoscedasticity.) Closed-form OLS on exact day sums,
+    * residual squares quantized to 1e-6-unit LONGs ($10k units), then
+    * BP = n·R² of e² on t from exact integer second-pass sums — two
+    * bounded passes over the calendar-bounded day table with the
+    * broadcast fitted line.
+    */
+  private def q348(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("dt").agg(sum("c").as("c"))
+    val span = daily.agg(min("dt").as("d0"), max("dt").as("d1"))
+    val grid = span.select(col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("dt"))
+      .join(daily, Seq("dt"), "left")
+      .select(datediff(col("dt"), col("d0")).cast("long").as("t"),
+        (coalesce(col("c"), lit(0L)).cast("double") / 1e6).as("r"))
+      .localCheckpoint(true)
+    val dec = "decimal(38,0)"
+    val s1 = grid.agg(count(lit(1)).as("n"), sum("t").as("st"),
+      sum(col("t").cast(dec) * col("t").cast(dec)).as("stt"),
+      sum(floor(col("r") * lit(1e6) + lit(0.5)).cast("long")).as("sru"),
+      sum(floor(col("t").cast("double") * col("r") * lit(1e6) +
+        lit(0.5)).cast("long")).as("srtu"))
+    val nD = col("n").cast("double")
+    val beta = (nD * (col("srtu").cast("double") / 1e6) -
+      col("st").cast("double") * (col("sru").cast("double") / 1e6)) /
+      safe(nD * col("stt").cast("double") -
+        col("st").cast("double") * col("st").cast("double"))
+    val alpha = (col("sru").cast("double") / 1e6) / safe(nD) -
+      beta * col("st").cast("double") / safe(nD)
+    val head = s1.select(col("n"), col("st"), col("stt"),
+      beta.as("beta"), alpha.as("alpha"))
+    val e = col("r") - (col("alpha") + col("beta") *
+      col("t").cast("double"))
+    val gu = floor(e * e * lit(1e6) + lit(0.5)).cast("long")
+    val s2 = grid.crossJoin(broadcast(head))
+      .select(col("n"), col("st"), col("stt"), col("beta"),
+        col("t"), gu.as("gu"))
+      .groupBy("n", "st", "stt", "beta")
+      .agg(sum("gu").as("sg"),
+        sum(col("gu").cast(dec) * col("t").cast(dec)).as("sgt"),
+        sum(col("gu").cast(dec) * col("gu").cast(dec)).as("sgg"))
+    val num = nD * col("sgt").cast("double") -
+      col("st").cast("double") * col("sg").cast("double")
+    val denx = nD * col("stt").cast("double") -
+      col("st").cast("double") * col("st").cast("double")
+    val deng = nD * col("sgg").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double")
+    val r2 = num * num / safe(denx * deng)
+    import graft.functions.Rounding.floorRound
+    s2.select(col("n").as("n_days"),
+      floorRound(col("beta"), 6).as("beta"),
+      round(r2, 6).as("r2_aux"),
+      round(nD * r2, 4).as("bp_stat"), lit(1L).as("dof"))
+  }
+
+  private val q348Sql =
+    """WITH daily AS (SELECT o_orderdate::DATE AS dt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS c
+         FROM orders GROUP BY 1),
+       span AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM daily),
+       grid0 AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS dt, d0 FROM span),
+       grid AS MATERIALIZED (SELECT
+               CAST(datediff('day', g.d0, g.dt) AS BIGINT) AS t,
+               coalesce(daily.c, 0)::DOUBLE / 1e6 AS r
+             FROM grid0 g LEFT JOIN daily ON g.dt = daily.dt),
+       s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               sum(t::HUGEINT * t::HUGEINT) AS stt,
+               CAST(sum(CAST(floor(r * 1e6 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sru,
+               CAST(sum(CAST(floor(t::DOUBLE * r * 1e6 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS srtu
+             FROM grid),
+       hd AS (SELECT n, st, stt,
+           (n::DOUBLE * (srtu::DOUBLE / 1e6)
+             - st::DOUBLE * (sru::DOUBLE / 1e6))
+           / greatest(n::DOUBLE * stt::DOUBLE
+             - st::DOUBLE * st::DOUBLE, 1e-12) AS beta,
+           (sru::DOUBLE / 1e6) / greatest(n::DOUBLE, 1e-12)
+             - ((n::DOUBLE * (srtu::DOUBLE / 1e6)
+                 - st::DOUBLE * (sru::DOUBLE / 1e6))
+               / greatest(n::DOUBLE * stt::DOUBLE
+                 - st::DOUBLE * st::DOUBLE, 1e-12))
+               * st::DOUBLE / greatest(n::DOUBLE, 1e-12) AS alpha
+         FROM s1),
+       s2 AS (SELECT n, st, stt, beta,
+           CAST(sum(CAST(floor((r - (alpha + beta * t::DOUBLE))
+               * (r - (alpha + beta * t::DOUBLE)) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS sg,
+           sum(CAST(floor((r - (alpha + beta * t::DOUBLE))
+               * (r - (alpha + beta * t::DOUBLE)) * 1e6 + 0.5)
+             AS BIGINT)::HUGEINT * t::HUGEINT) AS sgt,
+           sum(CAST(floor((r - (alpha + beta * t::DOUBLE))
+               * (r - (alpha + beta * t::DOUBLE)) * 1e6 + 0.5)
+             AS BIGINT)::HUGEINT
+             * CAST(floor((r - (alpha + beta * t::DOUBLE))
+               * (r - (alpha + beta * t::DOUBLE)) * 1e6 + 0.5)
+             AS BIGINT)::HUGEINT) AS sgg
+         FROM grid, hd GROUP BY n, st, stt, beta),
+       f AS (SELECT n, beta,
+           (n::DOUBLE * sgt::DOUBLE - st::DOUBLE * sg::DOUBLE)
+             * (n::DOUBLE * sgt::DOUBLE - st::DOUBLE * sg::DOUBLE)
+           / greatest((n::DOUBLE * stt::DOUBLE
+               - st::DOUBLE * st::DOUBLE)
+             * (n::DOUBLE * sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE),
+             1e-12) AS r2
+         FROM s2)
+       SELECT n AS n_days,
+         floor(beta * 1e6 + 0.5) / 1e6 AS beta,
+         round(r2, 6) AS r2_aux,
+         round(n::DOUBLE * r2, 4) AS bp_stat,
+         1::BIGINT AS dof
+       FROM f"""
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -2870,7 +3241,11 @@ object Studies {
     "q341_c_index" -> (q341 _),
     "q342_storey_qvalues" -> (q342 _),
     "q343_mmd_linear" -> (q343 _),
-    "q344_gmm_em" -> (q344 _))
+    "q344_gmm_em" -> (q344 _),
+    "q345_runs_test" -> (q345 _),
+    "q346_jarque_bera" -> (q346 _),
+    "q347_page_trend" -> (q347 _),
+    "q348_breusch_pagan" -> (q348 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -2900,5 +3275,9 @@ object Studies {
     "q341_c_index" -> q341Sql,
     "q342_storey_qvalues" -> q342Sql,
     "q343_mmd_linear" -> q343Sql,
-    "q344_gmm_em" -> q344Sql)
+    "q344_gmm_em" -> q344Sql,
+    "q345_runs_test" -> q345Sql,
+    "q346_jarque_bera" -> q346Sql,
+    "q347_page_trend" -> q347Sql,
+    "q348_breusch_pagan" -> q348Sql)
 }

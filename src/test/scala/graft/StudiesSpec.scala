@@ -542,6 +542,69 @@ class StudiesSpec extends SparkSpec {
     assert(r.getAs[Double]("separation") > 50.0)
   }
 
+  test("q345 runs test: perfect alternation maximizes the run count") {
+    // 10 days alternating $100/$200: 9 moves, every move a new run
+    val orders = (0 until 10).map { t =>
+      (t.toLong, 1L, if (t % 2 == 0) 100.0 else 200.0, day(t))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("runs")("orders" -> orders)
+    val r = SparkEntry.queries("q345_runs_test")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_moves") === 9L)
+    assert(r.getAs[Long]("n_runs") === 9L)
+    // n1=5, n2=4: E=1+40/9, V=40*(40-9)/(81*8), z=(9-E)/sqrt(V)
+    val e = 1.0 + 40.0 / 9.0
+    val v = 40.0 * 31.0 / (81.0 * 8.0)
+    assert(math.abs(r.getAs[Double]("z") - (9.0 - e) / math.sqrt(v))
+      < 1e-3)
+  }
+
+  test("q346 Jarque-Bera: a symmetric 3-point series gives skew 0, " +
+      "kurtosis 1.5") {
+    val orders = Seq((1L, 1L, 10000.0, day(0)), (2L, 1L, 20000.0, day(1)),
+      (3L, 1L, 30000.0, day(2)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("jb")("orders" -> orders)
+    val r = SparkEntry.queries("q346_jarque_bera")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Double]("skewness") === 0.0)
+    assert(math.abs(r.getAs[Double]("kurtosis") - 1.5) < 1e-4)
+    // JB = 3/6 * ((1.5-3)^2/4) = 0.28125 -> 0.2813 on the 4-dp grid
+    assert(math.abs(r.getAs[Double]("jb_stat") - 0.28125) < 1e-3)
+  }
+
+  test("q347 Page trend: the alphabetically-increasing fixture gives " +
+      "the closed-form positive z") {
+    // type b (j=2) busier every day: L=15, E=13.5, Var=0.75
+    val rows = (0 until 3).flatMap { dn =>
+      Seq((day(dn), "a"), (day(dn), "b"), (day(dn), "b"))
+    }
+    val ev = rows.toDF("ts", "event_type")
+    val dir = staged("page")("events" -> ev)
+    val r = SparkEntry.queries("q347_page_trend")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Long]("l_stat") === 15L)
+    assert(r.getAs[Double]("expected_l") === 13.5)
+    assert(math.abs(r.getAs[Double]("z") - 1.5 / math.sqrt(0.75))
+      < 1e-5)
+  }
+
+  test("q348 Breusch-Pagan: an exact linear series has zero residual " +
+      "variance structure") {
+    val orders = (0 until 10).map { t =>
+      (t.toLong, 1L, 10000.0 * (t + 1), day(t))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("bp")("orders" -> orders)
+    val r = SparkEntry.queries("q348_breusch_pagan")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-6)
+    assert(r.getAs[Double]("r2_aux") === 0.0)
+    assert(r.getAs[Double]("bp_stat") === 0.0)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
