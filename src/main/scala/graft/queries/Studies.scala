@@ -2938,23 +2938,27 @@ object Studies {
       .select(to_date(col("o_orderdate")).as("dt"),
         round(col("o_totalprice") * 100, 0).cast("long").as("c"))
       .groupBy("dt").agg(sum("c").as("c"))
-    val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("sy"))
-    val dev = (col("c").cast("double") -
-      col("sy").cast("double") / safe(col("n").cast("double"))) / 1e6
+    val dec = "decimal(38,0)"
+    // exact integer-cent first/second moments -> sd WITHOUT any
+    // quantized pass, so the second pass standardizes: z powers are
+    // O(10) at ANY SF (raw $-unit fourth powers overflowed the LONG
+    // grid at sf0.1 already)
+    val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("sy"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    val mean = col("sy").cast("double") / safe(nD)
+    val sd = sqrt(greatest(col("syy").cast("double") / safe(nD) -
+      mean * mean, lit(1e-12)))
+    val z = (col("c").cast("double") - mean) / sd
     def qz(c: Column): Column =
       floor(c * lit(1e6) + lit(0.5)).cast("long")
     val st = daily.crossJoin(broadcast(tot))
-      .select(col("n"),
-        qz(dev * dev).as("d2"), qz(dev * dev * dev).as("d3"),
-        qz(dev * dev * dev * dev).as("d4"))
+      .select(col("n"), qz(z * z * z).as("z3"),
+        qz(z * z * z * z).as("z4"))
       .groupBy("n")
-      .agg(sum("d2").as("m2u"), sum("d3").as("m3u"), sum("d4").as("m4u"))
-    val nD = col("n").cast("double")
-    val m2 = col("m2u").cast("double") / 1e6 / safe(nD)
-    val m3 = col("m3u").cast("double") / 1e6 / safe(nD)
-    val m4 = col("m4u").cast("double") / 1e6 / safe(nD)
-    val skew = m3 / safe(sqrt(m2 * m2 * m2))
-    val kurt = m4 / safe(m2 * m2)
+      .agg(sum("z3").as("m3u"), sum("z4").as("m4u"))
+    val skew = col("m3u").cast("double") / 1e6 / safe(nD)
+    val kurt = col("m4u").cast("double") / 1e6 / safe(nD)
     import graft.functions.Rounding.floorRound
     st.select(col("n").as("n_days"),
       floorRound(skew, 6).as("skewness"),
@@ -2969,44 +2973,68 @@ object Studies {
              AS c
          FROM orders GROUP BY 1),
        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(c) AS BIGINT) AS sy FROM daily),
+               CAST(sum(c) AS BIGINT) AS sy,
+               sum(c::HUGEINT * c::HUGEINT) AS syy FROM daily),
        st AS (SELECT n,
-           CAST(sum(CAST(floor(((c::DOUBLE - sy::DOUBLE
-               / greatest(n::DOUBLE, 1e-12)) / 1e6)
+           CAST(sum(CAST(floor(
+               ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                 / sqrt(greatest(syy::DOUBLE
+                     / greatest(n::DOUBLE, 1e-12)
+                   - (sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                     * (sy::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+                   1e-12)))
              * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
-               / 1e6) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m2u,
-           CAST(sum(CAST(floor(((c::DOUBLE - sy::DOUBLE
-               / greatest(n::DOUBLE, 1e-12)) / 1e6)
+                 / sqrt(greatest(syy::DOUBLE
+                     / greatest(n::DOUBLE, 1e-12)
+                   - (sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                     * (sy::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+                   1e-12)))
              * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
-               / 1e6)
+                 / sqrt(greatest(syy::DOUBLE
+                     / greatest(n::DOUBLE, 1e-12)
+                   - (sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                     * (sy::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+                   1e-12)))
+             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m3u,
+           CAST(sum(CAST(floor(
+               ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                 / sqrt(greatest(syy::DOUBLE
+                     / greatest(n::DOUBLE, 1e-12)
+                   - (sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                     * (sy::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+                   1e-12)))
              * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
-               / 1e6) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m3u,
-           CAST(sum(CAST(floor(((c::DOUBLE - sy::DOUBLE
-               / greatest(n::DOUBLE, 1e-12)) / 1e6)
+                 / sqrt(greatest(syy::DOUBLE
+                     / greatest(n::DOUBLE, 1e-12)
+                   - (sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                     * (sy::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+                   1e-12)))
              * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
-               / 1e6)
+                 / sqrt(greatest(syy::DOUBLE
+                     / greatest(n::DOUBLE, 1e-12)
+                   - (sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                     * (sy::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+                   1e-12)))
              * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
-               / 1e6)
-             * ((c::DOUBLE - sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
-               / 1e6) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m4u
-         FROM daily, tot GROUP BY n),
-       f AS (SELECT n,
-           m2u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) AS m2,
-           m3u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) AS m3,
-           m4u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) AS m4
-         FROM st)
+                 / sqrt(greatest(syy::DOUBLE
+                     / greatest(n::DOUBLE, 1e-12)
+                   - (sy::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                     * (sy::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+                   1e-12)))
+             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m4u
+         FROM daily, tot GROUP BY n)
        SELECT n AS n_days,
-         floor(m3 / greatest(sqrt(m2 * m2 * m2), 1e-12) * 1e6 + 0.5)
-           / 1e6 AS skewness,
-         floor(m4 / greatest(m2 * m2, 1e-12) * 1e6 + 0.5) / 1e6
-           AS kurtosis,
+         floor(m3u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) * 1e6
+           + 0.5) / 1e6 AS skewness,
+         floor(m4u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) * 1e6
+           + 0.5) / 1e6 AS kurtosis,
          round(n::DOUBLE / 6.0
-           * ((m3 / greatest(sqrt(m2 * m2 * m2), 1e-12))
-               * (m3 / greatest(sqrt(m2 * m2 * m2), 1e-12))
-             + (m4 / greatest(m2 * m2, 1e-12) - 3.0)
-               * (m4 / greatest(m2 * m2, 1e-12) - 3.0) / 4.0), 4)
-           AS jb_stat
-       FROM f"""
+           * ((m3u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12))
+               * (m3u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12))
+             + (m4u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) - 3.0)
+               * (m4u::DOUBLE / 1e6 / greatest(n::DOUBLE, 1e-12) - 3.0)
+               / 4.0), 4) AS jb_stat
+       FROM st"""
 
   // --------------------------------------------------------------- q347
   /** Page's trend test — the ORDERED alternative q317's Friedman
