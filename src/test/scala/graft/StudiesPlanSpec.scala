@@ -68,4 +68,16 @@ class StudiesPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q340 DeLong joins placements by key - never a pair " +
+      "enumeration") {
+    val p = plan("q340_delong_auc")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q343 linear MMD joins pair indices by key - never a Gram " +
+      "matrix") {
+    val p = plan("q343_mmd_linear")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
