@@ -3241,6 +3241,123 @@ object Studies {
          1::BIGINT AS dof
        FROM f"""
 
+  // --------------------------------------------------------------- q349
+  /** Source diversity — how CONCENTRATED is the corpus, in the units
+    * mixing decisions are made in? Shannon entropy of the source
+    * distribution by DOCS and by TOKENS, each with its "effective
+    * number of sources" exp(H) (the q217 Gini says inequality; exp H
+    * says how many equal sources the mix behaves like — the number a
+    * data-mixing budget actually divides by). Per-source log terms
+    * quantize to 1e-9-unit LONGs over the |sources|-row table; one
+    * corpus aggregation.
+    */
+  private def q349(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(graft.functions.TextFunctions.words(col("text")))
+          .cast("long").as("tk"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nd"), sum("tk").as("nt"))
+    val tot = per.agg(sum("nd").as("td"), sum("nt").as("tt"),
+      count(lit(1)).as("k"))
+    val t = per.crossJoin(broadcast(tot))
+    val pd = col("nd").cast("double") / safe(col("td").cast("double"))
+    val pt = col("nt").cast("double") / safe(col("tt").cast("double"))
+    val terms = t.select(col("k"), col("td"), col("tt"),
+      floor(pd * log(pd) * lit(1e9) + lit(0.5)).cast("long").as("hd"),
+      floor(pt * log(pt) * lit(1e9) + lit(0.5)).cast("long").as("ht"))
+    val agg = terms.groupBy("k", "td", "tt")
+      .agg(sum("hd").as("shd"), sum("ht").as("sht"))
+    val hDocs = -col("shd").cast("double") / 1e9
+    val hToks = -col("sht").cast("double") / 1e9
+    agg.select(col("k").as("n_sources"), col("td").as("n_docs"),
+      col("tt").as("n_tokens"),
+      round(hDocs, 6).as("h_docs"),
+      round(exp(hDocs), 4).as("effective_sources_docs"),
+      round(hToks, 6).as("h_tokens"),
+      round(exp(hToks), 4).as("effective_sources_tokens"))
+  }
+
+  private val q349Sql =
+    """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             AS BIGINT) AS nt
+         FROM documents GROUP BY source),
+       tot AS (SELECT CAST(sum(nd) AS BIGINT) AS td,
+               CAST(sum(nt) AS BIGINT) AS tt,
+               CAST(count(*) AS BIGINT) AS k FROM per),
+       terms AS (SELECT k, td, tt,
+           CAST(floor((nd::DOUBLE / greatest(td::DOUBLE, 1e-12))
+               * ln(nd::DOUBLE / greatest(td::DOUBLE, 1e-12)) * 1e9
+               + 0.5) AS BIGINT) AS hd,
+           CAST(floor((nt::DOUBLE / greatest(tt::DOUBLE, 1e-12))
+               * ln(nt::DOUBLE / greatest(tt::DOUBLE, 1e-12)) * 1e9
+               + 0.5) AS BIGINT) AS ht
+         FROM per, tot),
+       agg AS (SELECT k, td, tt, CAST(sum(hd) AS BIGINT) AS shd,
+               CAST(sum(ht) AS BIGINT) AS sht
+             FROM terms GROUP BY k, td, tt)
+       SELECT k AS n_sources, td AS n_docs, tt AS n_tokens,
+         round(-shd::DOUBLE / 1e9, 6) AS h_docs,
+         round(exp(-shd::DOUBLE / 1e9), 4) AS effective_sources_docs,
+         round(-sht::DOUBLE / 1e9, 6) AS h_tokens,
+         round(exp(-sht::DOUBLE / 1e9), 4) AS effective_sources_tokens
+       FROM agg"""
+
+  // --------------------------------------------------------------- q350
+  /** Standardized type–token ratio (STTR-25) — lexical diversity per
+    * source that raw TTR can't give (TTR falls mechanically with
+    * length, so long-document sources always look "poor"): tokens
+    * chunk into fixed 25-token blocks per document (the corpus's docs
+    * run 10–99 tokens, so 100-token blocks would be vacuous), TTR per
+    * COMPLETE block, doc-position-deterministic; per-block ratios are exact
+    * int/int doubles quantized to 1e-6-unit LONGs before the source
+    * mean. One posexplode pass; block table ≈ corpus/100 rows.
+    */
+  private def q350(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.functions.TextFunctions.words(col("text"))))
+      .select(col("doc_id"), col("source"),
+        expr("pos div 25").as("blk"), col("pos"), col("col").as("w"))
+    val blocks = toks.groupBy("doc_id", "source", "blk")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_typ"))
+      .filter(col("n_tok") === 25L)
+    val per = blocks
+      .select(col("source"),
+        floor(col("n_typ").cast("double") /
+          col("n_tok").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("tu"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blocks"), sum("tu").as("stu"))
+    per.select(col("source"), col("n_blocks"),
+        round(col("stu").cast("double") / 1e6 /
+          safe(col("n_blocks").cast("double")), 6).as("sttr_25"))
+      .orderBy("source")
+  }
+
+  private val q350Sql =
+    """WITH toks AS (SELECT doc_id, source,
+           (i - 1) // 25 AS blk, w[CAST(i AS INTEGER)] AS t
+         FROM (SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\s+') AS w,
+                 unnest(range(1, len(regexp_split_to_array(trim(text),
+                   '\s+')) + 1)) AS i
+               FROM documents)),
+       blocks AS (SELECT doc_id, source, blk,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(count(DISTINCT t) AS BIGINT) AS n_typ
+             FROM toks GROUP BY doc_id, source, blk
+             HAVING count(*) = 25),
+       per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CAST(floor(n_typ::DOUBLE / n_tok::DOUBLE * 1e6
+                 + 0.5) AS BIGINT)) AS BIGINT) AS stu
+             FROM blocks GROUP BY source)
+       SELECT source, n_blocks,
+         round(stu::DOUBLE / 1e6 / greatest(n_blocks::DOUBLE, 1e-12), 6)
+           AS sttr_25
+       FROM per ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "q316_kruskal_wallis" -> (q316 _),
     "q317_friedman" -> (q317 _),
@@ -3273,7 +3390,9 @@ object Studies {
     "q345_runs_test" -> (q345 _),
     "q346_jarque_bera" -> (q346 _),
     "q347_page_trend" -> (q347 _),
-    "q348_breusch_pagan" -> (q348 _))
+    "q348_breusch_pagan" -> (q348 _),
+    "q349_source_diversity" -> (q349 _),
+    "q350_sttr" -> (q350 _))
 
   val oracles: Map[String, String] = Map(
     "q316_kruskal_wallis" -> q316Sql,
@@ -3307,5 +3426,7 @@ object Studies {
     "q345_runs_test" -> q345Sql,
     "q346_jarque_bera" -> q346Sql,
     "q347_page_trend" -> q347Sql,
-    "q348_breusch_pagan" -> q348Sql)
+    "q348_breusch_pagan" -> q348Sql,
+    "q349_source_diversity" -> q349Sql,
+    "q350_sttr" -> q350Sql)
 }

@@ -605,6 +605,35 @@ class StudiesSpec extends SparkSpec {
     assert(r.getAs[Double]("bp_stat") === 0.0)
   }
 
+  test("q349 source diversity: two equal sources behave like exactly " +
+      "two effective sources") {
+    val docs = (1L to 6L).map { i =>
+      (i, "a b", if (i <= 3) "s1" else "s2", 3L)
+    }.map { case (id, t, src, nc) => (id, t, "en", src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("diversity")("documents" -> docs)
+    val r = SparkEntry.queries("q349_source_diversity")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(math.abs(r.getAs[Double]("h_docs") - math.log(2.0)) < 1e-6)
+    assert(r.getAs[Double]("effective_sources_docs") === 2.0)
+    assert(r.getAs[Double]("effective_sources_tokens") === 2.0)
+  }
+
+  test("q350 STTR: a max-diversity block and a one-word block average " +
+      "to the exact hand value") {
+    // 25 distinct words then 'b' x 25: block TTRs 1.0 and 0.04
+    val text = ((1 to 25).map(i => s"a$i") ++ Seq.fill(25)("b"))
+      .mkString(" ")
+    val docs = Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = staged("sttr")("documents" -> docs)
+    val r = SparkEntry.queries("q350_sttr")(spark, dir).collect()(0)
+    assert(r.getAs[String]("source") === "s1")
+    assert(r.getAs[Long]("n_blocks") === 2L)
+    assert(math.abs(r.getAs[Double]("sttr_25") - 0.52) < 1e-6)
+  }
+
   test("q320 meta-analysis: heterogeneity keeps tau2/I2 in range and " +
       "the random-effects SE dominates the fixed one") {
     val r = SparkEntry.queries("q320_meta_analysis")(
