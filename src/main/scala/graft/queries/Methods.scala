@@ -798,7 +798,10 @@ object Methods {
     * with a date tie-break (total order). Corpus work: one
     * aggregation to the dense day grid; every window runs on it.
     */
-  private def q290(s: SparkSession, d: String): DataFrame = {
+  /** Shared decomposition kernel for q290/q351: the dense-day series
+    * with centered-7 trend, zero-sum day-of-week seasonal, residual.
+    * Columns: t, dt, r, trend, detr, seasonal, resid. */
+  private def seasonalDec(s: SparkSession, d: String): DataFrame = {
     val series = dailyRevenue(s, d)
     val w7 = Window.orderBy("t").rowsBetween(-3, 3)
     val tr = series
@@ -811,8 +814,12 @@ object Methods {
     val sc = sdow.crossJoin(broadcast(
         sdow.agg(avg("sraw").as("smean"))))
       .select(col("dow"), (col("sraw") - col("smean")).as("seasonal"))
-    val dec = tr.join(broadcast(sc), Seq("dow"))
+    tr.join(broadcast(sc), Seq("dow"))
       .withColumn("resid", col("detr") - col("seasonal"))
+  }
+
+  private def q290(s: SparkSession, d: String): DataFrame = {
+    val dec = seasonalDec(s, d)
     val byAbs = Window.orderBy(
       floor(abs(col("resid")) * 1e6 + 0.5).cast("long").desc,
       col("dt").asc)
@@ -826,8 +833,11 @@ object Methods {
       .orderBy("rk")
   }
 
-  private val q290Sql =
-    s"""WITH $dailyRevenueSql,
+  /** Oracle twin of [[seasonalDec]] — CTE chain ending in
+    * `dec(t, dt, r, trend, detr, seasonal, resid)`, shared by
+    * q290/q351 so the two readouts cannot drift. */
+  private val seasonalDecCte =
+    s"""$dailyRevenueSql,
        tr AS (SELECT t, dt, r,
            count(*) OVER w7 AS win_n, avg(r) OVER w7 AS trend
          FROM series
@@ -838,9 +848,12 @@ object Methods {
        sdow AS (SELECT dow, avg(detr) AS sraw FROM full7 GROUP BY dow),
        sc AS (SELECT dow, sraw - (SELECT avg(sraw) FROM sdow)
                 AS seasonal FROM sdow),
-       dec AS (SELECT f.t, f.dt, f.r, f.trend, sc.seasonal,
+       dec AS (SELECT f.t, f.dt, f.r, f.trend, f.detr, sc.seasonal,
            f.detr - sc.seasonal AS resid
-         FROM full7 f JOIN sc ON f.dow = sc.dow),
+         FROM full7 f JOIN sc ON f.dow = sc.dow)"""
+
+  private val q290Sql =
+    s"""WITH $seasonalDecCte,
        ranked AS (SELECT *,
            row_number() OVER (ORDER BY
              CAST(floor(abs(resid) * 1e6 + 0.5) AS BIGINT) DESC,
@@ -850,6 +863,57 @@ object Methods {
          round(r, 4) AS revenue, round(trend, 4) AS trend,
          round(seasonal, 4) AS seasonal, round(resid, 4) AS residual
        FROM ranked WHERE rk <= 10 ORDER BY rk"""
+
+  // --------------------------------------------------------------- q351
+  /** Trend / seasonality STRENGTH (Wang–Hyndman) — the one-row answer
+    * to "is this series trend-dominated, weekly-dominated, or noise?"
+    * that q290's component table makes the reader compute by eye:
+    * F_T = max(0, 1 − Var(R)/Var(deseasonalized)) and F_S = max(0,
+    * 1 − Var(R)/Var(detrended)), both in [0,1]. Shares [[seasonalDec]]
+    * verbatim with q290 (the decomposition cannot drift from its
+    * summary); variances close as avg(x²) − avg(x)² fixed-shape
+    * expressions over the calendar-bounded day table (6-dp rounding
+    * absorbs sum-order ulps — the q290 regime; Spark/DuckDB var_pop
+    * builtins use DIFFERENT algorithms and are avoided).
+    */
+  private def q351(s: SparkSession, d: String): DataFrame = {
+    val dec = seasonalDec(s, d)
+      .withColumn("deseas", col("r") - col("seasonal"))
+    val st = dec.agg(count(lit(1)).as("n"),
+      avg("resid").as("mr"), avg(col("resid") * col("resid")).as("mrr"),
+      avg("detr").as("md"), avg(col("detr") * col("detr")).as("mdd"),
+      avg("deseas").as("ms"),
+      avg(col("deseas") * col("deseas")).as("mss"))
+    val vr = col("mrr") - col("mr") * col("mr")
+    val vd = col("mdd") - col("md") * col("md")
+    val vs = col("mss") - col("ms") * col("ms")
+    st.select(col("n").as("n_days"),
+      round(vr, 6).as("var_resid"),
+      round(vd, 6).as("var_detrended"),
+      round(vs, 6).as("var_deseasonalized"),
+      round(greatest(lit(0.0), lit(1.0) - vr / safe(vs)), 4)
+        .as("trend_strength"),
+      round(greatest(lit(0.0), lit(1.0) - vr / safe(vd)), 4)
+        .as("seasonal_strength"))
+  }
+
+  private val q351Sql =
+    s"""WITH $seasonalDecCte,
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           avg(resid) AS mr, avg(resid * resid) AS mrr,
+           avg(detr) AS md, avg(detr * detr) AS mdd,
+           avg(r - seasonal) AS ms,
+           avg((r - seasonal) * (r - seasonal)) AS mss
+         FROM dec)
+       SELECT n AS n_days,
+         round(mrr - mr * mr, 6) AS var_resid,
+         round(mdd - md * md, 6) AS var_detrended,
+         round(mss - ms * ms, 6) AS var_deseasonalized,
+         round(greatest(0.0, 1.0 - (mrr - mr * mr)
+           / greatest(mss - ms * ms, 1e-12)), 4) AS trend_strength,
+         round(greatest(0.0, 1.0 - (mrr - mr * mr)
+           / greatest(mdd - md * md, 1e-12)), 4) AS seasonal_strength
+       FROM st"""
 
   // --------------------------------------------------------------- q292
   /** Token-budget fill — the curation primitive that turns a quality
@@ -2728,7 +2792,8 @@ object Methods {
     "q311_caliper_matching" -> (q311 _),
     "q312_doubly_robust" -> (q312 _),
     "q313_nelson_aalen" -> (q313 _),
-    "q314_effective_rank" -> (q314 _))
+    "q314_effective_rank" -> (q314 _),
+    "q351_seasonal_strength" -> (q351 _))
 
   val oracles: Map[String, String] = Map(
     "q281_mcnemar" -> q281Sql,
@@ -2761,5 +2826,6 @@ object Methods {
     "q311_caliper_matching" -> q311Sql,
     "q312_doubly_robust" -> q312Sql,
     "q313_nelson_aalen" -> q313Sql,
-    "q314_effective_rank" -> q314Sql)
+    "q314_effective_rank" -> q314Sql,
+    "q351_seasonal_strength" -> q351Sql)
 }

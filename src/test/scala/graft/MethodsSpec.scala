@@ -312,6 +312,21 @@ class MethodsSpec extends SparkSpec {
     assert(out("srcB").getAs[Double]("rating") === 0.0)
   }
 
+  test("q351 seasonal strength: a pure weekly pattern with no trend " +
+      "reads full seasonal strength and zero residual variance") {
+    val orders = (0 until 28).map { t =>
+      (t.toLong, 1L, 1000.0 * (t % 7 + 1), day(t))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = staged("strength")("orders" -> orders)
+    val r = SparkEntry.queries("q351_seasonal_strength")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 22L) // 28 minus edge half-windows
+    assert(r.getAs[Double]("var_resid") === 0.0)
+    assert(r.getAs[Double]("seasonal_strength") === 1.0)
+    val fs = r.getAs[Double]("trend_strength")
+    assert(fs >= 0.0 && fs <= 1.0)
+  }
+
   test("q304 RBO: bounded in [0,1] and jaccard consistent with the " +
       "depth-20 overlap") {
     val r = SparkEntry.queries("q304_rbo_overlap")(
