@@ -1437,7 +1437,11 @@ object Methods {
           col("beta_raw") * col("sx") / col("m")).as("k_raw"))
     pts.crossJoin(broadcast(fit))
       .select(col("k"), col("n_tokens"), col("vocab"),
-        round(col("beta_raw"), 6).as("beta"),
+        // + 0.0 collapses the SIGNED zero a saturated-vocabulary slope
+        // rounds to: the residual ±ε's sign depends on the engine's
+        // parallel partial-sum order (DuckDB default-threads flipped
+        // it run-to-run), and repr(-0.0) hash-mismatches repr(0.0)
+        (round(col("beta_raw"), 6) + lit(0.0)).as("beta"),
         round(col("k_raw"), 4).as("k_coef"))
       .orderBy("k")
   }
@@ -1467,7 +1471,7 @@ object Methods {
                   / greatest(sxx - sx * sx / m, 1e-12) AS beta_raw,
                  sx, sy, m FROM fit)
        SELECT k, n_tokens, vocab,
-         round(beta_raw, 6) AS beta,
+         round(beta_raw, 6) + 0.0 AS beta,
          round(exp(sy / m - beta_raw * sx / m), 4) AS k_coef
        FROM pts, co ORDER BY k"""
 

@@ -349,7 +349,11 @@ object Scale {
     * spec-tested ([[graft.operators.Linalg.topEigen]]); the corpus
     * never feeds anything bigger than these moments. */
   private def q93(s: SparkSession, d: String): DataFrame =
+    // + 0.0 collapses signed zeros: a near-zero covariance entry
+    // rounds to ±0.0 with a sign set by parallel partial-sum order
+    // (the q299 flake class) — normalized identically in the oracle
     graft.operators.Linalg.covariance(Tables.embeddings(s, d), "embedding")
+      .withColumn("cov", col("cov") + lit(0.0))
       .orderBy("i", "j")
 
   private val q93Sql =
@@ -360,7 +364,7 @@ object Scale {
              FROM (SELECT v, i, unnest(range(i, len(v))) AS j FROM el) t
              GROUP BY i, j)
        SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
-         round(sp / cnt - mi.m * mj.m, 6) AS cov
+         round(sp / cnt - mi.m * mj.m, 6) + 0.0 AS cov
        FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
        ORDER BY i, j"""
 
