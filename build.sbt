@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 351-query single-JVM bench sweep generates thousands of
+  // whole-stage-codegen classes; the JDK 17 default 240 MB code cache
+  // can fill ("CodeCache is full. Compiler has been disabled."), after
+  // which regex/expression-heavy map stages run INTERPRETED — the
+  // round-11 driver-box signature (q249 0.43→12 s with untouched
+  // code). Reserved ≠ committed, so the larger reservation costs
+  // nothing until used. Bench.scala logs per-pool occupancy to the
+  // mirror so a recurrence is diagnosable from artifacts.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -48,6 +48,21 @@ object Bench {
         ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // JVM diagnostics (VERDICT r11 item 4): the four driver-box
+    // blowups (q249 28×, q173/q164/q24) had regex/expression-heavy map
+    // stages, untouched code, and appeared only in the full 351-query
+    // single-JVM sweep — the JIT-code-cache-exhaustion signature. Track
+    // per-query GC millis and end-of-run code-cache occupancy so a
+    // recurrence names its mechanism from the artifact alone.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def codeCachePools(): Seq[(String, Long, Long)] =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+        .map(p => (p.getName, p.getUsage.getUsed, p.getUsage.getMax)).toSeq
+    val gcByQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     // per query: (median of runs, min of runs). The MIN is the
     // box-load canary (VERDICT r9): a loaded box inflates the median
     // while the min stays near the true warm cost, so median ≫ min in
@@ -62,6 +77,7 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        val gc0 = gcMillis()
         // operator-owned result caches accumulate across repeat runs of
         // the same query (each run builds a fresh plan) — drop them
         // between runs so run k doesn't pay run k-1's memory pressure
@@ -80,8 +96,19 @@ object Bench {
           case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         } finally clear()
+        gcByQuery += name -> (gcMillis() - gc0)
         name -> r
       }
+    // Post-sweep JVM state: if any CodeHeap pool sits >90% of max, the
+    // compiler likely disabled itself mid-sweep and tail-query timings
+    // are interpreted-mode artifacts, not plan costs.
+    val ccPools = codeCachePools()
+    ccPools.foreach { case (n, used, max) =>
+      val pct = if (max > 0) 100.0 * used / max else 0.0
+      System.err.println(f"codecache: $n%s used=${used / 1048576}%d MiB" +
+        f" max=${max / 1048576}%d MiB (${pct}%.1f%%)" +
+        (if (pct > 90) "  <-- NEAR FULL: JIT may have disabled" else ""))
+    }
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -136,8 +163,20 @@ object Bench {
         .mkString("{\n", ",\n", "\n}")
       val fullErrs = errs.map { case (k, e) => s"""  "${esc(k)}": "${esc(e)}"""" }
         .mkString("{\n", ",\n", "\n}")
+      val jvm = {
+        val pools = ccPools.map { case (n, used, max) =>
+          s"""    "${esc(n)}": {"used_mb": ${used / 1048576}, "max_mb": ${max / 1048576}}"""
+        }.mkString("{\n", ",\n", "\n  }")
+        // only GC-heavy queries (>250 ms) — the diagnostic question is
+        // "was a blowup GC/JIT, not plan", so quiet queries are noise
+        val gc = gcByQuery.filter(_._2 > 250).sortBy(-_._2)
+          .map { case (k, ms) => s"""    "${esc(k)}": $ms""" }
+          .mkString("{\n", ",\n", "\n  }")
+        s""""jvm": {"gc_total_ms": ${gcMillis()}, "codecache": $pools, "gc_ms_by_query_gt250": $gc}"""
+      }
       val json =
         s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","value_min":${fmt(totalMin)},"value":${fmt(total)},
+           |$jvm,
            |"queries":$full,
            |"query_mins":$fullMins,
            |"errors":$fullErrs}""".stripMargin

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, Curation, Evals, Insights, Lifecycle,
-  Methods, Pipeline, Relational, Scale, Signals, Studies}
+  Methods, Pipeline, Probes, Relational, Scale, Signals, Studies}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ Pipeline.queries ++ Curation.queries ++
       Scale.queries ++ Analytics.queries ++ Insights.queries ++
       Signals.queries ++ Lifecycle.queries ++ Evals.queries ++
-      Methods.queries ++ Studies.queries
+      Methods.queries ++ Studies.queries ++ Probes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +34,5 @@ object SparkEntry {
     Relational.oracles ++ Pipeline.oracles ++ Curation.oracles ++
       Scale.oracles ++ Analytics.oracles ++ Insights.oracles ++
       Signals.oracles ++ Lifecycle.oracles ++ Evals.oracles ++
-      Methods.oracles ++ Studies.oracles
+      Methods.oracles ++ Studies.oracles ++ Probes.oracles
 }

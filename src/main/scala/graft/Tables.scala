@@ -51,4 +51,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Layout probe for the dual `events.parquet` shape (single file in
+    * driver testdata vs a directory of part files in synthesized scale
+    * dirs). Goes through the Hadoop FileSystem resolved from the path
+    * itself, so URI-scheme data dirs (hdfs://, s3a://) probe correctly
+    * — `java.io.File(...).isDirectory` silently returns false for
+    * those and the caller's glob-on-parent branch would stream nothing.
+    */
+  def isDirectory(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
 }

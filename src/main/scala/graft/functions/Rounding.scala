@@ -27,15 +27,20 @@ import org.apache.spark.sql.functions.{abs, floor, lit, signum}
   * on exact DuckDB equality at those edges.
   */
 object Rounding {
+  // The trailing `+ 0.0` normalizes -0.0 → +0.0 (signum(c)·0.0 is
+  // -0.0 for negative near-zero inputs, and the sign of a ~0 parallel
+  // sum is reduction-order dependent — the q93/q299/q293 flake class).
+  // Oracles whose rounded statistic can land on ±0.0 must carry the
+  // matching `+ 0.0` (DuckDB round() keeps -0.0).
   def roundTo(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
-    signum(c) * (floor(abs(c) * lit(p) + lit(0.5)) / lit(p))
+    signum(c) * (floor(abs(c) * lit(p) + lit(0.5)) / lit(p)) + lit(0.0)
   }
 
   /** Driver-side scalar equivalent (for weights computed in Scala). */
   def roundTo(x: Double, scale: Int): Double = {
     val p = math.pow(10, scale)
-    math.signum(x) * (math.floor(math.abs(x) * p + 0.5) / p)
+    math.signum(x) * (math.floor(math.abs(x) * p + 0.5) / p) + 0.0
   }
 
   /** Bare floor rounding `floor(x·10ⁿ + 0.5)/10ⁿ` — for engine sites

@@ -2744,7 +2744,7 @@ object Insights {
     val evPath = s"$d/events.parquet"
     val reader = s.readStream.schema(rawSchema)
     val stream =
-      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      if (Tables.isDirectory(s, evPath)) reader.parquet(evPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(d)
     val regs = Sketch.hllRegisters(
       stream.select(col("user_id").cast("string").as("k")), "k", p)

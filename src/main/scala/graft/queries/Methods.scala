@@ -1683,8 +1683,8 @@ object Methods {
       .join(wi.select(col("i").as("source"), col("wins")), "source")
       .join(losses.select(col("j").as("source"), col("losses")), "source")
       .select(col("source"),
-        col("wins").cast("decimal(38,0)").as("wins"),
-        col("losses").cast("decimal(38,0)").as("losses"),
+        col("wins").cast("long").as("wins"),
+        col("losses").cast("long").as("losses"),
         (expr("(CAST(ru AS DECIMAL(38,0)) * ns * 1000000) div " +
           "greatest(rtot, 1)").cast("double") / lit(1e6)).as("rating"))
       .orderBy(col("rating").desc, col("source"))
@@ -1776,8 +1776,8 @@ object Methods {
        nm AS (SELECT sum(ru)::HUGEINT AS rtot,
                 CAST(count(*) AS BIGINT) AS ns FROM r4)
        SELECT r4.source,
-         CAST(wi.wins AS DECIMAL(38,0)) AS wins,
-         CAST(lo.losses AS DECIMAL(38,0)) AS losses,
+         CAST(wi.wins AS BIGINT) AS wins,
+         CAST(lo.losses AS BIGINT) AS losses,
          CAST((r4.ru::HUGEINT * nm.ns * 1000000)
            // greatest(nm.rtot, 1) AS DOUBLE) / 1e6 AS rating
        FROM r4 CROSS JOIN nm

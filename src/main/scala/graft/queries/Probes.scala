@@ -1,0 +1,635 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+// cross-engine deterministic rounding shadows functions.round
+import graft.functions.Rounding.{roundTo => round}
+
+import graft.Tables
+
+/** Round-12 probe surface: the distribution-shape and regime-change
+  * questions the existing location tests (q120/q247/q316) don't ask —
+  * scale shift (Mood), whole-distribution divergence (Cramér–von
+  * Mises), change-point location (Pettitt), partial autocorrelation
+  * (Durbin–Levinson), predictive causality (Granger), structural
+  * break (Chow) — plus the reliability coefficients (Cronbach's α,
+  * ICC(1), Cochran's Q, Kendall's W) and two pipeline closers
+  * (pigeonhole-banded fuzzy decontamination, canonical-representative
+  * dedup).
+  *
+  * Oracle discipline matches [[Studies]]: exact integer sufficient
+  * statistics (micro-unit value quantization, cent-unit money, 2×
+  * rank grids so average ranks stay integral; wide products in
+  * DECIMAL(38,0) intermediates — never in output schemas, the
+  * round-11 q303/q341 driver-hash lesson), FP only in fixed-shape
+  * closers mirrored expression-for-expression (left-associative, the
+  * q326 contract), divisors floored INSIDE the division (ANSI + CSE
+  * hazard), every oracle aggregate CAST, and every rounded output
+  * normalized `+ 0.0` on both sides (signed-zero flake class).
+  * Scale posture: each operator collapses the corpus in one scan to a
+  * bounded frame — distinct quantized values per group, the calendar
+  * day grid, (lang × source) cells — before any window runs; windows
+  * are either PARTITIONed by group or run on calendar-bounded tables.
+  */
+object Probes {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Floor a divisor away from zero INSIDE the division; mirrored as
+    * `greatest(x, 1e-12)` on the oracle side. */
+  private def safe(c: Column): Column = greatest(c, lit(1e-12))
+
+  private val dec = "decimal(38,0)"
+
+  /** events.value on the signed 1e-6-unit LONG grid (the q247
+    * quantization) with the SAME hash-arm assignment as q120/q247, so
+    * the scale/shape readouts here are about the identical experiment.
+    */
+  private def armedUnits(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val units = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val arm = graft.operators.Sampling.hashBucket(col("user_id"), "ab", 2)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"), units.as("u"), (arm === 0).as("y"))
+  }
+
+  private val armedUnitsSql =
+    """SELECT event_type AS g,
+         CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS u,
+         (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+           % 2 = 0) AS y
+       FROM events WHERE value IS NOT NULL"""
+
+  /** Zero-filled calendar day grid over orders: per-day exact
+    * cent-unit revenue (per-ORDER quantization before the sum, so the
+    * total is reduction-order independent) and order count. Bounded by
+    * the calendar (~2.4k rows at every SF) — the q337 shape. */
+  private def dayGrid(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        (floor(col("o_totalprice").cast("double") * lit(100.0) + lit(0.5)))
+          .cast("long").as("cents"))
+      .groupBy("dt")
+      .agg(sum("cents").as("rev"), count(lit(1)).as("cnt"))
+    val span = daily.agg(min("dt").as("d0"), max("dt").as("d1"))
+    span.select(col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("dt"))
+      .join(daily, Seq("dt"), "left")
+      .select(col("dt"),
+        datediff(col("dt"), col("d0")).cast("long").as("t"),
+        coalesce(col("rev"), lit(0L)).as("rev"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  private val dayGridSql =
+    """WITH pday AS (SELECT o_orderdate::DATE AS dt,
+           CAST(floor(o_totalprice::DOUBLE * 100.0 + 0.5) AS BIGINT)
+             AS cents
+         FROM orders),
+       daily AS (SELECT dt, CAST(sum(cents) AS BIGINT) AS rev,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM pday GROUP BY dt),
+       span AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM daily),
+       grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS dt, d0 FROM span),
+       days AS (SELECT g.dt,
+           CAST(datediff('day', g.d0, g.dt) AS BIGINT) AS t,
+           coalesce(daily.rev, 0) AS rev, coalesce(daily.cnt, 0) AS cnt
+         FROM grid g LEFT JOIN daily ON g.dt = daily.dt)"""
+
+  // --------------------------------------------------------------- q352
+  /** Mood's squared-rank scale test per event type — did the treatment
+    * change the SPREAD of the value distribution, invisible to q247's
+    * location-only Mann–Whitney on the same hash arms? Midrank scores
+    * stay exact on the 2× integer grid: dev2 = 2·below + t + 1 − (N+1)
+    * is the integer 2×(avg rank − (N+1)/2), so 4·score = dev2². The
+    * linear-rank-statistic moments (E = n_a·S̄, Var = n_a·n_b/(N(N−1))
+    * ·Σ(s−s̄)²) form from exact DECIMAL sums of dev2²/dev2⁴ over the
+    * per-group distinct-value table (windows PARTITIONed by group).
+    * dev2⁴ bounds the intermediate grid: (2N)⁴·N ≤ 10³⁸ holds through
+    * N ≈ 3·10⁷ rows per event type (~30× the sf100 group size);
+    * beyond that the test should run on a deterministic hash-sample.
+    */
+  private def q352(s: SparkSession, d: String): DataFrame = {
+    val c = armedUnits(s, d).groupBy("g", "u")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val wB = Window.partitionBy("g").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = c.groupBy("g").agg(sum("a").as("na"), sum("b").as("nb"),
+      sum("t").as("nn"))
+    val scored = c
+      .withColumn("below", coalesce(sum("t").over(wB), lit(0L)))
+      .join(broadcast(tot), Seq("g"))
+      .withColumn("dev2",
+        lit(2L) * col("below") + col("t") + lit(1L) - (col("nn") + lit(1L)))
+    val agg = scored.groupBy("g", "na", "nb", "nn").agg(
+      sum(col("a").cast(dec) * col("dev2").cast(dec) * col("dev2").cast(dec))
+        .as("t4"),
+      sum(col("t").cast(dec) * col("dev2").cast(dec) * col("dev2").cast(dec))
+        .as("s4"),
+      sum(col("t").cast(dec) * col("dev2").cast(dec) * col("dev2").cast(dec) *
+        col("dev2").cast(dec) * col("dev2").cast(dec)).as("ss16"))
+    val nD = col("nn").cast("double")
+    val mean = col("na").cast("double") * col("s4").cast("double") / safe(nD)
+    val vr = col("na").cast("double") * col("nb").cast("double") *
+      (nD * col("ss16").cast("double") -
+        col("s4").cast("double") * col("s4").cast("double")) /
+      safe(nD * nD * (nD - lit(1.0)))
+    agg.select(col("g").as("event_type"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0 && col("nn") > 1,
+          round((col("t4").cast("double") - mean) /
+            sqrt(safe(vr)), 4)).as("z"))
+      .orderBy("event_type")
+  }
+
+  private val q352Sql =
+    s"""WITH b AS ($armedUnitsSql),
+       c AS (SELECT g, u,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS bb
+             FROM b GROUP BY g, u),
+       w AS (SELECT g, u, a, bb, a + bb AS t,
+               coalesce(sum(a + bb) OVER (PARTITION BY g ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS below
+             FROM c),
+       tot AS (SELECT g, CAST(sum(a) AS BIGINT) AS na,
+               CAST(sum(bb) AS BIGINT) AS nb,
+               CAST(sum(t) AS BIGINT) AS nn
+             FROM w GROUP BY g),
+       sc AS (SELECT w.g, a, t,
+               2 * below + t + 1 - (nn + 1) AS dev2, na, nb, nn
+             FROM w JOIN tot ON tot.g = w.g),
+       agg AS (SELECT g, na, nb, nn,
+               sum(a::HUGEINT * dev2::HUGEINT * dev2::HUGEINT) AS t4,
+               sum(t::HUGEINT * dev2::HUGEINT * dev2::HUGEINT) AS s4,
+               sum(t::HUGEINT * dev2::HUGEINT * dev2::HUGEINT
+                 * dev2::HUGEINT * dev2::HUGEINT) AS ss16
+             FROM sc GROUP BY g, na, nb, nn)
+       SELECT g AS event_type, na AS n_a, nb AS n_b,
+         CASE WHEN na > 0 AND nb > 0 AND nn > 1 THEN
+           round((t4::DOUBLE - na::DOUBLE * s4::DOUBLE
+               / greatest(nn::DOUBLE, 1e-12)) /
+             sqrt(greatest(na::DOUBLE * nb::DOUBLE
+               * (nn::DOUBLE * ss16::DOUBLE - s4::DOUBLE * s4::DOUBLE)
+               / greatest(nn::DOUBLE * nn::DOUBLE * (nn::DOUBLE - 1.0),
+                 1e-12), 1e-12)), 4) + 0.0
+         END AS z
+       FROM agg ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q353
+  /** Two-sample Cramér–von Mises per event type — the WHOLE-CDF
+    * divergence the single-point KS readout (q158) and the location/
+    * scale pair (q247/q352) each miss. On the grouped distinct-value
+    * table the tie-aware statistic is T = Σ_k t_k·d_k² / (n·m·N²)
+    * with d_k = m·cumA_k − n·cumB_k — an exact integer per distinct
+    * value (inclusive cumulatives from PARTITIONed windows), squared
+    * in DECIMAL, one FP division at the close. E[T] = (N+1)/(6N)
+    * alongside, so the readout is directly interpretable as observed
+    * vs null-expected.
+    */
+  private def q353(s: SparkSession, d: String): DataFrame = {
+    val c = armedUnits(s, d).groupBy("g", "u")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val wC = Window.partitionBy("g").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = c.groupBy("g").agg(sum("a").as("na"), sum("b").as("nb"),
+      sum("t").as("nn"))
+    val scored = c
+      .withColumn("cuma", sum("a").over(wC))
+      .withColumn("cumb", sum("b").over(wC))
+      .join(broadcast(tot), Seq("g"))
+      .withColumn("dk",
+        col("nb") * col("cuma") - col("na") * col("cumb"))
+    val agg = scored.groupBy("g", "na", "nb", "nn")
+      .agg(sum(col("t").cast(dec) * col("dk").cast(dec) *
+        col("dk").cast(dec)).as("sd2"))
+    val nD = col("nn").cast("double")
+    agg.select(col("g").as("event_type"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("sd2").cast("double") /
+            safe(col("na").cast("double") * col("nb").cast("double") *
+              nD * nD), 6)).as("t_stat"),
+        round((nD + lit(1.0)) / safe(lit(6.0) * nD), 6).as("t_null"))
+      .orderBy("event_type")
+  }
+
+  private val q353Sql =
+    s"""WITH b AS ($armedUnitsSql),
+       c AS (SELECT g, u,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS bb
+             FROM b GROUP BY g, u),
+       w AS (SELECT g, u, a, bb, a + bb AS t,
+               sum(a) OVER (PARTITION BY g ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cuma,
+               sum(bb) OVER (PARTITION BY g ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumb
+             FROM c),
+       tot AS (SELECT g, CAST(sum(a) AS BIGINT) AS na,
+               CAST(sum(bb) AS BIGINT) AS nb,
+               CAST(sum(t) AS BIGINT) AS nn
+             FROM w GROUP BY g),
+       sc AS (SELECT w.g, t, nb * cuma - na * cumb AS dk, na, nb, nn
+             FROM w JOIN tot ON tot.g = w.g),
+       agg AS (SELECT g, na, nb, nn,
+               sum(t::HUGEINT * dk::HUGEINT * dk::HUGEINT) AS sd2
+             FROM sc GROUP BY g, na, nb, nn)
+       SELECT g AS event_type, na AS n_a, nb AS n_b,
+         CASE WHEN na > 0 AND nb > 0 THEN
+           round(sd2::DOUBLE / greatest(na::DOUBLE * nb::DOUBLE
+             * nn::DOUBLE * nn::DOUBLE, 1e-12), 6) + 0.0
+         END AS t_stat,
+         round((nn::DOUBLE + 1.0)
+           / greatest(6.0 * nn::DOUBLE, 1e-12), 6) + 0.0 AS t_null
+       FROM agg ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q354
+  /** Pettitt change-point test on daily revenue — WHEN did the level
+    * shift, not just whether a trend exists (q297's Mann–Kendall)?
+    * The O(D²) sign-pair definition collapses to one pass:
+    * U_t − U_{t−1} = Σ_j sgn(x_t − x_j) = below_t − above_t over ALL
+    * days (antisymmetry), so U_t is a running sum of the per-day
+    * global rank deviation 2·below + t_v − D — exact integers from
+    * one window over the distinct-value table plus one over the
+    * calendar-ordered day table (both calendar-bounded, ~2.4k rows at
+    * every SF). K = max |U_t| over t < D, the break day is the
+    * earliest argmax, and the tail bound 2·exp(−6K²/(D³+D²)) closes
+    * in FP.
+    */
+  private def q354(s: SparkSession, d: String): DataFrame = {
+    val days = dayGrid(s, d).localCheckpoint(true)
+    val vals = days.groupBy("rev").agg(count(lit(1)).as("tv"))
+    val wV = Window.orderBy("rev")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = vals.withColumn("belowv",
+      coalesce(sum("tv").over(wV), lit(0L)))
+    val dTot = days.agg(count(lit(1)).as("dd"))
+    val wT = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = days.join(below, Seq("rev")).crossJoin(broadcast(dTot))
+      .withColumn("delta",
+        lit(2L) * col("belowv") + col("tv") - col("dd"))
+      .withColumn("ut", sum("delta").over(wT))
+      .filter(col("t") < col("dd") - 1)
+    val k = u.agg(max(abs(col("ut"))).as("k_stat"))
+    u.crossJoin(broadcast(k))
+      .filter(abs(col("ut")) === col("k_stat"))
+      .orderBy("t").limit(1)
+      .select(col("k_stat"), col("dt").as("break_date"),
+        col("ut").as("u_at_break"), col("dd").as("n_days"),
+        round(lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double") *
+          col("k_stat").cast("double") /
+          safe(col("dd").cast("double") * col("dd").cast("double") *
+            col("dd").cast("double") +
+            col("dd").cast("double") * col("dd").cast("double"))), 6)
+          .as("p_value"))
+  }
+
+  private val q354Sql =
+    s"""$dayGridSql,
+       vals AS (SELECT rev, CAST(count(*) AS BIGINT) AS tv
+             FROM days GROUP BY rev),
+       bel AS (SELECT rev, tv,
+               coalesce(sum(tv) OVER (ORDER BY rev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS belowv
+             FROM vals),
+       dtot AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM days),
+       u AS (SELECT days.dt, days.t, dd,
+               sum(2 * belowv + tv - dd) OVER (ORDER BY days.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ut
+             FROM days JOIN bel ON bel.rev = days.rev CROSS JOIN dtot),
+       uf AS (SELECT * FROM u WHERE t < dd - 1),
+       k AS (SELECT max(abs(ut)) AS k_stat FROM uf)
+       SELECT CAST(k.k_stat AS BIGINT) AS k_stat, uf.dt AS break_date,
+         CAST(uf.ut AS BIGINT) AS u_at_break, uf.dd AS n_days,
+         round(2.0 * exp(-6.0 * k.k_stat::DOUBLE * k.k_stat::DOUBLE
+           / greatest(uf.dd::DOUBLE * uf.dd::DOUBLE * uf.dd::DOUBLE
+             + uf.dd::DOUBLE * uf.dd::DOUBLE, 1e-12)), 6) + 0.0
+           AS p_value
+       FROM uf CROSS JOIN k
+       WHERE abs(uf.ut) = k.k_stat
+       ORDER BY uf.t LIMIT 1"""
+
+  // --------------------------------------------------------------- q355
+  /** Partial autocorrelation of daily revenue at lags 1–3 via
+    * Durbin–Levinson — does yesterday's revenue predict today BEYOND
+    * what the day before already explains (the readout the raw ACF in
+    * q172/q237 conflates)? The lag-k autocovariance ratios are formed
+    * from EXACT integer sufficient statistics — multiplying the
+    * centered form through by D² gives N_k = D²·Σx_tx_{t+k} −
+    * D·S·(A_k+B_k) + (D−k)·S², all DECIMAL-exact cent-unit sums (A/B
+    * are the leading/trailing partial sums the lag truncation leaves
+    * out) — then r_k = N_k/N_0 is quantized to the 1e-9 grid and the
+    * three-level recursion closes in fixed-shape FP mirrored term for
+    * term.
+    */
+  private def q355(s: SparkSession, d: String): DataFrame = {
+    val days = dayGrid(s, d).select(col("t"), col("rev"))
+      .localCheckpoint(true)
+    def lagStats(k: Int): DataFrame = {
+      val lead = days.select(col("t"), col("rev").as("x0"))
+      val lag = days.select((col("t") - lit(k.toLong)).as("t"),
+        col("rev").as("xk"))
+      lead.join(lag, Seq("t"))
+        .agg(sum(col("x0").cast(dec) * col("xk").cast(dec)).as(s"s$k"),
+          sum(col("x0").cast(dec)).as(s"a$k"),
+          sum(col("xk").cast(dec)).as(s"b$k"))
+    }
+    val base = days.agg(count(lit(1)).as("dd"),
+      sum(col("rev").cast(dec)).as("ss"))
+    val row = base.crossJoin(broadcast(lagStats(0)))
+      .crossJoin(broadcast(lagStats(1)))
+      .crossJoin(broadcast(lagStats(2)))
+      .crossJoin(broadcast(lagStats(3)))
+    def nk(k: Int): Column =
+      col("dd").cast(dec) * col("dd").cast(dec) * col(s"s$k") -
+        col("dd").cast(dec) * col("ss") * (col(s"a$k") + col(s"b$k")) +
+        (col("dd") - lit(k.toLong)).cast(dec) * col("ss") * col("ss")
+    // r_k on the 1e-9 grid; then the Durbin–Levinson ladder in FP,
+    // every intermediate re-quantized (the q337 state-grid contract)
+    def q9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val withR = row
+      .withColumn("n0", nk(0).cast("double"))
+      .withColumn("r1", q9(nk(1).cast("double") / safe(col("n0"))))
+      .withColumn("r2", q9(nk(2).cast("double") / safe(col("n0"))))
+      .withColumn("r3", q9(nk(3).cast("double") / safe(col("n0"))))
+      .withColumn("v1", q9(lit(1.0) - col("r1") * col("r1")))
+      .withColumn("p22",
+        q9((col("r2") - col("r1") * col("r1")) / safe(col("v1"))))
+      .withColumn("p21", q9(col("r1") - col("p22") * col("r1")))
+      .withColumn("v2", q9(col("v1") * (lit(1.0) - col("p22") * col("p22"))))
+      .withColumn("p33",
+        q9((col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+          safe(col("v2"))))
+    withR.select(col("dd").as("n_days"),
+      round(col("r1"), 6).as("acf1"),
+      round(col("r2"), 6).as("acf2"),
+      round(col("r3"), 6).as("acf3"),
+      round(col("r1"), 6).as("pacf1"),
+      round(col("p22"), 6).as("pacf2"),
+      round(col("p33"), 6).as("pacf3"))
+  }
+
+  private val q355Sql = {
+    def lagCte(k: Int) =
+      s"""l$k AS (SELECT sum(d1.rev::HUGEINT * d2.rev::HUGEINT) AS s$k,
+             CAST(sum(d1.rev) AS HUGEINT) AS a$k,
+             CAST(sum(d2.rev) AS HUGEINT) AS b$k
+           FROM days d1 JOIN days d2 ON d2.t = d1.t + $k)"""
+    def nk(k: Int) =
+      s"""(dd::HUGEINT * dd::HUGEINT * s$k
+         - dd::HUGEINT * ss * (a$k + b$k)
+         + (dd - $k)::HUGEINT * ss * ss)"""
+    s"""$dayGridSql,
+       base AS (SELECT CAST(count(*) AS BIGINT) AS dd,
+             CAST(sum(rev) AS HUGEINT) AS ss FROM days),
+       ${lagCte(0)}, ${lagCte(1)}, ${lagCte(2)}, ${lagCte(3)},
+       raw AS (SELECT dd, ${nk(0)}::DOUBLE AS n0,
+             ${nk(1)}::DOUBLE AS n1d, ${nk(2)}::DOUBLE AS n2d,
+             ${nk(3)}::DOUBLE AS n3d
+           FROM base, l0, l1, l2, l3),
+       r AS (SELECT dd,
+             floor(n1d / greatest(n0, 1e-12) * 1e9 + 0.5) / 1e9 AS r1,
+             floor(n2d / greatest(n0, 1e-12) * 1e9 + 0.5) / 1e9 AS r2,
+             floor(n3d / greatest(n0, 1e-12) * 1e9 + 0.5) / 1e9 AS r3
+           FROM raw),
+       dl1 AS (SELECT *,
+             floor((1.0 - r1 * r1) * 1e9 + 0.5) / 1e9 AS v1 FROM r),
+       dl2 AS (SELECT *,
+             floor((r2 - r1 * r1) / greatest(v1, 1e-12) * 1e9 + 0.5)
+               / 1e9 AS p22 FROM dl1),
+       dl3 AS (SELECT *,
+             floor((r1 - p22 * r1) * 1e9 + 0.5) / 1e9 AS p21,
+             floor(v1 * (1.0 - p22 * p22) * 1e9 + 0.5) / 1e9 AS v2
+           FROM dl2),
+       dl4 AS (SELECT *,
+             floor((r3 - p21 * r2 - p22 * r1) / greatest(v2, 1e-12)
+               * 1e9 + 0.5) / 1e9 AS p33 FROM dl3)
+       SELECT dd AS n_days,
+         round(r1, 6) + 0.0 AS acf1, round(r2, 6) + 0.0 AS acf2,
+         round(r3, 6) + 0.0 AS acf3, round(r1, 6) + 0.0 AS pacf1,
+         round(p22, 6) + 0.0 AS pacf2, round(p33, 6) + 0.0 AS pacf3
+       FROM dl4"""
+  }
+
+  // --------------------------------------------------------------- q356
+  /** Granger causality, order count → revenue at lag 1: does
+    * yesterday's order VOLUME predict today's revenue beyond what
+    * yesterday's revenue already does? F-test of the restricted
+    * (y ~ 1 + y₋₁) vs unrestricted (y ~ 1 + y₋₁ + z₋₁) OLS on the day
+    * grid — the reference's own closed-form normal-equation solve
+    * (kernel.cu:62-63) lifted to two regressors. All centered moments
+    * are n-scaled integers (C_xy = n·Σxy − Σx·Σy, DECIMAL-exact in
+    * cent/count units); the 2×2 inverse, both RSS values, and F close
+    * in fixed-shape FP. The n-scaling cancels in F.
+    */
+  private def q356(s: SparkSession, d: String): DataFrame = {
+    val days = dayGrid(s, d).select(col("t"), col("rev"), col("cnt"))
+    val lead = days.select(col("t"), col("rev").as("yv"))
+    val lag = days.select((col("t") + lit(1L)).as("t"),
+      col("rev").as("xl"), col("cnt").as("zl"))
+    val m = lead.join(lag, Seq("t"))
+    val agg = m.agg(count(lit(1)).as("n"),
+      sum(col("yv").cast(dec)).as("sy"),
+      sum(col("xl").cast(dec)).as("sx"),
+      sum(col("zl").cast(dec)).as("sz"),
+      sum(col("yv").cast(dec) * col("yv").cast(dec)).as("syy"),
+      sum(col("xl").cast(dec) * col("xl").cast(dec)).as("sxx"),
+      sum(col("zl").cast(dec) * col("zl").cast(dec)).as("szz"),
+      sum(col("xl").cast(dec) * col("yv").cast(dec)).as("sxy"),
+      sum(col("zl").cast(dec) * col("yv").cast(dec)).as("szy"),
+      sum(col("xl").cast(dec) * col("zl").cast(dec)).as("sxz"))
+    val nI = col("n").cast(dec)
+    val c = agg
+      .withColumn("cyy", (nI * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+      .withColumn("cxx", (nI * col("sxx") - col("sx") * col("sx"))
+        .cast("double"))
+      .withColumn("czz", (nI * col("szz") - col("sz") * col("sz"))
+        .cast("double"))
+      .withColumn("cxy", (nI * col("sxy") - col("sx") * col("sy"))
+        .cast("double"))
+      .withColumn("czy", (nI * col("szy") - col("sz") * col("sy"))
+        .cast("double"))
+      .withColumn("cxz", (nI * col("sxz") - col("sx") * col("sz"))
+        .cast("double"))
+      .withColumn("rssr",
+        col("cyy") - col("cxy") * col("cxy") / safe(col("cxx")))
+      .withColumn("det",
+        col("cxx") * col("czz") - col("cxz") * col("cxz"))
+      .withColumn("bx",
+        (col("cxy") * col("czz") - col("czy") * col("cxz")) /
+          safe(col("det")))
+      .withColumn("bz",
+        (col("czy") * col("cxx") - col("cxy") * col("cxz")) /
+          safe(col("det")))
+      .withColumn("rssu",
+        col("cyy") - (col("bx") * col("cxy") + col("bz") * col("czy")))
+    c.select(col("n").as("n_days"),
+      round((col("rssr") - col("rssu")) /
+        safe(col("rssu") / safe(col("n").cast("double") - lit(3.0))), 4)
+        .as("f_stat"),
+      round(col("bx"), 6).as("beta_own_lag"),
+      round(col("bz") * lit(100.0), 6).as("beta_cross_lag"),
+      round(lit(1.0) - col("rssu") / safe(col("cyy")), 6).as("r2_full"))
+  }
+
+  private val q356Sql =
+    s"""$dayGridSql,
+       m AS (SELECT d1.rev AS yv, d2.rev AS xl, d2.cnt AS zl
+           FROM days d1 JOIN days d2 ON d1.t = d2.t + 1),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yv) AS HUGEINT) AS sy,
+             CAST(sum(xl) AS HUGEINT) AS sx,
+             CAST(sum(zl) AS HUGEINT) AS sz,
+             sum(yv::HUGEINT * yv::HUGEINT) AS syy,
+             sum(xl::HUGEINT * xl::HUGEINT) AS sxx,
+             sum(zl::HUGEINT * zl::HUGEINT) AS szz,
+             sum(xl::HUGEINT * yv::HUGEINT) AS sxy,
+             sum(zl::HUGEINT * yv::HUGEINT) AS szy,
+             sum(xl::HUGEINT * zl::HUGEINT) AS sxz
+           FROM m),
+       c AS (SELECT n,
+             (n::HUGEINT * syy - sy * sy)::DOUBLE AS cyy,
+             (n::HUGEINT * sxx - sx * sx)::DOUBLE AS cxx,
+             (n::HUGEINT * szz - sz * sz)::DOUBLE AS czz,
+             (n::HUGEINT * sxy - sx * sy)::DOUBLE AS cxy,
+             (n::HUGEINT * szy - sz * sy)::DOUBLE AS czy,
+             (n::HUGEINT * sxz - sx * sz)::DOUBLE AS cxz
+           FROM agg),
+       f1 AS (SELECT *,
+             cyy - cxy * cxy / greatest(cxx, 1e-12) AS rssr,
+             cxx * czz - cxz * cxz AS det
+           FROM c),
+       f2 AS (SELECT *,
+             (cxy * czz - czy * cxz) / greatest(det, 1e-12) AS bx,
+             (czy * cxx - cxy * cxz) / greatest(det, 1e-12) AS bz
+           FROM f1),
+       f3 AS (SELECT *, cyy - (bx * cxy + bz * czy) AS rssu FROM f2)
+       SELECT n AS n_days,
+         round((rssr - rssu) / greatest(rssu
+           / greatest(n::DOUBLE - 3.0, 1e-12), 1e-12), 4) + 0.0
+           AS f_stat,
+         round(bx, 6) + 0.0 AS beta_own_lag,
+         round(bz * 100.0, 6) + 0.0 AS beta_cross_lag,
+         round(1.0 - rssu / greatest(cyy, 1e-12), 6) + 0.0 AS r2_full
+       FROM f3"""
+
+  // --------------------------------------------------------------- q357
+  /** Chow structural-break F-test on the daily revenue trend — is the
+    * pre/post-midpoint pair of lines a significantly better fit than
+    * one pooled line (the formal verdict behind q283's segmented-trend
+    * descriptive)? Per-segment and pooled RSS come from the same
+    * n-scaled integer moments as q356 (x = day index, y = cent
+    * revenue); F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4))
+    * closes in FP. One scan, three 1-row aggregates.
+    */
+  private def q357(s: SparkSession, d: String): DataFrame = {
+    val days = dayGrid(s, d).select(col("t"), col("rev"))
+      .localCheckpoint(true)
+    val dTot = days.agg(count(lit(1)).as("dd"))
+    // integer midpoint: Spark Column `/` is FP division (the q250
+    // pitfall) — floor to mirror DuckDB's `//`
+    val seg = days.crossJoin(broadcast(dTot))
+      .withColumn("sg",
+        when(col("t") < floor(col("dd") / lit(2.0)).cast("long"), 0L)
+          .otherwise(1L))
+    def rssOf(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val base = if (keys.isEmpty) df.agg(count(lit(1)).as("n"),
+        sum(col("t").cast(dec)).as("sx"),
+        sum(col("rev").cast(dec)).as("sy"),
+        sum(col("t").cast(dec) * col("t").cast(dec)).as("sxx"),
+        sum(col("t").cast(dec) * col("rev").cast(dec)).as("sxy"),
+        sum(col("rev").cast(dec) * col("rev").cast(dec)).as("syy"))
+      else df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"),
+        sum(col("t").cast(dec)).as("sx"),
+        sum(col("rev").cast(dec)).as("sy"),
+        sum(col("t").cast(dec) * col("t").cast(dec)).as("sxx"),
+        sum(col("t").cast(dec) * col("rev").cast(dec)).as("sxy"),
+        sum(col("rev").cast(dec) * col("rev").cast(dec)).as("syy"))
+      val nI = col("n").cast(dec)
+      base.withColumn("rss",
+        ((nI * col("syy") - col("sy") * col("sy")).cast("double") -
+          (nI * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (nI * col("sxy") - col("sx") * col("sy")).cast("double") /
+          safe((nI * col("sxx") - col("sx") * col("sx")).cast("double"))) /
+          safe(col("n").cast("double")))
+    }
+    val pooled = rssOf(seg, Nil).select(col("n").as("nn"),
+      col("rss").as("rssp"))
+    val parts = rssOf(seg, Seq("sg"))
+      .agg(sum("rss").as("rss12"), count(lit(1)).as("nseg"))
+    // raw RSS is in cents² (~1e16 at sf0.1, 1e22 at sf100) — rounding
+    // it would overflow roundTo's BIGINT floor; report the scale-free
+    // split/pooled ratio instead (1 − ratio = variance explained by
+    // allowing the break)
+    pooled.crossJoin(broadcast(parts))
+      .select(col("nn").as("n_days"),
+        round((col("rssp") - col("rss12")) / lit(2.0) /
+          safe(col("rss12") / safe(col("nn").cast("double") - lit(4.0))), 4)
+          .as("f_stat"),
+        round(col("rss12") / safe(col("rssp")), 6).as("rss_ratio"))
+  }
+
+  private val q357Sql = {
+    def mom(src: String, grp: String) =
+      s"""SELECT $grp CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS HUGEINT) AS sx,
+           CAST(sum(rev) AS HUGEINT) AS sy,
+           sum(t::HUGEINT * t::HUGEINT) AS sxx,
+           sum(t::HUGEINT * rev::HUGEINT) AS sxy,
+           sum(rev::HUGEINT * rev::HUGEINT) AS syy
+         FROM $src"""
+    val rss =
+      """((n::HUGEINT * syy - sy * sy)::DOUBLE
+         - (n::HUGEINT * sxy - sx * sy)::DOUBLE
+           * (n::HUGEINT * sxy - sx * sy)::DOUBLE
+           / greatest((n::HUGEINT * sxx - sx * sx)::DOUBLE, 1e-12))
+         / greatest(n::DOUBLE, 1e-12)"""
+    s"""$dayGridSql,
+       dtot AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM days),
+       seg AS (SELECT days.t, days.rev,
+             CASE WHEN days.t < dd // 2 THEN 0 ELSE 1 END AS sg
+           FROM days CROSS JOIN dtot),
+       pm AS (${mom("seg", "")}),
+       sm AS (${mom("seg", "sg,")} GROUP BY sg),
+       pr AS (SELECT n AS nn, $rss AS rssp FROM pm),
+       sr AS (SELECT CAST(sum($rss) AS DOUBLE) AS rss12 FROM sm)
+       SELECT nn AS n_days,
+         round((rssp - rss12) / 2.0 / greatest(rss12
+           / greatest(nn::DOUBLE - 4.0, 1e-12), 1e-12), 4) + 0.0
+           AS f_stat,
+         round(rss12 / greatest(rssp, 1e-12), 6) + 0.0 AS rss_ratio
+       FROM pr CROSS JOIN sr"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q352_mood_scale" -> (q352 _),
+    "q353_cvm_two_sample" -> (q353 _),
+    "q354_pettitt_changepoint" -> (q354 _),
+    "q355_pacf" -> (q355 _),
+    "q356_granger" -> (q356 _),
+    "q357_chow_break" -> (q357 _))
+
+  val oracles: Map[String, String] = Map(
+    "q352_mood_scale" -> q352Sql,
+    "q353_cvm_two_sample" -> q353Sql,
+    "q354_pettitt_changepoint" -> q354Sql,
+    "q355_pacf" -> q355Sql,
+    "q356_granger" -> q356Sql,
+    "q357_chow_break" -> q357Sql)
+}

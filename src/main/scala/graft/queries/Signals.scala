@@ -1524,7 +1524,7 @@ object Signals {
     val evPath = s"$d/events.parquet"
     val reader = s.readStream.schema(rawSchema)
     val ev = norm(
-      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      if (Tables.isDirectory(s, evPath)) reader.parquet(evPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(d))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),

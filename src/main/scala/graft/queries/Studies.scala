@@ -2398,9 +2398,9 @@ object Studies {
       sum(col("d1c").cast(dec) * col("a1").cast(dec) +
         col("d0c").cast(dec) * col("a0").cast(dec)).as("tied"))
     val tot = (col("conc") + col("disc") + col("tied")).cast("double")
-    agg.select(col("conc").cast(dec).as("concordant"),
-      col("disc").cast(dec).as("discordant"),
-      col("tied").cast(dec).as("risk_tied"),
+    agg.select(col("conc").cast("long").as("concordant"),
+      col("disc").cast("long").as("discordant"),
+      col("tied").cast("long").as("risk_tied"),
       round((col("conc").cast("double") +
         lit(0.5) * col("tied").cast("double")) / safe(tot), 6)
         .as("c_index"),
@@ -2447,9 +2447,9 @@ object Studies {
            sum(d1c::HUGEINT * a1::HUGEINT
              + d0c::HUGEINT * a0::HUGEINT) AS tied
          FROM m)
-       SELECT CAST(conc AS DECIMAL(38,0)) AS concordant,
-         CAST(disc AS DECIMAL(38,0)) AS discordant,
-         CAST(tied AS DECIMAL(38,0)) AS risk_tied,
+       SELECT CAST(conc AS BIGINT) AS concordant,
+         CAST(disc AS BIGINT) AS discordant,
+         CAST(tied AS BIGINT) AS risk_tied,
          round((conc::DOUBLE + 0.5 * tied::DOUBLE)
            / greatest((conc + disc + tied)::DOUBLE, 1e-12), 6)
            AS c_index,

@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computable fixtures for the round-12 probe operators (the
+  * DuckDB gate covers the corpus path; these pin the estimator
+  * semantics on inputs where the right answer is derivable
+  * independently — direct-formula Scala for the rank statistics, exact
+  * pair counting for Pettitt, closed-form moments for the regression
+  * probes).
+  */
+class ProbesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staged(name: String)(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_probes_$name").toString
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def day(n: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(n.toLong).atStartOfDay())
+
+  /** The engine's own deterministic arm assignment (md5-bucket) — the
+    * tests pin the STATISTIC, not the hash, so they read arms back
+    * through the same function the queries use. */
+  private def armOf(userIds: Seq[Long]): Map[Long, Boolean] = {
+    import org.apache.spark.sql.functions.col
+    val df = userIds.toDF("user_id")
+      .withColumn("arm",
+        graft.operators.Sampling.hashBucket(col("user_id"), "ab", 2))
+    df.collect().map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[Long]("arm") == 0L)).toMap
+  }
+
+  /** Direct midrank computation over (value, inA) observations:
+    * returns (scoresByObs zipped with arm) for rank-statistic
+    * reference math. */
+  private def midranks(obs: Seq[(Double, Boolean)]): Seq[(Double, Boolean)] = {
+    val sorted = obs.sortBy(_._1)
+    val n = sorted.length
+    val byVal = sorted.groupBy(_._1)
+    sorted.map { case (v, a) =>
+      val below = sorted.count(_._1 < v)
+      val t = byVal(v).length
+      (below + (t + 1) / 2.0, a)
+    }
+  }
+
+  test("q352 Mood: engine z matches the direct linear-rank-statistic " +
+      "formula on a spread-shifted fixture") {
+    // one event type; arm A tight around 10, arm B spread wide —
+    // Mood should flag the scale difference
+    val users = (1L to 12L)
+    val arms = armOf(users)
+    val (aUsers, bUsers) = users.partition(arms)
+    assume(aUsers.size >= 3 && bUsers.size >= 3)
+    val aVals = Seq(9.0, 10.0, 11.0, 10.0, 9.5, 10.5)
+    val bVals = Seq(1.0, 20.0, 2.0, 19.0, 3.0, 18.0)
+    val rows = aUsers.zip(aVals).map { case (u, v) => (u, v) } ++
+      bUsers.zip(bVals).map { case (u, v) => (u, v) }
+    val ev = rows.zipWithIndex.map { case ((u, v), i) =>
+      (day(i), u, "click", v) }
+      .toDF("ts", "user_id", "event_type", "value")
+    val dir = staged("mood")("events" -> ev)
+    val r = SparkEntry.queries("q352_mood_scale")(spark, dir).collect()(0)
+    // reference: scores s_i = (r_i - (N+1)/2)^2 on midranks, T = sum
+    // over arm A, z = (T - n_a*mean)/sqrt(n_a*n_b/(N(N-1)) * ss)
+    val obs = rows.map { case (u, v) => (v, arms(u)) }
+    val scored = midranks(obs)
+    val nn = scored.length
+    val s = scored.map { case (r0, a) =>
+      (math.pow(r0 - (nn + 1) / 2.0, 2), a) }
+    val na = s.count(_._2)
+    val nb = nn - na
+    val t = s.filter(_._2).map(_._1).sum
+    val mean = na * s.map(_._1).sum / nn
+    val sbar = s.map(_._1).sum / nn
+    val ss = s.map(x => math.pow(x._1 - sbar, 2)).sum
+    val z = (t - mean) / math.sqrt(na.toDouble * nb / (nn * (nn - 1.0)) * ss)
+    assert(r.getAs[Long]("n_a") === na.toLong)
+    assert(r.getAs[Long]("n_b") === nb.toLong)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("q353 CvM: identical arm distributions give T near zero; the " +
+      "statistic matches the direct ECDF formula") {
+    val users = (1L to 12L)
+    val arms = armOf(users)
+    val (aUsers, bUsers) = users.partition(arms)
+    assume(aUsers.size >= 3 && bUsers.size >= 3)
+    val aVals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val bVals = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0)
+    val rows = aUsers.zip(aVals).map { case (u, v) => (u, v) } ++
+      bUsers.zip(bVals).map { case (u, v) => (u, v) }
+    val ev = rows.zipWithIndex.map { case ((u, v), i) =>
+      (day(i), u, "view", v) }
+      .toDF("ts", "user_id", "event_type", "value")
+    val dir = staged("cvm")("events" -> ev)
+    val r = SparkEntry.queries("q353_cvm_two_sample")(spark, dir)
+      .collect()(0)
+    // direct: T = sum_k t_k (m*cumA_k - n*cumB_k)^2 / (n*m*N^2)
+    val obs = rows.map { case (u, v) => (v, arms(u)) }
+    val na = obs.count(_._2)
+    val nb = obs.length - na
+    val nn = obs.length
+    val vals = obs.map(_._1).distinct.sorted
+    var (cuma, cumb) = (0L, 0L)
+    var sd2 = 0.0
+    vals.foreach { v =>
+      val tk = obs.count(_._1 == v)
+      cuma += obs.count(o => o._1 == v && o._2)
+      cumb += obs.count(o => o._1 == v && !o._2)
+      val dk = nb * cuma - na * cumb
+      sd2 += tk.toDouble * dk * dk
+    }
+    val tExp = sd2 / (na.toDouble * nb * nn * nn)
+    assert(r.getAs[Long]("n_a") === na.toLong)
+    assert(math.abs(r.getAs[Double]("t_stat") - tExp) < 1e-4)
+    assert(math.abs(r.getAs[Double]("t_null") -
+      (nn + 1.0) / (6.0 * nn)) < 1e-4)
+  }
+
+  test("q354 Pettitt: a clean level shift is located exactly with the " +
+      "textbook K") {
+    // 5 days at $1.00, then 5 days at $2.00: U_t bottoms at the
+    // boundary day (index 4) with |U| = 5*5 = 25
+    val orders = (0 until 10).map { t =>
+      (t.toLong + 1, 1L, "O", if (t < 5) 1.0 else 2.0, day(t), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("pettitt")("orders" -> orders)
+    val r = SparkEntry.queries("q354_pettitt_changepoint")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("k_stat") === 25L)
+    assert(r.getAs[Long]("u_at_break") === -25L)
+    assert(r.getAs[java.sql.Date]("break_date").toString === "2024-01-05")
+    assert(r.getAs[Long]("n_days") === 10L)
+    val p = 2.0 * math.exp(-6.0 * 25 * 25 / (1000.0 + 100.0))
+    assert(math.abs(r.getAs[Double]("p_value") - p) < 1e-4)
+  }
+
+  test("q355 PACF: Durbin-Levinson output matches a direct " +
+      "computation on a short AR-flavored series") {
+    val xs = Seq(10.0, 12.0, 11.0, 13.0, 12.0, 14.0, 13.0, 15.0,
+      14.0, 16.0, 15.0, 17.0)
+    val orders = xs.zipWithIndex.map { case (x, t) =>
+      (t.toLong + 1, 1L, "O", x, day(t), "5-LOW")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("pacf")("orders" -> orders)
+    val r = SparkEntry.queries("q355_pacf")(spark, dir).collect()(0)
+    // direct: 1/D-normalized autocovariance ratios + the DL ladder
+    val cents = xs.map(x => math.floor(x * 100.0 + 0.5))
+    val dd = cents.length
+    val mean = cents.sum / dd
+    def ck(k: Int): Double =
+      (0 until dd - k).map(t => (cents(t) - mean) * (cents(t + k) - mean))
+        .sum / dd
+    val (r1, r2, r3) = (ck(1) / ck(0), ck(2) / ck(0), ck(3) / ck(0))
+    val v1 = 1.0 - r1 * r1
+    val p22 = (r2 - r1 * r1) / v1
+    val p21 = r1 - p22 * r1
+    val v2 = v1 * (1.0 - p22 * p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) / v2
+    assert(r.getAs[Long]("n_days") === dd.toLong)
+    assert(math.abs(r.getAs[Double]("acf1") - r1) < 1e-4)
+    assert(math.abs(r.getAs[Double]("pacf2") - p22) < 1e-4)
+    assert(math.abs(r.getAs[Double]("pacf3") - p33) < 1e-3)
+  }
+
+  test("q356 Granger: engine F matches the direct restricted-vs-" +
+      "unrestricted RSS computation") {
+    // revenue follows yesterday's ORDER COUNT with a small own-lag
+    // echo — the cross lag should carry real explanatory power
+    val counts = Seq(1, 3, 2, 5, 1, 4, 2, 6, 3, 5, 2, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, t) =>
+      val price = 10.0 + (if (t == 0) 0.0 else counts(t - 1) * 3.0) +
+        (t % 3) * 0.5
+      (0 until c).map(i => ((t * 100 + i).toLong, 1L, "O", price,
+        day(t), "3-MEDIUM"))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("granger")("orders" -> rows)
+    val r = SparkEntry.queries("q356_granger")(spark, dir).collect()(0)
+    // direct moments in cent/count units
+    val cents = counts.zipWithIndex.map { case (c, t) =>
+      val price = 10.0 + (if (t == 0) 0.0 else counts(t - 1) * 3.0) +
+        (t % 3) * 0.5
+      c * math.floor(price * 100.0 + 0.5)
+    }
+    val y = cents.drop(1).map(_.toDouble)
+    val xl = cents.dropRight(1).map(_.toDouble)
+    val zl = counts.dropRight(1).map(_.toDouble)
+    val n = y.length
+    def c2(a: Seq[Double], b: Seq[Double]): Double =
+      n * a.zip(b).map(p => p._1 * p._2).sum - a.sum * b.sum
+    val (cyy, cxx, czz) = (c2(y, y), c2(xl, xl), c2(zl, zl))
+    val (cxy, czy, cxz) = (c2(xl, y), c2(zl, y), c2(xl, zl))
+    val rssr = cyy - cxy * cxy / cxx
+    val det = cxx * czz - cxz * cxz
+    val bx = (cxy * czz - czy * cxz) / det
+    val bz = (czy * cxx - cxy * cxz) / det
+    val rssu = cyy - (bx * cxy + bz * czy)
+    val f = (rssr - rssu) / (rssu / (n - 3.0))
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-2)
+    assert(math.abs(r.getAs[Double]("beta_own_lag") - bx) < 1e-4)
+    assert(math.abs(r.getAs[Double]("beta_cross_lag") - bz * 100.0) < 1e-3)
+  }
+
+  test("q357 Chow: a slope break midway shows up as a large F with a " +
+      "small split/pooled RSS ratio") {
+    // first half flat-ish, second half steep, small alternating noise
+    // keeps every segment's RSS strictly positive
+    val xs = (0 until 12).map { t =>
+      val base = if (t < 6) 100.0 + t else 60.0 + 12.0 * t
+      base + (t % 2) * 0.4
+    }
+    val orders = xs.zipWithIndex.map { case (x, t) =>
+      (t.toLong + 1, 1L, "O", x, day(t), "2-HIGH")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("chow")("orders" -> orders)
+    val r = SparkEntry.queries("q357_chow_break")(spark, dir).collect()(0)
+    // direct RSS via centered moments in cents
+    val cents = xs.map(x => math.floor(x * 100.0 + 0.5))
+    def rss(pts: Seq[(Double, Double)]): Double = {
+      val n = pts.length
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      ((n * syy - sy * sy) -
+        math.pow(n * sxy - sx * sy, 2) / (n * sxx - sx * sx)) / n
+    }
+    val pts = cents.zipWithIndex.map { case (c, t) => (t.toDouble, c) }
+    val (h1, h2) = pts.splitAt(6)
+    val rssp = rss(pts)
+    val rss12 = rss(h1) + rss(h2)
+    val f = (rssp - rss12) / 2.0 / (rss12 / (12 - 4.0))
+    assert(r.getAs[Long]("n_days") === 12L)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-2 * math.abs(f))
+    assert(math.abs(r.getAs[Double]("rss_ratio") - rss12 / rssp) < 1e-4)
+    assert(r.getAs[Double]("rss_ratio") < 0.2)
+  }
+}

@@ -44,4 +44,37 @@ class QueriesSmokeSpec extends SparkSpec {
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Round-11 postmortem: the only two driver hash-fails in the whole
+  // 351-query registry (q303, q341) were exactly the only two queries
+  // whose OUTPUT schema contained DecimalType — the driver's hasher
+  // canonicalizes DECIMAL differently from the local DuckDB replica,
+  // and the local gate structurally cannot see it. Exact integers must
+  // ship as LONG (or STRING if they could ever exceed 63 bits);
+  // DECIMAL is fine in intermediates but must never reach the sink.
+  test("no registry query's output schema contains DecimalType") {
+    import org.apache.spark.sql.types.DecimalType
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: DecimalType => true
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasDecimal(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasDecimal(m.keyType) || hasDecimal(m.valueType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasDecimal(f.dataType))
+        case _ => false
+      }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, "/root/testdata/sf0.001").schema.fields
+          .filter(f => hasDecimal(f.dataType))
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.map(_.name).mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      "DECIMAL output columns fail the driver hash gate " +
+        "(round-11 q303/q341 class) — cast exact integers to LONG: " +
+        offenders.mkString("; "))
+  }
 }

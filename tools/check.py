@@ -68,6 +68,20 @@ def main(sf_dir, out_dir, threads=None):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             fail += 1
             continue
+        # DECIMAL lint (round-11 q303/q341 class): the driver's hasher
+        # canonicalizes DECIMAL differently from this repr-compare, so a
+        # DECIMAL output column can pass HERE and still fail the driver
+        # hash. Fail fast on either side emitting DECIMAL.
+        dec = [(c, t, side) for cols, types, side in
+               ((got_cols, got_types, "spark"), (exp_cols, exp_types, "oracle"))
+               for c, t in zip(cols, types) if "DECIMAL" in t.upper()]
+        if dec:
+            print(f"FAIL {name}: DECIMAL output column(s) — driver hash "
+                  f"canonicalization class; cast exact integers to BIGINT:")
+            for c, t, side in dec:
+                print(f"    {side}.{c}: {t}")
+            fail += 1
+            continue
         # Type gate: oracle column type must byte-equal the type DuckDB
         # reads back from the Spark parquet (sorted by column name, the
         # driver's own ordering).
