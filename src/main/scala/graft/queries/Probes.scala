@@ -617,13 +617,614 @@ object Probes {
        FROM pr CROSS JOIN sr"""
   }
 
+  /** Per-document integer "size construct" items shared by the
+    * reliability coefficients (q358/q359/q360): whitespace tokens,
+    * distinct tokens, n_chars÷10, long-word (>5 chars) count — all
+    * exact integers both engine- and oracle-side. */
+  private def docItems(s: SparkSession, d: String): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(w).cast("long").as("i1"),
+      size(array_distinct(w)).cast("long").as("i2"),
+      (col("n_chars").cast("long") / lit(10L)).cast("long").as("i3"),
+      size(filter(w, x => length(x) > 5)).cast("long").as("i4"))
+  }
+
+  private val docItemsSql =
+    """SELECT doc_id, source,
+         CAST(len(arr) AS BIGINT) AS i1,
+         CAST(len(list_distinct(arr)) AS BIGINT) AS i2,
+         CAST(n_chars // 10 AS BIGINT) AS i3,
+         CAST(len(list_filter(arr, x -> len(x) > 5)) AS BIGINT) AS i4
+       FROM (SELECT doc_id, source, n_chars,
+               regexp_split_to_array(trim(text), '\s+') AS arr
+             FROM documents)"""
+
+  // --------------------------------------------------------------- q358
+  /** Cronbach's alpha over the four document size items — do the
+    * pipeline's length-ish signals (tokens, distinct tokens, chars,
+    * long words) measure ONE construct, i.e. is a composite "size
+    * score" internally consistent enough to threshold on? The n-scaled
+    * population variances (n·ΣX² − S², exact DECIMAL integers) make
+    * the n² factors cancel, so α = k/(k−1)·(1 − Σnum_i/num_tot) closes
+    * in a single FP ratio of exact integers. One corpus scan.
+    */
+  private def q358(s: SparkSession, d: String): DataFrame = {
+    val items = docItems(s, d)
+      .withColumn("tt", col("i1") + col("i2") + col("i3") + col("i4"))
+    def nvar(c: String) =
+      (count(lit(1)).cast(dec) *
+        sum(col(c).cast(dec) * col(c).cast(dec)) -
+        sum(col(c).cast(dec)) * sum(col(c).cast(dec)))
+    val agg = items.agg(count(lit(1)).as("n"),
+      nvar("i1").as("v1"), nvar("i2").as("v2"),
+      nvar("i3").as("v3"), nvar("i4").as("v4"),
+      (count(lit(1)).cast(dec) *
+        sum(col("tt").cast(dec) * col("tt").cast(dec)) -
+        sum(col("tt").cast(dec)) * sum(col("tt").cast(dec))).as("vt"))
+    agg.select(col("n").as("n_docs"), lit(4L).as("k_items"),
+      round(lit(4.0) / lit(3.0) *
+        (lit(1.0) - (col("v1").cast("double") + col("v2").cast("double") +
+          col("v3").cast("double") + col("v4").cast("double")) /
+          safe(col("vt").cast("double"))), 6).as("alpha"))
+  }
+
+  private val q358Sql =
+    s"""WITH it AS ($docItemsSql),
+       t AS (SELECT i1, i2, i3, i4, i1 + i2 + i3 + i4 AS tt FROM it),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             count(*)::HUGEINT * sum(i1::HUGEINT * i1::HUGEINT)
+               - CAST(sum(i1) AS HUGEINT) * CAST(sum(i1) AS HUGEINT)
+               AS v1,
+             count(*)::HUGEINT * sum(i2::HUGEINT * i2::HUGEINT)
+               - CAST(sum(i2) AS HUGEINT) * CAST(sum(i2) AS HUGEINT)
+               AS v2,
+             count(*)::HUGEINT * sum(i3::HUGEINT * i3::HUGEINT)
+               - CAST(sum(i3) AS HUGEINT) * CAST(sum(i3) AS HUGEINT)
+               AS v3,
+             count(*)::HUGEINT * sum(i4::HUGEINT * i4::HUGEINT)
+               - CAST(sum(i4) AS HUGEINT) * CAST(sum(i4) AS HUGEINT)
+               AS v4,
+             count(*)::HUGEINT * sum(tt::HUGEINT * tt::HUGEINT)
+               - CAST(sum(tt) AS HUGEINT) * CAST(sum(tt) AS HUGEINT)
+               AS vt
+           FROM t)
+       SELECT n AS n_docs, CAST(4 AS BIGINT) AS k_items,
+         round(4.0 / 3.0 * (1.0 - (v1::DOUBLE + v2::DOUBLE + v3::DOUBLE
+           + v4::DOUBLE) / greatest(vt::DOUBLE, 1e-12)), 6) + 0.0
+           AS alpha
+       FROM agg"""
+
+  // --------------------------------------------------------------- q359
+  /** ICC(1,1) of document token counts by source — how much of token-
+    * length variance is BETWEEN sources (a high ICC means per-source
+    * length normalization is mandatory before mixing; q349 measures
+    * share concentration, this measures a metric's source clustering).
+    * One-way ANOVA sums: per-source SSW/SSB terms close in FP from
+    * exact integer moments, are 1e-6-quantized to LONGs before the
+    * cross-source sum (order independence over the |sources|-row
+    * table), and the unequal-size correction n₀ uses exact Σn_g².
+    */
+  private def q359(s: SparkSession, d: String): DataFrame = {
+    val x = docItems(s, d).select(col("source"), col("i1").as("x"))
+    val grp = x.groupBy("source").agg(count(lit(1)).as("ng"),
+      sum(col("x").cast(dec)).as("sg"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("qg"))
+    val tot = grp.agg(sum("ng").as("n"),
+      sum(col("sg")).as("st"), count(lit(1)).as("g"),
+      sum(col("ng").cast(dec) * col("ng").cast(dec)).as("n2"))
+    val terms = grp.crossJoin(broadcast(tot))
+      .select(col("n"), col("g"), col("n2"),
+        floor((col("qg").cast("double") -
+          col("sg").cast("double") * col("sg").cast("double") /
+            safe(col("ng").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("ssw_u"),
+        floor(col("ng").cast("double") *
+          (col("sg").cast("double") / safe(col("ng").cast("double")) -
+            col("st").cast("double") / safe(col("n").cast("double"))) *
+          (col("sg").cast("double") / safe(col("ng").cast("double")) -
+            col("st").cast("double") / safe(col("n").cast("double"))) *
+          lit(1e6) + lit(0.5)).cast("long").as("ssb_u"))
+    val fin = terms.groupBy("n", "g", "n2")
+      .agg(sum("ssw_u").as("ssw"), sum("ssb_u").as("ssb"))
+    val nD = col("n").cast("double")
+    val gD = col("g").cast("double")
+    val msb = col("ssb").cast("double") / lit(1e6) / safe(gD - lit(1.0))
+    val msw = col("ssw").cast("double") / lit(1e6) /
+      safe(nD - gD)
+    val n0 = (nD - col("n2").cast("double") / safe(nD)) /
+      safe(gD - lit(1.0))
+    fin.select(col("n").as("n_docs"), col("g").as("n_sources"),
+      round(msb, 4).as("ms_between"),
+      round(msw, 4).as("ms_within"),
+      round((msb - msw) / safe(msb + (n0 - lit(1.0)) * msw), 6)
+        .as("icc"))
+  }
+
+  private val q359Sql =
+    s"""WITH it AS ($docItemsSql),
+       grp AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(i1) AS HUGEINT) AS sg,
+             sum(i1::HUGEINT * i1::HUGEINT) AS qg
+           FROM it GROUP BY source),
+       tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(sg) AS HUGEINT) AS st,
+             CAST(count(*) AS BIGINT) AS g,
+             sum(ng::HUGEINT * ng::HUGEINT) AS n2
+           FROM grp),
+       terms AS (SELECT n, g, n2,
+             CAST(floor((qg::DOUBLE - sg::DOUBLE * sg::DOUBLE
+               / greatest(ng::DOUBLE, 1e-12)) * 1e6 + 0.5) AS BIGINT)
+               AS ssw_u,
+             CAST(floor(ng::DOUBLE
+               * (sg::DOUBLE / greatest(ng::DOUBLE, 1e-12)
+                 - st::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               * (sg::DOUBLE / greatest(ng::DOUBLE, 1e-12)
+                 - st::DOUBLE / greatest(n::DOUBLE, 1e-12))
+               * 1e6 + 0.5) AS BIGINT) AS ssb_u
+           FROM grp CROSS JOIN tot),
+       fin AS (SELECT n, g, n2, CAST(sum(ssw_u) AS BIGINT) AS ssw,
+             CAST(sum(ssb_u) AS BIGINT) AS ssb
+           FROM terms GROUP BY n, g, n2)
+       SELECT n AS n_docs, g AS n_sources,
+         round(ssb::DOUBLE / 1e6 / greatest(g::DOUBLE - 1.0, 1e-12), 4)
+           + 0.0 AS ms_between,
+         round(ssw::DOUBLE / 1e6 / greatest(n::DOUBLE - g::DOUBLE,
+           1e-12), 4) + 0.0 AS ms_within,
+         round((ssb::DOUBLE / 1e6 / greatest(g::DOUBLE - 1.0, 1e-12)
+             - ssw::DOUBLE / 1e6 / greatest(n::DOUBLE - g::DOUBLE,
+               1e-12))
+           / greatest(ssb::DOUBLE / 1e6 / greatest(g::DOUBLE - 1.0,
+               1e-12)
+             + ((n::DOUBLE - n2::DOUBLE / greatest(n::DOUBLE, 1e-12))
+                 / greatest(g::DOUBLE - 1.0, 1e-12) - 1.0)
+               * (ssw::DOUBLE / 1e6 / greatest(n::DOUBLE - g::DOUBLE,
+                 1e-12)), 1e-12), 6) + 0.0 AS icc
+       FROM fin"""
+
+  // --------------------------------------------------------------- q360
+  /** Cochran's Q across three binary quality rules — do the length
+    * rule (n_chars>300), volume rule (>60 tokens) and diversity rule
+    * (TTR>½, integer cross-multiplied) flag the SAME documents, or is
+    * one rule systematically stricter (q318's Fleiss asks this of
+    * raters; this asks it of filter rules)? Q = (k−1)(kΣC² − T²)
+    * /(kT − ΣR²) — every term an exact integer from one scan.
+    */
+  private def q360(s: SparkSession, d: String): DataFrame = {
+    val it = docItems(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      .select(
+        when(col("n_chars") > 300, 1L).otherwise(0L).as("r1"),
+        when(col("i1") > 60, 1L).otherwise(0L).as("r2"),
+        when(col("i2") * lit(2L) > col("i1"), 1L).otherwise(0L).as("r3"))
+      .withColumn("ri", col("r1") + col("r2") + col("r3"))
+    val agg = it.agg(count(lit(1)).as("n"),
+      sum("r1").as("c1"), sum("r2").as("c2"), sum("r3").as("c3"),
+      sum(col("ri") * col("ri")).as("r2s"), sum("ri").as("t"))
+    val k = lit(3.0)
+    val num = k * (col("c1").cast("double") * col("c1").cast("double") +
+      col("c2").cast("double") * col("c2").cast("double") +
+      col("c3").cast("double") * col("c3").cast("double")) -
+      col("t").cast("double") * col("t").cast("double")
+    val den = k * col("t").cast("double") - col("r2s").cast("double")
+    agg.select(col("n").as("n_docs"),
+      col("c1").as("pass_len"), col("c2").as("pass_vol"),
+      col("c3").as("pass_ttr"),
+      round((k - lit(1.0)) * num / safe(den), 4).as("q_stat"),
+      lit(2L).as("dof"))
+  }
+
+  private val q360Sql =
+    s"""WITH it AS ($docItemsSql),
+       dc AS (SELECT it.doc_id, it.i1, it.i2, d.n_chars
+             FROM it JOIN documents d ON d.doc_id = it.doc_id),
+       r AS (SELECT
+             CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN i1 > 60 THEN 1 ELSE 0 END AS r2,
+             CASE WHEN i2 * 2 > i1 THEN 1 ELSE 0 END AS r3
+           FROM dc),
+       t AS (SELECT r1, r2, r3, r1 + r2 + r3 AS ri FROM r),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1) AS BIGINT) AS c1,
+             CAST(sum(r2) AS BIGINT) AS c2,
+             CAST(sum(r3) AS BIGINT) AS c3,
+             CAST(sum(ri * ri) AS BIGINT) AS r2s,
+             CAST(sum(ri) AS BIGINT) AS t
+           FROM t)
+       SELECT n AS n_docs, c1 AS pass_len, c2 AS pass_vol,
+         c3 AS pass_ttr,
+         round((3.0 - 1.0) * (3.0 * (c1::DOUBLE * c1::DOUBLE
+             + c2::DOUBLE * c2::DOUBLE + c3::DOUBLE * c3::DOUBLE)
+           - t::DOUBLE * t::DOUBLE)
+           / greatest(3.0 * t::DOUBLE - r2s::DOUBLE, 1e-12), 4) + 0.0
+           AS q_stat,
+         CAST(2 AS BIGINT) AS dof
+       FROM agg"""
+
+  // --------------------------------------------------------------- q361
+  /** Kendall's W — do the five languages AGREE on which sources are
+    * big (q317's Friedman flavor, but across the corpus's lang×source
+    * grid with the coefficient itself as the readout)? Sources present
+    * in every language are ranked within each language by total chars
+    * (row_number on the outcome-total key value desc, source — no
+    * cross-engine rank ties possible), rank sums form exact integers,
+    * and W = 3·Σ(2R_j − m(n+1))² / (m²(n³−n)) closes in one division.
+    * The grid is |langs|×|sources| — bounded at any SF.
+    */
+  private def q361(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(sum(col("n_chars").cast("long")).as("v"))
+    val nl = cell.select("lang").distinct().count()
+    val full = cell.groupBy("source")
+      .agg(count(lit(1)).as("nlang"))
+      .filter(col("nlang") === lit(nl))
+      .select("source")
+    val wR = Window.partitionBy("lang")
+      .orderBy(col("v").desc, col("source"))
+    val ranked = cell.join(broadcast(full), Seq("source"))
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+    val rs = ranked.groupBy("source").agg(sum("rnk").as("rj"),
+      count(lit(1)).as("mg"))
+    val tot = rs.agg(count(lit(1)).as("n"), max("mg").as("m"))
+    val s4 = rs.crossJoin(broadcast(tot))
+      .select(col("n"), col("m"),
+        (lit(2L) * col("rj") - col("mg") * (col("n") + lit(1L))).as("d2"))
+      .groupBy("n", "m")
+      .agg(sum(col("d2").cast(dec) * col("d2").cast(dec)).as("s4"))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val w = lit(3.0) * col("s4").cast("double") /
+      safe(mD * mD * (nD * nD * nD - nD))
+    s4.select(col("n").as("n_sources"), col("m").as("n_langs"),
+      round(w, 6).as("kendall_w"),
+      round(mD * (nD - lit(1.0)) * w, 4).as("chi2"))
+  }
+
+  private val q361Sql =
+    """WITH cell AS (SELECT lang, source,
+           CAST(sum(n_chars) AS BIGINT) AS v
+         FROM documents GROUP BY lang, source),
+       nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS c
+             FROM cell),
+       full_src AS (SELECT source FROM cell, nl
+             GROUP BY source, nl.c HAVING count(*) = nl.c),
+       ranked AS (SELECT cell.lang, cell.source,
+             CAST(row_number() OVER (PARTITION BY cell.lang
+               ORDER BY v DESC, cell.source) AS BIGINT) AS rnk
+           FROM cell JOIN full_src ON full_src.source = cell.source),
+       rs AS (SELECT source, CAST(sum(rnk) AS BIGINT) AS rj,
+             CAST(count(*) AS BIGINT) AS m
+           FROM ranked GROUP BY source),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(m) AS BIGINT) AS m FROM rs),
+       s4 AS (SELECT n, tot.m,
+             sum((2 * rj - rs.m * (n + 1))::HUGEINT
+               * (2 * rj - rs.m * (n + 1))::HUGEINT) AS s4
+           FROM rs CROSS JOIN tot GROUP BY n, tot.m)
+       SELECT n AS n_sources, m AS n_langs,
+         round(3.0 * s4::DOUBLE / greatest(m::DOUBLE * m::DOUBLE
+           * (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE), 1e-12),
+           6) + 0.0 AS kendall_w,
+         round(m::DOUBLE * (n::DOUBLE - 1.0)
+           * (3.0 * s4::DOUBLE / greatest(m::DOUBLE * m::DOUBLE
+             * (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE),
+             1e-12)), 4) + 0.0 AS chi2
+       FROM s4"""
+
+  // --------------------------------------------------------------- q362
+  /** Fuzzy decontamination — documents whose normalized 48-char prefix
+    * is within edit distance 2 of a benchmark prefix (q73/q91 catch
+    * exact n-gram hits; paraphrased-with-typos contamination slips
+    * both). Pigeonhole banding: a string pair at Hamming ≤ 2 must
+    * agree on at least one of three aligned 16-char chunks, so
+    * candidates are an equi-join on (chunk index, chunk text) —
+    * recall-complete for substitutions, heuristic for indels — with a
+    * deterministic df-cap (corpus chunks repeated >1000× are dropped,
+    * mirrored in the oracle) so a boilerplate prefix cannot quadratic
+    * the candidate set at scale. Survivors pay one levenshtein ≤ 2
+    * verification (identical DP semantics in Spark and DuckDB). The
+    * benchmark side (doc_id % 101 < 2 — a stand-in for a fixed
+    * external eval set) stays broadcastable.
+    */
+  private def q362(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+        1, 48).as("pfx"))
+    val bench = base.filter(pmod(col("doc_id"), lit(101L)) < 2)
+      .select(col("doc_id").as("b_id"), col("pfx").as("b_pfx"))
+    val corpus = base.filter(pmod(col("doc_id"), lit(101L)) >= 2)
+    def chunks(pfx: Column, id: Column, tag: String): DataFrame => DataFrame =
+      df => df.select(id.as(s"${tag}_id"), pfx.as(s"${tag}_pfx"),
+        posexplode(array(substring(pfx, 1, 16), substring(pfx, 17, 16),
+          substring(pfx, 33, 16))))
+        .filter(length(col("col")) > 0)
+        .select(col(s"${tag}_id"), col(s"${tag}_pfx"),
+          col("pos").as("ck_i"), col("col").as("ck"))
+    val bCk = chunks(col("b_pfx"), col("b_id"), "b")(bench)
+    val cCkRaw = chunks(col("pfx"), col("doc_id"), "c")(corpus)
+    // df-cap: chunk keys that explode on the corpus side are dropped
+    // deterministically on BOTH sides of the band join
+    val hot = cCkRaw.groupBy("ck_i", "ck").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1000).select("ck_i", "ck")
+    val cCk = cCkRaw.join(broadcast(hot), Seq("ck_i", "ck"), "left_anti")
+    val cand = cCk.join(broadcast(bCk.join(broadcast(hot),
+        Seq("ck_i", "ck"), "left_anti")), Seq("ck_i", "ck"))
+      .select("c_id", "c_pfx", "b_id", "b_pfx").distinct()
+    val hits = cand
+      .filter(levenshtein(col("c_pfx"), col("b_pfx")) <= 2)
+      .select("c_id").distinct()
+    corpus.join(hits, corpus("doc_id") === hits("c_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c_id").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  private val q362Sql =
+    """WITH base AS (SELECT doc_id, source,
+           substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             1, 48) AS pfx
+         FROM documents),
+       bench AS (SELECT doc_id AS b_id, pfx AS b_pfx FROM base
+             WHERE doc_id % 101 < 2),
+       corpus AS (SELECT * FROM base WHERE doc_id % 101 >= 2),
+       cck0 AS (SELECT doc_id AS c_id, pfx AS c_pfx, i AS ck_i,
+             substr(pfx, 1 + i * 16, 16) AS ck
+           FROM corpus, range(0, 3) t(i)
+           WHERE len(substr(pfx, 1 + i * 16, 16)) > 0),
+       hot AS (SELECT ck_i, ck FROM cck0 GROUP BY ck_i, ck
+             HAVING count(*) > 1000),
+       cck AS (SELECT * FROM cck0 ANTI JOIN hot USING (ck_i, ck)),
+       bck AS (SELECT b_id, b_pfx, i AS ck_i,
+             substr(b_pfx, 1 + i * 16, 16) AS ck
+           FROM bench, range(0, 3) t(i)
+           WHERE len(substr(b_pfx, 1 + i * 16, 16)) > 0),
+       bck2 AS (SELECT * FROM bck ANTI JOIN hot USING (ck_i, ck)),
+       cand AS (SELECT DISTINCT c_id, c_pfx, b_id, b_pfx
+           FROM cck JOIN bck2 USING (ck_i, ck)),
+       hits AS (SELECT DISTINCT c_id FROM cand
+             WHERE levenshtein(c_pfx, b_pfx) <= 2)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN hits.c_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_contaminated
+       FROM corpus LEFT JOIN hits ON hits.c_id = corpus.doc_id
+       GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- q363
+  /** Canonical-representative dedup — q35 counts exact duplicates;
+    * shipping a training set additionally needs to decide WHICH copy
+    * survives. Clusters are md5 fingerprints of the
+    * whitespace-normalized text; the representative is the
+    * highest-quality member (distinct-token count, doc_id ascending as
+    * the total tie-break) via a fingerprint-PARTITIONed row_number —
+    * no global sort, cluster-local work only. Per source: documents,
+    * dropped non-representatives, and the chars those drops free.
+    */
+  private def q363(s: SparkSession, d: String): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("nc"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .as("fp"),
+      size(array_distinct(w)).cast("long").as("q"))
+    val wF = Window.partitionBy("fp")
+      .orderBy(col("q").desc, col("doc_id"))
+    val marked = base.withColumn("rep", row_number().over(wF) === 1)
+    marked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("rep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("rep"), col("nc")).otherwise(0L))
+          .as("chars_dropped"))
+      .orderBy("source")
+  }
+
+  private val q363Sql =
+    """WITH base AS (SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS nc,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS fp,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text),
+             '\s+'))) AS BIGINT) AS q
+         FROM documents),
+       marked AS (SELECT source, nc,
+             (row_number() OVER (PARTITION BY fp
+               ORDER BY q DESC, doc_id) = 1) AS rep
+           FROM base)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN NOT rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         CAST(sum(CASE WHEN NOT rep THEN nc ELSE 0 END) AS BIGINT)
+           AS chars_dropped
+       FROM marked GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- q364
+  /** Theil's U for the weekly-seasonal forecaster — is lag-7 (the
+    * seasonality q130/q290 detect) actually a better daily-revenue
+    * predictor than the lag-1 random walk? U < 1 says the weekly
+    * structure carries real signal; U ≥ 1 says naive persistence wins
+    * and the seasonal story is decorative. Exact integer cent errors,
+    * squared in DECIMAL, one sqrt ratio at the close over days ≥ 7.
+    */
+  private def q364(s: SparkSession, d: String): DataFrame = {
+    val days = dayGrid(s, d).select(col("t"), col("rev"))
+      .localCheckpoint(true)
+    def lagged(k: Int, nm: String): DataFrame =
+      days.select((col("t") + lit(k.toLong)).as("t"), col("rev").as(nm))
+    val m = days.join(lagged(7, "l7"), Seq("t"))
+      .join(lagged(1, "l1"), Seq("t"))
+    val agg = m.agg(count(lit(1)).as("n"),
+      sum((col("rev") - col("l7")).cast(dec) *
+        (col("rev") - col("l7")).cast(dec)).as("e7"),
+      sum((col("rev") - col("l1")).cast(dec) *
+        (col("rev") - col("l1")).cast(dec)).as("e1"))
+    agg.select(col("n").as("n_days"),
+      round(sqrt(col("e7").cast("double") / safe(col("n").cast("double"))) /
+        safe(sqrt(col("e1").cast("double") /
+          safe(col("n").cast("double")))), 6).as("theils_u"),
+      round(sqrt(col("e7").cast("double") / safe(col("n").cast("double"))) /
+        lit(100.0), 2).as("rmse_seasonal_usd"),
+      round(sqrt(col("e1").cast("double") / safe(col("n").cast("double"))) /
+        lit(100.0), 2).as("rmse_naive_usd"))
+  }
+
+  private val q364Sql =
+    s"""$dayGridSql,
+       m AS (SELECT d0.rev, d7.rev AS l7, d1.rev AS l1
+           FROM days d0
+           JOIN days d7 ON d0.t = d7.t + 7
+           JOIN days d1 ON d0.t = d1.t + 1),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum((rev - l7)::HUGEINT * (rev - l7)::HUGEINT) AS e7,
+             sum((rev - l1)::HUGEINT * (rev - l1)::HUGEINT) AS e1
+           FROM m)
+       SELECT n AS n_days,
+         round(sqrt(e7::DOUBLE / greatest(n::DOUBLE, 1e-12))
+           / greatest(sqrt(e1::DOUBLE / greatest(n::DOUBLE, 1e-12)),
+             1e-12), 6) + 0.0 AS theils_u,
+         round(sqrt(e7::DOUBLE / greatest(n::DOUBLE, 1e-12)) / 100.0,
+           2) + 0.0 AS rmse_seasonal_usd,
+         round(sqrt(e1::DOUBLE / greatest(n::DOUBLE, 1e-12)) / 100.0,
+           2) + 0.0 AS rmse_naive_usd
+       FROM agg"""
+
+  // --------------------------------------------------------------- q365
+  /** Stuart–Maxwell marginal homogeneity — did the DISTRIBUTION of
+    * order priorities shift between each customer's first and last
+    * order (q281's McNemar answers this for 2 categories; priorities
+    * need 3: urgent/medium/low)? First/last picked on the total
+    * (date, orderkey) key, the 3×3 transition table collapses to nine
+    * integer cells, and χ² = (d₁²S₂₂ − 2d₁d₂S₁₂ + d₂²S₁₁)/(S₁₁S₂₂ −
+    * S₁₂²) closes from the 2×2 covariance inverse in FP.
+    */
+  private def q365(s: SparkSession, d: String): DataFrame = {
+    val cls = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+      .when(col("o_orderpriority") === "3-MEDIUM", 1L).otherwise(2L)
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderdate"), col("o_orderkey"), cls.as("c"))
+    val wA = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wD = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val fl = o
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .filter(col("ra") === 1 || col("rd") === 1)
+      .groupBy("o_custkey")
+      .agg(max(when(col("ra") === 1, col("c"))).as("first_c"),
+        max(when(col("rd") === 1, col("c"))).as("last_c"),
+        count(lit(1)).as("k"))
+      .filter(col("k") === 2) // customers with ≥2 orders
+    val cells = fl.groupBy("first_c", "last_c")
+      .agg(count(lit(1)).as("nij"))
+    def cell(i: Int, j: Int): Column =
+      sum(when(col("first_c") === i && col("last_c") === j,
+        col("nij")).otherwise(0L))
+    val agg = cells.agg(sum("nij").as("n"),
+      cell(0, 0).as("n00"), cell(0, 1).as("n01"), cell(0, 2).as("n02"),
+      cell(1, 0).as("n10"), cell(1, 1).as("n11"), cell(1, 2).as("n12"),
+      cell(2, 0).as("n20"), cell(2, 1).as("n21"), cell(2, 2).as("n22"))
+    val m = agg
+      .withColumn("d1", (col("n00") + col("n01") + col("n02")) -
+        (col("n00") + col("n10") + col("n20")))
+      .withColumn("d2", (col("n10") + col("n11") + col("n12")) -
+        (col("n01") + col("n11") + col("n21")))
+      .withColumn("s11",
+        (col("n00") + col("n01") + col("n02")) +
+          (col("n00") + col("n10") + col("n20")) - lit(2L) * col("n00"))
+      .withColumn("s22",
+        (col("n10") + col("n11") + col("n12")) +
+          (col("n01") + col("n11") + col("n21")) - lit(2L) * col("n11"))
+      .withColumn("s12", lit(0L) - (col("n01") + col("n10")))
+    m.select(col("n").as("n_pairs"),
+      col("d1").as("d_urgent"), col("d2").as("d_medium"),
+      round((col("d1").cast("double") * col("d1").cast("double") *
+        col("s22").cast("double") -
+        lit(2.0) * col("d1").cast("double") * col("d2").cast("double") *
+          col("s12").cast("double") +
+        col("d2").cast("double") * col("d2").cast("double") *
+          col("s11").cast("double")) /
+        safe(col("s11").cast("double") * col("s22").cast("double") -
+          col("s12").cast("double") * col("s12").cast("double")), 4)
+        .as("chi2"),
+      lit(2L).as("dof"))
+  }
+
+  private val q365Sql =
+    """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+                WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                ELSE 2 END AS c
+         FROM orders),
+       r AS (SELECT o_custkey, c,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS ra,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd
+           FROM o),
+       fl AS (SELECT o_custkey,
+             max(CASE WHEN ra = 1 THEN c END) AS first_c,
+             max(CASE WHEN rd = 1 THEN c END) AS last_c,
+             count(*) AS k
+           FROM r WHERE ra = 1 OR rd = 1
+           GROUP BY o_custkey HAVING count(*) = 2),
+       cells AS (SELECT first_c, last_c,
+             CAST(count(*) AS BIGINT) AS nij
+           FROM fl GROUP BY first_c, last_c),
+       agg AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN first_c = 0 AND last_c = 0 THEN nij
+               ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN first_c = 0 AND last_c = 1 THEN nij
+               ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN first_c = 0 AND last_c = 2 THEN nij
+               ELSE 0 END) AS BIGINT) AS n02,
+             CAST(sum(CASE WHEN first_c = 1 AND last_c = 0 THEN nij
+               ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN first_c = 1 AND last_c = 1 THEN nij
+               ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN first_c = 1 AND last_c = 2 THEN nij
+               ELSE 0 END) AS BIGINT) AS n12,
+             CAST(sum(CASE WHEN first_c = 2 AND last_c = 0 THEN nij
+               ELSE 0 END) AS BIGINT) AS n20,
+             CAST(sum(CASE WHEN first_c = 2 AND last_c = 1 THEN nij
+               ELSE 0 END) AS BIGINT) AS n21,
+             CAST(sum(CASE WHEN first_c = 2 AND last_c = 2 THEN nij
+               ELSE 0 END) AS BIGINT) AS n22
+           FROM cells),
+       m AS (SELECT n,
+             (n00 + n01 + n02) - (n00 + n10 + n20) AS d1,
+             (n10 + n11 + n12) - (n01 + n11 + n21) AS d2,
+             (n00 + n01 + n02) + (n00 + n10 + n20) - 2 * n00 AS s11,
+             (n10 + n11 + n12) + (n01 + n11 + n21) - 2 * n11 AS s22,
+             0 - (n01 + n10) AS s12
+           FROM agg)
+       SELECT n AS n_pairs, CAST(d1 AS BIGINT) AS d_urgent,
+         CAST(d2 AS BIGINT) AS d_medium,
+         round((d1::DOUBLE * d1::DOUBLE * s22::DOUBLE
+           - 2.0 * d1::DOUBLE * d2::DOUBLE * s12::DOUBLE
+           + d2::DOUBLE * d2::DOUBLE * s11::DOUBLE)
+           / greatest(s11::DOUBLE * s22::DOUBLE
+             - s12::DOUBLE * s12::DOUBLE, 1e-12), 4) + 0.0 AS chi2,
+         CAST(2 AS BIGINT) AS dof
+       FROM m"""
+
   val queries: Map[String, Q] = Map(
     "q352_mood_scale" -> (q352 _),
     "q353_cvm_two_sample" -> (q353 _),
     "q354_pettitt_changepoint" -> (q354 _),
     "q355_pacf" -> (q355 _),
     "q356_granger" -> (q356 _),
-    "q357_chow_break" -> (q357 _))
+    "q357_chow_break" -> (q357 _),
+    "q358_cronbach_alpha" -> (q358 _),
+    "q359_icc" -> (q359 _),
+    "q360_cochran_q" -> (q360 _),
+    "q361_kendalls_w" -> (q361 _),
+    "q362_fuzzy_decontam" -> (q362 _),
+    "q363_canonical_dedup" -> (q363 _),
+    "q364_theils_u" -> (q364 _),
+    "q365_stuart_maxwell" -> (q365 _))
 
   val oracles: Map[String, String] = Map(
     "q352_mood_scale" -> q352Sql,
@@ -631,5 +1232,13 @@ object Probes {
     "q354_pettitt_changepoint" -> q354Sql,
     "q355_pacf" -> q355Sql,
     "q356_granger" -> q356Sql,
-    "q357_chow_break" -> q357Sql)
+    "q357_chow_break" -> q357Sql,
+    "q358_cronbach_alpha" -> q358Sql,
+    "q359_icc" -> q359Sql,
+    "q360_cochran_q" -> q360Sql,
+    "q361_kendalls_w" -> q361Sql,
+    "q362_fuzzy_decontam" -> q362Sql,
+    "q363_canonical_dedup" -> q363Sql,
+    "q364_theils_u" -> q364Sql,
+    "q365_stuart_maxwell" -> q365Sql)
 }

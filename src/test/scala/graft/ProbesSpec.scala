@@ -248,4 +248,171 @@ class ProbesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rss_ratio") - rss12 / rssp) < 1e-4)
     assert(r.getAs[Double]("rss_ratio") < 0.2)
   }
+
+  private def docsDf(rows: Seq[(Long, String, String, String)]): DataFrame =
+    rows.map { case (id, text, lang, src) =>
+      (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** The engine's item definitions recomputed independently. */
+  private def items(text: String): (Long, Long, Long, Long) = {
+    val w = text.trim.split("\\s+").toSeq
+    (w.length.toLong, w.distinct.length.toLong,
+      text.length.toLong / 10, w.count(_.length > 5).toLong)
+  }
+
+  test("q358 Cronbach alpha matches the direct variance-ratio formula") {
+    val texts = Seq(
+      "aa bb cc dd longerword",
+      "aa bb aa",
+      "one two three four five six seven eight nine ten",
+      "tiny doc here with wording",
+      "repeated repeated repeated repeated words words")
+    val dir = staged("cronbach")("documents" ->
+      docsDf(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 2, t, "en", "s0") }))
+    val r = SparkEntry.queries("q358_cronbach_alpha")(spark, dir)
+      .collect()(0)
+    val it = texts.map(items)
+    val cols = Seq(it.map(_._1), it.map(_._2), it.map(_._3), it.map(_._4))
+    val tot = it.map(x => x._1 + x._2 + x._3 + x._4)
+    def pvar(xs: Seq[Long]): Double = {
+      val m = xs.sum.toDouble / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val alpha = 4.0 / 3.0 * (1.0 - cols.map(pvar).sum / pvar(tot))
+    assert(r.getAs[Long]("n_docs") === texts.length.toLong)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-4)
+  }
+
+  test("q359 ICC: cleanly separated sources give ICC near 1") {
+    // source A docs ~5 tokens, source B docs ~50: between-variance
+    // dominates within-variance
+    val a = Seq.fill(4)("w1 w2 w3 w4 w5")
+    val b = Seq.fill(4)(Seq.tabulate(50)(i => s"t$i").mkString(" "))
+    val rows = (a.map(("sA", _)) ++ b.map(("sB", _))).zipWithIndex
+      .map { case ((s0, t), i) => (i.toLong + 2, t, "en", s0) }
+    val dir = staged("icc")("documents" -> docsDf(rows))
+    val r = SparkEntry.queries("q359_icc")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 8L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Double]("icc") > 0.99)
+    assert(r.getAs[Double]("ms_within") === 0.0)
+  }
+
+  test("q360 Cochran Q matches the textbook formula on hand-set rules") {
+    // craft docs with known (r1 len>300, r2 tokens>60, r3 ttr>1/2)
+    val longText = Seq.tabulate(70)(i => s"tok$i").mkString(" ") // >300 chars, >60 distinct tokens, ttr=1
+    val repeats = Seq.fill(70)("x").mkString(" ") // 139 chars, 70 tokens, ttr tiny
+    val small = "a b c" // nothing passes except ttr
+    val dir = staged("cochran")("documents" -> docsDf(Seq(
+      (2L, longText, "en", "s"), (3L, repeats, "en", "s"),
+      (4L, small, "en", "s"))))
+    val r = SparkEntry.queries("q360_cochran_q")(spark, dir).collect()(0)
+    // rows: (1,1,1), (0,1,0), (0,0,1) -> C=(1,2,2), R=(3,1,1)
+    // T=5, Q = 2*(3*(1+4+4)-25)/(3*5-(9+1+1)) = 2*2/4 = 1.0
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("pass_len") === 1L)
+    assert(r.getAs[Long]("pass_vol") === 2L)
+    assert(r.getAs[Long]("pass_ttr") === 2L)
+    assert(r.getAs[Double]("q_stat") === 1.0)
+  }
+
+  test("q361 Kendall W: perfectly agreeing language rankings give W=1") {
+    // 2 langs x 3 sources; source size order identical in both langs;
+    // a source missing from one lang must be excluded
+    val rows = Seq(
+      (2L, "a " * 50, "en", "s1"), (3L, "a " * 20, "en", "s2"),
+      (4L, "a " * 5, "en", "s3"),
+      (5L, "b " * 60, "fr", "s1"), (6L, "b " * 25, "fr", "s2"),
+      (7L, "b " * 6, "fr", "s3"),
+      (8L, "c " * 99, "en", "s_only_en"))
+      .map { case (id, t, l, s0) => (id, t.trim, l, s0) }
+    val dir = staged("kw2")("documents" -> docsDf(rows))
+    val r = SparkEntry.queries("q361_kendalls_w")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_sources") === 3L)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Double]("kendall_w") === 1.0)
+    assert(r.getAs[Double]("chi2") === 4.0)
+  }
+
+  test("q362 fuzzy decontam: an edit-distance-1 prefix copy is caught, " +
+      "an unrelated doc is not") {
+    // doc_id 202 % 101 == 0 -> benchmark; 2,3 -> corpus
+    val benchText = "the quick brown fox jumps over the lazy dog today"
+    val nearDup = "the quick brown fox jumps over the lazy cog today"
+    val unrelated = Seq.tabulate(12)(i => s"zz$i").mkString(" ")
+    val dir = staged("fuzzy")("documents" -> docsDf(Seq(
+      (202L, benchText, "en", "sB"),
+      (2L, nearDup, "en", "s1"),
+      (3L, unrelated, "en", "s2"))))
+    val out = SparkEntry.queries("q362_fuzzy_decontam")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(out("s1") === ((1L, 1L)))
+    assert(out("s2") === ((1L, 0L)))
+    assert(!out.contains("sB")) // benchmark side is not corpus
+  }
+
+  test("q363 canonical dedup keeps the highest-quality copy per " +
+      "fingerprint") {
+    // same normalized text (case/whitespace differ), different ids:
+    // quality ties -> keep min doc_id; plus a unique doc
+    val dir = staged("canon")("documents" -> docsDf(Seq(
+      (2L, "Hello   World again", "en", "s1"),
+      (9L, "hello world AGAIN", "en", "s2"), // same fp after lower + ws collapse
+      (5L, "completely different text", "en", "s1"))))
+    val out = SparkEntry.queries("q363_canonical_dedup")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"))).toMap
+    // both dup docs have 3 distinct tokens -> tie -> doc 2 kept
+    assert(out("s1") === ((2L, 0L)))
+    assert(out("s2") === ((1L, 1L)))
+  }
+
+  test("q364 Theil U: a perfect weekly cycle gives U = 0") {
+    val orders = (0 until 21).map { t =>
+      (t.toLong + 1, 1L, "O", 10.0 + (t % 7), day(t), "5-LOW")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("theil")("orders" -> orders)
+    val r = SparkEntry.queries("q364_theils_u")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_days") === 14L)
+    assert(r.getAs[Double]("theils_u") === 0.0)
+    assert(r.getAs[Double]("rmse_seasonal_usd") === 0.0)
+    assert(r.getAs[Double]("rmse_naive_usd") > 0.0)
+  }
+
+  test("q365 Stuart-Maxwell chi2 matches the closed 2x2-inverse form " +
+      "on a hand grid") {
+    // customers: first->last priority class transitions
+    // build 1 customer per (i,j) cell count
+    val cellCounts = Map((0, 0) -> 3, (0, 1) -> 2, (1, 0) -> 1,
+      (1, 1) -> 2, (2, 2) -> 2, (0, 2) -> 1)
+    val pr = Seq("1-URGENT", "3-MEDIUM", "5-LOW")
+    var ck = 0L
+    val orders = cellCounts.toSeq.flatMap { case ((i, j), c) =>
+      (0 until c).flatMap { _ =>
+        ck += 1
+        Seq((ck * 10 + 1, ck, "O", 1.0, day(0), pr(i)),
+          (ck * 10 + 2, ck, "O", 1.0, day(5), pr(j)))
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("sm")("orders" -> orders)
+    val r = SparkEntry.queries("q365_stuart_maxwell")(spark, dir)
+      .collect()(0)
+    val n = Array.ofDim[Long](3, 3)
+    cellCounts.foreach { case ((i, j), c) => n(i)(j) = c.toLong }
+    val d1 = (n(0).sum - (0 to 2).map(k => n(k)(0)).sum).toDouble
+    val d2 = (n(1).sum - (0 to 2).map(k => n(k)(1)).sum).toDouble
+    val s11 = (n(0).sum + (0 to 2).map(k => n(k)(0)).sum - 2 * n(0)(0)).toDouble
+    val s22 = (n(1).sum + (0 to 2).map(k => n(k)(1)).sum - 2 * n(1)(1)).toDouble
+    val s12 = -(n(0)(1) + n(1)(0)).toDouble
+    val chi2 = (d1 * d1 * s22 - 2.0 * d1 * d2 * s12 + d2 * d2 * s11) /
+      (s11 * s22 - s12 * s12)
+    assert(r.getAs[Long]("n_pairs") === cellCounts.values.sum.toLong)
+    assert(r.getAs[Long]("d_urgent") === d1.toLong)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
+  }
 }
