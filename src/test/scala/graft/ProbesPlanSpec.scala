@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan assertions for the round-12 probe operators whose
+  * 100 TB posture depends on a specific join/partitioning shape — a
+  * regression that silently degrades one of these fails HERE, not in
+  * production. (The day-grid probes q354–q357/q364 DO carry
+  * single-partition windows and one-row cross joins by design: the day
+  * grid is calendar-bounded at any SF.)
+  */
+class ProbesPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q352 Mood: rank windows stay PARTITIONed by group and the " +
+      "group-totals frame attaches by broadcast") {
+    val p = plan("q352_mood_scale")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // every Window in this plan must carry a partition spec — a bare
+    // global-ordered window over the value table would single-thread
+    // the rank pass at scale
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("partitionBy") ||
+      w.contains("[g"), s"unpartitioned window in q352: $w"))
+  }
+
+  test("q353 CvM: cumulative windows stay PARTITIONed by group") {
+    val p = plan("q353_cvm_two_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q362 fuzzy decontam: the band join is a broadcast of the " +
+      "benchmark chunks, never a corpus-corpus sort-merge") {
+    val p = plan("q362_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q363 canonical dedup: representative choice is a fingerprint-" +
+      "PARTITIONed window, no global sort") {
+    val p = plan("q363_canonical_dedup")
+    assert(!p.contains("CartesianProduct"))
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("fp"),
+      s"window not fingerprint-partitioned in q363: $w"))
+  }
+
+  test("q365 Stuart-Maxwell: first/last selection is customer-" +
+      "PARTITIONed; the 3x3 collapse carries no cartesian") {
+    val p = plan("q365_stuart_maxwell")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("o_custkey"))
+  }
+
+  test("q358/q360 reliability scans are single-pass aggregations " +
+      "with no join at all") {
+    for (q <- Seq("q358_cronbach_alpha")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q grew an unexpected join")
+    }
+    // q360 joins docItems back to documents on doc_id — keyed, not
+    // cartesian
+    val p360 = plan("q360_cochran_q")
+    assert(!p360.contains("CartesianProduct"))
+  }
+}

@@ -97,7 +97,15 @@ object ScaleRehearsal {
     // days²-pair distance correlation (expected ratio ≈ 1: the pair
     // table is calendar-bounded, so the cost is SF-invariant decimal
     // math) and the trigram-novelty semi-join (corpus-proportional)
-    "q322_distance_corr", "q333_ngram_novelty")
+    "q322_distance_corr", "q333_ngram_novelty",
+    // round-12 additions: the heaviest Probes entries (per-group rank
+    // tables on events; the calendar-bounded Pettitt day grid) and the
+    // pigeonhole band-join decontam — candidate growth under ×10 data
+    // is exactly what the df-cap must bound. q22 leads the batch as
+    // the cheap same-table warmer (events scan) per the banked
+    // cold-start lesson.
+    "q22_event_windows", "q352_mood_scale", "q353_cvm_two_sample",
+    "q354_pettitt_changepoint", "q362_fuzzy_decontam")
 
   def synthesize(spark: SparkSession): Unit = {
     val done = new java.io.File(s"$DstDir/_DONE")
@@ -216,7 +224,7 @@ object ScaleRehearsal {
       println(f"SCALE $q%-24s sf0.1 ${small}%7.2f s   sf1 ${big}%8.2f s   ratio ${ratio}%6.2f")
       (q, small, big, ratio)
     }
-    val outPath = java.nio.file.Paths.get("/root/repo/SCALE_r11.json")
+    val outPath = java.nio.file.Paths.get("/root/repo/SCALE_r12.json")
     def entry(q: String, s: Double, b: Double, r: Double): (String, String) =
       q -> f""""$q": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $r%.2f}"""
     if (args.isEmpty || mergeMode) {
