@@ -114,7 +114,11 @@ object Stump {
       .filter(col("fv.v").isNotNull)
       .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
     // referenced by bounds, bucketing, and totals — one corpus melt,
-    // not three
+    // not three. persist, NOT localCheckpoint: the (f,v) table carries
+    // the near-unique price column (~corpus-sized), and an eager
+    // checkpoint of it measured 4× slower than the lazy cache
+    // (TimeOne run2 1.07 s → 4.22 s at sf0.1) — the q305
+    // checkpoint-wins class applies only to genuinely small frames.
     val per = melted.groupBy("f", "v")
       .agg(count(lit(1)).as("c"), sum("y").as("p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
