@@ -1210,6 +1210,413 @@ object Probes {
          CAST(2 AS BIGINT) AS dof
        FROM m"""
 
+  // --------------------------------------------------------------- q366
+  /** Yuen's 20%-trimmed-mean two-arm test — the robust location
+    * readout when q120's Welch is dragged by the heavy tail and
+    * q247's Mann–Whitney answers only "dominates", not "by how much".
+    * Everything derives from the per-arm (value, count) table:
+    * trimmed/winsorized sums via exact clamped-overlap integers
+    * (contrib = (min(cum, n−g) − max(cum−c, g))⁺), the g-th order
+    * statistics via conditional MINs over the cumulative counts, and
+    * Yuen's t from winsorized variances in one FP closer. No sort of
+    * the raw corpus — only arm-partitioned windows over distinct
+    * micro-unit values.
+    */
+  private def q366(s: SparkSession, d: String): DataFrame = {
+    val c = armedUnits(s, d).groupBy("y", "u")
+      .agg(count(lit(1)).as("c"))
+    val wC = Window.partitionBy("y").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = c.groupBy("y").agg(sum("c").as("n"))
+    val cum = c.withColumn("cum", sum("c").over(wC))
+      .join(broadcast(tot), Seq("y"))
+      .withColumn("g", floor(col("n").cast("double") * lit(0.2))
+        .cast("long"))
+    val arm = cum.groupBy("y", "n", "g").agg(
+      sum(greatest(least(col("cum"), col("n") - col("g")) -
+        greatest(col("cum") - col("c"), col("g")), lit(0L)) *
+        col("u")).as("tsum"),
+      sum(greatest(least(col("cum"), col("n") - col("g")) -
+        greatest(col("cum") - col("c"), col("g")), lit(0L)).cast(dec) *
+        col("u").cast(dec) * col("u").cast(dec)).as("tsq"),
+      min(when(col("cum") >= col("g") + 1, col("u"))).as("lo"),
+      min(when(col("cum") >= col("n") - col("g"), col("u"))).as("hi"))
+    val st = arm.select(col("y"), col("n"), col("g"),
+      (col("n") - lit(2L) * col("g")).as("h"),
+      col("tsum"),
+      (col("tsum").cast(dec) + col("g").cast(dec) * col("lo").cast(dec) +
+        col("g").cast(dec) * col("hi").cast(dec)).as("wsum"),
+      (col("tsq") + col("g").cast(dec) * col("lo").cast(dec) *
+        col("lo").cast(dec) + col("g").cast(dec) * col("hi").cast(dec) *
+        col("hi").cast(dec)).as("wsq"))
+    // collapse the 2 arm rows into one readout row
+    def pick(cnd: Column, c0: Column) = max(when(cnd, c0))
+    val one = st.agg(
+      pick(col("y"), col("n")).as("n_a"),
+      pick(!col("y"), col("n")).as("n_b"),
+      pick(col("y"), col("h")).as("h_a"),
+      pick(!col("y"), col("h")).as("h_b"),
+      pick(col("y"), col("tsum")).as("ts_a"),
+      pick(!col("y"), col("tsum")).as("ts_b"),
+      pick(col("y"), col("wsum").cast("double")).as("ws_a"),
+      pick(!col("y"), col("wsum").cast("double")).as("ws_b"),
+      pick(col("y"), col("wsq").cast("double")).as("wq_a"),
+      pick(!col("y"), col("wsq").cast("double")).as("wq_b"))
+    // winsorized variance: (Σw² − (Σw)²/n) / (n−1); means back in
+    // original units (1e-6 of the micro grid)
+    def tmean(ts: Column, h: Column) =
+      ts.cast("double") / safe(h.cast("double")) / lit(1e6)
+    def wvar(wq: Column, ws: Column, n: Column) =
+      (wq - ws * ws / safe(n.cast("double"))) /
+        safe(n.cast("double") - lit(1.0))
+    val va = wvar(col("wq_a"), col("ws_a"), col("n_a"))
+    val vb = wvar(col("wq_b"), col("ws_b"), col("n_b"))
+    val se = sqrt(safe(
+      va / safe(col("h_a").cast("double") *
+        (col("h_a").cast("double") - lit(1.0))) +
+      vb / safe(col("h_b").cast("double") *
+        (col("h_b").cast("double") - lit(1.0))))) / lit(1e6)
+    one.select(col("n_a"), col("n_b"),
+      round(tmean(col("ts_a"), col("h_a")), 6).as("trimmed_mean_a"),
+      round(tmean(col("ts_b"), col("h_b")), 6).as("trimmed_mean_b"),
+      round((tmean(col("ts_a"), col("h_a")) -
+        tmean(col("ts_b"), col("h_b"))) / safe(se), 4).as("t_yuen"))
+  }
+
+  private val q366Sql =
+    s"""WITH b AS ($armedUnitsSql),
+       c AS (SELECT y, u, CAST(count(*) AS BIGINT) AS c
+             FROM b GROUP BY y, u),
+       tot AS (SELECT y, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY y),
+       cum AS (SELECT c.y, u, c.c,
+               CAST(sum(c.c) OVER (PARTITION BY c.y ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               n, CAST(floor(n::DOUBLE * 0.2) AS BIGINT) AS g
+             FROM c JOIN tot ON tot.y = c.y),
+       arm AS (SELECT y, n, g,
+               CAST(sum(greatest(least(cum, n - g)
+                 - greatest(cum - c, g), 0) * u) AS BIGINT) AS tsum,
+               sum(greatest(least(cum, n - g)
+                 - greatest(cum - c, g), 0)::HUGEINT
+                 * u::HUGEINT * u::HUGEINT) AS tsq,
+               min(CASE WHEN cum >= g + 1 THEN u END) AS lo,
+               min(CASE WHEN cum >= n - g THEN u END) AS hi
+             FROM cum GROUP BY y, n, g),
+       st AS (SELECT y, n, g, n - 2 * g AS h, tsum,
+               tsum::HUGEINT + g::HUGEINT * lo::HUGEINT
+                 + g::HUGEINT * hi::HUGEINT AS wsum,
+               tsq + g::HUGEINT * lo::HUGEINT * lo::HUGEINT
+                 + g::HUGEINT * hi::HUGEINT * hi::HUGEINT AS wsq
+             FROM arm),
+       one AS (SELECT
+               max(CASE WHEN y THEN n END) AS n_a,
+               max(CASE WHEN NOT y THEN n END) AS n_b,
+               max(CASE WHEN y THEN h END) AS h_a,
+               max(CASE WHEN NOT y THEN h END) AS h_b,
+               max(CASE WHEN y THEN tsum END) AS ts_a,
+               max(CASE WHEN NOT y THEN tsum END) AS ts_b,
+               max(CASE WHEN y THEN wsum::DOUBLE END) AS ws_a,
+               max(CASE WHEN NOT y THEN wsum::DOUBLE END) AS ws_b,
+               max(CASE WHEN y THEN wsq::DOUBLE END) AS wq_a,
+               max(CASE WHEN NOT y THEN wsq::DOUBLE END) AS wq_b
+             FROM st)
+       SELECT n_a, n_b,
+         round(ts_a::DOUBLE / greatest(h_a::DOUBLE, 1e-12) / 1e6, 6)
+           + 0.0 AS trimmed_mean_a,
+         round(ts_b::DOUBLE / greatest(h_b::DOUBLE, 1e-12) / 1e6, 6)
+           + 0.0 AS trimmed_mean_b,
+         round((ts_a::DOUBLE / greatest(h_a::DOUBLE, 1e-12) / 1e6
+             - ts_b::DOUBLE / greatest(h_b::DOUBLE, 1e-12) / 1e6)
+           / greatest(sqrt(greatest(
+               (wq_a - ws_a * ws_a / greatest(n_a::DOUBLE, 1e-12))
+                 / greatest(n_a::DOUBLE - 1.0, 1e-12)
+                 / greatest(h_a::DOUBLE * (h_a::DOUBLE - 1.0), 1e-12)
+               + (wq_b - ws_b * ws_b / greatest(n_b::DOUBLE, 1e-12))
+                 / greatest(n_b::DOUBLE - 1.0, 1e-12)
+                 / greatest(h_b::DOUBLE * (h_b::DOUBLE - 1.0), 1e-12),
+               1e-12)) / 1e6, 1e-12), 4) + 0.0 AS t_yuen
+       FROM one"""
+
+  // --------------------------------------------------------------- q367
+  /** Grubbs' max-studentized-deviation test on daily revenue — WHICH
+    * single day is the strongest outlier and how many sigmas is it
+    * (q101's MAD rule flags many; this names the extreme one with a
+    * test statistic). The argmax is exact-integer: |D·x − S| over the
+    * day grid (no FP mean in the comparison), earliest day breaks
+    * ties; G closes in FP from exact n-scaled moments.
+    */
+  private def q367(s: SparkSession, d: String): DataFrame = {
+    val days = dayGrid(s, d).select(col("dt"), col("t"), col("rev"))
+      .localCheckpoint(true)
+    val m = days.agg(count(lit(1)).as("dd"),
+      sum(col("rev").cast(dec)).as("ss"),
+      sum(col("rev").cast(dec) * col("rev").cast(dec)).as("sq"))
+    val dev = days.crossJoin(broadcast(m))
+      .withColumn("adev",
+        abs(col("dd").cast(dec) * col("rev").cast(dec) - col("ss")))
+    val mx = dev.agg(max("adev").as("madev"))
+    val ddD = col("dd").cast("double")
+    dev.crossJoin(broadcast(mx))
+      .filter(col("adev") === col("madev"))
+      .orderBy("t").limit(1)
+      .select(col("dd").as("n_days"), col("dt").as("outlier_date"),
+        round(col("rev").cast("double") / lit(100.0), 2)
+          .as("revenue_usd"),
+        round((col("adev").cast("double") / ddD) /
+          safe(sqrt(safe((ddD * col("sq").cast("double") -
+            col("ss").cast("double") * col("ss").cast("double")) /
+            safe(ddD * (ddD - lit(1.0)))))), 4).as("g_stat"))
+  }
+
+  private val q367Sql =
+    s"""$dayGridSql,
+       m AS (SELECT CAST(count(*) AS BIGINT) AS dd,
+             CAST(sum(rev) AS HUGEINT) AS ss,
+             sum(rev::HUGEINT * rev::HUGEINT) AS sq
+           FROM days),
+       dev AS (SELECT days.dt, days.t, days.rev, dd, ss, sq,
+             abs(dd::HUGEINT * rev::HUGEINT - ss) AS adev
+           FROM days CROSS JOIN m),
+       mx AS (SELECT max(adev) AS madev FROM dev)
+       SELECT dd AS n_days, dt AS outlier_date,
+         round(rev::DOUBLE / 100.0, 2) + 0.0 AS revenue_usd,
+         round((adev::DOUBLE / dd::DOUBLE)
+           / greatest(sqrt(greatest((dd::DOUBLE * sq::DOUBLE
+               - ss::DOUBLE * ss::DOUBLE)
+             / greatest(dd::DOUBLE * (dd::DOUBLE - 1.0), 1e-12),
+             1e-12)), 1e-12), 4) + 0.0 AS g_stat
+       FROM dev CROSS JOIN mx
+       WHERE adev = madev ORDER BY t LIMIT 1"""
+
+  /** Shared exact-duplicate fingerprint: md5 of the whitespace-
+    * normalized lowercased text (the q363 clustering key). */
+  private def dupFp: Column =
+    md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+
+  // --------------------------------------------------------------- q368
+  /** Duplication profile — the cluster-SIZE histogram behind q35's
+    * single dup-rate number: how much of the corpus sits in pairs vs
+    * heavy 6+ clusters decides whether near-dup spend is worth it
+    * (heavy exact clusters mean cheap hash dedup already wins). One
+    * scan → fingerprint sizes → four fixed buckets.
+    */
+  private def q368(s: SparkSession, d: String): DataFrame = {
+    val sizes = Tables.documents(s, d)
+      .select(dupFp.as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("sz"))
+    val bucket = when(col("sz") === 1, "1_unique")
+      .when(col("sz") === 2, "2_pair")
+      .when(col("sz") <= 5, "3_small_3_5")
+      .otherwise("4_heavy_6_plus")
+    sizes.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+      .orderBy("bucket")
+  }
+
+  private val q368Sql =
+    """WITH sizes AS (SELECT
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(count(*) AS BIGINT) AS sz
+         FROM documents GROUP BY 1)
+       SELECT CASE WHEN sz = 1 THEN '1_unique'
+                WHEN sz = 2 THEN '2_pair'
+                WHEN sz <= 5 THEN '3_small_3_5'
+                ELSE '4_heavy_6_plus' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(sz) AS BIGINT) AS n_docs
+       FROM sizes GROUP BY 1 ORDER BY bucket"""
+
+  // --------------------------------------------------------------- q369
+  /** Term burstiness (Gries' deviation of proportions) for the 200
+    * most frequent terms — a term with high DP lives in FEW sources
+    * (topical/boilerplate), low DP spreads like a function word; the
+    * mixing-weight queries (q76/q291) assume low-DP vocabulary
+    * overlap, and this measures where that breaks. Top-200 selection
+    * is a deterministic TakeOrdered on (freq desc, term); per-source
+    * shares quantize to the 1e-9 grid before the |v−s| sum over the
+    * bounded term×source grid.
+    */
+  private def q369(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("source"),
+      explode(graft.functions.TextFunctions.words(lower(col("text"))))
+        .as("w"))
+    val perSrc = toks.groupBy("w", "source").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val srcTot = perSrc.groupBy("source").agg(sum("c").as("sc"))
+    val allTot = srcTot.agg(sum("sc").as("n"))
+    val top = perSrc.groupBy("w").agg(sum("c").as("tf"))
+      .orderBy(col("tf").desc, col("w")).limit(200)
+    // zero-fill the term×source grid: a term ABSENT from a source
+    // still contributes |0 − s_i|
+    val grid = top.crossJoin(broadcast(srcTot.crossJoin(broadcast(allTot))))
+      .join(perSrc, Seq("w", "source"), "left")
+      .select(col("w"), col("tf"),
+        floor((abs(coalesce(col("c"), lit(0L)).cast("double") /
+          safe(col("tf").cast("double")) -
+          col("sc").cast("double") / safe(col("n").cast("double")))) *
+          lit(1e9) + lit(0.5)).cast("long").as("du"))
+    grid.groupBy("w", "tf").agg(sum("du").as("dsum"))
+      .select(col("w").as("term"), col("tf").as("total_freq"),
+        round(col("dsum").cast("double") / lit(2e9), 6).as("dp"))
+      .orderBy(col("dp").desc, col("term")).limit(10)
+  }
+
+  private val q369Sql =
+    """WITH toks AS (SELECT source, unnest(
+           regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         FROM documents),
+       per_src AS (SELECT w, source, CAST(count(*) AS BIGINT) AS c
+             FROM toks GROUP BY w, source),
+       src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS sc
+             FROM per_src GROUP BY source),
+       all_tot AS (SELECT CAST(sum(sc) AS BIGINT) AS n FROM src_tot),
+       top AS (SELECT w, CAST(sum(c) AS BIGINT) AS tf
+             FROM per_src GROUP BY w
+             ORDER BY tf DESC, w LIMIT 200),
+       grid AS (SELECT top.w, top.tf,
+             CAST(floor(abs(coalesce(per_src.c, 0)::DOUBLE
+               / greatest(top.tf::DOUBLE, 1e-12)
+               - src_tot.sc::DOUBLE / greatest(all_tot.n::DOUBLE,
+                 1e-12)) * 1e9 + 0.5) AS BIGINT) AS du
+           FROM top CROSS JOIN src_tot CROSS JOIN all_tot
+           LEFT JOIN per_src ON per_src.w = top.w
+             AND per_src.source = src_tot.source)
+       SELECT w AS term, tf AS total_freq,
+         round(CAST(sum(du) AS BIGINT)::DOUBLE / 2e9, 6) + 0.0 AS dp
+       FROM grid GROUP BY w, tf
+       ORDER BY dp DESC, term LIMIT 10"""
+
+  // --------------------------------------------------------------- q370
+  /** Prefix-sharing profile — what fraction of documents share their
+    * first 8 tokens with another document (the KV-cache / prefix-tree
+    * question for serving and the packing question for training:
+    * shared prefixes compress). One scan to the 8-token prefix key,
+    * one group-size pass; hit-rate = 1 − distinct/total over docs
+    * with a full-length prefix.
+    */
+  private def q370(s: SparkSession, d: String): DataFrame = {
+    val w = graft.functions.TextFunctions.words(lower(col("text")))
+    val pfx = Tables.documents(s, d)
+      .select(array_join(slice(w, 1, 8), " ").as("pfx"),
+        size(w).as("nw"))
+      .filter(col("nw") >= 8)
+    val grp = pfx.groupBy("pfx").agg(count(lit(1)).as("c"))
+    grp.agg(sum("c").as("n_docs"),
+        count(lit(1)).as("n_prefixes"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("docs_sharing"),
+        max("c").as("max_group"))
+      .select(col("n_docs"), col("n_prefixes"), col("docs_sharing"),
+        col("max_group"),
+        round(lit(1.0) - col("n_prefixes").cast("double") /
+          safe(col("n_docs").cast("double")), 6).as("share_rate"))
+  }
+
+  private val q370Sql =
+    """WITH arr AS (SELECT
+           regexp_split_to_array(trim(lower(text)), '\s+') AS a
+         FROM documents),
+       pfx AS (SELECT array_to_string(a[1:8], ' ') AS pfx
+             FROM arr WHERE len(a) >= 8),
+       grp AS (SELECT pfx, CAST(count(*) AS BIGINT) AS c
+             FROM pfx GROUP BY pfx)
+       SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_prefixes,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS docs_sharing,
+         CAST(max(c) AS BIGINT) AS max_group,
+         round(1.0 - count(*)::DOUBLE
+           / greatest(sum(c)::DOUBLE, 1e-12), 6) + 0.0 AS share_rate
+       FROM grp"""
+
+  // --------------------------------------------------------------- q371
+  /** Bowker's symmetry test on the q365 first→last priority grid —
+    * the stronger null (every i→j flow equals its reverse), χ² =
+    * Σ_{i<j}(n_ij−n_ji)²/(n_ij+n_ji), df 3. Shares q365's exact
+    * first/last kernel so the two readouts grade the same table.
+    */
+  private def q371(s: SparkSession, d: String): DataFrame = {
+    val cls = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+      .when(col("o_orderpriority") === "3-MEDIUM", 1L).otherwise(2L)
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderdate"), col("o_orderkey"), cls.as("c"))
+    val wA = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wD = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val fl = o
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .filter(col("ra") === 1 || col("rd") === 1)
+      .groupBy("o_custkey")
+      .agg(max(when(col("ra") === 1, col("c"))).as("first_c"),
+        max(when(col("rd") === 1, col("c"))).as("last_c"),
+        count(lit(1)).as("k"))
+      .filter(col("k") === 2)
+    val cells = fl.groupBy("first_c", "last_c")
+      .agg(count(lit(1)).as("nij"))
+    def cell(i: Int, j: Int): Column =
+      sum(when(col("first_c") === i && col("last_c") === j,
+        col("nij")).otherwise(0L))
+    val agg = cells.agg(sum("nij").as("n"),
+      cell(0, 1).as("n01"), cell(1, 0).as("n10"),
+      cell(0, 2).as("n02"), cell(2, 0).as("n20"),
+      cell(1, 2).as("n12"), cell(2, 1).as("n21"))
+    def term(a: String, b: String): Column =
+      (col(a) - col(b)).cast("double") * (col(a) - col(b)).cast("double") /
+        safe((col(a) + col(b)).cast("double"))
+    agg.select(col("n").as("n_pairs"),
+      round(term("n01", "n10") + term("n02", "n20") +
+        term("n12", "n21"), 4).as("chi2"),
+      lit(3L).as("dof"))
+  }
+
+  private val q371Sql =
+    """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+                WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                ELSE 2 END AS c
+         FROM orders),
+       r AS (SELECT o_custkey, c,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS ra,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd
+           FROM o),
+       fl AS (SELECT o_custkey,
+             max(CASE WHEN ra = 1 THEN c END) AS first_c,
+             max(CASE WHEN rd = 1 THEN c END) AS last_c,
+             count(*) AS k
+           FROM r WHERE ra = 1 OR rd = 1
+           GROUP BY o_custkey HAVING count(*) = 2),
+       cells AS (SELECT first_c, last_c,
+             CAST(count(*) AS BIGINT) AS nij
+           FROM fl GROUP BY first_c, last_c),
+       agg AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN first_c = 0 AND last_c = 1 THEN nij
+               ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN first_c = 1 AND last_c = 0 THEN nij
+               ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN first_c = 0 AND last_c = 2 THEN nij
+               ELSE 0 END) AS BIGINT) AS n02,
+             CAST(sum(CASE WHEN first_c = 2 AND last_c = 0 THEN nij
+               ELSE 0 END) AS BIGINT) AS n20,
+             CAST(sum(CASE WHEN first_c = 1 AND last_c = 2 THEN nij
+               ELSE 0 END) AS BIGINT) AS n12,
+             CAST(sum(CASE WHEN first_c = 2 AND last_c = 1 THEN nij
+               ELSE 0 END) AS BIGINT) AS n21
+           FROM cells)
+       SELECT n AS n_pairs,
+         round((n01 - n10)::DOUBLE * (n01 - n10)::DOUBLE
+             / greatest((n01 + n10)::DOUBLE, 1e-12)
+           + (n02 - n20)::DOUBLE * (n02 - n20)::DOUBLE
+             / greatest((n02 + n20)::DOUBLE, 1e-12)
+           + (n12 - n21)::DOUBLE * (n12 - n21)::DOUBLE
+             / greatest((n12 + n21)::DOUBLE, 1e-12), 4) + 0.0 AS chi2,
+         CAST(3 AS BIGINT) AS dof
+       FROM agg"""
+
   val queries: Map[String, Q] = Map(
     "q352_mood_scale" -> (q352 _),
     "q353_cvm_two_sample" -> (q353 _),
@@ -1224,7 +1631,13 @@ object Probes {
     "q362_fuzzy_decontam" -> (q362 _),
     "q363_canonical_dedup" -> (q363 _),
     "q364_theils_u" -> (q364 _),
-    "q365_stuart_maxwell" -> (q365 _))
+    "q365_stuart_maxwell" -> (q365 _),
+    "q366_yuen_trimmed" -> (q366 _),
+    "q367_grubbs_outlier" -> (q367 _),
+    "q368_duplication_profile" -> (q368 _),
+    "q369_term_dispersion" -> (q369 _),
+    "q370_prefix_sharing" -> (q370 _),
+    "q371_bowker_symmetry" -> (q371 _))
 
   val oracles: Map[String, String] = Map(
     "q352_mood_scale" -> q352Sql,
@@ -1240,5 +1653,11 @@ object Probes {
     "q362_fuzzy_decontam" -> q362Sql,
     "q363_canonical_dedup" -> q363Sql,
     "q364_theils_u" -> q364Sql,
-    "q365_stuart_maxwell" -> q365Sql)
+    "q365_stuart_maxwell" -> q365Sql,
+    "q366_yuen_trimmed" -> q366Sql,
+    "q367_grubbs_outlier" -> q367Sql,
+    "q368_duplication_profile" -> q368Sql,
+    "q369_term_dispersion" -> q369Sql,
+    "q370_prefix_sharing" -> q370Sql,
+    "q371_bowker_symmetry" -> q371Sql)
 }

@@ -415,4 +415,128 @@ class ProbesSpec extends SparkSpec {
     assert(r.getAs[Long]("d_urgent") === d1.toLong)
     assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
   }
+
+  test("q366 Yuen matches the direct trimmed/winsorized computation") {
+    val users = (1L to 14L)
+    val arms = armOf(users)
+    val (aU, bU) = users.partition(arms)
+    assume(aU.size >= 5 && bU.size >= 5)
+    // arm A has an extreme outlier the trim must neutralize
+    val aVals = Seq(10.0, 11.0, 12.0, 13.0, 9000.0, 9.0, 14.0)
+    val bVals = Seq(20.0, 21.0, 22.0, 19.0, 23.0, 18.0, 24.0)
+    val rows = aU.zip(aVals).map(identity) ++ bU.zip(bVals).map(identity)
+    val ev = rows.zipWithIndex.map { case ((u, v), i) =>
+      (day(i), u, "click", v) }
+      .toDF("ts", "user_id", "event_type", "value")
+    val dir = staged("yuen")("events" -> ev)
+    val r = SparkEntry.queries("q366_yuen_trimmed")(spark, dir)
+      .collect()(0)
+    def stats(xs: Seq[Double]): (Int, Int, Double, Double) = {
+      val s0 = xs.sorted
+      val n = s0.length
+      val g = math.floor(n * 0.2).toInt
+      val h = n - 2 * g
+      val trimmed = s0.slice(g, n - g)
+      val tm = trimmed.sum / h
+      val wins = Seq.fill(g)(s0(g)) ++ trimmed ++ Seq.fill(g)(s0(n - g - 1))
+      val wm = wins.sum / n
+      val wv = wins.map(x => (x - wm) * (x - wm)).sum / (n - 1)
+      (n, h, tm, wv)
+    }
+    val (na, ha, tma, wva) = stats(rows.filter(p => arms(p._1)).map(_._2))
+    val (nb, hb, tmb, wvb) = stats(rows.filterNot(p => arms(p._1)).map(_._2))
+    val t = (tma - tmb) /
+      math.sqrt(wva / (ha * (ha - 1.0)) + wvb / (hb * (hb - 1.0)))
+    assert(r.getAs[Long]("n_a") === na.toLong)
+    assert(math.abs(r.getAs[Double]("trimmed_mean_a") - tma) < 1e-4)
+    assert(math.abs(r.getAs[Double]("trimmed_mean_b") - tmb) < 1e-4)
+    assert(math.abs(r.getAs[Double]("t_yuen") - t) < 1e-2)
+    // the 9000 outlier must NOT reach the trimmed mean
+    assert(r.getAs[Double]("trimmed_mean_a") < 100.0)
+  }
+
+  test("q367 Grubbs names the spike day with the textbook G") {
+    val xs = Seq(10.0, 11.0, 10.0, 12.0, 50.0, 11.0, 10.0, 12.0)
+    val orders = xs.zipWithIndex.map { case (x, t) =>
+      (t.toLong + 1, 1L, "O", x, day(t), "5-LOW")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("grubbs")("orders" -> orders)
+    val r = SparkEntry.queries("q367_grubbs_outlier")(spark, dir)
+      .collect()(0)
+    val cents = xs.map(x => math.floor(x * 100.0 + 0.5))
+    val n = cents.length
+    val m = cents.sum / n
+    val sd = math.sqrt(cents.map(x => (x - m) * (x - m)).sum / (n - 1))
+    val g = cents.map(x => math.abs(x - m)).max / sd
+    assert(r.getAs[java.sql.Date]("outlier_date").toString === "2024-01-05")
+    assert(r.getAs[Double]("revenue_usd") === 50.0)
+    assert(math.abs(r.getAs[Double]("g_stat") - g) < 1e-3)
+  }
+
+  test("q368 duplication profile buckets cluster sizes") {
+    val dir = staged("dupprof")("documents" -> docsDf(Seq(
+      (2L, "unique one", "en", "s"), (3L, "dup A", "en", "s"),
+      (4L, "DUP   a", "en", "s"), (5L, "trip B", "en", "s"),
+      (6L, "trip b", "en", "s"), (7L, "TRIP B", "en", "s"))))
+    val out = SparkEntry.queries("q368_duplication_profile")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(out("1_unique") === ((1L, 1L)))
+    assert(out("2_pair") === ((1L, 2L)))
+    assert(out("3_small_3_5") === ((1L, 3L)))
+  }
+
+  test("q369 term dispersion: a single-source term scores DP = " +
+      "1 - its source's share") {
+    // two sources with equal token mass; 'bursty' lives only in s1
+    val dir = staged("dp")("documents" -> docsDf(Seq(
+      (2L, "bursty bursty common common", "en", "s1"),
+      (3L, "spread spread common common", "en", "s2"))))
+    val out = SparkEntry.queries("q369_term_dispersion")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("dp")).toMap
+    // s1 share = 0.5: DP(bursty) = (|1-0.5| + |0-0.5|)/2 = 0.5
+    assert(out("bursty") === 0.5)
+    assert(out("common") === 0.0)
+  }
+
+  test("q370 prefix sharing counts 8-token prefix groups") {
+    val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val dir = staged("pfx")("documents" -> docsDf(Seq(
+      (2L, s"$eight tail one", "en", "s"),
+      (3L, s"$eight other tail", "en", "s"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 x", "en", "s"),
+      (5L, "too short", "en", "s"))))
+    val r = SparkEntry.queries("q370_prefix_sharing")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_docs") === 3L) // short doc excluded
+    assert(r.getAs[Long]("n_prefixes") === 2L)
+    assert(r.getAs[Long]("docs_sharing") === 2L)
+    assert(r.getAs[Long]("max_group") === 2L)
+    assert(math.abs(r.getAs[Double]("share_rate") - (1.0 - 2.0 / 3.0)) < 1e-5)
+  }
+
+  test("q371 Bowker symmetry matches the off-diagonal formula on the " +
+      "q365 fixture") {
+    val cellCounts = Map((0, 0) -> 3, (0, 1) -> 2, (1, 0) -> 1,
+      (1, 1) -> 2, (2, 2) -> 2, (0, 2) -> 1)
+    val pr = Seq("1-URGENT", "3-MEDIUM", "5-LOW")
+    var ck = 0L
+    val orders = cellCounts.toSeq.flatMap { case ((i, j), c) =>
+      (0 until c).flatMap { _ =>
+        ck += 1
+        Seq((ck * 10 + 1, ck, "O", 1.0, day(0), pr(i)),
+          (ck * 10 + 2, ck, "O", 1.0, day(5), pr(j)))
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("bowker")("orders" -> orders)
+    val r = SparkEntry.queries("q371_bowker_symmetry")(spark, dir)
+      .collect()(0)
+    // (n01,n10)=(2,1), (n02,n20)=(1,0), (n12,n21)=(0,0)
+    val chi2 = 1.0 / 3.0 + 1.0 / 1.0
+    assert(r.getAs[Long]("n_pairs") === 11L)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
+    assert(r.getAs[Long]("dof") === 3L)
+  }
 }
