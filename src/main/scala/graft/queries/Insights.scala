@@ -1235,11 +1235,14 @@ object Insights {
     // deterministic sample is how an eval harness runs at corpus
     // scale (the full-corpus dedup itself is graded by q36/q38)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 2500)
+    // each pair frame feeds BOTH its count agg and the semi-join —
+    // checkpoint the tiny pair tables so the minhash/shingle kernels
+    // run once per query, not twice (the q305 small-frame class)
     val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").localCheckpoint(true)
     val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text",
         threshold = 0.8, maxShingleDf = 16)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").localCheckpoint(true)
     val common = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
     val stats = lsh.agg(count(lit(1)).as("n_lsh"))
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))

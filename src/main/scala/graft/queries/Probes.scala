@@ -1617,6 +1617,355 @@ object Probes {
          CAST(3 AS BIGINT) AS dof
        FROM agg"""
 
+  // --------------------------------------------------------------- q372
+  /** Jonckheere–Terpstra ordered k-group trend — does the value
+    * distribution shift MONOTONICALLY across event types in
+    * alphabetical order (the ordered alternative q316's Kruskal–Wallis
+    * throws away; q347's Page test asks this of BLOCKED ranks, JT of
+    * independent groups)? JT = Σ_{i<j} U_ij collapses to one pass over
+    * the zero-filled value×group grid: 2·JT = Σ c_g(v)·(2·L + C) with
+    * L/C the cross-group prefix sums of below-counts/tie-counts at v —
+    * both from PARTITIONed windows (by group over values, by value
+    * over groups). The tie-corrected variance closes from exact
+    * integer Σn(n−1)(2n+5)-style sums (the q284 tie machinery).
+    */
+  private def q372(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val units = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val b = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type").as("g"), units.as("u"))
+    val cg = b.groupBy("g", "u").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val grid = cg.select("u").distinct()
+      .crossJoin(broadcast(cg.select("g").distinct()))
+      .join(cg, Seq("g", "u"), "left")
+      .select(col("g"), col("u"), coalesce(col("c"), lit(0L)).as("c"))
+    val wV = Window.partitionBy("g").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wG = Window.partitionBy("u").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = grid
+      .withColumn("cumlt", coalesce(sum("c").over(wV), lit(0L)))
+      .withColumn("lc", coalesce(sum("cumlt").over(wG), lit(0L)))
+      .withColumn("cc", coalesce(sum("c").over(wG), lit(0L)))
+    val jt = terms.agg(
+      sum(col("c").cast(dec) *
+        (lit(2L) * col("lc") + col("cc")).cast(dec)).as("jt2"))
+    val sizes = cg.groupBy("g").agg(sum("c").as("ng"))
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum(col("ng").cast(dec) * col("ng").cast(dec)).as("n2"),
+        sum(col("ng").cast(dec) * (col("ng") - lit(1L)).cast(dec) *
+          (lit(2L) * col("ng") + lit(5L)).cast(dec)).as("g25"),
+        sum(col("ng").cast(dec) * (col("ng") - lit(1L)).cast(dec) *
+          (col("ng") - lit(2L)).cast(dec)).as("g12"),
+        sum(col("ng").cast(dec) * (col("ng") - lit(1L)).cast(dec))
+          .as("g1"))
+    val ties = cg.groupBy("u").agg(sum("c").as("t"))
+      .agg(
+        sum(col("t").cast(dec) * (col("t") - lit(1L)).cast(dec) *
+          (lit(2L) * col("t") + lit(5L)).cast(dec)).as("t25"),
+        sum(col("t").cast(dec) * (col("t") - lit(1L)).cast(dec) *
+          (col("t") - lit(2L)).cast(dec)).as("t12"),
+        sum(col("t").cast(dec) * (col("t") - lit(1L)).cast(dec))
+          .as("t1"))
+    val one = jt.crossJoin(broadcast(sizes)).crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val e = (nD * nD - col("n2").cast("double")) / lit(4.0)
+    val vr = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+        col("g25").cast("double") - col("t25").cast("double")) /
+        lit(72.0) +
+      col("g12").cast("double") * col("t12").cast("double") /
+        safe(lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))) +
+      col("g1").cast("double") * col("t1").cast("double") /
+        safe(lit(8.0) * nD * (nD - lit(1.0)))
+    one.select(col("n").as("n_obs"), col("k").as("k_groups"),
+      round(col("jt2").cast("double") / lit(2.0) / safe(e), 6)
+        .as("jt_over_null"),
+      round((col("jt2").cast("double") / lit(2.0) - e) /
+        safe(sqrt(safe(vr))), 4).as("z"))
+  }
+
+  private val q372Sql =
+    """WITH b AS (SELECT event_type AS g,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS u
+         FROM events WHERE value IS NOT NULL),
+       cg AS (SELECT g, u, CAST(count(*) AS BIGINT) AS c
+             FROM b GROUP BY g, u),
+       grid AS (SELECT gs.g, us.u, coalesce(cg.c, 0) AS c
+             FROM (SELECT DISTINCT u FROM cg) us
+             CROSS JOIN (SELECT DISTINCT g FROM cg) gs
+             LEFT JOIN cg ON cg.g = gs.g AND cg.u = us.u),
+       terms AS (SELECT g, u, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumlt
+           FROM grid),
+       t2 AS (SELECT g, u, c,
+             coalesce(sum(cumlt) OVER (PARTITION BY u ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS lc,
+             coalesce(sum(c) OVER (PARTITION BY u ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cc
+           FROM terms),
+       jt AS (SELECT sum(c::HUGEINT * (2 * lc + cc)::HUGEINT) AS jt2
+             FROM t2),
+       gsz AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+             FROM cg GROUP BY g),
+       sizes AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(ng::HUGEINT * ng::HUGEINT) AS n2,
+             sum(ng::HUGEINT * (ng - 1)::HUGEINT
+               * (2 * ng + 5)::HUGEINT) AS g25,
+             sum(ng::HUGEINT * (ng - 1)::HUGEINT * (ng - 2)::HUGEINT)
+               AS g12,
+             sum(ng::HUGEINT * (ng - 1)::HUGEINT) AS g1
+           FROM gsz),
+       tsz AS (SELECT u, CAST(sum(c) AS BIGINT) AS t
+             FROM cg GROUP BY u),
+       ties AS (SELECT
+             sum(t::HUGEINT * (t - 1)::HUGEINT * (2 * t + 5)::HUGEINT)
+               AS t25,
+             sum(t::HUGEINT * (t - 1)::HUGEINT * (t - 2)::HUGEINT)
+               AS t12,
+             sum(t::HUGEINT * (t - 1)::HUGEINT) AS t1
+           FROM tsz)
+       SELECT n AS n_obs, k AS k_groups,
+         round(jt2::DOUBLE / 2.0 / greatest((n::DOUBLE * n::DOUBLE
+           - n2::DOUBLE) / 4.0, 1e-12), 6) + 0.0 AS jt_over_null,
+         round((jt2::DOUBLE / 2.0 - (n::DOUBLE * n::DOUBLE
+             - n2::DOUBLE) / 4.0)
+           / greatest(sqrt(greatest(
+               (n::DOUBLE * (n::DOUBLE - 1.0) * (2.0 * n::DOUBLE + 5.0)
+                 - g25::DOUBLE - t25::DOUBLE) / 72.0
+               + g12::DOUBLE * t12::DOUBLE
+                 / greatest(36.0 * n::DOUBLE * (n::DOUBLE - 1.0)
+                   * (n::DOUBLE - 2.0), 1e-12)
+               + g1::DOUBLE * t1::DOUBLE
+                 / greatest(8.0 * n::DOUBLE * (n::DOUBLE - 1.0),
+                   1e-12), 1e-12)), 1e-12), 4) + 0.0 AS z
+       FROM jt CROSS JOIN sizes CROSS JOIN ties"""
+
+  // --------------------------------------------------------------- q373
+  /** Cliff's delta per event type — the EFFECT SIZE q247's z cannot
+    * give (a huge corpus makes any shift "significant"; δ = 2U/(nm)−1
+    * says how big it is on [−1,1]). Shares
+    * [[graft.operators.MlEval.mannWhitney]] verbatim, so the U this
+    * grades is bit-identical to the one q247 tests.
+    */
+  private def q373(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val units = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val arm = graft.operators.Sampling.hashBucket(col("user_id"), "ab", 2)
+    val scored = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), units.as("u"), (arm === 0).as("y"))
+    graft.operators.MlEval
+      .mannWhitney(scored, "event_type", "u", "y")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(lit(2.0) * col("u_a") /
+            safe(col("n_a").cast("double") * col("n_b").cast("double")) -
+            lit(1.0), 6)).as("cliffs_delta"))
+      .orderBy("event_type")
+  }
+
+  private val q373Sql =
+    """WITH b AS (SELECT event_type,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS u,
+           (('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 15))::BIGINT
+             % 2 = 0) AS y
+         FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type, u,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS bb
+             FROM b GROUP BY event_type, u),
+       w AS (SELECT event_type, a, bb,
+               coalesce(sum(bb) OVER (PARTITION BY event_type ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS bbelow
+             FROM c),
+       agg AS (SELECT event_type,
+               CAST(sum(a) AS BIGINT) AS n_a,
+               CAST(sum(bb) AS BIGINT) AS n_b,
+               sum(a::HUGEINT * (2 * bbelow + bb)) AS u2
+             FROM w GROUP BY event_type)
+       SELECT event_type, n_a, n_b,
+         CASE WHEN n_a > 0 AND n_b > 0 THEN
+           round(2.0 * (u2::DOUBLE / 2.0)
+             / greatest(n_a::DOUBLE * n_b::DOUBLE, 1e-12) - 1.0, 6)
+             + 0.0
+         END AS cliffs_delta
+       FROM agg ORDER BY event_type"""
+
+  // --------------------------------------------------------------- q374
+  /** Paired sign test on week-over-week revenue — the
+    * assumption-free companion to q339's Wilcoxon (which still needs
+    * symmetric differences): just "did revenue go UP more weeks than
+    * down", zero-diff weeks dropped, binomial normal z. Weeks are
+    * t÷7 blocks of the zero-filled day grid; all counts exact.
+    */
+  private def q374(s: SparkSession, d: String): DataFrame = {
+    val days = dayGrid(s, d).select(col("t"), col("rev"))
+    val weeks = days
+      .withColumn("w", floor(col("t").cast("double") / lit(7.0))
+        .cast("long"))
+      .groupBy("w").agg(sum("rev").as("wrev"), count(lit(1)).as("nd"))
+      .filter(col("nd") === 7) // complete weeks only
+    val lag = weeks.select((col("w") + lit(1L)).as("w"),
+      col("wrev").as("prev"))
+    val diffs = weeks.join(lag, Seq("w"))
+      .select((col("wrev") - col("prev")).as("dr"))
+      .filter(col("dr") =!= 0L)
+    val agg = diffs.agg(count(lit(1)).as("n"),
+      sum(when(col("dr") > 0, 1L).otherwise(0L)).as("n_pos"))
+    agg.select(col("n").as("n_weeks"), col("n_pos"),
+      (col("n") - col("n_pos")).as("n_neg"),
+      round((col("n_pos").cast("double") -
+        (col("n") - col("n_pos")).cast("double")) /
+        safe(sqrt(safe(col("n").cast("double")))), 4).as("z"))
+  }
+
+  private val q374Sql =
+    s"""$dayGridSql,
+       weeks AS (SELECT CAST(floor(t::DOUBLE / 7.0) AS BIGINT) AS w,
+             CAST(sum(rev) AS BIGINT) AS wrev,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM days GROUP BY 1 HAVING count(*) = 7),
+       diffs AS (SELECT w1.wrev - w0.wrev AS dr
+           FROM weeks w1 JOIN weeks w0 ON w1.w = w0.w + 1
+           WHERE w1.wrev - w0.wrev <> 0),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN dr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+           FROM diffs)
+       SELECT n AS n_weeks, n_pos, n - n_pos AS n_neg,
+         round((n_pos::DOUBLE - (n - n_pos)::DOUBLE)
+           / greatest(sqrt(greatest(n::DOUBLE, 1e-12)), 1e-12), 4)
+           + 0.0 AS z
+       FROM agg"""
+
+  // --------------------------------------------------------------- q375
+  /** Mood's median test — do the event types differ in the COARSEST
+    * location sense (each group's share above the one GLOBAL median),
+    * the robust sanity row next to q316's rank-powered H? The global
+    * median is an exact order statistic from a two-level bucketed
+    * prefix (approx-percentile buckets → in-bucket window + broadcast
+    * offsets — no single-partition sort over the distinct-value
+    * table); the k×2 χ² closes from per-group 1e-6-quantized terms.
+    */
+  private def q375(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("double")
+    val units = (floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+      when(x < 0, -1L).otherwise(1L)
+    val b = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type").as("g"), units.as("u"))
+    val cu = b.groupBy("u").agg(count(lit(1)).as("t"))
+    // two-level global prefix over distinct values (bounded buckets)
+    val boundsDf = cu.agg(expr(
+      "cast(approx_percentile(u, array(" +
+        (1 until 32).map(_ / 32.0).mkString(",") +
+        "), 1000) as array<double>)").as("bounds"))
+    val bucketed = cu.crossJoin(broadcast(boundsDf))
+      .withColumn("bk", aggregate(col("bounds"), lit(0),
+        (acc, bo) => acc + when(col("u").cast("double") > bo, 1)
+          .otherwise(0)))
+      .drop("bounds")
+    val offW = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bk").agg(sum("t").as("tn"))
+      .withColumn("ob", coalesce(sum("tn").over(offW), lit(0L)))
+      .select("bk", "ob")
+    val inB = Window.partitionBy("bk").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bucketed.join(broadcast(offsets), Seq("bk"))
+      .withColumn("cum", sum("t").over(inB) + col("ob"))
+    val nTot = cu.agg(sum("t").as("n"))
+    // integer rank target: Spark `/` is FP division (the q250 pitfall)
+    // — floor to mirror DuckDB's `(n+1)//2`
+    val med = cum.crossJoin(broadcast(nTot))
+      .filter(col("cum") >=
+        floor((col("n") + lit(1L)).cast("double") / lit(2.0)).cast("long"))
+      .agg(min("u").as("med"))
+    val grp = b.crossJoin(broadcast(med))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("u") > col("med"), 1L).otherwise(0L)).as("ag"))
+    val tot = grp.agg(sum("ng").as("n"), sum("ag").as("a"),
+      count(lit(1)).as("k"))
+    // per-group chi2 terms quantized before the k-row sum
+    val terms = grp.crossJoin(broadcast(tot))
+      .withColumn("ea", col("ng").cast("double") *
+        col("a").cast("double") / safe(col("n").cast("double")))
+      .withColumn("eb", col("ng").cast("double") *
+        (col("n") - col("a")).cast("double") /
+        safe(col("n").cast("double")))
+      .withColumn("tu", floor(
+        ((col("ag").cast("double") - col("ea")) *
+          (col("ag").cast("double") - col("ea")) / safe(col("ea")) +
+          ((col("ng") - col("ag")).cast("double") - col("eb")) *
+          ((col("ng") - col("ag")).cast("double") - col("eb")) /
+          safe(col("eb"))) * lit(1e6) + lit(0.5)).cast("long"))
+    terms.groupBy("n", "k").agg(sum("tu").as("chi2u"))
+      .crossJoin(broadcast(med))
+      .select(col("n").as("n_obs"), col("k").as("k_groups"),
+        round(col("med").cast("double") / lit(1e6), 6)
+          .as("global_median"),
+        round(col("chi2u").cast("double") / lit(1e6), 4).as("chi2"),
+        (col("k") - lit(1L)).as("dof"))
+  }
+
+  private val q375Sql =
+    """WITH b AS (SELECT event_type AS g,
+           CAST(floor(abs(value::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * (CASE WHEN value::DOUBLE < 0 THEN -1 ELSE 1 END) AS u
+         FROM events WHERE value IS NOT NULL),
+       cu AS (SELECT u, CAST(count(*) AS BIGINT) AS t
+             FROM b GROUP BY u),
+       cum AS (SELECT u,
+               CAST(sum(t) OVER (ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM cu),
+       ntot AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM cu),
+       med AS (SELECT min(u) AS med FROM cum, ntot
+             WHERE cum >= (n + 1) // 2),
+       grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(CASE WHEN u > med THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ag
+             FROM b, med GROUP BY g),
+       tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(ag) AS BIGINT) AS a,
+               CAST(count(*) AS BIGINT) AS k
+             FROM grp),
+       terms AS (SELECT ng, ag, n, k,
+               CAST(floor(((ag::DOUBLE - ng::DOUBLE * a::DOUBLE
+                   / greatest(n::DOUBLE, 1e-12))
+                 * (ag::DOUBLE - ng::DOUBLE * a::DOUBLE
+                   / greatest(n::DOUBLE, 1e-12))
+                 / greatest(ng::DOUBLE * a::DOUBLE
+                   / greatest(n::DOUBLE, 1e-12), 1e-12)
+                 + ((ng - ag)::DOUBLE - ng::DOUBLE * (n - a)::DOUBLE
+                   / greatest(n::DOUBLE, 1e-12))
+                 * ((ng - ag)::DOUBLE - ng::DOUBLE * (n - a)::DOUBLE
+                   / greatest(n::DOUBLE, 1e-12))
+                 / greatest(ng::DOUBLE * (n - a)::DOUBLE
+                   / greatest(n::DOUBLE, 1e-12), 1e-12)) * 1e6 + 0.5)
+                 AS BIGINT) AS tu
+             FROM grp CROSS JOIN tot),
+       fin AS (SELECT n, k, CAST(sum(tu) AS BIGINT) AS chi2u,
+               max(med.med) AS med
+             FROM terms, med GROUP BY n, k)
+       SELECT n AS n_obs, k AS k_groups,
+         round(med::DOUBLE / 1e6, 6) + 0.0 AS global_median,
+         round(chi2u::DOUBLE / 1e6, 4) + 0.0 AS chi2,
+         k - 1 AS dof
+       FROM fin"""
+
   val queries: Map[String, Q] = Map(
     "q352_mood_scale" -> (q352 _),
     "q353_cvm_two_sample" -> (q353 _),
@@ -1637,7 +1986,11 @@ object Probes {
     "q368_duplication_profile" -> (q368 _),
     "q369_term_dispersion" -> (q369 _),
     "q370_prefix_sharing" -> (q370 _),
-    "q371_bowker_symmetry" -> (q371 _))
+    "q371_bowker_symmetry" -> (q371 _),
+    "q372_jonckheere" -> (q372 _),
+    "q373_cliffs_delta" -> (q373 _),
+    "q374_sign_test" -> (q374 _),
+    "q375_median_test" -> (q375 _))
 
   val oracles: Map[String, String] = Map(
     "q352_mood_scale" -> q352Sql,
@@ -1659,5 +2012,9 @@ object Probes {
     "q368_duplication_profile" -> q368Sql,
     "q369_term_dispersion" -> q369Sql,
     "q370_prefix_sharing" -> q370Sql,
-    "q371_bowker_symmetry" -> q371Sql)
+    "q371_bowker_symmetry" -> q371Sql,
+    "q372_jonckheere" -> q372Sql,
+    "q373_cliffs_delta" -> q373Sql,
+    "q374_sign_test" -> q374Sql,
+    "q375_median_test" -> q375Sql)
 }

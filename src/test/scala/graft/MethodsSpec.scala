@@ -302,12 +302,9 @@ class MethodsSpec extends SparkSpec {
     val dir = staged("bt")("documents" -> docs)
     val out = SparkEntry.queries("q303_bradley_terry")(spark, dir)
       .collect().map(r => r.getAs[String]("source") -> r).toMap
-    assert(out("srcA").getAs[java.math.BigDecimal]("wins")
-      .longValueExact === 4L)
-    assert(out("srcA").getAs[java.math.BigDecimal]("losses")
-      .longValueExact === 0L)
-    assert(out("srcB").getAs[java.math.BigDecimal]("wins")
-      .longValueExact === 0L)
+    assert(out("srcA").getAs[Long]("wins") === 4L)
+    assert(out("srcA").getAs[Long]("losses") === 0L)
+    assert(out("srcB").getAs[Long]("wins") === 0L)
     assert(out("srcA").getAs[Double]("rating") === 2.0)
     assert(out("srcB").getAs[Double]("rating") === 0.0)
   }

@@ -539,4 +539,82 @@ class ProbesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
     assert(r.getAs[Long]("dof") === 3L)
   }
+
+  test("q372 Jonckheere: perfectly ordered groups hit the maximum JT " +
+      "and a positive z") {
+    // alphabetical order click < error < view; values strictly
+    // increasing across groups, no ties: JT = sum n_i*n_j = 27
+    val rows = Seq(("click", 1.0), ("click", 2.0), ("click", 3.0),
+      ("error", 4.0), ("error", 5.0), ("error", 6.0),
+      ("view", 7.0), ("view", 8.0), ("view", 9.0))
+    val ev = rows.zipWithIndex.map { case ((g, v), i) =>
+      (day(i), i.toLong + 1, g, v) }
+      .toDF("ts", "user_id", "event_type", "value")
+    val dir = staged("jt")("events" -> ev)
+    val r = SparkEntry.queries("q372_jonckheere")(spark, dir).collect()(0)
+    // E = (81 - 27)/4 = 13.5; JT = 27 -> ratio 2.0
+    assert(r.getAs[Long]("n_obs") === 9L)
+    assert(r.getAs[Long]("k_groups") === 3L)
+    assert(r.getAs[Double]("jt_over_null") === 2.0)
+    // no-ties variance: [N(N-1)(2N+5) - sum n(n-1)(2n+5)]/72 = (1656-198)/72
+    val v = (9.0 * 8 * 23 - 3 * (3.0 * 2 * 11)) / 72.0
+    assert(math.abs(r.getAs[Double]("z") - (27.0 - 13.5) / math.sqrt(v))
+      < 1e-3)
+  }
+
+  test("q373 Cliff's delta matches the direct pairwise count") {
+    val users = (1L to 10L)
+    val arms = armOf(users)
+    val (aU, bU) = users.partition(arms)
+    assume(aU.size >= 3 && bU.size >= 3)
+    val aVals = Seq(5.0, 6.0, 7.0, 8.0, 9.0)
+    val bVals = Seq(1.0, 2.0, 3.0, 6.0, 4.0)
+    val rows = aU.zip(aVals).map(identity) ++ bU.zip(bVals).map(identity)
+    val ev = rows.zipWithIndex.map { case ((u, v), i) =>
+      (day(i), u, "click", v) }
+      .toDF("ts", "user_id", "event_type", "value")
+    val dir = staged("cliffs")("events" -> ev)
+    val r = SparkEntry.queries("q373_cliffs_delta")(spark, dir)
+      .collect()(0)
+    val a = rows.filter(p => arms(p._1)).map(_._2)
+    val b = rows.filterNot(p => arms(p._1)).map(_._2)
+    val gt = (for (x <- a; y <- b) yield if (x > y) 1.0
+      else if (x < y) -1.0 else 0.0).sum
+    val delta = gt / (a.size * b.size)
+    assert(math.abs(r.getAs[Double]("cliffs_delta") - delta) < 1e-4)
+  }
+
+  test("q374 sign test counts week-over-week ups and downs") {
+    // 3 complete weeks with strictly rising weekly totals -> 2 ups
+    val orders = (0 until 21).map { t =>
+      (t.toLong + 1, 1L, "O", 10.0 + t, day(t), "5-LOW")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = staged("sign")("orders" -> orders)
+    val r = SparkEntry.queries("q374_sign_test")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_weeks") === 2L)
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 0L)
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(2.0)) < 1e-3)
+  }
+
+  test("q375 median test: groups straddling the global median give " +
+      "the textbook chi2") {
+    // click all below/at median, view all above: N=8, median = 4th
+    // smallest-ranked value
+    val rows = Seq(("click", 1.0), ("click", 2.0), ("click", 3.0),
+      ("click", 4.0), ("view", 5.0), ("view", 6.0), ("view", 7.0),
+      ("view", 8.0))
+    val ev = rows.zipWithIndex.map { case ((g, v), i) =>
+      (day(i), i.toLong + 1, g, v) }
+      .toDF("ts", "user_id", "event_type", "value")
+    val dir = staged("median")("events" -> ev)
+    val r = SparkEntry.queries("q375_median_test")(spark, dir).collect()(0)
+    // (N+1)//2 = 4 -> median = 4.0; above: click 0/4, view 4/4; A=4
+    // e = 2 per cell -> chi2 = 4*(0-2)^2/2 = 8
+    assert(r.getAs[Long]("n_obs") === 8L)
+    assert(r.getAs[Double]("global_median") === 4.0)
+    assert(r.getAs[Double]("chi2") === 8.0)
+    assert(r.getAs[Long]("dof") === 1L)
+  }
 }

@@ -474,9 +474,9 @@ class StudiesSpec extends SparkSpec {
       "affine image") {
     val r = SparkEntry.queries("q341_c_index")(
       spark, "/root/testdata/sf0.001").collect()(0)
-    val conc = r.getAs[java.math.BigDecimal]("concordant").longValueExact
-    val disc = r.getAs[java.math.BigDecimal]("discordant").longValueExact
-    val tied = r.getAs[java.math.BigDecimal]("risk_tied").longValueExact
+    val conc = r.getAs[Long]("concordant")
+    val disc = r.getAs[Long]("discordant")
+    val tied = r.getAs[Long]("risk_tied")
     assert(conc + disc + tied > 0L)
     val c = r.getAs[Double]("c_index")
     assert(c >= 0.0 && c <= 1.0)
