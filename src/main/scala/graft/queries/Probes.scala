@@ -1966,6 +1966,251 @@ object Probes {
          k - 1 AS dof
        FROM fin"""
 
+  // --------------------------------------------------------------- q376
+  /** Cross-lingual near-duplicate matrix — how many of q36's banded
+    * MinHash pairs CROSS a language boundary (machine-translated or
+    * language-mislabeled twins; same-language pairs are ordinary dups,
+    * cross-language ones poison per-language mixing budgets and
+    * leak eval translations). Reuses the q36 kernel verbatim; the
+    * lang lookup joins by id; the pair's language key is
+    * order-normalized (least/greatest).
+    */
+  private def q376(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.operators.Dedup
+      .minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b")
+    val langs = docs.select(col("doc_id"), col("lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("doc_a"),
+        col("lang").as("la")), "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"),
+        col("lang").as("lb")), "doc_b")
+      .groupBy(least(col("la"), col("lb")).as("lang_a"),
+        greatest(col("la"), col("lb")).as("lang_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_lingual", col("lang_a") =!= col("lang_b"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  private val q376Sql =
+    s"""WITH RECURSIVE p AS (${Pipeline.q36Core}),
+       l AS (SELECT doc_id, lang FROM documents)
+       SELECT least(a.lang, b.lang) AS lang_a,
+         greatest(a.lang, b.lang) AS lang_b,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         least(a.lang, b.lang) <> greatest(a.lang, b.lang)
+           AS cross_lingual
+       FROM p JOIN l a ON a.doc_id = p.doc_a
+       JOIN l b ON b.doc_id = p.doc_b
+       GROUP BY 1, 2 ORDER BY lang_a, lang_b"""
+
+  // --------------------------------------------------------------- q377
+  /** Duplicate selection bias — are exact duplicates systematically
+    * SHORTER than unique documents (they usually are: templates,
+    * boilerplate, empty shells), quantified as the point-biserial
+    * correlation between dup membership and token count? Dedup then
+    * changes the length distribution, which shifts packing (q75) and
+    * token budgets (q292) — this measures that shift before you pay
+    * it. Fingerprint sizes from the q363 key; exact integer moments;
+    * r_pb = (m₁−m₀)·√(n₁n₀)/ (s·n) in one FP closer.
+    */
+  private def q377(s: SparkSession, d: String): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      dupFp.as("fp"), size(w).cast("long").as("toks"))
+    val sized = base.join(
+      base.groupBy("fp").agg(count(lit(1)).as("sz")), "fp")
+      .select(col("toks"), (col("sz") > 1).as("dup"))
+    val agg = sized.agg(count(lit(1)).as("n"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("dup"), col("toks")).otherwise(0L)).as("s1"),
+      sum(col("toks")).as("st"),
+      sum(col("toks").cast(dec) * col("toks").cast(dec)).as("sq"))
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val n0D = (col("n") - col("n1")).cast("double")
+    val m1 = col("s1").cast("double") / safe(n1D)
+    val m0 = (col("st") - col("s1")).cast("double") / safe(n0D)
+    val sd = sqrt(safe((nD * col("sq").cast("double") -
+      col("st").cast("double") * col("st").cast("double")) /
+      safe(nD * nD)))
+    agg.select(col("n").as("n_docs"), col("n1").as("n_dup"),
+      round(m1, 4).as("mean_tokens_dup"),
+      round(m0, 4).as("mean_tokens_unique"),
+      when(col("n1") > 0 && col("n") > col("n1"),
+        round((m1 - m0) / safe(sd) * sqrt(safe(n1D * n0D)) / safe(nD), 6))
+        .as("r_pb"))
+  }
+
+  private val q377Sql =
+    """WITH base AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             AS BIGINT) AS toks
+         FROM documents),
+       szs AS (SELECT fp, CAST(count(*) AS BIGINT) AS sz
+             FROM base GROUP BY fp),
+       sized AS (SELECT toks, sz > 1 AS dup
+             FROM base JOIN szs ON szs.fp = base.fp),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN dup THEN toks ELSE 0 END) AS BIGINT)
+               AS s1,
+             CAST(sum(toks) AS BIGINT) AS st,
+             sum(toks::HUGEINT * toks::HUGEINT) AS sq
+           FROM sized)
+       SELECT n AS n_docs, n1 AS n_dup,
+         round(s1::DOUBLE / greatest(n1::DOUBLE, 1e-12), 4) + 0.0
+           AS mean_tokens_dup,
+         round((st - s1)::DOUBLE / greatest((n - n1)::DOUBLE, 1e-12),
+           4) + 0.0 AS mean_tokens_unique,
+         CASE WHEN n1 > 0 AND n > n1 THEN
+           round((s1::DOUBLE / greatest(n1::DOUBLE, 1e-12)
+               - (st - s1)::DOUBLE / greatest((n - n1)::DOUBLE, 1e-12))
+             / greatest(sqrt(greatest((n::DOUBLE * sq::DOUBLE
+                 - st::DOUBLE * st::DOUBLE)
+               / greatest(n::DOUBLE * n::DOUBLE, 1e-12), 1e-12)),
+               1e-12)
+             * sqrt(greatest(n1::DOUBLE * (n - n1)::DOUBLE, 1e-12))
+             / greatest(n::DOUBLE, 1e-12), 6) + 0.0
+         END AS r_pb
+       FROM agg"""
+
+  // --------------------------------------------------------------- q378
+  /** Token n-gram entropy ladder — H(unigram), H(next|1-gram),
+    * H(next|2-gram): how predictable is the corpus at increasing
+    * context (q98 measures characters per doc; q327 event streams;
+    * this is the corpus-level token ladder that perplexity filters
+    * (q212) and n-gram LMs (q138/q306) implicitly assume). Each level
+    * is one n-gram count table; plug-in entropy terms quantize to the
+    * 1e-9 grid before summation; conditional entropies close by
+    * subtraction of exact grid sums.
+    */
+  private def q378(s: SparkSession, d: String): DataFrame = {
+    val w = graft.functions.TextFunctions.words(lower(col("text")))
+    val docsW = Tables.documents(s, d).select(w.as("w"))
+      .localCheckpoint(true)
+    def grams(n: Int): DataFrame =
+      if (n == 1) docsW.select(explode(col("w")).as("g"))
+      else docsW
+        .select(explode(expr(
+          s"transform(slice(w, 1, greatest(size(w) - ${n - 1}, 0)), " +
+            s"(x, i) -> concat_ws(' ', slice(w, i + 1, $n)))")).as("g"))
+    def hUnits(df: DataFrame): DataFrame = {
+      val cnt = df.groupBy("g").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").as("nt"))
+      cnt.crossJoin(broadcast(tot))
+        .select(floor(col("c").cast("double") /
+          col("nt").cast("double") *
+          (log(2.0, col("nt").cast("double")) -
+            log(2.0, col("c").cast("double"))) * lit(1e9) +
+          lit(0.5)).cast("long").as("tu"))
+        .agg(sum("tu").as("hu"))
+    }
+    val one = hUnits(grams(1)).select(col("hu").as("h1u"))
+      .crossJoin(broadcast(hUnits(grams(2)).select(col("hu").as("h2u"))))
+      .crossJoin(broadcast(hUnits(grams(3)).select(col("hu").as("h3u"))))
+    one.select(
+      round(col("h1u").cast("double") / lit(1e9), 6).as("h_unigram"),
+      round((col("h2u") - col("h1u")).cast("double") / lit(1e9), 6)
+        .as("h_cond_1"),
+      round((col("h3u") - col("h2u")).cast("double") / lit(1e9), 6)
+        .as("h_cond_2"))
+  }
+
+  private val q378Sql = {
+    def gram(n: Int, name: String) =
+      if (n == 1)
+        s"""$name AS (SELECT unnest(arr) AS g FROM arr_t)"""
+      else
+        s"""$name AS (SELECT array_to_string(arr[i + 1:i + $n], ' ')
+               AS g
+             FROM (SELECT arr,
+                     unnest(range(0, greatest(len(arr) - ${n - 1}, 0)))
+                       AS i
+                   FROM arr_t))"""
+    def h(src: String, name: String) =
+      s"""$name AS (SELECT CAST(sum(CAST(floor(c::DOUBLE / nt::DOUBLE
+             * (log2(nt::DOUBLE) - log2(c::DOUBLE)) * 1e9 + 0.5)
+             AS BIGINT)) AS BIGINT) AS hu
+           FROM (SELECT g, CAST(count(*) AS BIGINT) AS c
+                 FROM $src GROUP BY g) cnt,
+                (SELECT CAST(count(*) AS BIGINT) AS nt FROM $src) tot)"""
+    s"""WITH arr_t AS (SELECT
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+         FROM documents),
+       ${gram(1, "g1")}, ${gram(2, "g2")}, ${gram(3, "g3")},
+       ${h("g1", "h1")}, ${h("g2", "h2")}, ${h("g3", "h3")}
+       SELECT round(h1.hu::DOUBLE / 1e9, 6) + 0.0 AS h_unigram,
+         round((h2.hu - h1.hu)::DOUBLE / 1e9, 6) + 0.0 AS h_cond_1,
+         round((h3.hu - h2.hu)::DOUBLE / 1e9, 6) + 0.0 AS h_cond_2
+       FROM h1, h2, h3"""
+  }
+
+  // --------------------------------------------------------------- q379
+  /** Pipeline-order bias: dedup→sample vs sample→dedup. The two
+    * orders differ exactly when a duplicate cluster straddles the
+    * 10% hash-sample boundary — dedup-first keeps only clusters whose
+    * REPRESENTATIVE samples in; sample-first re-deduplicates inside
+    * the sample and keeps one member of every straddling cluster.
+    * The delta is the doc count a pipeline silently gains or loses by
+    * reordering two "commuting" stages. Shares the q363 fingerprint
+    * and representative rule.
+    */
+  private def q379(s: SparkSession, d: String): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      dupFp.as("fp"), size(array_distinct(w)).cast("long").as("q"))
+      .localCheckpoint(true)
+    val wF = Window.partitionBy("fp")
+      .orderBy(col("q").desc, col("doc_id"))
+    val inSample = graft.operators.Sampling
+      .hashBucket(col("doc_id"), "s10", 10) === 0
+    val marked = base
+      .withColumn("rep", row_number().over(wF) === 1)
+      .withColumn("samp", inSample)
+    val dedupFirst = marked.filter(col("rep") && col("samp"))
+      .agg(count(lit(1)).as("kept_dedup_then_sample"))
+    val sampleFirst = marked.filter(col("samp"))
+      .groupBy("fp").agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("kept_sample_then_dedup"))
+    val tot = marked.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("samp"), 1L).otherwise(0L)).as("n_sampled"))
+    tot.crossJoin(broadcast(dedupFirst))
+      .crossJoin(broadcast(sampleFirst))
+      .select(col("n_docs"), col("n_sampled"),
+        col("kept_dedup_then_sample"), col("kept_sample_then_dedup"),
+        (col("kept_sample_then_dedup") - col("kept_dedup_then_sample"))
+          .as("order_bias"))
+  }
+
+  private val q379Sql =
+    """WITH base AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text),
+             '\s+'))) AS BIGINT) AS q
+         FROM documents),
+       marked AS (SELECT doc_id, fp,
+             (row_number() OVER (PARTITION BY fp
+               ORDER BY q DESC, doc_id) = 1) AS rep,
+             (('0x' || substr(md5('s10' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT % 10 = 0) AS samp
+           FROM base),
+       df AS (SELECT CAST(count(*) AS BIGINT) AS kept_dedup_then_sample
+             FROM marked WHERE rep AND samp),
+       sf AS (SELECT CAST(count(*) AS BIGINT) AS kept_sample_then_dedup
+             FROM (SELECT fp FROM marked WHERE samp GROUP BY fp) t),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+           FROM marked)
+       SELECT n_docs, n_sampled, kept_dedup_then_sample,
+         kept_sample_then_dedup,
+         kept_sample_then_dedup - kept_dedup_then_sample AS order_bias
+       FROM tot CROSS JOIN df CROSS JOIN sf"""
+
   val queries: Map[String, Q] = Map(
     "q352_mood_scale" -> (q352 _),
     "q353_cvm_two_sample" -> (q353 _),
@@ -1990,7 +2235,11 @@ object Probes {
     "q372_jonckheere" -> (q372 _),
     "q373_cliffs_delta" -> (q373 _),
     "q374_sign_test" -> (q374 _),
-    "q375_median_test" -> (q375 _))
+    "q375_median_test" -> (q375 _),
+    "q376_cross_lingual_dup" -> (q376 _),
+    "q377_dup_selection_bias" -> (q377 _),
+    "q378_ngram_entropy" -> (q378 _),
+    "q379_pipeline_order_bias" -> (q379 _))
 
   val oracles: Map[String, String] = Map(
     "q352_mood_scale" -> q352Sql,
@@ -2016,5 +2265,9 @@ object Probes {
     "q372_jonckheere" -> q372Sql,
     "q373_cliffs_delta" -> q373Sql,
     "q374_sign_test" -> q374Sql,
-    "q375_median_test" -> q375Sql)
+    "q375_median_test" -> q375Sql,
+    "q376_cross_lingual_dup" -> q376Sql,
+    "q377_dup_selection_bias" -> q377Sql,
+    "q378_ngram_entropy" -> q378Sql,
+    "q379_pipeline_order_bias" -> q379Sql)
 }

@@ -617,4 +617,92 @@ class ProbesSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") === 8.0)
     assert(r.getAs[Long]("dof") === 1L)
   }
+
+  test("q376 cross-lingual dup: an identical doc pair in two " +
+      "languages surfaces as a cross-lingual pair") {
+    val longDoc = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val other = Seq.tabulate(30)(i => s"oth$i").mkString(" ")
+    val dir = staged("xlingual")("documents" -> docsDf(Seq(
+      (2L, longDoc, "en", "s1"), (3L, longDoc, "fr", "s1"),
+      (4L, other, "en", "s2"), (5L, other, "en", "s2"))))
+    val out = SparkEntry.queries("q376_cross_lingual_dup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("cross_lingual")))
+      .toMap
+    assert(out(("en", "fr")) === ((1L, true)))
+    assert(out(("en", "en")) === ((1L, false)))
+  }
+
+  test("q377 dup selection bias matches the direct point-biserial " +
+      "computation") {
+    // dups short (5 tokens), uniques long (20): r_pb < 0
+    val short5 = "a b c d e"
+    val long20 = Seq.tabulate(20)(i => s"w$i").mkString(" ")
+    val long20b = Seq.tabulate(20)(i => s"v$i").mkString(" ")
+    val dir = staged("dupbias")("documents" -> docsDf(Seq(
+      (2L, short5, "en", "s"), (3L, short5, "en", "s"),
+      (4L, long20, "en", "s"), (5L, long20b, "en", "s"))))
+    val r = SparkEntry.queries("q377_dup_selection_bias")(spark, dir)
+      .collect()(0)
+    val toks = Seq(5.0, 5.0, 20.0, 20.0)
+    val dup = Seq(true, true, false, false)
+    val n = 4; val n1 = 2; val n0 = 2
+    val m1 = 5.0; val m0 = 20.0
+    val mean = toks.sum / n
+    val sd = math.sqrt(toks.map(x => (x - mean) * (x - mean)).sum / n)
+    val rpb = (m1 - m0) / sd * math.sqrt(n1.toDouble * n0) / n
+    assert(r.getAs[Long]("n_dup") === 2L)
+    assert(r.getAs[Double]("mean_tokens_dup") === 5.0)
+    assert(r.getAs[Double]("mean_tokens_unique") === 20.0)
+    assert(math.abs(r.getAs[Double]("r_pb") - rpb) < 1e-5)
+  }
+
+  test("q378 n-gram entropy ladder matches direct plug-in entropy") {
+    val dir = staged("entropy")("documents" -> docsDf(Seq(
+      (2L, "a b a b a", "en", "s"), (3L, "b a b", "en", "s"))))
+    val r = SparkEntry.queries("q378_ngram_entropy")(spark, dir)
+      .collect()(0)
+    def h(xs: Seq[String]): Double = {
+      val n = xs.length.toDouble
+      xs.groupBy(identity).values
+        .map(g => g.length / n * (math.log(n / g.length) / math.log(2)))
+        .map(t => math.floor(t * 1e9 + 0.5) / 1e9).sum
+    }
+    val d1 = Seq("a", "b", "a", "b", "a", "b", "a", "b")
+    val big = Seq("a b", "b a", "a b", "b a") ++ Seq("b a", "a b")
+    val tri = Seq("a b a", "b a b", "a b a") ++ Seq("b a b")
+    val h1 = h(d1); val h2 = h(big); val h3 = h(tri)
+    assert(math.abs(r.getAs[Double]("h_unigram") - h1) < 1e-5)
+    assert(math.abs(r.getAs[Double]("h_cond_1") - (h2 - h1)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("h_cond_2") - (h3 - h2)) < 1e-5)
+  }
+
+  test("q379 pipeline order bias matches a direct recomputation " +
+      "with the engine's own sample hash") {
+    val texts = Seq(
+      (2L, "dup text here now", "s"), (3L, "dup  TEXT here now", "s"),
+      (4L, "unique one body", "s"), (5L, "another unique body", "s"),
+      (6L, "dup text here now", "s"))
+    val dir = staged("orderbias")("documents" -> docsDf(
+      texts.map { case (id, t, s0) => (id, t, "en", s0) }))
+    val r = SparkEntry.queries("q379_pipeline_order_bias")(spark, dir)
+      .collect()(0)
+    // recompute with the engine's own hash + fp/rep rules
+    import org.apache.spark.sql.functions.col
+    val sampMap = texts.map(_._1).toDF("doc_id")
+      .withColumn("b",
+        graft.operators.Sampling.hashBucket(col("doc_id"), "s10", 10))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1) == 0L)).toMap
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val byFp = texts.groupBy(x => norm(x._2))
+    val reps = byFp.values.map(_.map(_._1).min).toSet // equal q -> min id
+    val dedupFirst = texts.count(x => reps(x._1) && sampMap(x._1))
+    val sampleFirst = texts.filter(x => sampMap(x._1))
+      .map(x => norm(x._2)).distinct.size
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("kept_dedup_then_sample") === dedupFirst.toLong)
+    assert(r.getAs[Long]("kept_sample_then_dedup") === sampleFirst.toLong)
+    assert(r.getAs[Long]("order_bias") ===
+      (sampleFirst - dedupFirst).toLong)
+  }
 }
