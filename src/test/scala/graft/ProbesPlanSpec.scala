@@ -57,6 +57,32 @@ class ProbesPlanSpec extends SparkSpec {
     assert(p.contains("o_custkey"))
   }
 
+  test("q372 Jonckheere: both grid windows are PARTITIONed (by group " +
+      "over values, by value over groups) — no global sort") {
+    val p = plan("q372_jonckheere")
+    assert(!p.contains("CartesianProduct"))
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.size >= 2)
+    windows.foreach(w =>
+      assert(w.contains("[g") || w.contains("[u"),
+        s"unpartitioned window in q372: $w"))
+  }
+
+  test("q366 Yuen: the order-statistic windows stay arm-PARTITIONed") {
+    val p = plan("q366_yuen_trimmed")
+    assert(!p.contains("CartesianProduct"))
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("[y"),
+      s"window not arm-partitioned in q366: $w"))
+  }
+
+  test("q376 cross-lingual dup: lang lookups attach by keyed joins, " +
+      "no cartesian") {
+    val p = plan("q376_cross_lingual_dup")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q358/q360 reliability scans are single-pass aggregations " +
       "with no join at all") {
     for (q <- Seq("q358_cronbach_alpha")) {
