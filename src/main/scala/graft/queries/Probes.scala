@@ -1441,8 +1441,11 @@ object Probes {
     val toks = Tables.documents(s, d).select(col("source"),
       explode(graft.functions.TextFunctions.words(lower(col("text"))))
         .as("w"))
+    // persist, NOT localCheckpoint: the (term, source) table is
+    // vocabulary-sized (the q173 boundary — eager checkpoints only for
+    // genuinely small frames), and it feeds three consumers
     val perSrc = toks.groupBy("w", "source").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcTot = perSrc.groupBy("source").agg(sum("c").as("sc"))
     val allTot = srcTot.agg(sum("sc").as("n"))
     val top = perSrc.groupBy("w").agg(sum("c").as("tf"))
@@ -1456,10 +1459,11 @@ object Probes {
           safe(col("tf").cast("double")) -
           col("sc").cast("double") / safe(col("n").cast("double")))) *
           lit(1e9) + lit(0.5)).cast("long").as("du"))
-    grid.groupBy("w", "tf").agg(sum("du").as("dsum"))
+    val result = grid.groupBy("w", "tf").agg(sum("du").as("dsum"))
       .select(col("w").as("term"), col("tf").as("total_freq"),
         round(col("dsum").cast("double") / lit(2e9), 6).as("dp"))
       .orderBy(col("dp").desc, col("term")).limit(10)
+    graft.operators.Exec.owned(result, Seq(perSrc))
   }
 
   private val q369Sql =
@@ -2089,9 +2093,11 @@ object Probes {
     * subtraction of exact grid sums.
     */
   private def q378(s: SparkSession, d: String): DataFrame = {
+    // persist, NOT localCheckpoint: the tokenized corpus is
+    // corpus-sized (the q173 boundary), read once per n-gram level
     val w = graft.functions.TextFunctions.words(lower(col("text")))
     val docsW = Tables.documents(s, d).select(w.as("w"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def grams(n: Int): DataFrame =
       if (n == 1) docsW.select(explode(col("w")).as("g"))
       else docsW
@@ -2112,12 +2118,13 @@ object Probes {
     val one = hUnits(grams(1)).select(col("hu").as("h1u"))
       .crossJoin(broadcast(hUnits(grams(2)).select(col("hu").as("h2u"))))
       .crossJoin(broadcast(hUnits(grams(3)).select(col("hu").as("h3u"))))
-    one.select(
+    val result = one.select(
       round(col("h1u").cast("double") / lit(1e9), 6).as("h_unigram"),
       round((col("h2u") - col("h1u")).cast("double") / lit(1e9), 6)
         .as("h_cond_1"),
       round((col("h3u") - col("h2u")).cast("double") / lit(1e9), 6)
         .as("h_cond_2"))
+    graft.operators.Exec.owned(result, Seq(docsW))
   }
 
   private val q378Sql = {
