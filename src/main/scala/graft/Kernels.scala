@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
+
+import graft.operators.Dedup
+
+/** Session-lifetime memo for SHARED derived kernels — the engine's
+  * materialized-view layer for small, expensive, reused frames.
+  *
+  * Several registry queries are independent analyses of the SAME
+  * derived structure: seven queries consume the MinHash banded
+  * near-dup pair list of the documents table (q36/q71/q213/q222/
+  * q264/q291/q376), four of those its connected-component closure,
+  * and five consume the support-thresholded part co-occurrence graph
+  * of lineitem (q118/q123/q128/q161/q163). Rebuilding the kernel per
+  * query re-runs a corpus-sized shuffle (the banded self-join, the
+  * basket wedge join) to reproduce a result that is tiny (near-dup
+  * pairs, thresholded edges) and a pure function of
+  * (input path, parameters).
+  *
+  * This memo computes each kernel once per (application, input dir,
+  * params), materializes the SMALL result via `localCheckpoint(true)`
+  * (lineage truncated — no dependency on operator-internal caches;
+  * RDD blocks survive `spark.catalog.clearCache()`, which only drops
+  * the Dataset cache manager), and hands every consumer the same
+  * frame. The 100 TB posture is unchanged: the kernels themselves are
+  * the scale-safe banded/capped implementations in
+  * [[graft.operators.Dedup]] / the wedge join below, and only their
+  * reduced outputs are pinned. On a cluster this is exactly a
+  * materialized intermediate table shared by a query batch.
+  *
+  * Correctness is untouched — consumers get the identical frame they
+  * previously built inline (the memo key includes every parameter the
+  * kernel depends on), which the per-query DuckDB oracles re-derive
+  * from scratch. [[clear]] drops the memo (test isolation and the
+  * scale-rehearsal harness, which measures per-query COLD cost).
+  */
+object Kernels {
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(String, Any), DataFrame]
+
+  private def cached(s: SparkSession, key: Any)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s.sparkContext.applicationId, key), {
+      val built = build
+      // eager checkpoint: the frame is small by kernel contract, and
+      // truncation frees the operator's internal caches immediately
+      val out = built.localCheckpoint(true)
+      built.unpersist(blocking = false)
+      out
+    })
+
+  /** Drop all memoized kernels (unpersisting their blocks). */
+  def clear(): Unit = {
+    memo.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    memo.clear()
+  }
+
+  /** [[Dedup.minhashPairs]] over the documents table of `dir` —
+    * `(doc_a, doc_b, jaccard)`, memoized per (dir, params). */
+  def minhashPairs(s: SparkSession, dir: String, threshold: Double,
+                   shingleN: Int = 3, k: Int = 12, bands: Int = 6,
+                   rowsPerBand: Int = 2): DataFrame =
+    cached(s, ("minhash", dir, threshold, shingleN, k, bands, rowsPerBand)) {
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold, shingleN, k, bands, rowsPerBand)
+    }
+
+  /** [[Dedup.connectedComponents]] closure `(id, cluster_id)` of
+    * [[minhashPairs]] — memoized on top of the cached pair list, so a
+    * query needing both pays the kernel once. */
+  def minhashComponents(s: SparkSession, dir: String, threshold: Double,
+                        shingleN: Int = 3, k: Int = 12, bands: Int = 6,
+                        rowsPerBand: Int = 2): DataFrame =
+    cached(s, ("minhashCC", dir, threshold, shingleN, k, bands, rowsPerBand)) {
+      Dedup.connectedComponents(
+        minhashPairs(s, dir, threshold, shingleN, k, bands, rowsPerBand))
+    }
+
+  /** Support-thresholded part co-occurrence graph of lineitem —
+    * `(a, b, sup)` with `a < b` and `sup` = distinct orders containing
+    * both parts (≥ `minSupport`). The wedge self-join is co-partitioned
+    * by order key so the (ok, pk) dedup and the join share ONE
+    * exchange; the threshold is what keeps Σdeg² (and so every
+    * downstream wedge/triangle pass) bounded on a 100 TB basket
+    * stream. Consumed by the q118-family graph analyses.
+    */
+  def partCoEdges(s: SparkSession, dir: String,
+                  minSupport: Int = 2): DataFrame =
+    cached(s, ("partCoEdges", dir, minSupport)) {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok"))
+        .dropDuplicates("ok", "pk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= minSupport)
+      graft.operators.Exec.owned(edges, Seq(li))
+    }
+}

@@ -31,8 +31,12 @@ object SparkEntry {
     * records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pipeline.oracles ++ Curation.oracles ++
+    (Relational.oracles ++ Pipeline.oracles ++ Curation.oracles ++
       Scale.oracles ++ Analytics.oracles ++ Insights.oracles ++
       Signals.oracles ++ Lifecycle.oracles ++ Evals.oracles ++
-      Methods.oracles ++ Studies.oracles ++ Probes.oracles
+      Methods.oracles ++ Studies.oracles ++ Probes.oracles)
+      // central mirror of the engine-side signed-zero normalization
+      // (Rounding.roundTo's `+ 0.0`): every rounded oracle statistic
+      // normalizes −0.0 → +0.0 too — see graft.OracleSql
+      .map { case (k, v) => k -> OracleSql.normalizeSignedZero(v) }
 }

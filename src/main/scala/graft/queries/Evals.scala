@@ -824,9 +824,7 @@ object Evals {
     */
   private def q222(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val clusters = graft.operators.Dedup.connectedComponents(
-      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.8))
+    val clusters = graft.Kernels.minhashComponents(s, d, threshold = 0.8)
     val assign = docs.select(col("doc_id"),
         graft.operators.Dedup.contentHash(col("text")).as("t"))
       .join(clusters, col("doc_id") === col("id"), "left")

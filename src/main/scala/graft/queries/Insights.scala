@@ -336,22 +336,15 @@ object Insights {
     * support-thresholded (co-occurrence in ≥ 2 orders) — see the
     * inline note. */
   private def q118(s: SparkSession, d: String): DataFrame = {
-    // distinct (order, part) FIRST: each pair then occurs once per
-    // order, so plain count(*) IS the distinct-order support — no
-    // count-distinct expand on the 2.8M-row pair stream
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
     // support-thresholded affinity edges: pairs must co-occur in >= 2
     // distinct orders — the standard densification cut (incidental
     // single-order co-occurrence makes the raw graph quadratic-dense;
     // the threshold is what keeps Sum(deg^2), and so the wedge join,
-    // bounded on a 100 TB basket stream)
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+    // bounded on a 100 TB basket stream). Built by the shared
+    // [[graft.Kernels.partCoEdges]] kernel (q118/q123/q128/q161/q163
+    // all analyze this same graph — the wedge join runs once per
+    // session, not once per query).
+    val edges = graft.Kernels.partCoEdges(s, d)
     Graph.triangleCounts(edges, "a", "b")
       .orderBy(col("n_triangles").desc, col("node"))
       .limit(20)
@@ -380,29 +373,12 @@ object Insights {
     * expansion must produce exactly the oracle's unrolled min-dist
     * closure. */
   private def q161(s: SparkSession, d: String): DataFrame = {
-    // build the co-occurrence graph ONCE: co-partition lineitem by
-    // order key so the wedge self-join reuses one exchange (hash(ok)
-    // satisfies the (ok,pk) dedup's clustering too — no extra shuffle),
-    // and persist the thresholded edges because BOTH the source pick
-    // and the BFS consume them (unpersisted, the wedge join would run
-    // twice)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .repartition(col("ok"))
-      .dropDuplicates("ok", "pk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the co-occurrence graph comes from the shared (memoized,
+    // already-materialized) kernel — BOTH the source pick and the BFS
+    // consume it without re-running the wedge join
+    val edges = graft.Kernels.partCoEdges(s, d)
     val src = edges.agg(min(col("a")).as("node"))
-    // bfsHops materializes its result (Exec.owned) before returning,
-    // so the builder caches can be released immediately after
     val dist = Graph.bfsHops(edges, "a", "b", src, "node", hops = 3)
-    li.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
     dist.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
         max("node").as("max_node"))
@@ -591,14 +567,7 @@ object Insights {
     * — deterministic (min tie-break), oracle unrolled round by
     * round. */
   private def q123(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+    val edges = graft.Kernels.partCoEdges(s, d)
     Graph.labelPropagation(edges, "a", "b", rounds = 3)
       .orderBy("node")
   }
@@ -879,14 +848,7 @@ object Insights {
     * adjacency pairing, real edges anti-joined away; a pure function
     * of (nodes, salt) the oracle replays. */
   private def q128(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+    val edges = graft.Kernels.partCoEdges(s, d)
     Graph.negativeSample(edges, "a", "b", buckets = 64, salt = "neg")
       .orderBy("u", "v")
   }
@@ -2260,14 +2222,7 @@ object Insights {
     * hub middles (deg > 64) excluded before the wedge join. Ranked by
     * the exact quantized long so the top-25 cut is engine-identical. */
   private def q163(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+    val edges = graft.Kernels.partCoEdges(s, d)
     Graph.adamicAdar(edges, "a", "b", maxMidDegree = 64, topK = 25)
   }
 

@@ -1249,8 +1249,7 @@ object Lifecycle {
       when(b < 80, "train").when(b < 90, "val").otherwise("test")
         .as("split"),
       when(b < 80, 0).when(b < 90, 1).otherwise(2).as("rk"))
-    val pairs = graft.operators.Dedup
-      .minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val pairs = graft.Kernels.minhashPairs(s, d, threshold = 0.8)
     val j = pairs
       .join(assign.select(col("doc_id").as("doc_a"),
         col("split").as("sa"), col("rk").as("ra")), "doc_a")

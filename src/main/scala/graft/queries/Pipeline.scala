@@ -176,8 +176,7 @@ object Pipeline {
   // ---------------------------------------------------------------- q36
   /** MinHash + banded LSH near-dup pairs, Jaccard-verified. */
   private def q36(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.8)
+    graft.Kernels.minhashPairs(s, d, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
   // minhash signature + band-key CTEs exactly as Dedup.bandedKeys —
@@ -1225,9 +1224,7 @@ object Pipeline {
     * pair pipeline fed into a recursive-CTE reachability closure with
     * min-label per node. */
   private def q71(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.8))
+    graft.Kernels.minhashComponents(s, d, threshold = 0.8)
       .orderBy("id")
 
   private val q71Sql =
@@ -1257,10 +1254,11 @@ object Pipeline {
     */
   private def q264(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      threshold = 0.8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val comp = Dedup.connectedComponents(pairs)
+    // shared memoized kernels — both already materialized, so the
+    // multi-branch reuse below (pair splits + assignment stats) costs
+    // no recompute and needs no query-local persist
+    val pairs = graft.Kernels.minhashPairs(s, d, threshold = 0.8)
+    val comp = graft.Kernels.minhashComponents(s, d, threshold = 0.8)
     val rep = docs.select(col("doc_id"), words(col("text")).as("w"))
       .join(comp.select(col("id").as("doc_id"),
         col("cluster_id")), Seq("doc_id"), "left")
@@ -1291,7 +1289,7 @@ object Pipeline {
         sum(col("n_tokens")).as("n_tokens"))
       .crossJoin(broadcast(pairSplits))
       .orderBy("split")
-    graft.operators.Exec.owned(result, Seq(pairs, assigned))
+    graft.operators.Exec.owned(result, Seq(assigned))
   }
 
   private val q264Sql =
@@ -1350,9 +1348,7 @@ object Pipeline {
     */
   private def q291(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      threshold = 0.8)
-    val comp = Dedup.connectedComponents(pairs)
+    val comp = graft.Kernels.minhashComponents(s, d, threshold = 0.8)
     val base = docs
       .select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("long").as("tok"))
@@ -1427,8 +1423,7 @@ object Pipeline {
   private def q315(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val pairs = Dedup.minhashPairs(Tables.documents(s, d),
-      "doc_id", "text", threshold = 0.5)
+    val pairs = graft.Kernels.minhashPairs(s, d, threshold = 0.5)
     val grid = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
       .toDF("b", "r")
     val bD = col("b").cast("double")

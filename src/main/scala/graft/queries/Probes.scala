@@ -1233,9 +1233,13 @@ object Probes {
       .withColumn("g", floor(col("n").cast("double") * lit(0.2))
         .cast("long"))
     val arm = cum.groupBy("y", "n", "g").agg(
+      // wide-intermediate convention: the contrib*u product sums in
+      // DECIMAL(38,0) like tsq (a LONG sum overflows silently where
+      // the HUGEINT oracle keeps exact — the engines must agree, not
+      // diverge, past 63 bits)
       sum(greatest(least(col("cum"), col("n") - col("g")) -
-        greatest(col("cum") - col("c"), col("g")), lit(0L)) *
-        col("u")).as("tsum"),
+        greatest(col("cum") - col("c"), col("g")), lit(0L)).cast(dec) *
+        col("u").cast(dec)).as("tsum"),
       sum(greatest(least(col("cum"), col("n") - col("g")) -
         greatest(col("cum") - col("c"), col("g")), lit(0L)).cast(dec) *
         col("u").cast(dec) * col("u").cast(dec)).as("tsq"),
@@ -1295,8 +1299,9 @@ object Probes {
                n, CAST(floor(n::DOUBLE * 0.2) AS BIGINT) AS g
              FROM c JOIN tot ON tot.y = c.y),
        arm AS (SELECT y, n, g,
-               CAST(sum(greatest(least(cum, n - g)
-                 - greatest(cum - c, g), 0) * u) AS BIGINT) AS tsum,
+               sum(greatest(least(cum, n - g)
+                 - greatest(cum - c, g), 0)::HUGEINT * u::HUGEINT)
+                 AS tsum,
                sum(greatest(least(cum, n - g)
                  - greatest(cum - c, g), 0)::HUGEINT
                  * u::HUGEINT * u::HUGEINT) AS tsq,
@@ -1639,8 +1644,12 @@ object Probes {
       when(x < 0, -1L).otherwise(1L)
     val b = Tables.events(s, d).filter(col("value").isNotNull)
       .select(col("event_type").as("g"), units.as("u"))
+    // cg grows with distinct value cardinality (micro-unit values are
+    // near-unique) — persist, never eager-checkpoint, a frame that is
+    // not provably small (the q369/q378 measured lesson); the final
+    // one-row readout is owned below and releases this handle
     val cg = b.groupBy("g", "u").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = cg.select("u").distinct()
       .crossJoin(broadcast(cg.select("g").distinct()))
       .join(cg, Seq("g", "u"), "left")
@@ -1683,11 +1692,12 @@ object Probes {
         safe(lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))) +
       col("g1").cast("double") * col("t1").cast("double") /
         safe(lit(8.0) * nD * (nD - lit(1.0)))
-    one.select(col("n").as("n_obs"), col("k").as("k_groups"),
+    val result = one.select(col("n").as("n_obs"), col("k").as("k_groups"),
       round(col("jt2").cast("double") / lit(2.0) / safe(e), 6)
         .as("jt_over_null"),
       round((col("jt2").cast("double") / lit(2.0) - e) /
         safe(sqrt(safe(vr))), 4).as("z"))
+    graft.operators.Exec.owned(result, Seq(cg))
   }
 
   private val q372Sql =
@@ -1981,8 +1991,7 @@ object Probes {
     */
   private def q376(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = graft.operators.Dedup
-      .minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val pairs = graft.Kernels.minhashPairs(s, d, threshold = 0.8)
       .select("doc_a", "doc_b")
     val langs = docs.select(col("doc_id"), col("lang"))
     pairs
@@ -2168,9 +2177,12 @@ object Probes {
     */
   private def q379(s: SparkSession, d: String): DataFrame = {
     val w = graft.functions.TextFunctions.words(col("text"))
+    // one row per document — corpus-proportional, so persist (lazy,
+    // spillable) rather than eager-checkpoint (the q369/q378 measured
+    // lesson: eager materialization of non-small frames ran 4× slower)
     val base = Tables.documents(s, d).select(col("doc_id"),
       dupFp.as("fp"), size(array_distinct(w)).cast("long").as("q"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wF = Window.partitionBy("fp")
       .orderBy(col("q").desc, col("doc_id"))
     val inSample = graft.operators.Sampling
@@ -2185,12 +2197,13 @@ object Probes {
       .agg(count(lit(1)).as("kept_sample_then_dedup"))
     val tot = marked.agg(count(lit(1)).as("n_docs"),
       sum(when(col("samp"), 1L).otherwise(0L)).as("n_sampled"))
-    tot.crossJoin(broadcast(dedupFirst))
+    val result = tot.crossJoin(broadcast(dedupFirst))
       .crossJoin(broadcast(sampleFirst))
       .select(col("n_docs"), col("n_sampled"),
         col("kept_dedup_then_sample"), col("kept_sample_then_dedup"),
         (col("kept_sample_then_dedup") - col("kept_dedup_then_sample"))
           .as("order_bias"))
+    graft.operators.Exec.owned(result, Seq(base))
   }
 
   private val q379Sql =
