@@ -99,6 +99,80 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Persist an IVF index as a lake layout (the q185 bucketed-layout
+    * discipline applied to the ANN family): corpus rows land
+    * partitioned by cell (`<dir>/cells/cell=<c>/…`) and the centroid
+    * table — computed ONCE, at build time, over the full corpus — is
+    * stored alongside as index metadata (`<dir>/centroids`). This is
+    * the build half of the serving shape [[knnIvf]]'s doc promises
+    * ("at scale the corpus is partitioned by cell"): build pays the
+    * one partitioning shuffle; every subsequent query batch reads only
+    * probed partitions and never recomputes centroids.
+    */
+  def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, dir: String): Unit = {
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col(cellCol).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    // centroid metadata: elementwise mean per cell (numCells rows —
+    // one small file)
+    corpus
+      .select(col(cellCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Query an [[ivfIndexBuild]] lake index: centroid routing picks the
+    * `nprobe` nearest cells per query from the STORED metadata (no
+    * corpus touch), the probed-cell set — at most nprobe·|queries|
+    * scalars, the bounded-driver-state convention — becomes a static
+    * partition filter on the cells scan (only probed directories are
+    * read; the plan spec pins `PartitionFilters`), and in-cell ranking
+    * is the [[knnIvf]] scoring verbatim (4-dp rounded cosine, id
+    * tie-break). Same (query_id, neighbor_id, cosine, rank) contract
+    * as the in-memory path — the round-trip must not change results.
+    */
+  def ivfIndexQuery(queries: DataFrame, idCol: String, vecCol: String,
+                    dir: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val s = queries.sparkSession
+    val cents = s.read.parquet(s"$dir/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(desc("ccos"), asc("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(
+        dot(col("qv"), col("cvec")) /
+          (col("qn") * sqrt(dot(col("cvec"), col("cvec")))), 4))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      // tiny (nprobe rows per query) — materialized once so the
+      // probed-cell collect and the candidate join don't re-route
+      .localCheckpoint(true)
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.get(0)).toSeq
+    val c = s.read.parquet(s"$dir/cells")
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"), col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors whose LABEL differs
     * from the query's — the near-misses that teach an embedding model

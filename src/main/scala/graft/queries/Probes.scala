@@ -2231,6 +2231,156 @@ object Probes {
          kept_sample_then_dedup - kept_dedup_then_sample AS order_bias
        FROM tot CROSS JOIN df CROSS JOIN sf"""
 
+  // --------------------------------------------------------------- q380
+  /** ANN index build + query ROUND-TRIP through the lake layout
+    * (VERDICT r12 item 6: q185 × q52): the IVF index is PERSISTED —
+    * embeddings written `partitionBy(cell)` with the centroid table
+    * stored alongside as index metadata — and a 20-query batch runs
+    * against the READ-BACK index, routing on the stored centroids and
+    * scanning only the probed partitions (static partition pruning on
+    * the collected probe-cell set; ProbesPlanSpec pins
+    * `PartitionFilters` on the cells scan). The graded value is the
+    * full top-5 neighbor list per query, so layout round-trip (vector
+    * bit-exactness through the partitioned write), metadata round-trip
+    * (centroids), routing, pruning, and in-cell ranking all sit inside
+    * the driver's hash check — an index that rots on disk cannot stay
+    * green. SimilaritySpec additionally asserts the round-trip equals
+    * the in-memory [[graft.operators.Similarity.knnIvf]] verbatim.
+    */
+  private def q380(s: SparkSession, d: String): DataFrame = {
+    // per-run unique index dir (the q186 convention): the small result
+    // is eagerly materialized below, then the scratch is deleted
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q380_ivf").toString
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Similarity
+      .ivfIndexBuild(emb, "vec_id", "embedding", "label", dir)
+    val res = graft.operators.Similarity
+      .ivfIndexQuery(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dir, k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+    graft.operators.Exec.detachFromScratch(res, Seq(dir))
+  }
+
+  private val q380Sql =
+    """WITH cent AS (
+         SELECT cell, list(c ORDER BY i) AS cvec FROM (
+           SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY label, i) a
+         GROUP BY cell),
+       q AS (SELECT vec_id AS query_id, embedding AS qv,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS qn
+             FROM embeddings WHERE vec_id < 20),
+       probes AS (
+         SELECT query_id, qv, qn, cell FROM (
+           SELECT q.query_id, q.qv, q.qn, cent.cell,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round(list_dot_product(CAST(q.qv AS DOUBLE[]), cvec)
+                 / (q.qn * sqrt(list_dot_product(cvec, cvec))), 4) DESC,
+               cent.cell ASC) AS crank
+           FROM q, cent) p
+         WHERE crank <= 2)
+       SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+       FROM (
+         SELECT p.query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[]))
+             / (p.qn * sqrt(list_dot_product(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])))), 4) AS cosine,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             round(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+               / (p.qn * sqrt(list_dot_product(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])))), 4) DESC,
+             e.vec_id ASC) AS rn
+         FROM probes p JOIN embeddings e
+           ON e.label = p.cell AND e.vec_id != p.query_id) r
+       WHERE rn <= 5
+       ORDER BY query_id, rank"""
+
+  // --------------------------------------------------------------- q381
+  /** LSH ANN recall harness: the multi-probe sign-LSH index (q41's
+    * kernel, 50 queries) graded per query against the exact
+    * brute-force top-5 — recall@5 as a driver-graded query, closing
+    * the same "the index can't silently rot" discipline q218 applies
+    * to the IVF path. Both sides are one broadcast of the query batch
+    * against a single corpus scan (candidates from the bucket
+    * equi-join on the LSH side), so the harness itself carries the
+    * sampled-eval 100 TB shape. The oracle is GENERATED with the
+    * plane-matrix literals (the q41/q53 convention), so bucket bits,
+    * hamming-1 probes, ranking AND the recall arithmetic are all
+    * value-checked end to end.
+    */
+  private def q381(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 50)
+    val exact = graft.operators.Similarity
+      .knnBruteForce(emb, qs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = graft.operators.Similarity
+      .knnLsh(emb, qs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    qs.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).cast("int").as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / lit(5.0), 4)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val q381Sql: String = {
+    val (bucketExpr, probeList) = Pipeline.lshBucketSql(6, 64)
+    s"""WITH c AS (SELECT vec_id, embedding, $bucketExpr AS bucket,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       q AS (SELECT vec_id, embedding, bucket, nrm FROM c WHERE vec_id < 50),
+       probes AS (SELECT vec_id, embedding, nrm,
+                    unnest($probeList) AS pb FROM q),
+       acand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[]))
+                        / (p.nrm * c.nrm), 4) AS cosine
+                FROM probes p JOIN c
+                  ON c.bucket = p.pb AND c.vec_id != p.vec_id),
+       approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+           FROM acand) t
+         WHERE rn <= 5),
+       exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))
+                 / (q.nrm * sqrt(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])))), 4) DESC,
+               e.vec_id ASC) AS rn
+           FROM q JOIN embeddings e ON e.vec_id != q.vec_id) t
+         WHERE rn <= 5),
+       hits AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+                FROM approx a JOIN exact e
+                  ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+                GROUP BY a.query_id)
+       SELECT qq.vec_id AS query_id,
+         CAST(coalesce(h, 0) AS INT) AS n_hits,
+         round(coalesce(h, 0)::DOUBLE / 5.0, 4) AS recall
+       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) qq
+       LEFT JOIN hits ON hits.query_id = qq.vec_id
+       ORDER BY query_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q352_mood_scale" -> (q352 _),
     "q353_cvm_two_sample" -> (q353 _),
@@ -2259,7 +2409,9 @@ object Probes {
     "q376_cross_lingual_dup" -> (q376 _),
     "q377_dup_selection_bias" -> (q377 _),
     "q378_ngram_entropy" -> (q378 _),
-    "q379_pipeline_order_bias" -> (q379 _))
+    "q379_pipeline_order_bias" -> (q379 _),
+    "q380_ann_lake_roundtrip" -> (q380 _),
+    "q381_lsh_recall" -> (q381 _))
 
   val oracles: Map[String, String] = Map(
     "q352_mood_scale" -> q352Sql,
@@ -2289,5 +2441,7 @@ object Probes {
     "q376_cross_lingual_dup" -> q376Sql,
     "q377_dup_selection_bias" -> q377Sql,
     "q378_ngram_entropy" -> q378Sql,
-    "q379_pipeline_order_bias" -> q379Sql)
+    "q379_pipeline_order_bias" -> q379Sql,
+    "q380_ann_lake_roundtrip" -> q380Sql,
+    "q381_lsh_recall" -> q381Sql)
 }

@@ -95,4 +95,29 @@ class ProbesPlanSpec extends SparkSpec {
     val p360 = plan("q360_cochran_q")
     assert(!p360.contains("CartesianProduct"))
   }
+
+  test("q380 ivf lake query: the cells scan carries a real partition " +
+      "filter (only probed cells read) and candidates attach by broadcast") {
+    // the q380 registry entry checkpoints its result (scratch-dir
+    // hygiene), which hides the plan — pin the operator's plan directly
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q380_plan").toString
+    try {
+      graft.operators.Similarity
+        .ivfIndexBuild(emb, "vec_id", "embedding", "label", dir)
+      val p = graft.operators.Similarity
+        .ivfIndexQuery(emb.filter(org.apache.spark.sql.functions.col(
+          "vec_id") < 20), "vec_id", "embedding", dir, k = 5, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      // a bare isnotnull(cell) prunes nothing — the probed-cell IN-set
+      // must reach the scan's PartitionFilters
+      val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+      assert(pf.nonEmpty, s"no PartitionFilters in q380 cells scan:\n$p")
+      assert(pf.exists(l => l.contains("IN") || l.contains("INSET")),
+        s"probed-cell set did not reach PartitionFilters: $pf")
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("CartesianProduct"))
+    } finally graft.operators.Exec.deleteRecursively(dir)
+  }
 }

@@ -705,4 +705,32 @@ class ProbesSpec extends SparkSpec {
     assert(r.getAs[Long]("order_bias") ===
       (sampleFirst - dedupFirst).toLong)
   }
+
+  test("q380 lake IVF round-trip: 20 queries x dense top-5 ranks") {
+    val out = SparkEntry.queries("q380_ann_lake_roundtrip")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 100)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 20)
+    // per query: ranks exactly 1..5, cosines non-increasing in rank
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to 5))
+      val cos = sorted.map(_.getDouble(2))
+      cos.sliding(2).foreach(p => assert(p(0) >= p(1)))
+    }
+  }
+
+  test("q381 LSH recall: one row per query, n_hits in [0,5], " +
+      "recall = n_hits/5, and the index does real work") {
+    val out = SparkEntry.queries("q381_lsh_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      val h = r.getInt(1); val rec = r.getDouble(2)
+      assert(h >= 0 && h <= 5)
+      assert(math.abs(rec - h / 5.0) < 1e-9)
+    }
+    assert(out.map(_.getInt(1)).sum > 0, "zero total recall: LSH broken")
+  }
 }

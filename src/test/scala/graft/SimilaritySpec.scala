@@ -154,4 +154,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got(6L) > 3.0, s"outlier LOF should be >> 1: ${got(6L)}")
     assert(got(0L) < 1.5, s"cluster LOF should be ~ 1: ${got(0L)}")
   }
+
+  test("ivf lake round-trip equals the in-memory knnIvf verbatim") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rt").toString
+    try {
+      Similarity.ivfIndexBuild(emb, "vec_id", "embedding", "label", dir)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSeq
+      val mem = rows(Similarity.knnIvf(emb, qs, "vec_id", "embedding",
+        "label", k = 5, nprobe = 2))
+      val lake = rows(Similarity.ivfIndexQuery(qs, "vec_id", "embedding",
+        dir, k = 5, nprobe = 2))
+      assert(mem.nonEmpty)
+      // persisting the index through the partitioned lake layout must
+      // not change a single neighbor, cosine, or rank
+      assert(lake == mem)
+    } finally graft.operators.Exec.deleteRecursively(dir)
+  }
 }
