@@ -21,8 +21,8 @@ package graft
   * IEEE comparisons already treat ±0.0 as equal, so predicates and
   * join keys are unaffected. Single-quoted SQL strings (regex
   * patterns can contain parens) and double-quoted identifiers are
-  * copied verbatim. Validated by a full 379-query DuckDB gate replay
-  * (round 13).
+  * copied verbatim. Validated by a full 381-query DuckDB gate replay
+  * at sf0.01, default AND single-threaded DuckDB (round 13).
   */
 object OracleSql {
 

@@ -125,24 +125,36 @@ object ScaleRehearsal {
         "kernel linear in corpus size."),
     "q248_ndcg" ->
       ("same bm25Ranked kernel and corpus-derived query set as q235 " +
-        "— the identical xN^2 shared-stopword input-construction " +
-        "mechanism (r13 cards probe: scoring-pair rows grow ~x47 at " +
-        "x10 data vs x10 for every disjoint-key stage), measured " +
-        "below q235 (2.70 vs 3.49)."),
+        "— the shared-stopword input-construction mechanism (r13 " +
+        "cards probe, measured: (query-term, doc) scoring-pair rows " +
+        "3.39M -> 50.2M = x14.8 at x10 data, vs x10 for every " +
+        "disjoint-key stage), and the time ratio stays well below " +
+        "that x14.8 candidate growth; a production eval holds its " +
+        "query set fixed, making candidates O(corpus)."),
     "q206_assoc_rules" ->
-      ("linear-by-construction (r13 cards probe): the xN synthesis " +
-        "shifts all basket keys per copy, so the within-basket pair " +
-        "stream, the >=3-support survivors and the rules table each " +
-        "grow exactly xN; the 2.27 time ratio at x10 data is the " +
-        "linear shuffle term emerging over fixed overhead (time " +
-        "grows 2.27x for 10x rows — sublinear, no quadratic stage)."),
+      ("linear-by-construction (r13 cards probe, measured: within-" +
+        "basket pair rows 1.20M -> 12.0M and >=3-support survivors " +
+        "2 -> 20, each exactly x10 — key-shifted copies share no " +
+        "basket); the time ratio near 2 at x10 rows is the linear " +
+        "shuffle term emerging over fixed overhead, no quadratic " +
+        "stage."),
     "q207_kcore" ->
-      ("linear-by-construction (r13 cards probe): disjoint key-" +
-        "shifted copies peel identically, so every round's survivor " +
-        "edge table is exactly xN the sf0.1 one; cost = 6 rounds x " +
-        "(degree agg + two semi-joins + eager checkpoint) on a xN " +
-        "edge table — 2.01x time for 10x edges, sublinear, no " +
-        "densification."))
+      ("linear-by-construction (r13 cards probe, measured: symmetric " +
+        "edges 1.20M -> 12.0M and first-peel survivors 52.2k -> " +
+        "521.6k, each exactly x10 — disjoint key-shifted subgraphs " +
+        "peel identically); cost = 6 peel rounds x (degree agg + two " +
+        "semi-joins + checkpoint) on a x10 edge table — a fresh-JVM " +
+        "replay measures 5.4 -> 17.7 s = x3.3 for x10 edges " +
+        "(sublinear, no densification); in-suite sf1 runs wobble " +
+        "higher under block-manager pressure from the ~130 prior " +
+        "timed runs, which the checkpoint-per-peel shape is most " +
+        "exposed to."),
+    "q166_golden_record" ->
+      ("linear-by-construction: customer x10 with key-shifted copies " +
+        "— SNM blocking windows and survivorship groups are disjoint " +
+        "per copy, so candidate pairs and merge groups grow exactly " +
+        "x10; a ratio of ~2 for x10 rows is the linear term emerging " +
+        "over fixed overhead, no quadratic stage."))
 
   def synthesize(spark: SparkSession, copies: Int, dstDir: String): Unit = {
     val done = new java.io.File(s"$dstDir/_DONE")
@@ -237,6 +249,15 @@ object ScaleRehearsal {
     // per-query COLD measurement: drop memoized shared kernels so the
     // ratio reflects this query's own plan (see class doc)
     graft.Kernels.clear()
+    // driver GC between timed runs: eager localCheckpoints inside
+    // queries (the q185/q380 scratch-hygiene class, the Kernels memo)
+    // leave RDD blocks that only the ContextCleaner reaps, and it acts
+    // on driver GC — without this the 134-run sweep accumulates
+    // block-manager backlog and LATER queries measure it, not their
+    // plan (r13: q118 read ratio 3.52 in-suite vs 0.98 in a fresh JVM
+    // on identical data). The GC sits OUTSIDE the timed region.
+    System.gc()
+    Thread.sleep(500)
     val t0 = System.nanoTime()
     graft.SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
