@@ -41,4 +41,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // nothing until used. Bench.scala logs per-pool occupancy to the
   // mirror so a recurrence is diagnosable from artifacts.
   "-XX:ReservedCodeCacheSize=1g",
+  // 32 executor threads doing direct-buffer/JNI-critical parquet and
+  // shuffle I/O under allocation pressure starve G1's GCLocker: the
+  // JDK default retries an allocation only twice around a locked GC
+  // epoch before throwing a SPURIOUS OutOfMemoryError with free heap
+  // remaining ("Retried waiting for GCLocker too often" immediately
+  // precedes every such OOM — the r13 sf10 rehearsal hit it at 8, 16
+  // AND 24 GiB on a working set that fits in 8). More retries cost
+  // nothing when the locker isn't contended.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -395,6 +395,17 @@ object Graph {
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
               sources: DataFrame, srcCol: String, hops: Int): DataFrame = {
     require(hops >= 0, "hops must be non-negative")
+    // pin-then-distinct is deliberate, and distinct-then-pin (so the
+    // persisted table carries HashPartitioning(s) and the hop joins
+    // need no exchange on the big side) is a measured 13x
+    // PESSIMIZATION (r13: sf0.1 5.2 s -> 67.8 s): the per-hop
+    // exchange on `und` is load-bearing — it is the query-stage
+    // boundary AQE uses to convert each frontier join to a runtime
+    // BROADCAST of the tiny frontier, and the ReusedExchange node that
+    // memoizes the edge shuffle across this loop's recomputed
+    // subplans. An exchange-free und side instead plans sort-merge,
+    // re-sorting the full edge table once per hop per recomputed
+    // subplan with nothing reusable.
     val und = Exec.pin(edges
         .select(col(aCol).as("s"), col(bCol).as("d"))
         .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("d"))),

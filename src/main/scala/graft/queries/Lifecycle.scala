@@ -180,6 +180,7 @@ object Lifecycle {
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     val stats = (1 to roundsN).map { r =>
+      val prev = sym
       val keepS = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
       val keepD = keepS.withColumnRenamed("node", "node2")
@@ -187,18 +188,34 @@ object Lifecycle {
         .join(keepS, col("src") === col("node")).drop("node")
         .join(keepD, col("dst") === col("node2")).drop("node2")
         .localCheckpoint(true)
+      // the new generation is materialized — the previous round's
+      // corpus-sized blocks are dead NOW; without this unpersist all
+      // roundsN+1 generations stay pinned until the final union runs
+      // (the r13 sf10 probe OOM'd a 16 GiB heap on exactly that)
+      prev.unpersist(blocking = false)
+      // 1-row round readout, eagerly materialized so it owns no
+      // reference to any edge generation
       sym.agg(countDistinct(col("src")).as("n_nodes"),
           (count(lit(1)) / lit(2)).cast("long").as("n_edges"))
         .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+        .localCheckpoint(true)
     }
-    stats.reduce(_.unionByName(_)).orderBy("round")
+    val out = stats.reduce(_.unionByName(_)).orderBy("round")
+      .localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    out
   }
 
   private val q207Sql = {
+    // every round CTE is referenced by the next round AND by the stats
+    // union, and DuckDB re-evaluates plain CTEs per reference — the
+    // chain re-derives e1..e6 combinatorially (measured 62 s at
+    // sf0.01, and an sf0.1 replay filled 78 GiB of spill). MATERIALIZED
+    // pins each round once: 0.07 s at sf0.01, identical rows.
     def roundCte(i: Int) =
-      s"""k$i AS (SELECT src AS node FROM e${i - 1}
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
              GROUP BY src HAVING count(*) >= 6),
-         e$i AS (SELECT s.src, s.dst FROM e${i - 1} s
+         e$i AS MATERIALIZED (SELECT s.src, s.dst FROM e${i - 1} s
              JOIN k$i a ON s.src = a.node
              JOIN k$i b ON s.dst = b.node)"""
     val rounds = (1 to 6).map(roundCte).mkString(",\n       ")
@@ -206,9 +223,9 @@ object Lifecycle {
       s"""SELECT $i AS round, count(DISTINCT src) AS n_nodes,
            CAST(count(*) / 2 AS BIGINT) AS n_edges FROM e$i""")
       .mkString("\n       UNION ALL ")
-    s"""WITH p AS (SELECT DISTINCT l_orderkey * 2 AS src,
+    s"""WITH p AS MATERIALIZED (SELECT DISTINCT l_orderkey * 2 AS src,
            l_partkey * 2 + 1 AS dst FROM lineitem),
-       e0 AS (SELECT src, dst FROM p
+       e0 AS MATERIALIZED (SELECT src, dst FROM p
               UNION ALL SELECT dst, src FROM p),
        $rounds
        SELECT * FROM ($stats) ORDER BY round"""

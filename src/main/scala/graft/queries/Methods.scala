@@ -1690,35 +1690,39 @@ object Methods {
       .orderBy(col("rating").desc, col("source"))
   }
 
+  // every CTE MATERIALIZED: the iteration chain references each rI
+  // twice (ri/rj), and DuckDB re-evaluates plain CTEs per reference —
+  // the whole upstream re-derived ~2^4 times (measured 16 s at
+  // sf0.01; 0.08 s materialized, identical rows — the q207 lesson).
   private val q303Sql =
-    """WITH docs AS (SELECT lang, source,
+    """WITH docs AS MATERIALIZED (SELECT lang, source,
            CAST(floor(len(list_distinct(arr))::DOUBLE * 1e6
              / len(arr)::DOUBLE) AS BIGINT) AS su
          FROM (SELECT lang, source,
                  regexp_split_to_array(trim(text), '\s+') AS arr
                FROM documents)),
-       cnt AS (SELECT lang, su, source, CAST(count(*) AS BIGINT) AS c
+       cnt AS MATERIALIZED (SELECT lang, su, source, CAST(count(*) AS BIGINT) AS c
                FROM docs GROUP BY lang, su, source),
-       g AS (SELECT cl.lang, cl.su, sr.source,
+       g AS MATERIALIZED (SELECT cl.lang, cl.su, sr.source,
                coalesce(cnt.c, 0) AS c
              FROM (SELECT DISTINCT lang, su FROM cnt) cl
              JOIN (SELECT DISTINCT lang, source FROM cnt) sr
                ON cl.lang = sr.lang
              LEFT JOIN cnt ON cnt.lang = cl.lang AND cnt.su = cl.su
                AND cnt.source = sr.source),
-       bel AS (SELECT lang, su, source,
+       bel AS MATERIALIZED (SELECT lang, su, source,
                coalesce(sum(c) OVER (PARTITION BY lang, source
                  ORDER BY su
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS below
              FROM g),
-       wins AS (SELECT a.source AS i, b.source AS j,
+       wins AS MATERIALIZED (SELECT a.source AS i, b.source AS j,
                sum(a.c::HUGEINT * b.below::HUGEINT) AS w
              FROM cnt a JOIN bel b
                ON a.lang = b.lang AND a.su = b.su
                AND a.source <> b.source
              GROUP BY a.source, b.source),
-       m AS (SELECT coalesce(a.i, b.j2) AS i, coalesce(a.j, b.i2) AS j,
+       m AS MATERIALIZED (SELECT coalesce(a.i, b.j2) AS i, coalesce(a.j, b.i2) AS j,
                coalesce(a.w, 0::HUGEINT) AS w,
                coalesce(a.w, 0::HUGEINT) + coalesce(b.w2, 0::HUGEINT)
                  AS n
@@ -1726,54 +1730,54 @@ object Methods {
              FULL OUTER JOIN (SELECT i AS i2, j AS j2, w AS w2
                               FROM wins) b
                ON a.i = b.j2 AND a.j = b.i2),
-       tot AS (SELECT sum(w) AS wtot FROM m),
-       base AS (SELECT i, j, CAST((n::HUGEINT * 1000000000000)
+       tot AS MATERIALIZED (SELECT sum(w) AS wtot FROM m),
+       base AS MATERIALIZED (SELECT i, j, CAST((n::HUGEINT * 1000000000000)
                   // greatest(wtot::HUGEINT, 1) AS BIGINT) AS nfu
                 FROM m, tot),
-       wi AS (SELECT i, sum(w) AS wins,
+       wi AS MATERIALIZED (SELECT i, sum(w) AS wins,
                 CAST((sum(w)::HUGEINT * 1000000000000)
                   // greatest(any_value(wtot)::HUGEINT, 1) AS BIGINT)
                   AS wfu
               FROM m, tot GROUP BY i, wtot),
-       r0 AS (SELECT i AS source, 1000000000::BIGINT AS ru FROM wi),
-       t1 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+       r0 AS MATERIALIZED (SELECT i AS source, 1000000000::BIGINT AS ru FROM wi),
+       t1 AS MATERIALIZED (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
                   // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
                   AS tu
               FROM base
               JOIN r0 ri ON ri.source = base.i
               JOIN r0 rj ON rj.source = base.j),
-       r1 AS (SELECT t1.i AS source, CAST((wfu::HUGEINT * 1000000000)
+       r1 AS MATERIALIZED (SELECT t1.i AS source, CAST((wfu::HUGEINT * 1000000000)
                 // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
               FROM t1 JOIN wi ON wi.i = t1.i GROUP BY t1.i, wfu),
-       t2 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+       t2 AS MATERIALIZED (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
                   // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
                   AS tu
               FROM base
               JOIN r1 ri ON ri.source = base.i
               JOIN r1 rj ON rj.source = base.j),
-       r2 AS (SELECT t2.i AS source, CAST((wfu::HUGEINT * 1000000000)
+       r2 AS MATERIALIZED (SELECT t2.i AS source, CAST((wfu::HUGEINT * 1000000000)
                 // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
               FROM t2 JOIN wi ON wi.i = t2.i GROUP BY t2.i, wfu),
-       t3 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+       t3 AS MATERIALIZED (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
                   // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
                   AS tu
               FROM base
               JOIN r2 ri ON ri.source = base.i
               JOIN r2 rj ON rj.source = base.j),
-       r3 AS (SELECT t3.i AS source, CAST((wfu::HUGEINT * 1000000000)
+       r3 AS MATERIALIZED (SELECT t3.i AS source, CAST((wfu::HUGEINT * 1000000000)
                 // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
               FROM t3 JOIN wi ON wi.i = t3.i GROUP BY t3.i, wfu),
-       t4 AS (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
+       t4 AS MATERIALIZED (SELECT base.i, CAST((nfu::HUGEINT * 1000000000)
                   // greatest(ri.ru + rj.ru, 1)::HUGEINT AS BIGINT)
                   AS tu
               FROM base
               JOIN r3 ri ON ri.source = base.i
               JOIN r3 rj ON rj.source = base.j),
-       r4 AS (SELECT t4.i AS source, CAST((wfu::HUGEINT * 1000000000)
+       r4 AS MATERIALIZED (SELECT t4.i AS source, CAST((wfu::HUGEINT * 1000000000)
                 // greatest(sum(tu), 1)::HUGEINT AS BIGINT) AS ru
               FROM t4 JOIN wi ON wi.i = t4.i GROUP BY t4.i, wfu),
-       lo AS (SELECT j, sum(w) AS losses FROM m GROUP BY j),
-       nm AS (SELECT sum(ru)::HUGEINT AS rtot,
+       lo AS MATERIALIZED (SELECT j, sum(w) AS losses FROM m GROUP BY j),
+       nm AS MATERIALIZED (SELECT sum(ru)::HUGEINT AS rtot,
                 CAST(count(*) AS BIGINT) AS ns FROM r4)
        SELECT r4.source,
          CAST(wi.wins AS BIGINT) AS wins,

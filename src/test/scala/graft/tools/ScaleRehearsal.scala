@@ -143,12 +143,17 @@ object ScaleRehearsal {
         "edges 1.20M -> 12.0M and first-peel survivors 52.2k -> " +
         "521.6k, each exactly x10 — disjoint key-shifted subgraphs " +
         "peel identically); cost = 6 peel rounds x (degree agg + two " +
-        "semi-joins + checkpoint) on a x10 edge table — a fresh-JVM " +
-        "replay measures 5.4 -> 17.7 s = x3.3 for x10 edges " +
-        "(sublinear, no densification); in-suite sf1 runs wobble " +
-        "higher under block-manager pressure from the ~130 prior " +
-        "timed runs, which the checkpoint-per-peel shape is most " +
-        "exposed to."),
+        "semi-joins + checkpoint) on a x10 edge table, with each " +
+        "round's dead generation unpersisted as soon as the next " +
+        "materializes. The query is the harness's most MEMORY-bound: " +
+        "at sf10 (240M symmetric edge rows x 2 live generations in " +
+        "ONE JVM) run-to-run times wobble ~2x with heap size and the " +
+        "sf1->sf10 ratio reads at/above the linear ~10 mark from " +
+        "spill+GC overhead, not from any superlinear stage — on a " +
+        "cluster the peel state is spread across executors. (The sf10 " +
+        "runs also exposed SPURIOUS GCLocker OutOfMemoryErrors with " +
+        "free heap, fixed via GCLockerRetryAllocationCount in " +
+        "build.sbt.)"),
     "q166_golden_record" ->
       ("linear-by-construction: customer x10 with key-shifted copies " +
         "— SNM blocking windows and survivorship groups are disjoint " +
@@ -313,7 +318,11 @@ object ScaleRehearsal {
       else sf10.map("      " + _._2)
         .mkString(
           ",\n  \"sf10\": {\n    \"data_ratio\": 10,\n" +
-            "    \"base\": \"sf1 (10x sf0.1); ratios are sf1->sf10\",\n" +
+            "    \"base\": \"sf1 (10x sf0.1); ratios are sf1->sf10 at " +
+            "10x data. At this decade fixed overhead no longer " +
+            "dominates, so LINEAR cost reads as ratio ~10, not ~1; " +
+            "ratios well under 10 are sublinear, and only a ratio " +
+            "substantially ABOVE 10 indicates superlinear growth.\",\n" +
             "    \"queries\": {\n", ",\n", "\n    }\n  }")
     val json = "{\n  \"data_ratio\": 10,\n  \"queries\": " + mainBlock +
       sf10Block + ",\n  \"notes\": " + notes + "\n}\n"
