@@ -83,6 +83,14 @@ object Bench {
         // between runs so run k doesn't pay run k-1's memory pressure
         def clear(): Unit =
           try spark.catalog.clearCache() catch { case _: Throwable => () }
+        // query-boundary driver GC, OUTSIDE every timed region: eager
+        // localCheckpoint blocks from prior queries are only reaped by
+        // the ContextCleaner, which acts on driver GC — without this a
+        // 381-query sweep accumulates block-manager backlog that later
+        // queries pay for (the r13 ScaleRehearsal lesson: q118 read
+        // 3.52x in-suite vs 0.98x fresh-JVM on identical data). The
+        // per-query timed runs stay back-to-back warm.
+        System.gc()
         val r = try {
           one() // priming run, untimed
           val times = Seq.fill(runs) { clear(); one() }.sorted
