@@ -80,16 +80,30 @@ object Bench {
         val gc0 = gcMillis()
         // operator-owned result caches accumulate across repeat runs of
         // the same query (each run builds a fresh plan) — drop them
-        // between runs so run k doesn't pay run k-1's memory pressure
-        def clear(): Unit =
+        // between runs so run k doesn't pay run k-1's memory pressure.
+        // The drain also unpersists every leftover checkpoint RDD
+        // (Dataset.unpersist never reaches those blocks — they
+        // otherwise wait for a driver GC + ContextCleaner, the r13
+        // in-sweep backlog that inflated q137/q200 ~2x); the Kernels
+        // memo is the one deliberate cross-query cache and is kept.
+        def clear(): Unit = {
           try spark.catalog.clearCache() catch { case _: Throwable => () }
-        // query-boundary driver GC, OUTSIDE every timed region: eager
-        // localCheckpoint blocks from prior queries are only reaped by
-        // the ContextCleaner, which acts on driver GC — without this a
-        // 381-query sweep accumulates block-manager backlog that later
-        // queries pay for (the r13 ScaleRehearsal lesson: q118 read
-        // 3.52x in-suite vs 0.98x fresh-JVM on identical data). The
-        // per-query timed runs stay back-to-back warm.
+          try {
+            val keep = graft.Kernels.liveRddIds
+            spark.sparkContext.getPersistentRDDs.foreach {
+              case (id, rdd) if !keep.contains(id) =>
+                try rdd.unpersist(blocking = false)
+                catch { case _: Throwable => () }
+              case _ => ()
+            }
+          } catch { case _: Throwable => () }
+        }
+        // query-boundary driver GC, OUTSIDE every timed region: the
+        // drain above frees block-manager storage deterministically,
+        // but driver-heap garbage (plan trees, codegen classes) still
+        // only falls to GC; keeping it at the boundary means heavy
+        // queries never pay predecessors' collection inside a timed
+        // run. The per-query timed runs stay back-to-back warm.
         System.gc()
         val r = try {
           one() // priming run, untimed
@@ -149,6 +163,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalMin = mins.map(_._2).sum
+    // Box-noise canary, machine-readable (VERDICT r13 item 2): a loaded
+    // box inflates medians while per-run mins stay near the true warm
+    // cost, so median-sum ≫ min-sum flags a contaminated round from the
+    // artifact alone. 1.15 is the empirical bar: clean rounds measure
+    // spread ≈ 1.05–1.10 on this box; the two known-noisy driver rounds
+    // (r11, r13) read 1.18 and 1.20. A contaminated=true round must not
+    // be graded as a regression against a clean one — compare mins, or
+    // re-run.
+    val spread = if (totalMin > 0) total / totalMin else 1.0
+    val contaminated = spread > 1.15
     // field order puts the headline LAST: the harness keeps only the
     // final ~2 kB of stdout, and at 230+ queries the line front (where
     // "value" used to sit) is what gets truncated — JSON field order is
@@ -157,7 +181,7 @@ object Bench {
     // value_min = sum of per-query min-of-runs: value ≫ value_min means
     // the box was loaded during this bench (see per-query mins in the
     // file mirror).
-    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","spread":${fmt(spread)},"contaminated":$contaminated,"value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
     // The stdout tail keeps only ~2 kB — at 240+ queries most per-query
     // medians never reach the captured record. Mirror the FULL result
     // (long names, warm medians, errors) to a file so round-over-round
@@ -183,7 +207,7 @@ object Bench {
         s""""jvm": {"gc_total_ms": ${gcMillis()}, "codecache": $pools, "gc_ms_by_query_gt250": $gc}"""
       }
       val json =
-        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","value_min":${fmt(totalMin)},"value":${fmt(total)},
+        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"value_min":${fmt(totalMin)},"value":${fmt(total)},
            |$jvm,
            |"queries":$full,
            |"query_mins":$fullMins,

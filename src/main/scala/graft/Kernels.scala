@@ -44,18 +44,37 @@ object Kernels {
     memo.getOrElseUpdate((s.sparkContext.applicationId, key), {
       val built = build
       // eager checkpoint: the frame is small by kernel contract, and
-      // truncation frees the operator's internal caches immediately
+      // truncation frees the operator's internal caches immediately —
+      // unpersist for a CacheManager-persisted build, releaseScratch
+      // for a checkpoint-backed one (both are dead once `out` exists)
       val out = built.localCheckpoint(true)
       built.unpersist(blocking = false)
+      graft.operators.Exec.releaseScratch(built)
       out
     })
 
-  /** Drop all memoized kernels (unpersisting their blocks). */
+  /** RDD ids backing the live memoized kernels — the blocks a
+    * query-boundary scratch drain (Bench/Verify) must NOT release:
+    * the memo is the one deliberate cross-query cache. */
+  def liveRddIds: Set[Int] =
+    memo.values.flatMap { df =>
+      try org.apache.spark.sql.GraftSqlBridge.checkpointRdds(df).map(_.id)
+      catch { case _: Throwable => Nil }
+    }.toSet
+
+  /** Drop all memoized kernels, releasing their blocks. The frames are
+    * localCheckpoint'ed, so plain `Dataset.unpersist` would be a no-op
+    * (CacheManager-only) — the RDD-level release is what actually frees
+    * the block-manager storage. */
   def clear(): Unit = {
-    memo.values.foreach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
-    }
+    // drop from the memo FIRST: releaseScratch skips ids in liveRddIds,
+    // so a frame still registered would be protected from its own clear
+    val frames = memo.values.toList
     memo.clear()
+    frames.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      graft.operators.Exec.releaseScratch(df)
+    }
   }
 
   /** [[Dedup.minhashPairs]] over the documents table of `dir` —

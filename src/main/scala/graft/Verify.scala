@@ -47,8 +47,21 @@ object Verify {
         } catch { case _: Throwable => () }
       }
       // operators persist reusable subplans; drop them between queries
-      // so a 50-query run doesn't accumulate storage-memory pressure
+      // so a 50-query run doesn't accumulate storage-memory pressure.
+      // The RDD drain also frees leftover localCheckpoint blocks, which
+      // Dataset.unpersist/clearCache never reach (they'd otherwise wait
+      // for a driver GC + ContextCleaner); the Kernels memo is the one
+      // deliberate cross-query cache and is kept.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try {
+        val keep = Kernels.liveRddIds
+        spark.sparkContext.getPersistentRDDs.foreach {
+          case (id, rdd) if !keep.contains(id) =>
+            try rdd.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          case _ => ()
+        }
+      } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

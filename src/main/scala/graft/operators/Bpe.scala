@@ -77,14 +77,20 @@ object Bpe {
         val y = best(0).getString(1)
         val c = best(0).getLong(2)
         merges += ((step, x, y, x + y, c))
-        vocab = vocab.select(
+        val next = vocab.select(
             call_function("replace", col("s"),
               lit(s" $x  $y "), lit(s" $x$y ")).as("s"),
             col("freq"))
           .localCheckpoint(true)
+        // next is materialized — the previous round's vocab blocks are
+        // dead (RDD-level release; unpersist is a no-op on checkpoints)
+        Exec.releaseScratch(vocab)
+        vocab = next
         step += 1
       }
     }
+    // the result is driver-side merge rows — the last vocab is dead too
+    Exec.releaseScratch(vocab)
     toMergesDf(spark, merges.result())
   }
 

@@ -632,7 +632,8 @@ object Dedup {
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
     if (labels.isEmpty) {
-      return owned(labels.select(col("id"), col("lbl").as("cluster_id")), Nil)
+      return owned(labels.select(col("id"), col("lbl").as("cluster_id")),
+        Seq(edges, labels))
     }
     // labels only ever DECREASE (every step is a min), so the label
     // checksum is monotone non-increasing and equality across rounds
@@ -666,17 +667,24 @@ object Dedup {
           least(col("a.lbl"), coalesce(col("llbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint(true)
       val sum1 = checksum(next)
+      // `next` is materialized and lineage-truncated — the previous
+      // generation's node-sized blocks are dead NOW; without the
+      // RDD-level release they linger until a driver GC (plain
+      // unpersist never touches checkpoint blocks)
+      Exec.releaseScratch(labels)
       labels = next
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       i += 1
     }
     if (!converged) {
+      Exec.releaseScratch(labels, edges)
       throw new IllegalStateException(
         s"label propagation did not converge in $maxIters rounds " +
           "(component diameter exceeds the bound)")
     }
-    owned(labels.select(col("id"), col("lbl").as("cluster_id")), Nil)
+    owned(labels.select(col("id"), col("lbl").as("cluster_id")),
+      Seq(labels, edges))
   }
 
   /** Embedding-cosine near-dup pairs — brute force all-pairs. This is

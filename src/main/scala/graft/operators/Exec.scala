@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.apache.spark.storage.StorageLevel
 
 /** Shared execution-hygiene helpers for the operator layer.
   *
@@ -20,10 +19,11 @@ import org.apache.spark.storage.StorageLevel
   *     verification joins). Those handles must not outlive the call —
   *     a library caller cannot be asked to `spark.catalog.clearCache()`
   *     (which would also drop caches the CALLER owns). [[owned]]
-  *     materializes the (small) final result into its own cache and
-  *     releases every intermediate handle before returning, so the one
-  *     surviving handle is the returned DataFrame itself — explicitly
-  *     the caller's to `.unpersist()` (or to let the session drop).
+  *     materializes the (small) final result as a self-contained eager
+  *     checkpoint and releases every intermediate handle before
+  *     returning, so the one surviving handle is the returned DataFrame
+  *     itself — the caller's to free via [[Exec.releaseScratch]] (or to
+  *     let the session drop).
   */
 private[graft] object Exec {
 
@@ -44,17 +44,6 @@ private[graft] object Exec {
     else df
   }
 
-  /** Materialize `result` into its own MEMORY_AND_DISK cache (one
-    * count job — the cache stores all columns), then release the
-    * operator's intermediate caches. Eager by design: operators using
-    * this return an already-computed result whose storage the CALLER
-    * owns; no hidden operator-internal handle survives the call.
-    *
-    * `result` must be small relative to the input (candidate pairs,
-    * signatures above threshold) — every operator here reduces before
-    * it returns, so caching the result is bounded, while the
-    * intermediates it releases are corpus-sized.
-    */
   /** Hash-pin a table to `key` with the session's FIXED shuffle
     * partition count before caching it for an iterative loop. The
     * explicit count is the point: without it AQE coalesces the build
@@ -95,16 +84,85 @@ private[graft] object Exec {
     out
   }
 
-  def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
-    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
-    try out.count()
-    catch {
-      case t: Throwable =>
-        // a failed materialization must not strand the result handle
-        // either — unpersist before surfacing the failure
-        try out.unpersist(blocking = false) catch { case _: Throwable => () }
-        throw t
-    } finally intermediates.foreach(_.unpersist(blocking = false))
-    out
+  /** Materialization mechanism: eager `localCheckpoint`, NOT
+    * persist+count. The result must be SELF-CONTAINED before the
+    * intermediates are dropped, because in Spark 4.1
+    * `Dataset.unpersist` on an upstream frame also drops DEPENDENT
+    * CacheManager entries (measured: persist+count the result, then
+    * unpersist an intermediate inside its plan → the result's own
+    * cache entry vanishes and every later read re-executes the full
+    * operator — the pre-round-14 `owned` paid exactly that silent 2×).
+    * The checkpoint truncates lineage, so the returned frame
+    * references nothing the cleanup below releases.
+    *
+    * Ownership: the returned frame's storage is checkpoint blocks,
+    * which `Dataset.unpersist` does NOT free — callers release it
+    * with [[releaseScratch]] (Bench/Verify also drain leftover
+    * checkpoint RDDs at query boundaries).
+    */
+  def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame =
+    try result.localCheckpoint(true)
+    finally intermediates.foreach { df =>
+      // unpersist covers CacheManager-persisted intermediates; the
+      // RDD-level release covers localCheckpoint'ed ones (whose blocks
+      // unpersist never reaches)
+      df.unpersist(blocking = false)
+      releaseScratch(df)
+    }
+
+  /** Deterministically free the block-manager storage behind DEAD
+    * `localCheckpoint`ed frames. `Dataset.unpersist` is a no-op for
+    * these (it only calls CacheManager.uncacheQuery; checkpoint blocks
+    * are held by the RDD inside the plan's LogicalRDD node), so without
+    * this call dead generations of an iterative operator — or per-call
+    * scratch of a repeated one — linger until an incidental driver GC
+    * lets the ContextCleaner reap the unreachable RDD. In a long
+    * single-JVM sweep (the 381-query bench) that backlog becomes
+    * memory pressure LATER queries pay for; at scale it is the
+    * difference between 2 live edge generations and roundsN+1.
+    *
+    * Only call on frames that are truly dead: a localCheckpointed RDD
+    * cannot recompute (lineage truncated), so reading a released frame
+    * fails with "checkpoint block not found" rather than recomputing.
+    *
+    * Releases ONLY frames that ARE checkpoint handles (plan root =
+    * LogicalRDD, what `localCheckpoint` returns) — never LogicalRDDs
+    * embedded deeper in a composed plan, because those may be a
+    * CALLER's still-live input (measured: an operator whose persisted
+    * intermediate was built over a caller-checkpointed corpus released
+    * the caller's blocks and the caller's next join died with
+    * "checkpoint block not found"). For a frame whose WHOLE plan is
+    * known-dead scratch, use [[releaseScratchDeep]]. Frames that are
+    * not checkpoint handles are skipped silently, so it is safe to
+    * pass persisted intermediates through this from [[owned]].
+    */
+  def releaseScratch(frames: org.apache.spark.sql.Dataset[_]*): Unit = {
+    val keep = try graft.Kernels.liveRddIds catch { case _: Throwable => Set.empty[Int] }
+    frames.foreach { df =>
+      try org.apache.spark.sql.GraftSqlBridge.rootCheckpointRdd(df)
+        .foreach(r => if (!keep.contains(r.id)) {
+          try r.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        })
+      catch { case _: Throwable => () }
+    }
+  }
+
+  /** [[releaseScratch]], but for EVERY LogicalRDD anywhere in the
+    * frame's plan. Only for frames whose whole plan is known-dead
+    * scratch the caller assembled itself (e.g. a detached result whose
+    * routing checkpoint is now unreachable) — a composed plan over any
+    * still-live checkpoint input must not go through here. The
+    * [[graft.Kernels]] memo's RDDs are still skipped. */
+  def releaseScratchDeep(frames: org.apache.spark.sql.Dataset[_]*): Unit = {
+    val keep = try graft.Kernels.liveRddIds catch { case _: Throwable => Set.empty[Int] }
+    frames.foreach { df =>
+      try org.apache.spark.sql.GraftSqlBridge.checkpointRdds(df)
+        .foreach(r => if (!keep.contains(r.id)) {
+          try r.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        })
+      catch { case _: Throwable => () }
+    }
   }
 }

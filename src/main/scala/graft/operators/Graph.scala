@@ -194,18 +194,27 @@ object Graph {
     // per half-round is the normalize divide, a pure function of two
     // integers (identical in any engine); its result re-enters the
     // integer grid immediately.
+    // score-generation checkpoints are collected and released with the
+    // result materialization — checkpoint blocks need the RDD-level
+    // release (plain unpersist is CacheManager-only)
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def l1norm(raw: DataFrame): DataFrame = {
       val r = raw.localCheckpoint(true)
       val total = r.agg(sum("u").as("tot"))
-      r.crossJoin(broadcast(total))
+      val normed = r.crossJoin(broadcast(total))
         .select(col("node"),
           round(col("u").cast("double") * 1e9 / col("tot").cast("double"),
             0).cast("long").as("u"))
         .localCheckpoint(true)
+      // normed is self-contained — the raw half-round checkpoint is dead
+      Exec.releaseScratch(r)
+      scratch += normed
+      normed
     }
     val init = hubs0
       .withColumn("u", round(lit(1e9 / nHubs), 0).cast("long"))
       .localCheckpoint(true)
+    scratch += init
     val (hub, auth) = (1 to iters).foldLeft(
         (init, init.limit(0))) { case ((h, _), _) =>
       val a2 = l1norm(h.join(e, col("node") === col("a"))
@@ -220,7 +229,7 @@ object Graph {
       .unionByName(auth.withColumn("side", lit("auth")))
       .select(col("node"), col("side"),
         round(col("u").cast("double") / 1e9, 9).as("score"))
-    Exec.owned(out, Seq(e, eByB))
+    Exec.owned(out, Seq(e, eByB) ++ scratch)
   }
 
   /** Synchronous label propagation (community detection): `rounds`
@@ -261,13 +270,20 @@ object Graph {
             col("lbl")), col("dst") === col("dst_n"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      labels = votes
+      val next = votes
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
         .localCheckpoint(true)
+      // next is materialized — the previous sweep's label blocks are
+      // dead now (RDD-level release; unpersist would be a no-op)
+      Exec.releaseScratch(labels)
+      labels = next
     }
-    labels.select(col("node"), col("lbl").as("community"))
+    // node-sized result, owned so the final label/edge checkpoints are
+    // released before the operator returns
+    Exec.owned(labels.select(col("node"), col("lbl").as("community")),
+      Seq(labels, e))
   }
 
   /** Deterministic negative edge sampling — the non-edges a link-
@@ -414,6 +430,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init = sources.select(col(srcCol).as("node")).distinct()
       .withColumn("dist", lit(0))
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val dist = (1 to hops).foldLeft(init) { (acc, h) =>
       val frontier = acc.filter(col("dist") === h - 1)
       val reached = frontier
@@ -422,9 +439,13 @@ object Graph {
         .join(acc, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
       val next = acc.unionByName(reached)
-      if (h % 3 == 0 && h < hops) next.localCheckpoint() else next
+      if (h % 3 == 0 && h < hops) {
+        val cp = next.localCheckpoint()
+        scratch += cp
+        cp
+      } else next
     }
-    Exec.owned(dist, Seq(und))
+    Exec.owned(dist, Seq(und) ++ scratch)
   }
 
   /** Adamic-Adar link prediction: for every NON-edge pair (a, b) with

@@ -341,7 +341,7 @@ object Similarity {
       .select(col("pid").as("nid"),
         expr("(2000000000000000000L + ilrd) DIV (2L * ilrd)").as("rinv"))
     val dec = "decimal(38,0)"
-    n1.join(rinv, "nid")
+    val result = n1.join(rinv, "nid")
       .groupBy("pid").agg(sum("rinv").as("rsum"), max("du").as("kdu"))
       .join(ilrdQ, "pid")
       .select(col("pid").as("query_id"),
@@ -349,5 +349,9 @@ object Similarity {
         round((col("ilrd").cast(dec) * col("rsum").cast(dec))
           .cast("double") / lit(k.toDouble * 1e18), 6).as("lof"))
       .orderBy("query_id")
+    // query-set-sized result, owned so the three per-hop kNN
+    // checkpoints are released before the call returns (checkpoint
+    // blocks need the RDD-level release, not unpersist)
+    Exec.owned(result, Seq(n1, n2, n3))
   }
 }

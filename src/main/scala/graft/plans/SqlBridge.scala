@@ -22,4 +22,29 @@ object GraftSqlBridge {
     * attribute references custom plan nodes are built from. */
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The materialized RDDs inside a Dataset's plan — every
+    * [[execution.LogicalRDD]] leaf, i.e. the storage behind
+    * `localCheckpoint`. `Dataset.unpersist` does NOT release these:
+    * it only routes through the CacheManager, while a checkpoint's
+    * blocks are held by the RDD itself and are otherwise reclaimed
+    * only when a driver GC lets the ContextCleaner reap the
+    * unreachable RDD object. Deterministic release
+    * ([[graft.operators.Exec.releaseScratch]]) needs the RDD handles.
+    */
+  def checkpointRdds(df: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical.collect {
+      case r: execution.LogicalRDD => r.rdd
+    }
+
+  /** The materialized RDD of a frame that IS a checkpoint handle —
+    * i.e. its plan root is the LogicalRDD itself (what
+    * `localCheckpoint` returns), not a plan merely composed over one.
+    * The distinction matters for release: a composed plan's embedded
+    * LogicalRDDs may belong to a caller's still-live input. */
+  def rootCheckpointRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical match {
+      case r: execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }
 }

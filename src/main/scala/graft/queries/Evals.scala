@@ -1941,7 +1941,9 @@ object Evals {
       .select(col("f").as("feature"), col("n_ref"), col("n_cur"),
         round(col("u").cast("double") / lit(1e9), 6).as("psi"))
       .orderBy("feature")
-    result
+    // feature-count-sized result, owned so the three small checkpoints
+    // (the solve result, bounds, binned) release before returning
+    graft.operators.Exec.owned(result, Seq(solvedB, bounds, binned))
   }
 
   private val q240Sql = {

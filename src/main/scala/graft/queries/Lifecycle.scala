@@ -189,10 +189,13 @@ object Lifecycle {
         .join(keepD, col("dst") === col("node2")).drop("node2")
         .localCheckpoint(true)
       // the new generation is materialized — the previous round's
-      // corpus-sized blocks are dead NOW; without this unpersist all
+      // corpus-sized blocks are dead NOW; without an eager release all
       // roundsN+1 generations stay pinned until the final union runs
-      // (the r13 sf10 probe OOM'd a 16 GiB heap on exactly that)
-      prev.unpersist(blocking = false)
+      // (the r13 sf10 probe OOM'd a 16 GiB heap on exactly that).
+      // Must be the RDD-level release: Dataset.unpersist is a no-op on
+      // a checkpointed frame (CacheManager-only), so the old
+      // `prev.unpersist` freed nothing until an incidental driver GC
+      graft.operators.Exec.releaseScratch(prev)
       // 1-row round readout, eagerly materialized so it owns no
       // reference to any edge generation
       sym.agg(countDistinct(col("src")).as("n_nodes"),
@@ -202,7 +205,9 @@ object Lifecycle {
     }
     val out = stats.reduce(_.unionByName(_)).orderBy("round")
       .localCheckpoint(true)
-    sym.unpersist(blocking = false)
+    // `out` is self-contained — the last edge generation and the six
+    // 1-row round readouts are dead; release their blocks eagerly
+    graft.operators.Exec.releaseScratch(sym +: stats: _*)
     out
   }
 

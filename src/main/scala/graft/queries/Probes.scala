@@ -2260,15 +2260,22 @@ object Probes {
         dir, k = 5, nprobe = 2)
       .withColumn("rank", col("rank").cast("int"))
       .orderBy("query_id", "rank")
-    graft.operators.Exec.detachFromScratch(res, Seq(dir))
+    val out = graft.operators.Exec.detachFromScratch(res, Seq(dir))
+    // res's plan holds ivfIndexQuery's probe-routing checkpoint — dead
+    // once the detached result is materialized (deep: the whole res
+    // plan is this query's own scratch over the just-deleted index dir)
+    graft.operators.Exec.releaseScratchDeep(res)
+    out
   }
 
   private val q380Sql =
     """WITH cent AS (
          SELECT cell, list(c ORDER BY i) AS cvec FROM (
-           SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
-           FROM embeddings, range(1, 65) t(i)
-           GROUP BY label, i) a
+           SELECT cell, i, avg(CAST(v AS DOUBLE)) AS c
+           FROM (SELECT label AS cell, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+                 FROM embeddings) u
+           GROUP BY cell, i) a
          GROUP BY cell),
        q AS (SELECT vec_id AS query_id, embedding AS qv,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -2381,6 +2388,163 @@ object Probes {
        ORDER BY query_id"""
   }
 
+  // --------------------------------------------------------------- q382
+  /** Mergeable quantile-sketch ROLLUP (VERDICT r13 item 6: the approx
+    * companion to q165's HLL register rollup — q66/q170 cover only the
+    * exact regime). The sketch is a deterministic bottom-k-by-hash
+    * sample (k = 64): a group's sketch is the k rows with the smallest
+    * 48-bit salted md5 of the row id, and quantile estimates are exact
+    * order statistics OF THE SKETCH. Bottom-k-by-hash is the
+    * order-independent mergeable design — KLL/t-digest compaction is
+    * arrival-order-dependent, which no cross-engine value oracle can
+    * replay — and it obeys the exact MERGE LAW `sketch(A ∪ B) =
+    * bottomK(sketch(A) ∪ sketch(B))`, since each of the parent's k
+    * smallest hashes is among its own child's k smallest.
+    *
+    * The engine computes the hierarchy the mergeable way: leaf
+    * (flag × status) sketches from ONE corpus pass through the q94
+    * map-side bounded top-k Aggregator (the exchange carries ≤
+    * groups·partitions·k rows, never the corpus), then flag-level and
+    * global sketches by MERGING the leaf sketch rows (≤ 384 of them)
+    * — the corpus is not rescanned above the leaves, exactly how a
+    * 100 TB "quantiles by any period" rollup must work. The ORACLE
+    * computes every level's sketch directly from the full table, so
+    * the driver's hash gate grades the merge law itself, not a replay
+    * of the engine's steps. The 60-bit row hash (token60 of the
+    * unique key quad) rides the Aggregator's double ord slot with the
+    * exact long as tie-break — double rounding is monotone, so the
+    * combined order IS exact-h order; rank cuts are integer forms
+    * ((n+1) DIV 2, (9n+9) DIV 10) so no FP ceil can straddle engines.
+    * Exact counts ride along per level for context (and pin that the
+    * leaf pass saw every row).
+    */
+  private def q382(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val li = Tables.lineitem(s, d)
+    // row key: the synthetic lineitem carries duplicate (orderkey,
+    // linenumber) pairs (measured: up to 6 copies, different prices),
+    // so the hash keys the full unique quad. The ONE 60-bit hash is
+    // sample order, tie-break AND re-attach join key: ordering by
+    // (double(h) desc-negated, h asc) in the bounded Aggregator equals
+    // exact-h order (double rounding is monotone; double-ties resolve
+    // on the exact long), so the engine-side cut is the oracle's
+    // ORDER BY h bit-for-bit.
+    val hashed = li.select(
+        concat(col("l_returnflag"), col("l_linestatus")).as("gkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("vc"),
+        graft.functions.TextFunctions.token60(concat(lit("qsk"),
+          col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"), lit("_"),
+          col("l_partkey").cast("string"), lit("_"),
+          col("l_suppkey").cast("string"))).as("h"))
+    // leaf sketches: bounded map-side bottom-k; values re-attach by a
+    // broadcast join on h against the tiny selection
+    val leafSel = graft.operators.TopK.topKPerGroup(
+        hashed.select(col("gkey"), col("h").as("hid"),
+          (-col("h")).cast("double").as("negh")),
+        "gkey", "hid", "negh", k)
+      .select(col("hid").as("h"))
+    val leaf = hashed.join(broadcast(leafSel), Seq("h"))
+      .select(substring(col("gkey"), 1, 1).as("flag"),
+        substring(col("gkey"), 2, 1).as("status"),
+        col("vc"), col("h"))
+      .localCheckpoint(true)
+    // parent sketches by MERGE: windows over ≤ groups·k sketch rows
+    val wFlag = Window.partitionBy("flag").orderBy(col("h"))
+    val flagSk = leaf.withColumn("rn", row_number().over(wFlag))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumn("status", lit("ALL"))
+    val wAll = Window.partitionBy(lit(1)).orderBy(col("h"))
+    val allSk = flagSk.withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumn("flag", lit("ALL"))
+    // exact order statistics of each sketch (integer rank cuts)
+    def ests(sk: DataFrame, level: String): DataFrame = {
+      val part = Window.partitionBy("flag", "status")
+      val wv = part.orderBy(col("vc").asc, col("h").asc)
+      sk.withColumn("ns", count(lit(1)).over(part))
+        .withColumn("vr", row_number().over(wv))
+        .groupBy("flag", "status")
+        .agg(max(col("ns")).as("n_sample"),
+          min(when(col("vr") === expr("(ns + 1) div 2"), col("vc")))
+            .as("p50_cents"),
+          min(when(col("vr") === expr("(9 * ns + 9) div 10"), col("vc")))
+            .as("p90_cents"))
+        .withColumn("level", lit(level))
+    }
+    val leafN = li.groupBy(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("n_exact"))
+    val counts = leafN.withColumn("level", lit("1_leaf"))
+      .unionByName(leafN.groupBy("flag")
+        .agg(sum(col("n_exact")).as("n_exact"))
+        .withColumn("status", lit("ALL"))
+        .withColumn("level", lit("2_flag")))
+      .unionByName(leafN.agg(sum(col("n_exact")).as("n_exact"))
+        .withColumn("flag", lit("ALL"))
+        .withColumn("status", lit("ALL"))
+        .withColumn("level", lit("3_all")))
+    val out = ests(leaf, "1_leaf")
+      .unionByName(ests(flagSk, "2_flag"))
+      .unionByName(ests(allSk, "3_all"))
+      .join(counts, Seq("level", "flag", "status"))
+      .select(col("level"), col("flag"), col("status"), col("n_exact"),
+        col("n_sample"), col("p50_cents"), col("p90_cents"))
+      .orderBy("level", "flag", "status")
+    graft.operators.Exec.owned(out, Seq(leaf))
+  }
+
+  private val q382Sql =
+    """WITH h AS (
+         SELECT l_returnflag AS flag, l_linestatus AS status,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+           ('0x' || substr(md5('qsk' ||
+             l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_' ||
+             l_partkey::VARCHAR || '_' || l_suppkey::VARCHAR),
+             1, 15))::BIGINT AS h
+         FROM lineitem),
+       leaf AS (SELECT flag, status, h, vc FROM (
+           SELECT flag, status, h, vc,
+             row_number() OVER (PARTITION BY flag, status
+               ORDER BY h) AS rn FROM h) t
+         WHERE rn <= 64),
+       fsk AS (SELECT flag, 'ALL' AS status, h, vc FROM (
+           SELECT flag, h, vc,
+             row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+           FROM h) t
+         WHERE rn <= 64),
+       ask AS (SELECT 'ALL' AS flag, 'ALL' AS status, h, vc FROM (
+           SELECT h, vc, row_number() OVER (ORDER BY h) AS rn
+           FROM h) t
+         WHERE rn <= 64),
+       sk AS (SELECT '1_leaf' AS level, * FROM leaf
+              UNION ALL SELECT '2_flag', * FROM fsk
+              UNION ALL SELECT '3_all', * FROM ask),
+       est AS (SELECT level, flag, status,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(min(CASE WHEN vr = (ns + 1) // 2 THEN vc END)
+             AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN vr = (9 * ns + 9) // 10 THEN vc END)
+             AS BIGINT) AS p90_cents
+         FROM (SELECT level, flag, status, vc,
+                 count(*) OVER (PARTITION BY level, flag, status) AS ns,
+                 row_number() OVER (PARTITION BY level, flag, status
+                   ORDER BY vc, h) AS vr
+               FROM sk) x
+         GROUP BY level, flag, status),
+       cnt AS (SELECT '1_leaf' AS level, flag, status,
+             CAST(count(*) AS BIGINT) AS n_exact
+           FROM h GROUP BY flag, status
+         UNION ALL SELECT '2_flag', flag, 'ALL',
+             CAST(count(*) AS BIGINT) FROM h GROUP BY flag
+         UNION ALL SELECT '3_all', 'ALL', 'ALL',
+             CAST(count(*) AS BIGINT) FROM h)
+       SELECT est.level, est.flag, est.status, cnt.n_exact,
+         est.n_sample, est.p50_cents, est.p90_cents
+       FROM est JOIN cnt ON est.level = cnt.level
+         AND est.flag = cnt.flag AND est.status = cnt.status
+       ORDER BY est.level, est.flag, est.status"""
+
   val queries: Map[String, Q] = Map(
     "q352_mood_scale" -> (q352 _),
     "q353_cvm_two_sample" -> (q353 _),
@@ -2411,7 +2575,8 @@ object Probes {
     "q378_ngram_entropy" -> (q378 _),
     "q379_pipeline_order_bias" -> (q379 _),
     "q380_ann_lake_roundtrip" -> (q380 _),
-    "q381_lsh_recall" -> (q381 _))
+    "q381_lsh_recall" -> (q381 _),
+    "q382_quantile_sketch_rollup" -> (q382 _))
 
   val oracles: Map[String, String] = Map(
     "q352_mood_scale" -> q352Sql,
@@ -2443,5 +2608,6 @@ object Probes {
     "q378_ngram_entropy" -> q378Sql,
     "q379_pipeline_order_bias" -> q379Sql,
     "q380_ann_lake_roundtrip" -> q380Sql,
-    "q381_lsh_recall" -> q381Sql)
+    "q381_lsh_recall" -> q381Sql,
+    "q382_quantile_sketch_rollup" -> q382Sql)
 }

@@ -920,12 +920,17 @@ object Signals {
     for (j <- 2 to k) {
       val cj = state.orderBy(col("md").desc, col("vec_id"))
         .select("vec_id").head().getLong(0)
-      state = cosTo(state, cj)
+      val next = cosTo(state, cj)
         .select(col("vec_id"), col("embedding"),
           least(col("md"), col("dq")).as("md"))
         .localCheckpoint(true)
+      // previous round's min-dist state is dead once next materializes
+      graft.operators.Exec.releaseScratch(state)
+      state = next
       picks += ((j, cj, state.agg(max("md")).head().getLong(0)))
     }
+    // result rows are driver-side — all corpus-sized scratch is dead
+    graft.operators.Exec.releaseScratch(state, emb)
     picks.toSeq.toDF("rank", "vec_id", "radius_micro")
       .orderBy("rank")
   }
@@ -1170,20 +1175,26 @@ object Signals {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
     val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
-    val gIds = Quality.gopherFlags(corpus, "doc_id", "text")
-      .filter(col("keep")).select("doc_id")
     // each survivor frame feeds TWO+ downstream stages; quality prunes
     // the corpus ~6×, so checkpointing the small survivors stops every
-    // stage from re-running the full text scan + quality pass
+    // stage from re-running the full text scan + quality pass. The id
+    // lists are checkpointed too (gIds/exIds feed both their stage AND
+    // the final funnel tag joins), and every frame is released the
+    // moment the next stage's checkpoint makes it dead — per-run
+    // scratch must not outlive the query (the r13 GC-backlog lesson)
+    val gIds = Quality.gopherFlags(corpus, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").localCheckpoint(true)
     val qDocs = corpus.join(gIds, "doc_id").localCheckpoint(true)
     val exIds = Dedup.exact(qDocs, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
+      .select(col("keep_id").as("doc_id")).localCheckpoint(true)
     val exDocs = qDocs.join(exIds, "doc_id").localCheckpoint(true)
-    val dropB = Dedup.minhashPairs(exDocs, "doc_id", "text",
-        threshold = 0.8)
-      .select(col("doc_b").as("doc_id")).distinct()
+    graft.operators.Exec.releaseScratch(qDocs)
+    val pairs = Dedup.minhashPairs(exDocs, "doc_id", "text",
+      threshold = 0.8)
+    val dropB = pairs.select(col("doc_b").as("doc_id")).distinct()
     val ndIds = exIds.join(dropB, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    graft.operators.Exec.releaseScratch(pairs)
     val ndDocs = exDocs.join(ndIds.select("doc_id"), "doc_id")
     val rd = ndIds
       .join(Decontam.overlap(ndDocs, bench, "doc_id", "text", n = 3)
@@ -1196,6 +1207,9 @@ object Signals {
     // q182 contract): no doc-cardinality multiset buffer, and the
     // boundary is a data value both engines hold bit-identically
     val rdC = rd.localCheckpoint(true)
+    // the decontam stage consumed ndDocs while materializing rdC — the
+    // exact-dedup survivor text is dead from here on
+    graft.operators.Exec.releaseScratch(exDocs)
     val (_, Seq(thr)) = graft.engine.OrderStat.kthSmallests(
       rdC, "ratio", graft.engine.OrderStat.quantileRanks(Seq(0.9)))
     val contamIds = rdC
@@ -1204,7 +1218,7 @@ object Signals {
     val cleanIds = ndIds.join(contamIds, Seq("doc_id"), "left_anti")
     def tag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1L))
-    corpus
+    val funnel = corpus
       .select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("long").as("toks"))
       .join(tag(gIds, "f_q"), Seq("doc_id"), "left")
@@ -1220,6 +1234,9 @@ object Signals {
         sum(when(col("f_cl") === 1L, col("toks")).otherwise(0L))
           .as("clean_token_sum"))
       .orderBy("source")
+    // per-source report (a handful of rows): own it eagerly so every
+    // stage checkpoint is released before the query returns
+    graft.operators.Exec.owned(funnel, Seq(gIds, exIds, ndIds, rdC))
   }
 
   private val q200Sql = Pipeline.minhashBandCtes +

@@ -194,9 +194,11 @@ class DedupSpec extends SparkSpec {
     val afterCall = sc.getPersistentRDDs.keySet -- before
     // internal handles (banded signatures, candidates, candidate
     // shingles) are released inside the call; only the materialized
-    // result's own cache survives
+    // result's own checkpoint storage survives
     assert(afterCall.size <= 1, s"leaked caches: $afterCall")
-    out.unpersist(blocking = true)
+    // owned results are checkpoint-backed: Dataset.unpersist cannot
+    // free them — Exec.releaseScratch is the owner-release path
+    graft.operators.Exec.releaseScratch(out)
     val afterRelease = sc.getPersistentRDDs.keySet -- before
     assert(afterRelease.isEmpty, s"leaked caches: $afterRelease")
     // same invariant for the other internally-persisting operators
@@ -210,7 +212,7 @@ class DedupSpec extends SparkSpec {
         val res = op()
         val during = sc.getPersistentRDDs.keySet -- pre
         assert(during.size <= 1, s"leaked caches: $during")
-        res.unpersist(blocking = true)
+        graft.operators.Exec.releaseScratch(res)
         assert((sc.getPersistentRDDs.keySet -- pre).isEmpty)
       }
   }

@@ -733,4 +733,64 @@ class ProbesSpec extends SparkSpec {
     }
     assert(out.map(_.getInt(1)).sum > 0, "zero total recall: LSH broken")
   }
+
+  test("q382 quantile-sketch rollup matches a direct Scala bottom-k " +
+      "reference (merge law exercised: one group exceeds k)") {
+    // fixture: 3 leaf groups — AF has 150 rows (> k = 64, so its
+    // sketch truly truncates and the flag/global merges exercise the
+    // law), NF has 20, RO has 5. prices = distinct cents so order
+    // statistics are unambiguous.
+    val rows = (
+      (1 to 150).map(i => ("A", "F", i.toLong, 1, i.toLong, i.toLong,
+        100.0 + i)) ++
+      (1 to 20).map(i => ("N", "F", 1000L + i, 1, i.toLong, i.toLong,
+        50.0 + 3 * i)) ++
+      (1 to 5).map(i => ("R", "O", 2000L + i, 1, i.toLong, i.toLong,
+        9.0 + i))
+    ).toDF("l_returnflag", "l_linestatus", "l_orderkey",
+      "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+    val dir = staged("qsk")("lineitem" -> rows)
+    val out = SparkEntry.queries("q382_quantile_sketch_rollup")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    // independent reference: java md5, first 15 hex chars, bottom-k
+    def h60(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"qsk$key".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    case class R(flag: String, status: String, h: Long, vc: Long)
+    val all = rows.collect().map { r =>
+      val key = s"${r.getLong(2)}_${r.getInt(3)}_${r.getLong(4)}" +
+        s"_${r.getLong(5)}"
+      R(r.getString(0), r.getString(1), h60(key),
+        math.floor(r.getDouble(6) * 100 + 0.5).toLong)
+    }.toSeq
+    def sketch(rs: Seq[R]): Seq[R] = rs.sortBy(_.h).take(64)
+    def est(rs: Seq[R]): (Long, Long, Long) = {
+      val vs = rs.map(_.vc).sorted
+      val n = vs.length
+      (n.toLong, vs(((n + 1) / 2 - 1).toInt),
+        vs(((9 * n + 9) / 10 - 1).toInt))
+    }
+    val leafs = all.groupBy(r => (r.flag, r.status))
+    leafs.foreach { case ((f, st), rs) =>
+      val (ns, p50, p90) = est(sketch(rs))
+      assert(out(("1_leaf", f, st)) === ((rs.size.toLong, ns, p50, p90)))
+    }
+    // flag + global levels: direct bottom-k of the FULL row set — the
+    // engine computed them by merging leaf sketches, so equality IS
+    // the merge law
+    all.groupBy(_.flag).foreach { case (f, rs) =>
+      val (ns, p50, p90) = est(sketch(rs))
+      assert(out(("2_flag", f, "ALL")) === ((rs.size.toLong, ns, p50, p90)))
+    }
+    val (nsA, p50A, p90A) = est(sketch(all))
+    assert(out(("3_all", "ALL", "ALL")) ===
+      ((all.size.toLong, nsA, p50A, p90A)))
+    assert(out.size === leafs.size + all.groupBy(_.flag).size + 1)
+  }
 }
