@@ -63,6 +63,13 @@ object Bench {
           p.getName.contains("Code Cache"))
         .map(p => (p.getName, p.getUsage.getUsed, p.getUsage.getMax)).toSeq
     val gcByQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // the deliberate query-boundary System.gc() is accounted SEPARATELY:
+    // since round 14's scratch drain, most reclaimable storage is
+    // deserialized checkpoint rows, which make the boundary full GC
+    // itself cost ~0.3-0.7 s — folding that into the per-query figure
+    // made every query read "GC-heavy" when the in-run (timed-region)
+    // GC is what the diagnostic question is about
+    var gcBoundaryMs = 0L
     // per query: (median of runs, min of runs). The MIN is the
     // box-load canary (VERDICT r9): a loaded box inflates the median
     // while the min stays near the true warm cost, so median ≫ min in
@@ -77,7 +84,7 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        val gc0 = gcMillis()
+        val gcPre = gcMillis()
         // operator-owned result caches accumulate across repeat runs of
         // the same query (each run builds a fresh plan) — drop them
         // between runs so run k doesn't pay run k-1's memory pressure.
@@ -105,6 +112,8 @@ object Bench {
         // queries never pay predecessors' collection inside a timed
         // run. The per-query timed runs stay back-to-back warm.
         System.gc()
+        val gc0 = gcMillis() // in-run baseline: AFTER the boundary GC
+        gcBoundaryMs += gc0 - gcPre
         val r = try {
           one() // priming run, untimed
           val times = Seq.fill(runs) { clear(); one() }.sorted
@@ -204,7 +213,7 @@ object Bench {
         val gc = gcByQuery.filter(_._2 > 250).sortBy(-_._2)
           .map { case (k, ms) => s"""    "${esc(k)}": $ms""" }
           .mkString("{\n", ",\n", "\n  }")
-        s""""jvm": {"gc_total_ms": ${gcMillis()}, "codecache": $pools, "gc_ms_by_query_gt250": $gc}"""
+        s""""jvm": {"gc_total_ms": ${gcMillis()}, "gc_boundary_total_ms": $gcBoundaryMs, "codecache": $pools, "gc_ms_by_query_gt250": $gc}"""
       }
       val json =
         s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"value_min":${fmt(totalMin)},"value":${fmt(total)},

@@ -101,7 +101,13 @@ private[graft] object Exec {
     * checkpoint RDDs at query boundaries).
     */
   def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame =
-    try result.localCheckpoint(true)
+    // TEST-ONLY escape hatch: while `graft.exec.planOnly` is set, the
+    // result comes back UNMATERIALIZED (nothing released), so
+    // plan-assert specs can inspect the operator's real execution plan
+    // — the one the eager checkpoint executes and then hides behind a
+    // LogicalRDD scan. Never set outside plan specs.
+    if (sys.props.contains("graft.exec.planOnly")) result
+    else try result.localCheckpoint(true)
     finally intermediates.foreach { df =>
       // unpersist covers CacheManager-persisted intermediates; the
       // RDD-level release covers localCheckpoint'ed ones (whose blocks

@@ -1008,7 +1008,7 @@ object Lifecycle {
   /** STREAMING stateful session EVICTION, oracle-graded — the last
     * §2.10 capability without a CORRECTNESS row (q177 proved the
     * file-stream-replay pattern; q204 covered the stream-stream join).
-    * The events table is re-written into time-ordered 6-day chunk
+    * The events table is re-written into time-ordered 10-day chunk
     * files (mtime-sequenced so `maxFilesPerTrigger=1` replays them as
     * separate micro-batches in event-time order — no late data by
     * construction), then streamed through
@@ -1030,7 +1030,16 @@ object Lifecycle {
   private def q211(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val chunkUs = 6L * 86400 * 1000000 // 6-day event-time chunks
+    // 10-day chunks (3 real micro-batches over the 30-day corpus + 2
+    // sentinels): the per-user segment SUMS this query grades are
+    // chunk-width-independent (see above — an eviction break implies
+    // a full chunk of silence ≫ the 30-min gap at ANY width ≥ gap),
+    // and cross-batch state is still exercised by every user active
+    // in multiple chunks. Width buys nothing semantically past that,
+    // and each extra micro-batch costs a fixed state-store
+    // commit × partitions + planning round (VERDICT r13 item 5: the
+    // streaming replay floor is choreography, not data).
+    val chunkUs = 10L * 86400 * 1000000
     val gapUs = 30L * 60 * 1000000     // q23's 30-min inactivity gap
     val tmp = Files.createTempDirectory("graft_sess_split").toString
     val ingest = Files.createTempDirectory("graft_sess_ingest").toString
@@ -1423,7 +1432,12 @@ object Lifecycle {
     * or watermark choreography is needed. */
   private def q231(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val chunkUs = 6L * 86400 * 1000000
+    // 10-day chunks (3 micro-batches over the 30-day corpus): the
+    // update-mode running sums are batch-boundary-independent by
+    // construction, and 3 batches already force cross-batch ValueState
+    // carries for every multi-chunk user — extra micro-batches are
+    // pure per-batch fixed cost (the q211 rationale)
+    val chunkUs = 10L * 86400 * 1000000
     val tmp = Files.createTempDirectory("graft_tws_split").toString
     val ingest = Files.createTempDirectory("graft_tws_ingest").toString
     val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString

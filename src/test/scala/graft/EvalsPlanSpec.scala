@@ -8,9 +8,10 @@ class EvalsPlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = planOnly {
     SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
+  }
 
   test("q224 PR sweep: thresholds ride a broadcast, never a cartesian") {
     val p = plan("q224_pr_curve")

@@ -131,7 +131,9 @@ class InsightsPlanSpec extends SparkSpec {
       .select(col("doc_id"), col("text"), col("source"))
     val dirty = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text"), lit("mirror").as("source")))
-    val out = graft.operators.Dedup.sourceOverlap(dirty, "text", "source")
+    val out = planOnly {
+      graft.operators.Dedup.sourceOverlap(dirty, "text", "source")
+    }
     val p = plan(out)
     assert(p.contains("BroadcastHashJoin"),
       s"per-source totals must broadcast onto the pair table:\n$p")

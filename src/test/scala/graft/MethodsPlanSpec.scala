@@ -9,9 +9,10 @@ package graft
   */
 class MethodsPlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = planOnly {
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
+  }
 
   test("q311 caliper matching generates candidates by bucket " +
       "equi-join - never a cartesian") {

@@ -9,9 +9,10 @@ package graft
   */
 class ProbesPlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = planOnly {
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
+  }
 
   test("q352 Mood: rank windows stay PARTITIONed by group and the " +
       "group-totals frame attaches by broadcast") {

@@ -180,7 +180,9 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("lloyd assignment plan broadcasts centroids and never shuffles the corpus for assignment") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val out = KMeans.lloyd(emb, "vec_id", "embedding", k = 2, iters = 1)
+    val out = planOnly {
+      KMeans.lloyd(emb, "vec_id", "embedding", k = 2, iters = 1)
+    }
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange") ||
       out.queryExecution.optimizedPlan.toString.contains("broadcast"))

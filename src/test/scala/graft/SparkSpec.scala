@@ -6,6 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session: one JVM-wide SparkSession across suites. */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Build a frame with `Exec.owned` left UNMATERIALIZED (the
+    * `graft.exec.planOnly` hook), so plan-assert tests can inspect the
+    * operator's real execution plan instead of the LogicalRDD scan the
+    * eager checkpoint leaves behind. Construction-only: evaluate the
+    * returned frame freely afterwards. */
+  def planOnly[T](body: => T): T = {
+    sys.props("graft.exec.planOnly") = "true"
+    try body finally sys.props -= "graft.exec.planOnly"
+  }
 }
 
 object SparkSpec {

@@ -8,9 +8,10 @@ package graft
   */
 class StudiesPlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = planOnly {
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
+  }
 
   test("q316 Kruskal-Wallis: the rank join stays keyed on the " +
       "quantized value, bucket offsets attach by broadcast") {
