@@ -33,10 +33,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Session-level warmup (shuffle machinery, codegen compiler) so the
     // first query's priming run isn't charged for JVM bring-up.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try calibOnce() catch { case _: Throwable => () }
+    // Box-drift calibration (round 14): the SAME fixed warm workload
+    // timed at sweep start and end. The in-run spread canary catches
+    // within-run noise, but a shared box that degrades ACROSS a
+    // 30-minute sweep (or between rounds) inflates every min uniformly
+    // and is invisible to it — three identical r14 mirrors read
+    // 326/355/396 s across one afternoon with per-query min ratios
+    // uniformly ~1.1-1.2x. calib_end/calib_start exposes mid-sweep
+    // drift; comparing calib_start across rounds normalizes epochs.
+    val calibStart = try calibOnce() catch { case _: Throwable => -1.0 }
 
     // Dev-loop filter: comma-separated name prefixes (e.g. "q127,q137")
     // to time a subset while iterating. Unset (the driver's mode) runs
@@ -130,6 +143,7 @@ object Bench {
         gcByQuery += name -> (gcMillis() - gc0)
         name -> r
       }
+    val calibEnd = try calibOnce() catch { case _: Throwable => -1.0 }
     // Post-sweep JVM state: if any CodeHeap pool sits >90% of max, the
     // compiler likely disabled itself mid-sweep and tail-query timings
     // are interpreted-mode artifacts, not plan costs.
@@ -190,7 +204,7 @@ object Bench {
     // value_min = sum of per-query min-of-runs: value ≫ value_min means
     // the box was loaded during this bench (see per-query mins in the
     // file mirror).
-    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","spread":${fmt(spread)},"contaminated":$contaminated,"value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
     // The stdout tail keeps only ~2 kB — at 240+ queries most per-query
     // medians never reach the captured record. Mirror the FULL result
     // (long names, warm medians, errors) to a file so round-over-round
@@ -216,7 +230,7 @@ object Bench {
         s""""jvm": {"gc_total_ms": ${gcMillis()}, "gc_boundary_total_ms": $gcBoundaryMs, "codecache": $pools, "gc_ms_by_query_gt250": $gc}"""
       }
       val json =
-        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"value_min":${fmt(totalMin)},"value":${fmt(total)},
+        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"value_min":${fmt(totalMin)},"value":${fmt(total)},
            |$jvm,
            |"queries":$full,
            |"query_mins":$fullMins,
