@@ -79,15 +79,98 @@ object TopK {
     override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
   }
 
+  /** [[Buf]] plus one LONG payload column carried through the
+    * selection — for callers that would otherwise pay a second corpus
+    * scan to re-attach a single value (the q382 sketch: the payload is
+    * the quantized measure, so sketch rows come out of ONE pass). */
+  case class BufP(ids: Array[Long], ords: Array[Double],
+                  pays: Array[Long])
+
+  class TopKPayloadAgg(k: Int)
+      extends Aggregator[(Long, Double, Long), BufP, BufP] {
+    require(k >= 1, "k must be >= 1")
+
+    private def better(id1: Long, o1: Double, id2: Long, o2: Double): Boolean =
+      o1 > o2 || (o1 == o2 && id1 < id2)
+
+    override def zero: BufP = BufP(Array.empty, Array.empty, Array.empty)
+
+    override def reduce(b: BufP, row: (Long, Double, Long)): BufP = {
+      val (id, ord, pay) = row
+      val n = b.ids.length
+      if (n == k && !better(id, ord, b.ids(n - 1), b.ords(n - 1))) b
+      else {
+        var pos = n
+        while (pos > 0 && better(id, ord, b.ids(pos - 1), b.ords(pos - 1)))
+          pos -= 1
+        val m = math.min(n + 1, k)
+        val ids = new Array[Long](m)
+        val ords = new Array[Double](m)
+        val pays = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          if (i < pos) { ids(i) = b.ids(i); ords(i) = b.ords(i); pays(i) = b.pays(i) }
+          else if (i == pos) { ids(i) = id; ords(i) = ord; pays(i) = pay }
+          else { ids(i) = b.ids(i - 1); ords(i) = b.ords(i - 1); pays(i) = b.pays(i - 1) }
+          i += 1
+        }
+        BufP(ids, ords, pays)
+      }
+    }
+
+    override def merge(a: BufP, b: BufP): BufP = {
+      val m = math.min(a.ids.length + b.ids.length, k)
+      val ids = new Array[Long](m)
+      val ords = new Array[Double](m)
+      val pays = new Array[Long](m)
+      var (i, j, o) = (0, 0, 0)
+      while (o < m) {
+        val takeA = j >= b.ids.length || (i < a.ids.length &&
+          better(a.ids(i), a.ords(i), b.ids(j), b.ords(j)))
+        if (takeA) { ids(o) = a.ids(i); ords(o) = a.ords(i); pays(o) = a.pays(i); i += 1 }
+        else { ids(o) = b.ids(j); ords(o) = b.ords(j); pays(o) = b.pays(j); j += 1 }
+        o += 1
+      }
+      BufP(ids, ords, pays)
+    }
+
+    override def finish(b: BufP): BufP = b
+    override def bufferEncoder: Encoder[BufP] = Encoders.product[BufP]
+    override def outputEncoder: Encoder[BufP] = Encoders.product[BufP]
+  }
+
+  /** [[topKPerGroup]] with a LONG payload column carried through:
+    * `(<keyCol>, <idCol>, <ordCol>, <payCol>, rk)`. Same total order
+    * and null-exclusion contract; a null payload is excluded too (it
+    * has no primitive slot). */
+  def topKPerGroupWithPayload(df: DataFrame, keyCol: String, idCol: String,
+                              ordCol: String, payCol: String,
+                              k: Int): DataFrame = {
+    val fn = udaf(new TopKPayloadAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaLong))
+    df.filter(col(idCol).isNotNull && col(ordCol).isNotNull &&
+        col(payCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(fn(col(idCol).cast("long"), col(ordCol).cast("double"),
+        col(payCol).cast("long")).as("top"))
+      .select(col(keyCol),
+        posexplode(arrays_zip(col("top.ids"), col("top.ords"),
+          col("top.pays"))).as(Seq("i", "r")))
+      .select(col(keyCol), col("r.ids").as(idCol), col("r.ords").as(ordCol),
+        col("r.pays").as(payCol), (col("i") + 1).cast("int").as("rk"))
+  }
+
   /** Top `k` rows per group of `df`: `(<keyCol>, <idCol>, <ordCol>,
     * rk)` by (`ordCol` desc, `idCol` asc), rk = 1-based rank within
     * the group. `idCol`/`ordCol` must be castable to bigint/double
     * (the bounded buffer is primitive-typed on purpose — payload
-    * columns re-attach with an id equi-join against the tiny result).
-    * Rows with a null id or ord are EXCLUDED up front: null has no
-    * position in the (ord desc, id asc) total order, and letting one
-    * reach the primitive-typed buffer would fail with an opaque
-    * encoder NPE instead of defined semantics.
+    * columns re-attach with an id equi-join against the tiny result,
+    * or ride along via [[topKPerGroupWithPayload]] when they fit a
+    * LONG). Rows with a null id or ord are EXCLUDED up front: null
+    * has no position in the (ord desc, id asc) total order, and
+    * letting one reach the primitive-typed buffer would fail with an
+    * opaque encoder NPE instead of defined semantics.
     */
   def topKPerGroup(df: DataFrame, keyCol: String, idCol: String,
                    ordCol: String, k: Int): DataFrame = {

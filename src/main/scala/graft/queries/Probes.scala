@@ -2437,17 +2437,16 @@ object Probes {
           col("l_linenumber").cast("string"), lit("_"),
           col("l_partkey").cast("string"), lit("_"),
           col("l_suppkey").cast("string"))).as("h"))
-    // leaf sketches: bounded map-side bottom-k; values re-attach by a
-    // broadcast join on h against the tiny selection
-    val leafSel = graft.operators.TopK.topKPerGroup(
+    // leaf sketches: bounded map-side bottom-k with the quantized
+    // measure riding the aggregator as payload — sketch rows come out
+    // of ONE corpus pass (no re-attach join, no second md5 scan)
+    val leaf = graft.operators.TopK.topKPerGroupWithPayload(
         hashed.select(col("gkey"), col("h").as("hid"),
-          (-col("h")).cast("double").as("negh")),
-        "gkey", "hid", "negh", k)
-      .select(col("hid").as("h"))
-    val leaf = hashed.join(broadcast(leafSel), Seq("h"))
+          (-col("h")).cast("double").as("negh"), col("vc")),
+        "gkey", "hid", "negh", "vc", k)
       .select(substring(col("gkey"), 1, 1).as("flag"),
         substring(col("gkey"), 2, 1).as("status"),
-        col("vc"), col("h"))
+        col("vc"), col("hid").as("h"))
       .localCheckpoint(true)
     // parent sketches by MERGE: windows over ≤ groups·k sketch rows
     val wFlag = Window.partitionBy("flag").orderBy(col("h"))

@@ -41,6 +41,27 @@ class TopKSpec extends SparkSpec {
     assert(run(df.repartition(7)) == out)
   }
 
+  test("topKPerGroupWithPayload carries the payload and matches the " +
+      "payload-free selection across layouts") {
+    val df = Seq(
+      (1L, 10L, 5.0, 100L), (1L, 11L, 5.0, 110L), (1L, 12L, 4.0, 120L),
+      (1L, 13L, 7.0, 130L), (2L, 20L, 1.0, 200L))
+      .toDF("grp", "id", "v", "pay")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TopK.topKPerGroupWithPayload(d, "grp", "id", "v", "pay", k = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+        .toSet
+    val out = run(df)
+    // selection identical to topKPerGroup; each row keeps ITS payload
+    assert(out == Set((1L, 13L, 130L, 1), (1L, 10L, 100L, 2),
+      (2L, 20L, 200L, 1)))
+    assert(run(df.repartition(7)) == out)
+    val sel = TopK.topKPerGroup(df, "grp", "id", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)) == sel)
+  }
+
   test("topKPerGroup aggregates partially before the exchange (bounded shuffle)") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val out = TopK.topKPerGroup(orders, "o_custkey", "o_orderkey",
