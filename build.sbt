@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites must run sequentially: SparkSpec.planOnly and the streaming
+// specs mutate JVM-global state (Exec.planOnlyHook, session conf)
+// around the shared SparkSession. Forked sbt tests run suites
+// sequentially by default; pin it so enabling a parallel runner can't
+// silently break that invariant.
+Test / parallelExecution := false
 run / fork := true
 // Emit the forked JVM's stdout RAW instead of through sbt's logger:
 // the driver parses the bench JSON line from captured stdout, and the

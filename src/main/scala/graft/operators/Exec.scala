@@ -100,13 +100,21 @@ private[graft] object Exec {
     * with [[releaseScratch]] (Bench/Verify also drain leftover
     * checkpoint RDDs at query boundaries).
     */
+  /** TEST-ONLY escape hatch: while set, [[owned]] returns results
+    * UNMATERIALIZED (nothing released), so plan-assert specs can
+    * inspect an operator's real execution plan — the one the eager
+    * checkpoint executes and then hides behind a LogicalRDD scan.
+    * Deliberately a package-private var, NOT a system property: a
+    * stray `-Dgraft.exec.planOnly` on a production launch would
+    * silently stop materialization AND scratch release everywhere —
+    * this way only in-repo test code (SparkSpec.planOnly) can reach
+    * it. Mutation assumes SUITES RUN SEQUENTIALLY (the sbt forked-test
+    * default, pinned by `Test / parallelExecution := false`); a
+    * parallel runner would leak the flag into concurrent queries. */
+  @volatile private[graft] var planOnlyHook: Boolean = false
+
   def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame =
-    // TEST-ONLY escape hatch: while `graft.exec.planOnly` is set, the
-    // result comes back UNMATERIALIZED (nothing released), so
-    // plan-assert specs can inspect the operator's real execution plan
-    // — the one the eager checkpoint executes and then hides behind a
-    // LogicalRDD scan. Never set outside plan specs.
-    if (sys.props.contains("graft.exec.planOnly")) result
+    if (planOnlyHook) result
     else try result.localCheckpoint(true)
     finally intermediates.foreach { df =>
       // unpersist covers CacheManager-persisted intermediates; the

@@ -1027,9 +1027,7 @@ object Lifecycle {
     * gap, so no session ever spans segments) — which is exactly what
     * makes the final per-user rollup equal batch sessionization and
     * lets q23's lag() oracle grade a stateful streaming operator. */
-  private def q211(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  private def q211(s: SparkSession, d: String): DataFrame =
     // 10-day chunks (3 real micro-batches over the 30-day corpus + 2
     // sentinels): the per-user segment SUMS this query grades are
     // chunk-width-independent (see above — an eviction break implies
@@ -1038,45 +1036,40 @@ object Lifecycle {
     // in multiple chunks. Width buys nothing semantically past that,
     // and each extra micro-batch costs a fixed state-store
     // commit × partitions + planning round (VERDICT r13 item 5: the
-    // streaming replay floor is choreography, not data).
-    val chunkUs = 10L * 86400 * 1000000
+    // streaming replay floor is choreography, not data). The NARROW
+    // (6-day, 5-real-batch) configuration stays exercised by
+    // StreamingSpec's sessionReplay case, so multi-boundary eviction
+    // carries don't lose coverage to the sweep-time trade.
+    sessionReplay(s, d, 10L * 86400 * 1000000)
+
+  /** q211's replay body with the chunk width as a parameter —
+    * package-private so StreamingSpec can drive the NARROW-chunk
+    * configuration (more micro-batches, more eviction-boundary state
+    * carries) that the bench-time q211 no longer runs. */
+  private[graft] def sessionReplay(s: SparkSession, d: String,
+                                   chunkUs: Long): DataFrame = {
+    import s.implicits._
+    import java.nio.file.Files
     val gapUs = 30L * 60 * 1000000     // q23's 30-min inactivity gap
-    val tmp = Files.createTempDirectory("graft_sess_split").toString
-    val ingest = Files.createTempDirectory("graft_sess_ingest").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
     val outDir = Files.createTempDirectory("graft_sess_out").toString
 
-    val ev = Tables.events(s, d)
-      .select(col("user_id").cast("long").as("user_id"),
-        unix_micros(col("ts")).as("ts_us"))
-    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
-    // one file per chunk: all rows of a chunk land in one task, so
-    // partitionBy emits a single part file per chunk directory
-    ev.withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").parquet(s"$tmp/real")
-    Seq((-1L, maxTs + 10L * 86400 * 1000000))
-      .toDF("user_id", "ts_us").coalesce(1)
-      .write.parquet(s"$tmp/sentinel_a")
-    Seq((-1L, maxTs + 20L * 86400 * 1000000))
-      .toDF("user_id", "ts_us").coalesce(1)
-      .write.parquet(s"$tmp/sentinel_b")
-
-    // sequence the chunk files into the ingest dir with strictly
-    // increasing mtimes = the FileStreamSource replay order
-    val real = new java.io.File(s"$tmp/real").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
-      .map(_.toString)
-    val ordered = real ++ Seq(s"$tmp/sentinel_a", s"$tmp/sentinel_b")
-    ordered.zipWithIndex.foreach { case (dir, k) =>
-      val part = new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
-      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
-      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      dst.toFile.setLastModified(1700000000000L + k * 10000L)
-    }
+    // the chunk files are a pure function of (dir, chunk width) —
+    // built once per session (ChunkStore), replayed read-only by every
+    // run with a fresh checkpoint; the stream still processes every
+    // micro-batch per run
+    val ingest = graft.streaming.ChunkStore
+      .ensure(s, ("sessionReplay", d, chunkUs)) { store =>
+        val ev = Tables.events(s, d)
+          .select(col("user_id").cast("long").as("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+        def sentinel(offsetDays: Long) =
+          Seq((-1L, maxTs + offsetDays * 86400 * 1000000))
+            .toDF("user_id", "ts_us")
+        graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs,
+          store, Seq(sentinel(10), sentinel(20)))
+      }
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",
@@ -1115,8 +1108,9 @@ object Lifecycle {
       .agg(sum("n_sessions").as("n_sessions"),
         sum("n_events").as("n_events"))
       .orderBy("user_id")
-    graft.operators.Exec.detachFromScratch(result,
-      Seq(tmp, ingest, ckpt, outDir))
+    // the ingest dir belongs to the ChunkStore — only per-run scratch
+    // is deleted here
+    graft.operators.Exec.detachFromScratch(result, Seq(ckpt, outDir))
   }
 
   /** Streaming result == batch sessionization, so the oracle IS the
@@ -1347,36 +1341,42 @@ object Lifecycle {
   private def q226(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val chunkUs = 6L * 86400 * 1000000
-    val tmp = Files.createTempDirectory("graft_sdd_split").toString
-    val ingest = Files.createTempDirectory("graft_sdd_ingest").toString
     val ckpt = Files.createTempDirectory("graft_sdd_ckpt").toString
     val outDir = Files.createTempDirectory("graft_sdd_out").toString
 
-    val ev = Tables.events(s, d)
-      .select(col("event_id").cast("long").as("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        col("event_type"))
-      .withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
-    // duplicates: every 3rd event re-sent one chunk later (same id,
-    // same payload — the re-crawl case)
-    val dups = ev.filter(pmod(col("event_id"), lit(3)) === 0)
-      .withColumn("chunk", col("chunk") + 1)
-    ev.unionByName(dups)
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").parquet(s"$tmp/real")
+    // chunk files with the adversarial duplicate injection are a pure
+    // function of (dir, chunk width) — built once per session
+    // (ChunkStore), replayed read-only with a fresh checkpoint per run
+    val ingest = graft.streaming.ChunkStore
+      .ensure(s, ("q226", d, chunkUs)) { store =>
+        val tmp = Files.createTempDirectory("graft_sdd_split").toString
+        val ev = Tables.events(s, d)
+          .select(col("event_id").cast("long").as("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_type"))
+          .withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
+        // duplicates: every 3rd event re-sent one chunk later (same id,
+        // same payload — the re-crawl case)
+        val dups = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("chunk", col("chunk") + 1)
+        ev.unionByName(dups)
+          .repartition(col("chunk"))
+          .write.partitionBy("chunk").parquet(s"$tmp/real")
 
-    val ordered = new java.io.File(s"$tmp/real").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
-      .map(_.toString)
-    ordered.zipWithIndex.foreach { case (dir, k) =>
-      val part = new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
-      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
-      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      dst.toFile.setLastModified(1700000000000L + k * 10000L)
-    }
+        val ordered = new java.io.File(s"$tmp/real").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+          .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+          .map(_.toString)
+        ordered.zipWithIndex.foreach { case (dir, k) =>
+          val part = new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          val dst = Paths.get(f"$store/chunk_$k%03d.parquet")
+          Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+          dst.toFile.setLastModified(1700000000000L + k * 10000L)
+        }
+        graft.operators.Exec.deleteRecursively(tmp)
+      }
 
     import org.apache.spark.sql.types.{LongType, StringType, StructField,
       StructType}
@@ -1406,8 +1406,8 @@ object Lifecycle {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_distinct"))
       .orderBy("event_type")
-    graft.operators.Exec.detachFromScratch(result,
-      Seq(tmp, ingest, ckpt, outDir))
+    // ingest belongs to the ChunkStore — per-run scratch only
+    graft.operators.Exec.detachFromScratch(result, Seq(ckpt, outDir))
   }
 
   /** The oracle reads the CLEAN events table: streaming output equals
@@ -1438,31 +1438,37 @@ object Lifecycle {
     // carries for every multi-chunk user — extra micro-batches are
     // pure per-batch fixed cost (the q211 rationale)
     val chunkUs = 10L * 86400 * 1000000
-    val tmp = Files.createTempDirectory("graft_tws_split").toString
-    val ingest = Files.createTempDirectory("graft_tws_ingest").toString
     val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
     val outDir = Files.createTempDirectory("graft_tws_out").toString
 
-    Tables.events(s, d)
-      .filter(col("value").isNotNull)
-      .select(col("user_id").cast("long").as("user_id"),
-        floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
-          .as("units"),
-        (unix_micros(col("ts")) / lit(chunkUs)).cast("long").as("chunk"))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").parquet(s"$tmp/real")
-    val ordered = new java.io.File(s"$tmp/real").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
-      .map(_.toString)
-    ordered.zipWithIndex.foreach { case (dir, k) =>
-      val part = new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
-      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
-      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      dst.toFile.setLastModified(1700000000000L + k * 10000L)
-    }
+    // chunk files built once per session (ChunkStore), replayed
+    // read-only with a fresh checkpoint per run
+    val ingest = graft.streaming.ChunkStore
+      .ensure(s, ("q231", d, chunkUs)) { store =>
+        val tmp = Files.createTempDirectory("graft_tws_split").toString
+        Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("user_id").cast("long").as("user_id"),
+            floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+              .as("units"),
+            (unix_micros(col("ts")) / lit(chunkUs)).cast("long")
+              .as("chunk"))
+          .repartition(col("chunk"))
+          .write.partitionBy("chunk").parquet(s"$tmp/real")
+        val ordered = new java.io.File(s"$tmp/real").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+          .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+          .map(_.toString)
+        ordered.zipWithIndex.foreach { case (dir, k) =>
+          val part = new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          val dst = Paths.get(f"$store/chunk_$k%03d.parquet")
+          Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+          dst.toFile.setLastModified(1700000000000L + k * 10000L)
+        }
+        graft.operators.Exec.deleteRecursively(tmp)
+      }
 
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("user_id", LongType),
@@ -1502,8 +1508,8 @@ object Lifecycle {
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.spend_units").as("spend_units"))
       .orderBy("user_id")
-    graft.operators.Exec.detachFromScratch(result,
-      Seq(tmp, ingest, ckpt, outDir))
+    // ingest belongs to the ChunkStore — per-run scratch only
+    graft.operators.Exec.detachFromScratch(result, Seq(ckpt, outDir))
   }
 
   /** Final transformWithState totals == the batch aggregation. */
@@ -1539,15 +1545,26 @@ object Lifecycle {
     val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
     val outDir = Files.createTempDirectory("graft_rec_out").toString
 
-    val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("purchase", "click"))
-      .select(col("user_id").cast("long").as("user_id"),
-        floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
-          .as("units"),
-        unix_micros(col("ts")).as("ts_us"))
-    val mm = ev.agg(min("ts_us"), max("ts_us")).head()
-    val chunkUs = math.max((mm.getLong(1) - mm.getLong(0)) / 4L + 1L, 1L)
-    graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs, staging)
+    // the chunk build (scan + span agg + chunk write) happens once per
+    // session (ChunkStore); this choreography CONSUMES its staged
+    // files (they move into the ingest dir mid-run), so each run takes
+    // a hard-link copy of the store into its own staging dir —
+    // metadata-only, mtimes shared with the store's inodes
+    val chunkLib = graft.streaming.ChunkStore
+      .ensure(s, ("q277", d)) { store =>
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id").cast("long").as("user_id"),
+            floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+              .as("units"),
+            unix_micros(col("ts")).as("ts_us"))
+        val mm = ev.agg(min("ts_us"), max("ts_us")).head()
+        val chunkUs =
+          math.max((mm.getLong(1) - mm.getLong(0)) / 4L + 1L, 1L)
+        graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs,
+          store)
+      }
+    graft.streaming.ChunkStore.linkInto(chunkLib, staging)
     val staged = new java.io.File(staging).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val firstHalf = (staged.length + 1) / 2
@@ -1625,34 +1642,39 @@ object Lifecycle {
   private def q259(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val chunkUs = 6L * 86400 * 1000000
-    val tmp = Files.createTempDirectory("graft_wm_split").toString
-    val ingest = Files.createTempDirectory("graft_wm_ingest").toString
     val ckpt = Files.createTempDirectory("graft_wm_ckpt").toString
     val outDir = Files.createTempDirectory("graft_wm_out").toString
 
-    val ev = Tables.events(s, d)
-      .select(col("event_id").cast("long").as("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        col("event_type"))
-      .withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
-    val lateCopies = ev.filter(pmod(col("event_id"), lit(5)) === 0)
-      .withColumn("chunk", col("chunk") + 2)
-    ev.unionByName(lateCopies)
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").parquet(s"$tmp/real")
+    // chunk files with the late-copy injection built once per session
+    // (ChunkStore), replayed read-only with a fresh checkpoint per run
+    val ingest = graft.streaming.ChunkStore
+      .ensure(s, ("q259", d, chunkUs)) { store =>
+        val tmp = Files.createTempDirectory("graft_wm_split").toString
+        val ev = Tables.events(s, d)
+          .select(col("event_id").cast("long").as("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_type"))
+          .withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
+        val lateCopies = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .withColumn("chunk", col("chunk") + 2)
+        ev.unionByName(lateCopies)
+          .repartition(col("chunk"))
+          .write.partitionBy("chunk").parquet(s"$tmp/real")
 
-    val ordered = new java.io.File(s"$tmp/real").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-      .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
-      .map(_.toString)
-    ordered.zipWithIndex.foreach { case (dir, k) =>
-      val part = new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
-      val dst = Paths.get(f"$ingest/chunk_$k%03d.parquet")
-      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      dst.toFile.setLastModified(1700000000000L + k * 10000L)
-    }
+        val ordered = new java.io.File(s"$tmp/real").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+          .sortBy(f => f.getName.stripPrefix("chunk=").toLong)
+          .map(_.toString)
+        ordered.zipWithIndex.foreach { case (dir, k) =>
+          val part = new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          val dst = Paths.get(f"$store/chunk_$k%03d.parquet")
+          Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+          dst.toFile.setLastModified(1700000000000L + k * 10000L)
+        }
+        graft.operators.Exec.deleteRecursively(tmp)
+      }
 
     import org.apache.spark.sql.types.{LongType, StringType, StructField,
       StructType}
@@ -1683,8 +1705,8 @@ object Lifecycle {
 
     val result = s.read.parquet(outDir)
       .orderBy("event_type", "day")
-    graft.operators.Exec.detachFromScratch(result,
-      Seq(tmp, ingest, ckpt, outDir))
+    // ingest belongs to the ChunkStore — per-run scratch only
+    graft.operators.Exec.detachFromScratch(result, Seq(ckpt, outDir))
   }
 
   /** The oracle replays the deterministic watermark model: running

@@ -2544,7 +2544,159 @@ object Probes {
          AND est.flag = cnt.flag AND est.status = cnt.status
        ORDER BY est.level, est.flag, est.status"""
 
+  // --------------------------------------------------------------- q383
+  /** WEIGHTED mergeable quantile-sketch rollup — q382's bottom-k-by-
+    * hash design carrying a per-row WEIGHT (quantity), the approx
+    * companion to q254's exact weighted quantiles: "the typical price
+    * a sold UNIT carries, estimable per group and mergeable to any
+    * rollup level without rescanning the corpus". The sketch is the
+    * same k = 64 smallest-salted-hash rows per group (selection is by
+    * hash only, so the exact MERGE LAW `sketch(A ∪ B) =
+    * bottomK(sketch(A) ∪ sketch(B))` is untouched by weighting);
+    * estimates are exact WEIGHTED order statistics of the sketch —
+    * cumulative weight over (value, hash) order, p-cut at the q254
+    * rational-rank rule `cw ≥ ceil(p·W/q)` in its integer form
+    * `q·cw ≥ p·W` (no FP ceil can straddle engines).
+    *
+    * Execution is one corpus pass through the bounded top-k
+    * Aggregator: (value cents, weight) ride the payload slot PACKED
+    * into one long (`vc·2²⁰ + wq` — cents < 2²⁴ and quantity < 2²⁰ on
+    * any TPC-H-shaped input, far under the 2⁶³ line), so there is no
+    * re-attach join and no second scan; parents merge ≤ 384 leaf
+    * sketch rows. The ORACLE computes every level's weighted sketch
+    * directly from the full table — the hash gate grades the weighted
+    * merge law itself. Exact per-level weight totals ride along for
+    * context.
+    */
+  private def q383(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val li = Tables.lineitem(s, d)
+    val hashed = li.select(
+        concat(col("l_returnflag"), col("l_linestatus")).as("gkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("vc"),
+        col("l_quantity").cast("long").as("wq"),
+        graft.functions.TextFunctions.token60(concat(lit("wqsk"),
+          col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"), lit("_"),
+          col("l_partkey").cast("string"), lit("_"),
+          col("l_suppkey").cast("string"))).as("h"))
+    val leaf = graft.operators.TopK.topKPerGroupWithPayload(
+        hashed.select(col("gkey"), col("h").as("hid"),
+          (-col("h")).cast("double").as("negh"),
+          (col("vc") * lit(1048576L) + col("wq")).as("pk")),
+        "gkey", "hid", "negh", "pk", k)
+      .select(substring(col("gkey"), 1, 1).as("flag"),
+        substring(col("gkey"), 2, 1).as("status"),
+        expr("pk div 1048576").as("vc"),
+        (col("pk") % lit(1048576L)).as("wq"),
+        col("hid").as("h"))
+      .localCheckpoint(true)
+    val wFlag = Window.partitionBy("flag").orderBy(col("h"))
+    val flagSk = leaf.withColumn("rn", row_number().over(wFlag))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumn("status", lit("ALL"))
+    val wAll = Window.partitionBy(lit(1)).orderBy(col("h"))
+    val allSk = flagSk.withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumn("flag", lit("ALL"))
+    // exact weighted order statistics of each sketch: cw over
+    // (vc, h) order; cut rule q·cw ≥ p·W — integer throughout
+    def ests(sk: DataFrame, level: String): DataFrame = {
+      val part = Window.partitionBy("flag", "status")
+      val wv = part.orderBy(col("vc").asc, col("h").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sk.withColumn("sw", sum(col("wq")).over(part))
+        .withColumn("cw", sum(col("wq")).over(wv))
+        .withColumn("ns", count(lit(1)).over(part))
+        .groupBy("flag", "status")
+        .agg(max(col("ns")).as("n_sample"),
+          max(col("sw")).as("w_sample"),
+          min(when(col("cw") * 2 >= col("sw"), col("vc")))
+            .as("p50_cents"),
+          min(when(col("cw") * 10 >= col("sw") * 9, col("vc")))
+            .as("p90_cents"))
+        .withColumn("level", lit(level))
+    }
+    val leafW = li.groupBy(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"))
+      .agg(sum(col("l_quantity").cast("long")).as("w_exact"))
+    val weights = leafW.withColumn("level", lit("1_leaf"))
+      .unionByName(leafW.groupBy("flag")
+        .agg(sum(col("w_exact")).as("w_exact"))
+        .withColumn("status", lit("ALL"))
+        .withColumn("level", lit("2_flag")))
+      .unionByName(leafW.agg(sum(col("w_exact")).as("w_exact"))
+        .withColumn("flag", lit("ALL"))
+        .withColumn("status", lit("ALL"))
+        .withColumn("level", lit("3_all")))
+    val out = ests(leaf, "1_leaf")
+      .unionByName(ests(flagSk, "2_flag"))
+      .unionByName(ests(allSk, "3_all"))
+      .join(weights, Seq("level", "flag", "status"))
+      .select(col("level"), col("flag"), col("status"), col("w_exact"),
+        col("n_sample"), col("w_sample"), col("p50_cents"),
+        col("p90_cents"))
+      .orderBy("level", "flag", "status")
+    graft.operators.Exec.owned(out, Seq(leaf))
+  }
+
+  private val q383Sql =
+    """WITH h AS (
+         SELECT l_returnflag AS flag, l_linestatus AS status,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+           CAST(l_quantity AS BIGINT) AS wq,
+           ('0x' || substr(md5('wqsk' ||
+             l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_' ||
+             l_partkey::VARCHAR || '_' || l_suppkey::VARCHAR),
+             1, 15))::BIGINT AS h
+         FROM lineitem),
+       leaf AS (SELECT flag, status, h, vc, wq FROM (
+           SELECT flag, status, h, vc, wq,
+             row_number() OVER (PARTITION BY flag, status
+               ORDER BY h) AS rn FROM h) t
+         WHERE rn <= 64),
+       fsk AS (SELECT flag, 'ALL' AS status, h, vc, wq FROM (
+           SELECT flag, h, vc, wq,
+             row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+           FROM h) t
+         WHERE rn <= 64),
+       ask AS (SELECT 'ALL' AS flag, 'ALL' AS status, h, vc, wq FROM (
+           SELECT h, vc, wq, row_number() OVER (ORDER BY h) AS rn
+           FROM h) t
+         WHERE rn <= 64),
+       sk AS (SELECT '1_leaf' AS level, * FROM leaf
+              UNION ALL SELECT '2_flag', * FROM fsk
+              UNION ALL SELECT '3_all', * FROM ask),
+       est AS (SELECT level, flag, status,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(max(sw) AS BIGINT) AS w_sample,
+           CAST(min(CASE WHEN 2 * cw >= sw THEN vc END)
+             AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN 10 * cw >= 9 * sw THEN vc END)
+             AS BIGINT) AS p90_cents
+         FROM (SELECT level, flag, status, vc,
+                 sum(wq) OVER (PARTITION BY level, flag, status) AS sw,
+                 sum(wq) OVER (PARTITION BY level, flag, status
+                   ORDER BY vc, h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw
+               FROM sk) x
+         GROUP BY level, flag, status),
+       wt AS (SELECT '1_leaf' AS level, flag, status,
+             CAST(sum(wq) AS BIGINT) AS w_exact
+           FROM h GROUP BY flag, status
+         UNION ALL SELECT '2_flag', flag, 'ALL',
+             CAST(sum(wq) AS BIGINT) FROM h GROUP BY flag
+         UNION ALL SELECT '3_all', 'ALL', 'ALL',
+             CAST(sum(wq) AS BIGINT) FROM h)
+       SELECT est.level, est.flag, est.status, wt.w_exact,
+         est.n_sample, est.w_sample, est.p50_cents, est.p90_cents
+       FROM est JOIN wt ON est.level = wt.level
+         AND est.flag = wt.flag AND est.status = wt.status
+       ORDER BY est.level, est.flag, est.status"""
+
   val queries: Map[String, Q] = Map(
+    "q383_weighted_sketch_rollup" -> (q383 _),
     "q352_mood_scale" -> (q352 _),
     "q353_cvm_two_sample" -> (q353 _),
     "q354_pettitt_changepoint" -> (q354 _),
@@ -2608,5 +2760,6 @@ object Probes {
     "q379_pipeline_order_bias" -> q379Sql,
     "q380_ann_lake_roundtrip" -> q380Sql,
     "q381_lsh_recall" -> q381Sql,
-    "q382_quantile_sketch_rollup" -> q382Sql)
+    "q382_quantile_sketch_rollup" -> q382Sql,
+    "q383_weighted_sketch_rollup" -> q383Sql)
 }

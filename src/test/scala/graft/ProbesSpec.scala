@@ -793,4 +793,69 @@ class ProbesSpec extends SparkSpec {
       ((all.size.toLong, nsA, p50A, p90A)))
     assert(out.size === leafs.size + all.groupBy(_.flag).size + 1)
   }
+
+  test("q383 WEIGHTED sketch rollup matches a direct Scala bottom-k " +
+      "weighted reference (merge law + q254 rank rule)") {
+    // same shape as the q382 fixture (AF exceeds k = 64 so its sketch
+    // truly truncates) plus a skewed weight column: weight i % 7 + 1
+    // makes cumulative-weight cuts land inside runs, exercising the
+    // q·cw ≥ p·W rule away from the unweighted special case.
+    val rows = (
+      (1 to 150).map(i => ("A", "F", i.toLong, 1, i.toLong, i.toLong,
+        100.0 + i, (i % 7 + 1).toDouble)) ++
+      (1 to 20).map(i => ("N", "F", 1000L + i, 1, i.toLong, i.toLong,
+        50.0 + 3 * i, (i % 5 + 1).toDouble)) ++
+      (1 to 5).map(i => ("R", "O", 2000L + i, 1, i.toLong, i.toLong,
+        9.0 + i, 2.0))
+    ).toDF("l_returnflag", "l_linestatus", "l_orderkey",
+      "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice",
+      "l_quantity")
+    val dir = staged("wqsk")("lineitem" -> rows)
+    val out = SparkEntry.queries("q383_weighted_sketch_rollup")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+
+    def h60(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"wqsk$key".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    case class R(flag: String, status: String, h: Long, vc: Long, wq: Long)
+    val all = rows.collect().map { r =>
+      val key = s"${r.getLong(2)}_${r.getInt(3)}_${r.getLong(4)}" +
+        s"_${r.getLong(5)}"
+      R(r.getString(0), r.getString(1), h60(key),
+        math.floor(r.getDouble(6) * 100 + 0.5).toLong,
+        r.getDouble(7).toLong)
+    }.toSeq
+    def sketch(rs: Seq[R]): Seq[R] = rs.sortBy(_.h).take(64)
+    // weighted estimate: cw over (vc, h) order; cut at q·cw ≥ p·W
+    def est(rs: Seq[R]): (Long, Long, Long, Long) = {
+      val sorted = rs.sortBy(r => (r.vc, r.h))
+      val sw = sorted.map(_.wq).sum
+      val cum = sorted.scanLeft(0L)(_ + _.wq).tail
+      def cut(p: Long, q: Long): Long =
+        sorted(cum.indexWhere(c => q * c >= p * sw)).vc
+      (rs.size.toLong, sw, cut(1, 2), cut(9, 10))
+    }
+    val leafs = all.groupBy(r => (r.flag, r.status))
+    leafs.foreach { case ((f, st), rs) =>
+      val (ns, sw, p50, p90) = est(sketch(rs))
+      assert(out(("1_leaf", f, st)) ===
+        ((rs.map(_.wq).sum, ns, sw, p50, p90)))
+    }
+    // flag + global: direct bottom-k of the FULL row set — equality
+    // with the engine's leaf-merge IS the weighted merge law
+    all.groupBy(_.flag).foreach { case (f, rs) =>
+      val (ns, sw, p50, p90) = est(sketch(rs))
+      assert(out(("2_flag", f, "ALL")) ===
+        ((rs.map(_.wq).sum, ns, sw, p50, p90)))
+    }
+    val (nsA, swA, p50A, p90A) = est(sketch(all))
+    assert(out(("3_all", "ALL", "ALL")) ===
+      ((all.map(_.wq).sum, nsA, swA, p50A, p90A)))
+  }
 }

@@ -8,13 +8,15 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
 
   /** Build a frame with `Exec.owned` left UNMATERIALIZED (the
-    * `graft.exec.planOnly` hook), so plan-assert tests can inspect the
+    * `Exec.planOnlyHook` flag), so plan-assert tests can inspect the
     * operator's real execution plan instead of the LogicalRDD scan the
     * eager checkpoint leaves behind. Construction-only: evaluate the
-    * returned frame freely afterwards. */
+    * returned frame freely afterwards. Mutates a JVM-global flag
+    * around the shared session — safe only because suites run
+    * sequentially (`Test / parallelExecution := false` in build.sbt). */
   def planOnly[T](body: => T): T = {
-    sys.props("graft.exec.planOnly") = "true"
-    try body finally sys.props -= "graft.exec.planOnly"
+    graft.operators.Exec.planOnlyHook = true
+    try body finally graft.operators.Exec.planOnlyHook = false
   }
 }
 

@@ -161,6 +161,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NARROW-chunk session replay (6-day, 5 real micro-batches) sums to batch sessionization") {
+    // q211 benches with 10-day chunks (3 real batches); this keeps the
+    // narrow configuration — more eviction-boundary and state-carry
+    // events per run — exercised against the same batch oracle, so the
+    // sweep-time trade can't silently lose multi-boundary coverage.
+    val d = "/root/testdata/sf0.001"
+    val narrow = graft.queries.Lifecycle
+      .sessionReplay(spark, d, 6L * 86400 * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val gapUs = 30L * 60 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+    val batch = Tables.events(spark, d)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(narrow == batch && narrow.nonEmpty)
+  }
+
   test("EventTimeTimeout evicts session state once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]

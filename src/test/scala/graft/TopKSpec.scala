@@ -62,6 +62,26 @@ class TopKSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)) == sel)
   }
 
+  test("topKPerGroupWithPayload EXCLUDES null-payload rows — documented " +
+      "divergence from topKPerGroup's selection") {
+    // id 13 is the group's top-ranked row by ord, but its payload is
+    // null: the payload variant drops it up front (null has no
+    // primitive slot), so id 10 takes rank 1 — while the payload-free
+    // selection still ranks 13 first. Callers whose payload can be
+    // null must map it to a sentinel BEFORE the aggregator if they
+    // need selection parity.
+    val df = Seq(
+      (1L, 10L, 5.0, Some(100L)), (1L, 11L, 4.0, Some(110L)),
+      (1L, 13L, 7.0, None)).toDF("grp", "id", "v", "pay")
+    val withPay = TopK.topKPerGroupWithPayload(df, "grp", "id", "v",
+        "pay", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(4))).toSet
+    assert(withPay == Set((10L, 1), (11L, 2)))
+    val noPay = TopK.topKPerGroup(df, "grp", "id", "v", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(noPay == Set((13L, 1), (10L, 2)))
+  }
+
   test("topKPerGroup aggregates partially before the exchange (bounded shuffle)") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val out = TopK.topKPerGroup(orders, "o_custkey", "o_orderkey",

@@ -260,9 +260,11 @@ object ScaleRehearsal {
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     spark.catalog.clearCache()
-    // per-query COLD measurement: drop memoized shared kernels so the
-    // ratio reflects this query's own plan (see class doc)
+    // per-query COLD measurement: drop memoized shared kernels AND the
+    // streaming chunk store so the ratio reflects this query's own
+    // full plan, chunk prep included (see class doc)
     graft.Kernels.clear()
+    graft.streaming.ChunkStore.clear()
     // driver GC between timed runs: eager localCheckpoints inside
     // queries (the q185/q380 scratch-hygiene class, the Kernels memo)
     // leave RDD blocks that only the ContextCleaner reaps, and it acts
