@@ -152,8 +152,10 @@ object Bench {
         // last boundary GC released real storage (the freed blocks are
         // now heap garbage), when the heap already looks crowded (a
         // cheap pre-GC overestimate — garbage counts as used — so it
-        // errs toward collecting), or on an every-8th-query floor so
-        // plan/codegen litter never accumulates unbounded.
+        // errs toward collecting), or on an every-6th-query floor so
+        // plan/codegen litter never accumulates unbounded. (First try
+        // was 64 MiB / 0.7 / every-8th: q200 picked up 1.5 s of in-run
+        // GC mid-sweep — these gates are the measured re-tighten.)
         queriesSinceGc += 1
         val rt = Runtime.getRuntime
         val usedFrac =

@@ -1090,7 +1090,7 @@ object Lifecycle {
     // one SparkSession would need a per-query `newSession()` clone
     // instead (same caveat at the q226/q231/q204 sites).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = tallies.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1384,7 +1384,7 @@ object Lifecycle {
       StructField("ts_us", LongType), StructField("event_type",
         StringType)))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val deduped = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
@@ -1479,7 +1479,7 @@ object Lifecycle {
     val prevParts = conf.get("spark.sql.shuffle.partitions")
     conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
       ".RocksDBStateStoreProvider")
-    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.shuffle.partitions", "4")
     try {
       import s.implicits._
       val stream = s.readStream.schema(schema)
@@ -1682,7 +1682,7 @@ object Lifecycle {
       StructField("ts_us", LongType), StructField("event_type",
         StringType)))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val counted = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)

@@ -1562,7 +1562,7 @@ object Signals {
     // narrow it for the stream, restore for the batch rollup (the
     // q211 treatment: the width is read from the conf at query start)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1647,7 +1647,7 @@ object Signals {
     // per-batch fixed cost of the sink write (same serial-harness
     // caveat as the q204/q211 sites)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = enriched.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)

@@ -42,7 +42,7 @@ object ScaleRehearsal {
   val SrcDir = "/root/testdata/sf0.1"
   val DstDir = "/tmp/graft_sf1_v3" // v3: stopword-preserving doc synth
   val Dst100Dir = "/tmp/graft_sf10_v1"
-  val OutPath = "/root/repo/SCALE_r14.json"
+  val OutPath = "/root/repo/SCALE_r15.json"
 
   val TopQueries = Seq("q127_containment", "q137_dedup_eval",
     "q118_triangle_count", "q37_dedup_simhash", "q116_rag_chunks",
@@ -399,6 +399,19 @@ object ScaleRehearsal {
         .filter(col("a.item") < col("b.item"))
         .groupBy(col("a.item"), col("b.item")).count()
       val survivors = pairs.filter(col("count") >= 3).count()
+      // q161: its BFS runs over the support>=2 co-occurrence edges —
+      // edge count + per-hop reach from the min-node source is the
+      // frontier/edge evidence behind the bfs time ratio (VERDICT r14
+      // item 5: one frontier vs xN edges)
+      val e161 = pairs.filter(col("count") >= 2)
+        .select(col("a.item").as("a"), col("b.item").as("b"))
+        .localCheckpoint(true)
+      val e161N = e161.count()
+      val reach = graft.operators.Graph.bfsHops(e161, "a", "b",
+          e161.agg(min(col("a")).as("node")), "node", hops = 3)
+        .groupBy("dist").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      graft.operators.Exec.releaseScratch(e161)
       items.unpersist()
       // q207: symmetric bipartite edge table + first-peel survivors
       val e0 = li(dir).select((col("oid") * 2).as("src"),
@@ -429,7 +442,9 @@ object ScaleRehearsal {
       println(f"CARDS $tag%-6s q206_pair_rows=$pairRows%,d " +
         f"q206_sup3_survivors=$survivors%,d q207_sym_edges=$symN%,d " +
         f"q207_peel1_keep=$keep%,d q248_scoring_pairs=$scoring%,d " +
-        f"q166_dirty_rows=$gN%,d q166_ek_pairs=$gP%,d")
+        f"q166_dirty_rows=$gN%,d q166_ek_pairs=$gP%,d " +
+        f"q161_edges=$e161N%,d " +
+        f"q161_reach=${(0 to 3).map(h => reach.getOrElse(h, 0L)).mkString("/")}")
     }
   }
 
