@@ -99,8 +99,17 @@ object Bench {
     // while the min stays near the true warm cost, so median ≫ min in
     // the artifact itself flags a noise-contaminated round without
     // re-running anything.
+    // sweep-relative start offset per query (file mirror only): a box
+    // that stalls for a ~minute window inflates ALL runs of whichever
+    // query it lands on — median ≈ min, so the spread canary stays
+    // silent (r15: q211 read 19.5 s in one sweep, 3.3–4.3 s in every
+    // reproduction). The offsets let a post-hoc read correlate an
+    // outlier query with wall-clock, without re-running anything.
+    val sweepT0 = System.nanoTime()
+    val startOffsets = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results: Seq[(String, Either[String, (Double, Double)])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        startOffsets += name -> (System.nanoTime() - sweepT0) / 1e9
         // query construction is INSIDE the timed region: eager
         // operators (dedup/ANN) do their work in fn itself
         def one(): Double = {
@@ -292,11 +301,15 @@ object Bench {
           .mkString("{\n", ",\n", "\n  }")
         s""""jvm": {"gc_total_ms": ${gcMillis()}, "gc_boundary_total_ms": $gcBoundaryMs, "codecache": $pools, "gc_ms_by_query_gt250": $gc}"""
       }
+      val fullT0 = startOffsets
+        .map { case (k, v) => s"""  "${esc(k)}": ${fmt(v)}""" }
+        .mkString("{\n", ",\n", "\n}")
       val json =
         s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)},
            |$jvm,
            |"queries":$full,
            |"query_mins":$fullMins,
+           |"query_start_offset_sec":$fullT0,
            |"errors":$fullErrs}""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

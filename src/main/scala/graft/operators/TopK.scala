@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -140,25 +140,44 @@ object TopK {
   }
 
   /** [[topKPerGroup]] with a LONG payload column carried through:
-    * `(<keyCol>, <idCol>, <ordCol>, <payCol>, rk)`. Same total order
-    * and null-exclusion contract; a null payload is excluded too (it
-    * has no primitive slot). */
+    * `(<keyCol>, <idCol>, <ordCol>, <payCol>, rk [, extras…])`. Same
+    * total order and null-exclusion contract; a null payload is
+    * excluded too (it has no primitive slot) — TopKSpec documents the
+    * resulting selection divergence from [[topKPerGroup]].
+    *
+    * `extraAggs`: additional ALIASED aggregate columns computed in the
+    * SAME per-group aggregation (e.g. `count(lit(1)).as("n")`), their
+    * value repeated on each of the group's ≤ k output rows. This is
+    * how a sketch query carries exact per-group context (row counts,
+    * weight totals) without a second corpus scan — one pass produces
+    * the bounded sketch AND its full-data aggregates. They evaluate
+    * over the null-FILTERED input (the aggregator's contract), so
+    * callers whose extras must see dropped rows aggregate separately.
+    */
   def topKPerGroupWithPayload(df: DataFrame, keyCol: String, idCol: String,
                               ordCol: String, payCol: String,
-                              k: Int): DataFrame = {
+                              k: Int,
+                              extraAggs: Seq[Column] = Nil): DataFrame = {
     val fn = udaf(new TopKPayloadAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
         Encoders.scalaLong))
-    df.filter(col(idCol).isNotNull && col(ordCol).isNotNull &&
+    val aggs = fn(col(idCol).cast("long"), col(ordCol).cast("double"),
+      col(payCol).cast("long")).as("top") +: extraAggs
+    val agged = df.filter(col(idCol).isNotNull && col(ordCol).isNotNull &&
         col(payCol).isNotNull)
       .groupBy(col(keyCol))
-      .agg(fn(col(idCol).cast("long"), col(ordCol).cast("double"),
-        col(payCol).cast("long")).as("top"))
-      .select(col(keyCol),
-        posexplode(arrays_zip(col("top.ids"), col("top.ords"),
-          col("top.pays"))).as(Seq("i", "r")))
-      .select(col(keyCol), col("r.ids").as(idCol), col("r.ords").as(ordCol),
-        col("r.pays").as(payCol), (col("i") + 1).cast("int").as("rk"))
+      .agg(aggs.head, aggs.tail: _*)
+    // the extras' output names come from the aggregated schema (the
+    // columns after keyCol and the top-k buffer), so callers' aliases
+    // flow through without touching expression internals
+    val extraNames = agged.columns.drop(2).toSeq
+    agged
+      .select(col(keyCol) +: posexplode(arrays_zip(col("top.ids"),
+          col("top.ords"), col("top.pays"))).as(Seq("i", "r")) +:
+        extraNames.map(col): _*)
+      .select(col(keyCol) +: col("r.ids").as(idCol) +:
+        col("r.ords").as(ordCol) +: col("r.pays").as(payCol) +:
+        (col("i") + 1).cast("int").as("rk") +: extraNames.map(col): _*)
   }
 
   /** Top `k` rows per group of `df`: `(<keyCol>, <idCol>, <ordCol>,

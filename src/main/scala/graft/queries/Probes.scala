@@ -2438,16 +2438,21 @@ object Probes {
           col("l_partkey").cast("string"), lit("_"),
           col("l_suppkey").cast("string"))).as("h"))
     // leaf sketches: bounded map-side bottom-k with the quantized
-    // measure riding the aggregator as payload — sketch rows come out
-    // of ONE corpus pass (no re-attach join, no second md5 scan)
-    val leaf = graft.operators.TopK.topKPerGroupWithPayload(
+    // measure riding the aggregator as payload — sketch rows AND the
+    // exact per-group row counts come out of ONE corpus pass (no
+    // re-attach join, no second md5 scan, no separate count scan: the
+    // count is an extraAgg in the same group-by, riding each of the
+    // group's ≤ k sketch rows)
+    val leaf0 = graft.operators.TopK.topKPerGroupWithPayload(
         hashed.select(col("gkey"), col("h").as("hid"),
           (-col("h")).cast("double").as("negh"), col("vc")),
-        "gkey", "hid", "negh", "vc", k)
+        "gkey", "hid", "negh", "vc", k,
+        extraAggs = Seq(count(lit(1)).as("n_exact_g")))
       .select(substring(col("gkey"), 1, 1).as("flag"),
         substring(col("gkey"), 2, 1).as("status"),
-        col("vc"), col("hid").as("h"))
+        col("vc"), col("hid").as("h"), col("n_exact_g"))
       .localCheckpoint(true)
+    val leaf = leaf0.drop("n_exact_g")
     // parent sketches by MERGE: windows over ≤ groups·k sketch rows
     val wFlag = Window.partitionBy("flag").orderBy(col("h"))
     val flagSk = leaf.withColumn("rn", row_number().over(wFlag))
@@ -2471,9 +2476,10 @@ object Probes {
             .as("p90_cents"))
         .withColumn("level", lit(level))
     }
-    val leafN = li.groupBy(col("l_returnflag").as("flag"),
-        col("l_linestatus").as("status"))
-      .agg(count(lit(1)).as("n_exact"))
+    // exact per-leaf counts recovered from the sketch rows (the value
+    // is constant within a group, so distinct gives one row per leaf)
+    val leafN = leaf0.select(col("flag"), col("status"),
+      col("n_exact_g").as("n_exact")).distinct()
     val counts = leafN.withColumn("level", lit("1_leaf"))
       .unionByName(leafN.groupBy("flag")
         .agg(sum(col("n_exact")).as("n_exact"))
@@ -2490,7 +2496,8 @@ object Probes {
       .select(col("level"), col("flag"), col("status"), col("n_exact"),
         col("n_sample"), col("p50_cents"), col("p90_cents"))
       .orderBy("level", "flag", "status")
-    graft.operators.Exec.owned(out, Seq(leaf))
+    // leaf0 owns the checkpoint blocks (leaf is a projection of it)
+    graft.operators.Exec.owned(out, Seq(leaf0))
   }
 
   private val q382Sql =
@@ -2580,17 +2587,23 @@ object Probes {
           col("l_linenumber").cast("string"), lit("_"),
           col("l_partkey").cast("string"), lit("_"),
           col("l_suppkey").cast("string"))).as("h"))
-    val leaf = graft.operators.TopK.topKPerGroupWithPayload(
+    // ONE corpus pass: bounded sketch rows AND the exact per-group
+    // weight totals (an extraAgg in the same group-by, riding each of
+    // the group's ≤ k sketch rows) — no second scan for context
+    val leaf0 = graft.operators.TopK.topKPerGroupWithPayload(
         hashed.select(col("gkey"), col("h").as("hid"),
           (-col("h")).cast("double").as("negh"),
-          (col("vc") * lit(1048576L) + col("wq")).as("pk")),
-        "gkey", "hid", "negh", "pk", k)
+          (col("vc") * lit(1048576L) + col("wq")).as("pk"),
+          col("wq").as("wq_in")),
+        "gkey", "hid", "negh", "pk", k,
+        extraAggs = Seq(sum(col("wq_in")).as("w_exact_g")))
       .select(substring(col("gkey"), 1, 1).as("flag"),
         substring(col("gkey"), 2, 1).as("status"),
         expr("pk div 1048576").as("vc"),
         (col("pk") % lit(1048576L)).as("wq"),
-        col("hid").as("h"))
+        col("hid").as("h"), col("w_exact_g"))
       .localCheckpoint(true)
+    val leaf = leaf0.drop("w_exact_g")
     val wFlag = Window.partitionBy("flag").orderBy(col("h"))
     val flagSk = leaf.withColumn("rn", row_number().over(wFlag))
       .filter(col("rn") <= k).drop("rn")
@@ -2617,9 +2630,10 @@ object Probes {
             .as("p90_cents"))
         .withColumn("level", lit(level))
     }
-    val leafW = li.groupBy(col("l_returnflag").as("flag"),
-        col("l_linestatus").as("status"))
-      .agg(sum(col("l_quantity").cast("long")).as("w_exact"))
+    // exact per-leaf weight totals recovered from the sketch rows
+    // (constant within a group → distinct = one row per leaf)
+    val leafW = leaf0.select(col("flag"), col("status"),
+      col("w_exact_g").as("w_exact")).distinct()
     val weights = leafW.withColumn("level", lit("1_leaf"))
       .unionByName(leafW.groupBy("flag")
         .agg(sum(col("w_exact")).as("w_exact"))
@@ -2637,7 +2651,8 @@ object Probes {
         col("n_sample"), col("w_sample"), col("p50_cents"),
         col("p90_cents"))
       .orderBy("level", "flag", "status")
-    graft.operators.Exec.owned(out, Seq(leaf))
+    // leaf0 owns the checkpoint blocks (leaf is a projection of it)
+    graft.operators.Exec.owned(out, Seq(leaf0))
   }
 
   private val q383Sql =
