@@ -107,9 +107,22 @@ object Bench {
     // outlier query with wall-clock, without re-running anything.
     val sweepT0 = System.nanoTime()
     val startOffsets = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // calib timeline: the fixed probe re-timed every 25th query
+    // boundary (outside all timed regions, ~+5 s per sweep). Start
+    // offsets say WHEN a query ran; this says how fast the box was
+    // AROUND then — together they pin a mid-sweep stall from the
+    // artifact alone.
+    val calibTimeline = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var sinceCalib = 0
     val results: Seq[(String, Either[String, (Double, Double)])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         startOffsets += name -> (System.nanoTime() - sweepT0) / 1e9
+        sinceCalib += 1
+        if (sinceCalib >= 25) {
+          sinceCalib = 0
+          val c = try calibOnce() catch { case _: Throwable => -1.0 }
+          calibTimeline += (((System.nanoTime() - sweepT0) / 1e9, c))
+        }
         // query construction is INSIDE the timed region: eager
         // operators (dedup/ANN) do their work in fn itself
         def one(): Double = {
@@ -310,6 +323,9 @@ object Bench {
            |"queries":$full,
            |"query_mins":$fullMins,
            |"query_start_offset_sec":$fullT0,
+           |"calib_timeline":${calibTimeline
+              .map { case (t, c) => s"[${fmt(t)},${fmt(c)}]" }
+              .mkString("[", ",", "]")},
            |"errors":$fullErrs}""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

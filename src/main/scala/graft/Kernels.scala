@@ -125,10 +125,21 @@ object Kernels {
     * on a cluster this is a materialized index table, not driver
     * state. Consumed by q38. */
   def cappedShingleIndex(s: SparkSession, dir: String, shingleN: Int,
-                         maxShingleDf: Int): Dedup.ShingleIndex = {
+                         maxShingleDf: Int): Dedup.ShingleIndex =
+    cappedShingleIndexOf(s, ("docs", dir, shingleN, maxShingleDf))(
+      Tables.documents(s, dir), "doc_id", "text", shingleN, maxShingleDf)
+
+  /** Generic memoized [[Dedup.buildShingleIndex]]: `key` must encode
+    * EVERY input the `docs` frame and the parameters derive from (the
+    * memo contract) — used for index inputs that are derived frames
+    * rather than a raw table (e.g. q127's docs ∪ synthetic-quote
+    * union, a pure function of the dir). */
+  def cappedShingleIndexOf(s: SparkSession, key: Any)(
+      docs: => DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxShingleDf: Int): Dedup.ShingleIndex = {
     val app = s.sparkContext.applicationId
-    val kIdx = (app, ("shingleIdx", dir, shingleN, maxShingleDf): Any)
-    val kSt = (app, ("shingleStats", dir, shingleN, maxShingleDf): Any)
+    val kIdx = (app, ("shingleIdx", key): Any)
+    val kSt = (app, ("shingleStats", key): Any)
     (memo.get(kIdx), memo.get(kSt)) match {
       case (Some(i), Some(st)) => Dedup.ShingleIndex(i, st)
       case _ =>
@@ -136,8 +147,8 @@ object Kernels {
         // (checkpointed + internal cache released by the builder), and
         // both must land in the memo atomically-enough for the
         // single-threaded Bench/Verify drivers
-        val built = Dedup.buildShingleIndex(Tables.documents(s, dir),
-          "doc_id", "text", shingleN, maxShingleDf)
+        val built = Dedup.buildShingleIndex(docs, idCol, textCol,
+          shingleN, maxShingleDf)
         memo.put(kIdx, built.idx)
         memo.put(kSt, built.docStats)
         built

@@ -403,14 +403,21 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleN: Int = 3,
-                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                       maxShingleDf: Int = Int.MaxValue,
+                       precomputed: Option[ShingleIndex] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "containment threshold must be in (0, 1]")
     require(maxShingleDf >= 2,
       "a document-frequency cap below 2 drops every co-occurring shingle " +
         "and no pair can ever be reported")
-    val (kernelHandles, idx, docStats) =
-      cappedInvertedIndex(docs, idCol, textCol, shingleN, maxShingleDf)
+    // same persisted-index contract as [[jaccardPairsExact]]: the
+    // caller owns the frames, which must be [[buildShingleIndex]]
+    // output for the same (docs, idCol, textCol, shingleN, cap)
+    val (kernelHandles, idx, docStats) = precomputed match {
+      case Some(ix) => (Seq.empty[DataFrame], ix.idx, ix.docStats)
+      case None =>
+        cappedInvertedIndex(docs, idCol, textCol, shingleN, maxShingleDf)
+    }
     val ii = idx.as("a")
       .join(idx.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

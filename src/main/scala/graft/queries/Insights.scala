@@ -748,9 +748,15 @@ object Insights {
     // cap 8 (vs q38's 16): containment candidates skew toward short
     // inner docs, so the index's df tail costs ~6x more pair fan-out
     // here — and a subset relationship always shares the inner doc's
-    // RARE shingles, which is what the capped index keeps
-    Dedup.containmentPairs(docs.unionByName(synth), "doc_id", "text",
-        threshold = 0.9, shingleN = 3, maxShingleDf = 8)
+    // RARE shingles, which is what the capped index keeps. The index
+    // over docs ∪ synth is a pure function of the dir (the injection
+    // is deterministic), so it comes from the session's persisted-
+    // index kernel like q38's.
+    val input = docs.unionByName(synth)
+    Dedup.containmentPairs(input, "doc_id", "text",
+        threshold = 0.9, shingleN = 3, maxShingleDf = 8,
+        precomputed = Some(graft.Kernels.cappedShingleIndexOf(
+          s, ("q127", d, 3, 8))(input, "doc_id", "text", 3, 8)))
       .orderBy("inner_doc", "outer_doc")
   }
 
