@@ -262,24 +262,38 @@ object Bench {
     // Epoch normalization (round 15): the shared box's speed drifts
     // between rounds (identical-code r14 mirrors read 326/355/396 s
     // across one afternoon), so raw round-over-round totals compare
-    // box epochs, not code. calib_drift = this run's calib_START over
-    // the committed reference; value_calib_normalized divides the
-    // totals by it, mapping this run onto the reference epoch under
-    // the measured ~uniform per-query drift. ONLY the start probe is
-    // the epoch statistic: it runs at an identical JVM state every
-    // round (fresh JVM + one warmup + min-of-5), while calib_end is
-    // structurally faster after a 30-minute sweep has JIT-compiled and
-    // page-cached everything the probe touches (measured 0.298 start
-    // vs 0.124 end on one clean run) — end is a mid-sweep drift
-    // diagnostic, comparable only to other ends. THE RULE:
-    // round-over-round deltas are graded on value_calib_normalized,
-    // and are REFUSED OUTRIGHT (epochs incomparable, re-run instead)
-    // when calib_drift leaves [1/1.3, 1.3] — beyond that the uniform-
-    // drift assumption is itself unverified. CalibRef provenance: the
-    // min-of-5 start probe of the r15 full-sweep run on the builder
-    // box at a healthy epoch (2026-08-16, local[32], sf0.1).
-    val CalibRef = 0.298
-    val calibDrift = if (calibStart > 0) calibStart / CalibRef else -1.0
+    // box epochs, not code. calib_drift = the MEDIAN of this run's
+    // calib probes (the min-of-5 start probe + the every-25-queries
+    // timeline probes) over the committed reference;
+    // value_calib_normalized divides the totals by it, mapping this
+    // run onto the reference epoch under the measured ~uniform
+    // per-query drift. The median is the statistic because the box
+    // degrades in WAVES: one r15 sweep read calib_start 0.718 while
+    // its 15 mid-sweep probes read 0.22-0.47 (median 0.30) — a
+    // start-only statistic graded a healthy sweep as 2.4x degraded.
+    // calib_end stays excluded: it is structurally faster than every
+    // mid-sweep probe (fully JIT/page-cache warm — measured 0.128 vs
+    // a 0.224 timeline floor in the same run), a diagnostic only.
+    // THE RULE: round-over-round deltas are graded on
+    // value_calib_normalized, and are REFUSED OUTRIGHT (epochs
+    // incomparable, re-run instead) when calib_drift leaves
+    // [1/1.3, 1.3] — beyond that the uniform-drift assumption is
+    // itself unverified. CalibRef provenance: the calib MEDIAN of the
+    // r15 round-close baseline sweep (BENCH_LOCAL_r15.json,
+    // 2026-08-16, local[32], sf0.1, healthy epoch) — the reference
+    // must be a median-of-probes number like the statistic it divides
+    // (a start-only probe runs ~10-15% less warm than the
+    // timeline-dominated median and would bias every drift).
+    val CalibRef = 0.263
+    val calibSamples =
+      (calibStart +: calibTimeline.map(_._2).toSeq).filter(_ > 0).sorted
+    val calibMedian =
+      if (calibSamples.isEmpty) -1.0
+      else if (calibSamples.length % 2 == 1)
+        calibSamples(calibSamples.length / 2)
+      else (calibSamples(calibSamples.length / 2 - 1) +
+        calibSamples(calibSamples.length / 2)) / 2.0
+    val calibDrift = if (calibMedian > 0) calibMedian / CalibRef else -1.0
     def norm(v: Double): Double = if (calibDrift > 0) v / calibDrift else v
     // field order puts the headline LAST: the harness keeps only the
     // final ~2 kB of stdout, and at 230+ queries the line front (where
@@ -289,7 +303,7 @@ object Bench {
     // value_min = sum of per-query min-of-runs: value ≫ value_min means
     // the box was loaded during this bench (see per-query mins in the
     // file mirror).
-    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_median_sec":${fmt(calibMedian)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
     // The stdout tail keeps only ~2 kB — at 240+ queries most per-query
     // medians never reach the captured record. Mirror the FULL result
     // (long names, warm medians, errors) to a file so round-over-round
@@ -318,7 +332,7 @@ object Bench {
         .map { case (k, v) => s"""  "${esc(k)}": ${fmt(v)}""" }
         .mkString("{\n", ",\n", "\n}")
       val json =
-        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)},
+        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_median_sec":${fmt(calibMedian)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)},
            |$jvm,
            |"queries":$full,
            |"query_mins":$fullMins,
