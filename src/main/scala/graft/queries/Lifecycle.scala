@@ -1090,7 +1090,16 @@ object Lifecycle {
     // one SparkSession would need a per-query `newSession()` clone
     // instead (same caveat at the q226/q231/q204 sites).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // the two far-future sentinels drag the watermark past every real
+    // user's horizon DURING the data batches, so the trailing no-data
+    // micro-batch contributes nothing here (the class doc: if it also
+    // runs, it can only evict the excluded sentinel user) — skipping
+    // it removes a whole batch round (state commits + planning) per
+    // run and the timing variance of whether it ran before stop()
+    s.conf.set(ndKey, "false")
     try {
       val q = tallies.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1100,7 +1109,10 @@ object Lifecycle {
         }
         .start()
       try { q.processAllAvailable() } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(ndKey, prevNd)
+    }
 
     val result = s.read.parquet(outDir)
       .filter(col("user_id") >= 0)

@@ -1762,7 +1762,17 @@ object Signals {
       "leftOuter")
       .select(col("p_id"), col("p_user"), col("p_ts"), col("c_id"))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
     s.conf.set("spark.sql.shuffle.partitions", "2")
+    // both sentinel chunks carry BOTH stream sides, so every real
+    // purchase's null-row emission happens during the data batches —
+    // the trailing no-data micro-batch can only touch the filtered-out
+    // sentinel user. Skipping it removes a batch round (4 state-store
+    // commits per partition + planning) per run and the variance of
+    // whether it ran before stop() (observed: 5.3-9.2 s sweep spread
+    // on identical code).
+    s.conf.set(ndKey, "false")
     try {
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1771,7 +1781,10 @@ object Signals {
         }
         .start()
       try { q.processAllAvailable() } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(ndKey, prevNd)
+    }
 
     val result = s.read.parquet(outDir)
       .filter(col("p_user") >= 0L)
