@@ -1396,7 +1396,13 @@ object Lifecycle {
       StructField("ts_us", LongType), StructField("event_type",
         StringType)))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // first-seen rows emit in their DATA batch (append-mode dedup), so
+    // the trailing no-data micro-batch only evicts state — skip its
+    // batch round (the q211/q272 treatment)
+    s.conf.set(ndKey, "false")
     try {
       val deduped = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
@@ -1411,7 +1417,10 @@ object Lifecycle {
         }
         .start()
       try { q.processAllAvailable() } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(ndKey, prevNd)
+    }
 
     val result = s.read.parquet(outDir)
       .groupBy("event_type")
@@ -1489,6 +1498,12 @@ object Lifecycle {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = conf.getOption(provKey)
     val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = conf.get(ndKey)
+    // update-mode running totals emit in their DATA batch; the
+    // trailing no-data micro-batch adds nothing (the q211/q272
+    // treatment)
+    conf.set(ndKey, "false")
     conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
       ".RocksDBStateStoreProvider")
     conf.set("spark.sql.shuffle.partitions", "4")
@@ -1508,6 +1523,7 @@ object Lifecycle {
       try { q.processAllAvailable() } finally q.stop()
     } finally {
       conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set(ndKey, prevNd)
       prevProv match {
         case Some(v) => conf.set(provKey, v)
         case None => conf.unset(provKey)

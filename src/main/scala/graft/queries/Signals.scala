@@ -1562,7 +1562,13 @@ object Signals {
     // narrow it for the stream, restore for the batch rollup (the
     // q211 treatment: the width is read from the conf at query start)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // INNER-join matches emit in the data batch where both sides are
+    // present; the trailing no-data micro-batch only cleans buffered
+    // state — skip its batch round (the q211/q272 treatment)
+    s.conf.set(ndKey, "false")
     try {
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1571,7 +1577,10 @@ object Signals {
         }
         .start()
       try { q.processAllAvailable() } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(ndKey, prevNd)
+    }
     val result = s.read.parquet(outDir)
       .groupBy(to_date(col("p_ts")).as("day"))
       .agg(count(lit(1)).as("n_pairs"),
