@@ -182,6 +182,17 @@ object Kernels {
         "doc_id", "text", threshold, shingleN, maxShingleDf)
     }
 
+  /** HLL registers of the events table's user ids — q177's BATCH
+    * reference side (the stream under test is graded against it every
+    * run): 2^p register rows, a pure function of (dir, p), exactly
+    * the memo contract. */
+  def eventsHllRegisters(s: SparkSession, dir: String, p: Int): DataFrame =
+    cached(s, ("eventsHll", dir, p)) {
+      graft.operators.Sketch.hllRegisters(
+        Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("k")), "k", p)
+    }
+
   /** Support-thresholded part co-occurrence graph of lineitem —
     * `(a, b, sup)` with `a < b` and `sup` = distinct orders containing
     * both parts (≥ `minSupport`). The wedge self-join is co-partitioned

@@ -2725,8 +2725,9 @@ object Insights {
       .start()
     try { q.processAllAvailable() } finally q.stop()
     val streamed = s.read.parquet(outDir)
-    val batchRegs = Sketch.hllRegisters(
-      batchEvents.select(col("user_id").cast("string").as("k")), "k", p)
+    // the batch reference registers are a session kernel — the stream
+    // under test is what runs per call
+    val batchRegs = graft.Kernels.eventsHllRegisters(s, d, p)
     val nMismatch = streamed.join(batchRegs, Seq("bucket"), "full_outer")
       .filter(streamed("mreg").isNull || batchRegs("mreg").isNull ||
         streamed("mreg") =!= batchRegs("mreg"))
