@@ -93,7 +93,15 @@ object ScaleRehearsal {
     "q35_dedup_exact", "q129_pmi_pairs",
     // round-13 (ADVICE r12): the Jonckheere grid grows with distinct
     // value cardinality × groups — its 10× behavior must be measured
-    "q372_jonckheere")
+    "q372_jonckheere",
+    // round-15 close: the remaining >2s bench entries without a 10×
+    // ratio — the two sketch rollups (single corpus pass through the
+    // bounded top-k Aggregator; exchange ≤ groups·partitions·k rows,
+    // expected near-linear), k-means (fixed iteration count × corpus
+    // pass), span dedup (stride-aligned block hash groupBy), PQ ADC
+    // (codebook broadcast × corpus scan)
+    "q382_quantile_sketch_rollup", "q383_weighted_sketch_rollup",
+    "q90_kmeans", "q88_span_dedup", "q157_pq_adc")
 
   /** The 100× probe set: the top-10 heaviest driver-bench queries
     * (VERDICT r12 item 3). Timed at sf1 AND sf10 in one JVM. */
