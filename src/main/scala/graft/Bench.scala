@@ -107,18 +107,22 @@ object Bench {
     // outlier query with wall-clock, without re-running anything.
     val sweepT0 = System.nanoTime()
     val startOffsets = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    // calib timeline: the fixed probe re-timed every 25th query
-    // boundary (outside all timed regions, ~+5 s per sweep). Start
-    // offsets say WHEN a query ran; this says how fast the box was
-    // AROUND then — together they pin a mid-sweep stall from the
-    // artifact alone.
+    // calib timeline: the fixed probe re-timed at query boundaries
+    // (outside all timed regions, ~+5 s per sweep) — every 25th query
+    // on a full sweep, and proportionally denser on a FILTERED dev run
+    // so calib_median is a real median there too (it previously
+    // collapsed to calib_start below 25 queries, leaving dev-loop
+    // drift unverifiable). Start offsets say WHEN a query ran; this
+    // says how fast the box was AROUND then — together they pin a
+    // mid-sweep stall from the artifact alone.
     val calibTimeline = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val calibEvery = math.min(25, math.max(2, selected.size / 4))
     var sinceCalib = 0
     val results: Seq[(String, Either[String, (Double, Double)])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         startOffsets += name -> (System.nanoTime() - sweepT0) / 1e9
         sinceCalib += 1
-        if (sinceCalib >= 25) {
+        if (sinceCalib >= calibEvery) {
           sinceCalib = 0
           val c = try calibOnce() catch { case _: Throwable => -1.0 }
           calibTimeline += (((System.nanoTime() - sweepT0) / 1e9, c))

@@ -1701,7 +1701,7 @@ object Signals {
     * the null-emission semantic q204's inner join doesn't exercise: a
     * purchase with no click in its trailing 1-day window must be
     * emitted exactly once WITH NULLS, and only after the watermark
-    * proves no match can still arrive. Events replay as ~3 time-ordered
+    * proves no match can still arrive. Events replay as 2 time-ordered
     * chunk micro-batches ([[graft.streaming.ChunkReplay]], span-scaled
     * width so batch count stays fixed at any SF); two far-future
     * sentinel chunks (a dedicated user, +10d/+20d, one purchase + one
@@ -1711,7 +1711,23 @@ object Signals {
     * final sunk set then equals the batch LEFT join over the same
     * rows — the oracle; graded per purchase-day: outer rows, matched
     * pairs, unmatched purchases, distinct purchases. */
-  private def q272(s: SparkSession, d: String): DataFrame = {
+  private def q272(s: SparkSession, d: String): DataFrame =
+    // 2 real micro-batches (was 3, round-15 close): an outer-join
+    // micro-batch has ~1 s fixed cost, and the graded rollup is
+    // batch-count invariant, so the bench budget keeps exactly one
+    // real-real boundary (cross-chunk matches + the watermark-driven
+    // null-row eviction of chunk 1's unmatched purchases during batch
+    // 2) and leaves the DENSER multi-boundary choreography to
+    // StreamingSpec's narrow-chunk outerJoinReplay case (the q211
+    // precedent: coverage pinned by spec, not by sweep config).
+    outerJoinReplay(s, d, chunkBudget = 2)
+
+  /** q272's replay body with the real-chunk budget as a parameter —
+    * package-private so StreamingSpec can drive the narrow (more
+    * micro-batches, more eviction-boundary carries) configuration the
+    * bench-time q272 no longer runs. */
+  private[graft] def outerJoinReplay(s: SparkSession, d: String,
+                                     chunkBudget: Int): DataFrame = {
     import s.implicits._
     import java.nio.file.Files
     val ckpt = Files.createTempDirectory("graft_soj_ckpt").toString
@@ -1721,7 +1737,7 @@ object Signals {
     // session (ChunkStore), replayed read-only with a fresh checkpoint
     // per run
     val ingest = graft.streaming.ChunkStore
-      .ensure(s, ("q272", d)) { store =>
+      .ensure(s, ("q272", d, chunkBudget)) { store =>
         val ev = Tables.events(s, d)
           .filter(col("event_type").isin("purchase", "click"))
           .select(col("event_id").cast("long").as("event_id"),
@@ -1729,22 +1745,22 @@ object Signals {
             col("event_type"), unix_micros(col("ts")).as("ts_us"))
         val mm = ev.agg(min("ts_us"), max("ts_us")).head()
         val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
-        // ~3 real micro-batches REGARDLESS of corpus span: an
-        // outer-join micro-batch has ~1.3 s fixed cost (4 state stores
-        // per partition commit + the null-emission scan + the sink
-        // commit), so a span-proportional chunk count made wall-clock
-        // scale with DAYS of data rather than rows (10.2 s warm at
-        // sf0.1 with 6-day chunks → 6.4 s with the fixed batch
-        // budget). The graded result is batch-count invariant;
-        // multi-batch eviction is still exercised.
-        val chunkUs = math.max((maxTs - minTs) / 3L + 1L, 1L)
+        // `chunkBudget` real micro-batches REGARDLESS of corpus span:
+        // a span-proportional chunk count made wall-clock scale with
+        // DAYS of data rather than rows (10.2 s warm at sf0.1 with
+        // 6-day chunks → 6.4 s with a fixed budget of 3 → ~4.5 s with
+        // 2). The graded result is batch-count invariant.
+        val chunkUs = math.max((maxTs - minTs) / chunkBudget + 1L, 1L)
         def sentinel(offsetDays: Long): DataFrame = {
           val t = maxTs + offsetDays * 86400L * 1000000
           Seq((-1L, -1L, "purchase", t), (-2L, -1L, "click", t))
             .toDF("event_id", "user_id", "event_type", "ts_us")
         }
+        // originUs = minTs: the budget is exact (absolute div would
+        // smear the span over budget+1 buckets — a sliver first chunk
+        // costing a full micro-batch round)
         graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs,
-          store, Seq(sentinel(10), sentinel(20)))
+          store, Seq(sentinel(10), sentinel(20)), originUs = minTs)
       }
 
     import org.apache.spark.sql.types.{LongType, StringType, StructField,

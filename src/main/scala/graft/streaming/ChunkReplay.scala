@@ -25,9 +25,19 @@ object ChunkReplay {
     * appended as the LAST chunks — far-future rows that drag the
     * one-batch-lagging watermark past every real key so stateful /
     * outer-join results are fully emitted by end-of-stream.
+    *
+    * `originUs` anchors the bucketing: chunk id = (ts − origin) div
+    * width. The default 0 keeps ABSOLUTE buckets (q267's oracle
+    * replays `ts_us // width` and grades the batch count, so its
+    * boundaries must stay engine-independent); a fixed-batch-BUDGET
+    * caller (q272: width = span/budget + 1) passes its min event
+    * time, because an unaligned origin otherwise spreads the span
+    * over budget+1 absolute buckets and the extra sliver chunk costs
+    * a full micro-batch round (~0.9 s fixed) for a handful of rows.
     * Returns the number of chunk files written. */
   def writeChunks(df: DataFrame, tsUsCol: String, chunkUs: Long,
-                  ingestDir: String, sentinels: Seq[DataFrame] = Nil): Int = {
+                  ingestDir: String, sentinels: Seq[DataFrame] = Nil,
+                  originUs: Long = 0L): Int = {
     val tmp = Files.createTempDirectory("graft_chunk_split").toString
     // all rows of a chunk land in ONE task so partitionBy emits a
     // single part file per chunk directory. Chunk id is integer FLOOR
@@ -35,7 +45,7 @@ object ChunkReplay {
     // `(ts/chunkUs).cast("long")` truncates toward zero (wrong chunk
     // for negative event times) and can misassign a boundary row once
     // ts/chunkUs rounds across an integer in FP
-    df.withColumn("chunk", expr(s"$tsUsCol div $chunkUs"))
+    df.withColumn("chunk", expr(s"($tsUsCol - $originUs) div $chunkUs"))
       .repartition(col("chunk"))
       .write.partitionBy("chunk").parquet(s"$tmp/real")
     sentinels.zipWithIndex.foreach { case (sd, i) =>

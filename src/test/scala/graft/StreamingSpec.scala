@@ -187,6 +187,47 @@ class StreamingSpec extends SparkSpec {
     assert(narrow == batch && narrow.nonEmpty)
   }
 
+  test("NARROW-chunk outer-join replay (5 real micro-batches) equals the batch LEFT join") {
+    // q272 benches with a 2-real-chunk budget (one real-real
+    // boundary); this keeps a DENSER choreography — five real chunk
+    // boundaries, so cross-batch matches and watermark-driven
+    // null-row evictions fire across four mid-stream boundaries, not
+    // one — graded against the same batch LEFT-join oracle, so the
+    // sweep-time trade can't silently lose multi-boundary coverage.
+    val d = "/root/testdata/sf0.001"
+    val narrow = graft.queries.Signals.outerJoinReplay(spark, d, 5)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"),
+        "leftOuter")
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(narrow == batch && narrow.nonEmpty)
+  }
+
   test("EventTimeTimeout evicts session state once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
