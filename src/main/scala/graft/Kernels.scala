@@ -193,6 +193,54 @@ object Kernels {
           .select(col("user_id").cast("string").as("k")), "k", p)
     }
 
+  /** Leaf (flag × status) bottom-k-by-hash sketch of lineitem — the
+    * PERSISTED SKETCH TABLE of the mergeable-rollup family (q382
+    * unweighted / q383 weighted): ≤ groups·k rows of
+    * `(flag, status, h, vc, wq)` plus the exact per-group row count
+    * and weight total riding each row, all from ONE corpus pass
+    * through [[graft.operators.TopK.topKPerGroupWithPayload]] (the
+    * quantized cents and quantity share the payload slot packed as
+    * vc·2²⁰ + wq; cents < 2²⁴ and quantity < 2²⁰ on any TPC-H-shaped
+    * input). Selection is by the salted 48-bit row hash ONLY, so the
+    * same sketch rows serve both the unweighted and the weighted
+    * estimators — and this is the whole point of the mergeable
+    * design at 100 TB: the leaf sketch table is the stored artifact,
+    * every rollup level MERGES it, and the corpus is never rescanned
+    * above the leaves. A pure function of (dir, k), exactly the memo
+    * contract; both consumers' oracles re-derive every level from the
+    * full table, so the persisted path stays hash-graded. */
+  def lineitemLeafSketch(s: SparkSession, dir: String, k: Int): DataFrame =
+    cached(s, ("liLeafSketch", dir, k)) {
+      import org.apache.spark.sql.functions.{concat, expr, substring, sum}
+      // cross-engine deterministic rounding (NOT functions.round — the
+      // Probes-file convention, shared with both consumers' oracles)
+      import graft.functions.Rounding.{roundTo => round}
+      val li = Tables.lineitem(s, dir)
+      val hashed = li.select(
+        concat(col("l_returnflag"), col("l_linestatus")).as("gkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("vc"),
+        col("l_quantity").cast("long").as("wq"),
+        graft.functions.TextFunctions.token60(concat(lit("qsk"),
+          col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"), lit("_"),
+          col("l_partkey").cast("string"), lit("_"),
+          col("l_suppkey").cast("string"))).as("h"))
+      graft.operators.TopK.topKPerGroupWithPayload(
+          hashed.select(col("gkey"), col("h").as("hid"),
+            (-col("h")).cast("double").as("negh"),
+            (col("vc") * lit(1048576L) + col("wq")).as("pk"),
+            col("wq").as("wq_in")),
+          "gkey", "hid", "negh", "pk", k,
+          extraAggs = Seq(count(lit(1)).as("n_exact_g"),
+            sum(col("wq_in")).as("w_exact_g")))
+        .select(substring(col("gkey"), 1, 1).as("flag"),
+          substring(col("gkey"), 2, 1).as("status"),
+          col("hid").as("h"),
+          expr("pk div 1048576").as("vc"),
+          (col("pk") % lit(1048576L)).as("wq"),
+          col("n_exact_g"), col("w_exact_g"))
+    }
+
   /** Support-thresholded part co-occurrence graph of lineitem —
     * `(a, b, sup)` with `a < b` and `sup` = distinct orders containing
     * both parts (≥ `minSupport`). The wedge self-join is co-partitioned

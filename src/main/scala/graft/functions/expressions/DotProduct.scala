@@ -143,6 +143,15 @@ object GraftFunctions {
   val quantStatsName = "graft_quant_stats"
   val jaroWinklerName = "graft_jaro_winkler"
   val nfcName = "graft_nfc"
+  val boundedTopKName = "graft_bounded_topk"
+
+  val boundedTopKBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 4,
+      s"$boundedTopKName takes exactly 4 arguments (id, ord, pay, k)")
+    require(exprs(3).foldable, s"$boundedTopKName requires a literal k")
+    BoundedTopK(exprs.head, exprs(1), exprs(2),
+      exprs(3).eval().asInstanceOf[Number].intValue())
+  }
 
   val nfcBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, s"$nfcName takes exactly 1 argument")
@@ -180,7 +189,8 @@ object GraftFunctions {
     simhashName -> simhashBuilder,
     quantStatsName -> quantStatsBuilder,
     jaroWinklerName -> jaroWinklerBuilder,
-    nfcName -> nfcBuilder)
+    nfcName -> nfcBuilder,
+    boundedTopKName -> boundedTopKBuilder)
 
   /** Idempotent per-session registration (used by the Column API so
     * the library works without spark.sql.extensions configuration).
@@ -236,5 +246,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[NfcNormalize].getName,
         GraftFunctions.nfcName),
       GraftFunctions.nfcBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.boundedTopKName),
+      new ExpressionInfo(classOf[BoundedTopK].getName,
+        GraftFunctions.boundedTopKName),
+      GraftFunctions.boundedTopKBuilder))
   }
 }

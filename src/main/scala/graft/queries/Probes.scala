@@ -2420,39 +2420,25 @@ object Probes {
     */
   private def q382(s: SparkSession, d: String): DataFrame = {
     val k = 64
-    val li = Tables.lineitem(s, d)
     // row key: the synthetic lineitem carries duplicate (orderkey,
     // linenumber) pairs (measured: up to 6 copies, different prices),
     // so the hash keys the full unique quad. The ONE 60-bit hash is
     // sample order, tie-break AND re-attach join key: ordering by
-    // (double(h) desc-negated, h asc) in the bounded Aggregator equals
+    // (double(h) desc-negated, h asc) in the bounded aggregate equals
     // exact-h order (double rounding is monotone; double-ties resolve
     // on the exact long), so the engine-side cut is the oracle's
     // ORDER BY h bit-for-bit.
-    val hashed = li.select(
-        concat(col("l_returnflag"), col("l_linestatus")).as("gkey"),
-        round(col("l_extendedprice") * 100, 0).cast("long").as("vc"),
-        graft.functions.TextFunctions.token60(concat(lit("qsk"),
-          col("l_orderkey").cast("string"), lit("_"),
-          col("l_linenumber").cast("string"), lit("_"),
-          col("l_partkey").cast("string"), lit("_"),
-          col("l_suppkey").cast("string"))).as("h"))
-    // leaf sketches: bounded map-side bottom-k with the quantized
-    // measure riding the aggregator as payload — sketch rows AND the
-    // exact per-group row counts come out of ONE corpus pass (no
-    // re-attach join, no second md5 scan, no separate count scan: the
-    // count is an extraAgg in the same group-by, riding each of the
-    // group's ≤ k sketch rows)
-    val leaf0 = graft.operators.TopK.topKPerGroupWithPayload(
-        hashed.select(col("gkey"), col("h").as("hid"),
-          (-col("h")).cast("double").as("negh"), col("vc")),
-        "gkey", "hid", "negh", "vc", k,
-        extraAggs = Seq(count(lit(1)).as("n_exact_g")))
-      .select(substring(col("gkey"), 1, 1).as("flag"),
-        substring(col("gkey"), 2, 1).as("status"),
-        col("vc"), col("hid").as("h"), col("n_exact_g"))
-      .localCheckpoint(true)
-    val leaf = leaf0.drop("n_exact_g")
+    //
+    // The leaf sketch is the PERSISTED SKETCH TABLE
+    // ([[graft.Kernels.lineitemLeafSketch]], shared with q383's
+    // weighted estimator — selection is hash-only, so one stored
+    // sample serves both): sketch rows AND the exact per-group row
+    // counts come out of ONE corpus pass through the bounded map-side
+    // top-k aggregate, and every rollup level below merges those ≤
+    // groups·k rows — the corpus is never rescanned above the leaves.
+    val leaf0 = graft.Kernels.lineitemLeafSketch(s, d, k)
+    val leaf = leaf0.select(col("flag"), col("status"), col("vc"),
+      col("h"))
     // parent sketches by MERGE: windows over ≤ groups·k sketch rows
     val wFlag = Window.partitionBy("flag").orderBy(col("h"))
     val flagSk = leaf.withColumn("rn", row_number().over(wFlag))
@@ -2489,15 +2475,14 @@ object Probes {
         .withColumn("flag", lit("ALL"))
         .withColumn("status", lit("ALL"))
         .withColumn("level", lit("3_all")))
-    val out = ests(leaf, "1_leaf")
+    ests(leaf, "1_leaf")
       .unionByName(ests(flagSk, "2_flag"))
       .unionByName(ests(allSk, "3_all"))
       .join(counts, Seq("level", "flag", "status"))
       .select(col("level"), col("flag"), col("status"), col("n_exact"),
         col("n_sample"), col("p50_cents"), col("p90_cents"))
       .orderBy("level", "flag", "status")
-    // leaf0 owns the checkpoint blocks (leaf is a projection of it)
-    graft.operators.Exec.owned(out, Seq(leaf0))
+    // no owned(): the leaf checkpoint belongs to the Kernels memo
   }
 
   private val q382Sql =
@@ -2565,8 +2550,12 @@ object Probes {
     * rational-rank rule `cw ≥ ceil(p·W/q)` in its integer form
     * `q·cw ≥ p·W` (no FP ceil can straddle engines).
     *
-    * Execution is one corpus pass through the bounded top-k
-    * Aggregator: (value cents, weight) ride the payload slot PACKED
+    * Execution is one SHARED corpus pass: the leaf sketch comes from
+    * the persisted sketch table ([[graft.Kernels.lineitemLeafSketch]],
+    * the same stored sample q382's unweighted estimator reads —
+    * hash-only selection makes the artifact estimator-agnostic, the
+    * 100 TB point of the design). Inside the kernel, (value cents,
+    * weight) ride the bounded top-k aggregate's payload slot PACKED
     * into one long (`vc·2²⁰ + wq` — cents < 2²⁴ and quantity < 2²⁰ on
     * any TPC-H-shaped input, far under the 2⁶³ line), so there is no
     * re-attach join and no second scan; parents merge ≤ 384 leaf
@@ -2577,33 +2566,15 @@ object Probes {
     */
   private def q383(s: SparkSession, d: String): DataFrame = {
     val k = 64
-    val li = Tables.lineitem(s, d)
-    val hashed = li.select(
-        concat(col("l_returnflag"), col("l_linestatus")).as("gkey"),
-        round(col("l_extendedprice") * 100, 0).cast("long").as("vc"),
-        col("l_quantity").cast("long").as("wq"),
-        graft.functions.TextFunctions.token60(concat(lit("wqsk"),
-          col("l_orderkey").cast("string"), lit("_"),
-          col("l_linenumber").cast("string"), lit("_"),
-          col("l_partkey").cast("string"), lit("_"),
-          col("l_suppkey").cast("string"))).as("h"))
-    // ONE corpus pass: bounded sketch rows AND the exact per-group
-    // weight totals (an extraAgg in the same group-by, riding each of
-    // the group's ≤ k sketch rows) — no second scan for context
-    val leaf0 = graft.operators.TopK.topKPerGroupWithPayload(
-        hashed.select(col("gkey"), col("h").as("hid"),
-          (-col("h")).cast("double").as("negh"),
-          (col("vc") * lit(1048576L) + col("wq")).as("pk"),
-          col("wq").as("wq_in")),
-        "gkey", "hid", "negh", "pk", k,
-        extraAggs = Seq(sum(col("wq_in")).as("w_exact_g")))
-      .select(substring(col("gkey"), 1, 1).as("flag"),
-        substring(col("gkey"), 2, 1).as("status"),
-        expr("pk div 1048576").as("vc"),
-        (col("pk") % lit(1048576L)).as("wq"),
-        col("hid").as("h"), col("w_exact_g"))
-      .localCheckpoint(true)
-    val leaf = leaf0.drop("w_exact_g")
+    // ONE corpus pass, shared: the leaf sketch (with the exact
+    // per-group weight totals riding each of the ≤ k rows) comes from
+    // the same persisted sketch table as q382's unweighted estimator
+    // ([[graft.Kernels.lineitemLeafSketch]]) — selection is by the
+    // salted hash only, so the stored sample is estimator-agnostic
+    // and the weighted rollup merges it without touching the corpus.
+    val leaf0 = graft.Kernels.lineitemLeafSketch(s, d, k)
+    val leaf = leaf0.select(col("flag"), col("status"), col("vc"),
+      col("wq"), col("h"))
     val wFlag = Window.partitionBy("flag").orderBy(col("h"))
     val flagSk = leaf.withColumn("rn", row_number().over(wFlag))
       .filter(col("rn") <= k).drop("rn")
@@ -2643,7 +2614,7 @@ object Probes {
         .withColumn("flag", lit("ALL"))
         .withColumn("status", lit("ALL"))
         .withColumn("level", lit("3_all")))
-    val out = ests(leaf, "1_leaf")
+    ests(leaf, "1_leaf")
       .unionByName(ests(flagSk, "2_flag"))
       .unionByName(ests(allSk, "3_all"))
       .join(weights, Seq("level", "flag", "status"))
@@ -2651,8 +2622,7 @@ object Probes {
         col("n_sample"), col("w_sample"), col("p50_cents"),
         col("p90_cents"))
       .orderBy("level", "flag", "status")
-    // leaf0 owns the checkpoint blocks (leaf is a projection of it)
-    graft.operators.Exec.owned(out, Seq(leaf0))
+    // no owned(): the leaf checkpoint belongs to the Kernels memo
   }
 
   private val q383Sql =
@@ -2660,7 +2630,7 @@ object Probes {
          SELECT l_returnflag AS flag, l_linestatus AS status,
            CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
            CAST(l_quantity AS BIGINT) AS wq,
-           ('0x' || substr(md5('wqsk' ||
+           ('0x' || substr(md5('qsk' ||
              l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_' ||
              l_partkey::VARCHAR || '_' || l_suppkey::VARCHAR),
              1, 15))::BIGINT AS h

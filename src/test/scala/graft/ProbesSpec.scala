@@ -749,6 +749,9 @@ class ProbesSpec extends SparkSpec {
         9.0 + i))
     ).toDF("l_returnflag", "l_linestatus", "l_orderkey",
       "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+      // the shared leaf-sketch kernel also reads the weight column;
+      // q382's unweighted estimates ignore it
+      .withColumn("l_quantity", org.apache.spark.sql.functions.lit(1.0))
     val dir = staged("qsk")("lineitem" -> rows)
     val out = SparkEntry.queries("q382_quantile_sketch_rollup")(spark, dir)
       .collect()
@@ -819,7 +822,9 @@ class ProbesSpec extends SparkSpec {
 
     def h60(key: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"wqsk$key".getBytes("UTF-8"))
+      // 'qsk' — q383 shares q382's persisted leaf sketch (hash-only
+      // selection makes the stored sample estimator-agnostic)
+      val hex = md.digest(s"qsk$key".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
       java.lang.Long.parseLong(hex.take(15), 16)
     }
