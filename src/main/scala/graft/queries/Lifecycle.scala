@@ -1343,30 +1343,61 @@ object Lifecycle {
     * time-ordered chunk-file pattern with ADVERSARIAL duplicates
     * injected: every third event is re-sent in the NEXT micro-batch,
     * so suppression must come from cross-batch STATE, not intra-batch
-    * dedup. `dropDuplicatesWithinWatermark("event_id")` under a 7-day
-    * watermark delay guarantees the one-chunk-later duplicates land
-    * inside the state-retention window (state still evicts as the
-    * watermark advances — bounded memory, unlike bare
-    * `dropDuplicates`). First-seen rows emit immediately, so no
-    * sentinel flush is needed. If suppression failed, per-type counts
-    * would exceed the batch oracle — which reads the CLEAN table. */
-  private def q226(s: SparkSession, d: String): DataFrame = {
+    * dedup. `dropDuplicatesWithinWatermark("event_id")` under a
+    * chunk-width + 1-day watermark delay guarantees the
+    * one-chunk-later duplicates land inside the state-retention
+    * window (state still evicts as the watermark advances — bounded
+    * memory, unlike bare `dropDuplicates`). First-seen rows emit
+    * immediately, so no sentinel flush is needed. If suppression
+    * failed, per-type counts would exceed the batch oracle — which
+    * reads the CLEAN table. */
+  private def q226(s: SparkSession, d: String): DataFrame =
+    // 3-real-chunk budget (was fixed 6-day chunks → ~6 span-dependent
+    // micro-batches at sf0.1): a dedup micro-batch has ~0.6 s fixed
+    // cost and the graded counts are batch-count invariant, so the
+    // bench keeps three real cross-batch suppression boundaries plus
+    // the all-duplicates trailing chunk; the DENSER choreography stays
+    // exercised by StreamingSpec's narrow dedupReplay case (the
+    // q211/q272 precedent).
+    dedupReplay(s, d, chunkBudget = 3)
+
+  /** q226's replay body with the real-chunk budget as a parameter —
+    * package-private so StreamingSpec can drive the narrow (more
+    * micro-batches, more cross-batch suppression boundaries)
+    * configuration the bench-time q226 no longer runs. The watermark
+    * delay scales WITH the chunk width (chunk + 1 day): suppression
+    * of a one-chunk-later duplicate requires its original's state to
+    * survive until the duplicate's batch, and state older than
+    * `max seen − delay` evicts — so a span-scaled chunk needs a
+    * span-scaled delay (the fixed 6-day/7-day pair was this same
+    * invariant at the old width). Eviction still happens across
+    * batches: each boundary drops state more than one chunk old. */
+  private[graft] def dedupReplay(s: SparkSession, d: String,
+                                 chunkBudget: Int): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val chunkUs = 6L * 86400 * 1000000
+    // span-scaled chunk width (origin-anchored ids, the q272
+    // treatment): a cheap per-run min/max scan sizes the budget; the
+    // watermark delay derives from the same width
+    val mm = Tables.events(s, d)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
+    val chunkUs = math.max((maxTs - minTs) / chunkBudget + 1L, 1L)
+    val delaySec = chunkUs / 1000000L + 86400L
     val ckpt = Files.createTempDirectory("graft_sdd_ckpt").toString
     val outDir = Files.createTempDirectory("graft_sdd_out").toString
 
     // chunk files with the adversarial duplicate injection are a pure
-    // function of (dir, chunk width) — built once per session
+    // function of (dir, chunk budget) — built once per session
     // (ChunkStore), replayed read-only with a fresh checkpoint per run
     val ingest = graft.streaming.ChunkStore
-      .ensure(s, ("q226", d, chunkUs)) { store =>
+      .ensure(s, ("q226", d, chunkBudget)) { store =>
         val tmp = Files.createTempDirectory("graft_sdd_split").toString
         val ev = Tables.events(s, d)
           .select(col("event_id").cast("long").as("event_id"),
             unix_micros(col("ts")).as("ts_us"),
             col("event_type"))
-          .withColumn("chunk", (col("ts_us") / lit(chunkUs)).cast("long"))
+          .withColumn("chunk",
+            expr(s"(ts_us - $minTs) div $chunkUs"))
         // duplicates: every 3rd event re-sent one chunk later (same id,
         // same payload — the re-crawl case)
         val dups = ev.filter(pmod(col("event_id"), lit(3)) === 0)
@@ -1407,7 +1438,7 @@ object Lifecycle {
       val deduped = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
         .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "7 days")
+        .withWatermark("ts", s"$delaySec seconds")
         .dropDuplicatesWithinWatermark("event_id")
         .select("event_id", "event_type")
       val q = deduped.writeStream.outputMode("append")

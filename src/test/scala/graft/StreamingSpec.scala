@@ -187,6 +187,26 @@ class StreamingSpec extends SparkSpec {
     assert(narrow == batch && narrow.nonEmpty)
   }
 
+  test("NARROW-chunk dedup replay (6 real micro-batches) equals the clean-table rollup") {
+    // q226 benches with a 3-real-chunk budget; this drives the same
+    // replay at twice the batch density — six cross-batch suppression
+    // boundaries, six watermark advances (so state eviction AND
+    // retention are both exercised repeatedly) — against the same
+    // clean-table oracle, so the sweep-time trade can't silently lose
+    // multi-boundary coverage.
+    val d = "/root/testdata/sf0.001"
+    val narrow = graft.queries.Lifecycle.dedupReplay(spark, d, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val batch = Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(narrow == batch && narrow.nonEmpty)
+  }
+
   test("NARROW-chunk outer-join replay (5 real micro-batches) equals the batch LEFT join") {
     // q272 benches with a 2-real-chunk budget (one real-real
     // boundary); this keeps a DENSER choreography — five real chunk
