@@ -1008,10 +1008,10 @@ object Lifecycle {
   /** STREAMING stateful session EVICTION, oracle-graded — the last
     * §2.10 capability without a CORRECTNESS row (q177 proved the
     * file-stream-replay pattern; q204 covered the stream-stream join).
-    * The events table is re-written into time-ordered 10-day chunk
-    * files (mtime-sequenced so `maxFilesPerTrigger=1` replays them as
-    * separate micro-batches in event-time order — no late data by
-    * construction), then streamed through
+    * The events table is re-written into time-ordered, span-scaled
+    * chunk files (mtime-sequenced so `maxFilesPerTrigger=1` replays
+    * them as separate micro-batches in event-time order — no late
+    * data by construction), then streamed through
     * [[graft.streaming.EventPipeline.sessionFinalTallies]]:
     * `flatMapGroupsWithState` in APPEND mode with `EventTimeTimeout`,
     * emitting a user's cumulative segment tally ONLY when the
@@ -1028,26 +1028,39 @@ object Lifecycle {
     * makes the final per-user rollup equal batch sessionization and
     * lets q23's lag() oracle grade a stateful streaming operator. */
   private def q211(s: SparkSession, d: String): DataFrame =
-    // 10-day chunks (3 real micro-batches over the 30-day corpus + 2
-    // sentinels): the per-user segment SUMS this query grades are
-    // chunk-width-independent (see above — an eviction break implies
-    // a full chunk of silence ≫ the 30-min gap at ANY width ≥ gap),
-    // and cross-batch state is still exercised by every user active
-    // in multiple chunks. Width buys nothing semantically past that,
-    // and each extra micro-batch costs a fixed state-store
-    // commit × partitions + planning round (VERDICT r13 item 5: the
-    // streaming replay floor is choreography, not data). The NARROW
-    // (6-day, 5-real-batch) configuration stays exercised by
-    // StreamingSpec's sessionReplay case, so multi-boundary eviction
-    // carries don't lose coverage to the sweep-time trade.
-    sessionReplay(s, d, 10L * 86400 * 1000000)
+    // 2-real-chunk budget (was fixed 10-day chunks, which the
+    // unaligned absolute origin smeared into FOUR real micro-batches
+    // over the ~30-day corpus — a sliver first chunk costing a full
+    // batch round, the q272 lesson): the per-user segment SUMS this
+    // query grades are chunk-width-independent (see above — an
+    // eviction break implies a half-span of silence ≫ the 30-min gap
+    // at ANY width ≥ gap), and cross-batch state is still exercised
+    // by every user active in both chunks. Width buys nothing
+    // semantically past that, and each extra micro-batch costs a
+    // fixed state-store commit × partitions + planning round (VERDICT
+    // r13 item 5: the streaming replay floor is choreography, not
+    // data). The NARROW (6-day, 5-real-batch) configuration stays
+    // exercised by StreamingSpec's sessionReplay case, so
+    // multi-boundary eviction carries don't lose coverage to the
+    // sweep-time trade.
+    sessionReplayChunks(s, d, fixedChunkUs = 0L, chunkBudget = 2)
 
   /** q211's replay body with the chunk width as a parameter —
     * package-private so StreamingSpec can drive the NARROW-chunk
     * configuration (more micro-batches, more eviction-boundary state
     * carries) that the bench-time q211 no longer runs. */
   private[graft] def sessionReplay(s: SparkSession, d: String,
-                                   chunkUs: Long): DataFrame = {
+                                   chunkUs: Long): DataFrame =
+    sessionReplayChunks(s, d, fixedChunkUs = chunkUs, chunkBudget = 0)
+
+  /** Shared replay body: `chunkBudget > 0` selects span-scaled,
+    * origin-anchored chunk widths (exactly `chunkBudget` real
+    * micro-batches at any SF — the bench path); otherwise
+    * `fixedChunkUs` absolute-origin buckets (the narrow-spec path,
+    * where batch DENSITY is the point). */
+  private def sessionReplayChunks(s: SparkSession, d: String,
+                                  fixedChunkUs: Long,
+                                  chunkBudget: Int): DataFrame = {
     import s.implicits._
     import java.nio.file.Files
     val gapUs = 30L * 60 * 1000000     // q23's 30-min inactivity gap
@@ -1059,16 +1072,22 @@ object Lifecycle {
     // run with a fresh checkpoint; the stream still processes every
     // micro-batch per run
     val ingest = graft.streaming.ChunkStore
-      .ensure(s, ("sessionReplay", d, chunkUs)) { store =>
+      .ensure(s, ("sessionReplay", d, fixedChunkUs, chunkBudget)) { store =>
         val ev = Tables.events(s, d)
           .select(col("user_id").cast("long").as("user_id"),
             unix_micros(col("ts")).as("ts_us"))
-        val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+        val mm = ev.agg(min("ts_us"), max("ts_us")).head()
+        val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
+        val chunkUs =
+          if (chunkBudget > 0)
+            math.max((maxTs - minTs) / chunkBudget + 1L, 1L)
+          else fixedChunkUs
         def sentinel(offsetDays: Long) =
           Seq((-1L, maxTs + offsetDays * 86400 * 1000000))
             .toDF("user_id", "ts_us")
         graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs,
-          store, Seq(sentinel(10), sentinel(20)))
+          store, Seq(sentinel(10), sentinel(20)),
+          originUs = if (chunkBudget > 0) minTs else 0L)
       }
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1484,27 +1503,35 @@ object Lifecycle {
     * or watermark choreography is needed. */
   private def q231(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    // 10-day chunks (3 micro-batches over the 30-day corpus): the
-    // update-mode running sums are batch-boundary-independent by
-    // construction, and 3 batches already force cross-batch ValueState
-    // carries for every multi-chunk user — extra micro-batches are
-    // pure per-batch fixed cost (the q211 rationale)
-    val chunkUs = 10L * 86400 * 1000000
+    // 2-real-chunk budget (was fixed 10-day chunks, which the
+    // unaligned absolute origin smeared into FOUR micro-batches over
+    // the ~30-day corpus — the q272 sliver lesson): the update-mode
+    // running sums are batch-boundary-independent by construction,
+    // one boundary already forces cross-batch ValueState carries for
+    // every multi-chunk user (and the multi-boundary choreography is
+    // spec-pinned by StreamingSpec's transformWithState case) — extra
+    // micro-batches are pure per-batch fixed cost (the q211
+    // rationale).
+    val chunkBudget = 2
     val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
     val outDir = Files.createTempDirectory("graft_tws_out").toString
 
     // chunk files built once per session (ChunkStore), replayed
     // read-only with a fresh checkpoint per run
     val ingest = graft.streaming.ChunkStore
-      .ensure(s, ("q231", d, chunkUs)) { store =>
+      .ensure(s, ("q231", d, chunkBudget)) { store =>
         val tmp = Files.createTempDirectory("graft_tws_split").toString
-        Tables.events(s, d)
+        val ev = Tables.events(s, d)
           .filter(col("value").isNotNull)
           .select(col("user_id").cast("long").as("user_id"),
             floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
               .as("units"),
-            (unix_micros(col("ts")) / lit(chunkUs)).cast("long")
-              .as("chunk"))
+            unix_micros(col("ts")).as("ts_us"))
+        val mm = ev.agg(min("ts_us"), max("ts_us")).head()
+        val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
+        val chunkUs = math.max((maxTs - minTs) / chunkBudget + 1L, 1L)
+        ev.withColumn("chunk", expr(s"(ts_us - $minTs) div $chunkUs"))
+          .drop("ts_us")
           .repartition(col("chunk"))
           .write.partitionBy("chunk").parquet(s"$tmp/real")
         val ordered = new java.io.File(s"$tmp/real").listFiles()
