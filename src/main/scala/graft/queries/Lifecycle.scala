@@ -1198,10 +1198,15 @@ object Lifecycle {
       .groupBy("p").agg(sum("cb").as("cp"))
     val vRow = pc.agg(count(lit(1)).as("v"))
     // score EVERY doc: P(b|a) = (c(ab)+1)/(c(a·)+V+1), unseen → 0-count
+    // EXPLICIT broadcast of both model tables: they are clean-slice-
+    // vocabulary-sized (the fixed-artifact posture above), but they
+    // come out of aggregations whose Catalyst size estimate inherits
+    // the corpus-sized child — the planner chose two corpus-wide
+    // shuffle joins for what the contract says are map-side lookups
     val scored = bi
       .withColumn("p", substring_index(col("s"), " ", 1))
-      .join(bc, Seq("s"), "left")
-      .join(pc, Seq("p"), "left")
+      .join(broadcast(bc), Seq("s"), "left")
+      .join(broadcast(pc), Seq("p"), "left")
       .crossJoin(broadcast(vRow))
       .select(col("doc_id"),
         round(log((coalesce(col("cb"), lit(0L)).cast("double") + 1.0) /
