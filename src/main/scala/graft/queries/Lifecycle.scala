@@ -1652,8 +1652,12 @@ object Lifecycle {
         val mm = ev.agg(min("ts_us"), max("ts_us")).head()
         val chunkUs =
           math.max((mm.getLong(1) - mm.getLong(0)) / 4L + 1L, 1L)
+        // originUs: without the anchor the unaligned absolute origin
+        // yields FIVE chunks from a budget of 4 (the q272 sliver
+        // lesson) — an extra micro-batch round and a lopsided 3/2
+        // restart split
         graft.streaming.ChunkReplay.writeChunks(ev, "ts_us", chunkUs,
-          store)
+          store, originUs = mm.getLong(0))
       }
     graft.streaming.ChunkStore.linkInto(chunkLib, staging)
     val staged = new java.io.File(staging).listFiles()

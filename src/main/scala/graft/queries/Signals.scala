@@ -1789,7 +1789,14 @@ object Signals {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNd = s.conf.get(ndKey)
-    s.conf.set("spark.sql.shuffle.partitions", "2")
+    // size-derived state width (ChunkReplay.replayWidth): 2 at bench
+    // SF (four state stores per partition commit per batch — narrow
+    // is pure fixed-cost win), widening with staged volume so the
+    // interval join parallelizes at 10×/100× data (hardcoded 2
+    // measured sf0.1→sf1 ratio 4.96; the join is the sweep's
+    // heaviest per-row state op)
+    s.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.ChunkReplay.replayWidth(ingest, 2).toString)
     // both sentinel chunks carry BOTH stream sides, so every real
     // purchase's null-row emission happens during the data batches —
     // the trailing no-data micro-batch can only touch the filtered-out

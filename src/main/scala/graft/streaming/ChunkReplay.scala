@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object ChunkReplay {
 
+  /** Shuffle/state width for a replay over `ingestDir`'s staged chunk
+    * files: `max(minW, ceil(stagedBytes / 4 MiB))`, capped at 32. A
+    * stateful micro-batch pays one state-store commit PER partition
+    * PER batch, so tiny replays want the narrowest width that still
+    * parallelizes — but a HARDCODED narrow width inverts at scale
+    * (measured: q272's interval join at 2 partitions read sf0.1→sf1
+    * ratio 4.96 — two threads grinding 400k-row batches — where the
+    * same replay at a size-derived width parallelizes the join and
+    * keeps the ratio near data growth). Staged bytes are a pure
+    * file-stat read: no Spark job, deterministic per (corpus, chunk
+    * params), and exactly the signal a production ingest would size
+    * its state shuffle from. */
+  def replayWidth(ingestDir: String, minW: Int): Int = {
+    val bytes = Option(new java.io.File(ingestDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    math.min(32, math.max(minW, ((bytes + (4L << 20) - 1) / (4L << 20)).toInt))
+  }
+
   /** Write `df` (which must carry a LONG event-time column `tsUsCol`)
     * into one parquet file per `chunkUs`-wide event-time chunk under
     * `ingestDir`, mtime-ordered; `sentinels` frames (same schema) are
