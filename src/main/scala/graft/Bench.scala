@@ -120,6 +120,9 @@ object Bench {
     var sinceCalib = 0
     val results: Seq[(String, Either[String, (Double, Double)])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // guide §1.5: label jobs so UI/event-log reads map to queries
+        // (thread-local property set, outside every timed region)
+        spark.sparkContext.setJobDescription(s"bench: $name")
         startOffsets += name -> (System.nanoTime() - sweepT0) / 1e9
         sinceCalib += 1
         if (sinceCalib >= calibEvery) {

@@ -23,6 +23,7 @@ object TimeOne {
     args.foreach { name =>
       (1 to nRuns).foreach { run =>
         if (clear) spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(s"timeone: $name run$run")
         val t0 = System.nanoTime()
         // noop write evaluates every column; count() would let Catalyst
         // prune computed projections out of the measurement
