@@ -2717,13 +2717,31 @@ object Insights {
       else reader.option("pathGlobFilter", "events.parquet").parquet(d)
     val regs = Sketch.hllRegisters(
       stream.select(col("user_id").cast("string").as("k")), "k", p)
-    val q = regs.writeStream.outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.coalesce(1).write.mode("overwrite").parquet(outDir)
-      }
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // stream-scoped conf, restored for the batch rollup below (the
+    // q211/q272 treatment): the streamed state is bounded at 2^p
+    // register rows NO MATTER the corpus (the query's own contract),
+    // so a narrow state exchange is scale-safe by construction and a
+    // complete-mode batch pays one state-store commit per partition —
+    // 32 commits for 1024 rows was pure fixed cost. The trailing
+    // no-data micro-batch only re-emits the identical register table
+    // (complete mode, no watermark): skip its commit+rewrite round.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set(ndKey, "false")
+    try {
+      val q = regs.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.coalesce(1).write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(ndKey, prevNd)
+    }
     val streamed = s.read.parquet(outDir)
     // the batch reference registers are a session kernel — the stream
     // under test is what runs per call
