@@ -28,17 +28,40 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // PINNED NEGATIVE RESULT (r16, guide §1.2 "config last"):
+      // flipping coalescePartitions.parallelismFirst to false (post-
+      // shuffle width from BYTES only — 64 MiB advisory — instead of
+      // core count) looked like a §2.2 win for the ~350 small queries
+      // whose exchanges carry KBs, and a cross-epoch sweep pair read
+      // -19 s normalized. A same-epoch interleaved ABAB TimeOne over
+      // the 12 biggest movers refuted it: false is +18% on their sum
+      // (q248 +62%, q235 +85%, q92 +21%, q178 +25% — queries with
+      // real compute AFTER a small exchange, which byte-only width
+      // collapses to 1-2 partitions and serializes), and the apparent
+      // sweep win was epoch drift (0.823 vs 1.144). Spark's default
+      // (respect parallelism when coalescing) stays; env hook kept so
+      // the A/B is one environment variable, not a recompile.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Session-level warmup (shuffle machinery, codegen compiler) so the
     // first query's priming run isn't charged for JVM bring-up.
     def calibOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count()
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      // own job label (ADVICE r15): boundary calib probes used to run
+      // under the enclosing query's "bench: <query>" description,
+      // mislabeling the event log the labels exist to support
+      val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+      spark.sparkContext.setJobDescription("bench: calib")
+      try {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count()
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.sparkContext
+        .setLocalProperty("spark.job.description", prev)
     }
     try calibOnce() catch { case _: Throwable => () }
     // Box-drift calibration (round 14, consumed since round 15): the
@@ -118,12 +141,38 @@ object Bench {
     val calibTimeline = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val calibEvery = math.min(25, math.max(2, selected.size / 4))
     var sinceCalib = 0
+    // Per-query-boundary box-speed probe (VERDICT r15 item 2): the r15
+    // driver sweep carried ~43 s of box stall on two queries (q118
+    // 23.5 s / q161 21.9 s vs 2-3 s everywhere else) that nothing in
+    // the captured one-line JSON could adjudicate — the calib timeline
+    // (every 25th query) is too sparse for a ~1-minute stall window.
+    // This probe is a fixed single-thread CPU workload (~10-15 ms)
+    // timed at EVERY query boundary (+~5 s per full sweep, outside all
+    // timed regions): a box stall that inflates a query's runs also
+    // inflates the probes around it, so stall_suspect (queries whose
+    // surrounding probes BOTH exceed 3x the sweep's probe median) is
+    // computable from the artifact alone. Single-thread CPU is the
+    // right proxy on this box: the known stalls are noisy-neighbor CPU
+    // contention (the driver's own 8-core rerun read 2.9 s / 1.0 s).
+    @volatile var probeSink = 0L
+    def cpuProbe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < (1 << 24)) {
+        x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+      }
+      probeSink = x
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 5).foreach(_ => cpuProbe()) // JIT warm-up, outside the sweep
+    val boundaryProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results: Seq[(String, Either[String, (Double, Double)])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         // guide §1.5: label jobs so UI/event-log reads map to queries
         // (thread-local property set, outside every timed region)
         spark.sparkContext.setJobDescription(s"bench: $name")
         startOffsets += name -> (System.nanoTime() - sweepT0) / 1e9
+        boundaryProbes += cpuProbe()
         sinceCalib += 1
         if (sinceCalib >= calibEvery) {
           sinceCalib = 0
@@ -213,6 +262,7 @@ object Bench {
         gcByQuery += name -> (gcMillis() - gc0)
         name -> r
       }
+    boundaryProbes += cpuProbe() // "after" probe for the last query
     val calibEnd = calib()
     // Post-sweep JVM state: if any CodeHeap pool sits >90% of max, the
     // compiler likely disabled itself mid-sweep and tail-query timings
@@ -302,6 +352,26 @@ object Bench {
         calibSamples(calibSamples.length / 2)) / 2.0
     val calibDrift = if (calibMedian > 0) calibMedian / CalibRef else -1.0
     def norm(v: Double): Double = if (calibDrift > 0) v / calibDrift else v
+    // stall_suspect (VERDICT r15 item 2): a query is flagged when the
+    // boundary probes on BOTH sides of it ran >3x the sweep's probe
+    // median — a transient box-stall window covering the query. Both
+    // sides (min of before/after), so a spike that ended before the
+    // query ran does not flag it; sustained whole-sweep slowness raises
+    // the median itself and is calib_drift's job, not this field's.
+    val probeMedian = {
+      val s = boundaryProbes.toSeq.sorted
+      if (s.isEmpty) -1.0 else s(s.length / 2)
+    }
+    val stallSuspect =
+      if (probeMedian <= 0) Seq.empty[String]
+      else results.map(_._1).zipWithIndex.collect {
+        case (n, i) if math.min(boundaryProbes(i),
+          boundaryProbes(i + 1)) > 3 * probeMedian => n
+      }
+    val stallJson = stallSuspect
+      .map(n => s"\"${esc(shortKey(n))}\"").mkString("[", ",", "]")
+    val kernelsBuildSec = Kernels.buildSec
+    val chunkBuildSec = graft.streaming.ChunkStore.buildSec
     // field order puts the headline LAST: the harness keeps only the
     // final ~2 kB of stdout, and at 230+ queries the line front (where
     // "value" used to sit) is what gets truncated — JSON field order is
@@ -310,7 +380,7 @@ object Bench {
     // value_min = sum of per-query min-of-runs: value ≫ value_min means
     // the box was loaded during this bench (see per-query mins in the
     // file mirror).
-    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_median_sec":${fmt(calibMedian)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","queries":$qs,"errors":$es,"runs":$runs,"sf":"${esc(sfDir)}","unit":"sec","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_median_sec":${fmt(calibMedian)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"kernels_build_sec":${fmt(kernelsBuildSec)},"chunkstore_build_sec":${fmt(chunkBuildSec)},"probe_median_sec":${fmt(probeMedian)},"stall_suspect":$stallJson,"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)}}""")
     // The stdout tail keeps only ~2 kB — at 240+ queries most per-query
     // medians never reach the captured record. Mirror the FULL result
     // (long names, warm medians, errors) to a file so round-over-round
@@ -339,7 +409,7 @@ object Bench {
         .map { case (k, v) => s"""  "${esc(k)}": ${fmt(v)}""" }
         .mkString("{\n", ",\n", "\n}")
       val json =
-        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_median_sec":${fmt(calibMedian)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)},
+        s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"${esc(sfDir)}","spread":${fmt(spread)},"contaminated":$contaminated,"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_median_sec":${fmt(calibMedian)},"calib_ref_sec":${fmt(CalibRef)},"calib_drift":${fmt(calibDrift)},"kernels_build_sec":${fmt(kernelsBuildSec)},"chunkstore_build_sec":${fmt(chunkBuildSec)},"probe_median_sec":${fmt(probeMedian)},"stall_suspect":$stallJson,"value_min_calib_normalized":${fmt(norm(totalMin))},"value_calib_normalized":${fmt(norm(total))},"value_min":${fmt(totalMin)},"value":${fmt(total)},
            |$jvm,
            |"queries":$full,
            |"query_mins":$fullMins,
@@ -347,6 +417,8 @@ object Bench {
            |"calib_timeline":${calibTimeline
               .map { case (t, c) => s"[${fmt(t)},${fmt(c)}]" }
               .mkString("[", ",", "]")},
+           |"boundary_probe_sec":${boundaryProbes
+              .map(fmt).mkString("[", ",", "]")},
            |"errors":$fullErrs}""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val (flags, qargs) = args.partition(_.startsWith("-"))
+    // fail fast on unknown flags (ADVICE r15): a typo like
+    // '-materialize ' misspelled would otherwise silently keep
+    // plan-only mode and print unmaterialized plans with no warning
+    val unknown = flags.filterNot(_ == "-materialize")
+    require(unknown.isEmpty,
+      s"Explain: unknown flag(s) ${unknown.mkString(", ")} (only -materialize is recognized)")
     graft.operators.Exec.planOnlyHook = !flags.contains("-materialize")
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -23,6 +29,8 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -107,8 +107,10 @@ private[graft] object Exec {
     * Deliberately a package-private var, NOT a system property: a
     * stray `-Dgraft.exec.planOnly` on a production launch would
     * silently stop materialization AND scratch release everywhere —
-    * this way only in-repo test code (SparkSpec.planOnly) can reach
-    * it. Mutation assumes SUITES RUN SEQUENTIALLY (the sbt forked-test
+    * this way only in-repo code can reach it: test code
+    * (SparkSpec.planOnly) and the graft.Explain dev tool, whose
+    * default plan-only mode makes the same sequential, non-production
+    * assumption. Mutation assumes SUITES RUN SEQUENTIALLY (the sbt forked-test
     * default, pinned by `Test / parallelExecution := false`); a
     * parallel runner would leak the flag into concurrent queries. */
   @volatile private[graft] var planOnlyHook: Boolean = false

@@ -27,13 +27,22 @@ object ChunkStore {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(String, Any), String]
 
+  // Wall seconds spent STAGING chunk directories this JVM (VERDICT r15
+  // item 3): staging runs once per (application, key) inside whichever
+  // untimed priming run touches it first — amortization the bench
+  // artifact must surface, not hide. Emitted as chunkstore_build_sec.
+  private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  def buildSec: Double = buildNanos.get / 1e9
+
   /** The directory for `key`, building it with `build` on first use.
     * `build` receives a fresh empty directory and must leave the
     * finished chunk files (with their replay mtimes) inside it. */
   def ensure(s: SparkSession, key: Any)(build: String => Unit): String =
     memo.getOrElseUpdate((s.sparkContext.applicationId, key), {
+      val t0 = System.nanoTime()
       val dir = Files.createTempDirectory("graft_chunk_store").toString
       build(dir)
+      buildNanos.addAndGet(System.nanoTime() - t0)
       dir
     })
 
