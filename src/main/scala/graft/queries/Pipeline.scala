@@ -153,7 +153,12 @@ object Pipeline {
   // ---------------------------------------------------------------- q35
   /** Exact dedup by normalized content hash. */
   private def q35(s: SparkSession, d: String): DataFrame =
-    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    // Dedup.exact's aggregation over the session fingerprint store
+    // (graft.Kernels.docContentHash) — the text is hashed once per
+    // (application, dir), shared with q200's exact stage
+    graft.Kernels.docContentHash(s, d)
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
       .orderBy("keep_id")
 
   private val q35Sql =

