@@ -105,12 +105,21 @@ object Spans {
     require(k >= 2, "window must span at least 2 words")
     require(maxOcc >= 1, "maxOcc must be >= 1")
     val ws = words(col(textCol))
+    // Per-window hash WITHOUT per-window string building (r16, guide
+    // §1.2 step 2): hash each word once (xxhash64), then hash the
+    // k-element slice of word hashes natively per offset — the old
+    // form allocated a k-word joined string and ran md5 per position
+    // (k× the corpus text through md5). Internal-only hash: the
+    // oracle groups the raw window TEXT, so any 64-bit collision
+    // (≈W²/2⁶⁵ for W windows, the same class as the 60-bit md5 this
+    // replaces) would surface as an oracle mismatch, not silence.
+    val whArr = transform(ws, w => xxhash64(w))
     val winArr = when(col(textCol).isNull || size(ws) < k,
         array().cast("array<long>"))
       .otherwise(transform(
         sequence(lit(1), size(ws) - lit(k - 1)),
-        i => token60(array_join(slice(ws, i, lit(k)), " "))))
-    // the window-hash projection (k md5s per word) feeds BOTH the
+        i => xxhash64(slice(whArr, i, lit(k)))))
+    // the window-hash projection feeds BOTH the
     // occurrence count and the flag join — hash once, not twice
     val wins = docs
       .select(col(idCol).as("id"), posexplode(winArr).as(Seq("p0", "wh")))
