@@ -57,6 +57,39 @@ private[graft] object Exec {
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       col(key))
 
+  /** Root for EPHEMERAL scratch directories (stream checkpoints,
+    * staged ingest chunks, per-run sinks) — everything created here is
+    * deleted by its owner within the run (query scratch cleanup,
+    * ChunkStore's shutdown hook). `$SPARK_GRAFT_SCRATCH_DIR` if set,
+    * else `java.io.tmpdir`. The single root parameterizes the
+    * deployment choice (fast local NVMe for stream state/scratch) in
+    * ONE place, and keeps every choreography same-filesystem (the
+    * hard-link replay copies in ChunkStore.linkInto require it).
+    *
+    * PINNED NEGATIVE RESULT (r16): pointing this at /dev/shm (tmpfs)
+    * to absorb the per-micro-batch offset/commit/state fsyncs looked
+    * like the §6 cut for the ~0.3 s/query streaming bring-up floor —
+    * a same-epoch interleaved ABAB TimeOne over all 9 streaming
+    * queries measured tmpfs consistently SLOWER on this box (family
+    * min-sum 33.8 s vs 27.2 s on /tmp; q177 every tmpfs rep ≥ 4.56 s
+    * vs every disk rep ≤ 3.71 s). The VM's disk-backed /tmp absorbs
+    * small fsyncs in its write cache, while /dev/shm writes appear to
+    * take a slower path under this sandbox. Default stays tmpdir;
+    * re-test per deployment via the env var, not a code change. */
+  lazy val scratchRoot: java.nio.file.Path = {
+    val p = sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** [[java.nio.file.Files.createTempDirectory]] under [[scratchRoot]]
+    * — the drop-in the ephemeral-scratch call sites use. */
+  def scratchTempDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
   /** Recursively delete a directory tree (no-op if absent), closing
     * the walk stream deterministically — `Files.walk` without a
     * `close()` leaks a directory handle per call. */

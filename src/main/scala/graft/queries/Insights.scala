@@ -2700,10 +2700,10 @@ object Insights {
     val p = 10
     val batchEvents = Tables.events(s, d)
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_hll").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_hll_ckpt").toString
+    val outDir = graft.operators.Exec
+      .scratchTempDir("graft_stream_hll").toString
+    val ckpt = graft.operators.Exec
+      .scratchTempDir("graft_stream_hll_ckpt").toString
     // the events table ships in two layouts (the q204 branch): a
     // single events.parquet FILE (driver testdata — stream the parent
     // dir with a glob, FileStreamSource's basePath must be a

@@ -1064,8 +1064,8 @@ object Lifecycle {
     import s.implicits._
     import java.nio.file.Files
     val gapUs = 30L * 60 * 1000000     // q23's 30-min inactivity gap
-    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
-    val outDir = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = graft.operators.Exec.scratchTempDir("graft_sess_ckpt").toString
+    val outDir = graft.operators.Exec.scratchTempDir("graft_sess_out").toString
 
     // the chunk files are a pure function of (dir, chunk width) —
     // built once per session (ChunkStore), replayed read-only by every
@@ -1407,15 +1407,15 @@ object Lifecycle {
     val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
     val chunkUs = math.max((maxTs - minTs) / chunkBudget + 1L, 1L)
     val delaySec = chunkUs / 1000000L + 86400L
-    val ckpt = Files.createTempDirectory("graft_sdd_ckpt").toString
-    val outDir = Files.createTempDirectory("graft_sdd_out").toString
+    val ckpt = graft.operators.Exec.scratchTempDir("graft_sdd_ckpt").toString
+    val outDir = graft.operators.Exec.scratchTempDir("graft_sdd_out").toString
 
     // chunk files with the adversarial duplicate injection are a pure
     // function of (dir, chunk budget) — built once per session
     // (ChunkStore), replayed read-only with a fresh checkpoint per run
     val ingest = graft.streaming.ChunkStore
       .ensure(s, ("q226", d, chunkBudget)) { store =>
-        val tmp = Files.createTempDirectory("graft_sdd_split").toString
+        val tmp = graft.operators.Exec.scratchTempDir("graft_sdd_split").toString
         val ev = Tables.events(s, d)
           .select(col("event_id").cast("long").as("event_id"),
             unix_micros(col("ts")).as("ts_us"),
@@ -1518,14 +1518,14 @@ object Lifecycle {
     // micro-batches are pure per-batch fixed cost (the q211
     // rationale).
     val chunkBudget = 2
-    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
-    val outDir = Files.createTempDirectory("graft_tws_out").toString
+    val ckpt = graft.operators.Exec.scratchTempDir("graft_tws_ckpt").toString
+    val outDir = graft.operators.Exec.scratchTempDir("graft_tws_out").toString
 
     // chunk files built once per session (ChunkStore), replayed
     // read-only with a fresh checkpoint per run
     val ingest = graft.streaming.ChunkStore
       .ensure(s, ("q231", d, chunkBudget)) { store =>
-        val tmp = Files.createTempDirectory("graft_tws_split").toString
+        val tmp = graft.operators.Exec.scratchTempDir("graft_tws_split").toString
         val ev = Tables.events(s, d)
           .filter(col("value").isNotNull)
           .select(col("user_id").cast("long").as("user_id"),
@@ -1631,10 +1631,10 @@ object Lifecycle {
     * the batch aggregation, the oracle. */
   private def q277(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val staging = Files.createTempDirectory("graft_rec_staging").toString
-    val ingest = Files.createTempDirectory("graft_rec_ingest").toString
-    val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
-    val outDir = Files.createTempDirectory("graft_rec_out").toString
+    val staging = graft.operators.Exec.scratchTempDir("graft_rec_staging").toString
+    val ingest = graft.operators.Exec.scratchTempDir("graft_rec_ingest").toString
+    val ckpt = graft.operators.Exec.scratchTempDir("graft_rec_ckpt").toString
+    val outDir = graft.operators.Exec.scratchTempDir("graft_rec_out").toString
 
     // the chunk build (scan + span agg + chunk write) happens once per
     // session (ChunkStore); this choreography CONSUMES its staged
@@ -1737,14 +1737,14 @@ object Lifecycle {
   private def q259(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val chunkUs = 6L * 86400 * 1000000
-    val ckpt = Files.createTempDirectory("graft_wm_ckpt").toString
-    val outDir = Files.createTempDirectory("graft_wm_out").toString
+    val ckpt = graft.operators.Exec.scratchTempDir("graft_wm_ckpt").toString
+    val outDir = graft.operators.Exec.scratchTempDir("graft_wm_out").toString
 
     // chunk files with the late-copy injection built once per session
     // (ChunkStore), replayed read-only with a fresh checkpoint per run
     val ingest = graft.streaming.ChunkStore
       .ensure(s, ("q259", d, chunkUs)) { store =>
-        val tmp = Files.createTempDirectory("graft_wm_split").toString
+        val tmp = graft.operators.Exec.scratchTempDir("graft_wm_split").toString
         val ev = Tables.events(s, d)
           .select(col("event_id").cast("long").as("event_id"),
             unix_micros(col("ts")).as("ts_us"),

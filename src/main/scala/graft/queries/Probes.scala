@@ -2250,8 +2250,8 @@ object Probes {
   private def q380(s: SparkSession, d: String): DataFrame = {
     // per-run unique index dir (the q186 convention): the small result
     // is eagerly materialized below, then the scratch is deleted
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_q380_ivf").toString
+    val dir = graft.operators.Exec
+      .scratchTempDir("graft_q380_ivf").toString
     val emb = Tables.embeddings(s, d)
     graft.operators.Similarity
       .ivfIndexBuild(emb, "vec_id", "embedding", "label", dir)

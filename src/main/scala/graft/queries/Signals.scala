@@ -417,8 +417,8 @@ object Signals {
     // per-run unique sink: a fixed path leaks per run and collides
     // under concurrent verifies; the small result is checkpointed
     // eagerly below so the scratch can be deleted before returning
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q186_sink").toString
+    val path = graft.operators.Exec
+      .scratchTempDir("graft_q186_sink").toString
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -1536,10 +1536,10 @@ object Signals {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType,
       TimestampType}
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_ssj_sink").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_ssj_ckpt").toString
+    val outDir = graft.operators.Exec
+      .scratchTempDir("graft_ssj_sink").toString
+    val ckpt = graft.operators.Exec
+      .scratchTempDir("graft_ssj_ckpt").toString
     // same ts normalization as Tables.events (raw parquet is
     // TIMESTAMP(NANOS): a LONG under nanosAsLong, NTZ otherwise)
     def norm(df: DataFrame): DataFrame = df.schema("ts").dataType match {
@@ -1640,8 +1640,8 @@ object Signals {
     import s.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val chunkUs = 6L * 86400 * 1000000
-    val ckpt = Files.createTempDirectory("graft_enrich_ckpt").toString
-    val outDir = Files.createTempDirectory("graft_enrich_out").toString
+    val ckpt = graft.operators.Exec.scratchTempDir("graft_enrich_ckpt").toString
+    val outDir = graft.operators.Exec.scratchTempDir("graft_enrich_out").toString
 
     // one file per 6-day chunk, mtime-sequenced = the FileStreamSource
     // replay order; built once per session (ChunkStore), replayed
@@ -1746,8 +1746,8 @@ object Signals {
                                      chunkBudget: Int): DataFrame = {
     import s.implicits._
     import java.nio.file.Files
-    val ckpt = Files.createTempDirectory("graft_soj_ckpt").toString
-    val outDir = Files.createTempDirectory("graft_soj_out").toString
+    val ckpt = graft.operators.Exec.scratchTempDir("graft_soj_ckpt").toString
+    val outDir = graft.operators.Exec.scratchTempDir("graft_soj_out").toString
 
     // chunk files (span-scaled width + sentinels) built once per
     // session (ChunkStore), replayed read-only with a fresh checkpoint

@@ -57,7 +57,7 @@ object ChunkReplay {
   def writeChunks(df: DataFrame, tsUsCol: String, chunkUs: Long,
                   ingestDir: String, sentinels: Seq[DataFrame] = Nil,
                   originUs: Long = 0L): Int = {
-    val tmp = Files.createTempDirectory("graft_chunk_split").toString
+    val tmp = graft.operators.Exec.scratchTempDir("graft_chunk_split").toString
     // all rows of a chunk land in ONE task so partitionBy emits a
     // single part file per chunk directory. Chunk id is integer FLOOR
     // division (`div`), matching the oracles' exact `//`: the FP form

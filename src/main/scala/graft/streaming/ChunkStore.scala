@@ -40,7 +40,7 @@ object ChunkStore {
   def ensure(s: SparkSession, key: Any)(build: String => Unit): String =
     memo.getOrElseUpdate((s.sparkContext.applicationId, key), {
       val t0 = System.nanoTime()
-      val dir = Files.createTempDirectory("graft_chunk_store").toString
+      val dir = graft.operators.Exec.scratchTempDir("graft_chunk_store").toString
       build(dir)
       buildNanos.addAndGet(System.nanoTime() - t0)
       dir
