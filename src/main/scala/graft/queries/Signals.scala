@@ -983,23 +983,33 @@ object Signals {
     * two narrowing scans; at 100 TB this is what tells you whether a
     * key's fan-out makes a shuffle join safe before you commit it. */
   private def q197(s: SparkSession, d: String): DataFrame = {
-    def profile(name: String, counts: DataFrame): DataFrame = {
-      val c = counts
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (n, Seq(p50, p90, p99)) = graft.engine.OrderStat.kthSmallests(
-        c, "n", graft.engine.OrderStat.quantileRanks(Seq(0.5, 0.9, 0.99)))
-      val result = c.agg(max("n").as("max_fanout"))
-        .select(lit(name).as("fk"), lit(n).as("n_keys"),
-          round(lit(p50), 4).as("p50"), round(lit(p90), 4).as("p90"),
-          round(lit(p99), 4).as("p99"), col("max_fanout"))
-      graft.operators.Exec.owned(result, Seq(c))
-    }
+    // ONE batched narrowing cascade for BOTH profiles (r16): the two
+    // count frames land in disjoint columns of one union (nulls are
+    // outside every OrderStat range predicate, and each spec's ranks
+    // resolve against its own non-null count), so all eight order
+    // statistics advance in lockstep — ~2 driver round-trips per
+    // round instead of two independent per-profile cascades (each
+    // with its own persist + count + max jobs). max_fanout rides the
+    // same cascade as rank n (the n-th smallest IS the max), so the
+    // separate max aggregation disappears too.
     val opc = Tables.orders(s, d).groupBy("o_custkey")
       .agg(count(lit(1)).as("n"))
     val lpo = Tables.lineitem(s, d).groupBy("l_orderkey")
       .agg(count(lit(1)).as("n"))
-    profile("1_orders_per_customer", opc)
-      .unionByName(profile("2_lines_per_order", lpo))
+    val dn = col("n").cast("double")
+    val nul = lit(null).cast("double")
+    val both = opc.select(dn.as("n_opc"), nul.as("n_lpo"))
+      .unionByName(lpo.select(nul.as("n_opc"), dn.as("n_lpo")))
+    def ranks(n: Long): Seq[Long] =
+      graft.engine.OrderStat.quantileRanks(Seq(0.5, 0.9, 0.99))(n) :+ n
+    val Seq((nO, vO), (nL, vL)) = graft.engine.OrderStat.multiQuantiles(
+      both, Seq("n_opc" -> (ranks _), "n_lpo" -> (ranks _)))
+    def rowOf(name: String, n: Long, v: Seq[Double]): DataFrame =
+      s.range(1).select(lit(name).as("fk"), lit(n).as("n_keys"),
+        round(lit(v(0)), 4).as("p50"), round(lit(v(1)), 4).as("p90"),
+        round(lit(v(2)), 4).as("p99"), lit(v(3).toLong).as("max_fanout"))
+    rowOf("1_orders_per_customer", nO, vO)
+      .unionByName(rowOf("2_lines_per_order", nL, vL))
       .orderBy("fk")
   }
 
