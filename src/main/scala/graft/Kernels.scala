@@ -301,6 +301,25 @@ object Kernels {
         "doc_id", "text", n)
     }
 
+  /** Generic memoized SMALL derived frame for an engine kernel whose
+    * builder lives next to its consumers (the [[cappedShingleIndexOf]]
+    * pattern): `key` must encode EVERY input the frame derives from.
+    * `build` returns the frame plus the persisted intermediate handles
+    * to release once the memoized copy is materialized — the reduct is
+    * checkpointed FIRST (while the intermediates still back it), then
+    * the handles are dropped. Used by the q235/q248 BM25 store. */
+  def derivedFrame(s: SparkSession, key: Any)
+      (build: => (DataFrame, Seq[DataFrame])): DataFrame =
+    cached(s, key) {
+      val (out, handles) = build
+      val mat = out.localCheckpoint(true)
+      handles.foreach { h =>
+        try h.unpersist(blocking = false) catch { case _: Throwable => () }
+        graft.operators.Exec.releaseScratch(h)
+      }
+      mat
+    }
+
   /** Support-thresholded part co-occurrence graph of lineitem —
     * `(a, b, sup)` with `a < b` and `sup` = distinct orders containing
     * both parts (≥ `minSupport`). The wedge self-join is co-partitioned

@@ -1490,7 +1490,7 @@ object Evals {
     * `(qid, doc_id, score, rnk)` plus the persisted handles the
     * caller must release via [[graft.operators.Exec.owned]].
     */
-  private def bm25Ranked(s: SparkSession, d: String)
+  private[graft] def bm25Ranked(s: SparkSession, d: String)
       : (DataFrame, Seq[DataFrame]) = {
     val k1 = 1.2
     val b = 0.75
@@ -1533,9 +1533,24 @@ object Evals {
       Seq(toks, qterms, tf))
   }
 
-  private def q235(s: SparkSession, d: String): DataFrame = {
-    val (ranked, handles) = bm25Ranked(s, d)
-    val result = ranked
+  /** The SMALL shared reduct of [[bm25Ranked]] both its consumers
+    * actually read (r16): q235 needs each query's ORIGIN row (its
+    * rank, wherever it landed), q248 the rnk ≤ 10 head — ≤ 11 rows
+    * per query either way, while the full candidate ranking is
+    * (query, every doc sharing a term) sized. Ranks are assigned over
+    * the FULL candidate set inside the build, so filtering rows
+    * afterwards changes nothing either consumer sees (row_number is
+    * per-row once assigned). Session-memoized: a pure function of
+    * (dir), built once, both evals read the store. */
+  private[graft] def bm25TopRanked(s: SparkSession, d: String): DataFrame =
+    graft.Kernels.derivedFrame(s, ("bm25TopRanked", d)) {
+      val (ranked, handles) = bm25Ranked(s, d)
+      (ranked.filter(col("rnk") <= 10 || col("doc_id") === col("qid")),
+        handles)
+    }
+
+  private def q235(s: SparkSession, d: String): DataFrame =
+    bm25TopRanked(s, d)
       .filter(col("doc_id") === col("qid"))
       .select(col("qid"), col("rnk").cast("int").as("origin_rank"),
         (col("rnk") <= 10).as("hit10"),
@@ -1543,8 +1558,6 @@ object Evals {
           lit(1.0) / col("rnk").cast("double")).otherwise(0.0), 6)
           .as("rr"))
       .orderBy("qid")
-    graft.operators.Exec.owned(result, handles)
-  }
 
   private val q235Sql =
     """WITH toks AS (SELECT doc_id,
@@ -2339,7 +2352,10 @@ object Evals {
     * origin first and min(9, |source|−1) rel-1 docs behind it.
     */
   private def q248(s: SparkSession, d: String): DataFrame = {
-    val (ranked, handles) = bm25Ranked(s, d)
+    // reads the shared top-of-ranking store (built once per session by
+    // whichever of q235/q248 runs first); relevance joins touch only
+    // the 10-row-per-query head as before
+    val ranked = bm25TopRanked(s, d)
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val qsrc = src.select(col("doc_id").as("qid"),
       col("source").as("qsource"))
@@ -2368,13 +2384,12 @@ object Evals {
           (acc, i) => acc + floor(lit(1.0) /
             log2(i.cast("double") + lit(1.0)) * lit(1e9) + lit(0.5))
             .cast("long")))
-    val result = dcg.join(broadcast(ideal), "qid")
+    dcg.join(broadcast(ideal), "qid")
       .select(col("qid"), col("rel_in_top10"),
         round(col("dcg_u").cast("double") / lit(1e9), 6).as("dcg10"),
         round(col("dcg_u").cast("double") / col("idcg_u").cast("double"), 6)
           .as("ndcg10"))
       .orderBy("qid")
-    graft.operators.Exec.owned(result, handles)
   }
 
   private val q248Sql =

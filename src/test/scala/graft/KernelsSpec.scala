@@ -104,6 +104,29 @@ class KernelsSpec extends SparkSpec {
     Kernels.clear()
   }
 
+  test("bm25 top-ranked store == inline kernel reducts (q235/q248 law)") {
+    Kernels.clear()
+    val sf = "/root/testdata/sf0.001"
+    val store = queries.Evals.bm25TopRanked(spark, sf)
+    assert(store eq queries.Evals.bm25TopRanked(spark, sf))
+    // ranks are assigned over the FULL candidate set inside the build,
+    // so the store's reducts must match the inline kernel's row-for-row
+    val (ranked, handles) = queries.Evals.bm25Ranked(spark, sf)
+    assert(store.filter(col("rnk") <= 10).orderBy("qid", "rnk")
+      .collect().toSeq
+      === ranked.filter(col("rnk") <= 10).orderBy("qid", "rnk")
+        .collect().toSeq)
+    assert(store.filter(col("doc_id") === col("qid")).orderBy("qid")
+      .collect().toSeq
+      === ranked.filter(col("doc_id") === col("qid")).orderBy("qid")
+        .collect().toSeq)
+    handles.foreach { h =>
+      h.unpersist(blocking = false)
+      operators.Exec.releaseScratch(h)
+    }
+    Kernels.clear()
+  }
+
   test("partCoEdges memo matches the inline wedge-join build") {
     Kernels.clear()
     val dir = fixtureDir()
